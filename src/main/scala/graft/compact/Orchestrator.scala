@@ -1,0 +1,193 @@
+package graft.compact
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+import scala.collection.parallel.CollectionConverters._
+import scala.collection.parallel.ForkJoinTaskSupport
+
+/** Per-host compaction driver: the engine's equivalent of the reference's
+  * `compact()` loop (kompactor.ts:174-318), with the crash-safety ordering
+  * fixed — the reference deletes inputs BEFORE rewriting snapshot metadata
+  * (delete at :262 vs rewrite at :290), leaving dangling references on a
+  * crash in between. Ours: write compacted → rewrite metadata → delete
+  * originals → GC empty dirs (SURVEY.md §7.4 bug 5).
+  *
+  * Buckets are embarrassingly parallel: each is an independent Spark job,
+  * submitted concurrently from driver threads (`bucketParallelism`). On a
+  * real cluster this keeps all executors busy even though each bucket's
+  * single-file sort is one task.
+  */
+final case class CompactConfig(
+    dataDir: String,
+    hosts: Seq[String] = Nil, // empty = discover all
+    dryRun: Boolean = false, //  actually honored, unlike kompactor.ts:34
+    verbose: Boolean = false,
+    windowHours: Int = 1,
+    timeColumn: String = "time",
+    maxDesiredFileSizeBytes: Long = 100L << 20,
+    percentageMaxFileSize: Int = 30,
+    bucketParallelism: Int = 4)
+
+final case class HostReport(
+    host: String,
+    buckets: Int,
+    compacted: Int,
+    outputFiles: Vector[FileMeta],
+    deleted: Vector[String],
+    skippedPaths: Vector[String],
+    missingFiles: Vector[String],
+    rewrittenSnapshots: Vector[String])
+
+class Orchestrator(spark: SparkSession, config: CompactConfig) {
+  private val root = new Path(config.dataDir)
+  private val fs: FileSystem = {
+    val f = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // snapshot JSONs are written/rewritten by the database itself, not by
+    // Hadoop — stale .crc sidecars would fail reads and litter the tree
+    f.setVerifyChecksum(false)
+    f.setWriteChecksum(false)
+    f
+  }
+  private val compactor = new Compactor(spark, fs, config.timeColumn,
+    config.maxDesiredFileSizeBytes, config.percentageMaxFileSize)
+
+  private def log(msg: String): Unit =
+    if (config.verbose) System.err.println(s"[compact] $msg")
+
+  def discoverHosts(): Seq[String] =
+    if (config.hosts.nonEmpty) config.hosts
+    else fs.listStatus(root).filter(_.isDirectory).map(_.getPath.getName)
+      .filter(h => fs.exists(new Path(root, s"$h/snapshots"))).toSeq.sorted
+
+  def run(): Seq[HostReport] = discoverHosts().map(runHost)
+
+  def runHost(host: String): HostReport = {
+    val snapDir = new Path(root, s"$host/snapshots")
+    require(fs.exists(snapDir), s"missing snapshots dir: $snapDir")
+    require(fs.exists(new Path(root, s"$host/dbs")), s"missing dbs dir for $host")
+
+    // B1+B2: list *.info.json, parse once (the reference re-parses every
+    // snapshot per bucket — O(buckets × snapshots) I/O, kompactor.ts:291)
+    val snapFiles = fs.listStatus(snapDir)
+      .filter(_.getPath.getName.endsWith(".info.json"))
+      .map(_.getPath).sortBy(_.getName).toVector
+    val snapshots = snapFiles.map(p => p -> SnapshotCodec.parse(readString(p)))
+
+    // B3-B9: pure planning
+    val (allBuckets, skipped) = Planner.plan(snapshots.map(_._2), config.windowHours)
+    val buckets = allBuckets.filter(_.host == host)
+    skipped.foreach(p => log(s"skipping unparseable path: $p"))
+
+    // B10: existence filter against the real FS
+    val checked = buckets.map { b =>
+      val (present, missing) =
+        b.files.partition(f => fs.exists(new Path(root, f.path)))
+      missing.foreach(f => log(s"referenced file missing on disk: ${f.path}"))
+      (b.copy(files = present, sources = present.map(_.path).toSet),
+        missing.map(_.path))
+    }
+    val missingAll = checked.flatMap(_._2)
+    val runnable = checked.map(_._1).filter(_.files.length > 1)
+
+    if (config.dryRun) {
+      runnable.foreach(b => log(
+        s"dry-run: would merge ${b.files.length} files -> ${b.outputPath}"))
+      return HostReport(host, runnable.length, 0, Vector.empty, Vector.empty,
+        skipped, missingAll, Vector.empty)
+    }
+
+    // merge every bucket (concurrent Spark jobs)
+    val par = runnable.par
+    par.tasksupport = new ForkJoinTaskSupport(
+      new java.util.concurrent.ForkJoinPool(config.bucketParallelism))
+    val results: Vector[(Bucket, CompactResult)] =
+      par.map(b => b -> compactor.merge(root, b)).toVector.seq
+        .sortBy(r => (r._1.db, r._1.table, r._1.date, r._1.hourStart))
+
+    // B12: surgical metadata rewrite, BEFORE any delete. Keyed by source
+    // path (not db/table dir names) so no naming convention is assumed.
+    val replacement: Map[String, Vector[FileMeta]] = results.flatMap { case (b, r) =>
+      b.sources.toVector.map(_ -> r.files)
+    }.toMap
+    val rewritten = snapshots.flatMap { case (path, snap) =>
+      val next = rewriteSnapshot(snap, replacement)
+      if (next == snap) None
+      else {
+        writeAtomic(path, SnapshotCodec.render(next))
+        Some(path.toString)
+      }
+    }
+
+    // B13: delete originals + upward empty-dir GC — last, so a crash never
+    // strands metadata pointing at deleted data
+    val deleted = results.flatMap { case (b, _) =>
+      b.sources.toVector.sorted.map { rel =>
+        val p = new Path(root, rel)
+        fs.delete(p, false)
+        removeEmptyDirsUpward(p.getParent)
+        rel
+      }
+    }
+
+    HostReport(host, runnable.length, results.length,
+      results.flatMap(_._2.files), deleted, skipped, missingAll, rewritten)
+  }
+
+  /** Replace merged source entries with their compacted file(s), table by
+    * table, keeping untouched files (unlike kompactor.ts:301's clobber). */
+  private def rewriteSnapshot(
+      snap: SnapshotMeta,
+      replacement: Map[String, Vector[FileMeta]]): SnapshotMeta = {
+    val next = snap.copy(databases = snap.databases.map { db =>
+      db.copy(tables = db.tables.map { t =>
+        val (merged, kept) = t.files.partition(f => replacement.contains(f.path))
+        if (merged.isEmpty) t
+        else {
+          val adds = merged.flatMap(f => replacement(f.path))
+            .distinctBy(_.path)
+            .filterNot(nf => kept.exists(_.path == nf.path))
+          t.copy(files = kept ++ adds)
+        }
+      })
+    })
+    if (next == snap) snap
+    else {
+      // top-level rollup stats reflect the post-compaction file set; Long
+      // arithmetic end-to-end (no 2^53 loss — SURVEY.md §7.4 bug 1)
+      val files = next.allFiles
+      next.copy(
+        parquet_size_bytes = files.map(_.size_bytes).sum,
+        row_count = files.map(_.row_count).sum,
+        min_time = if (files.isEmpty) next.min_time else files.map(_.min_time).min,
+        max_time = if (files.isEmpty) next.max_time else files.map(_.max_time).max)
+    }
+  }
+
+  /** Walk parents upward, deleting while empty (reference
+    * removeEmptyDirsUpward, kompactor.ts:5-17), stopping at the data root. */
+  private def removeEmptyDirsUpward(start: Path): Unit = {
+    var dir = start
+    val stop = fs.makeQualified(root)
+    while (dir != null && fs.makeQualified(dir) != stop &&
+      fs.exists(dir) && fs.listStatus(dir).isEmpty) {
+      fs.delete(dir, false)
+      dir = dir.getParent
+    }
+  }
+
+  private def readString(p: Path): String = {
+    val in = fs.open(p)
+    try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
+  private def writeAtomic(p: Path, content: String): Unit = {
+    val tmp = new Path(p.getParent, s".${p.getName}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    fs.delete(p, false)
+    if (!fs.rename(tmp, p))
+      throw new java.io.IOException(s"rename $tmp -> $p failed")
+  }
+}
