@@ -13,7 +13,8 @@ import graft.queries._
 object SparkEntry {
 
   /** All registered query groups (grows per SURVEY §7 build order). */
-  private def registry: Seq[Q] = CoreQueries.all
+  private def registry: Seq[Q] =
+    CoreQueries.all ++ DedupQueries.all ++ SimilarityQueries.all ++ TextQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

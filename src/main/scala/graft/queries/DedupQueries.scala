@@ -1,0 +1,197 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.XHash
+import graft.operators.TextOps
+
+/** Deduplication operator family over `documents` (BASELINE.json north
+  * star): exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine.
+  * Every sketch is built on the cross-engine hash ([[XHash]]) so even the
+  * LSH candidate generation is exactly reproduced by the DuckDB oracle —
+  * the correctness gate covers the approximate operators too, not just a
+  * row count.
+  *
+  * Scale notes (100 TB framing): every query here is shuffle-bounded by
+  * `groupBy(doc)` or a key-equi-join on band/shingle hashes — never an
+  * all-pairs cross join. The quadratic work only happens WITHIN an LSH
+  * band bucket / shared-shingle group, which is the standard web-scale
+  * dedup layout (MinHashLSH as in Spark MLlib, RAPIDS deduplication).
+  */
+object DedupQueries {
+  private val K = 16 // minhash signatures
+  private val Bands = 4 //   -> 4 bands x 4 rows
+  private val Rows = K / Bands
+
+  /** exact duplicate groups by full-text hash: one row per distinct text
+    * with the canonical (min) doc_id and the duplicate count. */
+  private def exactDedup(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(TextOps.fingerprint(col("text")).as("text_fp"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+  private val exactDedupSql =
+    s"""SELECT ${TextOps.fingerprintSql("text")} AS text_fp,
+       |  MIN(doc_id) AS keep_id, COUNT(1) AS n_copies
+       |FROM documents GROUP BY 1""".stripMargin
+
+  /** MinHash signature matrix (the reusable sketch). Docs too short to
+    * shingle are excluded (the SQL twin's len>=3 filter). */
+  private def minhashSigs(s: SparkSession, d: String): DataFrame = {
+    val sigs = TextOps.minhashSigs(col("sh"), K)
+    Tables.documents(s, d)
+      .select(col("doc_id"), TextOps.shingles(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id") +: sigs.zipWithIndex.map { case (c, i) => c.as(s"s$i") }: _*)
+  }
+  private def minhashSigsSql: String = {
+    val sigExprs = XHash.coeffs(K).zipWithIndex.map { case ((a, b), i) =>
+      s"MIN((${XHash.hashPSql("sh")} * $a + $b) % ${XHash.P}) AS s$i"
+    }.mkString(",\n    ")
+    s"""SELECT doc_id, $sigExprs
+       |  FROM (SELECT doc_id, unnest(${TextOps.shinglesSql("text")}) AS sh
+       |        FROM documents WHERE len(${TextOps.tokensSql("text")}) >= 3)
+       |  GROUP BY doc_id""".stripMargin
+  }
+
+  /** LSH candidate pairs: equal band signature in ≥1 of 4 bands, then
+    * exact signature agreement count as the similarity estimate. The
+    * all-pairs work is confined to band buckets (standard MinHashLSH
+    * shape: shingle → minhash → band → bucket-equi-join). */
+  private def minhashLsh(s: SparkSession, d: String): DataFrame = {
+    val sigs = minhashSigs(s, d)
+    val sigArr = sigs.select(col("doc_id"),
+      array((0 until K).map(i => col(s"s$i")): _*).as("sig"))
+    val bands = sigArr.select(col("doc_id"),
+      explode(array((0 until Bands).map { b =>
+        struct(lit(b).as("band_idx"),
+          concat_ws("_", (0 until Rows).map(r => element_at(col("sig"), b * Rows + r + 1)): _*)
+            .as("band_val"))
+      }: _*)).as("band"))
+      .select(col("doc_id"), col("band.band_idx"), col("band.band_val"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sigArr.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sigArr.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .withColumn("sig_matches",
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1L).otherwise(0L)), lit(0L), (acc, v) => acc + v))
+      .select("doc_a", "doc_b", "sig_matches")
+  }
+
+  private def minhashLshSql: String = {
+    val bandSelects = (0 until Bands).map { b =>
+      val cols = (0 until Rows).map(r => s"s${b * Rows + r}").mkString(", '_', ")
+      s"SELECT doc_id, $b AS band_idx, concat(${cols}) AS band_val FROM sig"
+    }.mkString("\n    UNION ALL ")
+    val matchSum = (0 until K).map(i =>
+      s"CASE WHEN x.s$i = y.s$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH sig AS (${minhashSigsSql}),
+       |bands AS (
+       |    $bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       |   AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, CAST($matchSum AS BIGINT) AS sig_matches
+       |FROM cand JOIN sig x ON x.doc_id = doc_a JOIN sig y ON y.doc_id = doc_b""".stripMargin
+  }
+
+  /** Exact n-gram Jaccard over the LSH candidates: shingle-explode +
+    * equi-join + group count — never an all-pairs scan. */
+  private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), TextOps.shingles(col("text")).as("sh"))
+    val ex = docs.select(col("doc_id"), explode(col("sh")).as("s"))
+    val sizes = docs.select(col("doc_id"), size(col("sh")).as("n"))
+    val inter = ex.as("a").join(ex.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= 0.8)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+  private val jaccardPairsSql =
+    s"""WITH sh AS (SELECT doc_id, unnest(${TextOps.shinglesSql("text")}) AS s
+       |            FROM documents WHERE len(${TextOps.tokensSql("text")}) >= 3),
+       |sizes AS (SELECT doc_id, COUNT(1) AS n FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(1) AS inter
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |  CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) AS jaccard
+       |FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+       |JOIN sizes sb ON sb.doc_id = doc_b
+       |WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.8""".stripMargin
+
+  /** 60-bit SimHash fingerprints (token multiset, majority vote per bit). */
+  private def simhash(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("t"))
+      .select(col("doc_id"), XHash.hash60(col("t")).as("h"))
+      .select(col("doc_id"), col("h"),
+        explode(sequence(lit(0), lit(TextOps.SimHashBits - 1))).as("bit"))
+      .groupBy(col("doc_id"), col("bit"))
+      // expr() because the Scala shiftright/shiftleft API only accepts a
+      // literal bit count; the SQL form takes any expression
+      .agg(sum(expr(
+        "CASE WHEN shiftright(h, CAST(bit AS INT)) & 1 = 1 THEN 1 ELSE -1 END"))
+        .as("vote"))
+      .groupBy(col("doc_id"))
+      .agg(sum(expr(
+        "CASE WHEN vote > 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT)) " +
+          "ELSE CAST(0 AS BIGINT) END")).as("simhash"))
+  private val simhashSql =
+    s"""WITH tok AS (SELECT doc_id, ${XHash.hash60Sql("t")} AS h
+       |  FROM (SELECT doc_id, unnest(${TextOps.tokensSql("text")}) AS t FROM documents)),
+       |votes AS (
+       |  SELECT doc_id, r.range AS bit,
+       |    SUM(CASE WHEN (h >> r.range) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+       |  FROM tok CROSS JOIN range(${TextOps.SimHashBits}) r GROUP BY 1, 2)
+       |SELECT doc_id,
+       |  CAST(SUM(CASE WHEN vote > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash
+       |FROM votes GROUP BY doc_id""".stripMargin
+
+  /** Embedding near-dup pairs above a cosine threshold (quantized-exact).
+    * Small-table form is the all-pairs join; the LSH-bucketed scale path
+    * is SimilarityQueries.annLsh. */
+  private def embNearDup(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), TextOps.quantize(col("embedding")).as("q"))
+    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        TextOps.qcosine(col("a.q"), col("b.q")).as("cosine"))
+      .filter(col("cosine") >= 0.45)
+  }
+  private val embNearDupSql =
+    s"""WITH q AS (SELECT vec_id, ${TextOps.quantizeSql("embedding")} AS q FROM embeddings),
+       |e AS (SELECT vec_id, unnest(q) AS v, generate_subscripts(q, 1) AS i FROM q),
+       |dot AS (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, SUM(a.v * b.v) AS dot
+       |  FROM e a JOIN e b ON a.i = b.i AND a.vec_id < b.vec_id GROUP BY 1, 2),
+       |norms AS (SELECT vec_id, SUM(v * v) AS nn FROM e GROUP BY 1)
+       |SELECT vec_a, vec_b,
+       |  CAST(dot AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) AS cosine
+       |FROM dot JOIN norms na ON na.vec_id = vec_a JOIN norms nb ON nb.vec_id = vec_b
+       |WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) >= 0.45""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("d1_exact_dedup", exactDedup, Some(exactDedupSql)),
+    Q("d2_minhash_lsh", minhashLsh, Some(minhashLshSql)),
+    Q("d3_jaccard_pairs", jaccardPairs, Some(jaccardPairsSql)),
+    Q("d4_simhash", simhash, Some(simhashSql)),
+    Q("d5_embedding_neardup", embNearDup, Some(embNearDupSql)))
+}

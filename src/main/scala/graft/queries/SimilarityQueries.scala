@@ -1,0 +1,147 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.XHash
+import graft.operators.TextOps
+
+/** Similarity search over the `embeddings` table (BASELINE.json north
+  * star): brute-force cosine top-k as the exact baseline, and a
+  * sign-random-projection LSH bucketed variant as the scale path.
+  *
+  * Determinism: embeddings are quantized to int64 (1e-6) so dot products
+  * and norms are exact integers in both engines; cosine is then a fixed
+  * IEEE expression — the oracle matches bit-for-bit, including for the
+  * "approximate" LSH operator (its hyperplanes are hash-derived, not
+  * random). See TextOps.quantize / XHash.
+  */
+object SimilarityQueries {
+  private val TopK = 3
+  private val NQueries = 32 // query subset for the brute-force baseline
+  private val SigBits = 8 //   LSH signature width
+
+  /** Brute-force exact top-k: queries × all candidates, ranked by
+    * (cosine desc, vec_id). At scale: broadcast the query set, one pass
+    * over candidates, TakeOrdered per query — no shuffle of the big side.
+    */
+  private def cosineTopK(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), TextOps.quantize(col("embedding")).as("q"))
+    val queries = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"))
+    val scored = e.join(broadcast(queries), col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        TextOps.qcosine(col("qq"), col("q")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w).cast("bigint"))
+      .filter(col("rk") <= TopK)
+      .select(col("query_id"), col("neighbor_id"), col("rk"),
+        round(col("cosine"), 6).as("cosine_r"))
+  }
+  private val cosineTopKSql =
+    s"""WITH q AS (SELECT vec_id, ${TextOps.quantizeSql("embedding")} AS q FROM embeddings),
+       |e AS (SELECT vec_id, unnest(q) AS v, generate_subscripts(q, 1) AS i FROM q),
+       |norms AS (SELECT vec_id, SUM(v * v) AS nn FROM e GROUP BY 1),
+       |dot AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, SUM(a.v * b.v) AS dot
+       |  FROM e a JOIN e b ON a.i = b.i AND a.vec_id < $NQueries
+       |   AND b.vec_id <> a.vec_id
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT query_id, neighbor_id,
+       |    CAST(dot AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) AS cosine
+       |  FROM dot JOIN norms na ON na.vec_id = query_id
+       |  JOIN norms nb ON nb.vec_id = neighbor_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, neighbor_id) AS rk, cosine
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, rk, round(cosine, 6) AS cosine_r
+       |FROM ranked WHERE rk <= $TopK""".stripMargin
+
+  /** Sign-random-projection signature: bit j = sign(Σ_i w_ij · q_i) with
+    * ±1 weights derived from the cross-engine hash of (j, i) — a
+    * deterministic, oracle-checkable LSH. */
+  private def lshSignature(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), posexplode(TextOps.quantize(col("embedding"))))
+      .withColumnRenamed("pos", "i").withColumnRenamed("col", "v")
+      .select(col("vec_id"), col("i"), col("v"),
+        explode(sequence(lit(0), lit(SigBits - 1))).as("j"))
+      .withColumn("w",
+        when(XHash.hash60(concat_ws("_", col("j"), col("i"))) % 2 === 0, 1L)
+          .otherwise(-1L))
+      .groupBy(col("vec_id"), col("j"))
+      .agg(sum(col("w") * col("v")).as("proj"))
+      .groupBy(col("vec_id"))
+      .agg(sum(expr(
+        "CASE WHEN proj > 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(j AS INT)) " +
+          "ELSE CAST(0 AS BIGINT) END")).as("sig"))
+
+  private val lshSignatureSql =
+    s"""SELECT vec_id,
+       |  CAST(SUM(CASE WHEN proj > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS sig
+       |FROM (
+       |  SELECT vec_id, r.range AS j,
+       |    SUM(CASE WHEN ${XHash.hash60Sql("concat(r.range, '_', e.i)")} % 2 = 0
+       |      THEN e.v ELSE -e.v END) AS proj
+       |  FROM (SELECT vec_id, unnest(q) AS v, generate_subscripts(q, 1) - 1 AS i
+       |        FROM (SELECT vec_id, ${TextOps.quantizeSql("embedding")} AS q
+       |              FROM embeddings)) e
+       |  CROSS JOIN range($SigBits) r
+       |  GROUP BY 1, 2)
+       |GROUP BY vec_id""".stripMargin
+
+  /** ANN via LSH buckets: candidates share the full signature; exact
+    * cosine rank within the bucket. The equi-join on `sig` is the scale
+    * path — shuffle by bucket, never all-pairs. */
+  private def annLsh(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), TextOps.quantize(col("embedding")).as("q"))
+    val sigs = lshSignature(s, d)
+    val withSig = e.join(sigs, "vec_id")
+    val cand = withSig.as("a").join(withSig.as("b"),
+        col("a.sig") === col("b.sig") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        TextOps.qcosine(col("a.q"), col("b.q")).as("cosine"))
+    val w = Window.partitionBy(col("vec_a"))
+      .orderBy(col("cosine").desc, col("vec_b"))
+    cand.withColumn("rk", row_number().over(w).cast("bigint"))
+      .filter(col("rk") <= TopK)
+      .select(col("vec_a"), col("vec_b"), col("rk"),
+        round(col("cosine"), 6).as("cosine_r"))
+  }
+  private val annLshSql =
+    s"""WITH q AS (SELECT vec_id, ${TextOps.quantizeSql("embedding")} AS q FROM embeddings),
+       |sig AS ($lshSignatureSql),
+       |e AS (SELECT vec_id, unnest(q) AS v, generate_subscripts(q, 1) AS i FROM q),
+       |norms AS (SELECT vec_id, SUM(v * v) AS nn FROM e GROUP BY 1),
+       |cand AS (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM sig a JOIN sig b ON a.sig = b.sig AND a.vec_id < b.vec_id),
+       |dot AS (
+       |  SELECT c.vec_a, c.vec_b, SUM(ea.v * eb.v) AS dot
+       |  FROM cand c JOIN e ea ON ea.vec_id = c.vec_a
+       |  JOIN e eb ON eb.vec_id = c.vec_b AND ea.i = eb.i
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT vec_a, vec_b,
+       |    CAST(dot AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) AS cosine
+       |  FROM dot JOIN norms na ON na.vec_id = vec_a
+       |  JOIN norms nb ON nb.vec_id = vec_b),
+       |ranked AS (
+       |  SELECT vec_a, vec_b,
+       |    row_number() OVER (PARTITION BY vec_a ORDER BY cosine DESC, vec_b) AS rk,
+       |    cosine
+       |  FROM scored)
+       |SELECT vec_a, vec_b, rk, round(cosine, 6) AS cosine_r
+       |FROM ranked WHERE rk <= $TopK""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("s1_cosine_topk", cosineTopK, Some(cosineTopKSql)),
+    Q("s2_ann_lsh", annLsh, Some(annLshSql)))
+}
