@@ -32,10 +32,13 @@ object TextOps {
   }
 
   /** k MinHash signatures over a (distinct) token/shingle array — one
-    * `array_min(transform(...))` per signature, no shuffle, no explode. */
-  def minhashSigs(items: Column, k: Int): Seq[Column] =
+    * `array_min(transform(...))` per signature, no shuffle, no explode.
+    * Feed `hashed = transform(items, XHash.hashP)` so the md5 runs ONCE
+    * per element instead of once per (element, signature): 16× less hash
+    * work for k=16. */
+  def minhashSigsFromHashes(hashed: Column, k: Int): Seq[Column] =
     XHash.coeffs(k).map { case (a, b) =>
-      array_min(transform(items, t => (XHash.hashP(t) * a + b) % XHash.P))
+      array_min(transform(hashed, h => (h * a + b) % XHash.P))
     }
 
   /** 60-bit SimHash over the token multiset: per bit j, majority vote of
@@ -56,9 +59,11 @@ object TextOps {
   def quantizeSql(e: String): String =
     s"list_transform($e, v -> CAST(round(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT))"
 
-  /** Exact int64 dot product of two quantized vectors. */
+  /** Exact int64 dot product of two quantized vectors — native codegen'd
+    * expression (see [[graft.functions.LongArrayDot]]); same sequential
+    * multiply-add semantics as the aggregate/zip_with formulation. */
   def qdot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+    graft.functions.LongArrayDot(a, b)
 
   /** Deterministic cosine over quantized vectors:
     * dot / (sqrt(na) * sqrt(nb)) — exact ints into IEEE ops. */

@@ -402,6 +402,33 @@ object CoreQueries {
               |  COUNT(1) AS n_events, ${Q.moneySum("value")} AS sum_value
               |FROM g GROUP BY user_id, sess_id""".stripMargin)),
 
+    // ---- CUBE grouping sets (rollup's full-lattice sibling).
+    Q(
+      "q18_cube",
+      (s, d) =>
+        Tables.orders(s, d)
+          .cube(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+            moneySum(col("o_totalprice")).as("sum_price"),
+            grouping(col("o_orderstatus")).cast("bigint").as("g_s"),
+            grouping(col("o_orderpriority")).cast("bigint").as("g_p")),
+      Some(s"""SELECT o_orderstatus, o_orderpriority, COUNT(1) AS n,
+              |  ${Q.moneySum("o_totalprice")} AS sum_price,
+              |  GROUPING(o_orderstatus) AS g_s, GROUPING(o_orderpriority) AS g_p
+              |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin)),
+
+    // ---- approx_count_distinct (HyperLogLog++): sketches are
+    // engine-specific by design, so no value oracle — the driver records
+    // the rows-only check and ApproxSpec asserts relative error vs exact.
+    Q(
+      "q19_approx_distinct",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag"))
+          .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+            approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders")),
+      None),
+
     // ---- Multi-way broadcast join chain through the dimension snowflake.
     Q(
       "q17_snowflake_join",

@@ -37,13 +37,23 @@ object DedupQueries {
        |FROM documents GROUP BY 1""".stripMargin
 
   /** MinHash signature matrix (the reusable sketch). Docs too short to
-    * shingle are excluded (the SQL twin's len>=3 filter). */
+    * shingle are excluded (the SQL twin's len>=3 filter).
+    *
+    * Physical shape: explode shingles → one md5 per shingle → 16 codegen'd
+    * `min((h*a+b)%P)` aggregates in ONE hash-agg pass. The pure
+    * array-function formulation (array_min over 16 transforms) stays out
+    * of whole-stage codegen (HigherOrderFunction = CodegenFallback) and
+    * measured ~10× slower; the explode adds one shuffle by doc_id but
+    * keeps everything else in generated code with map-side partial mins.
+    */
   private def minhashSigs(s: SparkSession, d: String): DataFrame = {
-    val sigs = TextOps.minhashSigs(col("sh"), K)
-    Tables.documents(s, d)
-      .select(col("doc_id"), TextOps.shingles(col("text")).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .select(col("doc_id") +: sigs.zipWithIndex.map { case (c, i) => c.as(s"s$i") }: _*)
+    val hashed = Tables.documents(s, d)
+      .select(col("doc_id"), explode(TextOps.shingles(col("text"))).as("sh"))
+      .select(col("doc_id"), XHash.hashP(col("sh")).as("h"))
+    val aggs = XHash.coeffs(K).zipWithIndex.map { case ((a, b), i) =>
+      min((col("h") * a + b) % XHash.P).as(s"s$i")
+    }
+    hashed.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
   private def minhashSigsSql: String = {
     val sigExprs = XHash.coeffs(K).zipWithIndex.map { case ((a, b), i) =>
@@ -104,38 +114,49 @@ object DedupQueries {
        |FROM cand JOIN sig x ON x.doc_id = doc_a JOIN sig y ON y.doc_id = doc_b""".stripMargin
   }
 
-  /** Exact n-gram Jaccard over the LSH candidates: shingle-explode +
-    * equi-join + group count — never an all-pairs scan. */
+  /** Exact n-gram Jaccard, verified on the LSH candidate pairs — the
+    * standard two-phase near-dup pipeline (LSH recall pass, exact
+    * precision pass). The quadratic work stays confined to band buckets;
+    * the exact set intersection is an array op per candidate, not a
+    * shingle self-join over the corpus. */
   private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), TextOps.shingles(col("text")).as("sh"))
-    val ex = docs.select(col("doc_id"), explode(col("sh")).as("s"))
-    val sizes = docs.select(col("doc_id"), size(col("sh")).as("n"))
-    val inter = ex.as("a").join(ex.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("na") + col("nb") - col("inter")).cast("double"))
-      .filter(col("jaccard") >= 0.8)
-      .select("doc_a", "doc_b", "jaccard")
+      .filter(size(col("sh")) > 0)
+    val cand = minhashLsh(s, d).select("doc_a", "doc_b")
+    cand
+      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("bigint"))
+      .withColumn("uni",
+        (size(col("sh_a")) + size(col("sh_b"))).cast("bigint") - col("inter"))
+      .withColumn("jaccard", col("inter").cast("double") / col("uni").cast("double"))
+      .filter(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b", "inter", "uni", "jaccard")
   }
-  private val jaccardPairsSql =
-    s"""WITH sh AS (SELECT doc_id, unnest(${TextOps.shinglesSql("text")}) AS s
-       |            FROM documents WHERE len(${TextOps.tokensSql("text")}) >= 3),
-       |sizes AS (SELECT doc_id, COUNT(1) AS n FROM sh GROUP BY 1),
-       |inter AS (
-       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(1) AS inter
-       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2)
-       |SELECT doc_a, doc_b,
-       |  CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) AS jaccard
-       |FROM inter JOIN sizes sa ON sa.doc_id = doc_a
-       |JOIN sizes sb ON sb.doc_id = doc_b
-       |WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.8""".stripMargin
+  private def jaccardPairsSql =
+    s"""WITH sig AS ($minhashSigsSql),
+       |bands AS (
+       |    ${(0 until Bands).map { b =>
+             val cols = (0 until Rows).map(r => s"s${b * Rows + r}").mkString(", '_', ")
+             s"SELECT doc_id, $b AS band_idx, concat($cols) AS band_val FROM sig"
+           }.mkString("\n    UNION ALL ")}),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       |   AND a.doc_id < b.doc_id),
+       |sh AS (SELECT doc_id, ${TextOps.shinglesSql("text")} AS sh
+       |       FROM documents WHERE len(${TextOps.tokensSql("text")}) >= 3),
+       |j AS (
+       |  SELECT doc_a, doc_b,
+       |    CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS inter,
+       |    CAST(len(sa.sh) + len(sb.sh) AS BIGINT)
+       |      - CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS uni
+       |  FROM cand JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b)
+       |SELECT doc_a, doc_b, inter, uni,
+       |  CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) AS jaccard
+       |FROM j WHERE CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) >= 0.5""".stripMargin
 
   /** 60-bit SimHash fingerprints (token multiset, majority vote per bit). */
   private def simhash(s: SparkSession, d: String): DataFrame =
@@ -169,11 +190,15 @@ object DedupQueries {
     * Small-table form is the all-pairs join; the LSH-bucketed scale path
     * is SimilarityQueries.annLsh. */
   private def embNearDup(s: SparkSession, d: String): DataFrame = {
+    // norms once per vector (not per pair): the pair loop does one dot
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), TextOps.quantize(col("embedding")).as("q"))
+      .withColumn("nn", TextOps.qdot(col("q"), col("q")))
     e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        TextOps.qcosine(col("a.q"), col("b.q")).as("cosine"))
+        (TextOps.qdot(col("a.q"), col("b.q")).cast("double") /
+          (sqrt(col("a.nn").cast("double")) * sqrt(col("b.nn").cast("double"))))
+          .as("cosine"))
       .filter(col("cosine") >= 0.45)
   }
   private val embNearDupSql =

@@ -29,11 +29,14 @@ object SimilarityQueries {
   private def cosineTopK(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), TextOps.quantize(col("embedding")).as("q"))
+      .withColumn("nn", TextOps.qdot(col("q"), col("q")))
     val queries = e.filter(col("vec_id") < NQueries)
-      .select(col("vec_id").as("query_id"), col("q").as("qq"))
+      .select(col("vec_id").as("query_id"), col("q").as("qq"), col("nn").as("qnn"))
     val scored = e.join(broadcast(queries), col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        TextOps.qcosine(col("qq"), col("q")).as("cosine"))
+        (TextOps.qdot(col("qq"), col("q")).cast("double") /
+          (sqrt(col("qnn").cast("double")) * sqrt(col("nn").cast("double"))))
+          .as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rk", row_number().over(w).cast("bigint"))
@@ -102,12 +105,15 @@ object SimilarityQueries {
   private def annLsh(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), TextOps.quantize(col("embedding")).as("q"))
+      .withColumn("nn", TextOps.qdot(col("q"), col("q")))
     val sigs = lshSignature(s, d)
     val withSig = e.join(sigs, "vec_id")
     val cand = withSig.as("a").join(withSig.as("b"),
         col("a.sig") === col("b.sig") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        TextOps.qcosine(col("a.q"), col("b.q")).as("cosine"))
+        (TextOps.qdot(col("a.q"), col("b.q")).cast("double") /
+          (sqrt(col("a.nn").cast("double")) * sqrt(col("b.nn").cast("double"))))
+          .as("cosine"))
     val w = Window.partitionBy(col("vec_a"))
       .orderBy(col("cosine").desc, col("vec_b"))
     cand.withColumn("rk", row_number().over(w).cast("bigint"))

@@ -1,0 +1,87 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.{SparkEntry, Tables, TestSpark}
+import graft.functions.XHash
+import graft.operators.TextOps
+
+/** Cross-cutting quality properties the DuckDB hash-compare can't express:
+  * sketch accuracy bounds, LSH recall against ground truth, and the
+  * cross-engine hash contract.
+  */
+class QuerySpecs extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("entry flagship returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every declared query runs and every oracle key exists") {
+    val qs = SparkEntry.queries
+    assert(SparkEntry.oracleSql.keySet.subsetOf(qs.keySet))
+    // spot-run a sample cheaply at the smallest SF
+    Seq("q1_pricing_summary", "d2_minhash_lsh", "s1_cosine_topk", "m1_media_meta")
+      .foreach(n => assert(qs(n)(spark, sf).count() > 0, n))
+  }
+
+  test("approx_count_distinct lands within configured error of exact") {
+    val approx = SparkEntry.queries("q19_approx_distinct")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val exact = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    exact.foreach { case (k, ex) =>
+      assert(math.abs(approx(k) - ex).toDouble / ex < 0.1,
+        s"$k: approx=${approx(k)} exact=$ex")
+    }
+  }
+
+  test("XHash matches the DuckDB-computable definition (fixed vector)") {
+    // '0x' || substr(md5('hello'),1,15) == 419982666956583591 (DuckDB-checked)
+    val got = spark.range(1)
+      .select(XHash.hash60(lit("hello"))).head.getLong(0)
+    assert(got == 419982666956583591L)
+  }
+
+  test("MinHash-LSH candidates achieve full recall on high-jaccard pairs") {
+    // ground truth: all-pairs shingle jaccard >= 0.9 at sf0.001
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), TextOps.shingles(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val truth = docs.as("a").join(docs.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .withColumn("inter", size(array_intersect(col("a.sh"), col("b.sh"))))
+      .withColumn("jac", col("inter").cast("double") /
+        (size(col("a.sh")) + size(col("b.sh")) - col("inter")).cast("double"))
+      .filter(col("jac") >= 0.9)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cand = SparkEntry.queries("d2_minhash_lsh")(spark, sf)
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "fixture should contain planted near-dups")
+    val missed = truth -- cand
+    assert(missed.isEmpty, s"LSH missed ${missed.size}/${truth.size} true pairs")
+  }
+
+  test("quantized cosine tracks float cosine within 1e-4") {
+    val e = Tables.embeddings(spark, sf).limit(50)
+      .select(col("vec_id"), col("embedding"),
+        TextOps.quantize(col("embedding")).as("q"))
+    val both = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(
+        TextOps.qcosine(col("a.q"), col("b.q")).as("qcos"),
+        (aggregate(zip_with(col("a.embedding"), col("b.embedding"),
+          (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (s, v) => s + v) /
+          (sqrt(aggregate(transform(col("a.embedding"),
+            x => x.cast("double") * x.cast("double")), lit(0.0), (s, v) => s + v)) *
+            sqrt(aggregate(transform(col("b.embedding"),
+              x => x.cast("double") * x.cast("double")), lit(0.0), (s, v) => s + v))))
+          .as("fcos"))
+      .select(max(abs(col("qcos") - col("fcos"))).as("maxerr"))
+      .head.getDouble(0)
+    assert(both < 1e-4, s"quantization error $both")
+  }
+}
