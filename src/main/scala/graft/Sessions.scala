@@ -14,8 +14,11 @@ import org.apache.spark.sql.SparkSession
   *  - zstd output codec matches the reference sink (kompactor.ts:109).
   */
 object Sessions {
-  def local(cores: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")): SparkSession =
-    configure(SparkSession.builder().master(s"local[$cores]"), cores).getOrCreate()
+  def local(cores: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")): SparkSession = {
+    val s = configure(SparkSession.builder().master(s"local[$cores]"), cores).getOrCreate()
+    graft.functions.GraftFunctions.register(s)
+    s
+  }
 
   def configure(b: SparkSession.Builder, cores: String): SparkSession.Builder = b
     .appName("graft")
