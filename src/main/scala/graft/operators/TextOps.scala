@@ -16,15 +16,13 @@ object TextOps {
   def tokens(text: Column): Column = split(lower(text), " ")
   def tokensSql(e: String): String = s"string_split(lower($e), ' ')"
 
-  /** Distinct word n-gram shingles; empty array for docs shorter than n. */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val t = tokens(text)
-    when(size(t) >= n,
-      array_distinct(transform(
-        sequence(lit(0), size(t) - n),
-        i => concat_ws(" ", (0 until n).map(j => element_at(t, i + j + 1)): _*))))
-      .otherwise(array().cast("array<string>"))
-  }
+  /** Distinct word n-gram shingles; empty array for docs shorter than n.
+    * Native codegen'd expression ([[graft.functions.WordShingles]]) —
+    * semantics equal to the declarative
+    * `array_distinct(transform(sequence(...), concat_ws(...)))` chain,
+    * which is interpreted (CodegenFallback) and ~10× slower. */
+  def shingles(text: Column, n: Int = 3): Column =
+    graft.functions.WordShingles(text, n)
   def shinglesSql(e: String, n: Int = 3): String = {
     val elems = (1 to n).map(j => s"t[i+$j]").mkString(" || ' ' || ")
     s"list_distinct(list_transform(range(len(${tokensSql(e)}) - ${n - 1}), " +

@@ -429,6 +429,50 @@ object CoreQueries {
             approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders")),
       None),
 
+    // ---- Exact interpolated percentiles (Spark `percentile` == DuckDB
+    // `quantile_cont`); rounded to absorb last-ulp interpolation noise.
+    Q(
+      "q20_percentiles",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            expr("round(percentile(l_extendedprice, 0.5), 4)").as("p50"),
+            expr("round(percentile(l_extendedprice, 0.9), 4)").as("p90"),
+            expr("round(percentile(l_extendedprice, 0.99), 4)").as("p99"),
+            count(lit(1)).as("n")),
+      Some("""SELECT l_returnflag,
+             |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+             |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+             |  round(quantile_cont(l_extendedprice, 0.99), 4) AS p99,
+             |  COUNT(1) AS n
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+
+    // ---- Native session_window operator in batch mode (the streaming
+    // session operator — q16 is the windowed-emulation twin).
+    Q(
+      "q21_session_window",
+      (s, d) =>
+        Tables.events(s, d)
+          .withColumn("event_time", timestamp_micros(expr("ts_ns div 1000")))
+          .groupBy(session_window(col("event_time"), "30 minutes"), col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            moneySum(col("value")).as("sum_value"))
+          .select(col("user_id"),
+            unix_micros(col("session_window.start")).as("sess_start_us"),
+            col("n_events"), col("sum_value")),
+      Some(s"""WITH t AS (
+              |  SELECT user_id, epoch_us(ts) AS ts_us, value,
+              |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS prev_us
+              |  FROM events),
+              |g AS (
+              |  SELECT *, SUM(CASE WHEN prev_us IS NULL OR ts_us - prev_us >= 1800000000
+              |    THEN 1 ELSE 0 END) OVER (PARTITION BY user_id ORDER BY ts_us
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id FROM t)
+              |SELECT user_id, MIN(ts_us) AS sess_start_us,
+              |  COUNT(1) AS n_events, ${Q.moneySum("value")} AS sum_value
+              |FROM g GROUP BY user_id, sess_id""".stripMargin)),
+
     // ---- Multi-way broadcast join chain through the dimension snowflake.
     Q(
       "q17_snowflake_join",

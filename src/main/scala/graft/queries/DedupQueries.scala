@@ -213,10 +213,28 @@ object DedupQueries {
        |FROM dot JOIN norms na ON na.vec_id = vec_a JOIN norms nb ON nb.vec_id = vec_b
        |WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) >= 0.45""".stripMargin
 
+  /** End-to-end dedup: the corpus AFTER dropping near-duplicates (the
+    * higher doc_id of every verified pair), rolled up per language —
+    * what a training-data pipeline actually ships downstream. */
+  private def dedupKeep(s: SparkSession, d: String): DataFrame = {
+    val dupB = jaccardPairs(s, d).select(col("doc_b").as("doc_id")).distinct()
+    Tables.documents(s, d)
+      .join(dupB, Seq("doc_id"), "left_anti")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("sum_chars"))
+  }
+  private def dedupKeepSql =
+    s"""WITH pairs AS ($jaccardPairsSql)
+       |SELECT lang, COUNT(1) AS n_kept, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+       |FROM documents
+       |WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
+       |GROUP BY lang""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("d1_exact_dedup", exactDedup, Some(exactDedupSql)),
     Q("d2_minhash_lsh", minhashLsh, Some(minhashLshSql)),
     Q("d3_jaccard_pairs", jaccardPairs, Some(jaccardPairsSql)),
     Q("d4_simhash", simhash, Some(simhashSql)),
-    Q("d5_embedding_neardup", embNearDup, Some(embNearDupSql)))
+    Q("d5_embedding_neardup", embNearDup, Some(embNearDupSql)),
+    Q("d6_dedup_keep", dedupKeep, Some(dedupKeepSql)))
 }
