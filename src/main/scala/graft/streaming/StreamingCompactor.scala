@@ -49,6 +49,9 @@ object StreamingCompactor {
           .write
           .mode("append")
           .option("compression", "zstd")
+          // see Compactor scaladoc: dictionary encoding collapses on
+          // high-cardinality payloads; zstd on sorted rows suffices
+          .option("parquet.enable.dictionary", "false")
           .partitionBy("hour_bucket")
           .parquet(outputDir)
         ()

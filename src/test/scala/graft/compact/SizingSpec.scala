@@ -68,5 +68,20 @@ class SizingSpec extends AnyFunSuite {
       assert(times.length == f.row_count)
       assert(new File(dir, f.path).length() == f.size_bytes)
     }
+
+    // single-file contract via PARALLEL parts + row-group concat: tiny
+    // sort partitions force multiple parts, large target forces one file
+    val concat = new Compactor(spark, fs,
+      maxDesiredFileSizeBytes = 1L << 30, sortPartitionBytes = 32L * 1024)
+    val single = concat.merge(new Path(dir.toString), bucket)
+    assert(single.files.length == 1)
+    val f = single.files.head
+    assert(f.path.endsWith("c_0000000001_0000000002_h22.parquet"))
+    assert(f.row_count == 60000)
+    val merged = spark.read.parquet(new File(dir, f.path).toString)
+      .select("time").collect().map(_.getLong(0))
+    assert(merged.length == 60000)
+    assert(merged.sameElements(merged.sorted)) // globally sorted across parts
+    assert(f.min_time == merged.head && f.max_time == merged.last)
   }
 }
