@@ -473,6 +473,42 @@ object CoreQueries {
               |  COUNT(1) AS n_events, ${Q.moneySum("value")} AS sum_value
               |FROM g GROUP BY user_id, sess_id""".stripMargin)),
 
+    // ---- Range join via time-bucket decomposition: "clicks within ±5
+    // minutes of each error, same user". The naive inequality join is a
+    // per-user cross product; bucketing time into window-width cells turns
+    // it into an equi-join on (user, cell) over at most 3 adjacent cells —
+    // the standard scalable range-join layout. Exact filter re-applied
+    // after the equi-join, so semantics equal the naive form (the oracle).
+    Q(
+      "q22_range_join",
+      (s, d) => {
+        val win = 5L * 60 * 1000000 // ±5 minutes in µs
+        val e = Tables.events(s, d).withColumn("ts_us", expr("ts_ns div 1000"))
+        val errors = e.filter(col("event_type") === "error")
+          .select(col("event_id").as("err_id"), col("user_id"),
+            col("ts_us").as("err_us"))
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("user_id").as("c_user"), col("ts_us").as("click_us"))
+        val cells = errors
+          .withColumn("off", explode(array(lit(-1L), lit(0L), lit(1L))))
+          .withColumn("cell", expr(s"err_us div $win") + col("off"))
+          .drop("off")
+        val clickCells = clicks.withColumn("cell", expr(s"click_us div $win"))
+        cells.join(clickCells,
+            col("user_id") === col("c_user") && cells("cell") === clickCells("cell"))
+          .filter(abs(col("click_us") - col("err_us")) <= win)
+          .groupBy(col("err_id"), col("user_id"), col("err_us"))
+          .agg(count(lit(1)).as("n_nearby_clicks"),
+            min(col("click_us")).as("first_click_us"))
+      },
+      Some("""SELECT a.event_id AS err_id, a.user_id, epoch_us(a.ts) AS err_us,
+             |  COUNT(1) AS n_nearby_clicks, MIN(epoch_us(b.ts)) AS first_click_us
+             |FROM events a JOIN events b
+             |  ON a.user_id = b.user_id
+             | AND a.event_type = 'error' AND b.event_type = 'click'
+             | AND abs(epoch_us(b.ts) - epoch_us(a.ts)) <= 300000000
+             |GROUP BY 1, 2, 3""".stripMargin)),
+
     // ---- Multi-way broadcast join chain through the dimension snowflake.
     Q(
       "q17_snowflake_join",

@@ -83,6 +83,16 @@ object EventStreams {
         unix_micros(col("session_window.start")).as("sess_start_us"),
         col("n_events"), col("sum_value"))
 
+  /** Streaming exact dedup with bounded state: duplicates of (event_id)
+    * arriving within the watermark horizon are dropped; state for older
+    * keys is reclaimed — the streaming twin of d1_exact_dedup, viable on
+    * an unbounded feed because state is watermark-bounded. */
+  def dedupStream(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    withEventTime(events)
+      .withWatermark("event_time", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+      .drop("event_time")
+
   /** Run a streaming DataFrame to completion against currently-available
     * input (Trigger.AvailableNow semantics via processAllAvailable on a
     * memory sink) and return the collected result — test/dev harness. */

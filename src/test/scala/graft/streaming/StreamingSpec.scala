@@ -76,6 +76,17 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("streaming dedup drops duplicates within the watermark") {
+    val dir = Files.createTempDirectory("graft_dedup_in").toString
+    val rows = mkEvents(40)
+    val dups = rows.take(10) // same event_ids re-delivered
+    writeEventFiles(dir, rows ++ dups)
+    val got = EventStreams.runToMemory(spark,
+      EventStreams.dedupStream(EventStreams.readEvents(spark, dir)), "dedup")
+    assert(got.count() == 40)
+    assert(got.select("event_id").distinct().count() == 40)
+  }
+
   test("incremental compaction: AvailableNow picks up only new files") {
     val in = Files.createTempDirectory("graft_ic_in").toString
     val out = Files.createTempDirectory("graft_ic_out").toString + "/data"
