@@ -147,7 +147,84 @@ object SimilarityQueries {
        |SELECT vec_a, vec_b, rk, round(cosine, 6) AS cosine_r
        |FROM ranked WHERE rk <= $TopK""".stripMargin
 
+  private val NCentroids = 8
+
+  /** IVF-style ANN: a deterministic coarse quantizer (the NCentroids
+    * lowest-id vectors — a fixed "training sample"), every vector assigned
+    * to its nearest centroid, probes confined to the query's own cell.
+    * At scale this is the inverted-file layout: one broadcast of the
+    * centroid table, one shuffle by cell id; the quadratic part is
+    * per-cell. Exact top-k within the probed cell by quantized cosine. */
+  private def ivfTopK(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), TextOps.quantize(col("embedding")).as("q"))
+      .withColumn("nn", TextOps.qdot(col("q"), col("q")))
+    val centroids = e.filter(col("vec_id") < NCentroids)
+      .select(col("vec_id").as("cent_id"), col("q").as("cq"), col("nn").as("cnn"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cent_id"))
+    val assigned = e.join(broadcast(centroids))
+      .withColumn("ccos",
+        TextOps.qdot(col("q"), col("cq")).cast("double") /
+          (sqrt(col("nn").cast("double")) * sqrt(col("cnn").cast("double"))))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("q"), col("nn"), col("cent_id").as("cell"))
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    assigned.as("a").join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("neighbor_id"),
+        col("a.cell").as("cell"),
+        (TextOps.qdot(col("a.q"), col("b.q")).cast("double") /
+          (sqrt(col("a.nn").cast("double")) * sqrt(col("b.nn").cast("double"))))
+          .as("cosine"))
+      .withColumn("rk", row_number().over(wRank).cast("bigint"))
+      .filter(col("rk") <= TopK)
+      .select(col("query_id"), col("neighbor_id"), col("cell"), col("rk"),
+        round(col("cosine"), 6).as("cosine_r"))
+  }
+  private val ivfTopKSql =
+    s"""WITH q AS (SELECT vec_id, ${TextOps.quantizeSql("embedding")} AS q FROM embeddings),
+       |e AS (SELECT vec_id, unnest(q) AS v, generate_subscripts(q, 1) AS i FROM q),
+       |norms AS (SELECT vec_id, SUM(v * v) AS nn FROM e GROUP BY 1),
+       |cdot AS (
+       |  SELECT e.vec_id, c.vec_id AS cent_id, SUM(e.v * c.v) AS dot
+       |  FROM e JOIN e c ON e.i = c.i AND c.vec_id < $NCentroids
+       |  GROUP BY 1, 2),
+       |assigned AS (
+       |  SELECT vec_id, cent_id AS cell FROM (
+       |    SELECT cdot.vec_id, cent_id,
+       |      row_number() OVER (PARTITION BY cdot.vec_id ORDER BY
+       |        CAST(dot AS DOUBLE) / (sqrt(CAST(n1.nn AS DOUBLE)) * sqrt(CAST(n2.nn AS DOUBLE))) DESC,
+       |        cent_id) AS arn
+       |    FROM cdot JOIN norms n1 ON n1.vec_id = cdot.vec_id
+       |    JOIN norms n2 ON n2.vec_id = cent_id)
+       |  WHERE arn = 1),
+       |cand AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, a.cell
+       |  FROM assigned a JOIN assigned b
+       |    ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+       |pdot AS (
+       |  SELECT c.query_id, c.neighbor_id, c.cell, SUM(ea.v * eb.v) AS dot
+       |  FROM cand c JOIN e ea ON ea.vec_id = c.query_id
+       |  JOIN e eb ON eb.vec_id = c.neighbor_id AND ea.i = eb.i
+       |  GROUP BY 1, 2, 3),
+       |scored AS (
+       |  SELECT query_id, neighbor_id, cell,
+       |    CAST(dot AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) AS cosine
+       |  FROM pdot JOIN norms na ON na.vec_id = query_id
+       |  JOIN norms nb ON nb.vec_id = neighbor_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cell,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, neighbor_id) AS rk, cosine
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, cell, rk, round(cosine, 6) AS cosine_r
+       |FROM ranked WHERE rk <= $TopK""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("s1_cosine_topk", cosineTopK, Some(cosineTopKSql)),
-    Q("s2_ann_lsh", annLsh, Some(annLshSql)))
+    Q("s2_ann_lsh", annLsh, Some(annLshSql)),
+    Q("s3_ivf_topk", ivfTopK, Some(ivfTopKSql)))
 }
