@@ -29,5 +29,8 @@ object Sessions {
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.parquet.compression.codec", "zstd")
     .config("spark.sql.autoBroadcastJoinThreshold", (32L << 20).toString)
+    // catalog state (bucketed-table metadata) lives outside the repo
+    .config("spark.sql.warehouse.dir",
+      s"${sys.props("java.io.tmpdir")}/graft-warehouse")
     .config("spark.ui.enabled", "false")
 }

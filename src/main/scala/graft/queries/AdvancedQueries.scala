@@ -1,0 +1,98 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TopKAgg
+
+/** SQL-surface completions past the core set: non-hierarchical grouping
+  * sets, pivot/unpivot reshaping, and the custom typed-Aggregator top-k
+  * (SURVEY.md §2D rows "aggregations beyond B11" and "UDF/UDAF").
+  */
+object AdvancedQueries {
+
+  private def moneySum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(s"decimal(25,$scale)")).cast("double")
+
+  val all: Seq[Q] = Seq(
+    // ---- GROUPING SETS that neither rollup nor cube can express:
+    // ((l_returnflag), (l_linestatus)) — two independent one-dimension
+    // summaries in ONE pass over lineitem (Spark expands then aggregates;
+    // one shuffle, no second scan).
+    Q(
+      "q23_grouping_sets",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .groupingSets(
+            Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+            col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("l_quantity")).as("sum_qty"),
+            moneySum(col("l_extendedprice")).as("sum_price"),
+            grouping(col("l_returnflag")).cast("bigint").as("g_rf"),
+            grouping(col("l_linestatus")).cast("bigint").as("g_ls")),
+      Some(s"""SELECT l_returnflag, l_linestatus, COUNT(1) AS n,
+              |  SUM(l_quantity) AS sum_qty,
+              |  ${Q.moneySum("l_extendedprice")} AS sum_price,
+              |  GROUPING(l_returnflag) AS g_rf, GROUPING(l_linestatus) AS g_ls
+              |FROM lineitem
+              |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""".stripMargin)),
+
+    // ---- PIVOT: order-status columns per priority. Explicit value list
+    // (F/O/P) keeps the schema static — Spark then plans it as ONE
+    // hash-aggregate with conditional sums (no per-value scan), which is
+    // also exactly the FILTER formulation the oracle uses.
+    Q(
+      "q24_pivot",
+      (s, d) =>
+        Tables.orders(s, d)
+          .groupBy(col("o_orderpriority"))
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .agg(moneySum(col("o_totalprice"))),
+      Some {
+        def p(v: String) =
+          s"""CAST(SUM(CAST(o_totalprice AS DECIMAL(25,2)))
+             |    FILTER (WHERE o_orderstatus = '$v') AS DOUBLE) AS "$v"""".stripMargin
+        s"""SELECT o_orderpriority,
+           |  ${p("F")}, ${p("O")}, ${p("P")}
+           |FROM orders GROUP BY o_orderpriority""".stripMargin
+      }),
+
+    // ---- UNPIVOT (melt): wide metric columns → long (metric, v) rows.
+    Q(
+      "q25_unpivot",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity").cast("double").as("qty"),
+            col("l_extendedprice").cast("double").as("price"))
+          .unpivot(
+            Array(col("l_orderkey"), col("l_linenumber")),
+            Array(col("qty"), col("price")),
+            "metric", "v"),
+      Some("""SELECT l_orderkey, l_linenumber, 'qty' AS metric,
+             |  CAST(l_quantity AS DOUBLE) AS v FROM lineitem
+             |UNION ALL
+             |SELECT l_orderkey, l_linenumber, 'price' AS metric,
+             |  CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem""".stripMargin)),
+
+    // ---- Custom typed-Aggregator top-k (TopKAgg scaladoc has the scale
+    // story: shuffle volume groups×k instead of full-group sort). Result
+    // equals the window row_number form — which is the oracle.
+    Q(
+      "q26_topk_agg",
+      (s, d) =>
+        Tables.orders(s, d)
+          .groupBy(col("o_orderpriority"))
+          .agg(TopKAgg.topK(3)(col("o_totalprice"), col("o_orderkey")).as("tk"))
+          .select(col("o_orderpriority"), explode(col("tk.rows")).as("r"))
+          .select(col("o_orderpriority"),
+            col("r.score").as("o_totalprice"),
+            col("r.id").as("o_orderkey")),
+      Some("""SELECT o_orderpriority, o_totalprice, o_orderkey FROM (
+             |  SELECT o_orderpriority, o_totalprice, o_orderkey,
+             |    row_number() OVER (PARTITION BY o_orderpriority
+             |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             |  FROM orders) WHERE rn <= 3""".stripMargin)))
+}

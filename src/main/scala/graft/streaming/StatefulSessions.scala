@@ -1,0 +1,86 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Per-event input to the sessionizer (event_time carries the watermark). */
+final case class SessEvent(
+    user_id: Long, ts_us: Long, value: Double, event_time: Timestamp)
+
+/** Per-user open-session state kept by Spark's state store. */
+final case class SessState(
+    startUs: Long, lastUs: Long, n: Long, sum: Double)
+
+/** One closed session — the output row. */
+final case class SessionOut(
+    user_id: Long, sess_start_us: Long, n_events: Long, sum_value: Double)
+
+/** Custom-state sessionization via `flatMapGroupsWithState` (SURVEY.md §2D
+  * streaming row). `session_window` (EventStreams.sessionAgg) covers the
+  * gap-merge aggregate; this operator exists for session logic the native
+  * operator cannot express — arbitrary per-session state transitions,
+  * emit-on-close with derived fields, custom close conditions.
+  *
+  * Scale shape: state is one `SessState` per ACTIVE user (not per event);
+  * event-time timeout + watermark bound state lifetime, so state-store
+  * size is O(active users) regardless of stream length. Sessions close
+  * either inline (a later event arrives past the gap) or via timeout when
+  * the watermark passes `last_event + gap`.
+  */
+object StatefulSessions {
+
+  def sessionize(
+      events: DataFrame,
+      gapMinutes: Int = 30,
+      watermark: String = "1 hour"): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+
+    val typed = events
+      .withColumn("event_time", timestamp_micros(expr("ts_ns div 1000")))
+      .withWatermark("event_time", watermark)
+      .select(col("user_id"), unix_micros(col("event_time")).as("ts_us"),
+        col("value"), col("event_time"))
+      .as[SessEvent]
+
+    typed
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[SessEvent], state: GroupState[SessState]) =>
+          if (state.hasTimedOut) {
+            // watermark passed last_event + gap: close and clear
+            val closed = state.get
+            state.remove()
+            Iterator.single(
+              SessionOut(user, closed.startUs, closed.n, closed.sum))
+          } else {
+            // within one micro-batch the group's rows are not ordered —
+            // sort locally (bounded by per-user-per-batch volume)
+            val sorted = rows.toVector.sortBy(e => (e.ts_us, e.value))
+            var open = state.getOption
+            val out = Vector.newBuilder[SessionOut]
+            sorted.foreach { e =>
+              open match {
+                case Some(s) if e.ts_us - s.lastUs < gapUs =>
+                  open = Some(SessState(s.startUs, e.ts_us, s.n + 1, s.sum + e.value))
+                case Some(s) =>
+                  out += SessionOut(user, s.startUs, s.n, s.sum)
+                  open = Some(SessState(e.ts_us, e.ts_us, 1L, e.value))
+                case None =>
+                  open = Some(SessState(e.ts_us, e.ts_us, 1L, e.value))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              // fire once the watermark passes session close time
+              state.setTimeoutTimestamp(s.lastUs / 1000L + gapMinutes * 60000L)
+            }
+            out.result().iterator
+          }
+      }
+  }
+}

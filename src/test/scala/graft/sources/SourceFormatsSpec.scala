@@ -39,6 +39,23 @@ class SourceFormatsSpec extends AnyFunSuite {
     }
   }
 
+  test("schema evolution: mergeSchema unions evolving parquet footers") {
+    // the reference unions files with schema-from-footers and no evolution
+    // story (SURVEY.md §1.1); ours: additive evolution via mergeSchema
+    val dir = Files.createTempDirectory("graft_evolve").toString + "/data"
+    import spark.implicits._
+    Seq((1L, "a")).toDF("id", "name").write.mode("append").parquet(dir)
+    Seq((2L, "b", 9.5)).toDF("id", "name", "score")
+      .write.mode("append").parquet(dir)
+
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet == Set("id", "name", "score"))
+    val rows = merged.orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    assert(rows.toSeq == Seq((1L, "a", None), (2L, "b", Some(9.5))))
+  }
+
   test("registered SQL functions work from plain SQL") {
     val got = spark.sql(
       "SELECT long_array_dot(array(1L, 2L, 3L), array(4L, 5L, 6L)) AS d, " +
