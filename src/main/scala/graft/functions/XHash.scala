@@ -33,6 +33,16 @@ object XHash {
   def hash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  /** JVM-side evaluation of the SAME hash, for plan-time constants (e.g.
+    * LSH hyperplane weights folded into literal arrays — the oracle still
+    * recomputes them via [[hash60Sql]] and always agrees). */
+  def hash60Local(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
   /** h mod P, for affine minhash input. */
   def hashP(c: Column): Column = hash60(c) % P
 
