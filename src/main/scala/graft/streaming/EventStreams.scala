@@ -93,6 +93,33 @@ object EventStreams {
       .dropDuplicatesWithinWatermark("event_id")
       .drop("event_time")
 
+  /** Stream-stream interval join: each "view" joined to the same user's
+    * "click"s from the preceding `lookback`. Both sides carry watermarks
+    * and the join condition bounds click_time relative to view_time, so
+    * Spark can expire join state on BOTH sides — state stays
+    * O(users × lookback window), not O(stream length). This is the
+    * streaming enrichment twin of the batch range join (q22). */
+  def clickViewJoin(
+      events: DataFrame,
+      lookback: String = "10 minutes",
+      watermark: String = "1 hour"): DataFrame = {
+    val clicks = withEventTime(events.filter(col("event_type") === "click"))
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("event_time").as("click_time"))
+      .withWatermark("click_time", watermark)
+    val views = withEventTime(events.filter(col("event_type") === "view"))
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("event_time").as("view_time"))
+      .withWatermark("view_time", watermark)
+    views.join(clicks,
+      col("v_user") === col("c_user") &&
+        col("click_time") >= col("view_time") - expr(s"INTERVAL $lookback") &&
+        col("click_time") <= col("view_time"))
+      .select(col("v_user").as("user_id"), col("view_id"), col("click_id"),
+        unix_micros(col("view_time")).as("view_us"),
+        unix_micros(col("click_time")).as("click_us"))
+  }
+
   /** Run a streaming DataFrame to completion against currently-available
     * input (Trigger.AvailableNow semantics via processAllAvailable on a
     * memory sink) and return the collected result — test/dev harness. */

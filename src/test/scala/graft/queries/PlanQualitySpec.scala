@@ -1,0 +1,83 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.{SparkEntry, Tables, TestSpark}
+
+/** The scale claims made in query scaladoc, asserted on the ACTUAL
+  * physical plans — the properties that decide whether a plan survives a
+  * 100× scale-up: filters/projections reaching the parquet scan, small
+  * dims broadcast (no fact-side shuffle), partial (map-side) aggregation,
+  * hot expressions inside whole-stage codegen, and top-k planned as
+  * TakeOrderedAndProject rather than a global sort.
+  */
+class PlanQualitySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("filter pushdown reaches the parquet scan (q4 semi join probe)") {
+    val p = plan("q4_semi_join")
+    assert(p.contains("PushedFilters: ["), p.takeRight(800))
+    assert(p.contains("GreaterThanOrEqual(l_quantity,49"), "l_quantity filter must be pushed")
+  }
+
+  test("column pruning: q1 scan reads only the aggregated columns") {
+    val df = SparkEntry.queries("q1_pricing_summary")(spark, sf)
+    val scans = df.queryExecution.executedPlan.collectLeaves().map(_.toString)
+    val li = scans.find(_.contains("lineitem")).get
+    // ReadSchema must not include unused wide columns
+    assert(!li.contains("l_comment") && !li.contains("l_shipinstruct"),
+      li.takeRight(400))
+  }
+
+  test("dimension join broadcasts (q3): no shuffle of the fact side for customer") {
+    val p = plan("q3_segment_revenue")
+    assert(p.contains("BroadcastHashJoin"), "customer dim must broadcast")
+  }
+
+  test("aggregations are partial: map-side combine before the exchange") {
+    val df = SparkEntry.queries("q1_pricing_summary")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // Spark prints partial aggregates as HashAggregate(...functions=[partial_...
+    assert(p.contains("partial_"), "q1 must plan a partial aggregate")
+  }
+
+  test("top-k plans as TakeOrderedAndProject, not a global sort") {
+    val p = plan("q2_topk_orders")
+    assert(p.contains("TakeOrderedAndProject"), p.take(400))
+  }
+
+  test("native expressions stay inside whole-stage codegen (no fallback)") {
+    // d5's hot path: LongArrayDot inside the pair join. If it fell out of
+    // codegen Spark would print it under a non-codegen'd Project.
+    val df = SparkEntry.queries("d5_embedding_neardup")(spark, sf)
+    df.collect() // AQE: finalize THIS plan so codegen ids appear in it
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("long_array_dot"), "native dot expression expected in plan")
+    // codegen'd operators carry the `* ` marker in the final adaptive plan;
+    // the pair-scoring Project (where the dot products run) must have it
+    assert(p.contains("* Project"), "scoring projection fell out of codegen")
+  }
+
+  test("broadcastable semi/anti joins pick broadcast under the threshold") {
+    // q5's orders-side filter output is small at this SF — AQE or static
+    // planning should broadcast it rather than shuffling customer
+    val df = SparkEntry.queries("q5_anti_join")(spark, sf)
+    df.count() // let AQE finalize
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), "anti join should broadcast the filtered side")
+  }
+
+  test("events scan prunes partitions of unused columns under projection") {
+    val df = Tables.events(spark, sf).select("event_id").filter(col("event_id") > 10)
+    val scan = df.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("ReadSchema: struct<event_id:bigint>"), scan.takeRight(300))
+  }
+}

@@ -87,6 +87,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.select("event_id").distinct().count() == 40)
   }
 
+  test("stream-stream interval join equals the batch join") {
+    val dir = Files.createTempDirectory("graft_ssj_in").toString
+    val minNs = 60L * 1000000000L
+    // user 0: clicks at t0,t0+4m; views at t0+5m (joins both), t0+30m (none)
+    // user 1: click t0+2m, view t0+3m (joins one)
+    val rows = Seq(
+      (1L, base, 0L, "click", 1.0, "{}"),
+      (2L, base + 4L * minNs, 0L, "click", 1.0, "{}"),
+      (3L, base + 5L * minNs, 0L, "view", 1.0, "{}"),
+      (4L, base + 30L * minNs, 0L, "view", 1.0, "{}"),
+      (5L, base + 2L * minNs, 1L, "click", 1.0, "{}"),
+      (6L, base + 3L * minNs, 1L, "view", 1.0, "{}"))
+    val sentinel = (9999L, base + 100L * hourNs, 99L, "click", 0.0, "{}")
+    writeEventFiles(dir, rows :+ sentinel)
+
+    val got = EventStreams.runToMemory(spark,
+      EventStreams.clickViewJoin(EventStreams.readEvents(spark, dir)), "ssj")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet // (view_id, click_id)
+    assert(got == Set((3L, 1L), (3L, 2L), (6L, 5L)))
+  }
+
   test("incremental compaction: AvailableNow picks up only new files") {
     val in = Files.createTempDirectory("graft_ic_in").toString
     val out = Files.createTempDirectory("graft_ic_out").toString + "/data"
