@@ -94,5 +94,18 @@ object AdvancedQueries {
              |  SELECT o_orderpriority, o_totalprice, o_orderkey,
              |    row_number() OVER (PARTITION BY o_orderpriority
              |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
-             |  FROM orders) WHERE rn <= 3""".stripMargin)))
+             |  FROM orders) WHERE rn <= 3""".stripMargin)),
+
+    // ---- Salted two-phase distinct count (operators.Skew): exact because
+    // value-hash salting makes the per-(key,salt) partial distincts
+    // disjoint. The oracle is the plain COUNT(DISTINCT) — same answer, but
+    // this plan's heaviest key fans out over 16 reducers instead of one.
+    Q(
+      "q27_skew_distinct",
+      (s, d) =>
+        graft.operators.Skew.skewedCountDistinct(
+            Tables.lineitem(s, d), col("l_returnflag"), col("l_partkey"))
+          .withColumnRenamed("k", "l_returnflag"),
+      Some("""SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_distinct
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin)))
 }
