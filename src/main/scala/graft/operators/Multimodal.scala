@@ -93,6 +93,46 @@ object Multimodal {
     media.mapPartitions(batch => decoder.decodeBatch(batch))
   }
 
+  /** A resized media payload (binary stays opaque; dims move to metadata). */
+  final case class ResizedMedia(
+      doc_id: Long, media: Array[Byte], width: Int, height: Int)
+
+  /** Batch resize — same per-partition amortization contract as
+    * [[MediaDecoder]]. */
+  trait MediaResizer extends Serializable {
+    def resizeBatch(batch: Iterator[MediaRow], w: Int, h: Int): Iterator[ResizedMedia]
+  }
+
+  /** STUB: real pixel scaling needs codecs absent from this container. */
+  object RealMediaResizer extends MediaResizer {
+    def resizeBatch(batch: Iterator[MediaRow], w: Int, h: Int): Iterator[ResizedMedia] =
+      throw new UnsupportedOperationException(
+        "RealMediaResizer: codec libraries unavailable — use FakeMediaResizer " +
+          "(deliberate ??? stub)")
+  }
+
+  /** Deterministic fake: payload truncated/cycled to the byte budget a
+    * w×h thumbnail would occupy — size-realistic, content-deterministic. */
+  object FakeMediaResizer extends MediaResizer {
+    def resizeBatch(batch: Iterator[MediaRow], w: Int, h: Int): Iterator[ResizedMedia] =
+      batch.map { r =>
+        val budget = math.max(1, w * h / 8)
+        val out = Array.tabulate[Byte](math.min(budget, math.max(1, r.media.length)))(
+          i => r.media(i % r.media.length))
+        ResizedMedia(r.doc_id, out, w, h)
+      }
+  }
+
+  /** The resize operator: typed mapPartitions over the opaque payloads —
+    * schema, batching and partitioning identical to the real path. */
+  def resize(
+      media: Dataset[MediaRow], w: Int, h: Int,
+      resizer: MediaResizer): Dataset[ResizedMedia] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(batch => resizer.resizeBatch(batch, w, h))
+  }
+
   /** Frame sampling: one output row per sampled frame timestamp —
     * `posexplode(sequence(...))` keeps it codegen'd and distributed. */
   def frameSample(features: DataFrame, fps: Double = 1.0): DataFrame = {

@@ -44,4 +44,23 @@ class MultimodalSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
     assert(frames.toSeq == Seq((0L, 0L), (1L, 1000L), (2L, 2000L)))
   }
+
+  test("resize plumbing: deterministic payloads sized to target dims") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "hello world of pixels", "en", "img", 21L),
+      (2L, "tiny", "en", "img", 4L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Multimodal.resize(
+        Multimodal.mediaFromDocuments(docs), 16, 16, Multimodal.FakeMediaResizer)
+      .collect().map(r => r.doc_id -> r).toMap
+    assert(out(1L).width == 16 && out(1L).height == 16)
+    // byte budget = 16*16/8 = 32, capped at source length
+    assert(out(1L).media.length == 21 && out(2L).media.length == 4)
+    // deterministic across runs
+    val again = Multimodal.resize(
+        Multimodal.mediaFromDocuments(docs), 16, 16, Multimodal.FakeMediaResizer)
+      .collect().map(r => r.doc_id -> r.media.toSeq).toMap
+    assert(again(1L) == out(1L).media.toSeq)
+  }
 }
