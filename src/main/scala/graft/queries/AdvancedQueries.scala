@@ -107,5 +107,75 @@ object AdvancedQueries {
             Tables.lineitem(s, d), col("l_returnflag"), col("l_partkey"))
           .withColumnRenamed("k", "l_returnflag"),
       Some("""SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_distinct
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+
+    // ---- RANGE-framed window (value-based frame, vs q7's ROWS frame):
+    // 30-day trailing spend per customer. Range frames are insensitive to
+    // tie order (equal sort keys share one frame), so no tie-break needed.
+    Q(
+      "q28_range_frame",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(datediff(col("o_orderdate"), lit("1970-01-01")))
+          .rangeBetween(-30, 0)
+        Tables.orders(s, d)
+          .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+          .withColumn("spend_30d",
+            sum(col("o_totalprice").cast("decimal(25,2)")).over(w).cast("double"))
+          .drop("o_orderdate")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(25,2))) OVER (
+             |    PARTITION BY o_custkey
+             |    ORDER BY datediff('day', DATE '1970-01-01', o_orderdate)
+             |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE) AS spend_30d
+             |FROM orders""".stripMargin)),
+
+    // ---- Array function family: build per-group arrays (sorted for
+    // determinism), then element access / slicing / higher-order reduce.
+    // Scalar outputs only — the compare layer can't hash array cells.
+    Q(
+      "q29_array_funcs",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .groupBy(col("l_orderkey"))
+          .agg(sort_array(collect_list(col("l_quantity").cast("double"))).as("qtys"))
+          .select(
+            col("l_orderkey"),
+            size(col("qtys")).cast("bigint").as("n_items"),
+            element_at(col("qtys"), 1).as("min_qty"),
+            element_at(col("qtys"), -1).as("max_qty"),
+            aggregate(col("qtys"), lit(0.0), (acc, x) => acc + x).as("sum_qty"),
+            aggregate(slice(col("qtys"), 1, 2), lit(0.0), (acc, x) => acc + x)
+              .as("low2_qty")),
+      Some("""SELECT l_orderkey,
+             |  CAST(len(qtys) AS BIGINT) AS n_items,
+             |  qtys[1] AS min_qty, qtys[-1] AS max_qty,
+             |  list_sum(qtys) AS sum_qty,
+             |  list_sum(qtys[1:2]) AS low2_qty
+             |FROM (SELECT l_orderkey,
+             |        list_sort(list(CAST(l_quantity AS DOUBLE))) AS qtys
+             |      FROM lineitem GROUP BY l_orderkey)""".stripMargin)),
+
+    // ---- argmin/argmax aggregates (max_by/min_by): deterministic via a
+    // composite (value, arg) ordering struct — lexicographic in both
+    // engines, so ties resolve identically.
+    Q(
+      "q30_argminmax",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            max_by(col("l_orderkey"),
+              struct(col("l_extendedprice"), col("l_orderkey"))).as("top_order"),
+            min_by(col("l_orderkey"),
+              struct(col("l_extendedprice"), col("l_orderkey"))).as("bottom_order"),
+            max(col("l_extendedprice")).as("max_price"),
+            min(col("l_extendedprice")).as("min_price")),
+      Some("""SELECT l_returnflag,
+             |  first(l_orderkey ORDER BY l_extendedprice DESC, l_orderkey DESC) AS top_order,
+             |  first(l_orderkey ORDER BY l_extendedprice ASC, l_orderkey ASC) AS bottom_order,
+             |  MAX(l_extendedprice) AS max_price, MIN(l_extendedprice) AS min_price
              |FROM lineitem GROUP BY l_returnflag""".stripMargin)))
 }
