@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.functions.TopKAgg
+import graft.functions.{TopKAgg, XHash}
 
 /** SQL-surface completions past the core set: non-hierarchical grouping
   * sets, pivot/unpivot reshaping, and the custom typed-Aggregator top-k
@@ -177,5 +177,24 @@ object AdvancedQueries {
              |  first(l_orderkey ORDER BY l_extendedprice DESC, l_orderkey DESC) AS top_order,
              |  first(l_orderkey ORDER BY l_extendedprice ASC, l_orderkey ASC) AS bottom_order,
              |  MAX(l_extendedprice) AS max_price, MIN(l_extendedprice) AS min_price
-             |FROM lineitem GROUP BY l_returnflag""".stripMargin)))
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+
+    // ---- Deterministic hash sampling: ~5% of orders selected by key
+    // hash, NOT rand()/TABLESAMPLE — reproducible across engines, runs,
+    // retries and cluster sizes (the property a training-data pipeline
+    // needs for stable held-out splits). The predicate is pushed past the
+    // scan like any filter; no shuffle.
+    Q(
+      "q31_hash_sample",
+      (s, d) =>
+        Tables.orders(s, d)
+          .filter(XHash.hash60(col("o_orderkey").cast("string")) % 20 === 0)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n_sampled"),
+            moneySum(col("o_totalprice")).as("sum_price")),
+      Some(s"""SELECT o_orderstatus, COUNT(1) AS n_sampled,
+              |  ${Q.moneySum("o_totalprice")} AS sum_price
+              |FROM orders
+              |WHERE ${XHash.hash60Sql("CAST(o_orderkey AS VARCHAR)")} % 20 = 0
+              |GROUP BY o_orderstatus""".stripMargin)))
 }
