@@ -71,8 +71,13 @@ object DedupQueries {
     * shape: shingle → minhash → band → bucket-equi-join). */
   private def minhashLsh(s: SparkSession, d: String): DataFrame = {
     val sigs = minhashSigs(s, d)
+    // the signature matrix is referenced 3× (band explode + both candidate
+    // rejoins); ReuseExchange only dedups two of the subtrees, so pin the
+    // tiny sketch table (K longs/doc) in storage — at scale this is the
+    // "write the sketch table once" stage every web-dedup pipeline has
     val sigArr = sigs.select(col("doc_id"),
       array((0 until K).map(i => col(s"s$i")): _*).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bands = sigArr.select(col("doc_id"),
       explode(array((0 until Bands).map { b =>
         struct(lit(b).as("band_idx"),
