@@ -66,7 +66,11 @@ object StatefulSessions {
             sorted.foreach { e =>
               open match {
                 case Some(s) if e.ts_us - s.lastUs < gapUs =>
-                  open = Some(SessState(s.startUs, e.ts_us, s.n + 1, s.sum + e.value))
+                  // min/max guards: a LATE event from an earlier batch
+                  // (still within the watermark) must widen the open
+                  // session, never move its bounds backwards
+                  open = Some(SessState(math.min(s.startUs, e.ts_us),
+                    math.max(s.lastUs, e.ts_us), s.n + 1, s.sum + e.value))
                 case Some(s) =>
                   out += SessionOut(user, s.startUs, s.n, s.sum)
                   open = Some(SessState(e.ts_us, e.ts_us, 1L, e.value))

@@ -45,6 +45,37 @@ class StatefulSessionsSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("session state carries across micro-batches, late events widen it") {
+    val dir = Files.createTempDirectory("graft_fmgws3_in").toString
+    val minNs = 60L * 1000000000L
+    def write(rows: Seq[(Long, Long, Long, String, Double, String)]): Unit =
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(dir)
+    // file 1: session open at [t0, t0+10m]
+    write(Seq(
+      (1L, base, 5L, "click", 1.0, "{}"),
+      (2L, base + 10L * minNs, 5L, "click", 2.0, "{}")))
+    // file 2: a LATE event inside the open session (t0+5m) plus the
+    // sentinel that expires it — arrives in a later micro-batch
+    write(Seq(
+      (3L, base + 5L * minNs, 5L, "click", 4.0, "{}"),
+      (9999L, base + 100L * hourNs, 99L, "sentinel", 0.0, "{}")))
+
+    // one file per trigger => file 1 and file 2 land in separate batches
+    val events = spark.readStream
+      .schema(EventStreams.eventSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+      .withColumnRenamed("ts", "ts_ns")
+    val got = EventStreams.runToMemory(spark,
+      StatefulSessions.sessionize(events).toDF(), "fmgws3")
+      .filter(col("user_id") === 5L)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    // one session, all three events, bounds from the earliest event
+    assert(got == Set((base / 1000L, 3L, 7.0)))
+  }
+
   test("mid-batch session close emits inline (no timeout needed)") {
     val dir = Files.createTempDirectory("graft_fmgws2_in").toString
     // one user, two sessions arriving in ONE batch: the first session must
