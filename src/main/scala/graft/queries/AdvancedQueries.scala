@@ -196,5 +196,29 @@ object AdvancedQueries {
               |  ${Q.moneySum("o_totalprice")} AS sum_price
               |FROM orders
               |WHERE ${XHash.hash60Sql("CAST(o_orderkey AS VARCHAR)")} % 20 = 0
-              |GROUP BY o_orderstatus""".stripMargin)))
+              |GROUP BY o_orderstatus""".stripMargin)),
+
+    // ---- Correlated scalar subquery: orders beating their customer's
+    // average. Catalyst DECORRELATES this into an aggregate + join — no
+    // per-row subquery execution ever happens; the plan is the same
+    // two-shuffle shape a hand-written join would give. Declared in SQL
+    // because that's the surface where decorrelation matters.
+    Q(
+      "q32_correlated",
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("orders_v")
+        s.sql(
+          """SELECT o_custkey, COUNT(1) AS n_above,
+            |  CAST(MAX(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE) AS max_above
+            |FROM orders_v o
+            |WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders_v i
+            |                      WHERE i.o_custkey = o.o_custkey)
+            |GROUP BY o_custkey""".stripMargin)
+      },
+      Some("""SELECT o_custkey, COUNT(1) AS n_above,
+             |  CAST(MAX(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE) AS max_above
+             |FROM orders o
+             |WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders i
+             |                      WHERE i.o_custkey = o.o_custkey)
+             |GROUP BY o_custkey""".stripMargin)))
 }
