@@ -59,7 +59,17 @@ class Orchestrator(spark: SparkSession, config: CompactConfig) {
     else fs.listStatus(root).filter(_.isDirectory).map(_.getPath.getName)
       .filter(h => fs.exists(new Path(root, s"$h/snapshots"))).toSeq.sorted
 
-  def run(): Seq[HostReport] = discoverHosts().map(runHost)
+  /** Hosts are fully independent trees (own snapshots + dbs), so they run
+    * concurrently like buckets do — a host is never a serialization point
+    * (reference loops hosts serially, kompactor.ts:177). */
+  def run(): Seq[HostReport] = {
+    val hosts = discoverHosts()
+    val par = hosts.par
+    par.tasksupport = new ForkJoinTaskSupport(
+      new java.util.concurrent.ForkJoinPool(
+        math.max(1, math.min(config.bucketParallelism, hosts.length))))
+    par.map(runHost).toVector.seq.sortBy(_.host)
+  }
 
   def runHost(host: String): HostReport = {
     val snapDir = new Path(root, s"$host/snapshots")
