@@ -194,6 +194,45 @@ class CompactorE2ESpec extends AnyFunSuite {
     assert(rows == 6) // 5 previously compacted + 1 late
   }
 
+  test("crash window recovery: output written, metadata rewrite never ran") {
+    // With the fixed ordering (write -> rewrite meta -> delete; SURVEY.md
+    // §7.4 bug 5) the only possible partial state after a crash is "stale
+    // compacted file exists, metadata and originals untouched". A re-run
+    // must recover to exactly the golden end state with zero data loss.
+    val (dir, data) = buildFixture()
+    val root = new org.apache.hadoop.fs.Path(dir.toString)
+    val fs = Compactor.localFs(spark)
+    val snapDir = new File(dir, "edge0/snapshots")
+    val snaps = snapDir.listFiles.filter(_.getName.endsWith(".info.json"))
+      .sortBy(_.getName)
+      .map(f => SnapshotCodec.parse(Files.readString(f.toPath))).toVector
+    val (buckets, _) = Planner.plan(snaps, windowHours = 1)
+    val b0 = buckets.find(b => b.db == "db-0" && b.table == "table-0").get
+    val present = b0.files.filter(f => new File(dir, f.path).isFile)
+    // "crash": merge only — no metadata rewrite, no deletes
+    new Compactor(spark, fs).merge(root,
+      b0.copy(files = present, sources = present.map(_.path).toSet))
+    assert(new File(dir,
+      "edge0/dbs/db-0/table-0/2025-01-26/22-00/c_0000000001_0000000003_h22.parquet").isFile)
+    assert(new File(dir,
+      "edge0/dbs/db-0/table-0/2025-01-26/22-10/0000000002.parquet").isFile)
+
+    // recovery = just run the pipeline again
+    val r = runPipeline(dir).head
+    assert(r.compacted == 2)
+    val out0 = new File(dir,
+      "edge0/dbs/db-0/table-0/2025-01-26/22-00/c_0000000001_0000000003_h22.parquet")
+    val rows = spark.read.parquet(out0.toString)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    val expected = data.filterKeys(_.contains("table-0/2025-01-26/22-"))
+      .values.flatten.toSeq.sortBy(_._1)
+    assert(rows == expected) // no loss, no duplication
+    assert(!new File(dir, "edge0/dbs/db-0/table-0/2025-01-26/22-10").exists())
+    val s1 = SnapshotCodec.parse(Files.readString(
+      Paths.get(dir.toString, "edge0/snapshots/0000000001.info.json")))
+    assert(s1.allFiles.exists(_.path.contains("c_0000000001_0000000003_h22")))
+  }
+
   private def listTree(dir: File): Set[String] = {
     def walk(f: File): Seq[String] =
       if (f.isDirectory) f.listFiles.toSeq.flatMap(walk) :+ f.toString
