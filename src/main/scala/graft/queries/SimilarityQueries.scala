@@ -172,6 +172,9 @@ object SimilarityQueries {
       .withColumn("arn", row_number().over(wAssign))
       .filter(col("arn") === 1)
       .select(col("vec_id"), col("q"), col("nn"), col("cent_id").as("cell"))
+      // referenced twice (both sides of the per-cell self-join): pin the
+      // assignment table — the materialized inverted file of IVF
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val wRank = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     assigned.as("a").join(assigned.as("b"),
