@@ -9,8 +9,11 @@ import org.apache.spark.sql.SparkSession
   * JIT, parquet footer cache), then two timed passes taking the per-query
   * minimum — the host VM shows multi-second I/O jitter bursts unrelated to
   * the plans (observed: identical 60k-row aggs ranging 0.2s..16s), so a
-  * single cold pass measures the hypervisor, not the engine. `count()`
-  * forces the full plan while keeping result transfer off the clock.
+  * single cold pass measures the hypervisor, not the engine. The noop
+  * sink forces evaluation of EVERY output column (a bare `count()` lets
+  * Catalyst prune projection-only queries down to the scan, which would
+  * flatter exactly the scalar/text operators the bench should measure)
+  * while keeping result transfer off the clock.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -23,7 +26,9 @@ object Bench {
     val names = SparkEntry.benchQueries
     def timeOne(name: String): Double = {
       val t0 = System.nanoTime()
-      try { queries(name)(spark, sfDir).count() } catch { case _: Throwable => () }
+      try {
+        queries(name)(spark, sfDir).write.mode("overwrite").format("noop").save()
+      } catch { case _: Throwable => () }
       (System.nanoTime() - t0) / 1e9
     }
     names.foreach(timeOne) // warm-up
