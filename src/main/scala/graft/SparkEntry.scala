@@ -14,8 +14,9 @@ object SparkEntry {
 
   /** All registered query groups (grows per SURVEY §7 build order). */
   private def registry: Seq[Q] =
-    CoreQueries.all ++ AdvancedQueries.all ++ DedupQueries.all ++
-      SimilarityQueries.all ++ TextQueries.all ++ MultimodalQueries.all
+    CoreQueries.all ++ AdvancedQueries.all ++ TimeSeriesQueries.all ++
+      DedupQueries.all ++ SimilarityQueries.all ++ TextQueries.all ++
+      MultimodalQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

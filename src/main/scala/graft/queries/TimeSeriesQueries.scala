@@ -1,0 +1,119 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Time-series operator family over `events` — the query surface the
+  * reference's own domain implies (it compacts InfluxDB 3 time-series
+  * data; these are the standard operations that engine runs on it):
+  * windowed downsampling, gap-filling with carry-forward, and
+  * rate-of-change. All int64-µs time math (ns kept at rest, µs exported
+  * for the oracle — SURVEY §1.1).
+  */
+object TimeSeriesQueries {
+  private val BucketUs = 300L * 1000000L // 5-minute buckets
+
+  private def moneySum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(s"decimal(25,$scale)")).cast("double")
+
+  val all: Seq[Q] = Seq(
+    // ---- Downsample: per (type, 5-min bucket) first/last/sum/count.
+    // first/last are argmin/argmax over the composite (ts, event_id) key —
+    // deterministic under timestamp ties, partial-aggregatable (no window,
+    // no per-group sort; shuffle volume = one row per group).
+    Q(
+      "ts1_downsample",
+      (s, d) =>
+        Tables.events(s, d)
+          .select(col("event_type"), col("value"), col("event_id"),
+            expr("ts_ns div 1000").as("ts_us"),
+            expr(s"(ts_ns div 1000) div $BucketUs").as("bucket"))
+          .groupBy(col("event_type"), col("bucket"))
+          .agg(
+            min_by(col("value"), struct(col("ts_us"), col("event_id"))).as("first_value"),
+            max_by(col("value"), struct(col("ts_us"), col("event_id"))).as("last_value"),
+            moneySum(col("value")).as("sum_value"),
+            count(lit(1)).as("n")),
+      Some(s"""SELECT event_type, epoch_us(ts) // $BucketUs AS bucket,
+              |  first(value ORDER BY epoch_us(ts) ASC, event_id ASC) AS first_value,
+              |  first(value ORDER BY epoch_us(ts) DESC, event_id DESC) AS last_value,
+              |  ${Q.moneySum("value")} AS sum_value, COUNT(1) AS n
+              |FROM events GROUP BY 1, 2""".stripMargin)),
+
+    // ---- Gap fill + LOCF: a dense per-type bucket axis (sequence over
+    // the global time range), left join of the sparse aggregates, then
+    // last-observation-carried-forward via last_value IGNORE NULLS — one
+    // window pass, no self-join. The dense axis is generated, never
+    // materialized wider than (types × buckets).
+    Q(
+      "ts2_gap_fill",
+      (s, d) => {
+        val e = Tables.events(s, d)
+          .select(col("event_type"), col("value"),
+            expr(s"(ts_ns div 1000) div $BucketUs").as("bucket"))
+        val bounds = e.agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
+        val axis = e.select(col("event_type")).distinct()
+          .crossJoin(bounds)
+          .select(col("event_type"),
+            explode(sequence(col("lo"), col("hi"))).as("bucket"))
+        val agg = e.groupBy(col("event_type"), col("bucket"))
+          .agg(moneySum(col("value")).as("v"), count(lit(1)).as("n_raw"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        axis.join(agg, Seq("event_type", "bucket"), "left")
+          .select(col("event_type"), col("bucket"),
+            coalesce(col("n_raw"), lit(0L)).as("n"),
+            last(col("v"), ignoreNulls = true).over(w).as("v_locf"))
+      },
+      Some(s"""WITH e AS (
+              |  SELECT event_type, value, epoch_us(ts) // $BucketUs AS bucket
+              |  FROM events),
+              |axis AS (
+              |  SELECT t.event_type, unnest(generate_series(
+              |    (SELECT MIN(bucket) FROM e), (SELECT MAX(bucket) FROM e))) AS bucket
+              |  FROM (SELECT DISTINCT event_type FROM e) t),
+              |agg AS (
+              |  SELECT event_type, bucket, ${Q.moneySum("value")} AS v,
+              |    COUNT(1) AS n_raw
+              |  FROM e GROUP BY 1, 2)
+              |SELECT axis.event_type, axis.bucket,
+              |  COALESCE(n_raw, 0) AS n,
+              |  last_value(v IGNORE NULLS) OVER (
+              |    PARTITION BY axis.event_type ORDER BY axis.bucket
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_locf
+              |FROM axis LEFT JOIN agg
+              |  ON agg.event_type = axis.event_type AND agg.bucket = axis.bucket""".stripMargin)),
+
+    // ---- Rate of change (derivative): per-user consecutive deltas,
+    // value-per-second. One shuffle on user_id; lag over the (ts, id)
+    // composite order is deterministic under timestamp ties.
+    Q(
+      "ts3_derivative",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_us"), col("event_id"))
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_id"), col("value"),
+            expr("ts_ns div 1000").as("ts_us"))
+          .withColumn("prev_v", lag(col("value"), 1).over(w))
+          .withColumn("prev_ts", lag(col("ts_us"), 1).over(w))
+          .filter(col("prev_ts").isNotNull && col("ts_us") =!= col("prev_ts"))
+          .select(col("user_id"), col("event_id"),
+            round((col("value") - col("prev_v")) /
+              ((col("ts_us") - col("prev_ts")).cast("double") / 1e6), 6)
+              .as("rate_per_sec"))
+      },
+      Some("""SELECT user_id, event_id,
+             |  round((value - prev_v) /
+             |    (CAST(ts_us - prev_ts AS DOUBLE) / 1e6), 6) AS rate_per_sec
+             |FROM (
+             |  SELECT user_id, event_id, value, epoch_us(ts) AS ts_us,
+             |    lag(value) OVER (PARTITION BY user_id
+             |      ORDER BY epoch_us(ts), event_id) AS prev_v,
+             |    lag(epoch_us(ts)) OVER (PARTITION BY user_id
+             |      ORDER BY epoch_us(ts), event_id) AS prev_ts
+             |  FROM events)
+             |WHERE prev_ts IS NOT NULL AND ts_us <> prev_ts""".stripMargin)))
+}
