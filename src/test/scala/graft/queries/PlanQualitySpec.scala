@@ -75,6 +75,33 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), "anti join should broadcast the filtered side")
   }
 
+  test("hive-partitioned layout: partition pruning reaches the scan") {
+    // the compacted tree is date/hour partitioned at scale — prove Spark
+    // prunes directories, not just row groups
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    Tables.events(spark, sf)
+      .withColumn("hour_bucket", expr("ts_ns div 3600000000000"))
+      .write.mode("overwrite").partitionBy("hour_bucket").parquet(dir)
+    val nHours = spark.read.parquet(dir)
+      .select("hour_bucket").distinct().count()
+    assert(nHours > 2, "fixture needs multiple partitions")
+
+    val one = spark.read.parquet(dir)
+      .filter(col("hour_bucket") === spark.read.parquet(dir)
+        .agg(min("hour_bucket").cast("long")).head.getLong(0))
+    one.collect()
+    val scan = one.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters: [") &&
+      scan.contains("hour_bucket"), scan.takeRight(400))
+    // pruned scan reads one directory, not the whole tree
+    val (_, numPartsRead) = {
+      val m = "partition count: (\\d+)".r.findFirstMatchIn(
+        one.queryExecution.executedPlan.toString)
+      (m, m.map(_.group(1).toInt))
+    }
+    numPartsRead.foreach(n => assert(n <= 1, s"read $n partitions"))
+  }
+
   test("events scan prunes partitions of unused columns under projection") {
     val df = Tables.events(spark, sf).select("event_id").filter(col("event_id") > 10)
     val scan = df.queryExecution.executedPlan.collectLeaves().head.toString
