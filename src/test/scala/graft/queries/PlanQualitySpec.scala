@@ -102,6 +102,24 @@ class PlanQualitySpec extends AnyFunSuite {
     numPartsRead.foreach(n => assert(n <= 1, s"read $n partitions"))
   }
 
+  test("dynamic partition pruning: dim filter prunes the fact scan at runtime") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    Tables.events(spark, sf)
+      .withColumn("hour_bucket", expr("ts_ns div 3600000000000"))
+      .write.mode("overwrite").partitionBy("hour_bucket").parquet(dir)
+    val fact = spark.read.parquet(dir)
+    // dim: one row per hour with an attribute; the FILTER lives on the dim
+    val dim = fact.select(col("hour_bucket").cast("long").as("hb")).distinct()
+      .withColumn("is_peak", col("hb") % 7 === 0)
+    val joined = fact.join(dim,
+        fact("hour_bucket") === dim("hb") && dim("is_peak"))
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+    joined.collect()
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruning") || p.contains("DynamicPruning"),
+      "fact scan should carry a dynamic pruning predicate")
+  }
+
   test("events scan prunes partitions of unused columns under projection") {
     val df = Tables.events(spark, sf).select("event_id").filter(col("event_id") > 10)
     val scan = df.queryExecution.executedPlan.collectLeaves().head.toString
