@@ -24,11 +24,16 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val queries = SparkEntry.queries
     val names = SparkEntry.benchQueries
+    val failed = scala.collection.mutable.LinkedHashSet[String]()
     def timeOne(name: String): Double = {
       val t0 = System.nanoTime()
       try {
         queries(name)(spark, sfDir).write.mode("overwrite").format("noop").save()
-      } catch { case _: Throwable => () }
+      } catch { case e: Throwable =>
+        // a swallowed failure must not masquerade as a fast query
+        failed += name
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      }
       (System.nanoTime() - t0) / 1e9
     }
     names.foreach(timeOne) // warm-up
@@ -36,7 +41,8 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
