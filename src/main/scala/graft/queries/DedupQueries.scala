@@ -241,11 +241,66 @@ object DedupQueries {
        |WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
        |GROUP BY lang""".stripMargin
 
+  /** Connected components over the verified near-dup pairs — the real
+    * final step of web-scale dedup. Pair-wise "drop the higher id" (d6)
+    * over-keeps when two survivors share a dropped doc (edges (A,C),(B,C)
+    * keep A and B; the component keeps only A). Components give the exact
+    * keep-one-per-cluster semantics.
+    *
+    * Spark shape: iterative min-label propagation — per round one
+    * edges⋈labels join + a min-aggregate, loop until fixpoint. Converges
+    * in O(diameter) rounds; near-dup clusters are tiny cliques, so 2-3
+    * rounds in practice. (At adversarial diameters the same loop hosts
+    * the large-star/small-star contraction; not needed for dedup graphs.)
+    * The driver-side loop is bounded control flow, not data movement —
+    * each round is one distributed job. */
+  private def components(s: SparkSession, d: String): DataFrame = {
+    val pairs = jaccardPairs(s, d).select(col("doc_a"), col("doc_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // undirected: propagate both ways
+    val edges = pairs.unionAll(
+      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("doc_a").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 20) {
+      val viaEdges = edges
+        .join(labels, edges("doc_a") === labels("id"))
+        .select(col("doc_b").as("id"), col("label"))
+      val next = labels.select(col("id"), col("label")).unionAll(viaEdges)
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      converged = next.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") =!= col("old")).isEmpty
+      labels = next
+      rounds += 1
+    }
+    labels.withColumnRenamed("label", "component")
+      .orderBy(col("id")) // deterministic presentation; tiny result
+  }
+  /** Transitive closure via recursive CTE (UNION dedup terminates it),
+    * then min reachable label per node == the component id. */
+  private def componentsSql =
+    s"""WITH RECURSIVE pairs AS ($jaccardPairsSql),
+       |edges AS (
+       |  SELECT doc_a AS u, doc_b AS v FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(node, label) AS (
+       |  SELECT DISTINCT u, u FROM edges
+       |  UNION
+       |  SELECT e.v, r.label FROM reach r JOIN edges e ON e.u = r.node)
+       |SELECT node AS id, MIN(label) AS component
+       |FROM reach GROUP BY node""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("d1_exact_dedup", exactDedup, Some(exactDedupSql)),
     Q("d2_minhash_lsh", minhashLsh, Some(minhashLshSql)),
     Q("d3_jaccard_pairs", jaccardPairs, Some(jaccardPairsSql)),
     Q("d4_simhash", simhash, Some(simhashSql)),
     Q("d5_embedding_neardup", embNearDup, Some(embNearDupSql)),
-    Q("d6_dedup_keep", dedupKeep, Some(dedupKeepSql)))
+    Q("d6_dedup_keep", dedupKeep, Some(dedupKeepSql)),
+    Q("d7_components", components, Some(componentsSql)))
 }
