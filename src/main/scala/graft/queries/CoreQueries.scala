@@ -454,6 +454,29 @@ object CoreQueries {
              |  COUNT(1) AS n
              |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
 
+    // ---- approx_percentile (t-digest-style sketch): the scale path next
+    // to q20's exact form — exact percentile holds every group value in
+    // one buffer (state O(group), parallelism O(groups)); the sketch is
+    // O(1) per group and partial-aggregatable. Sketches are
+    // engine-specific, so rows-only gate + ApproxPercentileSpec accuracy
+    // bound vs the exact values.
+    Q(
+      "q34_approx_percentiles",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag"))
+          .agg(expr(
+            "approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 10000)")
+            .as("aps"),
+            count(lit(1)).as("n"))
+          // scalar columns only — the compare layer can't hash array cells
+          .select(col("l_returnflag"),
+            element_at(col("aps"), 1).as("ap50"),
+            element_at(col("aps"), 2).as("ap90"),
+            element_at(col("aps"), 3).as("ap99"),
+            col("n")),
+      None),
+
     // ---- Native session_window operator in batch mode (the streaming
     // session operator — q16 is the windowed-emulation twin).
     Q(

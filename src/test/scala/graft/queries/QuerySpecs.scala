@@ -39,6 +39,22 @@ class QuerySpecs extends AnyFunSuite {
     }
   }
 
+  test("approx_percentile lands within relative error of exact") {
+    val approx = SparkEntry.queries("q34_approx_percentiles")(spark, sf)
+      .select("l_returnflag", "ap50", "ap90", "ap99")
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val exact = SparkEntry.queries("q20_percentiles")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    exact.foreach { case (k, (p50, p90, p99)) =>
+      val (a50, a90, a99) = approx(k)
+      Seq((a50, p50), (a90, p90), (a99, p99)).foreach { case (a, e) =>
+        assert(math.abs(a - e) / e < 0.05, s"$k: approx=$a exact=$e")
+      }
+    }
+  }
+
   test("XHash matches the DuckDB-computable definition (fixed vector)") {
     // '0x' || substr(md5('hello'),1,15) == 419982666956583591 (DuckDB-checked)
     val got = spark.range(1)
