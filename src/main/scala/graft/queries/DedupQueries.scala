@@ -261,9 +261,16 @@ object DedupQueries {
     val edges = pairs.unionAll(
       pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("doc_a").as("id")).distinct()
-      .withColumn("label", col("id"))
+    // round 0 folds the first propagation: label = min(id, neighbors)
+    var labels = edges.select(col("doc_a").as("id"), col("doc_b").as("label"))
+      .unionAll(edges.select(col("doc_a").as("id"), col("doc_a").as("label")))
+      .groupBy(col("id")).agg(min(col("label")).as("label"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // labels only decrease, so fixpoint <=> sum(label) unchanged — one
+    // cheap aggregate on the cached result instead of a diff join
+    def labelSum(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(sum(col("label"))).head.getLong(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var rounds = 0
     while (!converged && rounds < 20) {
@@ -273,8 +280,9 @@ object DedupQueries {
       val next = labels.select(col("id"), col("label")).unionAll(viaEdges)
         .groupBy(col("id")).agg(min(col("label")).as("label"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      converged = next.join(labels.withColumnRenamed("label", "old"), "id")
-        .filter(col("label") =!= col("old")).isEmpty
+      val nextSum = labelSum(next)
+      converged = nextSum == prevSum
+      prevSum = nextSum
       labels = next
       rounds += 1
     }
