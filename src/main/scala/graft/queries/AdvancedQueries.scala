@@ -269,5 +269,36 @@ object AdvancedQueries {
              |ASOF LEFT JOIN (
              |  SELECT user_id, epoch_us(ts) AS ts_us, MAX(event_id) AS err_id
              |  FROM events WHERE event_type = 'error' GROUP BY 1, 2) b
-             |  ON a.user_id = b.user_id AND epoch_us(a.ts) > b.ts_us""".stripMargin)))
+             |  ON a.user_id = b.user_id AND epoch_us(a.ts) > b.ts_us""".stripMargin)),
+
+    // ---- Ranking window family: dense_rank / ntile / percent_rank /
+    // cume_dist / nth_value over a unique total order per partition
+    // (price, orderkey) — tie-free, so every rank function is
+    // deterministic and engine-agnostic.
+    Q(
+      "q35_window_ranks",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        Tables.orders(s, d)
+          .select("o_orderkey", "o_orderpriority", "o_totalprice")
+          .withColumn("drk", dense_rank().over(w).cast("bigint"))
+          .withColumn("quartile", ntile(4).over(w).cast("bigint"))
+          .withColumn("pct_rank", round(percent_rank().over(w), 6))
+          .withColumn("cume", round(cume_dist().over(w), 6))
+          .withColumn("top_key", nth_value(col("o_orderkey"), 1).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      },
+      Some("""SELECT o_orderkey, o_orderpriority, o_totalprice,
+             |  dense_rank() OVER w AS drk,
+             |  ntile(4) OVER w AS quartile,
+             |  round(percent_rank() OVER w, 6) AS pct_rank,
+             |  round(cume_dist() OVER w, 6) AS cume,
+             |  nth_value(o_orderkey, 1) OVER (PARTITION BY o_orderpriority
+             |    ORDER BY o_totalprice DESC, o_orderkey
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS top_key
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_orderpriority
+             |  ORDER BY o_totalprice DESC, o_orderkey)""".stripMargin)))
 }
