@@ -300,5 +300,33 @@ object AdvancedQueries {
              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS top_key
              |FROM orders
              |WINDOW w AS (PARTITION BY o_orderpriority
-             |  ORDER BY o_totalprice DESC, o_orderkey)""".stripMargin)))
+             |  ORDER BY o_totalprice DESC, o_orderkey)""".stripMargin)),
+
+    // ---- MapType family: per-order map(linenumber -> quantity) via
+    // map_from_entries, probed with element_at / map_keys / map_values.
+    // Scalar outputs; the oracle verifies the lookups relationally
+    // (conditional aggregates), so map semantics are value-checked without
+    // needing DuckDB's map type to hash identically.
+    Q(
+      "q36_map_funcs",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          // map keys must be unique: collapse to one qty per line number
+          .groupBy(col("l_orderkey"), col("l_linenumber"))
+          .agg(sum(col("l_quantity").cast("double")).as("qty"))
+          .groupBy(col("l_orderkey"))
+          .agg(map_from_entries(sort_array(collect_list(
+            struct(col("l_linenumber"), col("qty"))))).as("m"))
+          .select(
+            col("l_orderkey"),
+            size(map_keys(col("m"))).cast("bigint").as("n_lines"),
+            element_at(col("m"), 1).as("qty_line1"),
+            aggregate(map_values(col("m")), lit(0.0), (a, x) => a + x)
+              .as("qty_total")),
+      Some("""SELECT l_orderkey,
+             |  COUNT(DISTINCT l_linenumber) AS n_lines,
+             |  SUM(CASE WHEN l_linenumber = 1
+             |      THEN CAST(l_quantity AS DOUBLE) END) AS qty_line1,
+             |  SUM(CAST(l_quantity AS DOUBLE)) AS qty_total
+             |FROM lineitem GROUP BY l_orderkey""".stripMargin)))
 }
