@@ -25,7 +25,9 @@ object GraftFunctions {
 
   private val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "long_array_dot" -> (exprs => LongArrayDot(exprs(0), exprs(1))),
-    "graft_hash60" -> (exprs => hash60Expr(exprs.head)))
+    "graft_hash60" -> (exprs => hash60Expr(exprs.head)),
+    "word_shingles" -> (exprs => WordShingles(exprs(0),
+      exprs(1).eval().asInstanceOf[Int])))
 
   /** Register on an already-built session (temp functions). */
   def register(spark: SparkSession): Unit = {
@@ -48,5 +50,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_hash60"),
       new ExpressionInfo(GraftFunctions.getClass.getName, "graft_hash60"),
       (exprs: Seq[Expression]) => GraftFunctions.hash60Expr(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+      (exprs: Seq[Expression]) => WordShingles(exprs(0),
+        exprs(1).eval().asInstanceOf[Int])))
   }
 }

@@ -59,8 +59,10 @@ class SourceFormatsSpec extends AnyFunSuite {
   test("registered SQL functions work from plain SQL") {
     val got = spark.sql(
       "SELECT long_array_dot(array(1L, 2L, 3L), array(4L, 5L, 6L)) AS d, " +
-        "graft_hash60('hello') AS h").head
+        "graft_hash60('hello') AS h, " +
+        "word_shingles('a b c d', 3) AS sh").head
     assert(got.getLong(0) == 32L)
     assert(got.getLong(1) == 419982666956583591L)
+    assert(got.getSeq[String](2) == Seq("a b c", "b c d"))
   }
 }
