@@ -120,6 +120,36 @@ class PlanQualitySpec extends AnyFunSuite {
       "fact scan should carry a dynamic pruning predicate")
   }
 
+  test("runtime bloom filter: selective dim filter reaches the fact scan") {
+    // thresholds floor the feature at 10 MB / 10 GB estimated sizes, so
+    // lower them to observe the rewrite at test scale — the assertion is
+    // that the optimizer CAN inject it for our join shapes
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      // creation side must be UNDER its threshold, application side OVER
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "1GB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+      val o = Tables.orders(spark, sf)
+        .filter(col("o_totalprice") > 400000.0) // selective build side
+        .select("o_orderkey")
+      // disable broadcast so the runtime filter (not BHJ) is the win
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy().agg(sum(col("l_quantity")).as("s"))
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("bloom_filter") || p.contains("BloomFilter"),
+        "runtime bloom filter should be injected into the fact side")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (32L << 20).toString)
+      prev.foreach { case (k, v) =>
+        v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+    }
+  }
+
   test("events scan prunes partitions of unused columns under projection") {
     val df = Tables.events(spark, sf).select("event_id").filter(col("event_id") > 10)
     val scan = df.queryExecution.executedPlan.collectLeaves().head.toString
