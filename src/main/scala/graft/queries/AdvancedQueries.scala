@@ -328,5 +328,30 @@ object AdvancedQueries {
              |  SUM(CASE WHEN l_linenumber = 1
              |      THEN CAST(l_quantity AS DOUBLE) END) AS qty_line1,
              |  SUM(CAST(l_quantity AS DOUBLE)) AS qty_total
-             |FROM lineitem GROUP BY l_orderkey""".stripMargin)))
+             |FROM lineitem GROUP BY l_orderkey""".stripMargin)),
+
+    // ---- LATERAL correlated table subquery: top-2 orders per customer
+    // segment sample. A different decorrelation path than q32's scalar
+    // subquery — Catalyst rewrites the per-row LIMIT subquery into a
+    // ranked window join; no nested-loop per-customer execution survives.
+    Q(
+      "q37_lateral",
+      (s, d) => {
+        Tables.customer(s, d).filter(col("c_custkey") % 100 === 0)
+          .createOrReplaceTempView("cust_sample")
+        Tables.orders(s, d).createOrReplaceTempView("orders_l")
+        s.sql(
+          """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+            |FROM cust_sample c,
+            |LATERAL (
+            |  SELECT o_orderkey, o_totalprice FROM orders_l
+            |  WHERE o_custkey = c.c_custkey
+            |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t""".stripMargin)
+      },
+      Some("""SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+             |FROM (SELECT * FROM customer WHERE c_custkey % 100 = 0) c,
+             |LATERAL (
+             |  SELECT o_orderkey, o_totalprice FROM orders
+             |  WHERE o_custkey = c.c_custkey
+             |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t""".stripMargin)))
 }
