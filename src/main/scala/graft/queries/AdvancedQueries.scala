@@ -353,5 +353,73 @@ object AdvancedQueries {
              |LATERAL (
              |  SELECT o_orderkey, o_totalprice FROM orders
              |  WHERE o_custkey = c.c_custkey
-             |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t""".stripMargin)))
+             |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t""".stripMargin)),
+
+    // ---- TPC-H Q5 shape: 6-table local-supplier-volume join. The join
+    // graph has a cycle (lineitem→supplier AND customer↔supplier nation
+    // alignment) — the classic join-order stress. Dims broadcast; the two
+    // fact joins shuffle on their keys.
+    Q(
+      "q38_local_volume",
+      (s, d) => {
+        val l = Tables.lineitem(s, d)
+          .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        val o = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+        val c = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+        val su = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+        val n = Tables.nation(s, d)
+        val r = Tables.region(s, d).filter(col("r_regionkey") % 2 === 0)
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(su), col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("n_name"))
+          .agg(moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+            .as("revenue"),
+            count(lit(1)).as("n_items"))
+      },
+      Some(s"""SELECT n_name,
+              |  ${Q.moneySum("l_extendedprice * (1.0 - l_discount)", 4)} AS revenue,
+              |  COUNT(1) AS n_items
+              |FROM lineitem
+              |JOIN orders ON l_orderkey = o_orderkey
+              |JOIN customer ON o_custkey = c_custkey
+              |JOIN supplier ON l_suppkey = s_suppkey
+              |  AND c_nationkey = s_nationkey
+              |JOIN nation ON s_nationkey = n_nationkey
+              |JOIN region ON n_regionkey = r_regionkey
+              |WHERE r_regionkey % 2 = 0
+              |GROUP BY n_name""".stripMargin)),
+
+    // ---- TPC-H Q10 shape: returned-item revenue, top 20 customers.
+    // Aggregate-then-top-k: TakeOrderedAndProject on the aggregated set,
+    // never a global sort of the join output.
+    Q(
+      "q39_returned_items",
+      (s, d) => {
+        val l = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+          .select("l_orderkey", "l_extendedprice", "l_discount")
+        val o = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+        val c = Tables.customer(s, d).select("c_custkey", "c_name", "c_nationkey")
+        val n = Tables.nation(s, d).select("n_nationkey", "n_name")
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+          .agg(moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+            .as("revenue"))
+          .orderBy(col("revenue").desc, col("c_custkey"))
+          .limit(20)
+      },
+      Some(s"""SELECT c_custkey, c_name, n_name,
+              |  ${Q.moneySum("l_extendedprice * (1.0 - l_discount)", 4)} AS revenue
+              |FROM lineitem
+              |JOIN orders ON l_orderkey = o_orderkey
+              |JOIN customer ON o_custkey = c_custkey
+              |JOIN nation ON c_nationkey = n_nationkey
+              |WHERE l_returnflag = 'R'
+              |GROUP BY 1, 2, 3
+              |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin)))
 }
