@@ -11,7 +11,9 @@ package graft.compact
   */
 object WalSeq {
   private val Raw = """(\d{10})\.parquet$""".r.unanchored
-  private val Compacted = """c_(\d{10})_\d+_[gh]\d+\.parquet$""".r.unanchored
+  // optional _pNN: oversized buckets split into time-disjoint parts
+  // (Compactor) which must stay re-compactable when late WAL files land
+  private val Compacted = """c_(\d{10})_\d+_[gh]\d+(?:_p\d+)?\.parquet$""".r.unanchored
 
   def extract(fileName: String): Option[Long] = fileName match {
     case Raw(seq) => Some(seq.toLong)

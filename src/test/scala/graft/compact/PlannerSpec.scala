@@ -14,6 +14,12 @@ class WalSeqSpec extends AnyFunSuite {
     assert(WalSeq.extract("data.parquet").isEmpty)
     intercept[IllegalArgumentException](WalSeq.extractOrThrow("data.parquet"))
   }
+  test("split-output part names stay re-compactable (regression)") {
+    // oversized buckets emit c_<a>_<b>_hHH_pNN.parquet; a later run over
+    // that hour (late WAL arrival) must parse them, not crash the host
+    assert(WalSeq.extract("c_0000000007_0000000021_h05_p00.parquet").contains(7L))
+    assert(WalSeq.extract("c_0000000007_0000000021_h05_p13.parquet").contains(7L))
+  }
 }
 
 class SnapshotCodecSpec extends AnyFunSuite {

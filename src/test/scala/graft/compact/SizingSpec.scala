@@ -83,5 +83,23 @@ class SizingSpec extends AnyFunSuite {
     assert(merged.length == 60000)
     assert(merged.sameElements(merged.sorted)) // globally sorted across parts
     assert(f.min_time == merged.head && f.max_time == merged.last)
+
+    // REGRESSION: a bucket whose inputs include split parts (_pNN) plus a
+    // late WAL file must re-plan (the part names carry the WAL range) and
+    // re-merge rather than crash the planner
+    val partMetas = result.files
+    val (relC, fc) = writeInput("0000000003.parquet", 900L, 1000)
+    val lateMeta = FileMeta(3, relC, fc.length(), 1000, base,
+      base + 900, base + 900 + 1000L * 1000003L)
+    val reFiles = (partMetas :+ lateMeta).sortBy(m =>
+      (WalSeq.extractOrThrow(m.path.substring(m.path.lastIndexOf('/') + 1)),
+        m.path))
+    val reBucket = Bucket("edge0", "db-0", "table-0", "2025-01-26", 22,
+      reFiles.toVector, reFiles.map(_.path).toSet)
+    assert(reBucket.firstWal == 1L && reBucket.lastWal == 3L)
+    val refolded = concat.merge(new Path(dir.toString), reBucket)
+    assert(refolded.files.length == 1)
+    assert(refolded.files.head.path.endsWith("c_0000000001_0000000003_h22.parquet"))
+    assert(refolded.files.head.row_count == 61000)
   }
 }
