@@ -48,6 +48,30 @@ class SnapshotCodecSpec extends AnyFunSuite {
     assert(json.contains(big.toString))
   }
 
+  test("round-trip survives 200 seeded random snapshot trees") {
+    val rnd = new scala.util.Random(4242)
+    def randMeta(): SnapshotMeta = {
+      def long() = rnd.nextLong() & Long.MaxValue // non-negative, > 2^53 often
+      def files(n: Int) = Vector.tabulate(n)(i => FileMeta(
+        rnd.nextInt(1000).toLong,
+        s"h${rnd.nextInt(3)}/dbs/db-${rnd.nextInt(4)}/table-${rnd.nextInt(4)}/" +
+          f"2025-01-${1 + rnd.nextInt(28)}%02d/${rnd.nextInt(24)}%02d-00/" +
+          f"${rnd.nextInt(100000)}%010d.parquet",
+        long(), long(), long(), long(), long()))
+      SnapshotMeta(
+        writer_id = s"w${rnd.nextInt(100)}",
+        parquet_size_bytes = long(), row_count = long(),
+        min_time = long(), max_time = long(),
+        databases = Vector.tabulate(rnd.nextInt(4))(d => DbTables(d.toLong,
+          Vector.tabulate(rnd.nextInt(4))(t =>
+            TableFiles(t.toLong, files(rnd.nextInt(4)))))))
+    }
+    (1 to 200).foreach { i =>
+      val m = randMeta()
+      assert(SnapshotCodec.parse(SnapshotCodec.render(m)) == m, s"trial $i")
+    }
+  }
+
   test("parses the README-style document") {
     val json =
       """{
