@@ -421,5 +421,38 @@ object AdvancedQueries {
               |JOIN nation ON c_nationkey = n_nationkey
               |WHERE l_returnflag = 'R'
               |GROUP BY 1, 2, 3
-              |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin)))
+              |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin)),
+
+    // ---- Multiset set ops: INTERSECT ALL / EXCEPT ALL preserve
+    // duplicate multiplicity (q10 covers the distinct forms). Spark plans
+    // these as a count-compare aggregate, not a dedup — different
+    // operator, different semantics, both engines agree on multiplicity.
+    Q(
+      "q40_multiset_ops",
+      (s, d) => {
+        val a = Tables.lineitem(s, d).filter(col("l_quantity") >= 25)
+          .select(col("l_suppkey"))
+        val b = Tables.lineitem(s, d).filter(col("l_discount") > 0.05)
+          .select(col("l_suppkey"))
+        a.intersectAll(b).groupBy(col("l_suppkey"))
+          .agg(count(lit(1)).as("n_inter"))
+          .join(
+            a.exceptAll(b).groupBy(col("l_suppkey"))
+              .agg(count(lit(1)).as("n_except")),
+            Seq("l_suppkey"), "full_outer")
+          .select(col("l_suppkey"),
+            coalesce(col("n_inter"), lit(0L)).as("n_inter"),
+            coalesce(col("n_except"), lit(0L)).as("n_except"))
+      },
+      Some("""WITH a AS (SELECT l_suppkey FROM lineitem WHERE l_quantity >= 25),
+             |b AS (SELECT l_suppkey FROM lineitem WHERE l_discount > 0.05),
+             |i AS (SELECT l_suppkey, COUNT(1) AS n_inter FROM (
+             |        SELECT l_suppkey FROM a INTERSECT ALL SELECT l_suppkey FROM b)
+             |      GROUP BY 1),
+             |e AS (SELECT l_suppkey, COUNT(1) AS n_except FROM (
+             |        SELECT l_suppkey FROM a EXCEPT ALL SELECT l_suppkey FROM b)
+             |      GROUP BY 1)
+             |SELECT COALESCE(i.l_suppkey, e.l_suppkey) AS l_suppkey,
+             |  COALESCE(n_inter, 0) AS n_inter, COALESCE(n_except, 0) AS n_except
+             |FROM i FULL OUTER JOIN e ON i.l_suppkey = e.l_suppkey""".stripMargin)))
 }
