@@ -454,5 +454,42 @@ object AdvancedQueries {
              |      GROUP BY 1)
              |SELECT COALESCE(i.l_suppkey, e.l_suppkey) AS l_suppkey,
              |  COALESCE(n_inter, 0) AS n_inter, COALESCE(n_except, 0) AS n_except
-             |FROM i FULL OUTER JOIN e ON i.l_suppkey = e.l_suppkey""".stripMargin)))
+             |FROM i FULL OUTER JOIN e ON i.l_suppkey = e.l_suppkey""".stripMargin)),
+
+    // ---- TPC-H Q7 shape: the same dimension joined TWICE under aliases
+    // (supplier nation × customer nation), cross-nation trade only.
+    Q(
+      "q41_nation_pairs",
+      (s, d) => {
+        val l = Tables.lineitem(s, d)
+          .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        val o = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+        val c = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+        val su = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+        val sn = Tables.nation(s, d)
+          .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+        val cn = Tables.nation(s, d)
+          .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(sn), col("s_nationkey") === col("sn_key"))
+          .join(broadcast(cn), col("c_nationkey") === col("cn_key"))
+          .filter(col("supp_nation") < col("cust_nation"))
+          .groupBy(col("supp_nation"), col("cust_nation"))
+          .agg(moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+            .as("revenue"),
+            count(lit(1)).as("n_items"))
+      },
+      Some(s"""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+              |  ${Q.moneySum("l_extendedprice * (1.0 - l_discount)", 4)} AS revenue,
+              |  COUNT(1) AS n_items
+              |FROM lineitem
+              |JOIN orders ON l_orderkey = o_orderkey
+              |JOIN customer ON o_custkey = c_custkey
+              |JOIN supplier ON l_suppkey = s_suppkey
+              |JOIN nation sn ON s_nationkey = sn.n_nationkey
+              |JOIN nation cn ON c_nationkey = cn.n_nationkey
+              |WHERE sn.n_name < cn.n_name
+              |GROUP BY 1, 2""".stripMargin)))
 }
