@@ -29,7 +29,7 @@ object Main {
     if (args.contains("--help")) return Left(usage)
     var cfg = CompactConfig(dataDir = "")
     var rest = args.toList
-    while (rest.nonEmpty) rest match {
+    while (rest.nonEmpty) (rest: @unchecked) match {
       case "--hosts" :: v :: t =>
         cfg = cfg.copy(hosts = v.split(',').toSeq.filter(_.nonEmpty)); rest = t
       case "--dry-run" :: t => cfg = cfg.copy(dryRun = true); rest = t

@@ -68,7 +68,7 @@ class Orchestrator(spark: SparkSession, config: CompactConfig) {
     par.tasksupport = new ForkJoinTaskSupport(
       new java.util.concurrent.ForkJoinPool(
         math.max(1, math.min(config.bucketParallelism, hosts.length))))
-    par.map(runHost).toVector.seq.sortBy(_.host)
+    par.map(runHost).toVector.sortBy(_.host)
   }
 
   def runHost(host: String): HostReport = {
@@ -111,7 +111,7 @@ class Orchestrator(spark: SparkSession, config: CompactConfig) {
     par.tasksupport = new ForkJoinTaskSupport(
       new java.util.concurrent.ForkJoinPool(config.bucketParallelism))
     val results: Vector[(Bucket, CompactResult)] =
-      par.map(b => b -> compactor.merge(root, b)).toVector.seq
+      par.map(b => b -> compactor.merge(root, b)).toVector
         .sortBy(r => (r._1.db, r._1.table, r._1.date, r._1.hourStart))
 
     // B12: surgical metadata rewrite, BEFORE any delete. Keyed by source

@@ -269,7 +269,7 @@ object DedupQueries {
     // labels only decrease, so fixpoint <=> sum(label) unchanged — one
     // cheap aggregate on the cached result instead of a diff join
     def labelSum(df: org.apache.spark.sql.DataFrame): Long =
-      df.agg(sum(col("label"))).head.getLong(0)
+      df.agg(sum(col("label"))).head().getLong(0)
     var prevSum = labelSum(labels)
     var converged = false
     var rounds = 0

@@ -105,7 +105,7 @@ object SimilarityQueries {
     * path — shuffle by bucket, never all-pairs. */
   private def annLsh(s: SparkSession, d: String): DataFrame = {
     val dim = Tables.embeddings(s, d)
-      .select(size(col("embedding"))).head.getInt(0)
+      .select(size(col("embedding"))).head().getInt(0)
     val withSig = Tables.embeddings(s, d)
       .select(col("vec_id"), TextOps.quantize(col("embedding")).as("q"))
       .withColumn("nn", TextOps.qdot(col("q"), col("q")))
