@@ -53,6 +53,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("streaming sliding windows equal the batch two-window expansion") {
+    val dir = Files.createTempDirectory("graft_slide_in").toString
+    val rows = mkEvents(80)
+    val sentinel = (9999L, base + 100L * hourNs, 99L, "sentinel", 0.0, "{}")
+    writeEventFiles(dir, rows :+ sentinel)
+
+    val streamed = EventStreams.runToMemory(spark,
+      EventStreams.slidingAgg(EventStreams.readEvents(spark, dir)), "sliding")
+      .filter(col("event_type") =!= "sentinel")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+
+    // batch twin: a 10m/5m sliding window means each event lands in the
+    // two windows starting at floor(ts/5m)*5m and that minus 5m
+    val slideUs = 5L * 60 * 1000000
+    val batch = rows.toDF("event_id", "ts_ns", "user_id", "event_type", "value", "props")
+      .withColumn("ts_us", expr("ts_ns div 1000"))
+      .withColumn("win_start_us", explode(array(
+        expr(s"ts_us div $slideUs * $slideUs"),
+        expr(s"ts_us div $slideUs * $slideUs - $slideUs"))))
+      .groupBy("win_start_us", "event_type")
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed == batch)
+  }
+
   test("streaming session windows equal batch gaps-and-islands") {
     val dir = Files.createTempDirectory("graft_sess_in").toString
     // user 0: two sessions (gap > 30 min); user 1: one session
