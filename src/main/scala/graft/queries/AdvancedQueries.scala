@@ -491,5 +491,30 @@ object AdvancedQueries {
               |JOIN nation sn ON s_nationkey = sn.n_nationkey
               |JOIN nation cn ON c_nationkey = cn.n_nationkey
               |WHERE sn.n_name < cn.n_name
-              |GROUP BY 1, 2""".stripMargin)))
+              |GROUP BY 1, 2""".stripMargin)),
+
+    // ---- Schema-evolution union: two generations of a table with
+    // different column sets combine by NAME (position-blind), missing
+    // columns null-filled — the in-plan twin of the reader-level
+    // mergeSchema evolution (SourceFormatsSpec).
+    Q(
+      "q42_union_by_name",
+      (s, d) => {
+        val v1 = Tables.orders(s, d).filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey"), col("o_totalprice"))
+        val v2 = Tables.orders(s, d).filter(col("o_orderkey") % 2 === 1)
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        v1.unionByName(v2, allowMissingColumns = true)
+          .groupBy(coalesce(col("o_orderstatus"), lit("unknown")).as("status"))
+          .agg(count(lit(1)).as("n"),
+            moneySum(col("o_totalprice")).as("sum_price"))
+      },
+      Some(s"""SELECT COALESCE(o_orderstatus, 'unknown') AS status,
+              |  COUNT(1) AS n, ${Q.moneySum("o_totalprice")} AS sum_price
+              |FROM (
+              |  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 0
+              |  UNION ALL BY NAME
+              |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+              |  WHERE o_orderkey % 2 = 1)
+              |GROUP BY 1""".stripMargin)))
 }
