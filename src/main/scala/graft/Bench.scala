@@ -34,7 +34,12 @@ object Bench {
         failed += name
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
       }
-      (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      // drop per-query pinned intermediates OFF the clock: every timed run
+      // rebuilds its own caches (a warm cache surviving into the next timed
+      // pass would flatter exactly the persist-using queries)
+      spark.catalog.clearCache()
+      sec
     }
     names.foreach(timeOne) // warm-up
     val results = names.map { n => n -> math.min(timeOne(n), timeOne(n)) }
@@ -42,7 +47,17 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    // The contract line alone is fragile: sbt decorates stdout and the
+    // driver keeps only a tail of it (round 1 recorded `parsed: null` with
+    // the line truncated mid-JSON). Persist the artifact to a file first,
+    // then print it LAST — after spark.stop() — so even a short log tail
+    // ends with the bare JSON line.
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_OUT.json"), json + "\n")
+    println(json)
     spark.stop()
+    println(json)
   }
 }

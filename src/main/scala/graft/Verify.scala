@@ -18,7 +18,11 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
+      } finally
+        // queries may pin intermediates (LSH sketch tables, CC labels);
+        // they are per-query state, not session state — drop between
+        // queries so the suite never accumulates storage
+        spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

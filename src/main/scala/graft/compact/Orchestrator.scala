@@ -64,14 +64,25 @@ class Orchestrator(spark: SparkSession, config: CompactConfig) {
     * (reference loops hosts serially, kompactor.ts:177). */
   def run(): Seq[HostReport] = {
     val hosts = discoverHosts()
-    val par = hosts.par
-    par.tasksupport = new ForkJoinTaskSupport(
-      new java.util.concurrent.ForkJoinPool(
-        math.max(1, math.min(config.bucketParallelism, hosts.length))))
-    par.map(runHost).toVector.sortBy(_.host)
+    // ONE shared concurrency budget: hostConcurrency × perHostBuckets ≈
+    // bucketParallelism (the old shape nested full-width pools, letting
+    // in-flight Spark jobs reach parallelism²), and every pool is shut
+    // down — a long-lived JVM (tests, repeated runs) must not accumulate
+    // ForkJoin threads per invocation.
+    val hostConc = math.max(1, math.min(config.bucketParallelism, hosts.length))
+    val perHostBuckets = math.max(1, config.bucketParallelism / hostConc)
+    val hostPool = new java.util.concurrent.ForkJoinPool(hostConc)
+    try {
+      val par = hosts.par
+      par.tasksupport = new ForkJoinTaskSupport(hostPool)
+      par.map(h => runHost(h, perHostBuckets)).toVector.sortBy(_.host)
+    } finally hostPool.shutdown()
   }
 
-  def runHost(host: String): HostReport = {
+  def runHost(host: String): HostReport =
+    runHost(host, config.bucketParallelism)
+
+  private def runHost(host: String, bucketThreads: Int): HostReport = {
     val snapDir = new Path(root, s"$host/snapshots")
     require(fs.exists(snapDir), s"missing snapshots dir: $snapDir")
     require(fs.exists(new Path(root, s"$host/dbs")), s"missing dbs dir for $host")
@@ -107,12 +118,14 @@ class Orchestrator(spark: SparkSession, config: CompactConfig) {
     }
 
     // merge every bucket (concurrent Spark jobs)
-    val par = runnable.par
-    par.tasksupport = new ForkJoinTaskSupport(
-      new java.util.concurrent.ForkJoinPool(config.bucketParallelism))
+    val bucketPool = new java.util.concurrent.ForkJoinPool(bucketThreads)
     val results: Vector[(Bucket, CompactResult)] =
-      par.map(b => b -> compactor.merge(root, b)).toVector
-        .sortBy(r => (r._1.db, r._1.table, r._1.date, r._1.hourStart))
+      try {
+        val par = runnable.par
+        par.tasksupport = new ForkJoinTaskSupport(bucketPool)
+        par.map(b => b -> compactor.merge(root, b)).toVector
+          .sortBy(r => (r._1.db, r._1.table, r._1.date, r._1.hourStart))
+      } finally bucketPool.shutdown()
 
     // B12: surgical metadata rewrite, BEFORE any delete. Keyed by source
     // path (not db/table dir names) so no naming convention is assumed.

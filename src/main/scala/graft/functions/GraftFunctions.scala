@@ -23,11 +23,30 @@ object GraftFunctions {
         Literal(16), Literal(10)),
       LongType)
 
+  /** word_shingles(text, n): n must be an integer literal — anything
+    * else (a column, a null, a non-integral type) fails here with a
+    * clear plan-time error instead of an opaque ClassCastException. */
+  private[functions] def wordShinglesBuilder(exprs: Seq[Expression]): Expression = {
+    val nExpr = exprs(1)
+    if (!nExpr.foldable)
+      throw new IllegalArgumentException(
+        "word_shingles(text, n): n must be an integer literal, not a column")
+    val n = nExpr.eval() match {
+      case i: Int => i
+      case l: Long if l.isValidInt => l.toInt
+      case s: Short => s.toInt
+      case b: Byte => b.toInt
+      case other => throw new IllegalArgumentException(
+        "word_shingles(text, n): n must be an integer literal, got " +
+          (if (other == null) "NULL" else other.getClass.getSimpleName))
+    }
+    WordShingles(exprs(0), n)
+  }
+
   private val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "long_array_dot" -> (exprs => LongArrayDot(exprs(0), exprs(1))),
     "graft_hash60" -> (exprs => hash60Expr(exprs.head)),
-    "word_shingles" -> (exprs => WordShingles(exprs(0),
-      exprs(1).eval().asInstanceOf[Int])))
+    "word_shingles" -> (exprs => wordShinglesBuilder(exprs)))
 
   /** Register on an already-built session (temp functions). */
   def register(spark: SparkSession): Unit = {
@@ -53,7 +72,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("word_shingles"),
       new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
-      (exprs: Seq[Expression]) => WordShingles(exprs(0),
-        exprs(1).eval().asInstanceOf[Int])))
+      (exprs: Seq[Expression]) => GraftFunctions.wordShinglesBuilder(exprs)))
   }
 }

@@ -112,13 +112,17 @@ object Multimodal {
   }
 
   /** Deterministic fake: payload truncated/cycled to the byte budget a
-    * w×h thumbnail would occupy — size-realistic, content-deterministic. */
+    * w×h thumbnail would occupy — size-realistic, content-deterministic.
+    * An empty payload resizes to an empty payload (no modulo on a
+    * zero-length array). */
   object FakeMediaResizer extends MediaResizer {
     def resizeBatch(batch: Iterator[MediaRow], w: Int, h: Int): Iterator[ResizedMedia] =
       batch.map { r =>
         val budget = math.max(1, w * h / 8)
-        val out = Array.tabulate[Byte](math.min(budget, math.max(1, r.media.length)))(
-          i => r.media(i % r.media.length))
+        val out =
+          if (r.media.isEmpty) Array.emptyByteArray
+          else Array.tabulate[Byte](math.min(budget, r.media.length))(
+            i => r.media(i % r.media.length))
         ResizedMedia(r.doc_id, out, w, h)
       }
   }

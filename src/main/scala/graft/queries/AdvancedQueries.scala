@@ -223,45 +223,23 @@ object AdvancedQueries {
              |GROUP BY o_custkey""".stripMargin)),
 
     // ---- Broadcast as-of join: q15's semantics on the no-shuffle scale
-    // path. The (small) error side is collected, sorted per user, and
-    // broadcast; each click partition binary-searches it in place — the
-    // big side is never shuffled or sorted (q15's union+window form
-    // shuffles BOTH sides by user). Same contract as broadcast(): the
-    // right side must fit on the driver/executors.
+    // path (operators.AsOf.broadcastProbe). The (small) error side is
+    // collected through a BOUNDED limit, sorted per user, and broadcast;
+    // each click partition binary-searches it in place — the big side is
+    // never shuffled or sorted (q15's union+window form shuffles BOTH
+    // sides by user). If the build side overflows the guard, the operator
+    // falls back to the union+window plan instead of OOMing the driver.
     Q(
       "q33_asof_broadcast",
       (s, d) => {
-        import s.implicits._
         val e = Tables.events(s, d).withColumn("ts_us", expr("ts_ns div 1000"))
-        val errRows = e.filter(col("event_type") === "error")
+        val clicks = e.filter(col("event_type") === "click")
+          .select("event_id", "user_id", "ts_us")
+        val errors = e.filter(col("event_type") === "error")
           .groupBy(col("user_id"), col("ts_us"))
           .agg(max(col("event_id")).as("err_id"))
-          .select(col("user_id"), col("ts_us"), col("err_id"))
-          .as[(Long, Long, Long)].collect()
-        val byUser: Map[Long, (Array[Long], Array[Long])] =
-          errRows.groupBy(_._1).map { case (u, rows) =>
-            val sorted = rows.sortBy(_._2)
-            u -> (sorted.map(_._2), sorted.map(_._3))
-          }
-        val bc = s.sparkContext.broadcast(byUser)
-        e.filter(col("event_type") === "click")
-          .select(col("event_id"), col("user_id"), col("ts_us"))
-          .as[(Long, Long, Long)]
-          .mapPartitions { it =>
-            val m = bc.value
-            it.map { case (id, u, ts) =>
-              val err = m.get(u).flatMap { case (tss, ids) =>
-                // greatest i with tss(i) < ts (strictly earlier)
-                var lo = 0; var hi = tss.length - 1; var ans = -1
-                while (lo <= hi) {
-                  val mid = (lo + hi) >>> 1
-                  if (tss(mid) < ts) { ans = mid; lo = mid + 1 } else hi = mid - 1
-                }
-                if (ans >= 0) Some(ids(ans)) else None
-              }
-              (id, u, ts, err)
-            }
-          }.toDF("event_id", "user_id", "ts_us", "err_id")
+        graft.operators.AsOf.broadcastProbe(s, clicks, errors,
+          "user_id", "ts_us", "event_id", "err_id")
       },
       Some("""SELECT a.event_id, a.user_id, epoch_us(a.ts) AS ts_us,
              |  b.err_id

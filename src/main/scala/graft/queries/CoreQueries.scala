@@ -331,7 +331,8 @@ object CoreQueries {
     // ---- As-of join (time-series enrichment): for each click, the most
     // recent strictly-earlier error by the same user. Spark lacks a native
     // as-of join; the scalable formulation is union + last_value window —
-    // one shuffle on user_id, no range cross-join blowup.
+    // one shuffle on user_id, no range cross-join blowup. (Strategy lives
+    // in operators.AsOf; q33 exercises its broadcast-probe path.)
     Q(
       "q15_asof_join",
       (s, d) => {
@@ -340,22 +341,12 @@ object CoreQueries {
         // well-defined at equal timestamps.
         val e = Tables.events(s, d).withColumn("ts_us", expr("ts_ns div 1000"))
         val clicks = e.filter(col("event_type") === "click")
-          .select(col("user_id"), col("ts_us"), col("event_id"), lit(0).as("kind"),
-            lit(null).cast("long").as("err_id"))
+          .select("user_id", "ts_us", "event_id")
         val errors = e.filter(col("event_type") === "error")
           .groupBy(col("user_id"), col("ts_us"))
           .agg(max(col("event_id")).as("err_id"))
-          .select(col("user_id"), col("ts_us"), col("err_id").as("event_id"),
-            lit(1).as("kind"), col("err_id"))
-        // kind orders an error AFTER a click at equal ts => strict '<'
-        val w = Window.partitionBy(col("user_id"))
-          .orderBy(col("ts_us"), col("kind"))
-          .rowsBetween(Window.unboundedPreceding, -1)
-        clicks.unionAll(errors)
-          .withColumn("last_err", last(col("err_id"), ignoreNulls = true).over(w))
-          .filter(col("kind") === 0)
-          .select(col("event_id"), col("user_id"), col("ts_us"),
-            col("last_err").as("err_id"))
+        graft.operators.AsOf.unionWindow(clicks, errors,
+          "user_id", "ts_us", "event_id", "err_id")
       },
       Some("""SELECT a.event_id, a.user_id, epoch_us(a.ts) AS ts_us,
              |  b.err_id
@@ -422,12 +413,31 @@ object CoreQueries {
     // the rows-only check and ApproxSpec asserts relative error vs exact.
     Q(
       "q19_approx_distinct",
+      // The HLL estimate itself cannot hash-match a different engine's
+      // sketch — so the gate-able surface is (a) the exact counts and
+      // (b) an in-query accuracy bound on the sketch (rsd 0.02 → 6% is
+      // 3σ). The oracle emits the exact counts plus literal TRUE: if the
+      // sketch ever drifts outside its bound, the boolean flips and the
+      // driver's hash gate goes red — the sketch is verified, not just
+      // row-counted. (ApproxSpec additionally bounds it numerically.)
       (s, d) =>
         Tables.lineitem(s, d)
           .groupBy(col("l_returnflag"))
-          .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
-            approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders")),
-      None),
+          .agg(
+            approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+            approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+            countDistinct(col("l_partkey")).as("n_parts"),
+            countDistinct(col("l_orderkey")).as("n_orders"))
+          .select(col("l_returnflag"), col("n_parts"), col("n_orders"),
+            (abs(col("approx_parts") - col("n_parts")).cast("double") <=
+              lit(0.06) * col("n_parts").cast("double")).as("parts_ok"),
+            (abs(col("approx_orders") - col("n_orders")).cast("double") <=
+              lit(0.06) * col("n_orders").cast("double")).as("orders_ok")),
+      Some("""SELECT l_returnflag,
+             |  COUNT(DISTINCT l_partkey) AS n_parts,
+             |  COUNT(DISTINCT l_orderkey) AS n_orders,
+             |  TRUE AS parts_ok, TRUE AS orders_ok
+             |FROM lineitem GROUP BY 1""".stripMargin)),
 
     // ---- Exact interpolated percentiles (Spark `percentile` == DuckDB
     // `quantile_cont`); rounded to absorb last-ulp interpolation noise.
@@ -462,20 +472,36 @@ object CoreQueries {
     // bound vs the exact values.
     Q(
       "q34_approx_percentiles",
-      (s, d) =>
+      // Same gating pattern as q19: the t-digest estimate can't
+      // hash-match cross-engine, so the output carries the exact
+      // percentiles (hash-gated against quantile_cont) plus an in-query
+      // 5%-relative accuracy bound on each sketch value, which the
+      // oracle pins to literal TRUE. Scalar columns only — the compare
+      // layer can't hash array cells.
+      (s, d) => {
+        def ap(i: Int) = element_at(col("aps"), i)
+        def ep(i: Int) = element_at(col("eps"), i)
+        def ok(i: Int) = abs(ap(i) - ep(i)) <= lit(0.05) * ep(i)
         Tables.lineitem(s, d)
           .groupBy(col("l_returnflag"))
           .agg(expr(
             "approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 10000)")
             .as("aps"),
+            expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))").as("eps"),
             count(lit(1)).as("n"))
-          // scalar columns only — the compare layer can't hash array cells
           .select(col("l_returnflag"),
-            element_at(col("aps"), 1).as("ap50"),
-            element_at(col("aps"), 2).as("ap90"),
-            element_at(col("aps"), 3).as("ap99"),
-            col("n")),
-      None),
+            round(ep(1), 4).as("ep50"), round(ep(2), 4).as("ep90"),
+            round(ep(3), 4).as("ep99"),
+            ok(1).as("ap50_ok"), ok(2).as("ap90_ok"), ok(3).as("ap99_ok"),
+            col("n"))
+      },
+      Some("""SELECT l_returnflag,
+             |  round(quantile_cont(l_extendedprice, 0.5), 4) AS ep50,
+             |  round(quantile_cont(l_extendedprice, 0.9), 4) AS ep90,
+             |  round(quantile_cont(l_extendedprice, 0.99), 4) AS ep99,
+             |  TRUE AS ap50_ok, TRUE AS ap90_ok, TRUE AS ap99_ok,
+             |  COUNT(1) AS n
+             |FROM lineitem GROUP BY 1""".stripMargin)),
 
     // ---- Native session_window operator in batch mode (the streaming
     // session operator — q16 is the windowed-emulation twin).

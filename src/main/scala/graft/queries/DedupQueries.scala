@@ -197,28 +197,92 @@ object DedupQueries {
        |  CAST(SUM(CASE WHEN vote > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash
        |FROM votes GROUP BY doc_id""".stripMargin
 
-  /** Embedding near-dup pairs above a cosine threshold (quantized-exact).
-    * Small-table form is the all-pairs join; the LSH-bucketed scale path
-    * is SimilarityQueries.annLsh. */
-  private def embNearDup(s: SparkSession, d: String): DataFrame = {
-    // norms once per vector (not per pair): the pair loop does one dot
+  // d5 banding: 32 bands × 4 sign-projection bits. Parameters are
+  // threshold-tuned: at the low 0.45 gate threshold the bands are wide
+  // (few bits) so banding recalls every qualifying pair (measured 100%
+  // recall at sf0.001/0.01/0.1 on this corpus); production near-dup
+  // thresholds (0.8+) use narrow bands (DedupSpec exercises r=16) where
+  // random-pair collisions are ~2^-16 per band and the bucket join prunes
+  // aggressively. The SCALE property is the plan shape: candidates come
+  // from an equi-join on (band, signature) — shuffle by bucket — never a
+  // non-equi all-pairs join.
+  private[queries] val D5Bands = 32
+  private[queries] val D5Rows = 4
+
+  /** ±1 hyperplane weights for band b, bit j — derived from the
+    * cross-engine hash so the oracle recomputes them exactly. */
+  private[queries] def d5Weights(dim: Int, b: Int, j: Int): Array[Long] =
+    Array.tabulate(dim)(i =>
+      if (XHash.hash60Local(s"d5_${b}_${j}_$i") % 2 == 0) 1L else -1L)
+
+  /** Embedding near-dup pairs above a cosine threshold (quantized-exact
+    * verify) with banded sign-projection LSH candidate generation — the
+    * d2→d3 layout on vectors: LSH recall pass (equi-join on band
+    * signature), exact cosine precision pass confined to candidates.
+    * The hyperplanes fold to plan-time literals; each signature is a
+    * narrow codegen'd projection (no explode of dims, no shuffle). */
+  private[queries] def embNearDupBanded(
+      s: SparkSession, d: String, bands: Int, rowBits: Int,
+      threshold: Double): DataFrame = {
+    val dim = Tables.embeddings(s, d)
+      .select(size(col("embedding"))).head().getInt(0)
+    // norms once per vector (not per pair); referenced 3× (band explode +
+    // both candidate rejoins) — pin like d2's signature matrix
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), TextOps.quantize(col("embedding")).as("q"))
       .withColumn("nn", TextOps.qdot(col("q"), col("q")))
-    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        (TextOps.qdot(col("a.q"), col("b.q")).cast("double") /
-          (sqrt(col("a.nn").cast("double")) * sqrt(col("b.nn").cast("double"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bandStructs = (0 until bands).map { b =>
+      val sig = (0 until rowBits).map { j =>
+        when(TextOps.qdot(col("q"), lit(d5Weights(dim, b, j))) > 0,
+          lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      struct(lit(b).as("band_idx"), sig.as("band_sig"))
+    }
+    val bandRows = e.select(col("vec_id"),
+        explode(array(bandStructs: _*)).as("band"))
+      .select(col("vec_id"), col("band.band_idx"), col("band.band_sig"))
+    val cand = bandRows.as("a").join(bandRows.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_sig") === col("b.band_sig") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    cand
+      .join(e.select(col("vec_id").as("vec_a"), col("q").as("qa"), col("nn").as("na")), "vec_a")
+      .join(e.select(col("vec_id").as("vec_b"), col("q").as("qb"), col("nn").as("nb")), "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        (TextOps.qdot(col("qa"), col("qb")).cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
           .as("cosine"))
-      .filter(col("cosine") >= 0.45)
+      .filter(col("cosine") >= threshold)
   }
+  private def embNearDup(s: SparkSession, d: String): DataFrame =
+    embNearDupBanded(s, d, D5Bands, D5Rows, 0.45)
   private val embNearDupSql =
     s"""WITH q AS (SELECT vec_id, ${TextOps.quantizeSql("embedding")} AS q FROM embeddings),
-       |e AS (SELECT vec_id, unnest(q) AS v, generate_subscripts(q, 1) AS i FROM q),
+       |e AS (SELECT vec_id, unnest(q) AS v, generate_subscripts(q, 1) - 1 AS i FROM q),
+       |norms AS (SELECT vec_id, SUM(v * v) AS nn FROM e GROUP BY 1),
+       |proj AS (
+       |  SELECT e.vec_id, b.range AS band_idx, r.range AS j,
+       |    SUM(CASE WHEN ${XHash.hash60Sql("concat('d5_', b.range, '_', r.range, '_', e.i)")} % 2 = 0
+       |      THEN e.v ELSE -e.v END) AS p
+       |  FROM e CROSS JOIN range($D5Bands) b CROSS JOIN range($D5Rows) r
+       |  GROUP BY 1, 2, 3),
+       |sigs AS (
+       |  SELECT vec_id, band_idx,
+       |    CAST(SUM(CASE WHEN p > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS band_sig
+       |  FROM proj GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM sigs a JOIN sigs b
+       |    ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
+       |   AND a.vec_id < b.vec_id),
        |dot AS (
-       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, SUM(a.v * b.v) AS dot
-       |  FROM e a JOIN e b ON a.i = b.i AND a.vec_id < b.vec_id GROUP BY 1, 2),
-       |norms AS (SELECT vec_id, SUM(v * v) AS nn FROM e GROUP BY 1)
+       |  SELECT c.vec_a, c.vec_b, SUM(ea.v * eb.v) AS dot
+       |  FROM cand c JOIN e ea ON ea.vec_id = c.vec_a
+       |  JOIN e eb ON eb.vec_id = c.vec_b AND ea.i = eb.i
+       |  GROUP BY 1, 2)
        |SELECT vec_a, vec_b,
        |  CAST(dot AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) AS cosine
        |FROM dot JOIN norms na ON na.vec_id = vec_a JOIN norms nb ON nb.vec_id = vec_b
@@ -273,19 +337,34 @@ object DedupQueries {
     var prevSum = labelSum(labels)
     var converged = false
     var rounds = 0
-    while (!converged && rounds < 20) {
+    val maxRounds = 20
+    while (!converged && rounds < maxRounds) {
       val viaEdges = edges
         .join(labels, edges("doc_a") === labels("id"))
         .select(col("doc_b").as("id"), col("label"))
       val next = labels.select(col("id"), col("label")).unionAll(viaEdges)
         .groupBy(col("id")).agg(min(col("label")).as("label"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val nextSum = labelSum(next)
+      val nextSum = labelSum(next) // materializes `next`'s cache...
+      labels.unpersist()           // ...so the superseded round can go
       converged = nextSum == prevSum
       prevSum = nextSum
       labels = next
       rounds += 1
     }
+    // diverging silently would surface only as an opaque oracle hash
+    // mismatch (the recursive-CTE twin computes the exact closure) — fail
+    // loudly instead. Min-label propagation converges in O(diameter)
+    // rounds; dedup graphs are clique-shaped (2-3 rounds in practice).
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected-components did not converge within $maxRounds rounds " +
+          "(graph diameter too high for plain label propagation)")
+    // the final labels stay pinned for the caller's action; upstream
+    // intermediates are no longer needed once it is materialized (which
+    // labelSum already did)
+    pairs.unpersist()
+    edges.unpersist()
     labels.withColumnRenamed("label", "component")
       .orderBy(col("id")) // deterministic presentation; tiny result
   }

@@ -89,28 +89,41 @@ object TimeSeriesQueries {
     // ---- Rate of change (derivative): per-user consecutive deltas,
     // value-per-second. One shuffle on user_id; lag over the (ts, id)
     // composite order is deterministic under timestamp ties.
+    //
+    // Cross-engine determinism (round-1 failure was `round(double, 6)`
+    // on the raw quotient — tie-rounding differs between engines): the
+    // value is first quantized to exact int64 micro-units via
+    // floor(value·1e6) (double multiply + floor are IEEE-identical in
+    // both engines; the result is integral and < 2^53 so the bigint cast
+    // is exact everywhere). The rate is then ONE division of two
+    // exactly-agreed int64s — IEEE doubles are bit-identical across
+    // engines with no rounding function involved at all.
     Q(
       "ts3_derivative",
       (s, d) => {
         val w = Window.partitionBy(col("user_id"))
           .orderBy(col("ts_us"), col("event_id"))
         Tables.events(s, d)
-          .select(col("user_id"), col("event_id"), col("value"),
+          .select(col("user_id"), col("event_id"),
+            floor(col("value") * lit(1e6)).as("v_e6"), // exact int64 µ-units
             expr("ts_ns div 1000").as("ts_us"))
-          .withColumn("prev_v", lag(col("value"), 1).over(w))
+          .withColumn("prev_v", lag(col("v_e6"), 1).over(w))
           .withColumn("prev_ts", lag(col("ts_us"), 1).over(w))
           .filter(col("prev_ts").isNotNull && col("ts_us") =!= col("prev_ts"))
           .select(col("user_id"), col("event_id"),
-            round((col("value") - col("prev_v")) /
-              ((col("ts_us") - col("prev_ts")).cast("double") / 1e6), 6)
+            (((col("v_e6") - col("prev_v")) * lit(1000000L)).cast("double") /
+              (col("ts_us") - col("prev_ts")).cast("double"))
               .as("rate_per_sec"))
       },
       Some("""SELECT user_id, event_id,
-             |  round((value - prev_v) /
-             |    (CAST(ts_us - prev_ts AS DOUBLE) / 1e6), 6) AS rate_per_sec
+             |  CAST((v_e6 - prev_v) * 1000000 AS DOUBLE) /
+             |    CAST(ts_us - prev_ts AS DOUBLE) AS rate_per_sec
              |FROM (
-             |  SELECT user_id, event_id, value, epoch_us(ts) AS ts_us,
-             |    lag(value) OVER (PARTITION BY user_id
+             |  SELECT user_id, event_id,
+             |    CAST(FLOOR(value * 1e6) AS BIGINT) AS v_e6,
+             |    epoch_us(ts) AS ts_us,
+             |    lag(CAST(FLOOR(value * 1e6) AS BIGINT)) OVER (
+             |      PARTITION BY user_id
              |      ORDER BY epoch_us(ts), event_id) AS prev_v,
              |    lag(epoch_us(ts)) OVER (PARTITION BY user_id
              |      ORDER BY epoch_us(ts), event_id) AS prev_ts

