@@ -494,5 +494,54 @@ object AdvancedQueries {
               |  UNION ALL BY NAME
               |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
               |  WHERE o_orderkey % 2 = 1)
-              |GROUP BY 1""".stripMargin)))
+              |GROUP BY 1""".stripMargin)),
+
+    // ---- ClickHouse-named function surface (the reference's chsql
+    // extension intent, kompactor.ts:154-162): the CH aliases registered
+    // by GraftFunctions, exercised through spark.sql and verified against
+    // a plain-SQL oracle computing the same semantics (incl. the CH
+    // divergences: Monday-first toDayOfWeek, separator-first splitByChar,
+    // 0-when-absent indexOf).
+    Q(
+      "q43_ch_aliases",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        Tables.events(s, d)
+          .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+          .createOrReplaceTempView("events_ch")
+        s.sql("""SELECT event_id,
+                |  toInt64(toYYYYMM(toDate(ts))) AS yyyymm,
+                |  toInt64(toYYYYMMDD(toDate(ts))) AS yyyymmdd,
+                |  toInt64(toDayOfWeek(toDate(ts))) AS dow,
+                |  toInt64(toHour(ts)) AS hh,
+                |  toUnixTimestamp(toStartOfHour(ts)) AS hour_epoch,
+                |  toString(user_id) AS uid_str,
+                |  toInt64(lengthUTF8(event_type)) AS type_len,
+                |  ifNull(JSONExtractString(props, 'missing'), 'none') AS fb,
+                |  JSONExtractInt(props, 'k') AS k,
+                |  toInt64(indexOf(
+                |    splitByChar('_', toString(event_id) || '_' || event_type),
+                |    event_type)) AS idx,
+                |  notEmpty(event_type) AS ne,
+                |  toInt64(intDiv(user_id, 7)) AS ud7,
+                |  toInt64(modulo(user_id, 7)) AS um7
+                |FROM events_ch""".stripMargin)
+      },
+      Some("""SELECT event_id,
+             |  CAST(year(ts) * 100 + month(ts) AS BIGINT) AS yyyymm,
+             |  CAST((year(ts) * 100 + month(ts)) * 100 + day(ts) AS BIGINT) AS yyyymmdd,
+             |  CAST(isodow(CAST(ts AS DATE)) AS BIGINT) AS dow,
+             |  CAST(hour(ts) AS BIGINT) AS hh,
+             |  CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+             |  CAST(user_id AS VARCHAR) AS uid_str,
+             |  CAST(length(event_type) AS BIGINT) AS type_len,
+             |  COALESCE(json_extract_string(props, '$.missing'), 'none') AS fb,
+             |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+             |  CAST(list_position(string_split(
+             |    CAST(event_id AS VARCHAR) || '_' || event_type, '_'),
+             |    event_type) AS BIGINT) AS idx,
+             |  length(event_type) > 0 AS ne,
+             |  user_id // 7 AS ud7,
+             |  user_id % 7 AS um7
+             |FROM events""".stripMargin)))
 }
