@@ -89,13 +89,16 @@ class Compactor(
 
     val metas: Vector[FileMeta] =
       if (!split) {
-        // single-file contract: row-group-level byte concat of the parts
+        // single-file contract: row-group-level byte concat of the parts,
+        // staged inside tmpDir so the final name only ever receives a
+        // COMPLETE file via commitFile
         val dest = new Path(rootDir, bucket.outputPath)
-        if (parts.length == 1) {
-          fs.delete(dest, false)
-          if (!fs.rename(parts.head, dest))
-            throw new java.io.IOException(s"rename ${parts.head} -> $dest failed")
-        } else concatParquet(parts.toVector, dest)
+        if (parts.length == 1) commitFile(parts.head, dest)
+        else {
+          val staged = new Path(tmpDir, "concat.parquet")
+          concatParquet(parts.toVector, staged)
+          commitFile(staged, dest)
+        }
         Vector(footerStats(dest, bucket.outputPath, id = bucket.files.head.id)
           .copy(chunk_time = bucket.files.head.chunk_time))
       } else {
@@ -104,9 +107,7 @@ class Compactor(
           bucket.outputName.stripSuffix(".parquet") + f"_p$i%02d.parquet")
         parts.zip(outNames).zipWithIndex.map { case ((part, name), i) =>
           val dest = new Path(rootDir, s"${bucket.outputDir}/$name")
-          fs.delete(dest, false)
-          if (!fs.rename(part, dest))
-            throw new java.io.IOException(s"rename $part -> $dest failed")
+          commitFile(part, dest)
           footerStats(dest, relPath = s"${bucket.outputDir}/$name",
             id = bucket.files.head.id + i)
             // chunk_time carries over from the first input (reference
@@ -116,6 +117,28 @@ class Compactor(
       }
     fs.delete(tmpDir, true)
     CompactResult(metas)
+  }
+
+  /** Publish a finished file at its final name — the object-store commit
+    * point. `FileSystem.rename` is atomic on HDFS/local but COPY+DELETE
+    * on S3A-style stores, so after the rename the destination's length is
+    * verified against the source's: a truncated copy fails the job here,
+    * while inputs and snapshots are still intact (nothing references the
+    * output yet — the snapshot rewrite happens only after every commit in
+    * the bucket succeeded, and deletes only after that; a crash at any
+    * point in this window leaves at worst an unreferenced stray file that
+    * the next run overwrites). The reference has no such verification
+    * (plain `fs` calls, kompactor.ts:257-311). */
+  private def commitFile(src: Path, dest: Path): Unit = {
+    val srcLen = fs.getFileStatus(src).getLen
+    fs.delete(dest, false)
+    if (!fs.rename(src, dest))
+      throw new java.io.IOException(s"rename $src -> $dest failed")
+    val destLen = fs.getFileStatus(dest).getLen
+    if (destLen != srcLen)
+      throw new java.io.IOException(
+        s"commit verify failed: $dest is $destLen bytes, expected $srcLen " +
+          "(partial copy on a non-atomic-rename store?)")
   }
 
   /** Concatenate range-disjoint sorted parquet parts into one file at the
@@ -130,7 +153,7 @@ class Compactor(
         val fm = first.getFooter.getFileMetaData
         (fm.getSchema, fm.getKeyValueMetaData)
       } finally first.close()
-    fs.delete(dest, false)
+    fs.delete(dest, false) // dest is a staging path inside tmpDir
     val writer = new ParquetFileWriter(
       HadoopOutputFile.fromPath(dest, conf), schema,
       ParquetFileWriter.Mode.OVERWRITE,

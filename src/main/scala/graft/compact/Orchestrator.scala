@@ -86,6 +86,7 @@ class Orchestrator(spark: SparkSession, config: CompactConfig) {
     val snapDir = new Path(root, s"$host/snapshots")
     require(fs.exists(snapDir), s"missing snapshots dir: $snapDir")
     require(fs.exists(new Path(root, s"$host/dbs")), s"missing dbs dir for $host")
+    recoverInterruptedCommits(snapDir)
 
     // B1+B2: list *.info.json, parse once (the reference re-parses every
     // snapshot per bucket — O(buckets × snapshots) I/O, kompactor.ts:291)
@@ -204,13 +205,46 @@ class Orchestrator(spark: SparkSession, config: CompactConfig) {
     finally in.close()
   }
 
+  /** Snapshot commit = write `.X.tmp` fully, delete X, rename tmp → X.
+    * On stores where rename is copy+delete (S3A) the only crash-visible
+    * states are (tmp+old), (tmp only) or (new) — never a partial X —
+    * and [[recoverInterruptedCommits]] heals the (tmp only) window on
+    * the next run. Length-verified like the data-file commits. */
   private def writeAtomic(p: Path, content: String): Unit = {
+    val bytes = content.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val tmp = new Path(p.getParent, s".${p.getName}.tmp")
     val out = fs.create(tmp, true)
-    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try out.write(bytes)
     finally out.close()
     fs.delete(p, false)
     if (!fs.rename(tmp, p))
       throw new java.io.IOException(s"rename $tmp -> $p failed")
+    val len = fs.getFileStatus(p).getLen
+    if (len != bytes.length)
+      throw new java.io.IOException(
+        s"commit verify failed: $p is $len bytes, expected ${bytes.length}")
   }
+
+  /** Complete (or discard) snapshot commits interrupted by a crash: a
+    * `.X.info.json.tmp` whose target X is missing means the crash hit
+    * between delete and rename — the tmp holds the complete new content,
+    * so finish the rename; if X exists the commit either completed (stale
+    * tmp from the write-then-crash window) or never deleted the old X —
+    * both are safe to roll forward from by dropping the tmp (planning
+    * re-derives the rewrite from X + the data tree). */
+  private def recoverInterruptedCommits(snapDir: Path): Unit =
+    fs.listStatus(snapDir).foreach { st =>
+      val name = st.getPath.getName
+      if (name.startsWith(".") && name.endsWith(".info.json.tmp")) {
+        val target = new Path(snapDir, name.drop(1).stripSuffix(".tmp"))
+        if (!fs.exists(target)) {
+          log(s"recovering interrupted snapshot commit: $name")
+          if (!fs.rename(st.getPath, target))
+            throw new java.io.IOException(s"recovery rename $name failed")
+        } else {
+          log(s"dropping stale snapshot tmp: $name")
+          fs.delete(st.getPath, false)
+        }
+      }
+    }
 }

@@ -1,0 +1,102 @@
+package graft.compact
+
+import java.io.File
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Object-store commit protocol (VERDICT r1 §Next-7): on S3A-style
+  * stores `FileSystem.rename` is copy+delete, not atomic — so every
+  * publish is staged (tmp write → delete → rename → length verify) and
+  * the crash windows that protocol leaves are healed on the next run:
+  *  - snapshot `.X.info.json.tmp` with X missing  → rename completed;
+  *  - stale tmp next to a live X                  → tmp dropped;
+  *  - partial/garbage file at a final data name   → overwritten by the
+  *    re-run (nothing references an output until its bucket's snapshot
+  *    rewrite commits).
+  */
+class ObjectStoreCommitSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val base = 1737928800L * 1000000000L
+
+  private def writeParquetFile(dest: File, rows: Seq[(Long, String, Double)]): Unit = {
+    import spark.implicits._
+    dest.getParentFile.mkdirs()
+    val tmp = new File(dest.getParentFile, ".tmp_" + dest.getName)
+    rows.toDF("time", "sensor", "value")
+      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = tmp.listFiles.find(f =>
+      f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+    Files.move(part.toPath, dest.toPath, StandardCopyOption.REPLACE_EXISTING)
+    tmp.listFiles.foreach(_.delete()); tmp.delete()
+  }
+
+  /** Minimal one-bucket fixture: two WAL files in one hour. */
+  private def buildFixture(): File = {
+    val dir = Files.createTempDirectory("graft_oscommit").toFile
+    val rel1 = "edge0/dbs/db-0/table-0/2025-01-26/22-00/0000000001.parquet"
+    val rel2 = "edge0/dbs/db-0/table-0/2025-01-26/22-10/0000000002.parquet"
+    val rows1 = Seq((base + 1L, "a", 1.0), (base + 5L, "a", 1.5))
+    val rows2 = Seq((base + 600L * 1000000000L, "b", 2.0))
+    writeParquetFile(new File(dir, rel1), rows1)
+    writeParquetFile(new File(dir, rel2), rows2)
+    def fm(id: Long, p: String, rows: Seq[(Long, String, Double)]) =
+      FileMeta(id, p, new File(dir, p).length(), rows.length,
+        rows.map(_._1).min, rows.map(_._1).min, rows.map(_._1).max)
+    val snap = SnapshotMeta("edge0", 0, 0, base, base + 1,
+      Vector(DbTables(0, Vector(TableFiles(0,
+        Vector(fm(1, rel1, rows1), fm(2, rel2, rows2)))))))
+    val snapDir = new File(dir, "edge0/snapshots"); snapDir.mkdirs()
+    Files.writeString(Paths.get(snapDir.toString, "0000000001.info.json"),
+      SnapshotCodec.render(snap))
+    dir
+  }
+
+  private def run(dir: File): Seq[HostReport] =
+    new Orchestrator(spark, CompactConfig(dataDir = dir.toString)).run()
+
+  test("interrupted snapshot commit (tmp present, target gone) is completed") {
+    val dir = buildFixture()
+    val snap = new File(dir, "edge0/snapshots/0000000001.info.json")
+    val tmp = new File(dir, "edge0/snapshots/.0000000001.info.json.tmp")
+    // simulate the delete→rename crash window: full content in tmp, no target
+    Files.copy(snap.toPath, tmp.toPath)
+    Files.delete(snap.toPath)
+
+    val r = run(dir).head
+    assert(snap.isFile, "recovery must restore the snapshot from its tmp")
+    assert(!tmp.exists())
+    assert(r.compacted == 1) // and planning proceeded from the recovered file
+    val s = SnapshotCodec.parse(Files.readString(snap.toPath))
+    assert(s.allFiles.exists(_.path.contains("c_0000000001_0000000002_h22")))
+  }
+
+  test("stale snapshot tmp next to a live target is dropped, not applied") {
+    val dir = buildFixture()
+    val snap = new File(dir, "edge0/snapshots/0000000001.info.json")
+    val tmp = new File(dir, "edge0/snapshots/.0000000001.info.json.tmp")
+    Files.writeString(tmp.toPath, "{ \"stale\": true }") // garbage tmp
+
+    val r = run(dir).head
+    assert(r.compacted == 1)
+    assert(!tmp.exists(), "stale tmp must be garbage-collected")
+    val s = SnapshotCodec.parse(Files.readString(snap.toPath))
+    assert(s.allFiles.exists(_.path.contains("c_0000000001_0000000002_h22")))
+  }
+
+  test("partial file at the final output name is overwritten by a re-run") {
+    val dir = buildFixture()
+    val out = new File(dir,
+      "edge0/dbs/db-0/table-0/2025-01-26/22-00/c_0000000001_0000000002_h22.parquet")
+    // simulate a crashed non-atomic copy: truncated garbage at the final name
+    out.getParentFile.mkdirs()
+    Files.write(out.toPath, Array.fill[Byte](128)(0x42))
+
+    val r = run(dir).head
+    assert(r.compacted == 1)
+    // the re-run replaced the partial file with a complete, readable one
+    val rows = spark.read.parquet(out.toString).collect()
+    assert(rows.length == 3)
+    assert(rows.map(_.getLong(0)).toSeq == rows.map(_.getLong(0)).toSeq.sorted)
+  }
+}
