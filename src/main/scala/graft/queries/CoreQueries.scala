@@ -420,19 +420,27 @@ object CoreQueries {
       // sketch ever drifts outside its bound, the boolean flips and the
       // driver's hash gate goes red — the sketch is verified, not just
       // row-counted. (ApproxSpec additionally bounds it numerically.)
-      (s, d) =>
-        Tables.lineitem(s, d)
-          .groupBy(col("l_returnflag"))
+      // The sketch and exact aggregations run SEPARATELY and join on the
+      // tiny grouped result: mixed exact-distinct + HLL in one agg makes
+      // Catalyst's Expand plan carry a 4 KB HLL buffer behind every
+      // partial (group × distinct-value) key — measured 4 s vs 1 s at
+      // sf0.1. Apart, each is its own well-shaped hash aggregate.
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val exact = li.groupBy(col("l_returnflag"))
+          .agg(countDistinct(col("l_partkey")).as("n_parts"),
+            countDistinct(col("l_orderkey")).as("n_orders"))
+        val sketch = li.groupBy(col("l_returnflag"))
           .agg(
             approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
-            approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
-            countDistinct(col("l_partkey")).as("n_parts"),
-            countDistinct(col("l_orderkey")).as("n_orders"))
+            approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
+        exact.join(sketch, "l_returnflag")
           .select(col("l_returnflag"), col("n_parts"), col("n_orders"),
             (abs(col("approx_parts") - col("n_parts")).cast("double") <=
               lit(0.06) * col("n_parts").cast("double")).as("parts_ok"),
             (abs(col("approx_orders") - col("n_orders")).cast("double") <=
-              lit(0.06) * col("n_orders").cast("double")).as("orders_ok")),
+              lit(0.06) * col("n_orders").cast("double")).as("orders_ok"))
+      },
       Some("""SELECT l_returnflag,
              |  COUNT(DISTINCT l_partkey) AS n_parts,
              |  COUNT(DISTINCT l_orderkey) AS n_orders,
