@@ -1,0 +1,67 @@
+package graft.queries
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.{Tables, TestSpark}
+
+/** The d5 scale story at PRODUCTION parameters: real near-dup corpora are
+  * deduped at cosine ≥ ~0.9, where the banded signature uses NARROW bands
+  * (many bits) — random pairs collide in a band with probability ≈ 2^-bits
+  * while true near-dups still share one. The declared d5 query runs wide
+  * bands because its gate threshold is a low 0.45; this spec pins the
+  * narrow-band behavior the operator family claims at scale: planted
+  * near-duplicates are all recalled while the candidate set stays a tiny
+  * fraction of all pairs.
+  */
+class DedupScaleSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("narrow-band LSH: full recall on planted near-dups, tiny candidate set") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_d5prod").toString
+    val src = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select("vec_id", "embedding")
+    // plant 5 near-duplicates: tiny additive perturbation => cosine ~0.999
+    val planted = src.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 100000L).as("vec_id"),
+        transform(col("embedding"), x => x + lit(0.001f)).as("embedding"))
+    src.unionAll(planted).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    val bands = 8
+    val rowBits = 16
+    val pairs = DedupQueries.embNearDupBanded(
+      spark, dir, bands, rowBits, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (0L until 5L).map(i => (i, i + 100000L)).toSet
+    assert(pairs == expected,
+      s"planted pairs must be exactly the result: got $pairs")
+
+    // candidate volume: narrow bands must prune, not enumerate. Rebuild
+    // the candidate stage alone and compare against all pairs (505*504/2).
+    val dim = 64
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        graft.operators.TextOps.quantize(col("embedding")).as("q"))
+    val bandStructs = (0 until bands).map { b =>
+      val sig = (0 until rowBits).map { j =>
+        when(graft.operators.TextOps.qdot(col("q"),
+          lit(DedupQueries.d5Weights(dim, b, j))) > 0, lit(1L << j))
+          .otherwise(lit(0L))
+      }.reduce(_ + _)
+      struct(lit(b).as("band_idx"), sig.as("band_sig"))
+    }
+    val bandRows = e.select(col("vec_id"),
+        explode(array(bandStructs: _*)).as("band"))
+      .select(col("vec_id"), col("band.band_idx"), col("band.band_sig"))
+    val nCand = bandRows.as("a").join(bandRows.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_sig") === col("b.band_sig") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id"), col("b.vec_id")).distinct().count()
+    val allPairs = 505L * 504L / 2L
+    assert(nCand < allPairs / 20,
+      s"narrow bands kept $nCand of $allPairs pairs — not pruning")
+  }
+}

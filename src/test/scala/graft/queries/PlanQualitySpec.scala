@@ -155,4 +155,25 @@ class PlanQualitySpec extends AnyFunSuite {
     val scan = df.queryExecution.executedPlan.collectLeaves().head.toString
     assert(scan.contains("ReadSchema: struct<event_id:bigint>"), scan.takeRight(300))
   }
+
+  test("d5 candidates come from equi-joins only (no all-pairs anywhere)") {
+    // VERDICT r1: the embedding near-dup must not ship a cartesian-shaped
+    // non-equi join. Assert on the finalized plan of the real query.
+    val df = SparkEntry.queries("d5_embedding_neardup")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.linesIterator.filter(_.contains("Join")).mkString("\n"))
+  }
+
+  test("iterative/persisting queries leave no storage behind after cleanup") {
+    // d7 pins pairs/edges/labels while iterating but unpersists superseded
+    // rounds itself; the suite-level contract is that clearCache() (what
+    // Verify/Bench run between queries) returns storage to empty.
+    val df = SparkEntry.queries("d7_components")(spark, sf)
+    df.collect()
+    spark.catalog.clearCache()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      spark.sparkContext.getPersistentRDDs.values.map(_.name).mkString(", "))
+  }
 }
