@@ -16,7 +16,7 @@ object SparkEntry {
   private def registry: Seq[Q] =
     CoreQueries.all ++ AdvancedQueries.all ++ TimeSeriesQueries.all ++
       DedupQueries.all ++ SimilarityQueries.all ++ TextQueries.all ++
-      MultimodalQueries.all
+      MultimodalQueries.all ++ PipelineQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,153 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.XHash
+import graft.operators.TextOps
+
+/** Training-data pipeline operators beyond dedup/similarity: the steps a
+  * pretraining corpus build runs between raw documents and tokenized
+  * batches — intra-document repetition signals (quality filtering),
+  * benchmark decontamination, stratified sampling for mixture weights,
+  * and fixed-budget sequence packing. All oracle-gated; all shapes are
+  * one-or-two-shuffle plans that hold at corpus scale.
+  */
+object PipelineQueries {
+
+  /** Gopher/RefinedWeb-style repetition signals per document: the
+    * most-frequent-token fraction and the duplicate 3-gram fraction.
+    * One token explode → (doc, token) counts → per-doc max/sum in a
+    * second hash-agg (same layout as d4's bit votes: partial aggs both
+    * sides of one shuffle); the n-gram side never explodes — distinct
+    * count comes from the codegen'd WordShingles array length. */
+  private def repetition(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val tokCounts = docs
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("t"))
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("top_tok_n"), sum(col("c")).as("n_tokens"))
+    val grams = docs.select(col("doc_id"),
+      size(TextOps.shingles(col("text"))).cast("bigint").as("n_distinct_3grams"),
+      greatest(size(TextOps.tokens(col("text"))) - 2, lit(0))
+        .cast("bigint").as("n_3grams"))
+    tokCounts.join(grams, "doc_id")
+      .select(col("doc_id"), col("n_tokens"), col("top_tok_n"),
+        // exact int64s into one IEEE division => bit-identical cross-engine
+        (col("top_tok_n").cast("double") / col("n_tokens").cast("double"))
+          .as("top_tok_frac"),
+        when(col("n_3grams") === 0, lit(0.0))
+          .otherwise((col("n_3grams") - col("n_distinct_3grams")).cast("double") /
+            col("n_3grams").cast("double"))
+          .as("dup_3gram_frac"))
+  }
+  private val repetitionSql =
+    s"""WITH tok AS (SELECT doc_id, unnest(${TextOps.tokensSql("text")}) AS t
+       |  FROM documents),
+       |cnt AS (SELECT doc_id, t, COUNT(1) AS c FROM tok GROUP BY 1, 2),
+       |per AS (SELECT doc_id, MAX(c) AS top_tok_n,
+       |  CAST(SUM(c) AS BIGINT) AS n_tokens FROM cnt GROUP BY 1),
+       |g AS (SELECT doc_id,
+       |  CAST(len(${TextOps.shinglesSql("text")}) AS BIGINT) AS n_distinct_3grams,
+       |  CAST(greatest(len(${TextOps.tokensSql("text")}) - 2, 0) AS BIGINT) AS n_3grams
+       |  FROM documents)
+       |SELECT per.doc_id, n_tokens, top_tok_n,
+       |  CAST(top_tok_n AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS top_tok_frac,
+       |  CASE WHEN n_3grams = 0 THEN 0.0
+       |    ELSE CAST(n_3grams - n_distinct_3grams AS DOUBLE) / CAST(n_3grams AS DOUBLE)
+       |  END AS dup_3gram_frac
+       |FROM per JOIN g ON g.doc_id = per.doc_id""".stripMargin
+
+  /** Benchmark decontamination: corpus documents sharing ≥1 n-gram with
+    * the (deterministic) eval holdout `doc_id % 97 == 0`. The holdout's
+    * shingle set is small by construction → broadcast; the corpus side
+    * streams through one explode + broadcast-hash join, then one
+    * aggregation by document. Production decontamination uses longer
+    * n-grams (8–13); 3 here because the test corpus is short-doc. */
+  private def contamination(s: SparkSession, d: String): DataFrame = {
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"), explode(TextOps.shingles(col("text"))).as("g"))
+    val eval = sh.filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("eval_id"), col("g"))
+    sh.filter(col("doc_id") % 97 =!= 0)
+      .join(broadcast(eval), "g")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("g")).as("n_shared_grams"),
+        countDistinct(col("eval_id")).as("n_eval_docs"))
+  }
+  private val contaminationSql =
+    s"""WITH sh AS (SELECT doc_id, unnest(${TextOps.shinglesSql("text")}) AS g
+       |  FROM documents),
+       |ev AS (SELECT doc_id AS eval_id, g FROM sh WHERE doc_id % 97 = 0)
+       |SELECT sh.doc_id,
+       |  COUNT(DISTINCT sh.g) AS n_shared_grams,
+       |  COUNT(DISTINCT eval_id) AS n_eval_docs
+       |FROM sh JOIN ev USING (g)
+       |WHERE sh.doc_id % 97 <> 0
+       |GROUP BY 1""".stripMargin
+
+  /** Stratified deterministic sampling — per-stratum rates (training-mix
+    * weights) from the same hash-split family as q31: reproducible across
+    * engines, runs and cluster sizes, pushed to the scan as a plain
+    * filter, no shuffle beyond the verifying aggregate. */
+  private def stratifiedSample(s: SparkSession, d: String): DataFrame = {
+    val permille = typedLit(Map("A" -> 100, "N" -> 50, "R" -> 200))
+    Tables.lineitem(s, d)
+      .filter(XHash.hash60(concat_ws("_",
+        col("l_orderkey").cast("string"), col("l_linenumber").cast("string")))
+        % 1000 < element_at(permille, col("l_returnflag")))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_sampled"),
+        sum(col("l_quantity").cast("decimal(25,2)")).cast("double").as("sum_qty"))
+  }
+  private val stratifiedSampleSql =
+    s"""SELECT l_returnflag, COUNT(1) AS n_sampled,
+       |  ${Q.moneySum("l_quantity")} AS sum_qty
+       |FROM lineitem
+       |WHERE ${XHash.hash60Sql(
+            "CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR)")} % 1000
+       |  < CASE l_returnflag WHEN 'A' THEN 100 WHEN 'N' THEN 50 ELSE 200 END
+       |GROUP BY 1""".stripMargin
+
+  /** Sequence packing: assign documents (per language, in doc_id order)
+    * to fixed token-budget training bins by prefix-sum offset — the
+    * distributed, deterministic form of next-fit packing (a document's
+    * bin is its starting offset div budget). One window pass + one
+    * aggregate; at corpus scale this is the standard "pack by running
+    * offset" layout that avoids any sequential packer. */
+  private def sequencePack(s: SparkSession, d: String): DataFrame = {
+    val budget = 2048L
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        size(TextOps.tokens(col("text"))).cast("bigint").as("n_tok"))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("bin", expr(s"(cum - n_tok) div $budget"))
+      .groupBy(col("lang"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("bin_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+  }
+  private val sequencePackSql =
+    s"""WITH t AS (
+       |  SELECT doc_id, lang,
+       |    CAST(len(${TextOps.tokensSql("text")}) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, lang, n_tok,
+       |    CAST(SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+       |  FROM t)
+       |SELECT lang, (cum - n_tok) // 2048 AS bin,
+       |  COUNT(1) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS bin_tokens,
+       |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+       |FROM c GROUP BY 1, 2""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("t6_repetition", repetition, Some(repetitionSql)),
+    Q("d8_contamination", contamination, Some(contaminationSql)),
+    Q("q44_stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),
+    Q("q45_sequence_pack", sequencePack, Some(sequencePackSql)))
+}
