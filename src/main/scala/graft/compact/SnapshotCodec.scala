@@ -1,5 +1,7 @@
 package graft.compact
 
+import com.fasterxml.jackson.core.JsonGenerator
+import com.fasterxml.jackson.core.util.{DefaultIndenter, DefaultPrettyPrinter}
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
 import scala.jdk.CollectionConverters._
@@ -16,6 +18,31 @@ import scala.jdk.CollectionConverters._
   */
 object SnapshotCodec {
   private val mapper = new ObjectMapper()
+
+  /** Byte-exact `JSON.stringify(value, null, 2)` formatting
+    * (kompactor.ts:309): `": "` key separator (Jackson's default is
+    * `" : "`), every array element on its own 2-space-indented line
+    * (Jackson's default inlines arrays), empty containers as `[]`/`{}`
+    * (not `[ ]`). Number VALUES above 2^53 are where we deliberately
+    * diverge: the reference's JS renderer rounds them through a double
+    * (bug 1, SURVEY §7.4); Longs here print exactly. */
+  private class StringifyPrinter extends DefaultPrettyPrinter {
+    indentArraysWith(DefaultIndenter.SYSTEM_LINEFEED_INSTANCE)
+    indentObjectsWith(DefaultIndenter.SYSTEM_LINEFEED_INSTANCE)
+    override def createInstance(): DefaultPrettyPrinter = new StringifyPrinter
+    override def writeObjectFieldValueSeparator(g: JsonGenerator): Unit =
+      g.writeRaw(": ")
+    override def writeEndArray(g: JsonGenerator, nrOfValues: Int): Unit = {
+      if (!_arrayIndenter.isInline) _nesting -= 1
+      if (nrOfValues > 0) _arrayIndenter.writeIndentation(g, _nesting)
+      g.writeRaw(']')
+    }
+    override def writeEndObject(g: JsonGenerator, nrOfEntries: Int): Unit = {
+      if (!_objectIndenter.isInline) _nesting -= 1
+      if (nrOfEntries > 0) _objectIndenter.writeIndentation(g, _nesting)
+      g.writeRaw('}')
+    }
+  }
 
   def parse(json: String): SnapshotMeta = {
     val root = mapper.readTree(json)
@@ -67,7 +94,7 @@ object SnapshotCodec {
         t.files.foreach(f => fs.add(renderFile(f)))
       }
     }
-    mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
+    mapper.writer(new StringifyPrinter).writeValueAsString(root)
   }
 
   private def renderFile(f: FileMeta): ObjectNode = {
