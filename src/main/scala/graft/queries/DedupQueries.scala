@@ -317,65 +317,13 @@ object DedupQueries {
     * final step of web-scale dedup. Pair-wise "drop the higher id" (d6)
     * over-keeps when two survivors share a dropped doc (edges (A,C),(B,C)
     * keep A and B; the component keeps only A). Components give the exact
-    * keep-one-per-cluster semantics.
-    *
-    * Spark shape: iterative min-label propagation — per round one
-    * edges⋈labels join + a min-aggregate, loop until fixpoint. Converges
-    * in O(diameter) rounds; near-dup clusters are tiny cliques, so 2-3
-    * rounds in practice. (At adversarial diameters the same loop hosts
-    * the large-star/small-star contraction; not needed for dedup graphs.)
-    * The driver-side loop is bounded control flow, not data movement —
-    * each round is one distributed job. */
-  private def components(s: SparkSession, d: String): DataFrame = {
-    val pairs = jaccardPairs(s, d).select(col("doc_a"), col("doc_b"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // undirected: propagate both ways
-    val edges = pairs.unionAll(
-      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // round 0 folds the first propagation: label = min(id, neighbors)
-    var labels = edges.select(col("doc_a").as("id"), col("doc_b").as("label"))
-      .unionAll(edges.select(col("doc_a").as("id"), col("doc_a").as("label")))
-      .groupBy(col("id")).agg(min(col("label")).as("label"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // labels only decrease, so fixpoint <=> sum(label) unchanged — one
-    // cheap aggregate on the cached result instead of a diff join
-    def labelSum(df: org.apache.spark.sql.DataFrame): Long =
-      df.agg(sum(col("label"))).head().getLong(0)
-    var prevSum = labelSum(labels)
-    var converged = false
-    var rounds = 0
-    val maxRounds = 20
-    while (!converged && rounds < maxRounds) {
-      val viaEdges = edges
-        .join(labels, edges("doc_a") === labels("id"))
-        .select(col("doc_b").as("id"), col("label"))
-      val next = labels.select(col("id"), col("label")).unionAll(viaEdges)
-        .groupBy(col("id")).agg(min(col("label")).as("label"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val nextSum = labelSum(next) // materializes `next`'s cache...
-      labels.unpersist()           // ...so the superseded round can go
-      converged = nextSum == prevSum
-      prevSum = nextSum
-      labels = next
-      rounds += 1
-    }
-    // diverging silently would surface only as an opaque oracle hash
-    // mismatch (the recursive-CTE twin computes the exact closure) — fail
-    // loudly instead. Min-label propagation converges in O(diameter)
-    // rounds; dedup graphs are clique-shaped (2-3 rounds in practice).
-    if (!converged)
-      throw new IllegalStateException(
-        s"connected-components did not converge within $maxRounds rounds " +
-          "(graph diameter too high for plain label propagation)")
-    // the final labels stay pinned for the caller's action; upstream
-    // intermediates are no longer needed once it is materialized (which
-    // labelSum already did)
-    pairs.unpersist()
-    edges.unpersist()
-    labels.withColumnRenamed("label", "component")
+    * keep-one-per-cluster semantics. The loop lives in
+    * [[graft.operators.Components]]: min-label propagation with pointer
+    * jumping, O(log diameter) rounds, per-round unpersist. */
+  private def components(s: SparkSession, d: String): DataFrame =
+    graft.operators.Components.connectedComponents(
+      jaccardPairs(s, d).select(col("doc_a"), col("doc_b")))
       .orderBy(col("id")) // deterministic presentation; tiny result
-  }
   /** Transitive closure via recursive CTE (UNION dedup terminates it),
     * then min reachable label per node == the component id. */
   private def componentsSql =
