@@ -114,17 +114,35 @@ object PipelineQueries {
   /** Sequence packing: assign documents (per language, in doc_id order)
     * to fixed token-budget training bins by prefix-sum offset — the
     * distributed, deterministic form of next-fit packing (a document's
-    * bin is its starting offset div budget). One window pass + one
-    * aggregate; at corpus scale this is the standard "pack by running
-    * offset" layout that avoids any sequential packer. */
+    * bin is its starting offset div budget).
+    *
+    * The prefix sum is the TWO-PASS DISTRIBUTED SCAN, not a naive
+    * per-language window: `Window.partitionBy(lang)` makes one sequential
+    * partition per language — a handful of languages over a 100 TB corpus
+    * is a handful of straggler tasks. Instead: shard by doc_id stride,
+    * (1) local cumsum within each (lang, shard) — thousands of small
+    * parallel window partitions, (2) per-shard totals → cumulative shard
+    * offsets (a window over the TINY shard-totals table), (3) join the
+    * offsets back. global_cum = local_cum + shard_offset, exactly. */
   private def sequencePack(s: SparkSession, d: String): DataFrame = {
     val budget = 2048L
-    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    Tables.documents(s, d)
+    val stride = 1024L // docs per shard
+    val base = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"),
-        size(TextOps.tokens(col("text"))).cast("bigint").as("n_tok"))
-      .withColumn("cum", sum(col("n_tok")).over(w))
+        size(TextOps.tokens(col("text"))).cast("bigint").as("n_tok"),
+        expr(s"doc_id div $stride").as("shard"))
+    val wLocal = Window.partitionBy(col("lang"), col("shard"))
+      .orderBy(col("doc_id")).rowsBetween(Window.unboundedPreceding, 0)
+    val local = base.withColumn("local_cum", sum(col("n_tok")).over(wLocal))
+    val wShard = Window.partitionBy(col("lang")).orderBy(col("shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy(col("lang"), col("shard"))
+      .agg(sum(col("n_tok")).as("shard_tok"))
+      .withColumn("offset",
+        coalesce(sum(col("shard_tok")).over(wShard), lit(0L)))
+      .select(col("lang"), col("shard"), col("offset"))
+    local.join(broadcast(offsets), Seq("lang", "shard"))
+      .withColumn("cum", col("local_cum") + col("offset"))
       .withColumn("bin", expr(s"(cum - n_tok) div $budget"))
       .groupBy(col("lang"), col("bin"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("bin_tokens"),
