@@ -56,6 +56,7 @@ class Compactor(
     * SURVEY.md §7.4 bug 3). */
   def merge(rootDir: Path, bucket: Bucket): CompactResult = {
     val inputs = bucket.files.map(f => new Path(rootDir, f.path).toString)
+    requireUniformSchema(rootDir, bucket)
     val totalBytes = bucket.files.map(_.size_bytes).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / maxDesiredFileSizeBytes).toInt)
     val split = totalBytes > largeCutoffBytes && nOut > 1
@@ -117,6 +118,45 @@ class Compactor(
       }
     fs.delete(tmpDir, true)
     CompactResult(metas)
+  }
+
+  /** A bucket whose input files disagree on schema must fail LOUDLY
+    * before any data moves: without this, `spark.read.parquet` takes one
+    * file's footer as the schema and silently drops the other files'
+    * extra columns from the merged output (the reference inherits the
+    * equivalent hazard — DuckDB's read_parquet errors only on outright
+    * incompatibility). Footer reads are driver-side and per-bucket small;
+    * evolution across buckets/time remains supported (each bucket merges
+    * its own hour), and readers wanting union-of-schemas semantics have
+    * the engine's mergeSchema path (SourceFormatsSpec / q42). */
+  private def requireUniformSchema(rootDir: Path, bucket: Bucket): Unit = {
+    import scala.jdk.CollectionConverters._
+    // canonical column set: path + primitive + logical annotation. The
+    // repetition level (required vs optional) is deliberately EXCLUDED —
+    // Spark reads everything as nullable, and a compacted file (optional
+    // fields) must stay mergeable with fresh WAL files (often required).
+    def canon(s: org.apache.parquet.schema.MessageType): Set[String] =
+      s.getColumns.asScala.map { cd =>
+        val t = cd.getPrimitiveType
+        val ann = Option(t.getLogicalTypeAnnotation).fold("")(_.toString)
+        s"${cd.getPath.mkString(".")}:${t.getPrimitiveTypeName}:$ann"
+      }.toSet
+    val schemas = bucket.files.map { f =>
+      val p = new Path(rootDir, f.path)
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(p, fs.getConf))
+      try f.path -> canon(r.getFooter.getFileMetaData.getSchema)
+      finally r.close()
+    }
+    if (schemas.map(_._2).distinct.length > 1) {
+      val byS = schemas.groupBy(_._2).map { case (s, fs0) =>
+        s"  columns [${s.toSeq.sorted.mkString("; ")}]: " +
+          fs0.map(_._1).mkString(", ")
+      }
+      throw new IllegalArgumentException(
+        s"bucket ${bucket.outputPath}: input files disagree on schema — " +
+          s"refusing to merge (a silent merge would drop columns):\n" +
+          byS.mkString("\n"))
+    }
   }
 
   /** Publish a finished file at its final name — the object-store commit
