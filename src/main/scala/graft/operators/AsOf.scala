@@ -26,10 +26,12 @@ import org.apache.spark.sql.functions._
   * per (key, ts) — pre-aggregate it (e.g. `max(id)` per key+ts).
   */
 object AsOf {
-  /** Default driver-collect bound for the broadcast build side: ~5M rows
-    * of three longs ≈ 120 MB — the same order as Spark's own
-    * autoBroadcastJoinThreshold-sized builds. */
-  val DefaultMaxBuildRows: Int = 5000000
+  /** Default driver-collect bound for the broadcast build side: 2M rows.
+    * Raw data is three longs (~48 MB), but the collected tuples are
+    * BOXED on the driver until regrouped into primitive arrays — budget
+    * ~10× raw, which keeps the peak well under a default driver heap.
+    * Same order as Spark's own autoBroadcastJoinThreshold-sized builds. */
+  val DefaultMaxBuildRows: Int = 2000000
 
   /** Shuffle-by-key as-of: probe ∪ build, then `last(value) IGNORE NULLS`
     * over (ts, kind) per key — `kind` orders a build row AFTER a probe

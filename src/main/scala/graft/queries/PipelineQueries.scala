@@ -93,11 +93,13 @@ object PipelineQueries {
     * engines, runs and cluster sizes, pushed to the scan as a plain
     * filter, no shuffle beyond the verifying aggregate. */
   private def stratifiedSample(s: SparkSession, d: String): DataFrame = {
-    val permille = typedLit(Map("A" -> 100, "N" -> 50, "R" -> 200))
+    val permille = typedLit(Map("A" -> 100, "N" -> 50))
+    // coalesce mirrors the oracle's CASE ... ELSE exactly: any stratum
+    // not in the map gets the default rate instead of silently dropping
     Tables.lineitem(s, d)
       .filter(XHash.hash60(concat_ws("_",
         col("l_orderkey").cast("string"), col("l_linenumber").cast("string")))
-        % 1000 < element_at(permille, col("l_returnflag")))
+        % 1000 < coalesce(element_at(permille, col("l_returnflag")), lit(200)))
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n_sampled"),
         sum(col("l_quantity").cast("decimal(25,2)")).cast("double").as("sum_qty"))
