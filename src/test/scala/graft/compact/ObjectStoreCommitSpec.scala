@@ -84,6 +84,42 @@ class ObjectStoreCommitSpec extends AnyFunSuite {
     assert(s.allFiles.exists(_.path.contains("c_0000000001_0000000002_h22")))
   }
 
+  test("a truncating rename (S3A partial copy) fails the commit verify") {
+    // fault injection: a FileSystem whose rename silently truncates the
+    // destination — the copy+delete failure mode of object stores. The
+    // commit's length verification must catch it and fail the merge
+    // while inputs and snapshots are untouched.
+    val dir = buildFixture()
+    val under = Compactor.localFs(spark)
+    val truncating = new org.apache.hadoop.fs.FilterFileSystem(under) {
+      override def rename(src: org.apache.hadoop.fs.Path,
+          dst: org.apache.hadoop.fs.Path): Boolean = {
+        val ok = super.rename(src, dst)
+        if (ok && dst.getName.startsWith("c_")) {
+          val full = under.getFileStatus(dst).getLen
+          val out = under.create(dst, true)
+          try out.write(Array.fill[Byte]((full / 2).toInt)(0x1))
+          finally out.close()
+        }
+        ok
+      }
+    }
+    val snaps = new File(dir, "edge0/snapshots").listFiles
+      .filter(_.getName.endsWith(".info.json"))
+      .map(f => SnapshotCodec.parse(Files.readString(f.toPath))).toVector
+    val (buckets, _) = Planner.plan(snaps, windowHours = 1)
+    val err = intercept[java.io.IOException] {
+      new Compactor(spark, truncating)
+        .merge(new org.apache.hadoop.fs.Path(dir.toString), buckets.head)
+    }
+    assert(err.getMessage.contains("commit verify failed"), err.getMessage)
+    // inputs still intact — nothing references the bad output
+    assert(new File(dir,
+      "edge0/dbs/db-0/table-0/2025-01-26/22-00/0000000001.parquet").isFile)
+    assert(new File(dir,
+      "edge0/dbs/db-0/table-0/2025-01-26/22-10/0000000002.parquet").isFile)
+  }
+
   test("partial file at the final output name is overwritten by a re-run") {
     val dir = buildFixture()
     val out = new File(dir,
