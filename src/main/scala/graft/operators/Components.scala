@@ -44,8 +44,8 @@ object Components {
       edges.select(col("doc_a").as("id"), col("doc_b").as("label"))
         .unionAll(edges.select(col("doc_a").as("id"), col("doc_a").as("label")))
         .groupBy(col("id")).agg(min(col("label")).as("label")))
-    def labelSum(df: DataFrame): Long =
-      df.agg(sum(col("label"))).head().getLong(0)
+    def labelSum(df: DataFrame): Long = // coalesce: sum over zero rows is null
+      df.agg(coalesce(sum(col("label")), lit(0L))).head().getLong(0)
     var prevSum = labelSum(labels)
     var converged = false
     var rounds = 0

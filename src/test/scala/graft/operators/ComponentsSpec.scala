@@ -47,6 +47,10 @@ class ComponentsSpec extends AnyFunSuite {
     }
   }
 
+  test("an empty edge list yields an empty labeling (no NPE on empty agg)") {
+    assert(run(Seq.empty).isEmpty)
+  }
+
   test("leaves no pinned storage behind after suite-level cleanup") {
     run((0L until 50L).map(i => (i, i + 1)))
     spark.catalog.clearCache()
