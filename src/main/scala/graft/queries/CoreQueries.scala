@@ -22,25 +22,40 @@ object CoreQueries {
     // ---- A1+A2+A3 parity: multi-source scan → union → global time sort.
     // The compactor's entire SQL surface (kompactor.ts:107): scan N files,
     // SELECT *, ORDER BY time. row_number materializes the sort order into
-    // values so the oracle hash actually verifies ordering. At scale the
-    // production path (compact.Compactor) uses repartitionByRange instead
-    // of a single-partition window; this query form is the oracle-checkable
-    // equivalent.
+    // values so the oracle hash actually verifies ordering.
+    //
+    // The global rank is computed DISTRIBUTED (round-1 nit: a bare
+    // Window.orderBy is one sequential partition): rows shard by hour of
+    // the time axis — monotone in the sort key — rank = local row_number
+    // within the shard + the broadcast prefix-count of earlier shards.
+    // Same two-pass scan as q45's packing; the only global window runs
+    // over the tiny per-shard count table.
     // NOTE on precision: the engine keeps full int64 ns internally; queries
     // that EXPORT timestamps for the oracle emit µs (ts_ns div 1000) because
     // DuckDB 1.x truncates parquet timestamp[ns] to µs on read.
     Q(
       "a_scan_sort_merge",
       (s, d) => {
+        val shardUs = 3600L * 1000000L // 1-hour shards of the time axis
         val e = Tables.events(s, d)
           .select(col("event_id"), expr("ts_ns div 1000").as("ts_us"))
         // two disjoint "files" unioned back = multi-file scan semantics
         val merged = e.filter(col("event_id") % 2 === 0)
           .unionAll(e.filter(col("event_id") % 2 === 1))
-        merged.withColumn(
-          "rn",
-          row_number().over(Window.orderBy(col("ts_us"), col("event_id")))
-            .cast("bigint"))
+          .withColumn("shard", expr(s"ts_us div $shardUs"))
+        val wLocal = Window.partitionBy(col("shard"))
+          .orderBy(col("ts_us"), col("event_id"))
+        val wShard = Window.orderBy(col("shard"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offsets = merged.groupBy(col("shard"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("offset", coalesce(sum(col("n")).over(wShard), lit(0L)))
+          .select(col("shard"), col("offset"))
+        merged
+          .withColumn("local_rn", row_number().over(wLocal).cast("bigint"))
+          .join(broadcast(offsets), "shard")
+          .select(col("event_id"), col("ts_us"),
+            (col("local_rn") + col("offset")).as("rn"))
       },
       Some("""SELECT event_id, epoch_us(ts) AS ts_us,
              |  row_number() OVER (ORDER BY epoch_us(ts), event_id) AS rn
