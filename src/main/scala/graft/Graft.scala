@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The library's public face — what a kompactor user (or a training-data
+  * pipeline) calls directly, without going through the driver-contract
+  * query registry. Everything delegates to the tested operator objects;
+  * column contracts are documented per method and every underlying
+  * pipeline is oracle- or property-gated (see SparkEntry / the test
+  * suites).
+  *
+  * The full declared surface — 68 oracle-gated queries over the
+  * reference parity ops, TPC-H-shaped relational coverage, time-series,
+  * text analysis, multimodal and streaming families — is enumerated in
+  * [[SparkEntry.queries]]; this facade exposes the operations with a
+  * natural DataFrame-in/DataFrame-out signature.
+  */
+object Graft {
+
+  // ---- reference parity: the compactor ---------------------------------
+
+  /** Run the InfluxDB3-layout Parquet + snapshot compactor (the
+    * reference's whole program, crash-safe ordering + verified commits).
+    */
+  def runCompaction(spark: SparkSession,
+      config: compact.CompactConfig): Seq[compact.HostReport] =
+    new compact.Orchestrator(spark, config).run()
+
+  // ---- dedup family (docs: columns `doc_id` long, `text` string) -------
+
+  /** Exact duplicate groups by whitespace-normalized content hash:
+    * (text_fp, keep_id, n_copies). */
+  def exactDupGroups(docs: DataFrame): DataFrame =
+    queries.DedupQueries.exactDedup(docs)
+
+  /** MinHash signature matrix (doc_id, s0..s15) — the reusable sketch
+    * table of the near-dup pipeline. */
+  def minhashSignatures(docs: DataFrame): DataFrame =
+    queries.DedupQueries.minhashSigs(docs)
+
+  /** Near-duplicate pairs: banded MinHash-LSH candidates verified by
+    * exact shingle Jaccard ≥ 0.5 — (doc_a, doc_b, inter, uni, jaccard).
+    */
+  def nearDupPairs(docs: DataFrame): DataFrame =
+    queries.DedupQueries.jaccardPairs(docs)
+
+  /** 60-bit SimHash fingerprint per document: (doc_id, simhash). */
+  def simhashFingerprints(docs: DataFrame): DataFrame =
+    queries.DedupQueries.simhash(docs)
+
+  /** Embedding near-duplicate pairs (emb: `vec_id` long, `embedding`
+    * array<float>): banded sign-projection LSH candidates + exact
+    * quantized cosine ≥ threshold. Use wide bands (few rowBits) for low
+    * thresholds, narrow bands (e.g. 16 bits × 8 bands) for production
+    * 0.9-style thresholds. */
+  def embeddingNearDups(emb: DataFrame, bands: Int = 32, rowBits: Int = 4,
+      threshold: Double = 0.45): DataFrame =
+    queries.DedupQueries.embNearDupBanded(emb, bands, rowBits, threshold)
+
+  /** Connected components over an undirected pair list (two long
+    * columns) → (id, component): the keep-one-per-cluster step.
+    * Pointer-jumping label propagation, O(log diameter) rounds. */
+  def connectedComponents(pairs: DataFrame): DataFrame =
+    operators.Components.connectedComponents(pairs)
+
+  // ---- joins ------------------------------------------------------------
+
+  /** As-of join (most recent strictly-earlier build row per key):
+    * broadcast-probe when the build side fits (bounded collect), with a
+    * transparent fallback to the shuffle union+window plan. Long-typed
+    * (key, ts); build unique per (key, ts). */
+  def asOfJoin(spark: SparkSession, probe: DataFrame, build: DataFrame,
+      key: String, ts: String, id: String, value: String): DataFrame =
+    operators.AsOf.broadcastProbe(spark, probe, build, key, ts, id, value)
+
+  // ---- streaming --------------------------------------------------------
+
+  /** Incremental corpus ingest: cross-batch content-fingerprint dedup +
+    * token-count quality gate over a landing directory of document
+    * parquet files. Returns the streaming DataFrame to start. */
+  def ingestCorpus(spark: SparkSession, landingDir: String,
+      minTokens: Int = 5): DataFrame =
+    streaming.CorpusIngest.ingest(
+      streaming.CorpusIngest.readDocs(spark, landingDir), minTokens)
+}

@@ -26,9 +26,12 @@ object DedupQueries {
   private val Rows = K / Bands
 
   /** exact duplicate groups by full-text hash: one row per distinct text
-    * with the canonical (min) doc_id and the duplicate count. */
-  private def exactDedup(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    * with the canonical (min) doc_id and the duplicate count.
+    * DataFrame-parameterized (columns: doc_id, text) — the public API
+    * entry ([[graft.Graft.exactDupGroups]]); the query wrapper binds the
+    * driver corpus. */
+  private[graft] def exactDedup(docs: DataFrame): DataFrame =
+    docs
       .groupBy(TextOps.fingerprint(col("text")).as("text_fp"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
   private val exactDedupSql =
@@ -46,8 +49,8 @@ object DedupQueries {
     * measured ~10× slower; the explode adds one shuffle by doc_id but
     * keeps everything else in generated code with map-side partial mins.
     */
-  private def minhashSigs(s: SparkSession, d: String): DataFrame = {
-    val hashed = Tables.documents(s, d)
+  private[graft] def minhashSigs(docs: DataFrame): DataFrame = {
+    val hashed = docs
       .select(col("doc_id"), explode(TextOps.shingles(col("text"))).as("sh"))
       .select(col("doc_id"), XHash.hashP(col("sh")).as("h"))
     val aggs = XHash.coeffs(K).zipWithIndex.map { case ((a, b), i) =>
@@ -69,8 +72,8 @@ object DedupQueries {
     * exact signature agreement count as the similarity estimate. The
     * all-pairs work is confined to band buckets (standard MinHashLSH
     * shape: shingle → minhash → band → bucket-equi-join). */
-  private def minhashLsh(s: SparkSession, d: String): DataFrame = {
-    val sigs = minhashSigs(s, d)
+  private[graft] def minhashLsh(docs: DataFrame): DataFrame = {
+    val sigs = minhashSigs(docs)
     // the signature matrix is referenced 3× (band explode + both candidate
     // rejoins); ReuseExchange only dedups two of the subtrees, so pin the
     // tiny sketch table (K longs/doc) in storage — at scale this is the
@@ -124,11 +127,11 @@ object DedupQueries {
     * precision pass). The quadratic work stays confined to band buckets;
     * the exact set intersection is an array op per candidate, not a
     * shingle self-join over the corpus. */
-  private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
+  private[graft] def jaccardPairs(docsIn: DataFrame): DataFrame = {
+    val docs = docsIn
       .select(col("doc_id"), TextOps.shingles(col("text")).as("sh"))
       .filter(size(col("sh")) > 0)
-    val cand = minhashLsh(s, d).select("doc_a", "doc_b")
+    val cand = minhashLsh(docsIn).select("doc_a", "doc_b")
     cand
       .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
@@ -171,8 +174,8 @@ object DedupQueries {
     * only the ones-count per bit is aggregated. The previous explode of
     * tokens × 60 bit-rows shuffled 60× the data through two aggregates —
     * measured 1.36 s vs 0.5 s at sf0.1. */
-  private def simhash(s: SparkSession, d: String): DataFrame = {
-    val hashed = Tables.documents(s, d)
+  private[graft] def simhash(docs: DataFrame): DataFrame = {
+    val hashed = docs
       .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("t"))
       .select(col("doc_id"), XHash.hash60(col("t")).as("h"))
     val voteAggs = (0 until TextOps.SimHashBits).map(j =>
@@ -221,14 +224,14 @@ object DedupQueries {
     * signature), exact cosine precision pass confined to candidates.
     * The hyperplanes fold to plan-time literals; each signature is a
     * narrow codegen'd projection (no explode of dims, no shuffle). */
-  private[queries] def embNearDupBanded(
-      s: SparkSession, d: String, bands: Int, rowBits: Int,
+  private[graft] def embNearDupBanded(
+      emb: DataFrame, bands: Int, rowBits: Int,
       threshold: Double): DataFrame = {
-    val dim = Tables.embeddings(s, d)
+    val dim = emb
       .select(size(col("embedding"))).head().getInt(0)
     // norms once per vector (not per pair); referenced 3× (band explode +
     // both candidate rejoins) — pin like d2's signature matrix
-    val e = Tables.embeddings(s, d)
+    val e = emb
       .select(col("vec_id"), TextOps.quantize(col("embedding")).as("q"))
       .withColumn("nn", TextOps.qdot(col("q"), col("q")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -266,7 +269,7 @@ object DedupQueries {
       .distinct()
   }
   private def embNearDup(s: SparkSession, d: String): DataFrame =
-    embNearDupBanded(s, d, D5Bands, D5Rows, 0.45)
+    embNearDupBanded(Tables.embeddings(s, d), D5Bands, D5Rows, 0.45)
   private val embNearDupSql =
     s"""WITH q AS (SELECT vec_id, ${TextOps.quantizeSql("embedding")} AS q FROM embeddings),
        |e AS (SELECT vec_id, unnest(q) AS v, generate_subscripts(q, 1) - 1 AS i FROM q),
@@ -299,8 +302,9 @@ object DedupQueries {
   /** End-to-end dedup: the corpus AFTER dropping near-duplicates (the
     * higher doc_id of every verified pair), rolled up per language —
     * what a training-data pipeline actually ships downstream. */
-  private def dedupKeep(s: SparkSession, d: String): DataFrame = {
-    val dupB = jaccardPairs(s, d).select(col("doc_b").as("doc_id")).distinct()
+  private[graft] def dedupKeep(s: SparkSession, d: String): DataFrame = {
+    val dupB = jaccardPairs(Tables.documents(s, d))
+      .select(col("doc_b").as("doc_id")).distinct()
     Tables.documents(s, d)
       .join(dupB, Seq("doc_id"), "left_anti")
       .groupBy(col("lang"))
@@ -322,7 +326,7 @@ object DedupQueries {
     * jumping, O(log diameter) rounds, per-round unpersist. */
   private def components(s: SparkSession, d: String): DataFrame =
     graft.operators.Components.connectedComponents(
-      jaccardPairs(s, d).select(col("doc_a"), col("doc_b")))
+      jaccardPairs(Tables.documents(s, d)).select(col("doc_a"), col("doc_b")))
       .orderBy(col("id")) // deterministic presentation; tiny result
   /** Transitive closure via recursive CTE (UNION dedup terminates it),
     * then min reachable label per node == the component id. */
@@ -339,10 +343,14 @@ object DedupQueries {
        |FROM reach GROUP BY node""".stripMargin
 
   val all: Seq[Q] = Seq(
-    Q("d1_exact_dedup", exactDedup, Some(exactDedupSql)),
-    Q("d2_minhash_lsh", minhashLsh, Some(minhashLshSql)),
-    Q("d3_jaccard_pairs", jaccardPairs, Some(jaccardPairsSql)),
-    Q("d4_simhash", simhash, Some(simhashSql)),
+    Q("d1_exact_dedup", (s, d) => exactDedup(Tables.documents(s, d)),
+      Some(exactDedupSql)),
+    Q("d2_minhash_lsh", (s, d) => minhashLsh(Tables.documents(s, d)),
+      Some(minhashLshSql)),
+    Q("d3_jaccard_pairs", (s, d) => jaccardPairs(Tables.documents(s, d)),
+      Some(jaccardPairsSql)),
+    Q("d4_simhash", (s, d) => simhash(Tables.documents(s, d)),
+      Some(simhashSql)),
     Q("d5_embedding_neardup", embNearDup, Some(embNearDupSql)),
     Q("d6_dedup_keep", dedupKeep, Some(dedupKeepSql)),
     Q("d7_components", components, Some(componentsSql)))

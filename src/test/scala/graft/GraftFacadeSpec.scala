@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The public facade works on arbitrary user DataFrames (not just the
+  * driver corpus loaders) and agrees with the oracle-gated query twins.
+  */
+class GraftFacadeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("dedup facade on a user-built DataFrame matches the gated queries") {
+    import spark.implicits._
+    // a hand-built corpus: near-dup pair (1,2), exact dup pair (3,4)
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and once"),
+      (3L, "completely different content that stands alone in this corpus"),
+      (4L, "completely different content that stands alone in this corpus"),
+      (5L, "yet another unrelated document with its own words entirely"))
+      .toDF("doc_id", "text")
+    val groups = Graft.exactDupGroups(docs).collect()
+    assert(groups.length == 4) // 3 and 4 collapse
+    assert(groups.find(_.getLong(2) == 2L).exists(_.getLong(1) == 3L))
+    val pairs = Graft.nearDupPairs(docs)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((3L, 4L)))
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
+    val comp = Graft.connectedComponents(
+      Graft.nearDupPairs(docs).select("doc_a", "doc_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp(2L) == 1L && comp(4L) == 3L)
+  }
+
+  test("facade twins equal the driver-corpus query results") {
+    val docs = Tables.documents(spark, sf)
+    val viaFacade = Graft.nearDupPairs(docs)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaQuery = SparkEntry.queries("d3_jaccard_pairs")(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaFacade == viaQuery && viaFacade.nonEmpty)
+    val emb = Tables.embeddings(spark, sf)
+    val viaFacadeEmb = Graft.embeddingNearDups(emb)
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaQueryEmb = SparkEntry.queries("d5_embedding_neardup")(spark, sf)
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaFacadeEmb == viaQueryEmb)
+  }
+}

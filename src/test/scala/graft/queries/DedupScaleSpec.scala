@@ -32,7 +32,7 @@ class DedupScaleSpec extends AnyFunSuite {
     val bands = 8
     val rowBits = 16
     val pairs = DedupQueries.embNearDupBanded(
-      spark, dir, bands, rowBits, threshold = 0.9)
+      Tables.embeddings(spark, dir), bands, rowBits, threshold = 0.9)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val expected = (0L until 5L).map(i => (i, i + 100000L)).toSet
     assert(pairs == expected,
