@@ -63,6 +63,36 @@ object Graft {
   def connectedComponents(pairs: DataFrame): DataFrame =
     operators.Components.connectedComponents(pairs)
 
+  // ---- similarity search (emb: `vec_id` long, `embedding` array<float>)
+
+  /** Exact cosine top-k: the query subset (`vec_id < nQueries`) is
+    * broadcast against all candidates; the big side never shuffles. */
+  def cosineTopK(emb: DataFrame, nQueries: Int = 32, topK: Int = 3): DataFrame =
+    queries.SimilarityQueries.cosineTopK(emb, nQueries, topK)
+
+  /** ANN via sign-projection LSH buckets: candidates share the full
+    * signature (equi-join by bucket), exact cosine ranks within. */
+  def annTopK(emb: DataFrame, topK: Int = 3): DataFrame =
+    queries.SimilarityQueries.annLsh(emb, topK)
+
+  // ---- text quality / packing (docs: doc_id, text [, lang]) -------------
+
+  /** Per-document repetition signals (most-frequent-token fraction,
+    * duplicate-3gram fraction) — Gopher/RefinedWeb-style filters. */
+  def repetitionSignals(docs: DataFrame): DataFrame =
+    queries.PipelineQueries.repetition(docs)
+
+  /** Benchmark decontamination vs the deterministic `doc_id % 97 == 0`
+    * holdout: per-doc shared-shingle and matched-eval-doc counts. */
+  def contaminationReport(docs: DataFrame): DataFrame =
+    queries.PipelineQueries.contamination(docs)
+
+  /** Fixed token-budget sequence packing per language via the two-pass
+    * distributed prefix scan; returns per-bin stats. Requires `lang`. */
+  def packSequences(docs: DataFrame, budget: Long = 2048L,
+      stride: Long = 1024L): DataFrame =
+    queries.PipelineQueries.sequencePack(docs, budget, stride)
+
   // ---- joins ------------------------------------------------------------
 
   /** As-of join (most recent strictly-earlier build row per key):

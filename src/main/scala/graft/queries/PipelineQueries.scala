@@ -22,8 +22,7 @@ object PipelineQueries {
     * second hash-agg (same layout as d4's bit votes: partial aggs both
     * sides of one shuffle); the n-gram side never explodes — distinct
     * count comes from the codegen'd WordShingles array length. */
-  private def repetition(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
+  private[graft] def repetition(docs: DataFrame): DataFrame = {
     val tokCounts = docs
       .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("t"))
       .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
@@ -66,8 +65,8 @@ object PipelineQueries {
     * streams through one explode + broadcast-hash join, then one
     * aggregation by document. Production decontamination uses longer
     * n-grams (8–13); 3 here because the test corpus is short-doc. */
-  private def contamination(s: SparkSession, d: String): DataFrame = {
-    val sh = Tables.documents(s, d)
+  private[graft] def contamination(docs: DataFrame): DataFrame = {
+    val sh = docs
       .select(col("doc_id"), explode(TextOps.shingles(col("text"))).as("g"))
     val eval = sh.filter(col("doc_id") % 97 === 0)
       .select(col("doc_id").as("eval_id"), col("g"))
@@ -126,10 +125,9 @@ object PipelineQueries {
     * parallel window partitions, (2) per-shard totals → cumulative shard
     * offsets (a window over the TINY shard-totals table), (3) join the
     * offsets back. global_cum = local_cum + shard_offset, exactly. */
-  private def sequencePack(s: SparkSession, d: String): DataFrame = {
-    val budget = 2048L
-    val stride = 1024L // docs per shard
-    val base = Tables.documents(s, d)
+  private[graft] def sequencePack(docs: DataFrame, budget: Long = 2048L,
+      stride: Long = 1024L): DataFrame = {
+    val base = docs
       .select(col("doc_id"), col("lang"),
         size(TextOps.tokens(col("text"))).cast("bigint").as("n_tok"),
         expr(s"doc_id div $stride").as("shard"))
@@ -166,8 +164,11 @@ object PipelineQueries {
        |FROM c GROUP BY 1, 2""".stripMargin
 
   val all: Seq[Q] = Seq(
-    Q("t6_repetition", repetition, Some(repetitionSql)),
-    Q("d8_contamination", contamination, Some(contaminationSql)),
+    Q("t6_repetition", (s, d) => repetition(Tables.documents(s, d)),
+      Some(repetitionSql)),
+    Q("d8_contamination", (s, d) => contamination(Tables.documents(s, d)),
+      Some(contaminationSql)),
     Q("q44_stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),
-    Q("q45_sequence_pack", sequencePack, Some(sequencePackSql)))
+    Q("q45_sequence_pack", (s, d) => sequencePack(Tables.documents(s, d)),
+      Some(sequencePackSql)))
 }

@@ -26,11 +26,12 @@ object SimilarityQueries {
     * (cosine desc, vec_id). At scale: broadcast the query set, one pass
     * over candidates, TakeOrdered per query — no shuffle of the big side.
     */
-  private def cosineTopK(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.embeddings(s, d)
+  private[graft] def cosineTopK(emb: DataFrame, nQueries: Int = NQueries,
+      topK: Int = TopK): DataFrame = {
+    val e = emb
       .select(col("vec_id"), TextOps.quantize(col("embedding")).as("q"))
       .withColumn("nn", TextOps.qdot(col("q"), col("q")))
-    val queries = e.filter(col("vec_id") < NQueries)
+    val queries = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("q").as("qq"), col("nn").as("qnn"))
     val scored = e.join(broadcast(queries), col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
@@ -40,7 +41,7 @@ object SimilarityQueries {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rk", row_number().over(w).cast("bigint"))
-      .filter(col("rk") <= TopK)
+      .filter(col("rk") <= topK)
       .select(col("query_id"), col("neighbor_id"), col("rk"),
         round(col("cosine"), 6).as("cosine_r"))
   }
@@ -103,10 +104,10 @@ object SimilarityQueries {
   /** ANN via LSH buckets: candidates share the full signature; exact
     * cosine rank within the bucket. The equi-join on `sig` is the scale
     * path — shuffle by bucket, never all-pairs. */
-  private def annLsh(s: SparkSession, d: String): DataFrame = {
-    val dim = Tables.embeddings(s, d)
+  private[graft] def annLsh(emb: DataFrame, topK: Int = TopK): DataFrame = {
+    val dim = emb
       .select(size(col("embedding"))).head().getInt(0)
-    val withSig = Tables.embeddings(s, d)
+    val withSig = emb
       .select(col("vec_id"), TextOps.quantize(col("embedding")).as("q"))
       .withColumn("nn", TextOps.qdot(col("q"), col("q")))
       .withColumn("sig", sigCol(dim))
@@ -119,7 +120,7 @@ object SimilarityQueries {
     val w = Window.partitionBy(col("vec_a"))
       .orderBy(col("cosine").desc, col("vec_b"))
     cand.withColumn("rk", row_number().over(w).cast("bigint"))
-      .filter(col("rk") <= TopK)
+      .filter(col("rk") <= topK)
       .select(col("vec_a"), col("vec_b"), col("rk"),
         round(col("cosine"), 6).as("cosine_r"))
   }
@@ -229,7 +230,9 @@ object SimilarityQueries {
        |FROM ranked WHERE rk <= $TopK""".stripMargin
 
   val all: Seq[Q] = Seq(
-    Q("s1_cosine_topk", cosineTopK, Some(cosineTopKSql)),
-    Q("s2_ann_lsh", annLsh, Some(annLshSql)),
+    Q("s1_cosine_topk", (s, d) => cosineTopK(Tables.embeddings(s, d)),
+      Some(cosineTopKSql)),
+    Q("s2_ann_lsh", (s, d) => annLsh(Tables.embeddings(s, d)),
+      Some(annLshSql)),
     Q("s3_ivf_topk", ivfTopK, Some(ivfTopKSql)))
 }
