@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify drivers tail-scrape stdout for a one-line JSON contract;
+// sbt's "[success] Total time…" epilogue after the forked main's output was
+// what the parser saw as the last line in rounds 1-2.
+Global / showSuccess := false
+// …and the forked main's stdout must pass through VERBATIM: the default
+// LoggedOutput strategy prefixes every line with "[info] ", which breaks a
+// strict json-parse of the final line. StdoutOutput also keeps the forked
+// process's stderr (Spark WARN chatter) on stderr instead of echoing it
+// into stdout as "[error] " lines.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

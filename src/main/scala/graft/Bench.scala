@@ -43,20 +43,21 @@ object Bench {
     }
     names.foreach(timeOne) // warm-up
     val results = names.map { n => n -> math.min(timeOne(n), timeOne(n)) }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // The driver keeps only the last 2000 chars of stdout and parses the
+    // final line, so the contract line must (a) be last — no sbt epilogue
+    // after it (build.sbt sets Global/showSuccess := false) and nothing
+    // printed twice — and (b) fit the window: per-query times at 3 decimals
+    // keep the 68-query line at ~1.7 KB (full double precision overflowed
+    // the window in rounds 1-2 → `parsed: null`).
+    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
-    // The contract line alone is fragile: sbt decorates stdout and the
-    // driver keeps only a tail of it (round 1 recorded `parsed: null` with
-    // the line truncated mid-JSON). Persist the artifact to a file first,
-    // then print it LAST — after spark.stop() — so even a short log tail
-    // ends with the bare JSON line.
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_OUT.json"), json + "\n")
-    println(json)
     spark.stop()
     println(json)
   }

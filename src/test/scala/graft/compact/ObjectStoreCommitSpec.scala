@@ -84,6 +84,36 @@ class ObjectStoreCommitSpec extends AnyFunSuite {
     assert(s.allFiles.exists(_.path.contains("c_0000000001_0000000002_h22")))
   }
 
+  test("corrupt target next to a complete tmp: commit completed from tmp") {
+    // crash mid-rename on a copy+delete store: PARTIAL target, complete
+    // tmp. Recovery must not delete the tmp (the only good copy) — it
+    // must finish the commit from it (r2 advice, medium).
+    val dir = buildFixture()
+    val snap = new File(dir, "edge0/snapshots/0000000001.info.json")
+    val tmp = new File(dir, "edge0/snapshots/.0000000001.info.json.tmp")
+    val full = Files.readString(snap.toPath)
+    Files.writeString(tmp.toPath, full) // complete content in the tmp
+    Files.writeString(snap.toPath, full.take(full.length / 2)) // truncated X
+
+    val r = run(dir).head
+    assert(!tmp.exists())
+    val s = SnapshotCodec.parse(Files.readString(snap.toPath)) // parses again
+    assert(r.compacted == 1) // and planning proceeded from the recovered file
+    assert(s.allFiles.exists(_.path.contains("c_0000000001_0000000002_h22")))
+  }
+
+  test("both target and tmp corrupt: loud failure, nothing deleted") {
+    val dir = buildFixture()
+    val snap = new File(dir, "edge0/snapshots/0000000001.info.json")
+    val tmp = new File(dir, "edge0/snapshots/.0000000001.info.json.tmp")
+    Files.writeString(tmp.toPath, "not json")
+    Files.writeString(snap.toPath, "also not json")
+    val orch = new Orchestrator(spark, CompactConfig(dataDir = dir.toString))
+    val err = intercept[java.io.IOException] { orch.runHost("edge0") }
+    assert(err.getMessage.contains("unparseable"), err.getMessage)
+    assert(snap.isFile && tmp.isFile, "recovery must not destroy evidence")
+  }
+
   test("a truncating rename (S3A partial copy) fails the commit verify") {
     // fault injection: a FileSystem whose rename silently truncates the
     // destination — the copy+delete failure mode of object stores. The
