@@ -15,6 +15,7 @@ run / fork := true
 // sbt's "[success] Total time…" epilogue after the forked main's output was
 // what the parser saw as the last line in rounds 1-2.
 Global / showSuccess := false
+Global / excludeLintKeys += showSuccess // used by the command engine, not a task
 // …and the forked main's stdout must pass through VERBATIM: the default
 // LoggedOutput strategy prefixes every line with "[info] ", which breaks a
 // strict json-parse of the final line. StdoutOutput also keeps the forked

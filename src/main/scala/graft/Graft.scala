@@ -17,6 +17,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Graft {
 
+  /** Facade cache contract: pipelines that pin intermediate sketch tables
+    * (LSH signatures, band tables, component rounds) materialize their
+    * result eagerly (`localCheckpoint`) and RELEASE those intermediates
+    * before returning — a facade call never leaves hidden entries in the
+    * session cache. The returned DataFrame is self-contained: its storage
+    * lives with the DataFrame and is garbage-collected with it. */
+  private def materialized(result: (DataFrame, Seq[DataFrame])): DataFrame = {
+    val out = result._1.localCheckpoint(true)
+    result._2.foreach(_.unpersist())
+    out
+  }
+
   // ---- reference parity: the compactor ---------------------------------
 
   /** Run the InfluxDB3-layout Parquet + snapshot compactor (the
@@ -40,9 +52,9 @@ object Graft {
 
   /** Near-duplicate pairs: banded MinHash-LSH candidates verified by
     * exact shingle Jaccard ≥ 0.5 — (doc_a, doc_b, inter, uni, jaccard).
-    */
+    * Eagerly materialized (see the facade cache contract above). */
   def nearDupPairs(docs: DataFrame): DataFrame =
-    queries.DedupQueries.jaccardPairs(docs)
+    materialized(queries.DedupQueries.jaccardPairsPinned(docs))
 
   /** 60-bit SimHash fingerprint per document: (doc_id, simhash). */
   def simhashFingerprints(docs: DataFrame): DataFrame =
@@ -52,16 +64,24 @@ object Graft {
     * array<float>): banded sign-projection LSH candidates + exact
     * quantized cosine ≥ threshold. Use wide bands (few rowBits) for low
     * thresholds, narrow bands (e.g. 16 bits × 8 bands) for production
-    * 0.9-style thresholds. */
+    * 0.9-style thresholds. Pass `dim` (the embedding width) to skip the
+    * one-job probe. Eagerly materialized (facade cache contract). */
   def embeddingNearDups(emb: DataFrame, bands: Int = 32, rowBits: Int = 4,
-      threshold: Double = 0.45): DataFrame =
-    queries.DedupQueries.embNearDupBanded(emb, bands, rowBits, threshold)
+      threshold: Double = 0.45, dim: Int = -1): DataFrame =
+    materialized(queries.DedupQueries.embNearDupBandedPinned(
+      emb, bands, rowBits, threshold, dim))
 
   /** Connected components over an undirected pair list (two long
     * columns) → (id, component): the keep-one-per-cluster step.
-    * Pointer-jumping label propagation, O(log diameter) rounds. */
-  def connectedComponents(pairs: DataFrame): DataFrame =
-    operators.Components.connectedComponents(pairs)
+    * Pointer-jumping label propagation, O(log diameter) rounds.
+    * Eagerly materialized (facade cache contract) — the last round's
+    * cache is released before returning. */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    val labels = operators.Components.connectedComponents(pairs)
+    val out = labels.localCheckpoint(true)
+    labels.unpersist()
+    out
+  }
 
   // ---- similarity search (emb: `vec_id` long, `embedding` array<float>)
 
@@ -71,9 +91,10 @@ object Graft {
     queries.SimilarityQueries.cosineTopK(emb, nQueries, topK)
 
   /** ANN via sign-projection LSH buckets: candidates share the full
-    * signature (equi-join by bucket), exact cosine ranks within. */
-  def annTopK(emb: DataFrame, topK: Int = 3): DataFrame =
-    queries.SimilarityQueries.annLsh(emb, topK)
+    * signature (equi-join by bucket), exact cosine ranks within. Pass
+    * `dim` (the embedding width) to skip the one-job probe. */
+  def annTopK(emb: DataFrame, topK: Int = 3, dim: Int = -1): DataFrame =
+    queries.SimilarityQueries.annLsh(emb, topK, dim)
 
   // ---- text quality / packing (docs: doc_id, text [, lang]) -------------
 

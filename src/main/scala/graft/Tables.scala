@@ -21,6 +21,11 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 
+  /** The driver corpus's fixed embedding width (every SF ships
+    * 64-float vectors). Passed to the LSH builders so planning needs no
+    * `head()` probe job; the parquet list type itself carries no length. */
+  val EmbeddingDim = 64
+
   /** events with the ns timestamp surfaced as a LongType `ts_ns` column.
     * The parquet physical type is timestamp[ns]; with
     * spark.sql.legacy.parquet.nanosAsLong=true Spark reads it as LongType

@@ -21,7 +21,14 @@ import org.apache.spark.storage.StorageLevel
 object Components {
 
   /** @param pairs edge list with two long columns (left, right)
-    * @return (id, component) — component = min node id of the cluster */
+    * @return (id, component) — component = min node id of the cluster.
+    *         The result is persisted (MEMORY_AND_DISK): it is the last
+    *         round's fixpoint cache and recomputing it would replay every
+    *         round through the RDD lineage. The CALLER owns that cache —
+    *         `unpersist()` it when done (the [[graft.Graft]] facade
+    *         returns a checkpointed copy and releases it instead). All
+    *         intermediate caches are dropped on every exit path,
+    *         including mid-loop failures and the non-convergence throw. */
   def connectedComponents(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
     val spark = pairs.sparkSession
     // each round references the previous result 3× (propagate + both
@@ -46,37 +53,47 @@ object Components {
         .groupBy(col("id")).agg(min(col("label")).as("label")))
     def labelSum(df: DataFrame): Long = // coalesce: sum over zero rows is null
       df.agg(coalesce(sum(col("label")), lit(0L))).head().getLong(0)
-    var prevSum = labelSum(labels)
-    var converged = false
-    var rounds = 0
-    while (!converged && rounds < maxRounds) {
-      val viaEdges = edges
-        .join(labels, edges("doc_a") === labels("id"))
-        .select(col("doc_b").as("id"), col("label"))
-      val propagated = labels.select(col("id"), col("label")).unionAll(viaEdges)
-        .groupBy(col("id")).agg(min(col("label")).as("label"))
-      // pointer jump: label ← label(label); every label value is itself a
-      // node id present in `propagated`, both sides keyed on unique ids →
-      // the left join is 1:1 and coalesce keeps roots fixed
-      val next = asLeaf(propagated.as("x")
-        .join(propagated.select(col("id").as("jid"), col("label").as("jlabel")).as("y"),
-          col("x.label") === col("y.jid"), "left")
-        .select(col("x.id"), coalesce(col("y.jlabel"), col("x.label")).as("label")))
-      val nextSum = labelSum(next) // materializes `next`'s cache...
-      labels.unpersist()           // ...so the superseded round can go
-      converged = nextSum == prevSum
-      prevSum = nextSum
-      labels = next
-      rounds += 1
+    // every exit path — success, mid-loop failure, non-convergence —
+    // releases p, edges, and any superseded round; only the RETURNED
+    // labels cache survives (ownership documented above)
+    try {
+      var prevSum = labelSum(labels)
+      var converged = false
+      var rounds = 0
+      while (!converged && rounds < maxRounds) {
+        val viaEdges = edges
+          .join(labels, edges("doc_a") === labels("id"))
+          .select(col("doc_b").as("id"), col("label"))
+        val propagated = labels.select(col("id"), col("label")).unionAll(viaEdges)
+          .groupBy(col("id")).agg(min(col("label")).as("label"))
+        // pointer jump: label ← label(label); every label value is itself a
+        // node id present in `propagated`, both sides keyed on unique ids →
+        // the left join is 1:1 and coalesce keeps roots fixed
+        val next = asLeaf(propagated.as("x")
+          .join(propagated.select(col("id").as("jid"), col("label").as("jlabel")).as("y"),
+            col("x.label") === col("y.jid"), "left")
+          .select(col("x.id"), coalesce(col("y.jlabel"), col("x.label")).as("label")))
+        val nextSum = // materializes `next`'s cache...
+          try labelSum(next)
+          catch { case t: Throwable => next.unpersist(); throw t }
+        labels.unpersist() // ...so the superseded round can go
+        converged = nextSum == prevSum
+        prevSum = nextSum
+        labels = next
+        rounds += 1
+      }
+      // silent divergence would surface only as an opaque downstream
+      // mismatch — fail loudly. With pointer jumping this needs a graph of
+      // diameter > 2^maxRounds, i.e. never in practice.
+      if (!converged)
+        throw new IllegalStateException(
+          s"connected-components did not converge within $maxRounds rounds")
+    } catch {
+      case t: Throwable => labels.unpersist(); throw t
+    } finally {
+      p.unpersist()
+      edges.unpersist()
     }
-    // silent divergence would surface only as an opaque downstream
-    // mismatch — fail loudly. With pointer jumping this needs a graph of
-    // diameter > 2^maxRounds, i.e. never in practice.
-    if (!converged)
-      throw new IllegalStateException(
-        s"connected-components did not converge within $maxRounds rounds")
-    p.unpersist()
-    edges.unpersist()
     labels.withColumnRenamed("label", "component")
   }
 }

@@ -71,8 +71,15 @@ object DedupQueries {
   /** LSH candidate pairs: equal band signature in ≥1 of 4 bands, then
     * exact signature agreement count as the similarity estimate. The
     * all-pairs work is confined to band buckets (standard MinHashLSH
-    * shape: shingle → minhash → band → bucket-equi-join). */
-  private[graft] def minhashLsh(docs: DataFrame): DataFrame = {
+    * shape: shingle → minhash → band → bucket-equi-join).
+    *
+    * Cache contract: the `…Pinned` variant also returns the intermediates
+    * it persisted, so callers that outlive a query run (the [[graft.Graft]]
+    * facade) can release them after materializing; the registry/bench path
+    * uses the plain variant and relies on its per-query clearCache. */
+  private[graft] def minhashLsh(docs: DataFrame): DataFrame =
+    minhashLshPinned(docs)._1
+  private[graft] def minhashLshPinned(docs: DataFrame): (DataFrame, Seq[DataFrame]) = {
     val sigs = minhashSigs(docs)
     // the signature matrix is referenced 3× (band explode + both candidate
     // rejoins); ReuseExchange only dedups two of the subtrees, so pin the
@@ -94,13 +101,14 @@ object DedupQueries {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    cand
+    val out = cand
       .join(sigArr.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
       .join(sigArr.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
       .withColumn("sig_matches",
         aggregate(zip_with(col("sig_a"), col("sig_b"),
           (x, y) => when(x === y, 1L).otherwise(0L)), lit(0L), (acc, v) => acc + v))
       .select("doc_a", "doc_b", "sig_matches")
+    (out, Seq(sigArr))
   }
 
   private def minhashLshSql: String = {
@@ -127,12 +135,15 @@ object DedupQueries {
     * precision pass). The quadratic work stays confined to band buckets;
     * the exact set intersection is an array op per candidate, not a
     * shingle self-join over the corpus. */
-  private[graft] def jaccardPairs(docsIn: DataFrame): DataFrame = {
+  private[graft] def jaccardPairs(docsIn: DataFrame): DataFrame =
+    jaccardPairsPinned(docsIn)._1
+  private[graft] def jaccardPairsPinned(docsIn: DataFrame): (DataFrame, Seq[DataFrame]) = {
     val docs = docsIn
       .select(col("doc_id"), TextOps.shingles(col("text")).as("sh"))
       .filter(size(col("sh")) > 0)
-    val cand = minhashLsh(docsIn).select("doc_a", "doc_b")
-    cand
+    val (lsh, pinned) = minhashLshPinned(docsIn)
+    val cand = lsh.select("doc_a", "doc_b")
+    val out = cand
       .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("bigint"))
@@ -141,6 +152,7 @@ object DedupQueries {
       .withColumn("jaccard", col("inter").cast("double") / col("uni").cast("double"))
       .filter(col("jaccard") >= 0.5)
       .select("doc_a", "doc_b", "inter", "uni", "jaccard")
+    (out, pinned)
   }
   private def jaccardPairsSql =
     s"""WITH sig AS ($minhashSigsSql),
@@ -226,9 +238,15 @@ object DedupQueries {
     * narrow codegen'd projection (no explode of dims, no shuffle). */
   private[graft] def embNearDupBanded(
       emb: DataFrame, bands: Int, rowBits: Int,
-      threshold: Double): DataFrame = {
-    val dim = emb
-      .select(size(col("embedding"))).head().getInt(0)
+      threshold: Double, dim: Int = -1): DataFrame =
+    embNearDupBandedPinned(emb, bands, rowBits, threshold, dim)._1
+  private[graft] def embNearDupBandedPinned(
+      emb: DataFrame, bands: Int, rowBits: Int,
+      threshold: Double, dim0: Int = -1): (DataFrame, Seq[DataFrame]) = {
+    // dim < 0 = probe with one tiny head() job (convenience); callers on a
+    // hot path pass the known dimension so the query trace has no extra job
+    val dim = if (dim0 >= 0) dim0
+      else emb.select(size(col("embedding"))).head().getInt(0)
     // norms once per vector (not per pair); referenced 3× (band explode +
     // both candidate rejoins) — pin like d2's signature matrix
     val e = emb
@@ -258,7 +276,7 @@ object DedupQueries {
     // pipelined) dot + threshold filter, so the exchange only ever carries
     // the surviving pairs — a distinct on the raw candidate multiset
     // measured 2-3 s of pure shuffle at sf0.1 for zero extra pruning
-    cand
+    val out = cand
       .join(e.select(col("vec_id").as("vec_a"), col("q").as("qa"), col("nn").as("na")), "vec_a")
       .join(e.select(col("vec_id").as("vec_b"), col("q").as("qb"), col("nn").as("nb")), "vec_b")
       .select(col("vec_a"), col("vec_b"),
@@ -267,9 +285,11 @@ object DedupQueries {
           .as("cosine"))
       .filter(col("cosine") >= threshold)
       .distinct()
+    (out, Seq(e, bandRows))
   }
   private def embNearDup(s: SparkSession, d: String): DataFrame =
-    embNearDupBanded(Tables.embeddings(s, d), D5Bands, D5Rows, 0.45)
+    embNearDupBanded(Tables.embeddings(s, d), D5Bands, D5Rows, 0.45,
+      dim = Tables.EmbeddingDim)
   private val embNearDupSql =
     s"""WITH q AS (SELECT vec_id, ${TextOps.quantizeSql("embedding")} AS q FROM embeddings),
        |e AS (SELECT vec_id, unnest(q) AS v, generate_subscripts(q, 1) - 1 AS i FROM q),

@@ -104,9 +104,12 @@ object SimilarityQueries {
   /** ANN via LSH buckets: candidates share the full signature; exact
     * cosine rank within the bucket. The equi-join on `sig` is the scale
     * path — shuffle by bucket, never all-pairs. */
-  private[graft] def annLsh(emb: DataFrame, topK: Int = TopK): DataFrame = {
-    val dim = emb
-      .select(size(col("embedding"))).head().getInt(0)
+  private[graft] def annLsh(emb: DataFrame, topK: Int = TopK,
+      dim0: Int = -1): DataFrame = {
+    // dim < 0 = probe with one tiny head() job (convenience); callers on a
+    // hot path pass the known dimension so the query trace has no extra job
+    val dim = if (dim0 >= 0) dim0
+      else emb.select(size(col("embedding"))).head().getInt(0)
     val withSig = emb
       .select(col("vec_id"), TextOps.quantize(col("embedding")).as("q"))
       .withColumn("nn", TextOps.qdot(col("q"), col("q")))
@@ -232,7 +235,8 @@ object SimilarityQueries {
   val all: Seq[Q] = Seq(
     Q("s1_cosine_topk", (s, d) => cosineTopK(Tables.embeddings(s, d)),
       Some(cosineTopKSql)),
-    Q("s2_ann_lsh", (s, d) => annLsh(Tables.embeddings(s, d)),
+    Q("s2_ann_lsh",
+      (s, d) => annLsh(Tables.embeddings(s, d), dim0 = Tables.EmbeddingDim),
       Some(annLshSql)),
     Q("s3_ivf_topk", ivfTopK, Some(ivfTopKSql)))
 }

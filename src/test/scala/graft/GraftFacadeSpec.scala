@@ -47,4 +47,39 @@ class GraftFacadeSpec extends AnyFunSuite {
       .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(viaFacadeEmb == viaQueryEmb)
   }
+
+  test("facade calls leave no hidden entries in the session cache") {
+    // r2 advice: persist-pinning internals must not leak into a user
+    // session — facade results are self-contained (localCheckpoint) and
+    // the pinned sketch tables are released before returning
+    spark.catalog.clearCache()
+    val docs = Tables.documents(spark, sf)
+    val emb = Tables.embeddings(spark, sf)
+    Graft.nearDupPairs(docs).count()
+    Graft.embeddingNearDups(emb).count()
+    Graft.connectedComponents(
+      Graft.nearDupPairs(docs).select("doc_a", "doc_b")).count()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "facade left entries pinned in the session cache")
+  }
+
+  test("passing the embedding dim skips the probe job (one fewer job)") {
+    // job-group + statusTracker: a synchronous, exact per-block job count
+    def countJobs(group: String)(body: => Unit): Int = {
+      spark.sparkContext.setJobGroup(group, group)
+      try body finally spark.sparkContext.clearJobGroup()
+      spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
+    }
+    val emb = Tables.embeddings(spark, sf)
+    val probed = countJobs("s2_probed") {
+      queries.SimilarityQueries.annLsh(emb).write.format("noop")
+        .mode("overwrite").save()
+    }
+    val given = countJobs("s2_given") {
+      queries.SimilarityQueries.annLsh(emb, dim0 = Tables.EmbeddingDim)
+        .write.format("noop").mode("overwrite").save()
+    }
+    assert(given == probed - 1,
+      s"expected exactly one fewer job with dim given: probed=$probed given=$given")
+  }
 }
