@@ -36,6 +36,8 @@ val jdk17AddOpens = Seq(
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
+  // ImageIO/Graphics2D (multimodal decode) must never probe for a display
+  "-Djava.awt.headless=true",
   "-Dspark.sql.session.timeZone=UTC",
   // derby (managed-table catalog) scratch state stays out of the repo
   "-Dderby.system.home=/tmp/graft-derby",

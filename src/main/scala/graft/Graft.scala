@@ -124,6 +124,16 @@ object Graft {
       key: String, ts: String, id: String, value: String): DataFrame =
     operators.AsOf.broadcastProbe(spark, probe, build, key, ts, id, value)
 
+  /** As-of join for the big-probe × big-build regime: both sides shuffle
+    * by (key, time-bucket), so a hot key never becomes one unbounded
+    * sort task and nothing is collected to the driver. Pick
+    * `bucketWidth` so one key's bucket fits a task (e.g. an hour of ns).
+    */
+  def asOfJoinBucketed(probe: DataFrame, build: DataFrame,
+      key: String, ts: String, id: String, value: String,
+      bucketWidth: Long): DataFrame =
+    operators.AsOf.rangeBucketed(probe, build, key, ts, id, value, bucketWidth)
+
   // ---- streaming --------------------------------------------------------
 
   /** Incremental corpus ingest: cross-batch content-fingerprint dedup +

@@ -10,11 +10,16 @@ import graft.functions.XHash
   * pandas UDFs: one decoder instantiation per partition, streamed
   * iterator, no per-row setup).
   *
-  * The actual codec work is STUBBED ([[RealMediaDecoder]] throws;
-  * [[FakeMediaDecoder]] is a deterministic fake) — the container has no
-  * image/audio libraries. Everything Spark-side is real and tested:
-  * schema, binary column plumbing, partition batching, typed encoders,
-  * frame-sampling expansion.
+  * Two decoder/resizer implementations ship behind the same trait:
+  * [[RealMediaDecoder]]/[[RealMediaResizer]] decode actual images on the
+  * JDK's own `javax.imageio` codecs (PNG/JPEG/GIF/BMP — no external
+  * libraries) with a real 8×8 average-hash as the perceptual fingerprint;
+  * [[FakeMediaDecoder]]/[[FakeMediaResizer]] derive everything
+  * deterministically from the bytes, for the synthetic text-as-payload
+  * corpus whose payloads are not images. Audio/video codecs remain out of
+  * scope for this container. Everything Spark-side — schema, binary
+  * column plumbing, partition batching, typed encoders, frame-sampling
+  * expansion — is shared between the two and tested with both.
   */
 object Multimodal {
 
@@ -39,15 +44,62 @@ object Multimodal {
     def decodeBatch(batch: Iterator[MediaRow]): Iterator[MediaFeatures]
   }
 
-  /** STUB: the real decoder needs image/audio codecs that are not in this
-    * container. Plumbing accepts any [[MediaDecoder]]; swap this in when
-    * the libraries exist. */
+  /** Real image decode on the JDK's own codecs (`javax.imageio`: PNG,
+    * JPEG, GIF, BMP — no external libraries). Metadata comes from the
+    * decoded raster; `phash` is a genuine 64-bit average-hash (8×8
+    * grayscale downsample, threshold at the mean — the standard aHash),
+    * so visually identical images collide and unrelated ones do not.
+    * Undecodable payloads fail loudly with the doc id — a silent skip
+    * would corrupt downstream joins. Still images carry duration 0. */
   object RealMediaDecoder extends MediaDecoder {
-    val name = "real"
+    val name = "imageio"
     def decodeBatch(batch: Iterator[MediaRow]): Iterator[MediaFeatures] =
-      throw new UnsupportedOperationException(
-        "RealMediaDecoder: codec libraries unavailable in this environment " +
-          "— use FakeMediaDecoder for tests (deliberate ??? stub)")
+      batch.map { r =>
+        val img = decodeImage(r)
+        MediaFeatures(
+          doc_id = r.doc_id,
+          meta = MediaMeta(
+            size_bytes = r.media.length.toLong,
+            format = r.format,
+            width = img.getWidth,
+            height = img.getHeight,
+            duration_ms = 0L),
+          phash = averageHash(img))
+      }
+  }
+
+  private def decodeImage(r: MediaRow): java.awt.image.BufferedImage = {
+    val img =
+      if (r.media.isEmpty) null
+      else javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.media))
+    if (img == null)
+      throw new IllegalArgumentException(
+        s"undecodable ${r.format} payload for doc_id=${r.doc_id} " +
+          s"(${r.media.length} bytes)")
+    img
+  }
+
+  /** 8×8 average-hash: downsample to 8×8 luma, set bit i when pixel i is
+    * above the mean. 64 bits, MSB = pixel (0,0). */
+  def averageHash(img: java.awt.image.BufferedImage): Long = {
+    val small = new java.awt.image.BufferedImage(
+      8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = small.createGraphics()
+    try {
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, 8, 8, null)
+    } finally g.dispose()
+    val luma = Array.tabulate(64) { i =>
+      val rgb = small.getRGB(i % 8, i / 8)
+      // integer BT.601 luma — deterministic across JVMs (no float rounding)
+      (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+        114 * (rgb & 0xff)) / 1000
+    }
+    val mean = luma.sum / 64
+    luma.zipWithIndex.foldLeft(0L) { case (acc, (v, i)) =>
+      if (v > mean) acc | (1L << (63 - i)) else acc
+    }
   }
 
   /** Deterministic fake: derives metadata purely from the bytes, so tests
@@ -103,12 +155,26 @@ object Multimodal {
     def resizeBatch(batch: Iterator[MediaRow], w: Int, h: Int): Iterator[ResizedMedia]
   }
 
-  /** STUB: real pixel scaling needs codecs absent from this container. */
+  /** Real pixel scaling: decode (JDK ImageIO), bilinear Graphics2D
+    * rescale, re-encode as PNG (lossless — a resize must not also be a
+    * recompress decision). Headless-safe: BufferedImage rendering needs
+    * no display. */
   object RealMediaResizer extends MediaResizer {
     def resizeBatch(batch: Iterator[MediaRow], w: Int, h: Int): Iterator[ResizedMedia] =
-      throw new UnsupportedOperationException(
-        "RealMediaResizer: codec libraries unavailable — use FakeMediaResizer " +
-          "(deliberate ??? stub)")
+      batch.map { r =>
+        val img = decodeImage(r)
+        val out = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        try {
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, w, h, null)
+        } finally g.dispose()
+        val bytes = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bytes)
+        ResizedMedia(r.doc_id, bytes.toByteArray, w, h)
+      }
   }
 
   /** Deterministic fake: payload truncated/cycled to the byte budget a

@@ -7,10 +7,11 @@ import graft.functions.XHash
 import graft.operators.Multimodal
 
 /** Multimodal plumbing as oracle-checked queries: the binary column path
-  * runs through the REAL typed-Dataset mapPartitions batch decoder
-  * (FakeMediaDecoder — deterministic, since real codecs are stubbed), and
-  * the oracle replays the same byte-derived arithmetic in SQL. ASCII
-  * corpus ⇒ octet counts agree between text and utf8-encoded blob.
+  * runs through the typed-Dataset mapPartitions batch decoder using
+  * FakeMediaDecoder — the corpus payloads are utf8 text, not images, and
+  * the fake's byte-derived arithmetic is what DuckDB can replay exactly.
+  * The REAL decoder (ImageIO decode + average-hash, same trait and same
+  * Spark path) is exercised on actual PNGs in MultimodalSpec.
   */
 object MultimodalQueries {
 

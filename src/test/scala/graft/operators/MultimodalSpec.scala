@@ -24,16 +24,62 @@ class MultimodalSpec extends AnyFunSuite {
     assert(feats(0).meta.width == (feats(0).phash % 1280L).toInt)
   }
 
-  test("real decoder is an explicit stub") {
+  /** Render a real PNG in-test with the same JDK ImageIO the decoder
+    * uses: a w×h two-tone image (left half dark, right half bright). */
+  private def pngBytes(w: Int, h: Int, seed: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y,
+        if (x < w / 2) 0x101010 + seed else 0xe0e0e0 - seed)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  test("real decoder: actual PNGs through the mapPartitions path") {
     import spark.implicits._
-    val docs = Seq((1L, "x", "en", "s", 1L))
-      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val media = Seq(
+      Multimodal.MediaRow(1L, pngBytes(64, 48, 0), "png"),
+      Multimodal.MediaRow(2L, pngBytes(64, 48, 0), "png"), // identical image
+      Multimodal.MediaRow(3L, pngBytes(32, 32, 8), "png")) // different image
+      .toDS()
+    val feats = Multimodal.decodeFeatures(media, Multimodal.RealMediaDecoder)
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(feats(1L).meta.width == 64 && feats(1L).meta.height == 48)
+    assert(feats(3L).meta.width == 32 && feats(3L).meta.height == 32)
+    assert(feats(1L).meta.duration_ms == 0L) // still image
+    // perceptual hash: identical pixels => identical hash, and the
+    // left-dark/right-bright pattern sets exactly the right-half bits
+    assert(feats(1L).phash == feats(2L).phash)
+    val expected = (0 until 64).foldLeft(0L)((acc, i) =>
+      if (i % 8 >= 4) acc | (1L << (63 - i)) else acc)
+    assert(feats(1L).phash == expected)
+  }
+
+  test("real decoder fails loudly on undecodable payloads") {
+    import spark.implicits._
+    val media = Seq(Multimodal.MediaRow(9L, Array[Byte](1, 2, 3), "png")).toDS()
     val ex = intercept[org.apache.spark.SparkException] {
-      Multimodal.decodeFeatures(
-        Multimodal.mediaFromDocuments(docs), Multimodal.RealMediaDecoder)
-        .collect()
+      Multimodal.decodeFeatures(media, Multimodal.RealMediaDecoder).collect()
     }
     assert(ex.getMessage != null)
+  }
+
+  test("real resizer: decoded output has the target raster") {
+    import spark.implicits._
+    val media = Seq(Multimodal.MediaRow(1L, pngBytes(64, 48, 0), "png")).toDS()
+    val out = Multimodal.resize(media, 16, 12, Multimodal.RealMediaResizer)
+      .collect().head
+    assert(out.width == 16 && out.height == 12)
+    // re-decode the emitted PNG: raster dims must match the declared ones
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out.media))
+    assert(img.getWidth == 16 && img.getHeight == 12)
+    // bilinear scaling preserves the left-dark/right-bright structure
+    assert(Multimodal.averageHash(img) == Multimodal.averageHash(
+      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+        pngBytes(64, 48, 0)))))
   }
 
   test("frame sampling expands inclusive frame range") {
