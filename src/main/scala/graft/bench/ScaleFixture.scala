@@ -1,0 +1,170 @@
+package graft.bench
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.Sessions
+
+/** Octave-up corpus synthesizer (r2 verdict next-3): replicates the
+  * pipeline-family tables (`documents`, `embeddings`, `events`) `factor`×
+  * into a new SF directory, preserving WITHIN-replica structure while
+  * keeping replicas independent of each other — a 10× web corpus has ~10×
+  * duplicate clusters, not 10×-larger clusters, so candidate/pair counts
+  * must grow near-linearly on the result (the scale gate the round-2
+  * verdict asks for). The TPC-H-side tables are copied byte-for-byte.
+  *
+  * Independence constructions, per table (each is measurably sound — a
+  * naive first cut of both text and embedding transforms failed the gate,
+  * see ScaleFixtureSpec for the invariants):
+  *  - documents: replica r>0 prefixes every word with `zr<r>q` — a
+  *    BIJECTION on the shingle alphabet, so within-replica Jaccard (and
+  *    hence minhash/LSH behavior) is preserved EXACTLY, while replicas
+  *    share no word and therefore no shingle. (An earlier interleaved-
+  *    token variant created `(salt, w, salt)` shingles carrying a single
+  *    real word, inflating within-replica similarity 540× at 10×.)
+  *  - embeddings: replica r applies a deterministic ±1 sign-flip diagonal
+  *    D_r (D_0 = I). D_r is orthogonal, so within-replica dot products,
+  *    norms, and cosines are preserved EXACTLY; cross-replica cosines see
+  *    a random sign pattern D_r·D_s, which kills any shared mean
+  *    direction (a rotation does not — structured corpora keep cosine
+  *    ≈ 1 against their rotated selves far above near-dup thresholds).
+  *  - events: replica r offsets user/event ids into a disjoint id space;
+  *    timestamps stay — the time span holds and the per-window DENSITY
+  *    grows 10×, which is the harder regime for the window operators.
+  *
+  * Usage: runMain graft.bench.ScaleFixture [srcDir destDir factor]
+  */
+object ScaleFixture {
+  val IdOffset = 10000000L
+
+  /** documents replica r: prefix each word with a replica tag (r=0 is the
+    * original) — a bijection on words, so shingle sets map bijectively:
+    * within-replica Jaccard exact, cross-replica shingle sets disjoint. */
+  def saltDocs(df: DataFrame, r: Int): DataFrame =
+    df.select(
+      (col("doc_id") + lit(r * IdOffset)).as("doc_id"),
+      (if (r == 0) col("text")
+       else regexp_replace(col("text"), "(\\S+)", s"zr${r}q$$1")).as("text"),
+      col("lang"), col("source"),
+      (if (r == 0) col("n_chars")
+       else length(regexp_replace(col("text"), "(\\S+)", s"zr${r}q$$1"))
+         .cast("long")).as("n_chars"))
+
+  /** Deterministic ±1 sign for component i of replica r (r=0 ⇒ +1):
+    * a 64-bit mix of (r, i) — no RNG state, reproducible across runs. */
+  def sign(r: Int, i: Int): Float =
+    if (r == 0) 1f
+    else {
+      var h = r.toLong * 0x9E3779B97F4A7C15L + i.toLong * 0xC2B2AE3D27D4EB4FL
+      h ^= (h >>> 33); h *= 0xFF51AFD7ED558CCDL; h ^= (h >>> 33)
+      if ((h & 1L) == 0L) 1f else -1f
+    }
+
+  /** embeddings replica r: multiply by the sign-flip diagonal D_r —
+    * orthogonal, so within-replica geometry is exact; cross-replica
+    * cosines decorrelate even for corpora with a shared mean direction. */
+  def flipEmb(df: DataFrame, r: Int, dim: Int = graft.Tables.EmbeddingDim): DataFrame = {
+    val signs = array((0 until dim).map(i => lit(sign(r, i))): _*)
+    df.select(
+      (col("vec_id") + lit(r * IdOffset)).as("vec_id"),
+      (if (r == 0) col("embedding")
+       else zip_with(col("embedding"), signs, (a, s) => a * s)).as("embedding"),
+      col("label"))
+  }
+
+  /** events replica r: disjoint id space, same time span (10× density —
+    * the harder regime for the window operators). */
+  def offsetEvents(df: DataFrame, r: Int): DataFrame =
+    df.select(
+      (col("event_id") + lit(r * IdOffset)).as("event_id"),
+      col("ts"),
+      (col("user_id") + lit(r * IdOffset)).as("user_id"),
+      col("event_type"), col("value"), col("props"))
+
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val dest = args.lift(1).getOrElse("/tmp/graft_sf1")
+    val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val spark = Sessions.local()
+    spark.sparkContext.setLogLevel("WARN")
+    Files.createDirectories(Paths.get(dest))
+
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem").foreach { t =>
+      Files.copy(Paths.get(s"$src/$t.parquet"), Paths.get(s"$dest/$t.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+
+    def replicate(name: String, perReplica: (DataFrame, Int) => DataFrame): Unit = {
+      val base = spark.read.parquet(s"$src/$name.parquet")
+      val out = (0 until factor).map(r => perReplica(base, r))
+        .reduce(_ unionAll _)
+      out.write.mode("overwrite").parquet(s"$dest/$name.parquet")
+      System.err.println(s"[scale-fixture] $name x$factor -> $dest")
+    }
+
+    replicate("documents", saltDocs)
+    replicate("embeddings", flipEmb(_, _))
+    // events.ts reads as LongType ns (nanosAsLong) and is written back as
+    // a long column of the same name; Tables.events renames it to ts_ns
+    // either way, so the engine-side queries see an identical schema
+    replicate("events", offsetEvents)
+
+    spark.stop()
+  }
+}
+
+/** Logs the dedup-family candidate/pair counts at an SF dir — the scale
+  * gate's evidence line: counts must grow ~linearly between octaves.
+  *
+  * d5 is reported in BOTH regimes because they scale differently by
+  * design: the production regime (8 bands × 16 bits, threshold 0.9) is
+  * the one that must stay linear; the wide demo regime (32 × 4, threshold
+  * 0.45) trades pruning for recall at a low threshold — a 4-bit band
+  * matches a random pair with p = 1/16, so with 32 bands nearly every
+  * pair is a candidate and the candidate set is inherently ~quadratic.
+  * That regime exists for the small-corpus oracle demo, not for scale.
+  *
+  * Usage: runMain graft.bench.ScaleReport [sfDir]
+  */
+object ScaleReport {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = Sessions.local()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = graft.Tables.documents(spark, dir)
+    val emb = graft.Tables.embeddings(spark, dir)
+    val dim = graft.Tables.EmbeddingDim
+    val nDocs = docs.count()
+    val nEmb = emb.count()
+    val d2 = graft.queries.DedupQueries.minhashLsh(docs).count()
+    spark.catalog.clearCache()
+    val d3 = graft.queries.DedupQueries.jaccardPairs(docs).count()
+    spark.catalog.clearCache()
+    val d5prodCand = graft.queries.DedupQueries
+      .embNearDupBanded(emb, 8, 16, threshold = -1.0, dim = dim).count()
+    spark.catalog.clearCache()
+    // bits-per-band sweep: chance candidates scale as n^2 * bands * 2^-bits,
+    // so holding bits fixed across octaves is quadratic BY CONSTRUCTION and
+    // the scale rule is bits ~ log2(n) — these two extra points pin the law
+    val d5cand20 = graft.queries.DedupQueries
+      .embNearDupBanded(emb, 8, 20, threshold = -1.0, dim = dim).count()
+    spark.catalog.clearCache()
+    val d5cand24 = graft.queries.DedupQueries
+      .embNearDupBanded(emb, 8, 24, threshold = -1.0, dim = dim).count()
+    spark.catalog.clearCache()
+    val d5prod = graft.queries.DedupQueries
+      .embNearDupBanded(emb, 8, 16, threshold = 0.9, dim = dim).count()
+    spark.catalog.clearCache()
+    val d5demo = graft.queries.DedupQueries
+      .embNearDupBanded(emb, 32, 4, threshold = 0.45, dim = dim).count()
+    val json =
+      s"""{"dir":"$dir","documents":$nDocs,"embeddings":$nEmb,""" +
+        s""""d2_candidates":$d2,"d3_pairs":$d3,""" +
+        s""""d5_prod_candidates":$d5prodCand,""" +
+        s""""d5_cand_20bit":$d5cand20,"d5_cand_24bit":$d5cand24,""" +
+        s""""d5_prod_pairs":$d5prod,"d5_demo_pairs":$d5demo}"""
+    spark.stop()
+    println(json)
+  }
+}

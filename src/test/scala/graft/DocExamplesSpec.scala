@@ -1,0 +1,140 @@
+package graft
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.Graft
+
+/** Compiles AND runs the README "Quickstart" snippets against the test
+  * corpus, then asserts the README blocks are verbatim copies of the code
+  * here (modulo indentation) — so the docs cannot drift from a compiling,
+  * passing example. If an edit here fails the binding test, update the
+  * README block (or vice versa).
+  */
+class DocExamplesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.01"
+
+  test("quickstart: near-dup pairs, clustering, dedup") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+
+    // MinHash-LSH candidate pairs, verified by exact shingle Jaccard
+    val pairs = Graft.nearDupPairs(docs)
+
+    // cluster the pair graph; keep the smallest doc_id per cluster
+    val clusters = Graft.connectedComponents(pairs.select("doc_a", "doc_b"))
+    val losers = clusters
+      .join(clusters.groupBy("component").agg(min("id").as("keep_id")),
+        "component")
+      .filter(col("id") =!= col("keep_id"))
+      .select(col("id").as("doc_id"))
+    val deduped = docs.join(losers, Seq("doc_id"), "left_anti")
+
+    assert(pairs.count() > 0)
+    assert(deduped.count() < docs.count())
+    spark.catalog.clearCache()
+  }
+
+  test("quickstart: embedding near-dups and ANN") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+
+    // near-dup pairs at the production operating point (cosine >= 0.9):
+    // narrow bands — 8 bands x 16 sign-bits (bits grow with log2(corpus),
+    // see BENCH_NOTES.md for the measured scaling law)
+    val dups = Graft.embeddingNearDups(emb, bands = 8, rowBits = 16,
+      threshold = 0.9, dim = 64)
+
+    // approximate nearest neighbors: top-3 by exact cosine within each
+    // full-signature LSH bucket
+    val neighbors = Graft.annTopK(emb, topK = 3, dim = 64)
+
+    // sf0.01 has no 0.9-grade pairs — the schema is the contract here
+    assert(dups.columns.toSeq == Seq("vec_a", "vec_b", "cosine"))
+    assert(neighbors.count() > 0)
+    spark.catalog.clearCache()
+  }
+
+  test("quickstart: quality signals and sequence packing") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+
+    // Gopher-style repetition filters, then fixed-budget sequence packing
+    val signals = Graft.repetitionSignals(docs)
+    val clean = docs.join(
+      signals.filter(col("dup_3gram_frac") < lit(0.2)).select("doc_id"),
+      "doc_id")
+    val bins = Graft.packSequences(clean, budget = 2048L, stride = 1024L)
+
+    assert(bins.count() > 0)
+    spark.catalog.clearCache()
+  }
+
+  test("quickstart: as-of join (attribution)") {
+    val events = spark.read.parquet(s"$dir/events.parquet")
+    val views = events.filter(col("event_type") === "view")
+    val purchases = events.filter(col("event_type") === "purchase")
+
+    // most recent strictly-earlier view per purchase; both sides large =>
+    // the range-bucketed strategy (here one hour of ns per bucket)
+    val attributed = Graft.asOfJoinBucketed(purchases, views,
+      key = "user_id", ts = "ts", id = "event_id", value = "value",
+      bucketWidth = 3600L * 1000000000L)
+
+    assert(attributed.count() == purchases.count())
+    spark.catalog.clearCache()
+  }
+
+  test("quickstart: compaction (dry run)") {
+    val dataRoot = Files.createTempDirectory("graft_doc_compact").toString
+
+    import graft.compact.CompactConfig
+
+    // the reference engine's whole job: snapshot-metadata-driven parquet
+    // compaction with crash-safe commit ordering (dryRun plans only)
+    val reports = Graft.runCompaction(spark,
+      CompactConfig(dataDir = dataRoot, dryRun = true))
+
+    assert(reports.isEmpty) // empty root: nothing to compact
+  }
+
+  test("quickstart: streaming corpus ingest") {
+    val landingDir = Files.createTempDirectory("graft_doc_landing").toString
+    val outDir = Files.createTempDirectory("graft_doc_ingest").toString + "/out"
+    Files.copy(Paths.get(s"$dir/documents.parquet"),
+      Paths.get(s"$landingDir/batch0.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+
+    // cross-batch fingerprint dedup + token-count quality gate over a
+    // landing directory; AvailableNow drains it and stops
+    val ingested = Graft.ingestCorpus(spark, landingDir, minTokens = 5)
+    val query = ingested.writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", s"$outDir/_checkpoint")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+
+    assert(spark.read.parquet(outDir).count() > 0)
+  }
+
+  test("README quickstart blocks are verbatim copies of this spec's code") {
+    val readme = new String(Files.readAllBytes(Paths.get("README.md")), UTF_8)
+    val start = readme.indexOf("## Quickstart")
+    assert(start >= 0, "README.md must have a '## Quickstart' section")
+    val end = readme.indexOf("\n## ", start + 1) match {
+      case -1 => readme.length; case i => i
+    }
+    val section = readme.substring(start, end)
+    val blocks = raw"(?s)```scala\n(.*?)```".r
+      .findAllMatchIn(section).map(_.group(1)).toSeq
+    assert(blocks.size >= 6, s"expected >= 6 scala blocks, got ${blocks.size}")
+    val self = new String(Files.readAllBytes(
+      Paths.get("src/test/scala/graft/DocExamplesSpec.scala")), UTF_8)
+    def norm(s: String) =
+      s.linesIterator.map(_.trim).filter(_.nonEmpty).mkString("\n")
+    val normSelf = norm(self)
+    for (b <- blocks)
+      assert(normSelf.contains(norm(b)),
+        s"README block has drifted from DocExamplesSpec:\n$b")
+  }
+}
