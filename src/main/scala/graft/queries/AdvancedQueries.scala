@@ -543,5 +543,33 @@ object AdvancedQueries {
              |  length(event_type) > 0 AS ne,
              |  user_id // 7 AS ud7,
              |  user_id % 7 AS um7
+             |FROM events""".stripMargin)),
+
+    // ---- DISTINCT COUNT OVER A ROLLING WINDOW: per user, how many
+    // distinct event types in the last 10 events. Spark has no
+    // count(DISTINCT) window aggregate — the composable form is
+    // collect_list over the frame → array_distinct → size, which keeps
+    // the frame buffer O(frame) per row (10 here) instead of a
+    // per-(user, row) re-scan. Order is (ts_us, event_id): µs resolution
+    // matches what DuckDB sees of the ns parquet column, event_id breaks
+    // ties deterministically in both engines.
+    Q(
+      "q46_window_distinct",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_us"), col("event_id"))
+          .rowsBetween(-9, 0)
+        Tables.events(s, d)
+          .withColumn("ts_us", expr("ts_ns div 1000"))
+          .select(col("event_id"), col("user_id"),
+            size(array_distinct(collect_list(col("event_type")).over(w)))
+              .cast("bigint").as("n_types_10"))
+      },
+      Some("""SELECT event_id, user_id,
+             |  CAST(len(list_distinct(list(event_type) OVER (
+             |    PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             |    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))) AS BIGINT)
+             |    AS n_types_10
              |FROM events""".stripMargin)))
 }

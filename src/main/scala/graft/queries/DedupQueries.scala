@@ -362,6 +362,63 @@ object DedupQueries {
        |SELECT node AS id, MIN(label) AS component
        |FROM reach GROUP BY node""".stripMargin
 
+  /** Asymmetric n-gram CONTAINMENT on the LSH candidate pairs:
+    * C(A→B) = |A∩B| / |A|. Symmetric Jaccard misses subset duplication —
+    * a short doc wholly quoted inside a long one has J = |A|/|B| (small)
+    * but C(A→B) = 1 — so containment is the standard second dedup gate
+    * (e.g. quote/boilerplate inclusion). Candidates come from the same
+    * banded MinHash join as d3 (recall for *small-inside-large* pairs is
+    * bounded by their Jaccard — the honest limit of shared candidate
+    * generation, stated here rather than hidden; a dedicated containment
+    * recall pass would LSH the short side's shingles only).
+    * Both divisions are int64/int64 in IEEE double — bit-identical
+    * cross-engine. */
+  private[graft] def containmentPairs(docsIn: DataFrame): DataFrame = {
+    val docs = docsIn
+      .select(col("doc_id"), TextOps.shingles(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val (lsh, pinned) = minhashLshPinned(docsIn)
+    val out = lsh.select("doc_a", "doc_b")
+      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("bigint"))
+      .withColumn("n_a", size(col("sh_a")).cast("bigint"))
+      .withColumn("n_b", size(col("sh_b")).cast("bigint"))
+      .withColumn("cont_a", col("inter").cast("double") / col("n_a").cast("double"))
+      .withColumn("cont_b", col("inter").cast("double") / col("n_b").cast("double"))
+      .filter(greatest(col("cont_a"), col("cont_b")) >= 0.6)
+      .select("doc_a", "doc_b", "inter", "n_a", "n_b", "cont_a", "cont_b")
+    // same pin ownership story as d3: candidates' sketch tables released
+    // by Verify/Bench clearCache, or by the facade's materialized()
+    out
+  }
+  private def containmentPairsSql =
+    s"""WITH sig AS ($minhashSigsSql),
+       |bands AS (
+       |    ${(0 until Bands).map { b =>
+             val cols = (0 until Rows).map(r => s"s${b * Rows + r}").mkString(", '_', ")
+             s"SELECT doc_id, $b AS band_idx, concat($cols) AS band_val FROM sig"
+           }.mkString("\n    UNION ALL ")}),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       |   AND a.doc_id < b.doc_id),
+       |sh AS (SELECT doc_id, ${TextOps.shinglesSql("text")} AS sh
+       |       FROM documents WHERE len(${TextOps.tokensSql("text")}) >= 3),
+       |c AS (
+       |  SELECT doc_a, doc_b,
+       |    CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS inter,
+       |    CAST(len(sa.sh) AS BIGINT) AS n_a,
+       |    CAST(len(sb.sh) AS BIGINT) AS n_b
+       |  FROM cand JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b)
+       |SELECT doc_a, doc_b, inter, n_a, n_b,
+       |  CAST(inter AS DOUBLE) / CAST(n_a AS DOUBLE) AS cont_a,
+       |  CAST(inter AS DOUBLE) / CAST(n_b AS DOUBLE) AS cont_b
+       |FROM c
+       |WHERE greatest(CAST(inter AS DOUBLE) / CAST(n_a AS DOUBLE),
+       |               CAST(inter AS DOUBLE) / CAST(n_b AS DOUBLE)) >= 0.6""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("d1_exact_dedup", (s, d) => exactDedup(Tables.documents(s, d)),
       Some(exactDedupSql)),
@@ -373,5 +430,7 @@ object DedupQueries {
       Some(simhashSql)),
     Q("d5_embedding_neardup", embNearDup, Some(embNearDupSql)),
     Q("d6_dedup_keep", dedupKeep, Some(dedupKeepSql)),
-    Q("d7_components", components, Some(componentsSql)))
+    Q("d7_components", components, Some(componentsSql)),
+    Q("d9_containment", (s, d) => containmentPairs(Tables.documents(s, d)),
+      Some(containmentPairsSql)))
 }
