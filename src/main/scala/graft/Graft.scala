@@ -60,6 +60,14 @@ object Graft {
   def simhashFingerprints(docs: DataFrame): DataFrame =
     queries.DedupQueries.simhash(docs)
 
+  /** Asymmetric containment pairs on the LSH candidates:
+    * (doc_a, doc_b, inter, n_a, n_b, cont_a, cont_b) where
+    * cont_a = |A∩B|/|A| — the subset-duplication gate (a short doc
+    * wholly quoted inside a long one scores cont≈1 at low Jaccard).
+    * Eagerly materialized (facade cache contract). */
+  def containmentPairs(docs: DataFrame): DataFrame =
+    materialized(queries.DedupQueries.containmentPairsPinned(docs))
+
   /** Embedding near-duplicate pairs (emb: `vec_id` long, `embedding`
     * array<float>): banded sign-projection LSH candidates + exact
     * quantized cosine ≥ threshold. Use wide bands (few rowBits) for low

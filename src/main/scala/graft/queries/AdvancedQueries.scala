@@ -571,5 +571,24 @@ object AdvancedQueries {
              |    PARTITION BY user_id ORDER BY epoch_us(ts), event_id
              |    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))) AS BIGINT)
              |    AS n_types_10
-             |FROM events""".stripMargin)))
+             |FROM events""".stripMargin)),
+
+    // ---- HISTOGRAM / BINNING: fixed-width value buckets per event type,
+    // one hash-aggregate (map-side partials make this a classic
+    // scale-flat shape). The bucket index is floor(value / width) in IEEE
+    // double arithmetic — identical in both engines — rather than a
+    // width_bucket builtin (DuckDB lacks it) or a histogram() map-agg
+    // (map outputs can't be hash-compared).
+    Q(
+      "q47_histogram",
+      (s, d) =>
+        Tables.events(s, d)
+          .groupBy(col("event_type"),
+            floor(col("value") / 50d).cast("bigint").as("bucket"))
+          .agg(count(lit(1)).as("n"),
+            moneySum(col("value")).as("sum_v")),
+      Some(s"""SELECT event_type,
+              |  CAST(FLOOR(value / 50) AS BIGINT) AS bucket,
+              |  COUNT(1) AS n, ${Q.moneySum("value")} AS sum_v
+              |FROM events GROUP BY 1, 2""".stripMargin)))
 }

@@ -373,7 +373,9 @@ object DedupQueries {
     * recall pass would LSH the short side's shingles only).
     * Both divisions are int64/int64 in IEEE double — bit-identical
     * cross-engine. */
-  private[graft] def containmentPairs(docsIn: DataFrame): DataFrame = {
+  private[graft] def containmentPairs(docsIn: DataFrame): DataFrame =
+    containmentPairsPinned(docsIn)._1
+  private[graft] def containmentPairsPinned(docsIn: DataFrame): (DataFrame, Seq[DataFrame]) = {
     val docs = docsIn
       .select(col("doc_id"), TextOps.shingles(col("text")).as("sh"))
       .filter(size(col("sh")) > 0)
@@ -388,9 +390,7 @@ object DedupQueries {
       .withColumn("cont_b", col("inter").cast("double") / col("n_b").cast("double"))
       .filter(greatest(col("cont_a"), col("cont_b")) >= 0.6)
       .select("doc_a", "doc_b", "inter", "n_a", "n_b", "cont_a", "cont_b")
-    // same pin ownership story as d3: candidates' sketch tables released
-    // by Verify/Bench clearCache, or by the facade's materialized()
-    out
+    (out, pinned)
   }
   private def containmentPairsSql =
     s"""WITH sig AS ($minhashSigsSql),
