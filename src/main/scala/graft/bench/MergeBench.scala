@@ -23,7 +23,11 @@ object MergeBench {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
 
-    val root = Files.createTempDirectory("graft_merge_bench")
+    // optional 3rd arg: reuse an existing fixture dir (re-time merges
+    // under different host conditions without 15 min of regeneration)
+    val reuse = args.lift(2).filter(d => Files.isDirectory(Paths.get(d)))
+    val root = reuse.map(Paths.get(_)).getOrElse(
+      Files.createTempDirectory("graft_merge_bench"))
     val base = 1737928800L * 1000000000L
     val relDir = "edge0/dbs/db-0/table-0/2025-01-26/22-00"
     Files.createDirectories(Paths.get(root.toString, relDir))
@@ -33,18 +37,20 @@ object MergeBench {
     val metas = (0 until nFiles).map { f =>
       val rel = f"$relDir/${f + 1}%010d.parquet"
       val dest = Paths.get(root.toString, rel)
-      val tmp = Paths.get(root.toString, s".tmp$f")
-      spark.range(rowsPerFile)
-        .select(
-          (lit(base) + (col("id") * nFiles + f) * 1000000L).as("time"),
-          concat(lit("sensor"), pmod(col("id"), lit(500))).as("sensor"),
-          (col("id") % 1000).cast("double").as("value"),
-          sha1(concat(lit(f), col("id"))).as("payload"))
-        .coalesce(1).write.mode("overwrite")
-        .option("compression", "zstd").parquet(tmp.toString)
-      val part = Files.list(tmp).filter(p => p.toString.endsWith(".parquet"))
-        .findFirst().get()
-      Files.move(part, dest, StandardCopyOption.REPLACE_EXISTING)
+      if (reuse.isEmpty) {
+        val tmp = Paths.get(root.toString, s".tmp$f")
+        spark.range(rowsPerFile)
+          .select(
+            (lit(base) + (col("id") * nFiles + f) * 1000000L).as("time"),
+            concat(lit("sensor"), pmod(col("id"), lit(500))).as("sensor"),
+            (col("id") % 1000).cast("double").as("value"),
+            sha1(concat(lit(f), col("id"))).as("payload"))
+          .coalesce(1).write.mode("overwrite")
+          .option("compression", "zstd").parquet(tmp.toString)
+        val part = Files.list(tmp).filter(p => p.toString.endsWith(".parquet"))
+          .findFirst().get()
+        Files.move(part, dest, StandardCopyOption.REPLACE_EXISTING)
+      }
       val size = Files.size(dest)
       FileMeta(f + 1, rel, size, rowsPerFile,
         base, base + f * 1000000L, base + (rowsPerFile.toLong * nFiles) * 1000000L)

@@ -275,7 +275,10 @@ object DedupQueries {
     // a pair appears once per shared band; dedup AFTER the (cheap, fully
     // pipelined) dot + threshold filter, so the exchange only ever carries
     // the surviving pairs — a distinct on the raw candidate multiset
-    // measured 2-3 s of pure shuffle at sf0.1 for zero extra pruning
+    // measured 2-3 s of pure shuffle at sf0.1 for zero extra pruning.
+    // Re-measured at the 10x octave where the multiset is ~2n^2 rows
+    // (bench.D5Ab): filter-first 32.8 s vs distinct-first 62.2 s — the
+    // pair shuffle dominates duplicate dot-products at every tested scale
     val out = cand
       .join(e.select(col("vec_id").as("vec_a"), col("q").as("qa"), col("nn").as("na")), "vec_a")
       .join(e.select(col("vec_id").as("vec_b"), col("q").as("qb"), col("nn").as("nb")), "vec_b")

@@ -176,4 +176,27 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(spark.sparkContext.getPersistentRDDs.isEmpty,
       spark.sparkContext.getPersistentRDDs.values.map(_.name).mkString(", "))
   }
+
+  test("d9 containment candidates come from equi-joins only (same gate as d5)") {
+    val df = SparkEntry.queries("d9_containment")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    spark.catalog.clearCache()
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.linesIterator.filter(_.contains("Join")).mkString("\n"))
+  }
+
+  test("q47 histogram aggregates partially (map-side combine before the exchange)") {
+    val p = plan("q47_histogram")
+    val firstAgg = p.linesIterator.toSeq.reverse
+      .find(_.contains("HashAggregate")).getOrElse("")
+    assert(firstAgg.contains("partial_count") || firstAgg.contains("partial"),
+      s"bottom-most aggregate must be partial:\n$firstAgg")
+  }
+
+  test("q46 rolling-distinct window plans one exchange by user, no extra sort passes") {
+    val p = plan("q46_window_distinct")
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges == 1, s"expected exactly one shuffle (by user_id):\n$p")
+  }
 }
