@@ -49,13 +49,22 @@ object Bench {
     // printed twice — and (b) fit the window: per-query times at 3 decimals
     // keep the 68-query line at ~1.7 KB (full double precision overflowed
     // the window in rounds 1-2 → `parsed: null`).
-    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
-      .mkString("{", ",", "}")
+    def fmt(dec: Int)(v: Double): String =
+      s"%.${dec}f".formatLocal(java.util.Locale.ROOT, v)
     val total = results.map(_._2).sum
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val json =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    def render(f: Double => String): String = {
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(3)(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    }
+    // if the growing registry ever pushes the 3-decimal line past the
+    // driver's 2000-char stdout window, degrade per-query precision to
+    // centiseconds rather than overflow back to `parsed: null`
+    val json = {
+      val j3 = render(fmt(3))
+      if (j3.length <= 1900) j3 else render(fmt(2))
+    }
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_OUT.json"), json + "\n")
     spark.stop()

@@ -9,7 +9,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * pipeline is oracle- or property-gated (see SparkEntry / the test
   * suites).
   *
-  * The full declared surface — 68 oracle-gated queries over the
+  * The full declared surface — 76 oracle-gated queries over the
   * reference parity ops, TPC-H-shaped relational coverage, time-series,
   * text analysis, multimodal and streaming families — is enumerated in
   * [[SparkEntry.queries]]; this facade exposes the operations with a
@@ -79,6 +79,14 @@ object Graft {
     materialized(queries.DedupQueries.embNearDupBandedPinned(
       emb, bands, rowBits, threshold, dim))
 
+  /** Quality-aware cluster canonicalization: near-dup clusters (connected
+    * components over verified Jaccard pairs) each keep their LONGEST
+    * member, ties to the smallest doc_id —
+    * (component, keep_id, keep_chars, n_members, sum_chars).
+    * Eagerly materialized (facade cache contract). */
+  def keepBestPerCluster(docs: DataFrame): DataFrame =
+    materialized(queries.DedupQueries.keepBestPinned(docs))
+
   /** Connected components over an undirected pair list (two long
     * columns) → (id, component): the keep-one-per-cluster step.
     * Pointer-jumping label propagation, O(log diameter) rounds.
@@ -121,6 +129,14 @@ object Graft {
   def packSequences(docs: DataFrame, budget: Long = 2048L,
       stride: Long = 1024L): DataFrame =
     queries.PipelineQueries.sequencePack(docs, budget, stride)
+
+  /** Context-window chunking: split each document into `window`-token
+    * chunks overlapping by `overlap` tokens —
+    * (doc_id, chunk_idx, start_tok, chunk_tok, first_tok). Pure integer
+    * math, one explode, no shuffle. */
+  def chunkDocuments(docs: DataFrame, window: Long = 64L,
+      overlap: Long = 16L): DataFrame =
+    queries.PipelineQueries.chunk(docs, window, overlap)
 
   // ---- joins ------------------------------------------------------------
 

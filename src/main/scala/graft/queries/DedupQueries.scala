@@ -352,18 +352,71 @@ object DedupQueries {
       jaccardPairs(Tables.documents(s, d)).select(col("doc_a"), col("doc_b")))
       .orderBy(col("id")) // deterministic presentation; tiny result
   /** Transitive closure via recursive CTE (UNION dedup terminates it),
-    * then min reachable label per node == the component id. */
-  private def componentsSql =
-    s"""WITH RECURSIVE pairs AS ($jaccardPairsSql),
+    * then min reachable label per node == the component id. Shared by the
+    * d7 gate and d10's cluster-canonicalization oracle. */
+  private def componentsCtes =
+    s"""pairs AS ($jaccardPairsSql),
        |edges AS (
        |  SELECT doc_a AS u, doc_b AS v FROM pairs
        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
        |reach(node, label) AS (
        |  SELECT DISTINCT u, u FROM edges
        |  UNION
-       |  SELECT e.v, r.label FROM reach r JOIN edges e ON e.u = r.node)
-       |SELECT node AS id, MIN(label) AS component
-       |FROM reach GROUP BY node""".stripMargin
+       |  SELECT e.v, r.label FROM reach r JOIN edges e ON e.u = r.node),
+       |labels AS (
+       |  SELECT node AS id, MIN(label) AS component
+       |  FROM reach GROUP BY node)""".stripMargin
+  private def componentsSql =
+    s"""WITH RECURSIVE $componentsCtes
+       |SELECT id, component FROM labels""".stripMargin
+
+  /** Quality-aware cluster canonicalization (d10): for every near-dup
+    * cluster (connected component over the verified Jaccard pairs), keep
+    * the longest member — ties broken by min doc_id — and report cluster
+    * size and volume. This is the step after d7 in a real pipeline:
+    * pair-wise "drop the higher id" (d6) keeps an arbitrary member; a
+    * quality-ranked argmax per component keeps the best one.
+    *
+    * Shape at scale: labels are the d7 fixpoint output (shuffle-bounded);
+    * the ranking window partitions BY COMPONENT — millions of small
+    * partitions, never global; the per-component aggregate is one
+    * hash-agg. */
+  private[graft] def keepBest(docs: DataFrame): DataFrame =
+    keepBestPinned(docs)._1
+  private[graft] def keepBestPinned(docs: DataFrame): (DataFrame, Seq[DataFrame]) = {
+    val (pairs, pinned) = jaccardPairsPinned(docs)
+    val labels = graft.operators.Components.connectedComponents(
+      pairs.select(col("doc_a"), col("doc_b")))
+    val sized = labels.join(
+      docs.select(col("doc_id").as("id"),
+        length(col("text")).cast("bigint").as("n_chars")),
+      "id")
+    val w = Window.partitionBy(col("component"))
+      .orderBy(col("n_chars").desc, col("id").asc)
+    val keep = sized.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("component"), col("id").as("keep_id"),
+        col("n_chars").as("keep_chars"))
+    val agg = sized.groupBy(col("component"))
+      .agg(count(lit(1)).as("n_members"), sum(col("n_chars")).as("sum_chars"))
+    val out = keep.join(agg, "component")
+      .select("component", "keep_id", "keep_chars", "n_members", "sum_chars")
+    (out, pinned :+ labels)
+  }
+  private def keepBestSql =
+    s"""WITH RECURSIVE $componentsCtes,
+       |sized AS (
+       |  SELECT l.id, l.component, CAST(length(d.text) AS BIGINT) AS n_chars
+       |  FROM labels l JOIN documents d ON d.doc_id = l.id),
+       |k AS (
+       |  SELECT component, id AS keep_id, n_chars AS keep_chars,
+       |    row_number() OVER (
+       |      PARTITION BY component ORDER BY n_chars DESC, id) AS rk
+       |  FROM sized)
+       |SELECT s.component, k.keep_id, k.keep_chars,
+       |  COUNT(1) AS n_members, CAST(SUM(s.n_chars) AS BIGINT) AS sum_chars
+       |FROM sized s JOIN k ON k.component = s.component AND k.rk = 1
+       |GROUP BY 1, 2, 3""".stripMargin
 
   /** Asymmetric n-gram CONTAINMENT on the LSH candidate pairs:
     * C(A→B) = |A∩B| / |A|. Symmetric Jaccard misses subset duplication —
@@ -435,5 +488,7 @@ object DedupQueries {
     Q("d6_dedup_keep", dedupKeep, Some(dedupKeepSql)),
     Q("d7_components", components, Some(componentsSql)),
     Q("d9_containment", (s, d) => containmentPairs(Tables.documents(s, d)),
-      Some(containmentPairsSql)))
+      Some(containmentPairsSql)),
+    Q("d10_keep_best", (s, d) => keepBest(Tables.documents(s, d)),
+      Some(keepBestSql)))
 }

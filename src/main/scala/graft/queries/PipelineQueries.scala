@@ -163,6 +163,53 @@ object PipelineQueries {
        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
        |FROM c GROUP BY 1, 2""".stripMargin
 
+  /** Context-window chunking (q48): split every document into fixed
+    * token-budget chunks with overlap — window 64 tokens, overlap 16
+    * (stride 48) — the step that turns documents into model-sized training
+    * sequences (RAG indexing and pretraining both run it). Pure integer
+    * math: `n_chunks = 1 + ceil(max(n_tok - W, 0) / stride)`, chunk i
+    * covers `[i*stride, i*stride + min(W, n_tok - i*stride))`; every chunk
+    * start is in-range by construction so the tail is never empty. One
+    * scan + one explode over a computed range — no shuffle at all; the
+    * per-doc fan-out is n_tok/stride, linear in corpus size. */
+  private[graft] def chunk(docs: DataFrame, window: Long = 64L,
+      overlap: Long = 16L): DataFrame = {
+    val stride = window - overlap
+    val base = docs.select(col("doc_id"),
+      TextOps.tokens(col("text")).as("toks"),
+      size(TextOps.tokens(col("text"))).cast("bigint").as("n_tok"))
+      .withColumn("n_chunks",
+        when(col("n_tok") <= window, lit(1L))
+          .otherwise(expr(s"(n_tok - $window + $stride - 1) div $stride") + 1L))
+    base
+      .select(col("doc_id"), col("toks"), col("n_tok"),
+        explode(sequence(lit(0L), col("n_chunks") - 1L)).as("chunk_idx"))
+      .withColumn("start_tok", col("chunk_idx") * stride)
+      .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
+        least(lit(window), col("n_tok") - col("start_tok")).as("chunk_tok"),
+        element_at(col("toks"), (col("start_tok") + 1L).cast("int"))
+          .as("first_tok"))
+  }
+  private val chunkSql = {
+    val (w, v) = (64L, 16L); val s = w - v
+    s"""WITH t AS (
+       |  SELECT doc_id, ${TextOps.tokensSql("text")} AS toks,
+       |    CAST(len(${TextOps.tokensSql("text")}) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |n AS (
+       |  SELECT doc_id, toks, n_tok,
+       |    CASE WHEN n_tok <= $w THEN 1
+       |         ELSE (n_tok - $w + $s - 1) // $s + 1 END AS n_chunks
+       |  FROM t),
+       |c AS (SELECT doc_id, toks, n_tok,
+       |        unnest(range(n_chunks)) AS chunk_idx FROM n)
+       |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       |  CAST(chunk_idx * $s AS BIGINT) AS start_tok,
+       |  CAST(least($w, n_tok - chunk_idx * $s) AS BIGINT) AS chunk_tok,
+       |  toks[chunk_idx * $s + 1] AS first_tok
+       |FROM c""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("t6_repetition", (s, d) => repetition(Tables.documents(s, d)),
       Some(repetitionSql)),
@@ -170,5 +217,7 @@ object PipelineQueries {
       Some(contaminationSql)),
     Q("q44_stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),
     Q("q45_sequence_pack", (s, d) => sequencePack(Tables.documents(s, d)),
-      Some(sequencePackSql)))
+      Some(sequencePackSql)),
+    Q("q48_chunks", (s, d) => chunk(Tables.documents(s, d)),
+      Some(chunkSql)))
 }

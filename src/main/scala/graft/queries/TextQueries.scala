@@ -136,10 +136,130 @@ object TextQueries {
        |   FROM unnest(${TextOps.shinglesSql("text")}) AS u(sh)) AS min_shingle_fp
        |FROM documents""".stripMargin
 
+  // ---- PII scrub (t7) ------------------------------------------------------
+  // The corpus text is synthetic words with no PII (verified: zero digits or
+  // '@'s at every SF), so — like d8's deterministic holdout — the query
+  // injects synthetic PII deterministically by doc_id, then detects and
+  // redacts it. The machinery under test is the real thing: RE2/Java-
+  // compatible patterns, global replace, counts, and a fingerprint of the
+  // scrubbed text the oracle must reproduce byte-exactly.
+  private val EmailRx = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val UrlRx = "https?://[A-Za-z0-9./_-]+"
+  private val PhoneRx = "555-[0-9]{4}"
+
+  private def piiScrub(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val aug = concat(col("text"),
+      when(id % 5 === 0,
+        concat(lit(" contact_"), id.cast("string"), lit("@example.com")))
+        .otherwise(lit("")),
+      when(id % 7 === 0,
+        concat(lit(" see https://example.org/d/"), id.cast("string")))
+        .otherwise(lit("")),
+      when(id % 11 === 0,
+        concat(lit(" call 555-"), lpad((id % 10000).cast("string"), 4, "0")))
+        .otherwise(lit("")))
+    val clean = regexp_replace(regexp_replace(regexp_replace(aug,
+      EmailRx, "<EMAIL>"), UrlRx, "<URL>"), PhoneRx, "<PHONE>")
+    Tables.documents(s, d).select(
+      id,
+      regexp_count(aug, lit(EmailRx)).cast("bigint").as("n_emails"),
+      regexp_count(aug, lit(UrlRx)).cast("bigint").as("n_urls"),
+      regexp_count(aug, lit(PhoneRx)).cast("bigint").as("n_phones"),
+      length(clean).cast("bigint").as("clean_chars"),
+      graft.functions.XHash.hash60(clean).as("clean_fp"))
+  }
+  private val piiScrubSql = {
+    val aug = "text" +
+      " || CASE WHEN doc_id % 5 = 0 THEN ' contact_' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END" +
+      " || CASE WHEN doc_id % 7 = 0 THEN ' see https://example.org/d/' || CAST(doc_id AS VARCHAR) ELSE '' END" +
+      " || CASE WHEN doc_id % 11 = 0 THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END"
+    val clean = s"regexp_replace(regexp_replace(regexp_replace(aug, " +
+      s"'$EmailRx', '<EMAIL>', 'g'), '$UrlRx', '<URL>', 'g'), '$PhoneRx', '<PHONE>', 'g')"
+    s"""WITH a AS (SELECT doc_id, $aug AS aug FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(aug, '$EmailRx')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(aug, '$UrlRx')) AS BIGINT) AS n_urls,
+       |  CAST(len(regexp_extract_all(aug, '$PhoneRx')) AS BIGINT) AS n_phones,
+       |  CAST(length($clean) AS BIGINT) AS clean_chars,
+       |  ${graft.functions.XHash.hash60Sql(clean)} AS clean_fp
+       |FROM a""".stripMargin
+  }
+
+  // ---- Vocabulary / Zipf view (t8) ----------------------------------------
+  /** Corpus-level top-100 tokens by occurrence count (the Zipf head): one
+    * explode + one hash-agg (map-side partials), then `TakeOrderedAndProject`
+    * for the top-k — NOT a global window over the full vocabulary. The rank
+    * column is computed by a window over the already-limited ≤100 rows
+    * (a deliberate single tiny partition, never the corpus). */
+  private def vocab(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.documents(s, d)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n_occ"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n_occ").desc, col("token").asc)
+      .limit(100)
+    counts.withColumn("rank",
+      row_number().over(Window.orderBy(col("n_occ").desc, col("token").asc))
+        .cast("bigint"))
+  }
+  private val vocabSql =
+    s"""WITH c AS (
+       |  SELECT token, COUNT(1) AS n_occ, COUNT(DISTINCT doc_id) AS n_docs
+       |  FROM (SELECT doc_id, unnest(${TextOps.tokensSql("text")}) AS token
+       |        FROM documents)
+       |  GROUP BY 1)
+       |SELECT token, n_occ, n_docs,
+       |  CAST(row_number() OVER (ORDER BY n_occ DESC, token) AS BIGINT) AS rank
+       |FROM c ORDER BY n_occ DESC, token LIMIT 100""".stripMargin
+
+  // ---- TF-IDF keyword extraction (t9) --------------------------------------
+  /** Per-document top-3 keywords by tf-idf. The score is INTEGER-scaled
+    * (`tf * 1e9 div df`) so ranking is bit-identical cross-engine with no
+    * log/double divergence; document frequency comes from one vocab-sized
+    * aggregate (broadcast back onto the (doc, token) counts); the per-doc
+    * ranking window partitions by doc_id — millions of small partitions at
+    * corpus scale, never a global sort. */
+  private def tfidf(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = Tables.documents(s, d)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("token").asc)
+    tf.join(broadcast(df), "token")
+      .withColumn("score", expr("tf * 1000000000L div df_docs"))
+      .withColumn("rk", row_number().over(w).cast("bigint"))
+      .filter(col("rk") <= 3)
+      .select("doc_id", "token", "tf", "df_docs", "score", "rk")
+  }
+  private val tfidfSql =
+    s"""WITH tf AS (
+       |  SELECT doc_id, token, COUNT(1) AS tf
+       |  FROM (SELECT doc_id, unnest(${TextOps.tokensSql("text")}) AS token
+       |        FROM documents)
+       |  GROUP BY 1, 2),
+       |df AS (SELECT token, COUNT(1) AS df_docs FROM tf GROUP BY 1),
+       |s AS (
+       |  SELECT doc_id, tf.token, tf, df_docs, tf * 1000000000 // df_docs AS score
+       |  FROM tf JOIN df ON df.token = tf.token),
+       |r AS (
+       |  SELECT *, CAST(row_number() OVER (
+       |    PARTITION BY doc_id ORDER BY score DESC, token) AS BIGINT) AS rk
+       |  FROM s)
+       |SELECT doc_id, token, tf, df_docs, score, rk FROM r WHERE rk <= 3""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("t1_text_stats", textStats, Some(textStatsSql)),
     Q("t2_quality_score", qualityScore, Some(qualityScoreSql)),
     Q("t3_token_counts", tokenCounts, Some(tokenCountsSql)),
     Q("t4_langid", langId, Some(langIdSql)),
-    Q("t5_fingerprints", fingerprints, Some(fingerprintsSql)))
+    Q("t5_fingerprints", fingerprints, Some(fingerprintsSql)),
+    Q("t7_pii_scrub", piiScrub, Some(piiScrubSql)),
+    Q("t8_vocab", vocab, Some(vocabSql)),
+    Q("t9_tfidf", tfidf, Some(tfidfSql)))
 }

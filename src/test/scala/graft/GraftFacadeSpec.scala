@@ -48,6 +48,23 @@ class GraftFacadeSpec extends AnyFunSuite {
     assert(viaFacadeEmb == viaQueryEmb)
   }
 
+  test("keep-best and chunking facades match the gated queries, clean cache") {
+    val docs = Tables.documents(spark, sf)
+    // registry path first: it pins by design (Verify/Bench clearCache owns
+    // cleanup there) — drop its pins before auditing the facade's hygiene
+    val viaQuery = SparkEntry.queries("d10_keep_best")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    spark.catalog.clearCache()
+    val viaFacade = Graft.keepBestPerCluster(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    assert(viaFacade == viaQuery && viaFacade.nonEmpty)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "keepBestPerCluster left entries pinned")
+    val chunks = Graft.chunkDocuments(docs, window = 32L, overlap = 8L)
+    val n = chunks.agg(sum(col("chunk_tok"))).head.getLong(0)
+    assert(n > 0)
+  }
+
   test("facade calls leave no hidden entries in the session cache") {
     // r2 advice: persist-pinning internals must not leak into a user
     // session — facade results are self-contained (localCheckpoint) and

@@ -68,6 +68,102 @@ class PipelineSpecs extends AnyFunSuite {
     }
   }
 
+  test("q48 chunking: contiguous ids, full non-tail chunks, exact coverage") {
+    val window = 64L; val stride = 48L
+    val chunks = SparkEntry.queries("q48_chunks")(spark, sf).collect()
+      .groupBy(_.getLong(0)) // doc_id
+    val nTok = Tables.documents(spark, sf)
+      .select(col("doc_id"), size(TextOps.tokens(col("text"))).cast("bigint"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(chunks.keySet == nTok.keySet, "every document must be chunked")
+    chunks.foreach { case (doc, rows) =>
+      val byIdx = rows.sortBy(_.getLong(1))
+      val ids = byIdx.map(_.getLong(1))
+      assert(ids.head == 0L && ids.last == ids.length - 1L,
+        s"doc $doc chunk ids not contiguous")
+      byIdx.foreach { r =>
+        assert(r.getLong(2) == r.getLong(1) * stride) // start = idx*stride
+        assert(r.getLong(3) >= 1 && r.getLong(3) <= window)
+      }
+      byIdx.dropRight(1).foreach(r =>
+        assert(r.getLong(3) == window, s"doc $doc non-tail chunk not full"))
+      val last = byIdx.last
+      assert(last.getLong(2) + last.getLong(3) == nTok(doc),
+        s"doc $doc chunks must cover exactly n_tok")
+    }
+  }
+
+  test("t7 pii scrub: redaction removes every match, counts follow injection") {
+    val rows = SparkEntry.queries("t7_pii_scrub")(spark, sf).collect()
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getLong(1) == (if (id % 5 == 0) 1L else 0L), s"emails doc $id")
+      assert(r.getLong(2) == (if (id % 7 == 0) 1L else 0L), s"urls doc $id")
+      assert(r.getLong(3) == (if (id % 11 == 0) 1L else 0L), s"phones doc $id")
+    }
+    // recompute the scrub and assert the cleaned text has NO residual match
+    val id = col("doc_id")
+    val aug = concat(col("text"),
+      when(id % 5 === 0, concat(lit(" contact_"), id.cast("string"),
+        lit("@example.com"))).otherwise(lit("")),
+      when(id % 7 === 0, concat(lit(" see https://example.org/d/"),
+        id.cast("string"))).otherwise(lit("")),
+      when(id % 11 === 0, concat(lit(" call 555-"),
+        lpad((id % 10000).cast("string"), 4, "0"))).otherwise(lit("")))
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val url = "https?://[A-Za-z0-9./_-]+"
+    val phone = "555-[0-9]{4}"
+    val clean = regexp_replace(regexp_replace(regexp_replace(aug,
+      email, "<EMAIL>"), url, "<URL>"), phone, "<PHONE>")
+    val residual = Tables.documents(spark, sf).select(
+      (regexp_count(clean, lit(email)) + regexp_count(clean, lit(url)) +
+        regexp_count(clean, lit(phone))).as("n"))
+      .agg(sum(col("n"))).head.getLong(0)
+    assert(residual == 0L, "scrubbed text must contain no residual PII")
+  }
+
+  test("t8/t9: vocab ranks are a total order; tfidf keeps per-doc top-3") {
+    val vocab = SparkEntry.queries("t8_vocab")(spark, sf).collect()
+      .sortBy(_.getLong(3)) // rank
+    assert(vocab.map(_.getLong(3)).toSeq == (1L to vocab.length).toSeq)
+    vocab.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getLong(1) > b.getLong(1) ||
+        (a.getLong(1) == b.getLong(1) && a.getString(0) < b.getString(0)))
+      case _ => ()
+    }
+    val tfidf = SparkEntry.queries("t9_tfidf")(spark, sf).collect()
+    tfidf.groupBy(_.getLong(0)).foreach { case (doc, rows) =>
+      assert(rows.length <= 3 &&
+        rows.map(_.getLong(5)).sorted.toSeq == (1L to rows.length).toSeq,
+        s"doc $doc")
+      rows.foreach(r => // score is the exact integer-scaled tf-idf
+        assert(r.getLong(4) == r.getLong(2) * 1000000000L / r.getLong(3)))
+    }
+  }
+
+  test("d10 keep_best: canonical doc is the largest member of its cluster") {
+    val best = SparkEntry.queries("d10_keep_best")(spark, sf).collect()
+    assert(best.nonEmpty, "fixture has near-dup clusters")
+    val labels = SparkEntry.queries("d7_components")(spark, sf).collect()
+      .groupBy(_.getLong(1)) // component -> members
+    val chars = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("n_chars"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(best.map(_.getLong(0)).toSet == labels.keySet,
+      "one keeper per component")
+    best.foreach { r =>
+      val (comp, keepId, keepChars, n) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val members = labels(comp).map(_.getLong(0))
+      assert(members.contains(keepId), s"keeper $keepId not in cluster $comp")
+      assert(n == members.length && n >= 2)
+      assert(keepChars == members.map(chars).max,
+        s"cluster $comp keeper is not the longest member")
+      // tie-break: among max-chars members, the smallest id wins
+      assert(keepId == members.filter(m => chars(m) == keepChars).min)
+    }
+  }
+
   test("d8's eval side broadcasts; q44's sample filter reaches the scan stage") {
     val d8 = SparkEntry.queries("d8_contamination")(spark, sf)
     d8.collect()
