@@ -69,6 +69,22 @@ class DocExamplesSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("quickstart: cluster canonicalization and chunking") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+
+    // quality-aware canonicalization: each near-dup cluster keeps its
+    // longest member (ties to the smallest doc_id)
+    val best = Graft.keepBestPerCluster(docs)
+
+    // context-window chunking: 64-token chunks overlapping by 16 —
+    // model-sized training/RAG sequences, one explode, no shuffle
+    val chunks = Graft.chunkDocuments(docs, window = 64L, overlap = 16L)
+
+    assert(best.count() > 0)
+    assert(chunks.count() >= docs.count()) // every doc gets >= 1 chunk
+    spark.catalog.clearCache()
+  }
+
   test("quickstart: as-of join (attribution)") {
     val events = spark.read.parquet(s"$dir/events.parquet")
     val views = events.filter(col("event_type") === "view")

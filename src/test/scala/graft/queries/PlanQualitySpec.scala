@@ -199,4 +199,28 @@ class PlanQualitySpec extends AnyFunSuite {
     val exchanges = p.linesIterator.count(_.contains("Exchange"))
     assert(exchanges == 1, s"expected exactly one shuffle (by user_id):\n$p")
   }
+
+  test("q48 chunking runs with ZERO shuffles (scan + explode only)") {
+    val p = plan("q48_chunks")
+    assert(!p.contains("Exchange"),
+      s"chunking must be a per-row explode, no shuffle:\n$p")
+    assert(p.contains("Generate"), "chunk fan-out must be an explode")
+  }
+
+  test("t8 vocab plans the top-k as TakeOrderedAndProject, not a global sort") {
+    val p = plan("t8_vocab")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"vocab head must be top-k, not a full-vocab global sort:\n$p")
+  }
+
+  test("t9 tfidf broadcasts the vocab-sized df table onto the (doc, token) counts") {
+    val p = plan("t9_tfidf")
+    assert(p.contains("BroadcastHashJoin"),
+      s"df join must broadcast the tiny vocab side:\n$p")
+  }
+
+  test("t7 pii scrub is one scan with zero shuffles (pure scalar pipeline)") {
+    val p = plan("t7_pii_scrub")
+    assert(!p.contains("Exchange"), s"scrub must not shuffle:\n$p")
+  }
 }
