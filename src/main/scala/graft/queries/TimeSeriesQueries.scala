@@ -128,5 +128,61 @@ object TimeSeriesQueries {
              |    lag(epoch_us(ts)) OVER (PARTITION BY user_id
              |      ORDER BY epoch_us(ts), event_id) AS prev_ts
              |  FROM events)
-             |WHERE prev_ts IS NOT NULL AND ts_us <> prev_ts""".stripMargin)))
+             |WHERE prev_ts IS NOT NULL AND ts_us <> prev_ts""".stripMargin)),
+
+    // ---- Windowed anomaly detection (z-score): per user, each value
+    // against the trailing-20-event mean/stddev. One shuffle by user,
+    // one bounded ROWS frame — the alerting query every metrics engine
+    // runs on this data.
+    //
+    // Cross-engine determinism: values become exact int64 CENTS first
+    // (round(value*100) — the corpus ships 2-decimal doubles), so the
+    // frame's sum and sum-of-squares are exact integers in both engines
+    // regardless of accumulation order or sliding-window algorithm.
+    // Variance numerator n·Σc² − (Σc)² is exact int64; z is then a fixed
+    // tree of IEEE ops over exactly-agreed integers — bit-identical with
+    // no rounding function involved.
+    Q(
+      "ts4_zscore",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_us"), col("event_id")).rowsBetween(-19, 0)
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_id"),
+            expr("ts_ns div 1000").as("ts_us"),
+            round(col("value") * 100).cast("bigint").as("c"))
+          .withColumn("n", count(lit(1)).over(w))
+          .withColumn("sum_c", sum(col("c")).over(w))
+          .withColumn("sum_c2", sum(col("c") * col("c")).over(w))
+          .withColumn("var_num",
+            col("n") * col("sum_c2") - col("sum_c") * col("sum_c"))
+          .select(col("user_id"), col("event_id"), col("c"), col("n"),
+            when(col("var_num") > 0,
+              (col("n") * col("c") - col("sum_c")).cast("double") /
+                sqrt(col("var_num").cast("double")))
+              .otherwise(lit(0.0)).as("z"),
+            when(col("var_num") > 0,
+              abs((col("n") * col("c") - col("sum_c")).cast("double") /
+                sqrt(col("var_num").cast("double"))) > 3.0)
+              .otherwise(lit(false)).as("is_anomaly"))
+      },
+      Some("""WITH f AS (
+             |  SELECT user_id, event_id,
+             |    CAST(round(value * 100) AS BIGINT) AS c,
+             |    COUNT(1) OVER w AS n,
+             |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT) AS sum_c,
+             |    CAST(SUM(CAST(round(value * 100) AS BIGINT)
+             |      * CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT) AS sum_c2
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             |    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+             |v AS (SELECT *, n * sum_c2 - sum_c * sum_c AS var_num FROM f)
+             |SELECT user_id, event_id, c, n,
+             |  CASE WHEN var_num > 0
+             |    THEN CAST(n * c - sum_c AS DOUBLE) / sqrt(CAST(var_num AS DOUBLE))
+             |    ELSE 0.0 END AS z,
+             |  CASE WHEN var_num > 0
+             |    THEN abs(CAST(n * c - sum_c AS DOUBLE) / sqrt(CAST(var_num AS DOUBLE))) > 3.0
+             |    ELSE FALSE END AS is_anomaly
+             |FROM v""".stripMargin)))
 }
