@@ -59,12 +59,16 @@ object Bench {
       s"""{"metric":"total","value":${fmt(3)(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
     }
     // if the growing registry ever pushes the 3-decimal line past the
-    // driver's 2000-char stdout window, degrade per-query precision to
-    // centiseconds rather than overflow back to `parsed: null`
-    val json = {
-      val j3 = render(fmt(3))
-      if (j3.length <= 1900) j3 else render(fmt(2))
-    }
+    // driver's 2000-char stdout window, degrade per-query precision
+    // step-by-step (milli → centi → deciseconds) and, as the last rung,
+    // drop per-query detail entirely — `{"queries":{}}` with the total and
+    // errors intact still parses, where an overflowed line regresses the
+    // whole artifact to `parsed: null`
+    val json = Seq(render(fmt(3)), render(fmt(2)), render(fmt(1)))
+      .find(_.length <= 1900)
+      .getOrElse {
+        s"""{"metric":"total","value":${fmt(3)(total)},"unit":"sec","queries":{},"errors":$errs,"sf":"$sfDir"}"""
+      }
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_OUT.json"), json + "\n")
     spark.stop()

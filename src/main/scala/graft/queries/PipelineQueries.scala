@@ -174,6 +174,12 @@ object PipelineQueries {
     * per-doc fan-out is n_tok/stride, linear in corpus size. */
   private[graft] def chunk(docs: DataFrame, window: Long = 64L,
       overlap: Long = 16L): DataFrame = {
+    // fail fast: overlap >= window gives stride <= 0, and under non-ANSI
+    // Spark the `div stride` yields null n_chunks — sequence/explode would
+    // then silently DROP every document longer than `window`
+    require(window > 0, s"window must be positive, got $window")
+    require(overlap >= 0 && overlap < window,
+      s"overlap must be in [0, window): window=$window, overlap=$overlap")
     val stride = window - overlap
     val base = docs.select(col("doc_id"),
       TextOps.tokens(col("text")).as("toks"),

@@ -93,6 +93,16 @@ class PipelineSpecs extends AnyFunSuite {
     }
   }
 
+  test("q48 chunking: bad parameters fail fast instead of dropping long docs") {
+    val docs = Tables.documents(spark, sf)
+    // overlap >= window would make stride <= 0 -> null n_chunks under
+    // non-ANSI semantics, silently losing every doc longer than `window`
+    intercept[IllegalArgumentException](PipelineQueries.chunk(docs, 64L, 64L))
+    intercept[IllegalArgumentException](PipelineQueries.chunk(docs, 64L, 80L))
+    intercept[IllegalArgumentException](PipelineQueries.chunk(docs, 64L, -1L))
+    intercept[IllegalArgumentException](PipelineQueries.chunk(docs, 0L, 0L))
+  }
+
   test("t7 pii scrub: redaction removes every match, counts follow injection") {
     val rows = SparkEntry.queries("t7_pii_scrub")(spark, sf).collect()
     rows.foreach { r =>
