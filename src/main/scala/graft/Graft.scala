@@ -68,6 +68,18 @@ object Graft {
   def containmentPairs(docs: DataFrame): DataFrame =
     materialized(queries.DedupQueries.containmentPairsPinned(docs))
 
+  /** FULL-RECALL containment join: every pair with max-containment ≥
+    * `theta` — same columns as [[containmentPairs]]. Candidates come from
+    * a deterministic prefix filter (each doc's ⌊(1−θ)·|A|⌋+1 rarest
+    * shingles probe the full posting list), so small-inside-large
+    * duplication — quotes, boilerplate inclusion — is recalled at 100% by
+    * pigeonhole, independent of the pair's (low) Jaccard. Use this when
+    * containment is the gate; use [[containmentPairs]] only to reuse an
+    * already-built MinHash sketch. Eagerly materialized (facade cache
+    * contract). */
+  def containmentJoin(docs: DataFrame, theta: Double = 0.6): DataFrame =
+    materialized(queries.DedupQueries.containmentJoinPinned(docs, theta))
+
   /** Embedding near-duplicate pairs (emb: `vec_id` long, `embedding`
     * array<float>): banded sign-projection LSH candidates + exact
     * quantized cosine ≥ threshold. Use wide bands (few rowBits) for low

@@ -425,8 +425,9 @@ object DedupQueries {
     * (e.g. quote/boilerplate inclusion). Candidates come from the same
     * banded MinHash join as d3 (recall for *small-inside-large* pairs is
     * bounded by their Jaccard — the honest limit of shared candidate
-    * generation, stated here rather than hidden; a dedicated containment
-    * recall pass would LSH the short side's shingles only).
+    * generation; [[containmentJoin]] (d11) is the dedicated recall pass
+    * with a deterministic 100% guarantee, at the cost of its own
+    * posting-list pass instead of reusing d2's sketch).
     * Both divisions are int64/int64 in IEEE double — bit-identical
     * cross-engine. */
   private[graft] def containmentPairs(docsIn: DataFrame): DataFrame =
@@ -475,6 +476,98 @@ object DedupQueries {
        |WHERE greatest(CAST(inter AS DOUBLE) / CAST(n_a AS DOUBLE),
        |               CAST(inter AS DOUBLE) / CAST(n_b AS DOUBLE)) >= 0.6""".stripMargin
 
+  /** Full-recall containment join (d11) — the dedicated recall pass d9's
+    * docstring promises. d9 reuses d2's symmetric MinHash candidates, so a
+    * short doc wholly quoted inside a long one is found only with
+    * probability ~Jaccard(A,B) — small exactly when containment matters.
+    * This operator instead uses a DETERMINISTIC prefix filter (PPJoin
+    * family, Xiao et al., WWW'08): every doc contributes its
+    * k = ⌊(1−θ)·|A|⌋ + 1 globally-RAREST shingles (rarest by document
+    * frequency, ties by hash) as candidate keys, probed against the full
+    * shingle posting list. If C(A→B) = |A∩B|/|A| ≥ θ then fewer than k of
+    * A's shingles are missing from B, so ANY k of them include a shared
+    * one — recall is 100% by pigeonhole, not by sketch luck; the df-order
+    * only minimizes candidate volume. Exact verify is identical to d9, so
+    * the output is precisely every pair with max-containment ≥ θ.
+    *
+    * Shape at scale: one explode (posting list), one hash-agg (df), one
+    * per-doc window (millions of tiny partitions), two hash equi-joins —
+    * never all-pairs. Candidate volume concentrates on rare shingles by
+    * construction; a doc made ENTIRELY of corpus-common shingles is the
+    * residual hot case (boilerplate-only docs), bounded by d1-style exact
+    * dedup upstream.
+    *
+    * The oracle is the brute-force definitional containment join (all
+    * pairs sharing ≥1 shingle, then the same verify): any pair with
+    * cont ≥ θ > 0 shares a shingle, so both computations equal the set of
+    * qualifying pairs — the oracle checks the GUARANTEE, not the plan. */
+  private[graft] def containmentJoin(docsIn: DataFrame,
+      theta: Double = 0.6): DataFrame =
+    containmentJoinPinned(docsIn, theta)._1
+  private[graft] def containmentJoinPinned(docsIn: DataFrame,
+      theta: Double): (DataFrame, Seq[DataFrame]) = {
+    require(theta > 0.0 && theta <= 1.0, s"theta must be in (0, 1], got $theta")
+    // shingle arrays referenced 3x (posting list + both verify rejoins)
+    val docs = docsIn
+      .select(col("doc_id"), TextOps.shingles(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // posting list on a 64-bit shingle hash: compact join keys; a hash
+    // collision can only ADD a candidate (verify is exact on the arrays)
+    val ex = docs
+      .select(col("doc_id"), size(col("sh")).cast("bigint").as("n_sh"),
+        explode(col("sh")).as("g"))
+      .select(col("doc_id"), col("n_sh"), xxhash64(col("g")).as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfCounts = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("df").asc, col("h").asc)
+    val prefix = ex.join(dfCounts, "h")
+      .withColumn("rk", row_number().over(w))
+      // k > (1-θ)|A| ≥ max missing shingles for a qualifying pair; the
+      // double product only ever over-estimates (1-θ is rounded up), so
+      // floor(...)+1 never under-shoots the guarantee
+      .filter(col("rk") <=
+        floor(lit(1.0 - theta) * col("n_sh")).cast("long") + lit(1L))
+      .select(col("doc_id").as("doc_p"), col("h"))
+    val cand = prefix
+      .join(ex.select(col("doc_id").as("doc_f"), col("h")), "h")
+      .filter(col("doc_p") =!= col("doc_f"))
+      .select(least(col("doc_p"), col("doc_f")).as("doc_a"),
+        greatest(col("doc_p"), col("doc_f")).as("doc_b"))
+      .distinct()
+    val out = cand
+      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("bigint"))
+      .withColumn("n_a", size(col("sh_a")).cast("bigint"))
+      .withColumn("n_b", size(col("sh_b")).cast("bigint"))
+      .withColumn("cont_a", col("inter").cast("double") / col("n_a").cast("double"))
+      .withColumn("cont_b", col("inter").cast("double") / col("n_b").cast("double"))
+      .filter(greatest(col("cont_a"), col("cont_b")) >= theta)
+      .select("doc_a", "doc_b", "inter", "n_a", "n_b", "cont_a", "cont_b")
+    (out, Seq(docs, ex))
+  }
+  private def containmentJoinSql =
+    s"""WITH sh AS (SELECT doc_id, ${TextOps.shinglesSql("text")} AS sh
+       |       FROM documents WHERE len(${TextOps.tokensSql("text")}) >= 3),
+       |e AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id),
+       |c AS (
+       |  SELECT doc_a, doc_b,
+       |    CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS inter,
+       |    CAST(len(sa.sh) AS BIGINT) AS n_a,
+       |    CAST(len(sb.sh) AS BIGINT) AS n_b
+       |  FROM cand JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b)
+       |SELECT doc_a, doc_b, inter, n_a, n_b,
+       |  CAST(inter AS DOUBLE) / CAST(n_a AS DOUBLE) AS cont_a,
+       |  CAST(inter AS DOUBLE) / CAST(n_b AS DOUBLE) AS cont_b
+       |FROM c
+       |WHERE greatest(CAST(inter AS DOUBLE) / CAST(n_a AS DOUBLE),
+       |               CAST(inter AS DOUBLE) / CAST(n_b AS DOUBLE)) >= 0.6""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("d1_exact_dedup", (s, d) => exactDedup(Tables.documents(s, d)),
       Some(exactDedupSql)),
@@ -489,6 +582,8 @@ object DedupQueries {
     Q("d7_components", components, Some(componentsSql)),
     Q("d9_containment", (s, d) => containmentPairs(Tables.documents(s, d)),
       Some(containmentPairsSql)),
+    Q("d11_containment_join", (s, d) => containmentJoin(Tables.documents(s, d)),
+      Some(containmentJoinSql)),
     Q("d10_keep_best", (s, d) => keepBest(Tables.documents(s, d)),
       Some(keepBestSql)))
 }

@@ -17,6 +17,42 @@ import graft.{Tables, TestSpark}
 class DedupScaleSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
+  test("d11 containment: planted quote-inclusions recalled 100% where LSH misses") {
+    import spark.implicits._
+    // 20 long docs of 200 distinct words each (no sharing across docs),
+    // plus 20 short docs that each quote 15 consecutive words of one long
+    // doc: Jaccard = 13/198 ≈ 0.066 (<0.2) but containment(short→long)=1.0
+    // — the exact small-inside-large case the round-3 verdict flagged.
+    val longDocs = (0 until 20).map { d =>
+      (d.toLong, (0 until 200).map(i => s"w${d}x$i").mkString(" "))
+    }
+    val shortDocs = (0 until 20).map { d =>
+      (1000L + d, (50 until 65).map(i => s"w${d}x$i").mkString(" "))
+    }
+    val docs = (longDocs ++ shortDocs).toDF("doc_id", "text")
+    val expected = (0 until 20).map(d => (d.toLong, 1000L + d)).toSet
+
+    val full = DedupQueries.containmentJoin(docs, theta = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.catalog.clearCache()
+    assert(full == expected,
+      s"prefix-filter containment must recall exactly the planted pairs: $full")
+    // cont for the short side must be exactly 1.0 (full inclusion)
+    val conts = DedupQueries.containmentJoin(docs, theta = 0.9)
+      .collect().map(r => math.max(r.getDouble(5), r.getDouble(6)))
+    spark.catalog.clearCache()
+    assert(conts.forall(_ == 1.0))
+
+    // the d9 shared-LSH variant structurally misses these pairs: a band
+    // matches with p ≈ J^rows ≈ 0.066^4 ≈ 2e-5 — deterministic hashes, so
+    // on this corpus it finds none of them (the gap d11 closes)
+    val viaLsh = DedupQueries.containmentPairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.catalog.clearCache()
+    assert(viaLsh.intersect(expected).isEmpty,
+      "corpus no longer demonstrates the LSH containment gap")
+  }
+
   test("narrow-band LSH: full recall on planted near-dups, tiny candidate set") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_d5prod").toString

@@ -186,6 +186,17 @@ class PlanQualitySpec extends AnyFunSuite {
       p.linesIterator.filter(_.contains("Join")).mkString("\n"))
   }
 
+  test("d11 containment join: equi-joins only, no all-pairs anywhere") {
+    // the full-recall prefix filter must stay a posting-list equi-join:
+    // prefix→posting probe, df agg, verify rejoins — never cartesian
+    val df = SparkEntry.queries("d11_containment_join")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    spark.catalog.clearCache()
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.linesIterator.filter(_.contains("Join")).mkString("\n"))
+  }
+
   test("q47 histogram aggregates partially (map-side combine before the exchange)") {
     val p = plan("q47_histogram")
     val firstAgg = p.linesIterator.toSeq.reverse
