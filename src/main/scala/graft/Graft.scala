@@ -91,6 +91,23 @@ object Graft {
     materialized(queries.DedupQueries.embNearDupBandedPinned(
       emb, bands, rowBits, threshold, dim))
 
+  /** [[embeddingNearDups]] with AUTO-TUNED banding — no manual knobs to
+    * get wrong per corpus size. `rowBits = ⌈log₂ n⌉ + 2` holds the chance
+    * candidate load per vector flat as the corpus grows (the round-3
+    * octave gate's measured scaling law); bands are sized so a pair AT
+    * the threshold is recalled with probability ≥ `targetRecall` (pairs
+    * above it do better). Pass `nHint` (approximate row count) to skip
+    * the counting job, `dim` to skip the width probe. Eagerly
+    * materialized (facade cache contract). */
+  def embeddingNearDupsAuto(emb: DataFrame, threshold: Double = 0.9,
+      targetRecall: Double = 0.9, nHint: Long = -1L, dim: Int = -1): DataFrame = {
+    val n = if (nHint > 0) nHint else emb.count()
+    val (bands, rowBits) =
+      queries.DedupQueries.autoBandParams(n, threshold, targetRecall)
+    materialized(queries.DedupQueries.embNearDupBandedPinned(
+      emb, bands, rowBits, threshold, dim))
+  }
+
   /** Quality-aware cluster canonicalization: near-dup clusters (connected
     * components over verified Jaccard pairs) each keep their LONGEST
     * member, ties to the smallest doc_id —

@@ -290,6 +290,33 @@ object DedupQueries {
       .distinct()
     (out, Seq(e, bandRows))
   }
+  /** Auto-tuned (bands, rowBits) from corpus size + threshold — the two
+    * knobs the round-3 octave gate proved users must otherwise set per
+    * corpus (BENCH_NOTES scaling laws): chance candidates follow
+    * n²·bands·2^-bits, so `rowBits = ⌈log₂ n⌉ + 2` pins the per-vector
+    * chance load at ~bands/4 regardless of n; bands then come from the
+    * sign-LSH collision law — a pair AT cosine t agrees on one random
+    * hyperplane bit with p = 1 − acos(t)/π, on a whole band with
+    * q = p^rowBits, so `bands = ⌈ln(1/(1−R)) / −ln(1−q)⌉` recalls a
+    * threshold-grade pair with probability ≥ R (pairs above t do better).
+    * Bands grow mildly with n (~n^0.22 at t=0.9) — the price of holding
+    * BOTH recall and chance load as the corpus scales. */
+  private[graft] def autoBandParams(n: Long, threshold: Double,
+      targetRecall: Double = 0.9): (Int, Int) = {
+    require(n > 0, s"corpus size must be positive, got $n")
+    require(threshold > 0.0 && threshold < 1.0,
+      s"auto-banding needs a cosine threshold in (0,1), got $threshold")
+    require(targetRecall > 0.0 && targetRecall < 1.0,
+      s"targetRecall must be in (0,1), got $targetRecall")
+    val bits = math.min(30, math.max(6,
+      math.ceil(math.log(n.toDouble) / math.log(2.0)).toInt + 2))
+    val p = 1.0 - math.acos(threshold) / math.Pi
+    val q = math.pow(p, bits)
+    val bands = math.min(128, math.max(1,
+      math.ceil(math.log(1.0 / (1.0 - targetRecall)) / -math.log1p(-q)).toInt))
+    (bands, bits)
+  }
+
   private def embNearDup(s: SparkSession, d: String): DataFrame =
     embNearDupBanded(Tables.embeddings(s, d), D5Bands, D5Rows, 0.45,
       dim = Tables.EmbeddingDim)

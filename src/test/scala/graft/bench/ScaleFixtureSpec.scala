@@ -102,6 +102,50 @@ class ScaleFixtureSpec extends AnyFunSuite {
       s"3x fixture candidates $three not ~3x of $one")
   }
 
+  test("auto-banded d5: per-vector candidate load stays flat across a decade, recall holds") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    val dim = Tables.EmbeddingDim
+    val n1 = emb.count()
+    val ten = (0 until 10).map(ScaleFixture.flipEmb(emb, _)).reduce(_ unionAll _)
+    val n10 = n1 * 10
+
+    // candidate load with NO manual knob: params derive from n only.
+    // threshold = -1 on the banded call keeps every candidate (the verify
+    // filter passes all), so the count IS the candidate volume.
+    def load(df: org.apache.spark.sql.DataFrame, n: Long): Double = {
+      val (bands, bits) = DedupQueries.autoBandParams(n, threshold = 0.9)
+      val c = DedupQueries.embNearDupBanded(df, bands, bits,
+        threshold = -1.0, dim = dim).count()
+      spark.catalog.clearCache()
+      c.toDouble / n
+    }
+    val l1 = load(emb, n1)
+    val l10 = load(ten, n10)
+    // fixed bits would give ~10x here (measured 108x over the sf0.1 decade
+    // at 8x16); auto-tuning bounds the decade growth to the mild bands
+    // term (~n^0.22 ≈ 1.7x) plus noise — gate at 3x with an absolute floor
+    // so a near-zero l1 cannot flip the ratio spuriously
+    assert(l10 <= 3.0 * l1 + 1.0,
+      s"auto-banded per-vector load not flat: 1x=$l1 10x=$l10")
+
+    // recall half of the contract: planted near-dups (cosine ~0.999, well
+    // above the 0.9 threshold) must all be recalled under the SAME auto
+    // params at the 10x size
+    val base10 = ten.select("vec_id", "embedding")
+    val planted = base10.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 77000000L).as("vec_id"),
+        transform(col("embedding"), x => x + lit(0.001f)).as("embedding"))
+    val (bands10, bits10) = DedupQueries.autoBandParams(n10, threshold = 0.9)
+    val pairs = DedupQueries.embNearDupBanded(base10.unionAll(planted),
+        bands10, bits10, threshold = 0.9, dim = dim)
+      .filter(col("vec_b") >= 77000000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.catalog.clearCache()
+    val expected = (0L until 5L).map(i => (i, i + 77000000L)).toSet
+    assert(pairs == expected, s"planted pairs under auto params: $pairs")
+  }
+
   test("offsetEvents: disjoint id spaces, identical time span") {
     // the fixture reads the RAW parquet (column `ts`), not Tables.events'
     // renamed view — mirror that here
