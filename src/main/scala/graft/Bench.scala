@@ -42,7 +42,13 @@ object Bench {
       sec
     }
     names.foreach(timeOne) // warm-up
-    val results = names.map { n => n -> math.min(timeOne(n), timeOne(n)) }
+    // min-of-3 (r3 verdict #4): three same-code runs in one session ranged
+    // 34–70 s on this host's bursty I/O, which cost a round of
+    // false-regression analysis. The contract line keeps the min; the
+    // spread (min, median, max) goes into BENCH_OUT.json so a judge can
+    // separate plan changes from I/O weather without re-running.
+    val samples = names.map { n => n -> Seq.fill(3)(timeOne(n)).sorted }
+    val results = samples.map { case (n, s) => n -> s.head }
     // The driver keeps only the last 2000 chars of stdout and parses the
     // final line, so the contract line must (a) be last — no sbt epilogue
     // after it (build.sbt sets Global/showSuccess := false) and nothing
@@ -69,8 +75,14 @@ object Bench {
       .getOrElse {
         s"""{"metric":"total","value":${fmt(3)(total)},"unit":"sec","queries":{},"errors":$errs,"sf":"$sfDir"}"""
       }
+    // richer artifact on disk: same contract fields plus the per-query
+    // spread — stdout stays the single unchanged contract line
+    val spread = samples.map { case (k, s) =>
+      "\"" + k + "\":[" + s.map(fmt(3)).mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val fileJson = json.stripSuffix("}") + s""","spread":$spread}"""
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_OUT.json"), json + "\n")
+      java.nio.file.Paths.get("BENCH_OUT.json"), fileJson + "\n")
     spark.stop()
     println(json)
   }
