@@ -26,7 +26,10 @@ final case class CompactConfig(
     timeColumn: String = "time",
     maxDesiredFileSizeBytes: Long = 100L << 20,
     percentageMaxFileSize: Int = 30,
-    bucketParallelism: Int = 4)
+    bucketParallelism: Int = 4,
+    // catalogs above this many file entries plan on executors
+    // (Planner.planDistributed) instead of in driver memory
+    distributedPlanThreshold: Int = 100000)
 
 final case class HostReport(
     host: String,
@@ -99,8 +102,23 @@ class Orchestrator(
       .map(_.getPath).sortBy(_.getName).toVector
     val snapshots = snapFiles.map(p => p -> SnapshotCodec.parse(readString(p)))
 
-    // B3-B9: pure planning
-    val (allBuckets, skipped) = Planner.plan(snapshots.map(_._2), config.windowHours)
+    // B3-B9: pure planning. Small catalogs plan on the driver; above the
+    // threshold the group/dedup/sort runs on executors and only the
+    // actionable (≥2-file) buckets come back — in steady state almost all
+    // entries are already-compacted singletons that never cross the
+    // driver boundary (r3 verdict next-round #5).
+    val allFiles = snapshots.flatMap(_._2.allFiles)
+    val (allBuckets, skipped) =
+      if (allFiles.length <= config.distributedPlanThreshold)
+        Planner.plan(snapshots.map(_._2), config.windowHours)
+      else {
+        import spark.implicits._
+        import scala.jdk.CollectionConverters._
+        val (b, s) = Planner.planDistributed(
+          spark, spark.createDataset(allFiles), config.windowHours)
+        (b.toLocalIterator().asScala.map(_.toBucket).toVector,
+          s.collect().toVector.sorted)
+      }
     val buckets = allBuckets.filter(_.host == host)
     skipped.foreach(p => log(s"skipping unparseable path: $p"))
 

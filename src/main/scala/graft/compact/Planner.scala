@@ -118,6 +118,52 @@ object Planner {
     (buckets, skipped.distinct)
   }
 
+  /** One planned work unit from the distributed path — [[Bucket]] minus
+    * the derived `sources` set (Spark's product encoder handles Vector,
+    * and the set is recomputed in O(files) on conversion). */
+  final case class PlannedBucket(host: String, db: String, table: String,
+      date: String, hourStart: Int, files: Vector[FileMeta]) {
+    def toBucket: Bucket =
+      Bucket(host, db, table, date, hourStart, files, files.map(_.path).toSet)
+  }
+
+  /** Dataset-expressible planning for million-file catalogs: identical
+    * semantics and bucket order to [[plan]], but flatten → parse → group →
+    * dedup → WAL-sort all run on EXECUTORS, and the driver only receives
+    * (a) unparseable paths and (b) ACTIONABLE buckets — ≥2 files. In
+    * steady state the overwhelming majority of catalog entries are
+    * already-compacted singletons, so the driver's retained planning state
+    * shrinks from O(catalog) to O(work): consume the result with
+    * `toLocalIterator` to hold one bucket's file list at a time.
+    * Equivalence with [[plan]] is property-tested on fuzzed snapshot
+    * trees (PlannerSpec). */
+  def planDistributed(spark: org.apache.spark.sql.SparkSession,
+      files: org.apache.spark.sql.Dataset[FileMeta],
+      windowHours: Int = 1)
+      : (org.apache.spark.sql.Dataset[PlannedBucket],
+         org.apache.spark.sql.Dataset[String]) = {
+    require(windowHours >= 1 && 24 % windowHours == 0,
+      s"windowHours must divide 24, got $windowHours")
+    import spark.implicits._
+    val skipped = files.filter((f: FileMeta) => parsePath(f).isLeft)
+      .map(_.path).distinct()
+    val records = files.flatMap((f: FileMeta) => parsePath(f).toOption)
+    val buckets = records
+      .groupByKey(r =>
+        (r.host, r.db, r.table, r.date, r.hour / windowHours * windowHours))
+      .mapGroups { (key, rs) =>
+        val (host, db, table, date, hourStart) = key
+        val unique = rs.map(_.meta).toVector.distinctBy(_.path)
+        val sorted = unique.sortBy(f =>
+          (WalSeq.extractOrThrow(f.path.substring(f.path.lastIndexOf('/') + 1)),
+            f.path))
+        PlannedBucket(host, db, table, date, hourStart, sorted)
+      }
+      .filter((b: PlannedBucket) => b.files.length > 1)
+      .orderBy($"host", $"db", $"table", $"date", $"hourStart")
+    (buckets, skipped)
+  }
+
   /** Aggregate statistics for the compacted file (operator B11): Long
     * min/max (no 2^53 loss) and summed row counts. `size_bytes` is filled
     * by the executor from the REAL output file length, fixing reference

@@ -60,8 +60,11 @@ class MultiBucketSpec extends AnyFunSuite {
         SnapshotCodec.render(snap))
     }
 
+    // threshold 0 forces the executor-side planning path — the full E2E
+    // (merge + metadata rewrite + delete) must behave identically on it
     val reports = new Orchestrator(spark, CompactConfig(
-      dataDir = dir.toString, bucketParallelism = 4)).run()
+      dataDir = dir.toString, bucketParallelism = 4,
+      distributedPlanThreshold = 0)).run()
     assert(reports.map(_.host) == Seq("hostA", "hostB"))
     assert(reports.forall(_.compacted == 6)) // 2 tables x 3 hours each
     reports.foreach { r =>
