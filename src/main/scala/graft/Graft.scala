@@ -187,6 +187,53 @@ object Graft {
       bucketWidth: Long): DataFrame =
     operators.AsOf.rangeBucketed(probe, build, key, ts, id, value, bucketWidth)
 
+  // ---- SQL surface ------------------------------------------------------
+
+  /** Register the document-pipeline operators as SQL temp views over an
+    * existing view/table (columns `doc_id` long, `text` string, and
+    * `lang` for packing), plus the scalar/aggregate function families
+    * ([[functions.GraftFunctions]]) — after this a SQL-only user runs the
+    * whole pipeline end-to-end with `spark.sql`:
+    *
+    *   - `<prefix>_exact_dup_groups` (text_fp, keep_id, n_copies)
+    *   - `<prefix>_near_dup_pairs`   (doc_a, doc_b, inter, uni, jaccard)
+    *   - `<prefix>_containment`      (doc_a, doc_b, inter, n_a, n_b, cont_a, cont_b)
+    *   - `<prefix>_keep_best`        (component, keep_id, keep_chars, n_members, sum_chars)
+    *   - `<prefix>_quality_signals`  (doc_id, n_tokens, top_tok_n, top_tok_frac, dup_3gram_frac)
+    *   - `<prefix>_chunks`           (doc_id, chunk_idx, start_tok, chunk_tok, first_tok)
+    *   - `<prefix>_packed`           (lang, bin, n_docs, bin_tokens, first_doc, last_doc) — if `lang` exists
+    *
+    * `materialize = true` (default) computes the sketch/fixpoint views NOW
+    * and registers self-contained results (facade cache contract: nothing
+    * left pinned); `materialize = false` registers LAZY views — filters
+    * push down into the pipeline plans and nothing runs until queried, but
+    * querying pins sketch tables until `spark.catalog.clearCache()`.
+    * `<prefix>_keep_best` contains a fixpoint loop and is always computed
+    * eagerly. Scalar-only views (exact groups, quality, chunks, packed)
+    * are always lazy — they cache nothing. */
+  def registerDocPipelineSql(spark: SparkSession, docsView: String,
+      prefix: String = "graft", materialize: Boolean = true): Unit = {
+    functions.GraftFunctions.register(spark)
+    val docs = spark.table(docsView)
+    def view(n: String) = s"${prefix}_$n"
+    queries.DedupQueries.exactDedup(docs)
+      .createOrReplaceTempView(view("exact_dup_groups"))
+    queries.PipelineQueries.repetition(docs)
+      .createOrReplaceTempView(view("quality_signals"))
+    queries.PipelineQueries.chunk(docs)
+      .createOrReplaceTempView(view("chunks"))
+    if (docs.columns.contains("lang"))
+      queries.PipelineQueries.sequencePack(docs)
+        .createOrReplaceTempView(view("packed"))
+    def sketch(n: String, pinned: => (DataFrame, Seq[DataFrame])): Unit =
+      (if (materialize) materialized(pinned) else pinned._1)
+        .createOrReplaceTempView(view(n))
+    sketch("near_dup_pairs", queries.DedupQueries.jaccardPairsPinned(docs))
+    sketch("containment",
+      queries.DedupQueries.containmentJoinPinned(docs, theta = 0.6))
+    keepBestPerCluster(docs).createOrReplaceTempView(view("keep_best"))
+  }
+
   // ---- streaming --------------------------------------------------------
 
   /** Incremental corpus ingest: cross-batch content-fingerprint dedup +

@@ -133,6 +133,40 @@ class DocExamplesSpec extends AnyFunSuite {
     assert(spark.read.parquet(outDir).count() > 0)
   }
 
+  test("quickstart: pure-SQL pipeline") {
+    spark.read.parquet(s"$dir/documents.parquet")
+      .createOrReplaceTempView("documents")
+
+    // one registration call; after it the whole pipeline is plain SQL
+    Graft.registerDocPipelineSql(spark, docsView = "documents")
+
+    // corpus after near-dup removal (keep the lower doc_id of each pair)
+    val deduped = spark.sql("""
+      SELECT d.* FROM documents d
+      LEFT ANTI JOIN (SELECT doc_b FROM graft_near_dup_pairs) p
+        ON d.doc_id = p.doc_b""")
+
+    // quote/boilerplate inclusion (full-recall containment, d11)
+    val quoted = spark.sql("""
+      SELECT doc_a, doc_b FROM graft_containment
+      WHERE greatest(cont_a, cont_b) >= 0.9""")
+
+    // canonical doc per near-dup cluster + model-sized chunks
+    val canon = spark.sql("SELECT component, keep_id FROM graft_keep_best")
+    val chunks = spark.sql("""
+      SELECT doc_id, count(1) AS n_chunks FROM graft_chunks GROUP BY doc_id""")
+
+    assert(deduped.count() < spark.table("documents").count())
+    assert(canon.count() > 0 && chunks.count() > 0 && quoted.count() >= 0)
+
+    // the SQL views ARE the DataFrame operators — same rows exactly
+    val viaDf = Graft.nearDupPairs(spark.table("documents"))
+      .select("doc_a", "doc_b", "jaccard")
+    val viaSql = spark.sql("SELECT doc_a, doc_b, jaccard FROM graft_near_dup_pairs")
+    assert(viaSql.except(viaDf).isEmpty && viaDf.except(viaSql).isEmpty)
+    spark.catalog.clearCache()
+  }
+
   test("README quickstart blocks are verbatim copies of this spec's code") {
     val readme = new String(Files.readAllBytes(Paths.get("README.md")), UTF_8)
     val start = readme.indexOf("## Quickstart")
