@@ -153,19 +153,33 @@ object SimilarityQueries {
        |SELECT vec_a, vec_b, rk, round(cosine, 6) AS cosine_r
        |FROM ranked WHERE rk <= $TopK""".stripMargin
 
-  private val NCentroids = 8
+  /** IVF cell count from corpus size — the classic `nlist ≈ √n` rule
+    * (per-cell population √n, total probe pairs n^1.5 instead of n²/C).
+    * The round-4 100× octave measured the fixed-C=8 version at 1251 s for
+    * 200k vectors (25k per cell, ~5e9 probe pairs) — quadratic by
+    * construction; cells must grow with the corpus. Rounded to a power of
+    * two far from float edges so the SQL twin (POWER/CEIL/LOG2/SQRT in
+    * DuckDB) lands on the identical integer. */
+  private[graft] def ivfCells(n: Long): Int = {
+    val raw = math.pow(2.0,
+      math.ceil(math.log(math.sqrt(n.toDouble)) / math.log(2.0))).toLong
+    math.min(65536L, math.max(8L, raw)).toInt
+  }
 
-  /** IVF-style ANN: a deterministic coarse quantizer (the NCentroids
+  /** IVF-style ANN: a deterministic coarse quantizer (the `ivfCells(n)`
     * lowest-id vectors — a fixed "training sample"), every vector assigned
     * to its nearest centroid, probes confined to the query's own cell.
     * At scale this is the inverted-file layout: one broadcast of the
     * centroid table, one shuffle by cell id; the quadratic part is
-    * per-cell. Exact top-k within the probed cell by quantized cosine. */
+    * per-cell and bounded by the √n cell rule. Exact top-k within the
+    * probed cell by quantized cosine. */
   private def ivfTopK(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.embeddings(s, d)
+    val emb = Tables.embeddings(s, d)
+    val nCells = ivfCells(emb.count())
+    val e = emb
       .select(col("vec_id"), TextOps.quantize(col("embedding")).as("q"))
       .withColumn("nn", TextOps.qdot(col("q"), col("q")))
-    val centroids = e.filter(col("vec_id") < NCentroids)
+    val centroids = e.filter(col("vec_id") < nCells)
       .select(col("vec_id").as("cent_id"), col("q").as("cq"), col("nn").as("cnn"))
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("ccos").desc, col("cent_id"))
@@ -195,11 +209,15 @@ object SimilarityQueries {
   }
   private val ivfTopKSql =
     s"""WITH q AS (SELECT vec_id, ${TextOps.quantizeSql("embedding")} AS q FROM embeddings),
+       |ncells AS (
+       |  SELECT LEAST(GREATEST(
+       |    CAST(POWER(2, CEIL(LOG2(SQRT(COUNT(*))))) AS BIGINT), 8), 65536) AS nc
+       |  FROM q),
        |e AS (SELECT vec_id, unnest(q) AS v, generate_subscripts(q, 1) AS i FROM q),
        |norms AS (SELECT vec_id, SUM(v * v) AS nn FROM e GROUP BY 1),
        |cdot AS (
        |  SELECT e.vec_id, c.vec_id AS cent_id, SUM(e.v * c.v) AS dot
-       |  FROM e JOIN e c ON e.i = c.i AND c.vec_id < $NCentroids
+       |  FROM e JOIN e c ON e.i = c.i AND c.vec_id < (SELECT nc FROM ncells)
        |  GROUP BY 1, 2),
        |assigned AS (
        |  SELECT vec_id, cent_id AS cell FROM (
