@@ -101,9 +101,16 @@ object DedupQueries {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+    // the sketch table is O(corpus) and must NEVER be broadcast: its
+    // compressed shuffle stats (16 longs/doc) under-estimate the in-memory
+    // build ~100x, and at the 100x octave AQE's broadcast conversion
+    // OOM'd the driver on exactly this join. shuffle_hash keeps the build
+    // per-partition (16 longs/doc easily fits any task) at every scale.
     val out = cand
-      .join(sigArr.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
-      .join(sigArr.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .join(sigArr.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+        .hint("shuffle_hash"), "doc_a")
+      .join(sigArr.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+        .hint("shuffle_hash"), "doc_b")
       .withColumn("sig_matches",
         aggregate(zip_with(col("sig_a"), col("sig_b"),
           (x, y) => when(x === y, 1L).otherwise(0L)), lit(0L), (acc, v) => acc + v))
@@ -143,9 +150,13 @@ object DedupQueries {
       .filter(size(col("sh")) > 0)
     val (lsh, pinned) = minhashLshPinned(docsIn)
     val cand = lsh.select("doc_a", "doc_b")
+    // shingle arrays are O(corpus) and wide — same no-broadcast rule as
+    // the d2 sketch rejoins (see minhashLshPinned)
     val out = cand
-      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+        .hint("shuffle_hash"), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+        .hint("shuffle_hash"), "doc_b")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("bigint"))
       .withColumn("uni",
         (size(col("sh_a")) + size(col("sh_b"))).cast("bigint") - col("inter"))
@@ -279,9 +290,13 @@ object DedupQueries {
     // Re-measured at the 10x octave where the multiset is ~2n^2 rows
     // (bench.D5Ab): filter-first 32.8 s vs distinct-first 62.2 s — the
     // pair shuffle dominates duplicate dot-products at every tested scale
+    // quantized vectors are O(corpus) × dim longs — never broadcastable
+    // (same 100x-octave AQE lesson as the d2 sketch rejoins)
     val out = cand
-      .join(e.select(col("vec_id").as("vec_a"), col("q").as("qa"), col("nn").as("na")), "vec_a")
-      .join(e.select(col("vec_id").as("vec_b"), col("q").as("qb"), col("nn").as("nb")), "vec_b")
+      .join(e.select(col("vec_id").as("vec_a"), col("q").as("qa"), col("nn").as("na"))
+        .hint("shuffle_hash"), "vec_a")
+      .join(e.select(col("vec_id").as("vec_b"), col("q").as("qb"), col("nn").as("nb"))
+        .hint("shuffle_hash"), "vec_b")
       .select(col("vec_a"), col("vec_b"),
         (TextOps.qdot(col("qa"), col("qb")).cast("double") /
           (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
@@ -356,7 +371,9 @@ object DedupQueries {
     val dupB = jaccardPairs(Tables.documents(s, d))
       .select(col("doc_b").as("doc_id")).distinct()
     Tables.documents(s, d)
-      .join(dupB, Seq("doc_id"), "left_anti")
+      // the drop-list is O(duplicates) — corpus-proportional, so the anti
+      // join shuffles instead of betting on a broadcastable build
+      .join(dupB.hint("shuffle_hash"), Seq("doc_id"), "left_anti")
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("sum_chars"))
   }
@@ -416,7 +433,8 @@ object DedupQueries {
       pairs.select(col("doc_a"), col("doc_b")))
     val sized = labels.join(
       docs.select(col("doc_id").as("id"),
-        length(col("text")).cast("bigint").as("n_chars")),
+        length(col("text")).cast("bigint").as("n_chars"))
+        .hint("shuffle_hash"), // O(corpus) side: no broadcast at any scale
       "id")
     val w = Window.partitionBy(col("component"))
       .orderBy(col("n_chars").desc, col("id").asc)
@@ -465,8 +483,10 @@ object DedupQueries {
       .filter(size(col("sh")) > 0)
     val (lsh, pinned) = minhashLshPinned(docsIn)
     val out = lsh.select("doc_a", "doc_b")
-      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+        .hint("shuffle_hash"), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+        .hint("shuffle_hash"), "doc_b")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("bigint"))
       .withColumn("n_a", size(col("sh_a")).cast("bigint"))
       .withColumn("n_b", size(col("sh_b")).cast("bigint"))
@@ -524,6 +544,15 @@ object DedupQueries {
     * residual hot case (boilerplate-only docs), bounded by d1-style exact
     * dedup upstream.
     *
+    * Measured cost (round-4 octaves, BENCH_NOTES): candidate volume is
+    * LINEAR per decade (393k → 3.93M for 5k → 50k docs) but its constant
+    * is tied to θ — the prefix is ⌈(1−θ)|A|⌉ shingles, so the θ=0.6 gate
+    * probes 40% of every doc and the verify shuffle dominates wall time
+    * (~59 s at 50k docs, ~358 s at 500k). At the θ=0.9 quote-detection
+    * operating point the prefix (and candidate load) shrinks ~4×. Use d9
+    * when an already-built MinHash sketch exists and probabilistic recall
+    * suffices; pay d11's posting pass when the guarantee matters.
+    *
     * The oracle is the brute-force definitional containment join (all
     * pairs sharing ≥1 shingle, then the same verify): any pair with
     * cont ≥ θ > 0 shares a shingle, so both computations equal the set of
@@ -533,6 +562,27 @@ object DedupQueries {
     containmentJoinPinned(docsIn, theta)._1
   private[graft] def containmentJoinPinned(docsIn: DataFrame,
       theta: Double): (DataFrame, Seq[DataFrame]) = {
+    val (cand, docs, pinned) = containmentCandidates(docsIn, theta)
+    val out = cand
+      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+        .hint("shuffle_hash"), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+        .hint("shuffle_hash"), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("bigint"))
+      .withColumn("n_a", size(col("sh_a")).cast("bigint"))
+      .withColumn("n_b", size(col("sh_b")).cast("bigint"))
+      .withColumn("cont_a", col("inter").cast("double") / col("n_a").cast("double"))
+      .withColumn("cont_b", col("inter").cast("double") / col("n_b").cast("double"))
+      .filter(greatest(col("cont_a"), col("cont_b")) >= theta)
+      .select("doc_a", "doc_b", "inter", "n_a", "n_b", "cont_a", "cont_b")
+    (out, pinned)
+  }
+
+  /** d11's candidate stage alone: (normalized candidate pairs, pinned
+    * shingle table, pinned intermediates) — split out so the scale gate
+    * can measure candidate volume separately from verify cost. */
+  private[graft] def containmentCandidates(docsIn: DataFrame, theta: Double)
+      : (DataFrame, DataFrame, Seq[DataFrame]) = {
     require(theta > 0.0 && theta <= 1.0, s"theta must be in (0, 1], got $theta")
     // shingle arrays referenced 3x (posting list + both verify rejoins)
     val docs = docsIn
@@ -563,17 +613,7 @@ object DedupQueries {
       .select(least(col("doc_p"), col("doc_f")).as("doc_a"),
         greatest(col("doc_p"), col("doc_f")).as("doc_b"))
       .distinct()
-    val out = cand
-      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("bigint"))
-      .withColumn("n_a", size(col("sh_a")).cast("bigint"))
-      .withColumn("n_b", size(col("sh_b")).cast("bigint"))
-      .withColumn("cont_a", col("inter").cast("double") / col("n_a").cast("double"))
-      .withColumn("cont_b", col("inter").cast("double") / col("n_b").cast("double"))
-      .filter(greatest(col("cont_a"), col("cont_b")) >= theta)
-      .select("doc_a", "doc_b", "inter", "n_a", "n_b", "cont_a", "cont_b")
-    (out, Seq(docs, ex))
+    (cand, docs, Seq(docs, ex))
   }
   private def containmentJoinSql =
     s"""WITH sh AS (SELECT doc_id, ${TextOps.shinglesSql("text")} AS sh
