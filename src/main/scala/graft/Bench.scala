@@ -23,7 +23,13 @@ object Bench {
       SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val queries = SparkEntry.queries
-    val names = SparkEntry.benchQueries
+    // SPARK_GRAFT_BENCH_SKIP: comma-separated queries to exclude — for
+    // big-fixture runs where a demo-regime query is infeasible by
+    // geometry (d5's wide-band 0.45 threshold at 200k vectors emits
+    // ~1e10 candidates; see BENCH_NOTES 100x findings). Default: none.
+    val skip = sys.env.getOrElse("SPARK_GRAFT_BENCH_SKIP", "")
+      .split(',').map(_.trim).filter(_.nonEmpty).toSet
+    val names = SparkEntry.benchQueries.filterNot(skip)
     val failed = scala.collection.mutable.LinkedHashSet[String]()
     def timeOne(name: String): Double = {
       val t0 = System.nanoTime()
@@ -47,7 +53,10 @@ object Bench {
     // false-regression analysis. The contract line keeps the min; the
     // spread (min, median, max) goes into BENCH_OUT.json so a judge can
     // separate plan changes from I/O weather without re-running.
-    val samples = names.map { n => n -> Seq.fill(3)(timeOne(n)).sorted }
+    // SPARK_GRAFT_BENCH_PASSES=1 exists for one-shot big-fixture timing
+    // (e.g. the 100x octave) — the driver's default contract is 3.
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
+    val samples = names.map { n => n -> Seq.fill(passes)(timeOne(n)).sorted }
     val results = samples.map { case (n, s) => n -> s.head }
     // The driver keeps only the last 2000 chars of stdout and parses the
     // final line, so the contract line must (a) be last — no sbt epilogue
