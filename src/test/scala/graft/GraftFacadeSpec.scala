@@ -65,6 +65,46 @@ class GraftFacadeSpec extends AnyFunSuite {
     assert(n > 0)
   }
 
+  test("containmentJoin facade: quote inclusion found at low Jaccard, theta honored") {
+    import spark.implicits._
+    // doc 2 fully quotes doc 1's middle: containment(1->2) = 1.0 while
+    // Jaccard stays low — the case the prefix-filter pass exists for
+    val quoted = (10 until 25).map(i => s"q$i").mkString(" ")
+    val docs = Seq(
+      (1L, quoted),
+      (2L, ((0 until 10).map(i => s"a$i") ++ (10 until 25).map(i => s"q$i") ++
+        (0 until 60).map(i => s"b$i")).mkString(" ")),
+      (3L, (0 until 40).map(i => s"z$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val pairs = Graft.containmentJoin(docs, theta = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(5).max(r.getDouble(6))))
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L)))
+    assert(pairs.head._3 == 1.0)
+    // a stricter theta than the pair's containment excludes it
+    assert(Graft.containmentJoin(docs, theta = 1.0).count() == 1L) // still 1.0
+    intercept[IllegalArgumentException](Graft.containmentJoin(docs, theta = 1.5))
+    // cache contract: no CATALOG cache entries survive the call (the
+    // localCheckpoint storage of returned results lives with the
+    // DataFrame and is collected with it — that is the documented design)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "containmentJoin left entries pinned")
+  }
+
+  test("embeddingNearDupsAuto: no knobs, planted near-dups recalled, cache clean") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val planted = emb.filter(col("vec_id") < 3)
+      .select((col("vec_id") + 90000L).as("vec_id"),
+        transform(col("embedding"), x => x + lit(0.001f)).as("embedding"))
+    val pairs = Graft.embeddingNearDupsAuto(emb.unionAll(planted),
+        threshold = 0.9, dim = Tables.EmbeddingDim)
+      .filter(col("vec_b") >= 90000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == (0L until 3L).map(i => (i, i + 90000L)).toSet)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "embeddingNearDupsAuto left entries pinned")
+  }
+
   test("facade calls leave no hidden entries in the session cache") {
     // r2 advice: persist-pinning internals must not leak into a user
     // session — facade results are self-contained (localCheckpoint) and
