@@ -156,14 +156,39 @@ object ScaleReport {
     val d5prod = graft.queries.DedupQueries
       .embNearDupBanded(emb, 8, 16, threshold = 0.9, dim = dim).count()
     spark.catalog.clearCache()
-    val d5demo = graft.queries.DedupQueries
-      .embNearDupBanded(emb, 32, 4, threshold = 0.45, dim = dim).count()
+    // auto-tuned regime: bits/bands derived from n alone — the row whose
+    // per-vector load must stay ~flat across octaves
+    val (autoBands, autoBits) =
+      graft.queries.DedupQueries.autoBandParams(nEmb, threshold = 0.9)
+    val d5autoCand = graft.queries.DedupQueries
+      .embNearDupBanded(emb, autoBands, autoBits, threshold = -1.0, dim = dim)
+      .count()
+    spark.catalog.clearCache()
+    // the wide demo regime (32 bands x 4 bits @ 0.45) keeps ~every pair as
+    // a candidate — quadratic BY CONSTRUCTION (documented above); at 100x
+    // that is ~2e10 pairs, so it is only measured where it is feasible
+    val d5demo = if (nEmb <= 30000)
+      graft.queries.DedupQueries
+        .embNearDupBanded(emb, 32, 4, threshold = 0.45, dim = dim).count()
+    else -1L
+    // d11 prefix-filter diagnostics: candidate volume (pre-verify) vs
+    // verified pairs — the posting-list pass whose growth explains the
+    // operator's wall time at each octave
+    val d11Cand = graft.queries.DedupQueries
+      .containmentCandidates(docs, theta = 0.6)._1.count()
+    spark.catalog.clearCache()
+    val d11Pairs = graft.queries.DedupQueries
+      .containmentJoin(docs, theta = 0.6).count()
+    spark.catalog.clearCache()
     val json =
       s"""{"dir":"$dir","documents":$nDocs,"embeddings":$nEmb,""" +
+        s""""d11_candidates":$d11Cand,"d11_pairs":$d11Pairs,""" +
         s""""d2_candidates":$d2,"d3_pairs":$d3,""" +
         s""""d5_prod_candidates":$d5prodCand,""" +
         s""""d5_cand_20bit":$d5cand20,"d5_cand_24bit":$d5cand24,""" +
-        s""""d5_prod_pairs":$d5prod,"d5_demo_pairs":$d5demo}"""
+        s""""d5_prod_pairs":$d5prod,""" +
+        s""""d5_auto_bands":$autoBands,"d5_auto_bits":$autoBits,""" +
+        s""""d5_auto_candidates":$d5autoCand,"d5_demo_pairs":$d5demo}"""
     spark.stop()
     println(json)
   }
