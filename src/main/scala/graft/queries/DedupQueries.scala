@@ -95,7 +95,9 @@ object DedupQueries {
             .as("band_val"))
       }: _*)).as("band"))
       .select(col("doc_id"), col("band.band_idx"), col("band.band_val"))
-    val cand = bands.as("a").join(bands.as("b"),
+    // the band table is O(corpus × bands) — same no-broadcast rule as the
+    // sketch rejoins below
+    val cand = bands.as("a").join(bands.hint("shuffle_hash").as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_val") === col("b.band_val") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -278,7 +280,7 @@ object DedupQueries {
         explode(array(bandStructs: _*)).as("band"))
       .select(col("vec_id"), col("band.band_idx"), col("band.band_sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cand = bandRows.as("a").join(bandRows.as("b"),
+    val cand = bandRows.as("a").join(bandRows.hint("shuffle_hash").as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_sig") === col("b.band_sig") &&
           col("a.vec_id") < col("b.vec_id"))
@@ -548,10 +550,12 @@ object DedupQueries {
     * LINEAR per decade (393k → 3.93M for 5k → 50k docs) but its constant
     * is tied to θ — the prefix is ⌈(1−θ)|A|⌉ shingles, so the θ=0.6 gate
     * probes 40% of every doc and the verify shuffle dominates wall time
-    * (~59 s at 50k docs, ~358 s at 500k). At the θ=0.9 quote-detection
-    * operating point the prefix (and candidate load) shrinks ~4×. Use d9
-    * when an already-built MinHash sketch exists and probabilistic recall
-    * suffices; pay d11's posting pass when the guarantee matters.
+    * (12 s at 50k docs, 158 s at 500k, after switching the verify to
+    * 8-byte hash sets — the 25-byte string arrays cost 5× more). At the
+    * θ=0.9 quote-detection operating point the prefix (and candidate
+    * load) shrinks ~4× further. Use d9 when an already-built MinHash
+    * sketch exists and probabilistic recall suffices; pay d11's posting
+    * pass when the guarantee matters.
     *
     * The oracle is the brute-force definitional containment join (all
     * pairs sharing ≥1 shingle, then the same verify): any pair with
@@ -564,13 +568,13 @@ object DedupQueries {
       theta: Double): (DataFrame, Seq[DataFrame]) = {
     val (cand, docs, pinned) = containmentCandidates(docsIn, theta)
     val out = cand
-      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+      .join(docs.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"))
         .hint("shuffle_hash"), "doc_a")
-      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+      .join(docs.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"))
         .hint("shuffle_hash"), "doc_b")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("bigint"))
-      .withColumn("n_a", size(col("sh_a")).cast("bigint"))
-      .withColumn("n_b", size(col("sh_b")).cast("bigint"))
+      .withColumn("inter", size(array_intersect(col("hs_a"), col("hs_b"))).cast("bigint"))
+      .withColumn("n_a", size(col("hs_a")).cast("bigint"))
+      .withColumn("n_b", size(col("hs_b")).cast("bigint"))
       .withColumn("cont_a", col("inter").cast("double") / col("n_a").cast("double"))
       .withColumn("cont_b", col("inter").cast("double") / col("n_b").cast("double"))
       .filter(greatest(col("cont_a"), col("cont_b")) >= theta)
@@ -579,27 +583,34 @@ object DedupQueries {
   }
 
   /** d11's candidate stage alone: (normalized candidate pairs, pinned
-    * shingle table, pinned intermediates) — split out so the scale gate
-    * can measure candidate volume separately from verify cost. */
+    * hashed-shingle table, pinned intermediates) — split out so the scale
+    * gate can measure candidate volume separately from verify cost.
+    *
+    * Sets are represented as DISTINCT 60-bit md5 shingle hashes end to
+    * end: the verify rejoins then shuffle ~8 bytes per shingle instead of
+    * the ~25-byte strings (the dominant cost at scale — BENCH_NOTES d11
+    * row), intersections compare longs, and the oracle computes the SAME
+    * md5-60 hash (XHash), so `inter`/`n_*` are bit-identical across
+    * engines by construction rather than up to collision luck. */
   private[graft] def containmentCandidates(docsIn: DataFrame, theta: Double)
       : (DataFrame, DataFrame, Seq[DataFrame]) = {
     require(theta > 0.0 && theta <= 1.0, s"theta must be in (0, 1], got $theta")
-    // shingle arrays referenced 3x (posting list + both verify rejoins)
+    // hashed shingle sets, referenced 3x (posting list + both rejoins)
     val docs = docsIn
-      .select(col("doc_id"), TextOps.shingles(col("text")).as("sh"))
-      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"),
+        array_distinct(transform(TextOps.shingles(col("text")), g => XHash.hash60(g)))
+          .as("hs"))
+      .filter(size(col("hs")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // posting list on a 64-bit shingle hash: compact join keys; a hash
-    // collision can only ADD a candidate (verify is exact on the arrays)
     val ex = docs
-      .select(col("doc_id"), size(col("sh")).cast("bigint").as("n_sh"),
-        explode(col("sh")).as("g"))
-      .select(col("doc_id"), col("n_sh"), xxhash64(col("g")).as("h"))
+      .select(col("doc_id"), size(col("hs")).cast("bigint").as("n_sh"),
+        explode(col("hs")).as("h"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // df table and posting list are both O(corpus) — no-broadcast rule
     val dfCounts = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("df").asc, col("h").asc)
-    val prefix = ex.join(dfCounts, "h")
+    val prefix = ex.join(dfCounts.hint("shuffle_hash"), "h")
       .withColumn("rk", row_number().over(w))
       // k > (1-θ)|A| ≥ max missing shingles for a qualifying pair; the
       // double product only ever over-estimates (1-θ is rounded up), so
@@ -608,7 +619,8 @@ object DedupQueries {
         floor(lit(1.0 - theta) * col("n_sh")).cast("long") + lit(1L))
       .select(col("doc_id").as("doc_p"), col("h"))
     val cand = prefix
-      .join(ex.select(col("doc_id").as("doc_f"), col("h")), "h")
+      .join(ex.select(col("doc_id").as("doc_f"), col("h"))
+        .hint("shuffle_hash"), "h")
       .filter(col("doc_p") =!= col("doc_f"))
       .select(least(col("doc_p"), col("doc_f")).as("doc_a"),
         greatest(col("doc_p"), col("doc_f")).as("doc_b"))
@@ -616,17 +628,19 @@ object DedupQueries {
     (cand, docs, Seq(docs, ex))
   }
   private def containmentJoinSql =
-    s"""WITH sh AS (SELECT doc_id, ${TextOps.shinglesSql("text")} AS sh
+    s"""WITH sh AS (SELECT doc_id,
+       |         list_distinct(list_transform(${TextOps.shinglesSql("text")},
+       |           g -> ${XHash.hash60Sql("g")})) AS hs
        |       FROM documents WHERE len(${TextOps.tokensSql("text")}) >= 3),
-       |e AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+       |e AS (SELECT doc_id, unnest(hs) AS g FROM sh),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id),
        |c AS (
        |  SELECT doc_a, doc_b,
-       |    CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS inter,
-       |    CAST(len(sa.sh) AS BIGINT) AS n_a,
-       |    CAST(len(sb.sh) AS BIGINT) AS n_b
+       |    CAST(len(list_intersect(sa.hs, sb.hs)) AS BIGINT) AS inter,
+       |    CAST(len(sa.hs) AS BIGINT) AS n_a,
+       |    CAST(len(sb.hs) AS BIGINT) AS n_b
        |  FROM cand JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b)
        |SELECT doc_a, doc_b, inter, n_a, n_b,
        |  CAST(inter AS DOUBLE) / CAST(n_a AS DOUBLE) AS cont_a,

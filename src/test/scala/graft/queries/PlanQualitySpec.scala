@@ -201,6 +201,24 @@ class PlanQualitySpec extends AnyFunSuite {
       p.linesIterator.filter(_.contains("Join")).mkString("\n"))
   }
 
+  test("sketch rejoins never broadcast (the 100x-octave AQE OOM, pinned)") {
+    // AQE's compressed-size stats under-estimate wide sketch rows ~100x
+    // and broadcast-convert the rejoin at exactly the scale where the
+    // build OOMs (BENCH_NOTES 100x finding #1). The shuffle_hash hints
+    // must hold on the FINAL adaptive plan: no broadcast join may touch
+    // an O(corpus) sketch side in d2/d3/d5/d11.
+    Seq("d2_minhash_lsh", "d3_jaccard_pairs", "d5_embedding_neardup",
+      "d11_containment_join").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      spark.catalog.clearCache()
+      assert(!p.contains("BroadcastHashJoin") && !p.contains("BroadcastExchange"),
+        s"$q broadcasts a corpus-sized side:\n" +
+          p.linesIterator.filter(_.contains("Broadcast")).mkString("\n"))
+    }
+  }
+
   test("q47 histogram aggregates partially (map-side combine before the exchange)") {
     val p = plan("q47_histogram")
     val firstAgg = p.linesIterator.toSeq.reverse
