@@ -234,6 +234,26 @@ object Graft {
     keepBestPerCluster(docs).createOrReplaceTempView(view("keep_best"))
   }
 
+  /** Embedding-side twin of [[registerDocPipelineSql]], over a view with
+    * (`vec_id` long, `embedding` array<float>):
+    *
+    *   - `<prefix>_emb_near_dups` (vec_a, vec_b, cosine) — auto-banded
+    *     near-dup pairs at `threshold`, computed eagerly NOW (facade
+    *     cache contract)
+    *   - `<prefix>_emb_ann`       (query_id, neighbor_id, rk, cosine_r) —
+    *     lazy LSH-bucketed ANN top-k
+    *
+    * Pass `dim` to skip the width probe, `nHint` to skip the count job. */
+  def registerEmbeddingPipelineSql(spark: SparkSession, embView: String,
+      prefix: String = "graft", threshold: Double = 0.9,
+      dim: Int = -1, nHint: Long = -1L): Unit = {
+    val emb = spark.table(embView)
+    embeddingNearDupsAuto(emb, threshold, nHint = nHint, dim = dim)
+      .createOrReplaceTempView(s"${prefix}_emb_near_dups")
+    annTopK(emb, topK = 3, dim = dim)
+      .createOrReplaceTempView(s"${prefix}_emb_ann")
+  }
+
   // ---- streaming --------------------------------------------------------
 
   /** Incremental corpus ingest: cross-batch content-fingerprint dedup +

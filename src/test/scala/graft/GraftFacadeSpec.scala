@@ -105,6 +105,23 @@ class GraftFacadeSpec extends AnyFunSuite {
       "embeddingNearDupsAuto left entries pinned")
   }
 
+  test("embedding SQL views equal the DataFrame facade") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val planted = emb.filter(col("vec_id") < 2)
+      .select((col("vec_id") + 91000L).as("vec_id"),
+        transform(col("embedding"), x => x + lit(0.001f)).as("embedding"))
+    emb.unionAll(planted).createOrReplaceTempView("facade_emb")
+    Graft.registerEmbeddingPipelineSql(spark, "facade_emb",
+      dim = Tables.EmbeddingDim)
+    val viaSql = spark.sql(
+      "SELECT vec_a, vec_b FROM graft_emb_near_dups WHERE vec_b >= 91000")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaSql == Set((0L, 91000L), (1L, 91001L)))
+    assert(spark.sql("SELECT * FROM graft_emb_ann").count() > 0)
+    spark.catalog.clearCache()
+  }
+
   test("facade calls leave no hidden entries in the session cache") {
     // r2 advice: persist-pinning internals must not leak into a user
     // session — facade results are self-contained (localCheckpoint) and
