@@ -153,6 +153,14 @@ object Graft {
   def contaminationReport(docs: DataFrame): DataFrame =
     queries.PipelineQueries.contamination(docs)
 
+  /** Decontamination against YOUR eval suite (columns doc_id, text) —
+    * the production shape: a fixed benchmark corpus has a bounded
+    * shingle set, broadcast at any corpus scale. Returns per-corpus-doc
+    * (doc_id, n_shared_grams, n_eval_docs); join-filter on it to drop
+    * contaminated training documents. */
+  def contaminationAgainst(docs: DataFrame, evalDocs: DataFrame): DataFrame =
+    queries.PipelineQueries.contaminationAgainst(docs, evalDocs)
+
   /** Fixed token-budget sequence packing per language via the two-pass
     * distributed prefix scan; returns per-bin stats. Requires `lang`. */
   def packSequences(docs: DataFrame, budget: Long = 2048L,

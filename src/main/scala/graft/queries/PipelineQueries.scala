@@ -87,6 +87,25 @@ object PipelineQueries {
        |WHERE sh.doc_id % 97 <> 0
        |GROUP BY 1""".stripMargin
 
+  /** Decontamination against a USER-PROVIDED eval set (columns doc_id,
+    * text) — the production shape: eval suites are fixed benchmark
+    * corpora, so their shingle set is bounded and broadcastable at ANY
+    * corpus scale. The declared d8 query keeps the deterministic %97
+    * holdout (corpus-proportional, oracle-expressible); this is the
+    * entry a real pipeline calls with its benchmark suite. */
+  private[graft] def contaminationAgainst(docs: DataFrame,
+      evalDocs: DataFrame): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"), explode(TextOps.shingles(col("text"))).as("g"))
+    val ev = evalDocs
+      .select(col("doc_id").as("eval_id"),
+        explode(TextOps.shingles(col("text"))).as("g"))
+    sh.join(broadcast(ev), "g")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("g")).as("n_shared_grams"),
+        countDistinct(col("eval_id")).as("n_eval_docs"))
+  }
+
   /** Stratified deterministic sampling — per-stratum rates (training-mix
     * weights) from the same hash-split family as q31: reproducible across
     * engines, runs and cluster sizes, pushed to the scan as a plain

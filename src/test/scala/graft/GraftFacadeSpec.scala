@@ -105,6 +105,25 @@ class GraftFacadeSpec extends AnyFunSuite {
       "embeddingNearDupsAuto left entries pinned")
   }
 
+  test("contaminationAgainst: user eval suite, only quoting docs flagged") {
+    import spark.implicits._
+    val evalSuite = Seq(
+      (1L, "what is the capital of france paris is the capital"),
+      (2L, "compute the derivative of x squared two x")).toDF("doc_id", "text")
+    val corpus = Seq(
+      // quotes eval doc 1 verbatim inside unrelated text
+      (100L, "some filler words " + "what is the capital of france paris" +
+        " and more filler here"),
+      (101L, "a completely clean training document about something else"),
+      // shares a 3-gram with eval doc 2
+      (102L, "today we compute the derivative of a function")).toDF("doc_id", "text")
+    val report = Graft.contaminationAgainst(corpus, evalSuite)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(report.contains(100L) && report(100L)._2 == 1L)
+    assert(report.contains(102L) && report(102L)._1 >= 1L)
+    assert(!report.contains(101L), "clean doc must not be flagged")
+  }
+
   test("embedding SQL views equal the DataFrame facade") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
