@@ -20,7 +20,22 @@ import graft.operators.TextOps
 object SimilarityQueries {
   private val TopK = 3
   private val NQueries = 32 // query subset for the brute-force baseline
-  private val SigBits = 8 //   LSH signature width
+  // s2's signature is computed at a FIXED width (so the oracle's
+  // hyperplane SQL stays a static string) and then MASKED to a
+  // size-derived bucket width at query time — the dynamic half of the
+  // knob lives in a closed form both engines evaluate identically
+  private val SigBits = 24 // static hyperplane count (mask never exceeds)
+
+  /** Bucket width for s2: ceil(log2(n / 64)) bits, clamped [3, SigBits] —
+    * ~64 vectors per bucket at any corpus size, so candidate pairs stay
+    * ~64·n (linear) instead of n²/2^bits with fixed bits. The round-4
+    * 100× octave measured the fixed-8-bit version growing toward its
+    * n²/256 asymptote — same class of latent quadratic as s3's fixed-C
+    * IVF, fixed the same way. */
+  private[graft] def annBucketBits(n: Long): Int = {
+    val raw = math.ceil(math.log(n.toDouble / 64.0) / math.log(2.0)).toInt
+    math.min(SigBits, math.max(3, raw))
+  }
 
   /** Brute-force exact top-k: queries × all candidates, ranked by
     * (cosine desc, vec_id). At scale: broadcast the query set, one pass
@@ -101,20 +116,22 @@ object SimilarityQueries {
        |  GROUP BY 1, 2)
        |GROUP BY vec_id""".stripMargin
 
-  /** ANN via LSH buckets: candidates share the full signature; exact
-    * cosine rank within the bucket. The equi-join on `sig` is the scale
-    * path — shuffle by bucket, never all-pairs. */
+  /** ANN via LSH buckets: candidates share the low `annBucketBits(n)`
+    * bits of the signature; exact cosine rank within the bucket. The
+    * equi-join on the masked signature is the scale path — shuffle by
+    * bucket, never all-pairs, ~64 vectors per bucket at any n. */
   private[graft] def annLsh(emb: DataFrame, topK: Int = TopK,
       dim0: Int = -1): DataFrame = {
     // dim < 0 = probe with one tiny head() job (convenience); callers on a
     // hot path pass the known dimension so the query trace has no extra job
     val dim = if (dim0 >= 0) dim0
       else emb.select(size(col("embedding"))).head().getInt(0)
+    val mask = (1L << annBucketBits(emb.count())) - 1L
     val withSig = emb
       .select(col("vec_id"), TextOps.quantize(col("embedding")).as("q"))
       .withColumn("nn", TextOps.qdot(col("q"), col("q")))
-      .withColumn("sig", sigCol(dim))
-    val cand = withSig.as("a").join(withSig.as("b"),
+      .withColumn("sig", sigCol(dim).bitwiseAND(lit(mask)))
+    val cand = withSig.as("a").join(withSig.hint("shuffle_hash").as("b"),
         col("a.sig") === col("b.sig") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         (TextOps.qdot(col("a.q"), col("b.q")).cast("double") /
@@ -129,12 +146,18 @@ object SimilarityQueries {
   }
   private val annLshSql =
     s"""WITH q AS (SELECT vec_id, ${TextOps.quantizeSql("embedding")} AS q FROM embeddings),
+       |mask AS (
+       |  SELECT CAST(POWER(2, LEAST(GREATEST(
+       |    CAST(CEIL(LOG2(COUNT(*) / 64.0)) AS BIGINT), 3), $SigBits)) AS BIGINT) - 1 AS m
+       |  FROM q),
        |sig AS ($lshSignatureSql),
        |e AS (SELECT vec_id, unnest(q) AS v, generate_subscripts(q, 1) AS i FROM q),
        |norms AS (SELECT vec_id, SUM(v * v) AS nn FROM e GROUP BY 1),
        |cand AS (
        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
-       |  FROM sig a JOIN sig b ON a.sig = b.sig AND a.vec_id < b.vec_id),
+       |  FROM sig a JOIN sig b
+       |    ON (a.sig & (SELECT m FROM mask)) = (b.sig & (SELECT m FROM mask))
+       |   AND a.vec_id < b.vec_id),
        |dot AS (
        |  SELECT c.vec_a, c.vec_b, SUM(ea.v * eb.v) AS dot
        |  FROM cand c JOIN e ea ON ea.vec_id = c.vec_a
