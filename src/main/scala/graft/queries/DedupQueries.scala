@@ -531,12 +531,13 @@ object DedupQueries {
     * probability ~Jaccard(A,B) — small exactly when containment matters.
     * This operator instead uses a DETERMINISTIC prefix filter (PPJoin
     * family, Xiao et al., WWW'08): every doc contributes its
-    * k = ⌊(1−θ)·|A|⌋ + 1 globally-RAREST shingles (rarest by document
+    * k = |A| − minInter + 1 globally-RAREST shingles (rarest by document
     * frequency, ties by hash) as candidate keys, probed against the full
-    * shingle posting list. If C(A→B) = |A∩B|/|A| ≥ θ then fewer than k of
-    * A's shingles are missing from B, so ANY k of them include a shared
-    * one — recall is 100% by pigeonhole, not by sketch luck; the df-order
-    * only minimizes candidate volume. Exact verify is identical to d9, so
+    * shingle posting list — where minInter is the smallest intersection
+    * the verify's own double division accepts at θ. If C(A→B) ≥ θ then at
+    * most |A| − minInter of A's shingles are missing from B, so ANY k of
+    * them include a shared one — recall is 100% by pigeonhole, not by
+    * sketch luck; the df-order only minimizes candidate volume. Exact verify is identical to d9, so
     * the output is precisely every pair with max-containment ≥ θ.
     *
     * Shape at scale: one explode (posting list), one hash-agg (df), one
@@ -610,13 +611,25 @@ object DedupQueries {
     val dfCounts = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("df").asc, col("h").asc)
+    // k must cover the worst qualifying pair: the verify passes when the
+    // IEEE-double quotient inter/n_sh clears θ, so a qualifying pair can
+    // miss up to n_sh − minInter shingles where minInter is the SMALLEST
+    // integer whose double quotient i/n_sh ≥ θ. Deriving k from (1−θ)·n_sh
+    // instead under-shoots when 1.0−θ rounds DOWN (θ=0.9: fl(1.0−0.9) <
+    // 0.1, so floor(fl(0.1)·10)+1 = 1 < the required 2 for a 9-of-10
+    // match). ceil(θ·n_sh) is within one of minInter for any feasible
+    // shingle count (proof: a 2-off would need θ·n_sh·ulp ≥ 1, i.e.
+    // n_sh ≳ 5e15); the cascade resolves it against the verify's own
+    // division, rounding DOWN on ties — an under-estimate of minInter only
+    // ever enlarges k, never breaks the guarantee.
+    val i0 = ceil(lit(theta) * col("n_sh").cast("double")).cast("long")
+    val minInter =
+      when((i0 - 1).cast("double") / col("n_sh").cast("double") >= theta, i0 - 1)
+        .when(i0.cast("double") / col("n_sh").cast("double") >= theta, i0)
+        .otherwise(i0 + 1)
     val prefix = ex.join(dfCounts.hint("shuffle_hash"), "h")
       .withColumn("rk", row_number().over(w))
-      // k > (1-θ)|A| ≥ max missing shingles for a qualifying pair; the
-      // double product only ever over-estimates (1-θ is rounded up), so
-      // floor(...)+1 never under-shoots the guarantee
-      .filter(col("rk") <=
-        floor(lit(1.0 - theta) * col("n_sh")).cast("long") + lit(1L))
+      .filter(col("rk") <= col("n_sh") - minInter + lit(1L))
       .select(col("doc_id").as("doc_p"), col("h"))
     val cand = prefix
       .join(ex.select(col("doc_id").as("doc_f"), col("h"))

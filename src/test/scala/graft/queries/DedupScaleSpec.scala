@@ -53,6 +53,26 @@ class DedupScaleSpec extends AnyFunSuite {
       "corpus no longer demonstrates the LSH containment gap")
   }
 
+  test("d11 boundary pair: exactly-θ containment at θ=0.9 is still a candidate") {
+    import spark.implicits._
+    // 12 tokens → 10 word-3-gram shingles; B differs from A only in the
+    // last token, so |A∩B| = 9 of 10 and cont = 9.0/10.0 which clears the
+    // θ=0.9 verify in IEEE double. With only these two docs each doc's
+    // single RAREST shingle (df=1) is precisely the one the other doc is
+    // missing — the adversarial layout for a prefix that is too short.
+    // The old k = ⌊fl(1.0−0.9)·10⌋+1 = 1 (fl(0.1) < 0.1) deterministically
+    // missed this pair; the predicate-derived k = n_sh − minInter + 1 = 2
+    // must recall it.
+    val a = (1 to 12).map(i => s"w$i").mkString(" ")
+    val b = ((1 to 11).map(i => s"w$i") :+ "zz").mkString(" ")
+    val docs = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val got = DedupQueries.containmentJoin(docs, theta = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.catalog.clearCache()
+    assert(got == Set((1L, 2L)),
+      s"θ-boundary pair must survive the prefix filter: got $got")
+  }
+
   test("narrow-band LSH: full recall on planted near-dups, tiny candidate set") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_d5prod").toString
