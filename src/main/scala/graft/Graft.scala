@@ -85,11 +85,23 @@ object Graft {
     * quantized cosine ≥ threshold. Use wide bands (few rowBits) for low
     * thresholds, narrow bands (e.g. 16 bits × 8 bands) for production
     * 0.9-style thresholds. Pass `dim` (the embedding width) to skip the
-    * one-job probe. Eagerly materialized (facade cache contract). */
+    * one-job probe and `nHint` (approximate row count) to skip the
+    * pre-flight count.
+    *
+    * PRE-FLIGHT GUARD: before any shuffle is planned the call computes
+    * the closed-form chance-candidate volume n²·bands·2^-rowBits/2 and
+    * refuses configs over `candidateBudget` (default 2e9 rows) with an
+    * error naming the scale-safe auto-tuning — a low-threshold wide-band
+    * config on a large corpus is an all-pairs join that fills the disk,
+    * and the refusal happens before a single task runs. Pass
+    * `force = true` (or raise the budget) to run anyway. Eagerly
+    * materialized (facade cache contract). */
   def embeddingNearDups(emb: DataFrame, bands: Int = 32, rowBits: Int = 4,
-      threshold: Double = 0.45, dim: Int = -1): DataFrame =
+      threshold: Double = 0.45, dim: Int = -1, nHint: Long = -1L,
+      force: Boolean = false,
+      candidateBudget: Double = queries.DedupQueries.DefaultCandidateBudget): DataFrame =
     materialized(queries.DedupQueries.embNearDupBandedPinned(
-      emb, bands, rowBits, threshold, dim))
+      emb, bands, rowBits, threshold, dim, nHint, force, candidateBudget))
 
   /** [[embeddingNearDups]] with AUTO-TUNED banding — no manual knobs to
     * get wrong per corpus size. `rowBits = ⌈log₂ n⌉ + 2` holds the chance
@@ -97,7 +109,12 @@ object Graft {
     * octave gate's measured scaling law); bands are sized so a pair AT
     * the threshold is recalled with probability ≥ `targetRecall` (pairs
     * above it do better). Pass `nHint` (approximate row count) to skip
-    * the counting job, `dim` to skip the width probe. Eagerly
+    * the counting job, `dim` to skip the width probe.
+    *
+    * RECALL ENVELOPE: bands are capped at 128, so the ≥ `targetRecall`
+    * contract holds for roughly n ≲ 8e6 at threshold 0.9, n ≲ 3e4 at
+    * 0.8, n ≲ 4e3 at 0.7 (at the default 0.9 target) — outside it the
+    * call still runs but logs a WARNING with the achieved recall. Eagerly
     * materialized (facade cache contract). */
   def embeddingNearDupsAuto(emb: DataFrame, threshold: Double = 0.9,
       targetRecall: Double = 0.9, nHint: Long = -1L, dim: Int = -1): DataFrame = {
@@ -105,7 +122,7 @@ object Graft {
     val (bands, rowBits) =
       queries.DedupQueries.autoBandParams(n, threshold, targetRecall)
     materialized(queries.DedupQueries.embNearDupBandedPinned(
-      emb, bands, rowBits, threshold, dim))
+      emb, bands, rowBits, threshold, dim, nHint = n))
   }
 
   /** Quality-aware cluster canonicalization: near-dup clusters (connected
@@ -251,7 +268,10 @@ object Graft {
     *   - `<prefix>_emb_ann`       (query_id, neighbor_id, rk, cosine_r) —
     *     lazy LSH-bucketed ANN top-k
     *
-    * Pass `dim` to skip the width probe, `nHint` to skip the count job. */
+    * Pass `dim` to skip the width probe, `nHint` to skip the count job.
+    * The near-dup view inherits [[embeddingNearDupsAuto]]'s recall
+    * envelope: outside it (bands capped at 128) the view is built anyway
+    * with a WARNING stating the achieved recall. */
   def registerEmbeddingPipelineSql(spark: SparkSession, embView: String,
       prefix: String = "graft", threshold: Double = 0.9,
       dim: Int = -1, nHint: Long = -1L): Unit = {

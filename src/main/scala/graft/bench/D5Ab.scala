@@ -70,7 +70,9 @@ object D5Ab {
     }
 
     time("filter_first") {
-      DedupQueries.embNearDupBanded(emb, 32, 4, 0.45, dim)
+      // force: this tool exists to MEASURE the demo regime at octave
+      // fixtures, exactly the case the pre-flight guard refuses for users
+      DedupQueries.embNearDupBanded(emb, 32, 4, 0.45, dim, force = true)
     }
     time("distinct_first") {
       variantDistinctFirst(32, 4, 0.45)

@@ -249,13 +249,50 @@ object DedupQueries {
     * signature), exact cosine precision pass confined to candidates.
     * The hyperplanes fold to plan-time literals; each signature is a
     * narrow codegen'd projection (no explode of dims, no shuffle). */
+  /** Expected CHANCE candidate-multiset rows of a banded sign-LSH config:
+    * a random pair collides in one band with p = 2^-rowBits, so the pair
+    * shuffle carries ~n²/2 · bands · 2^-rowBits rows of pure noise (true
+    * near-dups add to that but are the part the user wants). This is the
+    * closed form behind the round-3 scaling law (BENCH_NOTES) — it is
+    * what the pre-flight guard checks instead of letting a low-threshold
+    * wide-band config fill the disk (the round-4 100× lesson: the demo
+    * regime produced ~1e10 candidate rows before being killed). */
+  private[graft] def expectedChanceCandidates(n: Long, bands: Int,
+      rowBits: Int): Double =
+    n.toDouble * n.toDouble / 2.0 * bands.toDouble * math.pow(2.0, -rowBits)
+
+  /** Candidate rows the pre-flight guard tolerates: ~2e9 pair rows ≈
+    * 32 GB of shuffle at 16 B/row — hours of work at single-node
+    * throughput, an explicit opt-in territory. */
+  private[graft] val DefaultCandidateBudget: Double = 2e9
+
+  private def guardCandidateVolume(n: Long, bands: Int, rowBits: Int,
+      threshold: Double, budget: Double, force: Boolean): Unit = {
+    val expected = expectedChanceCandidates(n, bands, rowBits)
+    if (!force && expected > budget)
+      throw new IllegalArgumentException(
+        f"embedding near-dup config (bands=$bands, rowBits=$rowBits) expects ~$expected%.2e chance-candidate rows on this $n-vector corpus (budget $budget%.1e): the band join is effectively all-pairs at this scale and will fill the shuffle disk, not finish. Use autoBandParams($n, $threshold) for scale-safe (bands, rowBits), raise candidateBudget, or pass force = true to run anyway.")
+  }
+
   private[graft] def embNearDupBanded(
       emb: DataFrame, bands: Int, rowBits: Int,
-      threshold: Double, dim: Int = -1): DataFrame =
-    embNearDupBandedPinned(emb, bands, rowBits, threshold, dim)._1
+      threshold: Double, dim: Int = -1, nHint: Long = -1L,
+      force: Boolean = false,
+      candidateBudget: Double = DefaultCandidateBudget): DataFrame =
+    embNearDupBandedPinned(emb, bands, rowBits, threshold, dim, nHint,
+      force, candidateBudget)._1
   private[graft] def embNearDupBandedPinned(
       emb: DataFrame, bands: Int, rowBits: Int,
-      threshold: Double, dim0: Int = -1): (DataFrame, Seq[DataFrame]) = {
+      threshold: Double, dim0: Int = -1, nHint: Long = -1L,
+      force: Boolean = false,
+      candidateBudget: Double = DefaultCandidateBudget): (DataFrame, Seq[DataFrame]) = {
+    // pre-flight: refuse configs whose chance-candidate volume is
+    // hopeless BEFORE building (and certainly before running) the plan.
+    // n comes from the caller's hint when known; otherwise one cheap
+    // count job (metadata-only on a parquet scan) — the price of not
+    // launching a disk-filling shuffle with no warning.
+    val n = if (nHint > 0) nHint else emb.count()
+    guardCandidateVolume(n, bands, rowBits, threshold, candidateBudget, force)
     // dim < 0 = probe with one tiny head() job (convenience); callers on a
     // hot path pass the known dimension so the query trace has no extra job
     val dim = if (dim0 >= 0) dim0
@@ -317,7 +354,18 @@ object DedupQueries {
     * q = p^rowBits, so `bands = ⌈ln(1/(1−R)) / −ln(1−q)⌉` recalls a
     * threshold-grade pair with probability ≥ R (pairs above t do better).
     * Bands grow mildly with n (~n^0.22 at t=0.9) — the price of holding
-    * BOTH recall and chance load as the corpus scales. */
+    * BOTH recall and chance load as the corpus scales.
+    *
+    * VALID ENVELOPE: bands are capped at 128 (plan size / shuffle cost),
+    * so the recall contract holds only while the uncapped band count fits
+    * under the cap. At targetRecall = 0.9 that is roughly n ≲ 8e6 for
+    * threshold 0.9, n ≲ 3e4 for threshold 0.8, n ≲ 4e3 for threshold 0.7
+    * (lower thresholds separate worse under sign-LSH — more bands per
+    * unit recall). When the cap binds this method logs a WARNING carrying
+    * the ACHIEVED recall ([[bandedRecallAt]]) so the degradation is never
+    * silent; callers needing the contract outside the envelope should
+    * raise the threshold, pre-shard the corpus, or use the exact
+    * [[jaccardPairs]]-style verify on coarser candidates. */
   private[graft] def autoBandParams(n: Long, threshold: Double,
       targetRecall: Double = 0.9): (Int, Int) = {
     require(n > 0, s"corpus size must be positive, got $n")
@@ -329,9 +377,25 @@ object DedupQueries {
       math.ceil(math.log(n.toDouble) / math.log(2.0)).toInt + 2))
     val p = 1.0 - math.acos(threshold) / math.Pi
     val q = math.pow(p, bits)
-    val bands = math.min(128, math.max(1,
-      math.ceil(math.log(1.0 / (1.0 - targetRecall)) / -math.log1p(-q)).toInt))
+    val bandsRaw = math.max(1,
+      math.ceil(math.log(1.0 / (1.0 - targetRecall)) / -math.log1p(-q)).toLong)
+    val bands = math.min(128L, bandsRaw).toInt
+    if (bandsRaw > 128L) {
+      val achieved = bandedRecallAt(bands, bits, threshold)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        f"autoBandParams(n=$n, threshold=$threshold, targetRecall=$targetRecall): the band cap (128) binds — $bandsRaw bands were needed; ACHIEVED threshold-grade recall is ~$achieved%.2f, below the $targetRecall target. Raise the threshold or see the envelope note on autoBandParams.")
+    }
     (bands, bits)
+  }
+
+  /** Recall of a (bands, rowBits) sign-LSH banding for a pair AT cosine
+    * `threshold` (pairs above it do better): 1 − (1 − p^bits)^bands with
+    * p = 1 − acos(t)/π. The closed form behind [[autoBandParams]]'s band
+    * count and its cap warning. */
+  private[graft] def bandedRecallAt(bands: Int, rowBits: Int,
+      threshold: Double): Double = {
+    val p = 1.0 - math.acos(threshold) / math.Pi
+    1.0 - math.pow(1.0 - math.pow(p, rowBits), bands)
   }
 
   private def embNearDup(s: SparkSession, d: String): DataFrame =

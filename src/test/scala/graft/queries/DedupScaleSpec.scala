@@ -73,6 +73,78 @@ class DedupScaleSpec extends AnyFunSuite {
       s"θ-boundary pair must survive the prefix filter: got $got")
   }
 
+  test("pre-flight guard: demo-regime banding on a large corpus refuses before any job") {
+    // the round-4 100× lesson as a spec: d5's demo config (32 bands × 4
+    // bits at θ=0.45) on a big corpus expects ~n² chance candidates and
+    // filled the disk twice before being killed. The guard must refuse at
+    // PLAN-BUILD time. The poison UDF proves no task ever evaluated a row
+    // (it would surface as a SparkException, not the guard's
+    // IllegalArgumentException), and the job group proves no job — not
+    // even a count — was submitted when nHint and dim are supplied.
+    val sc = spark.sparkContext
+    val poison = udf((id: Long) => {
+      throw new RuntimeException("a task evaluated the guarded frame"); id
+    })
+    val emb = spark.range(500000L).select(col("id").as("vec_id"),
+      array(poison(col("id")).cast("float"), lit(0f)).as("embedding"))
+    sc.setJobGroup("d5guard", "pre-flight guard spec", true)
+    try {
+      val ex = intercept[IllegalArgumentException] {
+        DedupQueries.embNearDupBanded(emb, DedupQueries.D5Bands,
+          DedupQueries.D5Rows, threshold = 0.45, dim = 2, nHint = 500000L)
+      }
+      assert(ex.getMessage.contains("autoBandParams(500000, 0.45)"),
+        s"guard error must name the fix: ${ex.getMessage}")
+      Thread.sleep(300) // status store is listener-fed (async)
+      assert(sc.statusTracker.getJobIdsForGroup("d5guard").isEmpty,
+        "guard must fire before any job is submitted")
+    } finally sc.clearJobGroup()
+
+    // force = true builds the plan (lazy — nothing runs here)
+    val forced = DedupQueries.embNearDupBanded(emb, DedupQueries.D5Bands,
+      DedupQueries.D5Rows, threshold = 0.45, dim = 2, nHint = 500000L,
+      force = true)
+    assert(forced.columns.toSeq == Seq("vec_a", "vec_b", "cosine"))
+    spark.catalog.clearCache()
+
+    // the facade guards too, and without nHint it derives n itself
+    val ex2 = intercept[IllegalArgumentException] {
+      graft.Graft.embeddingNearDups(
+        spark.range(500000L).select(col("id").as("vec_id"),
+          array(lit(1f), lit(0f)).as("embedding")), dim = 2)
+    }
+    assert(ex2.getMessage.contains("autoBandParams"))
+
+    // auto-tuned configs stay far inside the budget across decades — the
+    // guard never blocks the path it recommends
+    for (n <- Seq(1e4, 1e6, 1e8); t <- Seq(0.8, 0.9, 0.95)) {
+      val (b, bits) = DedupQueries.autoBandParams(n.toLong, t)
+      assert(DedupQueries.expectedChanceCandidates(n.toLong, b, bits) <=
+        DedupQueries.DefaultCandidateBudget,
+        s"autoBandParams($n, $t) = ($b, $bits) busts the guard budget")
+    }
+  }
+
+  test("autoBandParams band cap: achieved recall surfaced, not silent") {
+    // ADVICE r4: at (t=0.7, n=1e5) and (t=0.8, n=1e6) the 128-band cap
+    // binds and the real recall is far below the 0.9 contract. The
+    // closed form must reproduce the advisor's measured numbers so the
+    // warning the cap now logs carries an honest value.
+    val (b1, bits1) = DedupQueries.autoBandParams(100000L, threshold = 0.7)
+    assert(b1 == 128, "cap must bind at t=0.7, n=1e5")
+    val r1 = DedupQueries.bandedRecallAt(b1, bits1, 0.7)
+    assert(r1 > 0.3 && r1 < 0.5, s"achieved recall ~0.39 expected, got $r1")
+    val (b2, bits2) = DedupQueries.autoBandParams(1000000L, threshold = 0.8)
+    assert(b2 == 128, "cap must bind at t=0.8, n=1e6")
+    val r2 = DedupQueries.bandedRecallAt(b2, bits2, 0.8)
+    assert(r2 > 0.45 && r2 < 0.65, s"achieved recall ~0.56 expected, got $r2")
+    // inside the documented envelope the cap does not bind and the
+    // derived config meets the target by construction
+    val (b3, bits3) = DedupQueries.autoBandParams(5000000L, threshold = 0.9)
+    assert(b3 < 128, "t=0.9, n=5e6 is inside the envelope")
+    assert(DedupQueries.bandedRecallAt(b3, bits3, 0.9) >= 0.9)
+  }
+
   test("narrow-band LSH: full recall on planted near-dups, tiny candidate set") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_d5prod").toString
