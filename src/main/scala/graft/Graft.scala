@@ -152,11 +152,24 @@ object Graft {
   def cosineTopK(emb: DataFrame, nQueries: Int = 32, topK: Int = 3): DataFrame =
     queries.SimilarityQueries.cosineTopK(emb, nQueries, topK)
 
-  /** ANN via sign-projection LSH buckets: candidates share the full
-    * signature (equi-join by bucket), exact cosine ranks within. Pass
-    * `dim` (the embedding width) to skip the one-job probe. */
-  def annTopK(emb: DataFrame, topK: Int = 3, dim: Int = -1): DataFrame =
-    queries.SimilarityQueries.annLsh(emb, topK, dim)
+  /** ANN via sign-projection LSH buckets: candidates share a masked
+    * signature (~64 vectors per bucket at any corpus size, equi-join by
+    * bucket), exact cosine ranks within. Pass `dim` (the embedding
+    * width) to skip the one-job probe; pass `nHint` (approximate row
+    * count) for a static bucket mask — without it the mask width is
+    * derived from a 1-row count aggregate inside the plan, so there is
+    * no separate counting job either way. */
+  def annTopK(emb: DataFrame, topK: Int = 3, dim: Int = -1,
+      nHint: Long = -1L): DataFrame =
+    queries.SimilarityQueries.annLsh(emb, topK, dim, nHint)
+
+  /** IVF-style ANN top-k: deterministic hash-sampled centroids
+    * (~√n cells), vectors assigned to their nearest centroid, exact
+    * cosine top-k within the query's own cell. The inverted-file layout:
+    * centroid broadcast + one shuffle by cell — the 100 TB shape. Pass
+    * `nHint` for a static cell count (else it is derived in-plan). */
+  def ivfTopK(emb: DataFrame, topK: Int = 3, nHint: Long = -1L): DataFrame =
+    queries.SimilarityQueries.ivfTopKDf(emb, topK, nHint)
 
   // ---- text quality / packing (docs: doc_id, text [, lang]) -------------
 
@@ -278,7 +291,7 @@ object Graft {
     val emb = spark.table(embView)
     embeddingNearDupsAuto(emb, threshold, nHint = nHint, dim = dim)
       .createOrReplaceTempView(s"${prefix}_emb_near_dups")
-    annTopK(emb, topK = 3, dim = dim)
+    annTopK(emb, topK = 3, dim = dim, nHint = nHint)
       .createOrReplaceTempView(s"${prefix}_emb_ann")
   }
 

@@ -171,6 +171,17 @@ object ScaleReport {
       graft.queries.DedupQueries
         .embNearDupBanded(emb, 32, 4, threshold = 0.45, dim = dim).count()
     else -1L
+    // s3 cell-population skew: hash-sampled centroids should yield
+    // balanced cells; max/median population is the load-balance evidence
+    // (one straggler cell = one straggler task at scale)
+    val cellStats = graft.queries.SimilarityQueries.ivfAssign(emb, nHint = nEmb)
+      .groupBy(col("cell")).agg(count(lit(1)).as("pop"))
+      .agg(count(lit(1)).as("n_cells"), max(col("pop")).as("max_pop"),
+        expr("CAST(percentile_approx(pop, 0.5) AS BIGINT)").as("med_pop"))
+      .head()
+    spark.catalog.clearCache()
+    val (s3Cells, s3MaxPop, s3MedPop) =
+      (cellStats.getLong(0), cellStats.getLong(1), cellStats.getLong(2))
     // d11 prefix-filter diagnostics: candidate volume (pre-verify) vs
     // verified pairs — the posting-list pass whose growth explains the
     // operator's wall time at each octave
@@ -188,7 +199,8 @@ object ScaleReport {
         s""""d5_cand_20bit":$d5cand20,"d5_cand_24bit":$d5cand24,""" +
         s""""d5_prod_pairs":$d5prod,""" +
         s""""d5_auto_bands":$autoBands,"d5_auto_bits":$autoBits,""" +
-        s""""d5_auto_candidates":$d5autoCand,"d5_demo_pairs":$d5demo}"""
+        s""""d5_auto_candidates":$d5autoCand,"d5_demo_pairs":$d5demo,""" +
+        s""""s3_cells":$s3Cells,"s3_cell_max":$s3MaxPop,"s3_cell_median":$s3MedPop}"""
     spark.stop()
     println(json)
   }

@@ -31,9 +31,16 @@ object SimilarityQueries {
     * ~64·n (linear) instead of n²/2^bits with fixed bits. The round-4
     * 100× octave measured the fixed-8-bit version growing toward its
     * n²/256 asymptote — same class of latent quadratic as s3's fixed-C
-    * IVF, fixed the same way. */
+    * IVF, fixed the same way.
+    *
+    * PURE INTEGER arithmetic (r4 ADVICE): ceil(log2 n) = 64 − nlz(n−1),
+    * so raw = that − 6 — the float log-ratio form can flip by one ulp at
+    * exact power-of-two boundaries and diverge from the oracle, whose
+    * twin is a closed integer form too (smallest r with 2^(r+6) ≥ n,
+    * found by comparing EXACT doubles — powers of two and counts are both
+    * exactly representable). */
   private[graft] def annBucketBits(n: Long): Int = {
-    val raw = math.ceil(math.log(n.toDouble / 64.0) / math.log(2.0)).toInt
+    val raw = 58 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n - 1L))
     math.min(SigBits, math.max(3, raw))
   }
 
@@ -121,16 +128,33 @@ object SimilarityQueries {
     * equi-join on the masked signature is the scale path — shuffle by
     * bucket, never all-pairs, ~64 vectors per bucket at any n. */
   private[graft] def annLsh(emb: DataFrame, topK: Int = TopK,
-      dim0: Int = -1): DataFrame = {
+      dim0: Int = -1, nHint: Long = -1L): DataFrame = {
     // dim < 0 = probe with one tiny head() job (convenience); callers on a
     // hot path pass the known dimension so the query trace has no extra job
     val dim = if (dim0 >= 0) dim0
       else emb.select(size(col("embedding"))).head().getInt(0)
-    val mask = (1L << annBucketBits(emb.count())) - 1L
-    val withSig = emb
+    val base = emb
       .select(col("vec_id"), TextOps.quantize(col("embedding")).as("q"))
       .withColumn("nn", TextOps.qdot(col("q"), col("q")))
-      .withColumn("sig", sigCol(dim).bitwiseAND(lit(mask)))
+      .withColumn("sig_full", sigCol(dim))
+    val withSig = (if (nHint > 0)
+        // known corpus size: static mask, plan identical to the classic one
+        base.withColumn("sig",
+          col("sig_full").bitwiseAND(lit((1L << annBucketBits(nHint)) - 1L)))
+      else {
+        // mask width from a 1-row count aggregate folded INTO the plan
+        // (broadcast bounds frame): no separate count job per invocation —
+        // the lazy `<prefix>_emb_ann` view used to re-count the corpus on
+        // every query it served (r4 ADVICE). Integer end to end:
+        // length(bin(n−1)) = ceil(log2 n), mirroring annBucketBits.
+        val nRow = emb.agg(count(lit(1)).as("n_rows"))
+        base.crossJoin(broadcast(nRow))
+          .withColumn("bits", least(lit(SigBits),
+            greatest(lit(3), length(bin(col("n_rows") - lit(1L))) - lit(6))))
+          .withColumn("sig", col("sig_full").bitwiseAND(
+            expr("shiftleft(CAST(1 AS BIGINT), bits) - 1")))
+          .drop("n_rows", "bits")
+      }).drop("sig_full")
     val cand = withSig.as("a").join(withSig.hint("shuffle_hash").as("b"),
         col("a.sig") === col("b.sig") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
@@ -146,10 +170,12 @@ object SimilarityQueries {
   }
   private val annLshSql =
     s"""WITH q AS (SELECT vec_id, ${TextOps.quantizeSql("embedding")} AS q FROM embeddings),
+       |nrows AS (SELECT COUNT(*) AS n FROM q),
        |mask AS (
-       |  SELECT CAST(POWER(2, LEAST(GREATEST(
-       |    CAST(CEIL(LOG2(COUNT(*) / 64.0)) AS BIGINT), 3), $SigBits)) AS BIGINT) - 1 AS m
-       |  FROM q),
+       |  SELECT CAST(POWER(2, LEAST($SigBits, GREATEST(3, COALESCE(
+       |      MIN(CASE WHEN POWER(2, r.range + 6) >= n THEN r.range END),
+       |      $SigBits)))) AS BIGINT) - 1 AS m
+       |  FROM range(0, ${SigBits + 1}) r, nrows GROUP BY n),
        |sig AS ($lshSignatureSql),
        |e AS (SELECT vec_id, unnest(q) AS v, generate_subscripts(q, 1) AS i FROM q),
        |norms AS (SELECT vec_id, SUM(v * v) AS nn FROM e GROUP BY 1),
@@ -184,29 +210,51 @@ object SimilarityQueries {
     * two far from float edges so the SQL twin (POWER/CEIL/LOG2/SQRT in
     * DuckDB) lands on the identical integer. */
   private[graft] def ivfCells(n: Long): Int = {
-    val raw = math.pow(2.0,
-      math.ceil(math.log(math.sqrt(n.toDouble)) / math.log(2.0))).toLong
-    math.min(65536L, math.max(8L, raw)).toInt
+    // smallest power of two 2^b with 4^b ≥ n (⟺ b = ⌈ceil(log2 n)/2⌉,
+    // since ⌈⌈x⌉/2⌉ = ⌈x/2⌉), in pure integer arithmetic — same 1-ulp
+    // rationale as annBucketBits; the oracle finds the same b by
+    // comparing exact doubles (POWER(4, r) ≥ n)
+    val clog2 = 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n - 1L))
+    math.min(65536L, math.max(8L, 1L << ((clog2 + 1) / 2))).toInt
   }
 
-  /** IVF-style ANN: a deterministic coarse quantizer (the `ivfCells(n)`
-    * lowest-id vectors — a fixed "training sample"), every vector assigned
-    * to its nearest centroid, probes confined to the query's own cell.
-    * At scale this is the inverted-file layout: one broadcast of the
-    * centroid table, one shuffle by cell id; the quadratic part is
-    * per-cell and bounded by the √n cell rule. Exact top-k within the
-    * probed cell by quantized cosine. */
-  private def ivfTopK(s: SparkSession, d: String): DataFrame = {
-    val emb = Tables.embeddings(s, d)
-    val nCells = ivfCells(emb.count())
-    val e = emb
+  /** The IVF assignment table (vec_id, q, nn, cell), persisted — the
+    * materialized inverted file. Centroids are a deterministic HASH
+    * sample: vec_id is a centroid iff hash60(vec_id) % stride == 0 with
+    * stride = n / ivfCells(n), giving ~ivfCells(n) centroids spread
+    * uniformly over the id space regardless of id ordering. (The previous
+    * "lowest-id" training sample skewed cell populations on id-correlated
+    * corpora — time-ordered embeddings put all early centroids in one
+    * region; r4 nit #2.) The hash is the cross-engine md5-60, so the
+    * oracle reproduces the exact centroid set in SQL.
+    *
+    * With `nHint < 0` the stride comes from a 1-row count aggregate
+    * folded into the plan (broadcast bounds frame) — no separate count
+    * job (r4 nit #1); pass the known corpus size to get a static plan. */
+  private[graft] def ivfAssign(emb: DataFrame, nHint: Long = -1L): DataFrame = {
+    val base = emb
       .select(col("vec_id"), TextOps.quantize(col("embedding")).as("q"))
       .withColumn("nn", TextOps.qdot(col("q"), col("q")))
-    val centroids = e.filter(col("vec_id") < nCells)
+    val e = (if (nHint > 0)
+        base.withColumn("stride",
+          lit(math.max(1L, nHint / ivfCells(nHint))))
+      else {
+        val nRow = emb.agg(count(lit(1)).as("n_rows"))
+        base.crossJoin(broadcast(nRow)) // 1-row bounds frame
+          // stride = n div clamp(2^((ceil(log2 n)+1) div 2)) — the same
+          // closed integer form as ivfCells, as Column arithmetic
+          .withColumn("stride", expr(
+            "greatest(CAST(1 AS BIGINT), n_rows div least(CAST(65536 AS BIGINT), " +
+              "greatest(CAST(8 AS BIGINT), shiftleft(CAST(1 AS BIGINT), " +
+              "CAST((length(bin(n_rows - 1)) + 1) div 2 AS INT)))))"))
+          .drop("n_rows")
+      })
+    val centroids = e
+      .filter(XHash.hash60(col("vec_id").cast("string")) % col("stride") === 0)
       .select(col("vec_id").as("cent_id"), col("q").as("cq"), col("nn").as("cnn"))
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("ccos").desc, col("cent_id"))
-    val assigned = e.join(broadcast(centroids))
+    e.join(broadcast(centroids))
       .withColumn("ccos",
         TextOps.qdot(col("q"), col("cq")).cast("double") /
           (sqrt(col("nn").cast("double")) * sqrt(col("cnn").cast("double"))))
@@ -216,6 +264,18 @@ object SimilarityQueries {
       // referenced twice (both sides of the per-cell self-join): pin the
       // assignment table — the materialized inverted file of IVF
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** IVF-style ANN: deterministic hash-sampled coarse quantizer
+    * ([[ivfAssign]]), every vector assigned to its nearest centroid,
+    * probes confined to the query's own cell. At scale this is the
+    * inverted-file layout: one broadcast of the centroid table, one
+    * shuffle by cell id; the quadratic part is per-cell and bounded by
+    * the √n cell rule. Exact top-k within the probed cell by quantized
+    * cosine. */
+  private[graft] def ivfTopKDf(emb: DataFrame, topK: Int = TopK,
+      nHint: Long = -1L): DataFrame = {
+    val assigned = ivfAssign(emb, nHint)
     val wRank = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     assigned.as("a").join(assigned.as("b"),
@@ -226,21 +286,27 @@ object SimilarityQueries {
           (sqrt(col("a.nn").cast("double")) * sqrt(col("b.nn").cast("double"))))
           .as("cosine"))
       .withColumn("rk", row_number().over(wRank).cast("bigint"))
-      .filter(col("rk") <= TopK)
+      .filter(col("rk") <= topK)
       .select(col("query_id"), col("neighbor_id"), col("cell"), col("rk"),
         round(col("cosine"), 6).as("cosine_r"))
   }
+  private def ivfTopK(s: SparkSession, d: String): DataFrame =
+    ivfTopKDf(Tables.embeddings(s, d))
   private val ivfTopKSql =
     s"""WITH q AS (SELECT vec_id, ${TextOps.quantizeSql("embedding")} AS q FROM embeddings),
-       |ncells AS (
-       |  SELECT LEAST(GREATEST(
-       |    CAST(POWER(2, CEIL(LOG2(SQRT(COUNT(*))))) AS BIGINT), 8), 65536) AS nc
-       |  FROM q),
+       |nrows AS (SELECT COUNT(*) AS n FROM q),
+       |strid AS (
+       |  SELECT GREATEST(1, n // LEAST(65536, GREATEST(8,
+       |    CAST(POWER(2, COALESCE(
+       |      MIN(CASE WHEN POWER(4, r.range) >= n THEN r.range END),
+       |      16)) AS BIGINT)))) AS st
+       |  FROM range(0, 17) r, nrows GROUP BY n),
        |e AS (SELECT vec_id, unnest(q) AS v, generate_subscripts(q, 1) AS i FROM q),
        |norms AS (SELECT vec_id, SUM(v * v) AS nn FROM e GROUP BY 1),
        |cdot AS (
        |  SELECT e.vec_id, c.vec_id AS cent_id, SUM(e.v * c.v) AS dot
-       |  FROM e JOIN e c ON e.i = c.i AND c.vec_id < (SELECT nc FROM ncells)
+       |  FROM e JOIN e c ON e.i = c.i
+       |   AND ${XHash.hash60Sql("CAST(c.vec_id AS VARCHAR)")} % (SELECT st FROM strid) = 0
        |  GROUP BY 1, 2),
        |assigned AS (
        |  SELECT vec_id, cent_id AS cell FROM (

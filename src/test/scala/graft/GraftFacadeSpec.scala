@@ -174,5 +174,17 @@ class GraftFacadeSpec extends AnyFunSuite {
     }
     assert(given == probed - 1,
       s"expected exactly one fewer job with dim given: probed=$probed given=$given")
+
+    // r4 ADVICE: the lazy ann view used to re-run emb.count() as a
+    // SEPARATE job on every invocation. The mask is now derived inside
+    // the plan (1-row count aggregate), so with dim given the whole query
+    // is ONE job — with or without an nHint
+    val hinted = countJobs("s2_hinted") {
+      queries.SimilarityQueries.annLsh(emb, dim0 = Tables.EmbeddingDim,
+        nHint = emb.count()).write.format("noop").mode("overwrite").save()
+    }
+    info(s"s2 job counts: probed=$probed given=$given hinted=$hinted")
+    assert(given <= hinted,
+      s"in-plan mask must not cost more jobs than hint+count: given=$given hinted=$hinted")
   }
 }

@@ -1,0 +1,57 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.{Tables, TestSpark}
+
+/** Recall GATES for the approximate similarity operators against the
+  * exact s1 baseline (r4 verdict gap #4: "ANN recall is reported, not
+  * gated") — a future bucket/cell tuning change that silently trades
+  * recall for speed fails this suite instead of shipping.
+  *
+  * Definitions (what a user of the shipped output experiences):
+  *  - s2 (LSH buckets): a true (query, neighbor) pair counts as found if
+  *    it appears in the ranked output in either orientation (s2 pairs
+  *    are emitted once with vec_a < vec_b).
+  *  - s3 (IVF): found iff (query, neighbor) is in the query's ranked
+  *    top-k (s3 ranks per query, both orientations present).
+  * Measured values at sf0.01 are recorded in BENCH_NOTES; floors sit
+  * under them with margin for fixture drift, not for regressions.
+  *
+  * Why the absolute numbers are ~0.2, not ~0.9: this corpus's true
+  * top-3 neighbors are WEAK (near-random 64-dim vectors, best cosines
+  * ~0.4), and a single-probe scheme — one bucket per vector (s2), one
+  * cell per query (s3) — collides with a weak neighbor rarely (sign-LSH:
+  * p^bits with p = 1−acos(0.4)/π ≈ 0.63, so ~0.1 at 5 masked bits;
+  * chance hits raise it to the measured ~0.2). The regime the engine
+  * actually uses ANN for — high-cosine near-duplicates — is recalled at
+  * ~100% by the same machinery (DedupScaleSpec's planted-pair suites,
+  * GraftFacadeSpec auto-banding): recall is a function of the pair's
+  * cosine, and these gates pin the low end of that curve, where
+  * regressions would otherwise hide.
+  */
+class SimilarityRecallSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.01"
+
+  test("s2 and s3 top-k recall vs exact s1 stays above the gate floor") {
+    val emb = Tables.embeddings(spark, sf)
+    val truth = SimilarityQueries.cosineTopK(emb)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.size == 96, s"baseline should be 32 queries x top-3: ${truth.size}")
+
+    val s2 = SimilarityQueries.annLsh(emb, dim0 = Tables.EmbeddingDim)
+      .collect().flatMap(r =>
+        Seq((r.getLong(0), r.getLong(1)), (r.getLong(1), r.getLong(0)))).toSet
+    val s2recall = truth.count(s2.contains).toDouble / truth.size
+
+    val s3 = SimilarityQueries.ivfTopKDf(emb)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.catalog.clearCache()
+    val s3recall = truth.count(s3.contains).toDouble / truth.size
+
+    info(f"s2_recall=$s2recall%.4f s3_recall=$s3recall%.4f (n=${truth.size})")
+    // measured 2026-08 (this fixture, these parameters): 0.1979 / 0.1979
+    assert(s2recall >= 0.15, f"s2 recall regressed: $s2recall%.3f (measured 0.198)")
+    assert(s3recall >= 0.15, f"s3 recall regressed: $s3recall%.3f (measured 0.198)")
+  }
+}
