@@ -616,11 +616,15 @@ object DedupQueries {
     * is tied to θ — the prefix is ⌈(1−θ)|A|⌉ shingles, so the θ=0.6 gate
     * probes 40% of every doc and the verify shuffle dominates wall time
     * (12 s at 50k docs, 158 s at 500k, after switching the verify to
-    * 8-byte hash sets — the 25-byte string arrays cost 5× more). At the
-    * θ=0.9 quote-detection operating point the prefix (and candidate
-    * load) shrinks ~4× further. Use d9 when an already-built MinHash
-    * sketch exists and probabilistic recall suffices; pay d11's posting
-    * pass when the guarantee matters.
+    * 8-byte hash sets — the 25-byte string arrays cost 5× more). The
+    * round-5 PPJoin filters (see [[containmentCandidates]]) cut the 50k
+    * fixture to 3.40M verified pairs (−13%), HALVE the rows entering the
+    * pair aggregation via the small→large orientation rule, and remove
+    * the post-join distinct shuffle outright. At the θ=0.9
+    * quote-detection operating point the prefix (and candidate load)
+    * shrinks ~4× further. Use d9 when an already-built MinHash sketch
+    * exists and probabilistic recall suffices; pay d11's posting pass
+    * when the guarantee matters.
     *
     * The oracle is the brute-force definitional containment join (all
     * pairs sharing ≥1 shingle, then the same verify): any pair with
@@ -657,6 +661,22 @@ object DedupQueries {
     * row), intersections compare longs, and the oracle computes the SAME
     * md5-60 hash (XHash), so `inter`/`n_*` are bit-identical across
     * engines by construction rather than up to collision luck. */
+  /** Smallest integer i whose IEEE-double quotient i/n clears θ — the
+    * verify's own predicate, resolved exactly. Deriving a prefix length
+    * from (1−θ)·n instead under-shoots when 1.0−θ rounds DOWN (θ=0.9:
+    * fl(1.0−0.9) < 0.1, so floor(fl(0.1)·10)+1 = 1 < the required 2 for
+    * a 9-of-10 match). ceil(θ·n) is within one of the answer for any
+    * feasible shingle count (a 2-off would need θ·n·ulp ≥ 1, i.e.
+    * n ≳ 5e15); the cascade resolves it against the division the verify
+    * performs, rounding DOWN on ties — an under-estimate only ever
+    * widens the prefix, never breaks the guarantee. */
+  private def minInterCol(n: Column, theta: Double): Column = {
+    val i0 = ceil(lit(theta) * n.cast("double")).cast("long")
+    when((i0 - 1).cast("double") / n.cast("double") >= theta, i0 - 1)
+      .when(i0.cast("double") / n.cast("double") >= theta, i0)
+      .otherwise(i0 + 1)
+  }
+
   private[graft] def containmentCandidates(docsIn: DataFrame, theta: Double)
       : (DataFrame, DataFrame, Seq[DataFrame]) = {
     require(theta > 0.0 && theta <= 1.0, s"theta must be in (0, 1], got $theta")
@@ -670,39 +690,69 @@ object DedupQueries {
     val ex = docs
       .select(col("doc_id"), size(col("hs")).cast("bigint").as("n_sh"),
         explode(col("hs")).as("h"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // df table and posting list are both O(corpus) — no-broadcast rule
     val dfCounts = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("df").asc, col("h").asc)
-    // k must cover the worst qualifying pair: the verify passes when the
-    // IEEE-double quotient inter/n_sh clears θ, so a qualifying pair can
-    // miss up to n_sh − minInter shingles where minInter is the SMALLEST
-    // integer whose double quotient i/n_sh ≥ θ. Deriving k from (1−θ)·n_sh
-    // instead under-shoots when 1.0−θ rounds DOWN (θ=0.9: fl(1.0−0.9) <
-    // 0.1, so floor(fl(0.1)·10)+1 = 1 < the required 2 for a 9-of-10
-    // match). ceil(θ·n_sh) is within one of minInter for any feasible
-    // shingle count (proof: a 2-off would need θ·n_sh·ulp ≥ 1, i.e.
-    // n_sh ≳ 5e15); the cascade resolves it against the verify's own
-    // division, rounding DOWN on ties — an under-estimate of minInter only
-    // ever enlarges k, never breaks the guarantee.
-    val i0 = ceil(lit(theta) * col("n_sh").cast("double")).cast("long")
-    val minInter =
-      when((i0 - 1).cast("double") / col("n_sh").cast("double") >= theta, i0 - 1)
-        .when(i0.cast("double") / col("n_sh").cast("double") >= theta, i0)
-        .otherwise(i0 + 1)
-    val prefix = ex.join(dfCounts.hint("shuffle_hash"), "h")
+    // every shingle ranked by global (df, h) order WITHIN its doc — the
+    // prefix is the lowest k ranks; the posting side keeps its ranks too
+    // for the positional filter below. Pinned: probed by both join sides.
+    val exRk = ex.join(dfCounts.hint("shuffle_hash"), "h")
       .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= col("n_sh") - minInter + lit(1L))
-      .select(col("doc_id").as("doc_p"), col("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // k = n_sh − minInter + 1 covers the worst qualifying pair by
+    // pigeonhole (see minInterCol for why it is derived from the verify's
+    // own division, not from (1−θ)·n_sh)
+    val prefix = exRk
+      .filter(col("rk") <= col("n_sh") - minInterCol(col("n_sh"), theta) + lit(1L))
+      .select(col("doc_id").as("doc_p"), col("h"),
+        col("rk").as("rk_p"), col("n_sh").as("n_p"))
+    val posting = exRk.select(col("doc_id").as("doc_f"), col("h"),
+      col("rk").as("rk_f"), col("n_sh").as("n_f"))
+    // PPJoin-family pruning (Xiao et al., WWW'08, adapted to asymmetric
+    // containment — the r4 verdict's "cut the verify constant" item):
+    //
+    // (1) LENGTH ORIENTATION. max(cont_a, cont_b) = inter/min(n_a, n_b)
+    //     is achieved by the SMALLER doc, and the pigeonhole argument
+    //     already guarantees the smaller doc's prefix hits any qualifying
+    //     partner — so only the small→large orientation needs to probe
+    //     (ties broken by doc_id). Halves candidate volume, and makes
+    //     each pair arrive in exactly ONE orientation group, so the old
+    //     post-join `distinct` shuffle disappears entirely.
+    //
+    // (2) POSITIONAL FILTER. Among a pair's matched prefix rows, the
+    //     globally-first shared shingle s* has the minimum rk_p AND the
+    //     minimum rk_f (both doc-local ranks are monotone in the global
+    //     (df, h) order), and no shared shingle precedes it in either
+    //     doc — s* is always in P's prefix, because any shared prefix
+    //     shingle globally-after s* would force s*'s P-rank under k.
+    //     Hence inter ≤ 1 + min(n_p − rk_p(s*), n_f − rk_f(s*)): pairs
+    //     whose bound cannot reach minInter(n_p) are pruned BEFORE the
+    //     wide verify rejoin ever sees them.
+    //
+    // (3) MATCH-COUNT BOUND. Every shared shingle is either a matched
+    //     prefix row (there are exactly m of them — a shared shingle in
+    //     P's prefix always produces a match row) or NOT in P's prefix,
+    //     in which case it is globally after every prefix shingle of P
+    //     and so sits after the last matched row in F's ranked list: at
+    //     most n_f − max(rk_f) of those exist. Hence
+    //     inter ≤ m + n_f − max(rk_f) — tight when the matches sit deep
+    //     in F's tail (complementary to (2), which is tight when the
+    //     FIRST match sits late).
     val cand = prefix
-      .join(ex.select(col("doc_id").as("doc_f"), col("h"))
-        .hint("shuffle_hash"), "h")
+      .join(posting.hint("shuffle_hash"), "h")
       .filter(col("doc_p") =!= col("doc_f"))
+      .filter(col("n_f") > col("n_p") ||
+        (col("n_f") === col("n_p") && col("doc_p") < col("doc_f")))
+      .groupBy(col("doc_p"), col("doc_f"), col("n_p"), col("n_f"))
+      .agg(min(col("rk_p")).as("mnp"), min(col("rk_f")).as("mnf"),
+        max(col("rk_f")).as("mxf"), count(lit(1)).as("m"))
+      .filter(lit(1L) + least(col("n_p") - col("mnp"), col("n_f") - col("mnf"))
+        >= minInterCol(col("n_p"), theta))
+      .filter(col("m") + col("n_f") - col("mxf") >= minInterCol(col("n_p"), theta))
       .select(least(col("doc_p"), col("doc_f")).as("doc_a"),
         greatest(col("doc_p"), col("doc_f")).as("doc_b"))
-      .distinct()
-    (cand, docs, Seq(docs, ex))
+    (cand, docs, Seq(docs, exRk))
   }
   private def containmentJoinSql =
     s"""WITH sh AS (SELECT doc_id,
