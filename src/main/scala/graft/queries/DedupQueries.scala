@@ -303,19 +303,23 @@ object DedupQueries {
       .select(col("vec_id"), TextOps.quantize(col("embedding")).as("q"))
       .withColumn("nn", TextOps.qdot(col("q"), col("q")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bandStructs = (0 until bands).map { b =>
-      val sig = (0 until rowBits).map { j =>
-        when(TextOps.qdot(col("q"), lit(d5Weights(dim, b, j))) > 0,
-          lit(1L << j)).otherwise(lit(0L))
-      }.reduce(_ + _)
-      struct(lit(b).as("band_idx"), sig.as("band_sig"))
-    }
+    // all band signatures in ONE native loop expression: the weight
+    // tensor rides along as a referenced object, so generated-code size
+    // is O(1) in bands×rowBits — the unrolled per-band expression array
+    // crossed janino's 64 KB method limit at auto-banded widths and fell
+    // back to interpreted (r4 verdict #3). posexplode yields
+    // (band_idx, band_sig) directly.
+    val flatWeights = new Array[Long](bands * rowBits * dim)
+    for (b <- 0 until bands; j <- 0 until rowBits)
+      System.arraycopy(d5Weights(dim, b, j), 0, flatWeights,
+        (b * rowBits + j) * dim, dim)
     // pin the band table: the self-join would otherwise recompute the
     // bands×rowBits signature projection on BOTH sides (measured 4.2 s vs
     // 0.9 s at sf0.1)
     val bandRows = e.select(col("vec_id"),
-        explode(array(bandStructs: _*)).as("band"))
-      .select(col("vec_id"), col("band.band_idx"), col("band.band_sig"))
+        posexplode(graft.functions.BandedSignatures(
+          col("q"), flatWeights, bands, rowBits)))
+      .toDF("vec_id", "band_idx", "band_sig")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = bandRows.as("a").join(bandRows.hint("shuffle_hash").as("b"),
         col("a.band_idx") === col("b.band_idx") &&

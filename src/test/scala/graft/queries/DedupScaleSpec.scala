@@ -145,6 +145,29 @@ class DedupScaleSpec extends AnyFunSuite {
     assert(DedupQueries.bandedRecallAt(b3, bits3, 0.9) >= 0.9)
   }
 
+  test("auto-banded signature compiles under janino's method limit (no fallback)") {
+    // 50 bands × 20 bits ≈ the autoBandParams(500k, 0.9) width whose
+    // UNROLLED projection crossed janino's 64 KB method limit at the 100×
+    // octave and silently ran interpreted (~2× slower, BENCH_NOTES 100×
+    // finding #2). The BandedSignatures loop expression keeps generated
+    // code O(1) in bands×bits; codegen.fallback=false makes any compile
+    // failure a hard error instead of a quiet ERROR log.
+    val dim = 64
+    val emb = spark.range(200L).select(col("id").as("vec_id"),
+      array((0 until dim).map(i =>
+        ((col("id") * (i + 3)) % 17 - 8).cast("float")): _*).as("embedding"))
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      DedupQueries.embNearDupBanded(emb, bands = 50, rowBits = 20,
+        threshold = 0.9, dim = dim, nHint = 200L).collect()
+    } finally {
+      prev.fold(spark.conf.unset("spark.sql.codegen.fallback"))(v =>
+        spark.conf.set("spark.sql.codegen.fallback", v))
+      spark.catalog.clearCache()
+    }
+  }
+
   test("narrow-band LSH: full recall on planted near-dups, tiny candidate set") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_d5prod").toString
