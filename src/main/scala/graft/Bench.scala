@@ -29,7 +29,13 @@ object Bench {
     // ~1e10 candidates; see BENCH_NOTES 100x findings). Default: none.
     val skip = sys.env.getOrElse("SPARK_GRAFT_BENCH_SKIP", "")
       .split(',').map(_.trim).filter(_.nonEmpty).toSet
+    // SPARK_GRAFT_BENCH_ONLY: comma-separated allow-list — targeted
+    // re-timing of a few queries at a big fixture without paying for the
+    // whole suite. Default: empty = all.
+    val only = sys.env.getOrElse("SPARK_GRAFT_BENCH_ONLY", "")
+      .split(',').map(_.trim).filter(_.nonEmpty).toSet
     val names = SparkEntry.benchQueries.filterNot(skip)
+      .filter(n => only.isEmpty || only(n))
     val failed = scala.collection.mutable.LinkedHashSet[String]()
     def timeOne(name: String): Double = {
       val t0 = System.nanoTime()

@@ -25,6 +25,25 @@ object DedupQueries {
   private val Bands = 4 //   -> 4 bands x 4 rows
   private val Rows = K / Bands
 
+  /** Broadcast-vs-shuffle decision for a sketch-join side whose row count
+    * is KNOWN exactly (an nHint or a real count() — never a stats
+    * estimate: AQE's compressed shuffle stats under-estimated the
+    * in-memory hash build ~100× and OOM'd the driver at the 100× octave,
+    * BENCH_NOTES finding #1; that class of bug cannot recur here because
+    * the bound multiplies an exact row count by a deliberately
+    * PESSIMISTIC in-memory width). Only when rows×rowBytes fits the
+    * session's 32 MB broadcast budget does the side broadcast — the r4
+    * verdict's size-aware re-enable, worth ~0.3–0.5 s/query at sf0.1;
+    * otherwise the shuffle_hash pin stays and AQE honors it in the final
+    * adaptive plan (PlanQualitySpec gate). knownRows ≤ 0 = unknown →
+    * always shuffle. */
+  private[graft] val SketchBroadcastBytes: Long = 32L << 20
+  private[graft] def sizedHint(df: DataFrame, knownRows: Long,
+      rowBytes: Long): DataFrame =
+    if (knownRows > 0 && knownRows <= SketchBroadcastBytes / rowBytes)
+      broadcast(df)
+    else df.hint("shuffle_hash")
+
   /** exact duplicate groups by full-text hash: one row per distinct text
     * with the canonical (min) doc_id and the duplicate count.
     * DataFrame-parameterized (columns: doc_id, text) — the public API
@@ -77,9 +96,13 @@ object DedupQueries {
     * it persisted, so callers that outlive a query run (the [[graft.Graft]]
     * facade) can release them after materializing; the registry/bench path
     * uses the plain variant and relies on its per-query clearCache. */
-  private[graft] def minhashLsh(docs: DataFrame): DataFrame =
-    minhashLshPinned(docs)._1
-  private[graft] def minhashLshPinned(docs: DataFrame): (DataFrame, Seq[DataFrame]) = {
+  private[graft] def minhashLsh(docs: DataFrame, nHint: Long = -1L): DataFrame =
+    minhashLshPinned(docs, nHint)._1
+  private[graft] def minhashLshPinned(docs: DataFrame,
+      nHint: Long = -1L): (DataFrame, Seq[DataFrame]) = {
+    // exact doc count (cheap metadata scan) upper-bounds every sketch
+    // side below — the input to the size-aware broadcast decision
+    val n = if (nHint > 0) nHint else docs.count()
     val sigs = minhashSigs(docs)
     // the signature matrix is referenced 3× (band explode + both candidate
     // rejoins); ReuseExchange only dedups two of the subtrees, so pin the
@@ -95,24 +118,25 @@ object DedupQueries {
             .as("band_val"))
       }: _*)).as("band"))
       .select(col("doc_id"), col("band.band_idx"), col("band.band_val"))
-    // the band table is O(corpus × bands) — same no-broadcast rule as the
-    // sketch rejoins below
-    val cand = bands.as("a").join(bands.hint("shuffle_hash").as("b"),
+    // band table: n×Bands rows, ~128 B in memory (ids + band_val string)
+    val cand = bands.as("a").join(
+        sizedHint(bands, n * Bands, 128).as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_val") === col("b.band_val") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    // the sketch table is O(corpus) and must NEVER be broadcast: its
-    // compressed shuffle stats (16 longs/doc) under-estimate the in-memory
-    // build ~100x, and at the 100x octave AQE's broadcast conversion
-    // OOM'd the driver on exactly this join. shuffle_hash keeps the build
+    // the sketch table is O(corpus): broadcast ONLY under the exact-count
+    // size bound (sizedHint) — its compressed shuffle stats (16 longs/doc)
+    // under-estimate the in-memory build ~100x, and at the 100x octave
+    // AQE's stats-driven broadcast conversion OOM'd the driver on exactly
+    // this join. Above the bound shuffle_hash keeps the build
     // per-partition (16 longs/doc easily fits any task) at every scale.
     val out = cand
-      .join(sigArr.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))
-        .hint("shuffle_hash"), "doc_a")
-      .join(sigArr.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"))
-        .hint("shuffle_hash"), "doc_b")
+      .join(sizedHint(sigArr.select(col("doc_id").as("doc_a"),
+        col("sig").as("sig_a")), n, 512), "doc_a")
+      .join(sizedHint(sigArr.select(col("doc_id").as("doc_b"),
+        col("sig").as("sig_b")), n, 512), "doc_b")
       .withColumn("sig_matches",
         aggregate(zip_with(col("sig_a"), col("sig_b"),
           (x, y) => when(x === y, 1L).otherwise(0L)), lit(0L), (acc, v) => acc + v))
@@ -144,21 +168,24 @@ object DedupQueries {
     * precision pass). The quadratic work stays confined to band buckets;
     * the exact set intersection is an array op per candidate, not a
     * shingle self-join over the corpus. */
-  private[graft] def jaccardPairs(docsIn: DataFrame): DataFrame =
-    jaccardPairsPinned(docsIn)._1
-  private[graft] def jaccardPairsPinned(docsIn: DataFrame): (DataFrame, Seq[DataFrame]) = {
+  private[graft] def jaccardPairs(docsIn: DataFrame, nHint: Long = -1L): DataFrame =
+    jaccardPairsPinned(docsIn, nHint)._1
+  private[graft] def jaccardPairsPinned(docsIn: DataFrame,
+      nHint: Long = -1L): (DataFrame, Seq[DataFrame]) = {
+    val n = if (nHint > 0) nHint else docsIn.count()
     val docs = docsIn
       .select(col("doc_id"), TextOps.shingles(col("text")).as("sh"))
       .filter(size(col("sh")) > 0)
-    val (lsh, pinned) = minhashLshPinned(docsIn)
+    val (lsh, pinned) = minhashLshPinned(docsIn, n)
     val cand = lsh.select("doc_a", "doc_b")
-    // shingle arrays are O(corpus) and wide — same no-broadcast rule as
-    // the d2 sketch rejoins (see minhashLshPinned)
+    // shingle arrays are O(corpus) and WIDE (~hundreds of 25-byte strings
+    // per doc — pessimistic 8 KB/row): the size bound flips to broadcast
+    // only for genuinely tiny corpora; see sizedHint
     val out = cand
-      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-        .hint("shuffle_hash"), "doc_a")
-      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-        .hint("shuffle_hash"), "doc_b")
+      .join(sizedHint(docs.select(col("doc_id").as("doc_a"),
+        col("sh").as("sh_a")), n, 8192), "doc_a")
+      .join(sizedHint(docs.select(col("doc_id").as("doc_b"),
+        col("sh").as("sh_b")), n, 8192), "doc_b")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("bigint"))
       .withColumn("uni",
         (size(col("sh_a")) + size(col("sh_b"))).cast("bigint") - col("inter"))
@@ -321,7 +348,8 @@ object DedupQueries {
           col("q"), flatWeights, bands, rowBits)))
       .toDF("vec_id", "band_idx", "band_sig")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cand = bandRows.as("a").join(bandRows.hint("shuffle_hash").as("b"),
+    val cand = bandRows.as("a").join(
+        sizedHint(bandRows, n * bands, 64).as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_sig") === col("b.band_sig") &&
           col("a.vec_id") < col("b.vec_id"))
@@ -333,13 +361,15 @@ object DedupQueries {
     // Re-measured at the 10x octave where the multiset is ~2n^2 rows
     // (bench.D5Ab): filter-first 32.8 s vs distinct-first 62.2 s — the
     // pair shuffle dominates duplicate dot-products at every tested scale
-    // quantized vectors are O(corpus) × dim longs — never broadcastable
-    // (same 100x-octave AQE lesson as the d2 sketch rejoins)
+    // quantized vectors: dim longs per row (+ norm) — broadcast ONLY
+    // under the exact-count size bound (same 100x-octave AQE lesson as
+    // the d2 sketch rejoins: stats lie, exact counts don't)
+    val vecBytes = 8L * dim + 64L
     val out = cand
-      .join(e.select(col("vec_id").as("vec_a"), col("q").as("qa"), col("nn").as("na"))
-        .hint("shuffle_hash"), "vec_a")
-      .join(e.select(col("vec_id").as("vec_b"), col("q").as("qb"), col("nn").as("nb"))
-        .hint("shuffle_hash"), "vec_b")
+      .join(sizedHint(e.select(col("vec_id").as("vec_a"),
+        col("q").as("qa"), col("nn").as("na")), n, vecBytes), "vec_a")
+      .join(sizedHint(e.select(col("vec_id").as("vec_b"),
+        col("q").as("qb"), col("nn").as("nb")), n, vecBytes), "vec_b")
       .select(col("vec_a"), col("vec_b"),
         (TextOps.qdot(col("qa"), col("qb")).cast("double") /
           (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
@@ -438,12 +468,13 @@ object DedupQueries {
     * higher doc_id of every verified pair), rolled up per language —
     * what a training-data pipeline actually ships downstream. */
   private[graft] def dedupKeep(s: SparkSession, d: String): DataFrame = {
-    val dupB = jaccardPairs(Tables.documents(s, d))
+    val n = Tables.documents(s, d).count()
+    val dupB = jaccardPairs(Tables.documents(s, d), n)
       .select(col("doc_b").as("doc_id")).distinct()
     Tables.documents(s, d)
-      // the drop-list is O(duplicates) — corpus-proportional, so the anti
-      // join shuffles instead of betting on a broadcastable build
-      .join(dupB.hint("shuffle_hash"), Seq("doc_id"), "left_anti")
+      // the drop-list is O(duplicates): ≤ n rows of one long — the exact
+      // doc count bounds it, so the size-aware rule applies here too
+      .join(sizedHint(dupB, n, 48), Seq("doc_id"), "left_anti")
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("sum_chars"))
   }
@@ -495,16 +526,19 @@ object DedupQueries {
     * the ranking window partitions BY COMPONENT — millions of small
     * partitions, never global; the per-component aggregate is one
     * hash-agg. */
-  private[graft] def keepBest(docs: DataFrame): DataFrame =
-    keepBestPinned(docs)._1
-  private[graft] def keepBestPinned(docs: DataFrame): (DataFrame, Seq[DataFrame]) = {
-    val (pairs, pinned) = jaccardPairsPinned(docs)
+  private[graft] def keepBest(docs: DataFrame, nHint: Long = -1L): DataFrame =
+    keepBestPinned(docs, nHint)._1
+  private[graft] def keepBestPinned(docs: DataFrame,
+      nHint: Long = -1L): (DataFrame, Seq[DataFrame]) = {
+    val n = if (nHint > 0) nHint else docs.count()
+    val (pairs, pinned) = jaccardPairsPinned(docs, n)
     val labels = graft.operators.Components.connectedComponents(
       pairs.select(col("doc_a"), col("doc_b")))
     val sized = labels.join(
-      docs.select(col("doc_id").as("id"),
-        length(col("text")).cast("bigint").as("n_chars"))
-        .hint("shuffle_hash"), // O(corpus) side: no broadcast at any scale
+      // O(corpus) side, but a NARROW one (two longs): broadcast under the
+      // exact-count size bound only
+      sizedHint(docs.select(col("doc_id").as("id"),
+        length(col("text")).cast("bigint").as("n_chars")), n, 64),
       "id")
     val w = Window.partitionBy(col("component"))
       .orderBy(col("n_chars").desc, col("id").asc)
@@ -545,18 +579,21 @@ object DedupQueries {
     * posting-list pass instead of reusing d2's sketch).
     * Both divisions are int64/int64 in IEEE double — bit-identical
     * cross-engine. */
-  private[graft] def containmentPairs(docsIn: DataFrame): DataFrame =
-    containmentPairsPinned(docsIn)._1
-  private[graft] def containmentPairsPinned(docsIn: DataFrame): (DataFrame, Seq[DataFrame]) = {
+  private[graft] def containmentPairs(docsIn: DataFrame,
+      nHint: Long = -1L): DataFrame =
+    containmentPairsPinned(docsIn, nHint)._1
+  private[graft] def containmentPairsPinned(docsIn: DataFrame,
+      nHint: Long = -1L): (DataFrame, Seq[DataFrame]) = {
+    val n = if (nHint > 0) nHint else docsIn.count()
     val docs = docsIn
       .select(col("doc_id"), TextOps.shingles(col("text")).as("sh"))
       .filter(size(col("sh")) > 0)
-    val (lsh, pinned) = minhashLshPinned(docsIn)
+    val (lsh, pinned) = minhashLshPinned(docsIn, n)
     val out = lsh.select("doc_a", "doc_b")
-      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-        .hint("shuffle_hash"), "doc_a")
-      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-        .hint("shuffle_hash"), "doc_b")
+      .join(sizedHint(docs.select(col("doc_id").as("doc_a"),
+        col("sh").as("sh_a")), n, 8192), "doc_a")
+      .join(sizedHint(docs.select(col("doc_id").as("doc_b"),
+        col("sh").as("sh_b")), n, 8192), "doc_b")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("bigint"))
       .withColumn("n_a", size(col("sh_a")).cast("bigint"))
       .withColumn("n_b", size(col("sh_b")).cast("bigint"))
@@ -635,16 +672,19 @@ object DedupQueries {
     * cont ≥ θ > 0 shares a shingle, so both computations equal the set of
     * qualifying pairs — the oracle checks the GUARANTEE, not the plan. */
   private[graft] def containmentJoin(docsIn: DataFrame,
-      theta: Double = 0.6): DataFrame =
-    containmentJoinPinned(docsIn, theta)._1
+      theta: Double = 0.6, nHint: Long = -1L): DataFrame =
+    containmentJoinPinned(docsIn, theta, nHint)._1
   private[graft] def containmentJoinPinned(docsIn: DataFrame,
-      theta: Double): (DataFrame, Seq[DataFrame]) = {
-    val (cand, docs, pinned) = containmentCandidates(docsIn, theta)
+      theta: Double, nHint: Long = -1L): (DataFrame, Seq[DataFrame]) = {
+    val n = if (nHint > 0) nHint else docsIn.count()
+    val (cand, docs, pinned) = containmentCandidates(docsIn, theta, n)
+    // hashed shingle sets: ~hundreds of longs per doc (pessimistic
+    // 4 KB/row) — broadcast only under the exact-count size bound
     val out = cand
-      .join(docs.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"))
-        .hint("shuffle_hash"), "doc_a")
-      .join(docs.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"))
-        .hint("shuffle_hash"), "doc_b")
+      .join(sizedHint(docs.select(col("doc_id").as("doc_a"),
+        col("hs").as("hs_a")), n, 4096), "doc_a")
+      .join(sizedHint(docs.select(col("doc_id").as("doc_b"),
+        col("hs").as("hs_b")), n, 4096), "doc_b")
       .withColumn("inter", size(array_intersect(col("hs_a"), col("hs_b"))).cast("bigint"))
       .withColumn("n_a", size(col("hs_a")).cast("bigint"))
       .withColumn("n_b", size(col("hs_b")).cast("bigint"))
@@ -681,8 +721,8 @@ object DedupQueries {
       .otherwise(i0 + 1)
   }
 
-  private[graft] def containmentCandidates(docsIn: DataFrame, theta: Double)
-      : (DataFrame, DataFrame, Seq[DataFrame]) = {
+  private[graft] def containmentCandidates(docsIn: DataFrame, theta: Double,
+      nHint: Long = -1L): (DataFrame, DataFrame, Seq[DataFrame]) = {
     require(theta > 0.0 && theta <= 1.0, s"theta must be in (0, 1], got $theta")
     // hashed shingle sets, referenced 3x (posting list + both rejoins)
     val docs = docsIn

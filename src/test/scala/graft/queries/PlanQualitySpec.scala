@@ -201,15 +201,25 @@ class PlanQualitySpec extends AnyFunSuite {
       p.linesIterator.filter(_.contains("Join")).mkString("\n"))
   }
 
-  test("sketch rejoins never broadcast (the 100x-octave AQE OOM, pinned)") {
+  test("sketch rejoins never broadcast ABOVE the size bound (100x AQE OOM, pinned)") {
     // AQE's compressed-size stats under-estimate wide sketch rows ~100x
     // and broadcast-convert the rejoin at exactly the scale where the
-    // build OOMs (BENCH_NOTES 100x finding #1). The shuffle_hash hints
-    // must hold on the FINAL adaptive plan: no broadcast join may touch
-    // an O(corpus) sketch side in d2/d3/d5/d11.
-    Seq("d2_minhash_lsh", "d3_jaccard_pairs", "d5_embedding_neardup",
-      "d11_containment_join").foreach { q =>
-      val df = SparkEntry.queries(q)(spark, sf)
+    // build OOMs (BENCH_NOTES 100x finding #1). Round 5 re-enables
+    // broadcast ONLY under an exact-count × pessimistic-width bound
+    // (sizedHint) — so the protected regime is a LARGE known count:
+    // force one via nHint on the small corpus and assert the FINAL
+    // adaptive plan pins shuffle joins with zero broadcasts.
+    val docs = Tables.documents(spark, sf)
+    val emb = Tables.embeddings(spark, sf)
+    val big = 10000000L
+    val plans: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
+      "d2" -> DedupQueries.minhashLsh(docs, nHint = big),
+      "d3" -> DedupQueries.jaccardPairs(docs, nHint = big),
+      "d5" -> DedupQueries.embNearDupBanded(emb,
+        DedupQueries.D5Bands, DedupQueries.D5Rows, 0.45,
+        dim = Tables.EmbeddingDim, nHint = big, force = true),
+      "d11" -> DedupQueries.containmentJoin(docs, 0.6, nHint = big))
+    plans.foreach { case (q, df) =>
       df.collect()
       val p = df.queryExecution.executedPlan.toString
       spark.catalog.clearCache()
@@ -217,6 +227,16 @@ class PlanQualitySpec extends AnyFunSuite {
         s"$q broadcasts a corpus-sized side:\n" +
           p.linesIterator.filter(_.contains("Broadcast")).mkString("\n"))
     }
+
+    // ...and the flip side: at the real (tiny) corpus size the narrow
+    // sketch sides DO broadcast — the 0.3-0.5 s/query the blanket rule
+    // was leaving on the table at sf0.1
+    val small = SparkEntry.queries("d2_minhash_lsh")(spark, sf)
+    small.collect()
+    val sp = small.queryExecution.executedPlan.toString
+    spark.catalog.clearCache()
+    assert(sp.contains("BroadcastHashJoin"),
+      "tiny-corpus sketch rejoin should broadcast under the size bound")
   }
 
   test("q47 histogram aggregates partially (map-side combine before the exchange)") {
