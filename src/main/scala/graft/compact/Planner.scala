@@ -106,7 +106,7 @@ object Planner {
       .map { case ((host, db, table, date, hourStart), rs) =>
         // dedup: the same file referenced from multiple snapshots must
         // merge once (reference: inner Map keyed by path, kompactor.ts:202)
-        val unique = rs.map(_.meta).distinctBy(_.path).toVector
+        val unique = dedupByPath(rs.map(_.meta))
         val sorted = unique.sortBy(f =>
           (WalSeq.extractOrThrow(f.path.substring(f.path.lastIndexOf('/') + 1)),
             f.path))
@@ -153,7 +153,7 @@ object Planner {
         (r.host, r.db, r.table, r.date, r.hour / windowHours * windowHours))
       .mapGroups { (key, rs) =>
         val (host, db, table, date, hourStart) = key
-        val unique = rs.map(_.meta).toVector.distinctBy(_.path)
+        val unique = dedupByPath(rs.map(_.meta).toVector)
         val sorted = unique.sortBy(f =>
           (WalSeq.extractOrThrow(f.path.substring(f.path.lastIndexOf('/') + 1)),
             f.path))
@@ -163,6 +163,19 @@ object Planner {
       .orderBy($"host", $"db", $"table", $"date", $"hourStart")
     (buckets, skipped)
   }
+
+  /** Deterministic survivor when one path is referenced with DIFFERING
+    * metadata across snapshots: minimum under a total ordering over every
+    * FileMeta field. Both [[plan]] (snapshot-order input) and
+    * [[planDistributed]] (Spark's nondeterministic group-iterator order)
+    * route through this, so the surviving copy — and therefore
+    * rollupStats' row_count/min_time/max_time — is identical between the
+    * two paths and across runs (r4 ADVICE #3: distinctBy kept whichever
+    * copy arrived first, which differed per path and per run). */
+  private def dedupByPath(ms: Iterable[FileMeta]): Vector[FileMeta] =
+    ms.groupBy(_.path).valuesIterator.map(_.minBy(m =>
+      (m.id, m.size_bytes, m.row_count, m.chunk_time, m.min_time, m.max_time)))
+      .toVector
 
   /** Aggregate statistics for the compacted file (operator B11): Long
     * min/max (no 2^53 loss) and summed row counts. `size_bytes` is filled

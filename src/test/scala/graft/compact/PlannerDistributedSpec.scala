@@ -26,6 +26,34 @@ class PlannerDistributedSpec extends AnyFunSuite {
   import PlannerFuzz.fm
   private lazy val spark = TestSpark.spark
 
+  test("conflicting metadata for one path: same deterministic survivor everywhere") {
+    // r4 ADVICE #3: when the SAME path carries differing FileMeta across
+    // snapshots, the surviving copy used to be first-arrival — snapshot
+    // order on the in-memory path, Spark's nondeterministic group order
+    // on the distributed path — changing rollupStats between the two and
+    // between runs. Both now keep the min under a total field ordering,
+    // independent of input order.
+    import spark.implicits._
+    val p1 = "h0/dbs/db-0/table-0/2025-01-26/05-00/0000000001.parquet"
+    val p2 = "h0/dbs/db-0/table-0/2025-01-26/05-20/0000000002.parquet"
+    def meta(p: String, id: Long) =
+      FileMeta(id, p, 100 + id, 10 * id, 0L, 100 * id, 1000 * id)
+    def snapOf(ms: FileMeta*) = SnapshotMeta("w", 0, 0, 0, 0,
+      Vector(DbTables(0, Vector(TableFiles(0, ms.toVector)))))
+    val s1 = snapOf(meta(p1, 7), meta(p2, 2))
+    val s2 = snapOf(meta(p1, 3), meta(p2, 9))
+    for (order <- Seq(Seq(s1, s2), Seq(s2, s1))) {
+      val (mem, _) = Planner.plan(order, 1)
+      val (ds, _) = Planner.planDistributed(
+        spark, spark.createDataset(order.flatMap(_.allFiles).toVector), 1)
+      assert(mem.length == 1)
+      assert(ds.collect().toVector.map(_.toBucket) == mem,
+        s"distributed survivor differs for order $order")
+      // min-by-total-key copies, regardless of which snapshot came first
+      assert(mem.head.files.map(_.id) == Vector(3L, 2L))
+    }
+  }
+
   test("fuzzed snapshot trees: distributed plan equals in-memory plan exactly") {
     import spark.implicits._
     val rnd = new scala.util.Random(20260813L)
