@@ -34,6 +34,46 @@ class ScaleFixtureSpec extends AnyFunSuite {
     (inter, sizes)
   }
 
+  test("relational replicas: join spine preserved exactly, keys disjoint, aggregates scale linearly") {
+    val c = Tables.customer(spark, sf)
+    val o = Tables.orders(spark, sf)
+    val l = Tables.lineitem(spark, sf)
+    def rep(n: Int, df: org.apache.spark.sql.DataFrame,
+        f: (org.apache.spark.sql.DataFrame, Int) => org.apache.spark.sql.DataFrame) =
+      (0 until n).map(r => f(df, r)).reduce(_ unionAll _)
+    val c3 = rep(3, c, ScaleFixture.shiftCustomer)
+    val o3 = rep(3, o, ScaleFixture.shiftOrders)
+    val l3 = rep(3, l, ScaleFixture.shiftLineitem)
+
+    // the three-way join spine is exactly 3x the base: orderkey/custkey
+    // shift together, so every within-replica multiplicity is preserved
+    // and cross-replica keys never meet
+    val base = l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey")).count()
+    val tripled = l3.join(o3, l3("l_orderkey") === o3("o_orderkey"))
+      .join(c3, o3("o_custkey") === c3("c_custkey")).count()
+    assert(tripled == 3 * base, s"spine $tripled != 3 * $base")
+
+    // cross-replica joins are empty by key disjointness
+    val cross = ScaleFixture.shiftOrders(o, 1).join(
+      ScaleFixture.shiftCustomer(c, 0),
+      col("o_custkey") === col("c_custkey")).count()
+    assert(cross == 0, s"replica key spaces overlap: $cross rows")
+
+    // q1-shape aggregate: identical groups, every count exactly 3x
+    val g1 = l.groupBy("l_returnflag", "l_linestatus").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val g3 = l3.groupBy("l_returnflag", "l_linestatus").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(g3 == g1.map { case (k, v) => k -> 3 * v })
+
+    // dimension fan-out: part/supplier stay 1x, so per-part lineitem
+    // multiplicity grows exactly 3x (the harder join regime, by design)
+    val perPart = l.groupBy("l_partkey").count().agg(max("count")).head.getLong(0)
+    val perPart3 = l3.groupBy("l_partkey").count().agg(max("count")).head.getLong(0)
+    assert(perPart3 == 3 * perPart)
+  }
+
   test("saltDocs is a bijection on shingle space: Jaccard preserved exactly, replicas disjoint") {
     val docs = Tables.documents(spark, sf).limit(200)
     val r0 = shingleProfile(ScaleFixture.saltDocs(docs, 0))

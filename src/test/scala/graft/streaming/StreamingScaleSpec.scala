@@ -35,30 +35,33 @@ class StreamingScaleSpec extends AnyFunSuite {
     (spark.table(name), state)
   }
 
-  test("corpus ingest state rows = distinct content, not stream length (10x + full re-crawl)") {
-    val dir = Files.createTempDirectory("graft_ingest_scale").toString
+  /** Octave-parameterized ingest run: `factor` independent bijective-salt
+    * replicas of the sf0.001 corpus (= factor× distinct content) written
+    * `replicasPerFile` to a file, then the ENTIRE corpus re-crawled under
+    * new doc_ids — the same file count again, pure duplicates. Stream
+    * length 2·factor×, distinct content factor×; state must track the
+    * latter only. */
+  private def ingestOctave(factor: Int, replicasPerFile: Int,
+      name: String): Unit = {
+    val dir = Files.createTempDirectory(s"graft_$name").toString
     val docs = Tables.documents(spark, sf)
     val nBase = docs.count() // 500
 
-    // 10 independent replicas (the octave fixture's bijective salting) =
-    // 10x distinct content, one file per replica; then the ENTIRE 10x
-    // corpus re-crawled under new doc_ids — 10 more files of pure
-    // duplicates. Stream length 20x, distinct content 10x.
-    (0 until 10).foreach { r =>
-      graft.bench.ScaleFixture.saltDocs(docs, r)
-        .coalesce(1).write.mode("append").parquet(dir)
-    }
-    (0 until 10).foreach { r =>
-      graft.bench.ScaleFixture.saltDocs(docs, r)
-        .withColumn("doc_id", col("doc_id") + 5000000L)
-        .coalesce(1).write.mode("append").parquet(dir)
-    }
+    def crawl(idShift: Long): Unit =
+      (0 until factor).grouped(replicasPerFile).foreach { rs =>
+        rs.map(r => graft.bench.ScaleFixture.saltDocs(docs, r)
+            .withColumn("doc_id", col("doc_id") + idShift))
+          .reduce(_ unionAll _)
+          .coalesce(1).write.mode("append").parquet(dir)
+      }
+    crawl(0L)        // fresh content: factor x nBase distinct docs
+    crawl(5000000L)  // full re-crawl: same content, new ids
 
     val (out, state) = runWithStateMetrics(
-      CorpusIngest.ingest(CorpusIngest.readDocs(spark, dir)), "ingest_scale")
+      CorpusIngest.ingest(CorpusIngest.readDocs(spark, dir)), name)
 
-    val distinct = 10L * nBase
-    val streamLen = 20L * nBase
+    val distinct = factor.toLong * nBase
+    val streamLen = 2L * distinct
     assert(state.nonEmpty, "no state metrics reported")
     // the dedup state holds exactly one row per distinct fingerprint —
     // the re-crawl half of the stream must add NOTHING
@@ -69,12 +72,26 @@ class StreamingScaleSpec extends AnyFunSuite {
     assert(out.select("text_fp").distinct().count() == out.count())
   }
 
-  test("sessionizer state rows = active users, not events; closed sessions leave the store") {
+  test("corpus ingest state rows = distinct content, not stream length (10x + full re-crawl)") {
+    ingestOctave(factor = 10, replicasPerFile = 1, name = "ingest_scale")
+  }
+
+  test("corpus ingest state rows = distinct content at the 100x octave (50k docs + re-crawl)") {
+    // one decade further (r4 verdict #9): 100 replicas = 50k distinct
+    // docs, 100k-doc stream. Batched 10 replicas/file so micro-batch
+    // COUNT matches the 10x point and only per-batch volume grows 10x.
+    ingestOctave(factor = 100, replicasPerFile = 10, name = "ingest_scale100")
+  }
+
+  /** Octave-parameterized sessionizer run: `users` concurrent sessions of
+    * 3 events each across two burst files (state must carry between
+    * batches), then a far-future sentinel that pushes the watermark past
+    * every timeout — the store must drain to at most the sentinel. */
+  private def sessionOctave(users: Int, name: String): Unit = {
     import spark.implicits._
-    val dir = Files.createTempDirectory("graft_sess_scale").toString
+    val dir = Files.createTempDirectory(s"graft_$name").toString
     val base = 1737928800L * 1000000000L
     val minNs = 60L * 1000000000L
-    val users = 2000
 
     // 3 events per user inside a 10-minute span => 6000 events, one open
     // session per user; two files so state must carry across batches
@@ -102,11 +119,11 @@ class StreamingScaleSpec extends AnyFunSuite {
       .parquet(dir)
       .withColumnRenamed("ts", "ts_ns")
     val (out, state) = runWithStateMetrics(
-      StatefulSessions.sessionize(events).toDF(), "sess_scale")
+      StatefulSessions.sessionize(events).toDF(), name)
 
     assert(state.nonEmpty, "no state metrics reported")
-    // peak state = one SessState per ACTIVE user — 2001 keys against a
-    // 6001-event stream; growth with events (not keys) would show ~6000
+    // peak state = one SessState per ACTIVE user against a 3·users-event
+    // stream; growth with events (not keys) would show ~3x the bound
     assert(state.max <= users + 1L,
       s"peak state ${state.max} exceeds active-user count ${users + 1}")
     // after the watermark passes, every closed session is REMOVED: only
@@ -115,5 +132,14 @@ class StreamingScaleSpec extends AnyFunSuite {
       s"state store must drain after sessions close, still ${state.last}")
     assert(out.filter(col("user_id") < users).count() == users.toLong,
       "every user's session must close exactly once")
+  }
+
+  test("sessionizer state rows = active users, not events; closed sessions leave the store") {
+    sessionOctave(users = 2000, name = "sess_scale")
+  }
+
+  test("sessionizer state at the 100x octave: 20k concurrent sessions, store still drains") {
+    // one decade further (r4 verdict #9): 20k active keys / 60k events
+    sessionOctave(users = 20000, name = "sess_scale100")
   }
 }
