@@ -164,12 +164,15 @@ object Graft {
     queries.SimilarityQueries.annLsh(emb, topK, dim, nHint)
 
   /** IVF-style ANN top-k: deterministic hash-sampled centroids
-    * (~√n cells), vectors assigned to their nearest centroid, exact
-    * cosine top-k within the query's own cell. The inverted-file layout:
+    * (~√n cells), vectors stored in their nearest centroid's cell, each
+    * query probing its `nProbe` nearest cells (FAISS nprobe — recall
+    * rises with nProbe at a bounded ×nProbe candidate cost), exact
+    * cosine top-k within the probed cells. The inverted-file layout:
     * centroid broadcast + one shuffle by cell — the 100 TB shape. Pass
     * `nHint` for a static cell count (else it is derived in-plan). */
-  def ivfTopK(emb: DataFrame, topK: Int = 3, nHint: Long = -1L): DataFrame =
-    queries.SimilarityQueries.ivfTopKDf(emb, topK, nHint)
+  def ivfTopK(emb: DataFrame, topK: Int = 3, nHint: Long = -1L,
+      nProbe: Int = 4): DataFrame =
+    queries.SimilarityQueries.ivfTopKDf(emb, topK, nHint, nProbe)
 
   // ---- text quality / packing (docs: doc_id, text [, lang]) -------------
 

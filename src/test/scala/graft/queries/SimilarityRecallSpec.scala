@@ -17,17 +17,20 @@ import graft.{Tables, TestSpark}
   * Measured values at sf0.01 are recorded in BENCH_NOTES; floors sit
   * under them with margin for fixture drift, not for regressions.
   *
-  * Why the absolute numbers are ~0.2, not ~0.9: this corpus's true
+  * Why the absolute numbers are well under 0.9: this corpus's true
   * top-3 neighbors are WEAK (near-random 64-dim vectors, best cosines
-  * ~0.4), and a single-probe scheme — one bucket per vector (s2), one
-  * cell per query (s3) — collides with a weak neighbor rarely (sign-LSH:
+  * ~0.4), and single-probe schemes — one bucket per vector (s2), one
+  * cell per query — collide with a weak neighbor rarely (sign-LSH:
   * p^bits with p = 1−acos(0.4)/π ≈ 0.63, so ~0.1 at 5 masked bits;
-  * chance hits raise it to the measured ~0.2). The regime the engine
-  * actually uses ANN for — high-cosine near-duplicates — is recalled at
-  * ~100% by the same machinery (DedupScaleSpec's planted-pair suites,
-  * GraftFacadeSpec auto-banding): recall is a function of the pair's
-  * cosine, and these gates pin the low end of that curve, where
-  * regressions would otherwise hide.
+  * chance hits raise it to the measured ~0.2). s3's multi-probe (FAISS
+  * nprobe=4, round 5) lifts IVF recall to the measured 0.44 at a
+  * bounded ×4 candidate cost — the standard recall/cost dial at scale.
+  * The regime the engine actually uses ANN for — high-cosine
+  * near-duplicates — is recalled at ~100% by the same machinery
+  * (DedupScaleSpec's planted-pair suites, GraftFacadeSpec
+  * auto-banding): recall is a function of the pair's cosine, and these
+  * gates pin the low end of that curve, where regressions would
+  * otherwise hide.
   */
 class SimilarityRecallSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
@@ -50,8 +53,9 @@ class SimilarityRecallSpec extends AnyFunSuite {
     val s3recall = truth.count(s3.contains).toDouble / truth.size
 
     info(f"s2_recall=$s2recall%.4f s3_recall=$s3recall%.4f (n=${truth.size})")
-    // measured 2026-08 (this fixture, these parameters): 0.1979 / 0.1979
+    // measured 2026-08 (this fixture, these parameters): s2 0.1979
+    // single-probe; s3 0.4375 at nprobe=4 (0.1979 single-probe)
     assert(s2recall >= 0.15, f"s2 recall regressed: $s2recall%.3f (measured 0.198)")
-    assert(s3recall >= 0.15, f"s3 recall regressed: $s3recall%.3f (measured 0.198)")
+    assert(s3recall >= 0.35, f"s3 recall regressed: $s3recall%.3f (measured 0.438 @ nprobe=4)")
   }
 }
