@@ -253,20 +253,33 @@ object AdvancedQueries {
     // cume_dist / nth_value over a unique total order per partition
     // (price, orderkey) — tie-free, so every rank function is
     // deterministic and engine-agnostic.
+    //
+    // Computed via operators.DistributedRank, NOT Window.partitionBy:
+    // o_orderpriority has 5 values, so the window form funnels the whole
+    // table through 5 sequential sorter tasks (300k rows each at the
+    // 100× octave, billions at 100 TB). DistributedRank range-shards
+    // each group across the cluster and derives the whole family from
+    // the exact row number + per-group size in closed form; under the
+    // query's unique total order, dense_rank = row_number and the
+    // double divisions are bit-identical to the oracle's window
+    // evaluation.
     Q(
       "q35_window_ranks",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy(col("o_orderpriority"))
-          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-        Tables.orders(s, d)
-          .select("o_orderkey", "o_orderpriority", "o_totalprice")
-          .withColumn("drk", dense_rank().over(w).cast("bigint"))
-          .withColumn("quartile", ntile(4).over(w).cast("bigint"))
-          .withColumn("pct_rank", round(percent_rank().over(w), 6))
-          .withColumn("cume", round(cume_dist().over(w), 6))
-          .withColumn("top_key", nth_value(col("o_orderkey"), 1).over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        graft.operators.DistributedRank.withRankFamily(
+            Tables.orders(s, d)
+              .select("o_orderkey", "o_orderpriority", "o_totalprice"),
+            groupCols = Seq("o_orderpriority"),
+            orderCols = Seq(col("o_totalprice").desc, col("o_orderkey")),
+            shardKey = negate(col("o_totalprice")), // desc ⇒ negated key
+            tiles = 4, firstCol = "o_orderkey")
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            col("o_totalprice"),
+            col("rn").as("drk"),
+            col("ntile").as("quartile"),
+            round(col("percent_rank"), 6).as("pct_rank"),
+            round(col("cume_dist"), 6).as("cume"),
+            col("first_value").as("top_key"))
       },
       Some("""SELECT o_orderkey, o_orderpriority, o_totalprice,
              |  dense_rank() OVER w AS drk,
