@@ -154,14 +154,17 @@ object Graft {
 
   /** ANN via sign-projection LSH buckets: candidates share a masked
     * signature (~64 vectors per bucket at any corpus size, equi-join by
-    * bucket), exact cosine ranks within. Pass `dim` (the embedding
-    * width) to skip the one-job probe; pass `nHint` (approximate row
-    * count) for a static bucket mask — without it the mask width is
-    * derived from a 1-row count aggregate inside the plan, so there is
-    * no separate counting job either way. */
+    * bucket), exact cosine ranks within. Multi-probe: each query also
+    * probes its `nProbe−1` Hamming-adjacent buckets (single-bit flips) —
+    * recall rises with nProbe at a bounded ×nProbe candidate cost, the
+    * same dial as ivfTopK's nprobe. Pass `dim` (the embedding width) to
+    * skip the one-job probe; pass `nHint` (approximate row count) for a
+    * static bucket mask — without it the mask width is derived from a
+    * 1-row count aggregate inside the plan, so there is no separate
+    * counting job either way. */
   def annTopK(emb: DataFrame, topK: Int = 3, dim: Int = -1,
-      nHint: Long = -1L): DataFrame =
-    queries.SimilarityQueries.annLsh(emb, topK, dim, nHint)
+      nHint: Long = -1L, nProbe: Int = 4): DataFrame =
+    queries.SimilarityQueries.annLsh(emb, topK, dim, nHint, nProbe)
 
   /** IVF-style ANN top-k: deterministic hash-sampled centroids
     * (~√n cells), vectors stored in their nearest centroid's cell, each

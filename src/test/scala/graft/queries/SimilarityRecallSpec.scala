@@ -17,14 +17,16 @@ import graft.{Tables, TestSpark}
   * Measured values at sf0.01 are recorded in BENCH_NOTES; floors sit
   * under them with margin for fixture drift, not for regressions.
   *
-  * Why the absolute numbers are well under 0.9: this corpus's true
-  * top-3 neighbors are WEAK (near-random 64-dim vectors, best cosines
-  * ~0.4), and single-probe schemes — one bucket per vector (s2), one
-  * cell per query — collide with a weak neighbor rarely (sign-LSH:
-  * p^bits with p = 1−acos(0.4)/π ≈ 0.63, so ~0.1 at 5 masked bits;
-  * chance hits raise it to the measured ~0.2). s3's multi-probe (FAISS
-  * nprobe=4, round 5) lifts IVF recall to the measured 0.44 at a
-  * bounded ×4 candidate cost — the standard recall/cost dial at scale.
+  * Why the absolute numbers are under 0.9: this corpus's true top-3
+  * neighbors are WEAK (near-random 64-dim vectors, best cosines ~0.4),
+  * and single-probe schemes — one bucket per vector (s2), one cell per
+  * query — collide with a weak neighbor rarely (sign-LSH: p^bits with
+  * p = 1−acos(0.4)/π ≈ 0.63, so ~0.1 at 5 masked bits; chance hits
+  * raise it to the measured ~0.2). Multi-probe is the standard
+  * recall/cost dial at scale: s3's FAISS-style nprobe=4 (round 5)
+  * lifts IVF recall to the measured 0.44, and s2's Hamming-adjacent
+  * bucket probing (round 6, nProbe=4 single-bit flips) lifts LSH
+  * recall to the measured 0.75 — each at a bounded ×4 candidate cost.
   * The regime the engine actually uses ANN for — high-cosine
   * near-duplicates — is recalled at ~100% by the same machinery
   * (DedupScaleSpec's planted-pair suites, GraftFacadeSpec
@@ -53,9 +55,10 @@ class SimilarityRecallSpec extends AnyFunSuite {
     val s3recall = truth.count(s3.contains).toDouble / truth.size
 
     info(f"s2_recall=$s2recall%.4f s3_recall=$s3recall%.4f (n=${truth.size})")
-    // measured 2026-08 (this fixture, these parameters): s2 0.1979
-    // single-probe; s3 0.4375 at nprobe=4 (0.1979 single-probe)
-    assert(s2recall >= 0.15, f"s2 recall regressed: $s2recall%.3f (measured 0.198)")
+    // measured 2026-08 (this fixture, these parameters): s2 0.75 at
+    // nProbe=4 Hamming-adjacent probing (0.1979 single-probe);
+    // s3 0.4375 at nprobe=4 (0.1979 single-probe)
+    assert(s2recall >= 0.55, f"s2 recall regressed: $s2recall%.3f (measured 0.75 @ nProbe=4)")
     assert(s3recall >= 0.35, f"s3 recall regressed: $s3recall%.3f (measured 0.438 @ nprobe=4)")
   }
 }
