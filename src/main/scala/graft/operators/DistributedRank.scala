@@ -40,13 +40,44 @@ import org.apache.spark.sql.functions._
   */
 object DistributedRank {
 
+  /** Below this input size the shard machinery costs more than it saves:
+    * a plain window moves at most one group per sorter task, and a few
+    * million narrow rows through one in-memory sort is sub-second-class,
+    * while the sharded plan pays a quantile job, an extra shuffle
+    * column, and two broadcast joins (~0.8 s constant measured at
+    * sf0.1). Callers pass `rowBound` where they know an exact or upper
+    * row count (the sizedHint discipline: exact bounds, never optimizer
+    * guesses, for CORRECTNESS-adjacent choices); here the choice is
+    * cost-ONLY — both paths produce identical values — so when no bound
+    * is given a conservative optimizer byte estimate is acceptable. The
+    * byte gate is 16 MB: even a 10× under-estimate only puts ~160 MB
+    * through per-group sorters, survivable everywhere, and real
+    * large-table estimates (file-size based) sit orders of magnitude
+    * above it. */
+  private[graft] val SmallWindowRows = 4L << 20
+  private[graft] val SmallWindowBytes = 16L << 20
+
+  private def smallInput(df: DataFrame, rowBound: Long): Boolean =
+    if (rowBound > 0) rowBound <= SmallWindowRows
+    else df.queryExecution.optimizedPlan.stats.sizeInBytes <=
+      BigInt(SmallWindowBytes)
+
   /** Exact `row_number() OVER (PARTITION BY groupCols ORDER BY
-    * orderCols)` as `rnName`, with no single-partition stage. Output
-    * carries the input columns plus `rnName`. */
+    * orderCols)` as `rnName`, with no single-partition stage above the
+    * small-input bound. Output carries the input columns plus `rnName`.
+    * `rowBound`: caller-known row count/upper bound (-1 = unknown) —
+    * below [[SmallWindowRows]] the plain window plan is emitted (values
+    * identical; the shard machinery is pure overhead at that size). */
   def withRowNumber(df: DataFrame, groupCols: Seq[String],
       orderCols: Seq[Column], shardKey: Column, rnName: String = "rn",
-      numShards: Int = -1): DataFrame =
-    rankParts(df, groupCols, orderCols, shardKey, rnName, numShards)._1
+      numShards: Int = -1, rowBound: Long = -1L): DataFrame =
+    if (smallInput(df, rowBound)) {
+      val w =
+        if (groupCols.isEmpty) Window.orderBy(orderCols: _*)
+        else Window.partitionBy(groupCols.map(col): _*).orderBy(orderCols: _*)
+      df.withColumn(rnName, row_number().over(w).cast("bigint"))
+    } else rankParts(df, groupCols, orderCols, shardKey, rnName, numShards,
+      rowBound)._1
 
   /** [[withRowNumber]] plus the per-(shard, group) counts table it is
     * built from — `(__shard, groupCols…, __n, __offset)`, shards×groups
@@ -54,18 +85,36 @@ object DistributedRank {
     * instead of re-scanning the data. */
   private def rankParts(df: DataFrame, groupCols: Seq[String],
       orderCols: Seq[Column], shardKey: Column, rnName: String,
-      numShards: Int): (DataFrame, DataFrame) = {
+      numShards: Int, rowBound: Long = -1L): (DataFrame, DataFrame) = {
     val shards =
       if (numShards > 0) numShards
       else df.sparkSession.sessionState.conf.numShufflePartitions
-    // quantile boundaries of the shard key — one narrow scan job; the
-    // approximation only affects balance, never correctness
+    // quantile boundaries of the shard key — one narrow job BEFORE the
+    // real pass. On large inputs that job reads a deterministic hash
+    // SAMPLE of the key column (xxhash64 of the key value — retry-stable,
+    // no rand()): boundaries steer BALANCE only, never correctness, and
+    // ~200 sampled points per shard bound the expected imbalance like a
+    // reservoir-sampled range partitioner. The modulus is sized from the
+    // caller's row bound (or, cost-only, the optimizer's byte estimate)
+    // so small inputs keep exact quantiles and the sample never thins
+    // below ~200 points/shard. Tied keys sample together — acceptable
+    // for balance (ties must share a shard anyway, by construction).
+    val rowEst =
+      if (rowBound > 0) rowBound
+      else df.queryExecution.optimizedPlan.stats.sizeInBytes
+        .min(BigInt(Long.MaxValue)).toLong / 16L
+    val sampleMod = math.max(1L, math.min(100L, rowEst / (shards.toLong * 200L)))
     val bounds =
       if (shards <= 1) Array.empty[Double]
-      else df.select(shardKey.cast("double").as("__sk"))
-        .stat.approxQuantile("__sk",
+      else {
+        val keyed = df.select(shardKey.cast("double").as("__sk"))
+        val sampled =
+          if (sampleMod <= 1L) keyed
+          else keyed.filter(pmod(xxhash64(col("__sk")), lit(sampleMod)) === 0)
+        sampled.stat.approxQuantile("__sk",
           (1 until shards).map(_.toDouble / shards).toArray, 0.001)
-        .distinct.sorted
+          .distinct.sorted
+      }
     // shard = #boundaries strictly below the key: monotone in the key,
     // and all rows with equal keys share a shard by construction
     val shardOf =
@@ -104,15 +153,39 @@ object DistributedRank {
     * of the same definition (both operands ≤ 2^53). */
   def withRankFamily(df: DataFrame, groupCols: Seq[String],
       orderCols: Seq[Column], shardKey: Column, tiles: Int,
-      firstCol: String, numShards: Int = -1): DataFrame = {
+      firstCol: String, numShards: Int = -1, rowBound: Long = -1L,
+      firstOrderKey: Column = null): DataFrame = {
+    if (smallInput(df, rowBound)) {
+      // identical values from Spark's own window functions — at this
+      // size one sorter per group is cheaper than the shard machinery
+      val w = Window.partitionBy(groupCols.map(col): _*).orderBy(orderCols: _*)
+      return df
+        .withColumn("rn", row_number().over(w).cast("bigint"))
+        .withColumn("ntile", ntile(tiles).over(w).cast("bigint"))
+        .withColumn("percent_rank", percent_rank().over(w))
+        .withColumn("cume_dist", cume_dist().over(w))
+        .withColumn("first_value", first(col(firstCol)).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    }
     val (rn, counts) = rankParts(df, groupCols, orderCols, shardKey, "rn",
-      numShards)
+      numShards, rowBound)
     // per-group sizes come from the TINY counts table, not a re-scan of
     // the data
     val totals = counts.groupBy(groupCols.map(col): _*)
       .agg(sum(col("__n")).as("__gn"))
-    val firsts = rn.filter(col("rn") === 1L)
-      .select((groupCols.map(col) :+ col(firstCol).as("__first")): _*)
+    // the group's first row: with `firstOrderKey` (an ascending-sortable
+    // expression equivalent to orderCols — e.g. struct(negate(price),
+    // key) for (price DESC, key)) this is ONE partial-aggregatable
+    // min_by over the input — no re-execution of the rank lineage and no
+    // extra sort. Without it, fall back to filtering the ranked output
+    // (a second consumer of the rank plan — exchange-reused, but the
+    // per-shard sort re-runs).
+    val firsts =
+      if (firstOrderKey != null)
+        df.groupBy(groupCols.map(col): _*)
+          .agg(min_by(col(firstCol), firstOrderKey).as("__first"))
+      else rn.filter(col("rn") === 1L)
+        .select((groupCols.map(col) :+ col(firstCol).as("__first")): _*)
     // Spark/DuckDB ntile semantics: q = n div k, r = n mod k; the first
     // r tiles carry q+1 rows, the rest q
     val qi = expr(s"__gn div ${tiles.toLong}")

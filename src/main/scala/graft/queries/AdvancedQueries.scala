@@ -272,7 +272,11 @@ object AdvancedQueries {
             groupCols = Seq("o_orderpriority"),
             orderCols = Seq(col("o_totalprice").desc, col("o_orderkey")),
             shardKey = negate(col("o_totalprice")), // desc ⇒ negated key
-            tiles = 4, firstCol = "o_orderkey")
+            tiles = 4, firstCol = "o_orderkey",
+            // ascending twin of orderCols: first_value comes from one
+            // partial-aggregatable min_by, not a rank-lineage re-run
+            firstOrderKey = struct(negate(col("o_totalprice")),
+              col("o_orderkey")))
           .select(col("o_orderkey"), col("o_orderpriority"),
             col("o_totalprice"),
             col("rn").as("drk"),

@@ -48,7 +48,8 @@ class DistributedRankSpec extends AnyFunSuite {
     val gotGrouped = pairs(DistributedRank.withRowNumber(orders,
       Seq("o_orderpriority"),
       Seq(col("o_totalprice").desc, col("o_orderkey")),
-      shardKey = negate(col("o_totalprice")), numShards = 7))
+      shardKey = negate(col("o_totalprice")), numShards = 7,
+      rowBound = Long.MaxValue))
     assert(gotGrouped == expectGrouped)
 
     // empty groupCols = a fully global ORDER BY (the a_scan shape)
@@ -56,7 +57,8 @@ class DistributedRankSpec extends AnyFunSuite {
       .withColumn("rn", row_number().over(
         Window.orderBy(col("o_orderkey"))).cast("bigint")))
     val gotGlobal = pairs(DistributedRank.withRowNumber(orders, Seq.empty,
-      Seq(col("o_orderkey")), shardKey = col("o_orderkey"), numShards = 5))
+      Seq(col("o_orderkey")), shardKey = col("o_orderkey"), numShards = 5,
+      rowBound = Long.MaxValue))
     assert(gotGlobal == expectGlobal)
   }
 
@@ -83,7 +85,8 @@ class DistributedRankSpec extends AnyFunSuite {
         (r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5),
           r.getLong(6))).toMap
     val got = DistributedRank.withRankFamily(df, Seq("g"), Seq(col("k")),
-        shardKey = col("k"), tiles = 4, firstCol = "k", numShards = 3)
+        shardKey = col("k"), tiles = 4, firstCol = "k", numShards = 3,
+        rowBound = Long.MaxValue)
       .collect().map(r => (r.getAs[String]("g"), r.getAs[Long]("k")) ->
         (r.getAs[Long]("rn"), r.getAs[Long]("ntile"),
           r.getAs[Double]("percent_rank"), r.getAs[Double]("cume_dist"),
@@ -106,7 +109,9 @@ class DistributedRankSpec extends AnyFunSuite {
         Seq("o_orderpriority"),
         Seq(col("o_totalprice").desc, col("o_orderkey")),
         shardKey = negate(col("o_totalprice")),
-        tiles = 4, firstCol = "o_orderkey")
+        tiles = 4, firstCol = "o_orderkey", rowBound = Long.MaxValue,
+        firstOrderKey = struct(negate(col("o_totalprice")),
+          col("o_orderkey")))
       .select(col("o_orderkey"), col("ntile"),
         round(col("percent_rank"), 6).as("pr"),
         round(col("cume_dist"), 6).as("cd"))
@@ -122,7 +127,9 @@ class DistributedRankSpec extends AnyFunSuite {
       Seq("o_orderpriority"),
       Seq(col("o_totalprice").desc, col("o_orderkey")),
       shardKey = negate(col("o_totalprice")),
-      tiles = 4, firstCol = "o_orderkey")
+      tiles = 4, firstCol = "o_orderkey", rowBound = Long.MaxValue,
+      firstOrderKey = struct(negate(col("o_totalprice")),
+        col("o_orderkey")))
     ranked.collect() // materialize so adaptive plans are final
     val execs = windowExecs(ranked)
     assert(execs.nonEmpty, "expected window nodes in the plan")
@@ -142,5 +149,38 @@ class DistributedRankSpec extends AnyFunSuite {
     assert(execs.exists(w => !w.partitionSpec.map(_.toString)
         .mkString(",").contains("__shard")),
       "expected the tiny counts-table window")
+  }
+
+  test("small inputs take the plain window plan (no shard machinery)") {
+    // q35's sf0.1 regression (r5 verdict next-round #2): the shard
+    // machinery is a ~0.8 s constant a 150k-row table doesn't need.
+    // Below the bound — via an explicit rowBound OR the optimizer's
+    // byte estimate (this 15k-row scan) — the plain window plan must
+    // come out, and values must be identical to the sharded path.
+    val orders = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    val small = DistributedRank.withRankFamily(orders,
+      Seq("o_orderpriority"),
+      Seq(col("o_totalprice").desc, col("o_orderkey")),
+      shardKey = negate(col("o_totalprice")),
+      tiles = 4, firstCol = "o_orderkey")
+    small.collect()
+    assert(windowExecs(small).nonEmpty)
+    assert(!windowExecs(small).exists(_.partitionSpec.map(_.toString)
+        .mkString(",").contains("__shard")),
+      "small input should not pay the shard machinery")
+    // and no quantile/counts jobs: the whole plan is scan -> window
+    def vals(df: DataFrame) = df.collect().map(r =>
+      r.getAs[Long]("o_orderkey") -> (r.getAs[Long]("rn"),
+        r.getAs[Long]("ntile"), r.getAs[Double]("percent_rank"),
+        r.getAs[Double]("cume_dist"), r.getAs[Long]("first_value"))).toMap
+    val sharded = DistributedRank.withRankFamily(orders,
+      Seq("o_orderpriority"),
+      Seq(col("o_totalprice").desc, col("o_orderkey")),
+      shardKey = negate(col("o_totalprice")),
+      tiles = 4, firstCol = "o_orderkey", rowBound = Long.MaxValue,
+      firstOrderKey = struct(negate(col("o_totalprice")),
+        col("o_orderkey")))
+    assert(vals(small) == vals(sharded))
   }
 }
