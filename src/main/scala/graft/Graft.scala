@@ -172,10 +172,13 @@ object Graft {
     * rises with nProbe at a bounded ×nProbe candidate cost), exact
     * cosine top-k within the probed cells. The inverted-file layout:
     * centroid broadcast + one shuffle by cell — the 100 TB shape. Pass
-    * `nHint` for a static cell count (else it is derived in-plan). */
+    * `nHint` for a static cell count (else it is derived in-plan).
+    * Eagerly materialized: the pinned IVF assignment table is released
+    * before returning (facade cache contract above). */
   def ivfTopK(emb: DataFrame, topK: Int = 3, nHint: Long = -1L,
       nProbe: Int = 4): DataFrame =
-    queries.SimilarityQueries.ivfTopKDf(emb, topK, nHint, nProbe)
+    materialized(
+      queries.SimilarityQueries.ivfTopKPinned(emb, topK, nHint, nProbe))
 
   // ---- text quality / packing (docs: doc_id, text [, lang]) -------------
 

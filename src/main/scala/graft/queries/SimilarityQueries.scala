@@ -315,12 +315,19 @@ object SimilarityQueries {
     * cosine; each (query, neighbor) pair meets at most once because a
     * neighbor is STORED in exactly one cell. */
   private[graft] def ivfTopKDf(emb: DataFrame, topK: Int = TopK,
-      nHint: Long = -1L, nProbe: Int = NProbe): DataFrame = {
+      nHint: Long = -1L, nProbe: Int = NProbe): DataFrame =
+    ivfTopKPinned(emb, topK, nHint, nProbe)._1
+
+  /** [[ivfTopKDf]] plus the pinned frames it holds in the session cache
+    * (the persisted IVF assignment table) — the facade wraps this in
+    * `materialized(...)` so no hidden cache entry outlives the call. */
+  private[graft] def ivfTopKPinned(emb: DataFrame, topK: Int = TopK,
+      nHint: Long = -1L, nProbe: Int = NProbe): (DataFrame, Seq[DataFrame]) = {
     val assigned = ivfAssign(emb, nHint, nProbe)
     val index = assigned.filter(col("arn") === 1) // home cells only
     val wRank = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
-    assigned.as("a").join(index.as("b"),
+    val out = assigned.as("a").join(index.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("neighbor_id"),
         col("b.cell").as("cell"),
@@ -331,6 +338,7 @@ object SimilarityQueries {
       .filter(col("rk") <= topK)
       .select(col("query_id"), col("neighbor_id"), col("cell"), col("rk"),
         round(col("cosine"), 6).as("cosine_r"))
+    (out, Seq(assigned))
   }
   private def ivfTopK(s: SparkSession, d: String): DataFrame =
     ivfTopKDf(Tables.embeddings(s, d))

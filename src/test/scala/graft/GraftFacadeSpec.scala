@@ -150,6 +150,7 @@ class GraftFacadeSpec extends AnyFunSuite {
     val emb = Tables.embeddings(spark, sf)
     Graft.nearDupPairs(docs).count()
     Graft.embeddingNearDups(emb).count()
+    Graft.ivfTopK(emb).count()
     Graft.connectedComponents(
       Graft.nearDupPairs(docs).select("doc_a", "doc_b")).count()
     assert(spark.sharedState.cacheManager.isEmpty,
