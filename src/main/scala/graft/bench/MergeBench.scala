@@ -23,11 +23,12 @@ object MergeBench {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
 
-    // optional 3rd arg: reuse an existing fixture dir (re-time merges
-    // under different host conditions without 15 min of regeneration)
-    val reuse = args.lift(2).filter(d => Files.isDirectory(Paths.get(d)))
-    val root = reuse.map(Paths.get(_)).getOrElse(
-      Files.createTempDirectory("graft_merge_bench"))
+    // optional 3rd arg: fixture dir — files already present are reused
+    // (re-time merges under different host conditions without 15 min of
+    // regeneration), missing ones are generated into it
+    val root = args.lift(2).map { d =>
+      Files.createDirectories(Paths.get(d)); Paths.get(d)
+    }.getOrElse(Files.createTempDirectory("graft_merge_bench"))
     val base = 1737928800L * 1000000000L
     val relDir = "edge0/dbs/db-0/table-0/2025-01-26/22-00"
     Files.createDirectories(Paths.get(root.toString, relDir))
@@ -37,7 +38,7 @@ object MergeBench {
     val metas = (0 until nFiles).map { f =>
       val rel = f"$relDir/${f + 1}%010d.parquet"
       val dest = Paths.get(root.toString, rel)
-      if (reuse.isEmpty) {
+      if (!Files.exists(dest)) {
         val tmp = Paths.get(root.toString, s".tmp$f")
         spark.range(rowsPerFile)
           .select(

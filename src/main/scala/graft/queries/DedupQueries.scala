@@ -390,15 +390,22 @@ object DedupQueries {
     * Bands grow mildly with n (~n^0.22 at t=0.9) — the price of holding
     * BOTH recall and chance load as the corpus scales.
     *
-    * VALID ENVELOPE: bands are capped at 128 (plan size / shuffle cost),
-    * so the recall contract holds only while the uncapped band count fits
-    * under the cap. At targetRecall = 0.9 that is roughly n ≲ 8e6 for
-    * threshold 0.9, n ≲ 3e4 for threshold 0.8, n ≲ 4e3 for threshold 0.7
-    * (lower thresholds separate worse under sign-LSH — more bands per
-    * unit recall). When the cap binds this method logs a WARNING carrying
-    * the ACHIEVED recall ([[bandedRecallAt]]) so the degradation is never
-    * silent; callers needing the contract outside the envelope should
-    * raise the threshold, pre-shard the corpus, or use the exact
+    * CAP SOLVING (r5 advice #2 — the cap is solved, not described): when
+    * `rowBits = ⌈log₂ n⌉ + 2` needs more than 128 bands for the target
+    * recall, rowBits DESCENDS — each band gets more permissive (higher
+    * q = p^rowBits), so fewer bands reach the target — until the band
+    * count fits the cap AND the chance-candidate volume
+    * ([[expectedChanceCandidates]]) stays inside the pre-flight guard's
+    * budget. That widens the recall contract to e.g. n = 1e6 at
+    * threshold 0.7–0.9 (the old envelope bound at 0.7 was n ≈ 4e3); the
+    * price is chance candidates the guard already prices — a solved
+    * config is in-budget BY CONSTRUCTION, so the guard never refuses the
+    * path this method recommends. Only when NO (bands ≤ 128, in-budget)
+    * pair reaches the target — very low thresholds at huge n — does it
+    * fall back to the achievable-recall-maximizing config and log a
+    * WARNING carrying the ACHIEVED recall ([[bandedRecallAt]]), so the
+    * degradation is never silent; callers there should raise the
+    * threshold, pre-shard the corpus, or use the exact
     * [[jaccardPairs]]-style verify on coarser candidates. */
   private[graft] def autoBandParams(n: Long, threshold: Double,
       targetRecall: Double = 0.9): (Int, Int) = {
@@ -407,19 +414,53 @@ object DedupQueries {
       s"auto-banding needs a cosine threshold in (0,1), got $threshold")
     require(targetRecall > 0.0 && targetRecall < 1.0,
       s"targetRecall must be in (0,1), got $targetRecall")
-    val bits = math.min(30, math.max(6,
+    val bitsDefault = math.min(30, math.max(6,
       math.ceil(math.log(n.toDouble) / math.log(2.0)).toInt + 2))
     val p = 1.0 - math.acos(threshold) / math.Pi
-    val q = math.pow(p, bits)
-    val bandsRaw = math.max(1,
-      math.ceil(math.log(1.0 / (1.0 - targetRecall)) / -math.log1p(-q)).toLong)
-    val bands = math.min(128L, bandsRaw).toInt
-    if (bandsRaw > 128L) {
-      val achieved = bandedRecallAt(bands, bits, threshold)
-      org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        f"autoBandParams(n=$n, threshold=$threshold, targetRecall=$targetRecall): the band cap (128) binds — $bandsRaw bands were needed; ACHIEVED threshold-grade recall is ~$achieved%.2f, below the $targetRecall target. Raise the threshold or see the envelope note on autoBandParams.")
+    def bandsFor(bits: Int): Long = {
+      val q = math.pow(p, bits)
+      math.max(1L, math.ceil(
+        math.log(1.0 / (1.0 - targetRecall)) / -math.log1p(-q)).toLong)
     }
-    (bands, bits)
+    def feasible(bands: Long, bits: Int): Boolean =
+      bands <= 128L &&
+        expectedChanceCandidates(n, bands.toInt, bits) <= DefaultCandidateBudget
+    // highest feasible rowBits = the least chance-candidate inflation
+    // that still meets the recall target (descent only ever starts when
+    // the cap binds at the default width)
+    val solved = (bitsDefault to 6 by -1).iterator
+      .map(b => (bandsFor(b), b)).find { case (ba, b) => feasible(ba, b) }
+    solved match {
+      case Some((bands, bits)) =>
+        if (bits < bitsDefault)
+          org.slf4j.LoggerFactory.getLogger(getClass).info(
+            f"autoBandParams(n=$n, threshold=$threshold, targetRecall=$targetRecall): band cap (128) bound at rowBits=$bitsDefault (${bandsFor(bitsDefault)} bands needed) — solved at rowBits=$bits with $bands bands; recall contract holds, chance candidates ~${expectedChanceCandidates(n, bands.toInt, bits)}%.2e (in budget).")
+        (bands.toInt, bits)
+      case None =>
+        // no in-cap in-budget config reaches the target: maximize the
+        // achieved recall within both constraints (bits above the
+        // default can restore budget headroom — chance shrinks ~0.65×
+        // per extra bit even as the band requirement grows)
+        val halfPairs = n.toDouble * n.toDouble / 2.0
+        val (bands, bits) = (6 to 30).flatMap { b =>
+          val budgetBands = math.floor(
+            DefaultCandidateBudget / (halfPairs * math.pow(2.0, -b))).toLong
+          // a width where even ONE band busts the budget is not a config
+          // this method may hand out (the guard would refuse it)
+          if (budgetBands < 1L) None
+          else Some((math.min(math.min(128L, bandsFor(b)), budgetBands), b))
+        } match {
+          case seq if seq.nonEmpty =>
+            seq.maxBy { case (ba, b) => bandedRecallAt(ba.toInt, b, threshold) }
+          // n so large one 30-bit band overflows the budget (n ≳ 2e9):
+          // minimal-volume config, the guard prices the rest
+          case _ => (1L, 30)
+        }
+        val achieved = bandedRecallAt(bands.toInt, bits, threshold)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          f"autoBandParams(n=$n, threshold=$threshold, targetRecall=$targetRecall): no (bands ≤ 128, in-budget) config reaches the target — best ACHIEVED threshold-grade recall is ~$achieved%.2f at (bands=$bands, rowBits=$bits). Raise the threshold, pre-shard the corpus, or verify coarser candidates exactly.")
+        (bands.toInt, bits)
+    }
   }
 
   /** Recall of a (bands, rowBits) sign-LSH banding for a pair AT cosine

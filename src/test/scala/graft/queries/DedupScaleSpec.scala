@@ -125,24 +125,57 @@ class DedupScaleSpec extends AnyFunSuite {
     }
   }
 
-  test("autoBandParams band cap: achieved recall surfaced, not silent") {
-    // ADVICE r4: at (t=0.7, n=1e5) and (t=0.8, n=1e6) the 128-band cap
-    // binds and the real recall is far below the 0.9 contract. The
-    // closed form must reproduce the advisor's measured numbers so the
-    // warning the cap now logs carries an honest value.
-    val (b1, bits1) = DedupQueries.autoBandParams(100000L, threshold = 0.7)
-    assert(b1 == 128, "cap must bind at t=0.7, n=1e5")
-    val r1 = DedupQueries.bandedRecallAt(b1, bits1, 0.7)
-    assert(r1 > 0.3 && r1 < 0.5, s"achieved recall ~0.39 expected, got $r1")
-    val (b2, bits2) = DedupQueries.autoBandParams(1000000L, threshold = 0.8)
-    assert(b2 == 128, "cap must bind at t=0.8, n=1e6")
-    val r2 = DedupQueries.bandedRecallAt(b2, bits2, 0.8)
-    assert(r2 > 0.45 && r2 < 0.65, s"achieved recall ~0.56 expected, got $r2")
-    // inside the documented envelope the cap does not bind and the
-    // derived config meets the target by construction
+  test("autoBandParams solves the band cap: recall contract holds across the envelope") {
+    // r5 advice #2: the cap must be SOLVED (rowBits descends until fewer,
+    // more-permissive bands reach the target inside the cap and the
+    // guard budget), not merely described. The r4 advisor's two broken
+    // points — (t=0.7, n=1e5) achieved ~0.39 and (t=0.8, n=1e6) ~0.56 —
+    // must now meet the 0.9 contract.
+    // closed-form twin of the solver's feasibility test: does ANY
+    // (bands ≤ 128, in-budget) width reach the target at this (n, t)?
+    def solvable(n: Long, t: Double): Boolean = (6 to 30).exists { bits =>
+      val q = math.pow(1.0 - math.acos(t) / math.Pi, bits)
+      val bands = math.ceil(math.log(10.0) / -math.log1p(-q))
+      bands <= 128 && DedupQueries.expectedChanceCandidates(
+        n, bands.toInt, bits) <= DedupQueries.DefaultCandidateBudget
+    }
+    for (t <- Seq(0.7, 0.75, 0.8, 0.85, 0.9);
+         n <- Seq(1000L, 10000L, 100000L, 1000000L)) {
+      val (b, bits) = DedupQueries.autoBandParams(n, threshold = t)
+      val r = DedupQueries.bandedRecallAt(b, bits, t)
+      assert(b >= 1 && b <= 128, s"($n, $t): bands $b outside the cap")
+      assert(DedupQueries.expectedChanceCandidates(n, b, bits) <=
+        DedupQueries.DefaultCandidateBudget,
+        s"($n, $t) = ($b, $bits): solved config busts the guard budget")
+      if (solvable(n, t))
+        assert(r >= 0.9, s"($n, $t) = ($b, $bits): achieved recall $r < 0.9")
+      else // only (t=0.7, n=1e6) in this sweep — 102 bands at 13 bits
+           // would reach 0.9 but needs 6.2e9 chance candidates, 3× budget
+        assert(r >= 0.75,
+          s"($n, $t): infeasible point must still maximize recall, got $r")
+    }
+    assert(!solvable(1000000L, 0.7) && solvable(562000L, 0.7),
+      "the t=0.7 feasibility boundary sits between n=5.6e5 and 1e6")
+    // the two r4 advisor points now MEET the contract
+    val (ba, bitsA) = DedupQueries.autoBandParams(100000L, threshold = 0.7)
+    assert(DedupQueries.bandedRecallAt(ba, bitsA, 0.7) >= 0.9)
+    val (bb, bitsB) = DedupQueries.autoBandParams(1000000L, threshold = 0.8)
+    assert(DedupQueries.bandedRecallAt(bb, bitsB, 0.8) >= 0.9)
+    // inside the old envelope the default width already fits the cap and
+    // the derived config is unchanged (no needless bit descent)
     val (b3, bits3) = DedupQueries.autoBandParams(5000000L, threshold = 0.9)
     assert(b3 < 128, "t=0.9, n=5e6 is inside the envelope")
+    assert(bits3 == 25, "default rowBits = ceil(log2 n) + 2 when the cap does not bind")
     assert(DedupQueries.bandedRecallAt(b3, bits3, 0.9) >= 0.9)
+    // where NO in-cap in-budget config reaches the target (very low
+    // threshold at large n) the fallback maximizes achieved recall and
+    // still respects both constraints — degraded, never runaway
+    val (b4, bits4) = DedupQueries.autoBandParams(1000000L, threshold = 0.3)
+    assert(b4 >= 1 && b4 <= 128)
+    assert(DedupQueries.expectedChanceCandidates(1000000L, b4, bits4) <=
+      DedupQueries.DefaultCandidateBudget)
+    assert(DedupQueries.bandedRecallAt(b4, bits4, 0.3) < 0.9,
+      "t=0.3 at n=1e6 must be genuinely infeasible for this test to bite")
   }
 
   test("auto-banded signature compiles under janino's method limit (no fallback)") {
