@@ -824,7 +824,7 @@ object DedupQueries {
     //     inter ≤ m + n_f − max(rk_f) — tight when the matches sit deep
     //     in F's tail (complementary to (2), which is tight when the
     //     FIRST match sits late).
-    val cand = prefix
+    val ranked = prefix
       .join(posting.hint("shuffle_hash"), "h")
       .filter(col("doc_p") =!= col("doc_f"))
       .filter(col("n_f") > col("n_p") ||
@@ -835,6 +835,29 @@ object DedupQueries {
       .filter(lit(1L) + least(col("n_p") - col("mnp"), col("n_f") - col("mnf"))
         >= minInterCol(col("n_p"), theta))
       .filter(col("m") + col("n_f") - col("mxf") >= minInterCol(col("n_p"), theta))
+    // (4) SUFFIX DIGEST FILTER (PPJoin+'s suffix filter, dataflow form).
+    //     The rank filters above are information-complete for what the
+    //     matched prefix rows can say (the gap argument collapses to
+    //     (2)+(3) exactly), so further pruning must compare suffix
+    //     CONTENT. Each doc carries a 128-byte bucket-count digest of
+    //     its hashed shingle set ([[graft.functions.ShingleHist]]);
+    //     Σ min(cntP_i, cntF_i) upper-bounds the pair's intersection
+    //     ([[graft.functions.HistMinSum]]), so bound < minInter(n_p)
+    //     prunes the pair BEFORE its ~8·|set|-byte arrays ever shuffle
+    //     into the verify rejoin — two narrow digest joins (≈170 B/row)
+    //     in exchange for the pruned fraction of the wide verify, the
+    //     dominant d11 cost at the 100× octave.
+    val hists = docs.select(col("doc_id"),
+      graft.functions.ShingleHist(col("hs")).as("hd"))
+    val histBytes = 192L // 128 digest bytes + id + row overhead
+    val cand = ranked
+      .join(sizedHint(hists.select(col("doc_id").as("doc_p"),
+        col("hd").as("hd_p")), nHint, histBytes), "doc_p")
+      .join(sizedHint(hists.select(col("doc_id").as("doc_f"),
+        col("hd").as("hd_f")), nHint, histBytes), "doc_f")
+      .withColumn("ib", graft.functions.HistMinSum(col("hd_p"), col("hd_f")))
+      .filter(col("ib") === -1 || // saturated digest: no sound bound
+        col("ib").cast("long") >= minInterCol(col("n_p"), theta))
       .select(least(col("doc_p"), col("doc_f")).as("doc_a"),
         greatest(col("doc_p"), col("doc_f")).as("doc_b"))
     (cand, docs, Seq(docs, exRk))
