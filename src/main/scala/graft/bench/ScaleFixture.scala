@@ -99,23 +99,46 @@ object ScaleFixture {
       col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
       col("o_orderpriority"))
 
-  def shiftLineitem(df: DataFrame, r: Int): DataFrame =
+  def shiftLineitem(df: DataFrame, r: Int, shiftDims: Boolean = false): DataFrame = {
+    val dimShift = if (shiftDims) r * IdOffset else 0L
     df.select((col("l_orderkey") + lit(r * IdOffset)).as("l_orderkey"),
-      col("l_partkey"), col("l_suppkey"), col("l_linenumber"),
+      (col("l_partkey") + lit(dimShift)).as("l_partkey"),
+      (col("l_suppkey") + lit(dimShift)).as("l_suppkey"), col("l_linenumber"),
       col("l_quantity"), col("l_extendedprice"), col("l_discount"),
       col("l_tax"), col("l_returnflag"), col("l_linestatus"), col("l_shipdate"))
+  }
+
+  /** part/supplier replica r for the dims-scaled octave (r5 verdict
+    * missing #5: every octave kept dims 1×, so broadcast-dim plans had no
+    * measured point where the dim side outgrows the broadcast threshold).
+    * Keys shift into the SAME disjoint spaces as the lineitem replicas'
+    * l_partkey/l_suppkey, so each dim key keeps its exact original
+    * multiplicity — dims grow WITH facts instead of fanning out. */
+  def shiftPart(df: DataFrame, r: Int): DataFrame =
+    df.select((col("p_partkey") + lit(r * IdOffset)).as("p_partkey"),
+      col("p_name"), col("p_brand"), col("p_type"), col("p_size"),
+      col("p_retailprice"))
+
+  def shiftSupplier(df: DataFrame, r: Int): DataFrame =
+    df.select((col("s_suppkey") + lit(r * IdOffset)).as("s_suppkey"),
+      col("s_name"), col("s_nationkey"), col("s_acctbal"))
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val dest = args.lift(1).getOrElse("/tmp/graft_sf1")
     val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    // 4th arg "dims": also replicate part/supplier factor× with keys
+    // shifted ALONGSIDE the lineitem replicas — the dims-scaled octave
+    val scaleDims = args.lift(3).contains("dims")
     val spark = Sessions.local()
     spark.sparkContext.setLogLevel("WARN")
     Files.createDirectories(Paths.get(dest))
 
-    // dimensions stay 1× (fan-out grows with the facts); the
+    // by default dimensions stay 1× (fan-out grows with the facts); the
     // customer→orders→lineitem spine replicates with shifted keys
-    Seq("region", "nation", "supplier", "part").foreach { t =>
+    val copied = if (scaleDims) Seq("region", "nation")
+                 else Seq("region", "nation", "supplier", "part")
+    copied.foreach { t =>
       Files.copy(Paths.get(s"$src/$t.parquet"), Paths.get(s"$dest/$t.parquet"),
         StandardCopyOption.REPLACE_EXISTING)
     }
@@ -130,7 +153,11 @@ object ScaleFixture {
 
     replicate("customer", shiftCustomer)
     replicate("orders", shiftOrders)
-    replicate("lineitem", shiftLineitem)
+    replicate("lineitem", shiftLineitem(_, _, shiftDims = scaleDims))
+    if (scaleDims) {
+      replicate("part", shiftPart)
+      replicate("supplier", shiftSupplier)
+    }
     replicate("documents", saltDocs)
     replicate("embeddings", flipEmb(_, _))
     // events.ts reads as LongType ns (nanosAsLong) and is written back as

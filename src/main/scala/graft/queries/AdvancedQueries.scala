@@ -364,9 +364,11 @@ object AdvancedQueries {
         val su = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
         val n = Tables.nation(s, d)
         val r = Tables.region(s, d).filter(col("r_regionkey") % 2 === 0)
+        // customer/supplier scale with the corpus (the dims-scaled
+        // octave): size-based planning, broadcast only while they fit
         l.join(o, col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
-          .join(broadcast(su), col("l_suppkey") === col("s_suppkey") &&
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .join(su, col("l_suppkey") === col("s_suppkey") &&
             col("c_nationkey") === col("s_nationkey"))
           .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
           .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
@@ -400,7 +402,7 @@ object AdvancedQueries {
         val c = Tables.customer(s, d).select("c_custkey", "c_name", "c_nationkey")
         val n = Tables.nation(s, d).select("n_nationkey", "n_name")
         l.join(o, col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .join(c, col("o_custkey") === col("c_custkey")) // fact-scaled: no forced broadcast
           .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
           .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
           .agg(moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
@@ -465,9 +467,10 @@ object AdvancedQueries {
           .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
         val cn = Tables.nation(s, d)
           .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+        // customer/supplier scale with the corpus: size-based planning
         l.join(o, col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
-          .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .join(su, col("l_suppkey") === col("s_suppkey"))
           .join(broadcast(sn), col("s_nationkey") === col("sn_key"))
           .join(broadcast(cn), col("c_nationkey") === col("cn_key"))
           .filter(col("supp_nation") < col("cust_nation"))

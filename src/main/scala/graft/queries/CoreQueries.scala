@@ -595,7 +595,12 @@ object CoreQueries {
         val n = Tables.nation(s, d).select("n_nationkey", "n_name", "n_regionkey")
         val r = Tables.region(s, d).select("r_regionkey", "r_name")
         val o = Tables.orders(s, d).select("o_custkey", "o_totalprice")
-        o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        // customer SCALES WITH FACTS (unlike nation/region): no forced
+        // broadcast — Catalyst/AQE picks broadcast while its measured
+        // size is under the threshold and flips to a shuffle join when a
+        // bigger corpus outgrows it (the dims-scaled octave's lesson: a
+        // hard hint here is a driver OOM at 100 TB)
+        o.join(c, col("o_custkey") === col("c_custkey"))
           .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
           .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
           .groupBy(col("r_name"), col("n_name"))

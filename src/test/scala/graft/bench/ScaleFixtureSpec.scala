@@ -43,7 +43,7 @@ class ScaleFixtureSpec extends AnyFunSuite {
       (0 until n).map(r => f(df, r)).reduce(_ unionAll _)
     val c3 = rep(3, c, ScaleFixture.shiftCustomer)
     val o3 = rep(3, o, ScaleFixture.shiftOrders)
-    val l3 = rep(3, l, ScaleFixture.shiftLineitem)
+    val l3 = rep(3, l, ScaleFixture.shiftLineitem(_, _))
 
     // the three-way join spine is exactly 3x the base: orderkey/custkey
     // shift together, so every within-replica multiplicity is preserved

@@ -276,4 +276,28 @@ class PlanQualitySpec extends AnyFunSuite {
     val p = plan("t7_pii_scrub")
     assert(!p.contains("Exchange"), s"scrub must not shuffle:\n$p")
   }
+
+  test("fact-scaled customer/supplier joins are size-planned, not hint-forced") {
+    // r5 verdict missing #5 (dims-scaled octave): customer and supplier
+    // grow with the corpus, so q17/q38/q39/q41 must NOT hard-broadcast
+    // them — a forced hint is a driver OOM at 100 TB. Under the default
+    // threshold these sides broadcast BY SIZE at test SF; when the
+    // threshold says they do not fit, the plan must flip to a shuffle
+    // join on its own (that flip is what the hard hint used to forbid).
+    for (q <- Seq("q17_snowflake_join", "q38_local_volume",
+        "q39_returned_items", "q41_nation_pairs")) {
+      assert(plan(q).contains("BroadcastHashJoin"),
+        s"$q: small customer/supplier should broadcast by size")
+    }
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = plan("q17_snowflake_join")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"q17: customer join must be able to flip to a shuffle join:\n$p")
+      // nation/region are true constants and stay broadcast even then
+      assert(p.contains("BroadcastHashJoin"),
+        s"q17: constant dims (nation/region) must stay broadcast:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
 }
