@@ -96,8 +96,13 @@ object Bench {
       "\"" + k + "\":[" + s.map(fmt(3)).mkString(",") + "]"
     }.mkString("{", ",", "}")
     val fileJson = json.stripSuffix("}") + s""","spread":$spread}"""
+    // a targeted/filtered run must never replace the committed full-suite
+    // baseline (r5 ADVICE: a 1-query run clobbered BENCH_OUT.json and the
+    // 80-query spread baseline was lost) — route it to its own file
+    val outFile = if (only.nonEmpty || skip.nonEmpty) "BENCH_TARGETED.json"
+                  else "BENCH_OUT.json"
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_OUT.json"), fileJson + "\n")
+      java.nio.file.Paths.get(outFile), fileJson + "\n")
     spark.stop()
     println(json)
   }

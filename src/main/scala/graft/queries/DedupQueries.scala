@@ -884,6 +884,78 @@ object DedupQueries {
        |WHERE greatest(CAST(inter AS DOUBLE) / CAST(n_a AS DOUBLE),
        |               CAST(inter AS DOUBLE) / CAST(n_b AS DOUBLE)) >= 0.6""".stripMargin
 
+  /** Exact repeated-substring spans (the Lee et al. 2021 "Deduplicating
+    * Training Data Makes Language Models Better" core, dataflow form):
+    * for every document, the maximal token spans covered by L-token
+    * windows that occur ≥2 times ANYWHERE in the corpus (cross-doc or
+    * intra-doc) — the spans a substring-level dedup pass cuts before
+    * training. Window length 8 here (short-doc test corpus; production
+    * runs 50).
+    *
+    * Physical shape (100 TB framing): one scan → [[graft.functions
+    * .GramHashes]] (native codegen'd positional md5-60 per window — gram
+    * STRINGS never leave the expression) → posexplode to (doc, pos, gh)
+    * at 8 bytes/window. Duplicated-gram detection is a hash-agg on gh
+    * (map-side partial counts) semi-joined back on the SAME gh shuffle —
+    * both join inputs canonicalize to one exchange, so Spark's
+    * ReuseExchange runs the explode once (plan-asserted). Span assembly
+    * is a lag/running-sum window partitioned BY DOCUMENT (bounded by doc
+    * length, never corpus-sized): windows ≤ L apart merge (overlapping
+    * or touching ⇒ the union is contiguously covered), a gap > L starts
+    * a new span. Everything is equi-key or per-doc — no all-pairs stage
+    * at any scale.
+    */
+  private[graft] val SpanGram = 8
+  private[graft] def substringSpans(docs: DataFrame,
+      L: Int = SpanGram): DataFrame = {
+    val grams = docs.select(col("doc_id"),
+      posexplode(graft.functions.GramHashes(col("text"), L))
+        .as(Seq("pos", "gh")))
+    val dup = grams.groupBy(col("gh")).agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") >= 2)
+      .select(col("gh"))
+    val dupPos = grams.join(dup.hint("shuffle_hash"), Seq("gh"), "left_semi")
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    dupPos
+      .withColumn("ni",
+        when(col("pos") - lag(col("pos"), 1).over(w) > L, 1).otherwise(0))
+      .withColumn("isl",
+        sum(col("ni")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(min(col("pos")).cast("bigint").as("span_start"),
+        (max(col("pos")) + L).cast("bigint").as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start")).as("span_tok"),
+        col("n_windows"))
+  }
+  private def substringSpansSql = {
+    val L = SpanGram
+    s"""WITH t AS (SELECT doc_id, ${TextOps.tokensSql("text")} AS toks
+       |       FROM documents),
+       |p AS (SELECT doc_id, toks,
+       |        unnest(range(greatest(len(toks) - ${L - 1}, 0))) AS pos
+       |      FROM t),
+       |g AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+       |        ${XHash.hash60Sql(s"array_to_string(toks[pos+1:pos+$L], ' ')")} AS gh
+       |      FROM p),
+       |d AS (SELECT gh FROM g GROUP BY 1 HAVING COUNT(1) >= 2),
+       |dp AS (SELECT doc_id, pos FROM g JOIN d USING (gh)),
+       |i AS (SELECT doc_id, pos,
+       |        CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+       |               > $L THEN 1 ELSE 0 END AS ni
+       |      FROM dp),
+       |s AS (SELECT doc_id, pos,
+       |        SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos
+       |          ROWS UNBOUNDED PRECEDING) AS isl
+       |      FROM i)
+       |SELECT doc_id, MIN(pos) AS span_start,
+       |  MAX(pos) + $L AS span_end,
+       |  MAX(pos) + $L - MIN(pos) AS span_tok,
+       |  COUNT(1) AS n_windows
+       |FROM s GROUP BY doc_id, isl""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("d1_exact_dedup", (s, d) => exactDedup(Tables.documents(s, d)),
       Some(exactDedupSql)),
@@ -901,5 +973,8 @@ object DedupQueries {
     Q("d11_containment_join", (s, d) => containmentJoin(Tables.documents(s, d)),
       Some(containmentJoinSql)),
     Q("d10_keep_best", (s, d) => keepBest(Tables.documents(s, d)),
-      Some(keepBestSql)))
+      Some(keepBestSql)),
+    Q("d12_substring_spans",
+      (s, d) => substringSpans(Tables.documents(s, d)),
+      Some(substringSpansSql)))
 }

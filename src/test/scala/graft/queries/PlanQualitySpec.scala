@@ -277,6 +277,22 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), s"scrub must not shuffle:\n$p")
   }
 
+  test("d12 substring spans: semi-join dup filter, per-doc window, no cross join") {
+    val p = plan("d12_substring_spans")
+    // duplicated-gram membership is a semi join on the gram hash — the
+    // skew-robust shape (O(1) agg state per gram; a boilerplate gram
+    // repeated 1e6x never builds a list or a giant window buffer)
+    assert(p.contains("LeftSemi"), s"dup filter must be a semi join:\n$p")
+    assert(!p.contains("CartesianProduct"), "no all-pairs stage")
+    // gram counting aggregates partially before its exchange
+    assert(p.contains("partial_count"), "gram counts must map-side combine")
+    // span assembly windows partition by doc_id — bounded by document
+    // length, never a data-sized single partition
+    assert("Window .*doc_id".r.findFirstIn(p).isDefined ||
+      p.contains("partitionBy") || p.contains("PartitionSpec"),
+      s"span window must be per-doc:\n${p.linesIterator.filter(_.contains("Window")).mkString("\n")}")
+  }
+
   test("fact-scaled customer/supplier joins are size-planned, not hint-forced") {
     // r5 verdict missing #5 (dims-scaled octave): customer and supplier
     // grow with the corpus, so q17/q38/q39/q41 must NOT hard-broadcast
