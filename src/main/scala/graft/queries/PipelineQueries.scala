@@ -235,6 +235,59 @@ object PipelineQueries {
        |FROM c""".stripMargin
   }
 
+  /** Training-mixture resampling (the data-mixing step: DoReMi / Pile /
+    * LLaMA-style per-domain weights): each document is kept
+    * `rate/1000` times in expectation — `floor(rate/1000)` full copies
+    * (multi-epoch upsampling) plus one more iff the document's hash
+    * falls under the fractional part. Deterministic by construction
+    * (same hash family as q31/q44): reproducible across engines, runs,
+    * and cluster sizes, and a document's copies are decided WITHOUT any
+    * global state — pure scalar math on the scan, one explode bounded by
+    * ceil(rate/1000) ≤ 3 rows per doc at these weights, no shuffle until
+    * the verifying per-domain aggregate. This is the resampled-corpus
+    * producer; [[domainMix]] wraps it in the oracle-facing rollup. */
+  private[graft] def mixSample(docs: DataFrame,
+      ratesPermille: Map[String, Int],
+      defaultPermille: Int = 1000): DataFrame = {
+    require(defaultPermille >= 0 && ratesPermille.values.forall(_ >= 0),
+      "mix rates must be non-negative permille")
+    docs
+      .withColumn("rate",
+        coalesce(element_at(typedLit(ratesPermille), col("source")),
+          lit(defaultPermille)))
+      .filter(col("rate") > 0)
+      .select(col("*"),
+        explode(sequence(lit(0L), expr("(rate + 999) div 1000") - 1L)).as("cp"))
+      .filter((col("cp") + 1L) * 1000L <= col("rate") ||
+        XHash.hash60(col("doc_id").cast("string")) % 1000 < col("rate") % 1000)
+  }
+
+  private def domainMix(s: SparkSession, d: String): DataFrame =
+    mixSample(
+      Tables.documents(s, d).select(col("doc_id"), col("source"),
+        size(TextOps.tokens(col("text"))).cast("bigint").as("n_tok")),
+      // src0: 2 full epochs + 30% of a third; src1: half; src2: 1.7
+      // epochs; everything else: exactly one epoch
+      Map("src0" -> 2300, "src1" -> 500, "src2" -> 1700))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_rows"),
+        count_distinct(col("doc_id")).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"))
+  private val domainMixSql =
+    s"""WITH t AS (SELECT doc_id, source,
+       |    CAST(len(${TextOps.tokensSql("text")}) AS BIGINT) AS n_tok,
+       |    CASE source WHEN 'src0' THEN 2300 WHEN 'src1' THEN 500
+       |      WHEN 'src2' THEN 1700 ELSE 1000 END AS rate
+       |  FROM documents),
+       |c AS (SELECT doc_id, source, n_tok, rate,
+       |    unnest(range((rate + 999) // 1000)) AS cp FROM t)
+       |SELECT source, COUNT(1) AS n_rows, COUNT(DISTINCT doc_id) AS n_docs,
+       |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+       |FROM c
+       |WHERE (cp + 1) * 1000 <= rate
+       |   OR ${XHash.hash60Sql("CAST(doc_id AS VARCHAR)")} % 1000 < rate % 1000
+       |GROUP BY 1""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("t6_repetition", (s, d) => repetition(Tables.documents(s, d)),
       Some(repetitionSql)),
@@ -244,5 +297,6 @@ object PipelineQueries {
     Q("q45_sequence_pack", (s, d) => sequencePack(Tables.documents(s, d)),
       Some(sequencePackSql)),
     Q("q48_chunks", (s, d) => chunk(Tables.documents(s, d)),
-      Some(chunkSql)))
+      Some(chunkSql)),
+    Q("q49_domain_mix", domainMix, Some(domainMixSql)))
 }

@@ -174,6 +174,36 @@ class PipelineSpecs extends AnyFunSuite {
     }
   }
 
+  test("q49 mix: per-doc copy counts are exactly floor(rate)+hash fraction") {
+    import spark.implicits._
+    import graft.functions.XHash
+    val docs = (0 until 300).map { i =>
+      (i.toLong, s"dom${i % 3}", s"tok a b c d$i")
+    }.toDF("doc_id", "source", "text")
+    val rates = Map("dom0" -> 2300, "dom1" -> 500, "dom2" -> 0)
+    val got = PipelineQueries.mixSample(docs, rates)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // exact expectation per doc from the same JVM-side hash the engine
+    // uses: full copies + 1 iff hash falls under the fractional permille
+    val expected = (0 until 300).flatMap { i =>
+      val rate = rates(s"dom${i % 3}")
+      val frac = if (XHash.hash60Local(i.toString) % 1000 < rate % 1000) 1 else 0
+      val n = rate / 1000 + frac
+      if (n > 0) Some(i.toLong -> n.toLong) else None
+    }.toMap
+    assert(got == expected)
+    // sanity on the shape of the expectation itself: dom2 fully dropped,
+    // dom0 docs appear 2 or 3 times, dom1 docs at most once
+    assert(expected.keys.forall(_ % 3 != 2))
+    assert(expected.collect { case (k, v) if k % 3 == 0 => v }
+      .forall(n => n == 2L || n == 3L))
+    val dom0Thirds = expected.collect { case (k, v) if k % 3 == 0 => v }
+      .count(_ == 3L)
+    assert(dom0Thirds > 10 && dom0Thirds < 90, // ~30% of 100, hash-spread
+      s"fractional-epoch selection looks degenerate: $dom0Thirds/100")
+  }
+
   test("d8's eval side broadcasts; q44's sample filter reaches the scan stage") {
     val d8 = SparkEntry.queries("d8_contamination")(spark, sf)
     d8.collect()
