@@ -200,6 +200,35 @@ object Graft {
   def contaminationAgainst(docs: DataFrame, evalDocs: DataFrame): DataFrame =
     queries.PipelineQueries.contaminationAgainst(docs, evalDocs)
 
+  /** Decontamination through a broadcast BLOOM bitset — the scale path
+    * when the eval suite's gram set outgrows [[contaminationAgainst]]'s
+    * raw broadcast (10^9 grams fit 16 MB of bloom bits at ~1% FP).
+    * False negatives are impossible and the exact verify join removes
+    * every false positive, so the rows are IDENTICAL to
+    * [[contaminationAgainst]] at any `bits` — only the cost moves. */
+  def contaminationAgainstBloom(docs: DataFrame, evalDocs: DataFrame,
+      bits: Int = functions.Bloom.DefaultBits): DataFrame =
+    queries.PipelineQueries.bloomDecontamAgainst(docs, evalDocs, bits)
+
+  /** Maximal repeated-substring spans (Lee et al. substring dedup): for
+    * each document, the token ranges covered by `gramLen`-token windows
+    * occurring ≥2 times anywhere in the corpus —
+    * (doc_id, span_start, span_end, span_tok, n_windows). Cut these
+    * spans before training; everything travels as positional md5-60
+    * hashes (8 B/window), no all-pairs stage. */
+  def repeatedSubstringSpans(docs: DataFrame,
+      gramLen: Int = queries.DedupQueries.SpanGram): DataFrame =
+    queries.DedupQueries.substringSpans(docs, gramLen)
+
+  /** Deterministic training-mixture resampling: per-`source` permille
+    * rates (2300 = 2 full epochs + 30% of a third, 500 = half, 0 =
+    * drop); returns the resampled rows with a `cp` copy index. Pure
+    * scalar math on the scan — reproducible across engines, runs and
+    * cluster sizes. */
+  def mixCorpus(docs: DataFrame, ratesPermille: Map[String, Int],
+      defaultPermille: Int = 1000): DataFrame =
+    queries.PipelineQueries.mixSample(docs, ratesPermille, defaultPermille)
+
   /** Fixed token-budget sequence packing per language via the two-pass
     * distributed prefix scan; returns per-bin stats. Requires `lang`. */
   def packSequences(docs: DataFrame, budget: Long = 2048L,

@@ -106,6 +106,67 @@ object PipelineQueries {
         countDistinct(col("eval_id")).as("n_eval_docs"))
   }
 
+  /** Decontamination with a BLOOM-PREFILTERED exact join (d13) — the
+    * scale path for eval suites too large to broadcast as raw gram sets
+    * (d8's shape): a [[graft.functions.BloomAgg]] bitset of the eval
+    * grams (fixed size — 2^27 bits is 16 MB for ~10^9 grams at ~1% FP)
+    * broadcasts as ONE row; the corpus side probes it with a codegen'd
+    * k-bit test and only survivors (true hits + the FP percent) enter
+    * the shuffle-pinned exact join. False negatives are impossible, so
+    * the output is IDENTICAL to the plain exact join — the oracle is the
+    * exact SQL, and the gate proves the identity, not just plausibility.
+    * Grams travel as md5-60 hashes end to end (8 B/gram, same hash in
+    * the oracle). */
+  private def hashedGrams(docs: DataFrame, idAs: String): DataFrame =
+    docs.select(col("doc_id"), explode(TextOps.shingles(col("text"))).as("g"))
+      .select(col("doc_id").as(idAs), XHash.hash60(col("g")).as("gh"))
+
+  private def bloomDecontamCore(corpus: DataFrame, ev: DataFrame,
+      bits: Int): DataFrame = {
+    val bloom = ev.agg(graft.functions.BloomAgg.agg(bits)(col("gh")).as("bf"))
+      .select(col("bf.words").as("bw"))
+    corpus.crossJoin(broadcast(bloom)) // one bitset row, bounds-frame idiom
+      .filter(graft.functions.BloomContains(col("bw"), col("gh")))
+      // project the bitset away BEFORE the exchange: survivors shuffle as
+      // (doc_id, gh) pairs, never carrying the bloom words
+      .select(col("doc_id"), col("gh"))
+      .join(ev.hint("shuffle_hash"), "gh")
+      .groupBy(col("doc_id"))
+      .agg(count_distinct(col("gh")).as("n_shared_grams"),
+        count_distinct(col("eval_id")).as("n_eval_docs"))
+  }
+
+  private[graft] def bloomDecontam(docs: DataFrame,
+      bits: Int = graft.functions.Bloom.DefaultBits): DataFrame = {
+    val sh = hashedGrams(docs, "doc_id")
+    bloomDecontamCore(
+      sh.filter(col("doc_id") % 97 =!= 0),
+      sh.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("eval_id"), col("gh")),
+      bits)
+  }
+
+  /** d13's production entry: decontaminate against a USER-PROVIDED eval
+    * suite (columns doc_id, text) through the bloom prefilter — for eval
+    * gram sets beyond [[contaminationAgainst]]'s raw-broadcast budget.
+    * Output rows identical to the exact join at any `bits`. */
+  private[graft] def bloomDecontamAgainst(docs: DataFrame,
+      evalDocs: DataFrame,
+      bits: Int = graft.functions.Bloom.DefaultBits): DataFrame =
+    bloomDecontamCore(hashedGrams(docs, "doc_id"),
+      hashedGrams(evalDocs, "eval_id"), bits)
+  private val bloomDecontamSql =
+    s"""WITH sh AS (SELECT doc_id, ${XHash.hash60Sql("g")} AS gh
+       |  FROM (SELECT doc_id, unnest(${TextOps.shinglesSql("text")}) AS g
+       |        FROM documents)),
+       |ev AS (SELECT doc_id AS eval_id, gh FROM sh WHERE doc_id % 97 = 0)
+       |SELECT sh.doc_id,
+       |  COUNT(DISTINCT sh.gh) AS n_shared_grams,
+       |  COUNT(DISTINCT eval_id) AS n_eval_docs
+       |FROM sh JOIN ev USING (gh)
+       |WHERE sh.doc_id % 97 <> 0
+       |GROUP BY 1""".stripMargin
+
   /** Stratified deterministic sampling — per-stratum rates (training-mix
     * weights) from the same hash-split family as q31: reproducible across
     * engines, runs and cluster sizes, pushed to the scan as a plain
@@ -298,5 +359,8 @@ object PipelineQueries {
       Some(sequencePackSql)),
     Q("q48_chunks", (s, d) => chunk(Tables.documents(s, d)),
       Some(chunkSql)),
-    Q("q49_domain_mix", domainMix, Some(domainMixSql)))
+    Q("q49_domain_mix", domainMix, Some(domainMixSql)),
+    Q("d13_bloom_decontam",
+      (s, d) => bloomDecontam(Tables.documents(s, d)),
+      Some(bloomDecontamSql)))
 }

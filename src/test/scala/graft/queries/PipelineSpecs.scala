@@ -204,6 +204,52 @@ class PipelineSpecs extends AnyFunSuite {
       s"fractional-epoch selection looks degenerate: $dom0Thirds/100")
   }
 
+  test("d13 bloom prefilter: output identical to exact join, real pruning") {
+    import spark.implicits._
+    import graft.functions.{Bloom, BloomAgg, BloomContains}
+    import graft.operators.TextOps
+    import graft.functions.XHash
+    // corpus of unique-token docs plus planted eval contamination: docs
+    // 97/194 are the holdout; docs 1 and 5 quote 6 consecutive tokens of
+    // eval doc 97 (-> exactly the quote's 4 interior 3-gram shingles
+    // shared; boundary shingles mix in unique neighbors on both sides)
+    val quote = (0 until 6).map(i => s"e0q$i")
+    val docs = (0 until 250).map { i =>
+      val toks =
+        if (i == 97) quote ++ (0 until 24).map(j => s"e${i}q$j")
+        else if (i == 194) (0 until 30).map(j => s"e${i}q$j")
+        else if (i == 1 || i == 5) quote ++ (0 until 24).map(j => s"c${i}x$j")
+        else (0 until 30).map(j => s"c${i}x$j")
+      (i.toLong, toks.mkString(" "))
+    }.toDF("doc_id", "text")
+    val got = PipelineQueries.bloomDecontam(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // exact expectation: docs 1 and 5 share exactly the quote's 4
+    // 3-gram shingles with exactly one eval doc
+    assert(got == Set((1L, 4L, 1L), (5L, 4L, 1L)), got.toString)
+
+    // pruning: corpus grams passing the bloom must be a tiny fraction —
+    // non-contaminated docs' unique grams pass only as false positives
+    val sh = docs.select(col("doc_id"),
+        explode(TextOps.shingles(col("text"))).as("g"))
+      .select(col("doc_id"), XHash.hash60(col("g")).as("gh"))
+    val ev = sh.filter(col("doc_id") % 97 === 0)
+    val corpus = sh.filter(col("doc_id") % 97 =!= 0)
+    val bloom = ev.agg(BloomAgg.agg(Bloom.DefaultBits)(col("gh")).as("bf"))
+      .select(col("bf.words").as("bw"))
+    val total = corpus.count()
+    val passed = corpus.crossJoin(broadcast(bloom))
+      .filter(BloomContains(col("bw"), col("gh"))).count()
+    // ~56 eval grams in 2^20 bits -> FP rate is essentially zero; allow
+    // slack for a handful of collisions
+    assert(passed <= total / 100,
+      s"bloom passed $passed of $total corpus grams — not pruning")
+    // no false negatives, directly: every eval gram probes true
+    val evSelf = ev.crossJoin(broadcast(bloom))
+      .filter(!BloomContains(col("bw"), col("gh"))).count()
+    assert(evSelf == 0L, "bloom false negative — structurally impossible")
+  }
+
   test("d8's eval side broadcasts; q44's sample filter reaches the scan stage") {
     val d8 = SparkEntry.queries("d8_contamination")(spark, sf)
     d8.collect()
