@@ -253,6 +253,72 @@ object TextQueries {
        |  FROM s)
        |SELECT doc_id, token, tf, df_docs, score, rk FROM r WHERE rk <= 3""".stripMargin
 
+  /** Gopher-style composite quality gate (Rae et al. 2021 §A1.1, the
+    * repetition half already in t6): every rule evaluated as an INTEGER
+    * cross-multiplied comparison (never a ratio in floating point), each
+    * failure a bit in a reasons mask, keep = mask 0. One scan, all
+    * scalar codegen'd built-ins, no shuffle — the shape every corpus
+    * filter at 100 TB wants (a pushed-down predicate per rule).
+    *
+    * Bits: 0 too-few words (<50) · 1 too-many (>100k) · 2 mean word
+    * length outside [3,10] · 3 symbol-to-word ratio >0.1 · 4 >90%
+    * bullet-started lines · 5 >30% ellipsis-ended lines · 6 <80% words
+    * with an alphabetic char · 7 fewer than 2 stopwords. */
+  private def gopherFilter(s: SparkSession, d: String): DataFrame = {
+    val t = TextOps.tokens(col("text"))
+    val lines = split(col("text"), "\n")
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(t).cast("bigint").as("n_words"),
+        length(regexp_replace(col("text"), "\\s", "")).cast("bigint").as("n_letters"),
+        regexp_count(col("text"), lit("[#…]")).cast("bigint").as("n_sym"),
+        size(filter(lines, l => l.startsWith("-"))).cast("bigint").as("n_bullet"),
+        size(filter(lines, l => l.endsWith("..."))).cast("bigint").as("n_ellip"),
+        size(lines).cast("bigint").as("n_lines"),
+        size(filter(t, w => w.rlike("[a-z]"))).cast("bigint").as("n_alpha"),
+        inList(t, Stopwords).cast("bigint").as("n_stop"))
+      .withColumn("flags",
+        when(col("n_words") < 50, lit(1L)).otherwise(lit(0L)) +
+        when(col("n_words") > 100000, lit(2L)).otherwise(lit(0L)) +
+        when(col("n_letters") < col("n_words") * 3 ||
+             col("n_letters") > col("n_words") * 10, lit(4L)).otherwise(lit(0L)) +
+        when(col("n_sym") * 10 > col("n_words"), lit(8L)).otherwise(lit(0L)) +
+        when(col("n_bullet") * 10 > col("n_lines") * 9, lit(16L)).otherwise(lit(0L)) +
+        when(col("n_ellip") * 10 > col("n_lines") * 3, lit(32L)).otherwise(lit(0L)) +
+        when(col("n_alpha") * 5 < col("n_words") * 4, lit(64L)).otherwise(lit(0L)) +
+        when(col("n_stop") < 2, lit(128L)).otherwise(lit(0L)))
+      .select(col("doc_id"), col("n_words"), col("flags"),
+        (col("flags") === 0L).as("keep"))
+  }
+  private val gopherFilterSql = {
+    val t = TextOps.tokensSql("text")
+    val lines = "string_split(text, chr(10))"
+    s"""WITH f AS (
+       |  SELECT doc_id,
+       |    len($t) AS n_words,
+       |    length(regexp_replace(text, '\\s', '', 'g')) AS n_letters,
+       |    len(regexp_extract_all(text, '[#…]')) AS n_sym,
+       |    len(list_filter($lines, l -> starts_with(l, '-'))) AS n_bullet,
+       |    len(list_filter($lines, l -> ends_with(l, '...'))) AS n_ellip,
+       |    len($lines) AS n_lines,
+       |    len(list_filter($t, w -> regexp_matches(w, '[a-z]'))) AS n_alpha,
+       |    ${inListSql(t, Stopwords)} AS n_stop
+       |  FROM documents),
+       |m AS (
+       |  SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+       |    CAST(CASE WHEN n_words < 50 THEN 1 ELSE 0 END
+       |       + CASE WHEN n_words > 100000 THEN 2 ELSE 0 END
+       |       + CASE WHEN n_letters < n_words * 3
+       |              OR n_letters > n_words * 10 THEN 4 ELSE 0 END
+       |       + CASE WHEN n_sym * 10 > n_words THEN 8 ELSE 0 END
+       |       + CASE WHEN n_bullet * 10 > n_lines * 9 THEN 16 ELSE 0 END
+       |       + CASE WHEN n_ellip * 10 > n_lines * 3 THEN 32 ELSE 0 END
+       |       + CASE WHEN n_alpha * 5 < n_words * 4 THEN 64 ELSE 0 END
+       |       + CASE WHEN n_stop < 2 THEN 128 ELSE 0 END AS BIGINT) AS flags
+       |  FROM f)
+       |SELECT doc_id, n_words, flags, flags = 0 AS keep FROM m""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("t1_text_stats", textStats, Some(textStatsSql)),
     Q("t2_quality_score", qualityScore, Some(qualityScoreSql)),
@@ -261,5 +327,6 @@ object TextQueries {
     Q("t5_fingerprints", fingerprints, Some(fingerprintsSql)),
     Q("t7_pii_scrub", piiScrub, Some(piiScrubSql)),
     Q("t8_vocab", vocab, Some(vocabSql)),
-    Q("t9_tfidf", tfidf, Some(tfidfSql)))
+    Q("t9_tfidf", tfidf, Some(tfidfSql)),
+    Q("t10_gopher_filter", gopherFilter, Some(gopherFilterSql)))
 }

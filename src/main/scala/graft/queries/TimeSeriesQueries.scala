@@ -184,5 +184,88 @@ object TimeSeriesQueries {
              |  CASE WHEN var_num > 0
              |    THEN abs(CAST(n * c - sum_c AS DOUBLE) / sqrt(CAST(var_num AS DOUBLE))) > 3.0
              |    ELSE FALSE END AS is_anomaly
-             |FROM v""".stripMargin)))
+             |FROM v""".stripMargin)),
+
+    // ---- Linear-interpolation resampling: the sibling of ts2's LOCF —
+    // the same dense per-type bucket axis, but gap buckets take the
+    // straight line between the surrounding observations instead of
+    // carrying the last one forward. Two IGNORE-NULLS window passes over
+    // the axis (previous observation from the backward frame, next from
+    // the forward frame) — no self-join, nothing wider than
+    // types × buckets, each window a single sorted pass per type.
+    //
+    // Cross-engine determinism: per-bucket values are exact int64 cents
+    // (ts4's trick), so prev/next values and bucket deltas are
+    // exactly-agreed integers; the interpolated value is then
+    // pv + (Δv·Δt)/Δb — one int64 product, ONE IEEE division, one
+    // addition: bit-identical with no rounding function involved.
+    // Leading/trailing buckets (no observation on one side) are NULL by
+    // definition in both engines.
+    Q(
+      "ts5_interp",
+      (s, d) => {
+        val e = Tables.events(s, d)
+          .select(col("event_type"),
+            round(col("value") * 100).cast("bigint").as("c"),
+            expr(s"(ts_ns div 1000) div $BucketUs").as("bucket"))
+        val bounds = e.agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
+        val axis = e.select(col("event_type")).distinct()
+          .crossJoin(bounds)
+          .select(col("event_type"),
+            explode(sequence(col("lo"), col("hi"))).as("bucket"))
+        val agg = e.groupBy(col("event_type"), col("bucket"))
+          .agg(sum(col("c")).as("v"), count(lit(1)).as("n_raw"))
+        val wPrev = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val wNext = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+          .rowsBetween(0, Window.unboundedFollowing)
+        axis.join(agg, Seq("event_type", "bucket"), "left")
+          .withColumn("pb",
+            last(when(col("v").isNotNull, col("bucket")), ignoreNulls = true).over(wPrev))
+          .withColumn("pv", last(col("v"), ignoreNulls = true).over(wPrev))
+          .withColumn("nb",
+            first(when(col("v").isNotNull, col("bucket")), ignoreNulls = true).over(wNext))
+          .withColumn("nv", first(col("v"), ignoreNulls = true).over(wNext))
+          .select(col("event_type"), col("bucket"),
+            coalesce(col("n_raw"), lit(0L)).as("n"),
+            when(col("pb").isNull || col("nb").isNull, lit(null).cast("double"))
+              .when(col("nb") === col("pb"), col("pv").cast("double"))
+              .otherwise(col("pv").cast("double") +
+                ((col("nv") - col("pv")) * (col("bucket") - col("pb"))).cast("double") /
+                  (col("nb") - col("pb")).cast("double"))
+              .as("v_interp"))
+      },
+      Some(s"""WITH e AS (
+              |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c,
+              |    epoch_us(ts) // $BucketUs AS bucket
+              |  FROM events),
+              |axis AS (
+              |  SELECT t.event_type, unnest(generate_series(
+              |    (SELECT MIN(bucket) FROM e), (SELECT MAX(bucket) FROM e))) AS bucket
+              |  FROM (SELECT DISTINCT event_type FROM e) t),
+              |agg AS (
+              |  SELECT event_type, bucket, CAST(SUM(c) AS BIGINT) AS v,
+              |    COUNT(1) AS n_raw
+              |  FROM e GROUP BY 1, 2),
+              |j AS (
+              |  SELECT axis.event_type, axis.bucket, n_raw, v,
+              |    last_value(CASE WHEN v IS NOT NULL THEN axis.bucket END IGNORE NULLS)
+              |      OVER wp AS pb,
+              |    last_value(v IGNORE NULLS) OVER wp AS pv,
+              |    first_value(CASE WHEN v IS NOT NULL THEN axis.bucket END IGNORE NULLS)
+              |      OVER wn AS nb,
+              |    first_value(v IGNORE NULLS) OVER wn AS nv
+              |  FROM axis LEFT JOIN agg
+              |    ON agg.event_type = axis.event_type AND agg.bucket = axis.bucket
+              |  WINDOW wp AS (PARTITION BY axis.event_type ORDER BY axis.bucket
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+              |    wn AS (PARTITION BY axis.event_type ORDER BY axis.bucket
+              |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+              |SELECT event_type, bucket, COALESCE(n_raw, 0) AS n,
+              |  CASE WHEN pb IS NULL OR nb IS NULL THEN NULL
+              |       WHEN nb = pb THEN CAST(pv AS DOUBLE)
+              |       ELSE CAST(pv AS DOUBLE)
+              |         + CAST((nv - pv) * (bucket - pb) AS DOUBLE)
+              |           / CAST(nb - pb AS DOUBLE) END AS v_interp
+              |FROM j""".stripMargin)))
 }
