@@ -389,11 +389,117 @@ object SimilarityQueries {
        |SELECT query_id, neighbor_id, cell, rk, round(cosine, 6) AS cosine_r
        |FROM ranked WHERE rk <= $TopK""".stripMargin
 
+  // ---- s4/d14: deterministic k-means + SemDeDup-style semantic dedup.
+  // KMeans (operators.KMeans) runs Lloyd's in exact integer arithmetic;
+  // the oracle replays the identical rounds in SQL. The shared CTE chain
+  // below is the oracle twin of KMeans.fit(prepared, K, updates = 1):
+  // hash-stride seeds → assign (argmin exact dist², ties on cid) →
+  // floor-mean update → final assign.
+  private val KmK = 16 // gate-query cluster count (operator takes any k)
+  private def kmeansCtes: String =
+    s"""q AS (SELECT vec_id, ${TextOps.quantizeSql("embedding")} AS q FROM embeddings),
+       |nrows AS (SELECT COUNT(*) AS n FROM q),
+       |e AS (SELECT vec_id, unnest(q) AS v, generate_subscripts(q, 1) AS i FROM q),
+       |norms AS (SELECT vec_id, CAST(SUM(v * v) AS BIGINT) AS nn FROM e GROUP BY 1),
+       |c0 AS (SELECT vec_id AS cid, q AS c FROM q
+       |  WHERE ${XHash.hash60Sql("CAST(vec_id AS VARCHAR)")}
+       |    % (SELECT GREATEST(1, n // $KmK) FROM nrows) = 0),
+       |ce0 AS (SELECT cid, unnest(c) AS w, generate_subscripts(c, 1) AS i FROM c0),
+       |d0 AS (SELECT e.vec_id, c.cid,
+       |    CAST(SUM((e.v - c.w) * (e.v - c.w)) AS BIGINT) AS dist
+       |  FROM e JOIN ce0 c ON c.i = e.i GROUP BY 1, 2),
+       |a1 AS (SELECT vec_id, cid AS cell FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |    FROM d0) WHERE rn = 1),
+       |s1 AS (SELECT a1.cell, e.i, CAST(SUM(e.v) AS BIGINT) AS s, COUNT(1) AS m
+       |  FROM a1 JOIN e ON e.vec_id = a1.vec_id GROUP BY 1, 2),
+       |c1 AS (SELECT cell AS cid,
+       |    list((s - ((s % m) + m) % m) // m ORDER BY i) AS c
+       |  FROM s1 GROUP BY 1),
+       |ce1 AS (SELECT cid, unnest(c) AS w, generate_subscripts(c, 1) AS i FROM c1),
+       |d1 AS (SELECT e.vec_id, c.cid,
+       |    CAST(SUM((e.v - c.w) * (e.v - c.w)) AS BIGINT) AS dist
+       |  FROM e JOIN ce1 c ON c.i = e.i GROUP BY 1, 2),
+       |a2 AS (SELECT vec_id, cid AS cell, dist FROM (
+       |    SELECT vec_id, cid, dist,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |    FROM d1) WHERE rn = 1)""".stripMargin
+
+  /** s4: per-cluster summary after one Lloyd round — size, inertia
+    * (Σ dist², decimal-exact), and the centroid's L1 mass (pins the
+    * centroid VECTOR content, not just the partition). */
+  private def kmeansSummary(s: SparkSession, d: String): DataFrame = {
+    val (asg, cent) = graft.operators.KMeans.fit(
+      graft.operators.KMeans.prepare(Tables.embeddings(s, d)), KmK, updates = 1)
+    val l1 = cent.select(col("cid"),
+      aggregate(transform(col("c"), x => abs(x)), lit(0L), (a, x) => a + x)
+        .as("cent_l1"))
+    asg.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("dist").cast("decimal(38,0)")).cast("double").as("inertia"))
+      .join(broadcast(l1), col("cell") === col("cid"))
+      .select(col("cell"), col("n_members"), col("inertia"), col("cent_l1"))
+  }
+  private val kmeansSummarySql =
+    s"""WITH $kmeansCtes,
+       |l1 AS (SELECT cid,
+       |    CAST(list_sum(list_transform(c, x -> abs(x))) AS BIGINT) AS cent_l1
+       |  FROM c1)
+       |SELECT a2.cell, COUNT(1) AS n_members,
+       |  CAST(SUM(CAST(dist AS DECIMAL(38,0))) AS DOUBLE) AS inertia,
+       |  l1.cent_l1 AS cent_l1
+       |FROM a2 JOIN l1 ON l1.cid = a2.cell
+       |GROUP BY a2.cell, l1.cent_l1""".stripMargin
+
+  /** d14: SemDeDup (Abbas et al. 2023) with the keep-first policy — a
+    * vector is dropped iff a LOWER-id member of its own k-means cluster
+    * sits above the cosine threshold; `dup_of` is the smallest such
+    * witness. Per-cluster pairs only (that is SemDeDup's point: the
+    * all-pairs search collapses to within-cluster searches, m²·k pairs
+    * with m ≈ n/k — k ~ √n keeps it n^1.5-class like s3). The demo
+    * threshold matches d5's 0.45 (the corpus's planted near-dup level);
+    * production thresholds are higher, which only shrinks the pair set. */
+  private def semanticDedup(s: SparkSession, d: String): DataFrame = {
+    val (asg, _) = graft.operators.KMeans.fit(
+      graft.operators.KMeans.prepare(Tables.embeddings(s, d)), KmK, updates = 1)
+    val a = asg.select(col("cell"), col("vec_id").as("va"),
+      col("q").as("qa"), col("nn").as("na"))
+    val b = asg.select(col("cell"), col("vec_id").as("vb"),
+      col("q").as("qb"), col("nn").as("nb"))
+    a.join(b, Seq("cell"))
+      .filter(col("va") < col("vb"))
+      .filter(TextOps.qdot(col("qa"), col("qb")).cast("double") /
+        (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double")))
+        >= 0.45)
+      .groupBy(col("vb"), col("cell"))
+      .agg(min(col("va")).as("dup_of"))
+      .select(col("vb").as("vec_id"), col("cell"), col("dup_of"))
+  }
+  private val semanticDedupSql =
+    s"""WITH $kmeansCtes,
+       |pairs AS (
+       |  SELECT a.vec_id AS va, b.vec_id AS vb, a.cell
+       |  FROM a2 a JOIN a2 b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+       |pdot AS (
+       |  SELECT p.va, p.vb, p.cell, CAST(SUM(ea.v * eb.v) AS BIGINT) AS dot
+       |  FROM pairs p JOIN e ea ON ea.vec_id = p.va
+       |  JOIN e eb ON eb.vec_id = p.vb AND eb.i = ea.i
+       |  GROUP BY 1, 2, 3)
+       |SELECT p.vb AS vec_id, p.cell AS cell, MIN(p.va) AS dup_of
+       |FROM pdot p JOIN norms na ON na.vec_id = p.va
+       |JOIN norms nb ON nb.vec_id = p.vb
+       |WHERE CAST(dot AS DOUBLE)
+       |    / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) >= 0.45
+       |GROUP BY 1, 2""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("s1_cosine_topk", (s, d) => cosineTopK(Tables.embeddings(s, d)),
       Some(cosineTopKSql)),
     Q("s2_ann_lsh",
       (s, d) => annLsh(Tables.embeddings(s, d), dim0 = Tables.EmbeddingDim),
       Some(annLshSql)),
-    Q("s3_ivf_topk", ivfTopK, Some(ivfTopKSql)))
+    Q("s3_ivf_topk", ivfTopK, Some(ivfTopKSql)),
+    Q("s4_kmeans", kmeansSummary, Some(kmeansSummarySql)),
+    Q("d14_semantic_dedup", semanticDedup, Some(semanticDedupSql)))
 }
