@@ -349,6 +349,41 @@ object PipelineQueries {
        |   OR ${XHash.hash60Sql("CAST(doc_id AS VARCHAR)")} % 1000 < rate % 1000
        |GROUP BY 1""".stripMargin
 
+  // ---- q50: Misra–Gries heavy hitters — the frequency sketch next to
+  // the cardinality (q19 HLL) and quantile (q34 t-digest) sketches.
+  // Same gating pattern: the sketch's counter CONTENT is arrival-order-
+  // dependent (not cross-engine hashable), but its two mathematical
+  // guarantees hold for ANY order, so the output carries the exact
+  // counts (hash-gated) plus the guarantee booleans the oracle pins to
+  // literal TRUE:   est ≤ true ∧ true − est ≤ n/(k+1)   for every
+  // token, and presence for every token above the n/(k+1) line.
+  // k = 16 < |vocab| = 31 on this corpus, so eviction (reduce) and the
+  // subtract-(k+1)-th merge rule both actually run — with k ≥ vocab the
+  // sketch would silently be an exact count and the gate would test
+  // nothing.
+  private val MgK = 16
+  private def heavyHitters(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(explode(TextOps.tokens(col("text"))).as("token"))
+    val tot = toks.agg(count(lit(1)).as("n_total"))
+    val exact = toks.groupBy(col("token")).agg(count(lit(1)).as("n_tok"))
+    val sketch = toks
+      .agg(graft.functions.MisraGriesAgg.heavyHitters(MgK)(col("token")).as("mg"))
+      .select(explode(col("mg.counters")).as(Seq("token", "est")))
+    val est = coalesce(col("est"), lit(0L))
+    exact.join(sketch, Seq("token"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("token"), col("n_tok"),
+        (est <= col("n_tok") &&
+          (col("n_tok") - est) * (MgK + 1) <= col("n_total")).as("bound_ok"),
+        (col("n_tok") * (MgK + 1) <= col("n_total") || est > 0L).as("hh_ok"))
+  }
+  private val heavyHittersSql =
+    s"""WITH tok AS (
+       |  SELECT unnest(${TextOps.tokensSql("text")}) AS token FROM documents)
+       |SELECT token, COUNT(1) AS n_tok, TRUE AS bound_ok, TRUE AS hh_ok
+       |FROM tok GROUP BY 1""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("t6_repetition", (s, d) => repetition(Tables.documents(s, d)),
       Some(repetitionSql)),
@@ -362,5 +397,6 @@ object PipelineQueries {
     Q("q49_domain_mix", domainMix, Some(domainMixSql)),
     Q("d13_bloom_decontam",
       (s, d) => bloomDecontam(Tables.documents(s, d)),
-      Some(bloomDecontamSql)))
+      Some(bloomDecontamSql)),
+    Q("q50_heavy_hitters", heavyHitters, Some(heavyHittersSql)))
 }
