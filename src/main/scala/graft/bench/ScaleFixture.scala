@@ -160,9 +160,9 @@ object ScaleFixture {
     }
     replicate("documents", saltDocs)
     replicate("embeddings", flipEmb(_, _))
-    // events.ts reads as LongType ns (nanosAsLong) and is written back as
-    // a long column of the same name; Tables.events renames it to ts_ns
-    // either way, so the engine-side queries see an identical schema
+    // events.ts passes through in whatever encoding the corpus carries
+    // (int64 ns or timestamp[us]); Tables.events adapts either to the
+    // int64 ts_ns contract, so the engine-side queries see one schema
     replicate("events", offsetEvents)
 
     spark.stop()

@@ -86,14 +86,16 @@ class DocExamplesSpec extends AnyFunSuite {
   }
 
   test("quickstart: as-of join (attribution)") {
-    val events = spark.read.parquet(s"$dir/events.parquet")
+    // Tables.events adapts whatever encoding the corpus carries (int64 ns
+    // or parquet timestamp[us]) to one int64-ns `ts_ns` column
+    val events = graft.Tables.events(spark, dir)
     val views = events.filter(col("event_type") === "view")
     val purchases = events.filter(col("event_type") === "purchase")
 
     // most recent strictly-earlier view per purchase; both sides large =>
     // the range-bucketed strategy (here one hour of ns per bucket)
     val attributed = Graft.asOfJoinBucketed(purchases, views,
-      key = "user_id", ts = "ts", id = "event_id", value = "value",
+      key = "user_id", ts = "ts_ns", id = "event_id", value = "value",
       bucketWidth = 3600L * 1000000000L)
 
     assert(attributed.count() == purchases.count())
