@@ -22,6 +22,7 @@ object Bench {
     val spark = Sessions.configure(
       SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Sessions.quietBenignWarnings()
     val queries = SparkEntry.queries
     // SPARK_GRAFT_BENCH_SKIP: comma-separated queries to exclude — for
     // big-fixture runs where a demo-regime query is infeasible by
@@ -74,28 +75,35 @@ object Bench {
       s"%.${dec}f".formatLocal(java.util.Locale.ROOT, v)
     val total = results.map(_._2).sum
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    def render(f: Double => String): String = {
+    def render(f: Double => String, sf: String): String = {
       val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(3)(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(3)(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sf"}"""
     }
-    // if the growing registry ever pushes the 3-decimal line past the
-    // driver's 2000-char stdout window, degrade per-query precision
-    // step-by-step (milli → centi → deciseconds) and, as the last rung,
-    // drop per-query detail entirely — `{"queries":{}}` with the total and
-    // errors intact still parses, where an overflowed line regresses the
-    // whole artifact to `parsed: null`
-    val json = Seq(render(fmt(3)), render(fmt(2)), render(fmt(1)))
-      .find(_.length <= 1900)
+    // The driver keeps the last 2000 stdout chars, so the budget is 2000
+    // minus the trailing newline; 1980 leaves margin for stray bytes. If
+    // the registry pushes the 3-decimal line past it, degrade per-query
+    // precision step-by-step (milli → centi → deciseconds), then shorten
+    // sf to its basename (86 queries at 1 decimal is ~1939 chars — the
+    // full-path rungs all overflowed in round 6, which silently cost the
+    // whole per-query record), and only as the very last rung drop
+    // per-query detail — `{"queries":{}}` still parses, where an
+    // overflowed line regresses the whole artifact to `parsed: null`.
+    val sfShort = java.nio.file.Paths.get(sfDir).getFileName.toString
+    val json = Seq(render(fmt(3), sfDir), render(fmt(2), sfDir),
+        render(fmt(1), sfDir), render(fmt(1), sfShort))
+      .find(_.length <= 1980)
       .getOrElse {
         s"""{"metric":"total","value":${fmt(3)(total)},"unit":"sec","queries":{},"errors":$errs,"sf":"$sfDir"}"""
       }
-    // richer artifact on disk: same contract fields plus the per-query
-    // spread — stdout stays the single unchanged contract line
+    // richer artifact on disk: ALWAYS the full-precision per-query map
+    // (never the degraded stdout rung — round-6 lesson) plus the spread;
+    // stdout stays the single contract line
     val spread = samples.map { case (k, s) =>
       "\"" + k + "\":[" + s.map(fmt(3)).mkString(",") + "]"
     }.mkString("{", ",", "}")
-    val fileJson = json.stripSuffix("}") + s""","spread":$spread}"""
+    val fileJson =
+      render(fmt(3), sfDir).stripSuffix("}") + s""","spread":$spread}"""
     // a targeted/filtered run must never replace the committed full-suite
     // baseline (r5 ADVICE: a 1-query run clobbered BENCH_OUT.json and the
     // 80-query spread baseline was lost) — route it to its own file

@@ -17,8 +17,24 @@ object Sessions {
   def local(cores: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")): SparkSession = {
     val s = configure(SparkSession.builder().master(s"local[$cores]"), cores).getOrCreate()
     graft.functions.GraftFunctions.register(s)
+    quietBenignWarnings()
     s
   }
+
+  /** WindowExec WARNs on every global (unpartitioned) window it runs.
+    * Every surviving global window in this engine is provably tiny by
+    * construction — per-shard count tables (CoreQueries a_scan offsets:
+    * #shards rows), the LIMIT-100 vocab head (TextQueries.vocab), and
+    * the sub-[[graft.operators.DistributedRank.SmallWindowRows]]
+    * fallback — each carries the invariant in a site comment and the
+    * large-input paths are plan-gated by PlanQualitySpec, so the warning
+    * adds no signal here and used to dominate the bench stderr tail
+    * (r6 verdict #7). Call AFTER setLogLevel: that resets the root
+    * logger, this pins one logger below it. */
+  def quietBenignWarnings(): Unit =
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
 
   def configure(b: SparkSession.Builder, cores: String): SparkSession.Builder = b
     .appName("graft")

@@ -12,6 +12,7 @@ object Verify {
     val spark = Sessions.configure(
       SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Sessions.quietBenignWarnings()
     new java.io.File(outDir).mkdirs()
     // dev loop: SPARK_GRAFT_VERIFY_ONLY=s2_ann_lsh,s3_ivf_topk dumps just
     // those queries; tools/check.py compares whatever dirs exist

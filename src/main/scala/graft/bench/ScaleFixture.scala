@@ -246,6 +246,35 @@ object ScaleReport {
     val d11Pairs = graft.queries.DedupQueries
       .containmentJoin(docs, theta = 0.6).count()
     spark.catalog.clearCache()
+    // s4/d14 octave evidence (r6 verdict #4): at scale the caller sizes
+    // k ~ sqrt(n), so within-cell pair volume is ~ n²/(2k) = n^1.5/2 —
+    // SemDeDup's bucketing claim (n^1.5-class like s3, NOT quadratic).
+    // Measured per octave: one timed assign pass, one timed Lloyd update
+    // pass (each materialized via count), and the exact candidate-pair
+    // count Σ m(m−1)/2 over the final cells plus the cell-skew stats
+    // (one monster cell = one quadratic straggler task at 100 TB).
+    val kScale = math.max(4, math.ceil(math.sqrt(nEmb.toDouble)).toInt)
+    val prep = graft.operators.KMeans.prepare(emb).persist()
+    prep.count()
+    val cent0 = graft.operators.KMeans.init(prep, kScale, nHint = nEmb)
+      .persist()
+    cent0.count()
+    val tA = System.nanoTime()
+    val asg0 = graft.operators.KMeans.assign(prep, cent0).persist()
+    asg0.count()
+    val s4AssignSec = (System.nanoTime() - tA) / 1e9
+    val tU = System.nanoTime()
+    val cent1 = graft.operators.KMeans.update(asg0).persist()
+    cent1.count()
+    val s4UpdateSec = (System.nanoTime() - tU) / 1e9
+    val d14Stats = graft.operators.KMeans.assign(prep, cent1)
+      .groupBy(col("cell")).agg(count(lit(1)).as("m"))
+      .agg(count(lit(1)).as("n_cells"), max(col("m")).as("max_pop"),
+        expr("CAST(percentile_approx(m, 0.5) AS BIGINT)").as("med_pop"),
+        sum(expr("m * (m - 1) div 2")).as("cand_pairs"))
+      .head()
+    Seq(prep, cent0, asg0, cent1).foreach(_.unpersist())
+    spark.catalog.clearCache()
     val json =
       s"""{"dir":"$dir","documents":$nDocs,"embeddings":$nEmb,""" +
         s""""d11_candidates":$d11Cand,"d11_pairs":$d11Pairs,""" +
@@ -255,7 +284,11 @@ object ScaleReport {
         s""""d5_prod_pairs":$d5prod,""" +
         s""""d5_auto_bands":$autoBands,"d5_auto_bits":$autoBits,""" +
         s""""d5_auto_candidates":$d5autoCand,"d5_demo_pairs":$d5demo,""" +
-        s""""s3_cells":$s3Cells,"s3_cell_max":$s3MaxPop,"s3_cell_median":$s3MedPop}"""
+        s""""s3_cells":$s3Cells,"s3_cell_max":$s3MaxPop,"s3_cell_median":$s3MedPop,""" +
+        s""""s4_k":$kScale,"s4_assign_sec":${"%.3f".formatLocal(java.util.Locale.ROOT, s4AssignSec)},""" +
+        s""""s4_update_sec":${"%.3f".formatLocal(java.util.Locale.ROOT, s4UpdateSec)},""" +
+        s""""d14_cells":${d14Stats.getLong(0)},"d14_cell_max":${d14Stats.getLong(1)},""" +
+        s""""d14_cell_median":${d14Stats.getLong(2)},"d14_candidate_pairs":${d14Stats.getLong(3)}}"""
     spark.stop()
     println(json)
   }

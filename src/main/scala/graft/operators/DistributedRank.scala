@@ -71,6 +71,11 @@ object DistributedRank {
   def withRowNumber(df: DataFrame, groupCols: Seq[String],
       orderCols: Seq[Column], shardKey: Column, rnName: String = "rn",
       numShards: Int = -1, rowBound: Long = -1L): DataFrame =
+    // TINY-TABLE INVARIANT: the plain-window branch is entered only
+    // under the smallInput gate above (≤ SmallWindowRows rows /
+    // SmallWindowBytes optimizer bytes), so any global window it emits
+    // is bounded; WindowExec's global-window WARN is silenced for this
+    // class of site (Sessions.quietBenignWarnings).
     if (smallInput(df, rowBound)) {
       val w =
         if (groupCols.isEmpty) Window.orderBy(orderCols: _*)

@@ -45,6 +45,12 @@ object CoreQueries {
           .withColumn("shard", expr(s"ts_us div $shardUs"))
         val wLocal = Window.partitionBy(col("shard"))
           .orderBy(col("ts_us"), col("event_id"))
+        // TINY-TABLE INVARIANT: this global window runs over the
+        // per-shard COUNT table (#shards rows ≈ time-span/shardUs, never
+        // the events themselves) — bounded by construction, so the
+        // single-partition stage is O(shards); WindowExec's global-window
+        // WARN is silenced for exactly this class of site
+        // (Sessions.quietBenignWarnings).
         val wShard = Window.orderBy(col("shard"))
           .rowsBetween(Window.unboundedPreceding, -1)
         val offsets = merged.groupBy(col("shard"))

@@ -201,6 +201,11 @@ object TextQueries {
         countDistinct(col("doc_id")).as("n_docs"))
       .orderBy(col("n_occ").desc, col("token").asc)
       .limit(100)
+    // TINY-TABLE INVARIANT: the global window ranks the LIMIT-100 head
+    // only (the limit sits below it in the plan — TakeOrderedAndProject,
+    // gated by PlanQualitySpec), so the single-partition stage is O(100);
+    // WindowExec's global-window WARN is silenced for this class of site
+    // (Sessions.quietBenignWarnings).
     counts.withColumn("rank",
       row_number().over(Window.orderBy(col("n_occ").desc, col("token").asc))
         .cast("bigint"))

@@ -191,8 +191,16 @@ object TimeSeriesQueries {
     // straight line between the surrounding observations instead of
     // carrying the last one forward. Two IGNORE-NULLS window passes over
     // the axis (previous observation from the backward frame, next from
-    // the forward frame) — no self-join, nothing wider than
-    // types × buckets, each window a single sorted pass per type.
+    // a RUNNING frame over the descending sort) — no self-join, nothing
+    // wider than types × buckets, each window a single sorted pass per
+    // type. The descending trick matters: a (CURRENT ROW, UNBOUNDED
+    // FOLLOWING) frame executes as UnboundedFollowingWindowFunctionFrame,
+    // which rescans the partition tail for EVERY row — O(buckets²) per
+    // type, measured 10.7 s vs ts2's 0.48 s at sf0.1 — where a running
+    // (UNBOUNDED PRECEDING, CURRENT ROW) frame is a single O(n) pass;
+    // reversing the ORDER BY makes "first non-null at-or-after" a
+    // running last over the reversed axis at the cost of one extra
+    // per-type sort.
     //
     // Cross-engine determinism: per-bucket values are exact int64 cents
     // (ts4's trick), so prev/next values and bucket deltas are
@@ -217,15 +225,16 @@ object TimeSeriesQueries {
           .agg(sum(col("c")).as("v"), count(lit(1)).as("n_raw"))
         val wPrev = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
           .rowsBetween(Window.unboundedPreceding, 0)
-        val wNext = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
-          .rowsBetween(0, Window.unboundedFollowing)
+        val wNext = Window.partitionBy(col("event_type"))
+          .orderBy(col("bucket").desc)
+          .rowsBetween(Window.unboundedPreceding, 0)
         axis.join(agg, Seq("event_type", "bucket"), "left")
           .withColumn("pb",
             last(when(col("v").isNotNull, col("bucket")), ignoreNulls = true).over(wPrev))
           .withColumn("pv", last(col("v"), ignoreNulls = true).over(wPrev))
           .withColumn("nb",
-            first(when(col("v").isNotNull, col("bucket")), ignoreNulls = true).over(wNext))
-          .withColumn("nv", first(col("v"), ignoreNulls = true).over(wNext))
+            last(when(col("v").isNotNull, col("bucket")), ignoreNulls = true).over(wNext))
+          .withColumn("nv", last(col("v"), ignoreNulls = true).over(wNext))
           .select(col("event_type"), col("bucket"),
             coalesce(col("n_raw"), lit(0L)).as("n"),
             when(col("pb").isNull || col("nb").isNull, lit(null).cast("double"))

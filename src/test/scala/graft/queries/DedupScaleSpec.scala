@@ -201,6 +201,39 @@ class DedupScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("s4/d14: k ~ sqrt(n) keeps within-cell pairs n^1.5-class across a decade") {
+    // SemDeDup's scale claim (r6 verdict #4 — the one d-family operator
+    // without octave evidence): with k = ⌈√n⌉ cells the within-cell pair
+    // volume is ~ n²/(2k) = n^1.5/2 for balanced cells. Two decades of
+    // synthetic embeddings pin (a) the absolute bound with a 5× skew
+    // allowance and (b) the decade growth ratio: n^1.5 predicts ~31.6×,
+    // where a fixed-k (quadratic) clustering would grow ~100×.
+    def candPairs(n: Long): Long = {
+      val dim = 16 // operator is dim-agnostic; small dim keeps the spec fast
+      val emb = spark.range(n).select(col("id").as("vec_id"),
+        array((0 until dim).map(i =>
+          ((pmod(xxhash64(col("id"), lit(i)), lit(2000L)).cast("double")
+            / 1000.0) - 1.0).cast("float")): _*).as("embedding"))
+      val k = math.ceil(math.sqrt(n.toDouble)).toInt
+      val (asg, _) = graft.operators.KMeans.fit(
+        graft.operators.KMeans.prepare(emb), k, updates = 1, nHint = n)
+      val pairs = asg.groupBy(col("cell")).agg(count(lit(1)).as("m"))
+        .agg(sum(expr("m * (m - 1) div 2"))).head().getLong(0)
+      spark.catalog.clearCache()
+      pairs
+    }
+    def bound(n: Long): Double = 5.0 * math.pow(n.toDouble, 1.5) / 2.0
+    val p2k = candPairs(2000L)
+    val p20k = candPairs(20000L)
+    assert(p2k.toDouble <= bound(2000L),
+      s"n=2000: $p2k within-cell pairs busts the 5x-skew n^1.5 bound ${bound(2000L)}")
+    assert(p20k.toDouble <= bound(20000L),
+      s"n=20000: $p20k within-cell pairs busts the 5x-skew n^1.5 bound ${bound(20000L)}")
+    val ratio = p20k.toDouble / p2k.toDouble
+    assert(ratio < 50.0,
+      s"decade growth $ratio is quadratic-class — cells are not absorbing scale")
+  }
+
   test("narrow-band LSH: full recall on planted near-dups, tiny candidate set") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_d5prod").toString
