@@ -956,6 +956,61 @@ object DedupQueries {
        |FROM s GROUP BY doc_id, isl""".stripMargin
   }
 
+  /** d15: edit-distance verification on the d2 LSH candidates — the
+    * third verify lens after Jaccard (d3, order-insensitive) and
+    * containment (d9/d11, subset-sensitive): Levenshtein is POSITION-
+    * sensitive, so it separates in-place token edits (small distance)
+    * from heavy reorderings that fool a bag-of-shingles Jaccard.
+    * Both engines implement standard unit-cost Levenshtein (Spark:
+    * Apache Commons via `levenshtein`; DuckDB: `levenshtein`) returning
+    * exact ints, so the verify is bit-stable; `edit_sim` is one IEEE
+    * division over exactly-agreed integers.
+    *
+    * Scale shape: the O(len_a·len_b) DP runs ONLY on LSH candidate
+    * pairs (linear via banding, measured at the 10×/100× octaves —
+    * BENCH_NOTES), never all-pairs; the two text rejoins follow the
+    * same size-aware sizedHint discipline as d3 (wide rows: broadcast
+    * only for tiny corpora, shuffle_hash otherwise). */
+  private[graft] def editDistancePairs(docs: DataFrame,
+      nHint: Long = -1L): DataFrame = {
+    val n = if (nHint > 0) nHint else docs.count()
+    val cand = minhashLsh(docs, n).select("doc_a", "doc_b")
+    cand
+      .join(sizedHint(docs.select(col("doc_id").as("doc_a"),
+        col("text").as("text_a")), n, 8192), "doc_a")
+      .join(sizedHint(docs.select(col("doc_id").as("doc_b"),
+        col("text").as("text_b")), n, 8192), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("text_a"), col("text_b")).cast("bigint").as("edit_dist"),
+        greatest(length(col("text_a")), length(col("text_b")))
+          .cast("bigint").as("max_len"))
+      .withColumn("edit_sim",
+        lit(1.0) - col("edit_dist").cast("double") / col("max_len").cast("double"))
+      .filter(col("edit_sim") >= 0.5)
+  }
+  private def editDistancePairsSql =
+    s"""WITH sig AS ($minhashSigsSql),
+       |bands AS (
+       |    ${(0 until Bands).map { b =>
+             val cols = (0 until Rows).map(r => s"s${b * Rows + r}").mkString(", '_', ")
+             s"SELECT doc_id, $b AS band_idx, concat($cols) AS band_val FROM sig"
+           }.mkString("\n    UNION ALL ")}),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       |   AND a.doc_id < b.doc_id),
+       |p AS (
+       |  SELECT doc_a, doc_b,
+       |    CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist,
+       |    CAST(GREATEST(length(da.text), length(db.text)) AS BIGINT) AS max_len
+       |  FROM cand JOIN documents da ON da.doc_id = doc_a
+       |  JOIN documents db ON db.doc_id = doc_b)
+       |SELECT doc_a, doc_b, edit_dist, max_len,
+       |  1.0 - CAST(edit_dist AS DOUBLE) / CAST(max_len AS DOUBLE) AS edit_sim
+       |FROM p
+       |WHERE 1.0 - CAST(edit_dist AS DOUBLE) / CAST(max_len AS DOUBLE) >= 0.5""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("d1_exact_dedup", (s, d) => exactDedup(Tables.documents(s, d)),
       Some(exactDedupSql)),
@@ -976,5 +1031,8 @@ object DedupQueries {
       Some(keepBestSql)),
     Q("d12_substring_spans",
       (s, d) => substringSpans(Tables.documents(s, d)),
-      Some(substringSpansSql)))
+      Some(substringSpansSql)),
+    Q("d15_edit_distance",
+      (s, d) => editDistancePairs(Tables.documents(s, d)),
+      Some(editDistancePairsSql)))
 }

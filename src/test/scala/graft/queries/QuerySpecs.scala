@@ -97,6 +97,37 @@ class QuerySpecs extends AnyFunSuite {
     assert(missed.isEmpty, s"LSH missed ${missed.size}/${truth.size} true pairs")
   }
 
+  test("d15 edit-distance lens separates in-place edits from reorderings") {
+    import spark.implicits._
+    // three doc families, each pair sharing nearly all shingles so the LSH
+    // candidate pass keeps them: (a) an in-place single-word edit — high
+    // edit_sim; (b) a block swap (same bag of words, big positional
+    // displacement) — the case bag-of-shingles Jaccard cannot see but
+    // Levenshtein penalizes; (c) an exact duplicate — edit_sim 1.0.
+    val w = (0 until 60).map(i => s"tok$i")
+    val base = w.mkString(" ")
+    val edited = (w.updated(30, "CHANGED")).mkString(" ")
+    val swapped = (w.drop(30) ++ w.take(30)).mkString(" ")
+    val docs = Seq(
+      (1L, base), (2L, edited), (3L, swapped), (4L, base)
+    ).toDF("doc_id", "text")
+    val got = DedupQueries.editDistancePairs(docs, nHint = 4L)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getDouble(4)))).toMap
+    spark.catalog.clearCache()
+    // exact dup: distance 0, sim 1.0
+    assert(got((1L, 4L)) == ((0L, 1.0)))
+    // in-place edit: distance = |"CHANGED"| vs |"tok30"| replacement cost
+    val (dEdit, sEdit) = got((1L, 2L))
+    assert(dEdit > 0L && sEdit > 0.95,
+      s"in-place edit should score high: dist $dEdit sim $sEdit")
+    // block swap shares the full vocabulary but displaces every token:
+    // the position-sensitive lens must rank it clearly below the edit
+    val sSwap = got.get((1L, 3L)).map(_._2)
+    assert(sSwap.forall(_ < sEdit),
+      s"reordering must score below in-place edit: swap $sSwap vs edit $sEdit")
+  }
+
   test("quantized cosine tracks float cosine within 1e-4") {
     val e = Tables.embeddings(spark, sf).limit(50)
       .select(col("vec_id"), col("embedding"),
