@@ -43,8 +43,43 @@ object Tables {
     *  - int64: pass through (already ns).
     * Column position is preserved so downstream selects-by-order and the
     * compactor's schema contract are unaffected. */
-  def events(s: SparkSession, d: String): DataFrame = {
+  def events(s: SparkSession, d: String): DataFrame =
+    projectTsNs(apply(s, d, "events"))
+
+  /** events restricted to `[loNs, hiNs)` with the time predicate applied
+    * to the UNDERLYING at-rest column BEFORE the ts_ns derivation, so it
+    * reaches the parquet scan as a pushed filter (row-group stats pruning
+    * — the difference between scanning one hour and scanning 100 TB). A
+    * range filter written against the derived `ts_ns` cannot push down on
+    * timestamp-typed corpora (the scan column sits under a cast); this
+    * helper rewrites the ns bounds into exact native-type bounds. Stored
+    * µs values are whole µs, so `ts_ns ∈ [lo, hi)` ⇔
+    * `µs ∈ [⌈lo/1000⌉, ⌈hi/1000⌉)` — exact, no boundary loss. Gated by
+    * PlanQualitySpec (PushedFilters must name `ts`). */
+  def eventsBetween(s: SparkSession, d: String, loNs: Long, hiNs: Long): DataFrame = {
     val raw = apply(s, d, "events")
+    def ceilDiv(x: Long, y: Long): Long = -Math.floorDiv(-x, y)
+    def us(ns: Long): Long = ceilDiv(ns, 1000L)
+    def ntzLit(u: Long) = lit(java.time.LocalDateTime.ofEpochSecond(
+      Math.floorDiv(u, 1000000L), (Math.floorMod(u, 1000000L) * 1000L).toInt,
+      java.time.ZoneOffset.UTC))
+    def tsLit(u: Long) = lit(java.time.Instant.ofEpochSecond(
+      Math.floorDiv(u, 1000000L), Math.floorMod(u, 1000000L) * 1000L))
+    val filtered = raw.schema("ts").dataType match {
+      case LongType =>
+        raw.filter(col("ts") >= loNs && col("ts") < hiNs)
+      case TimestampNTZType =>
+        raw.filter(col("ts") >= ntzLit(us(loNs)) && col("ts") < ntzLit(us(hiNs)))
+      case TimestampType =>
+        raw.filter(col("ts") >= tsLit(us(loNs)) && col("ts") < tsLit(us(hiNs)))
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts has unsupported type $other; expected int64 ns or timestamp")
+    }
+    projectTsNs(filtered)
+  }
+
+  private def projectTsNs(raw: DataFrame): DataFrame = {
     val tsNs = raw.schema("ts").dataType match {
       case LongType => col("ts")
       case TimestampNTZType | TimestampType =>

@@ -87,7 +87,10 @@ class DocExamplesSpec extends AnyFunSuite {
 
   test("quickstart: as-of join (attribution)") {
     // Tables.events adapts whatever encoding the corpus carries (int64 ns
-    // or parquet timestamp[us]) to one int64-ns `ts_ns` column
+    // or parquet timestamp[us]) to one int64-ns `ts_ns` column. For time-
+    // range reads use Tables.eventsBetween(spark, dir, loNs, hiNs): it
+    // pushes the bounds to the parquet scan in the at-rest type (row-group
+    // pruning); a filter on the derived ts_ns cannot push down.
     val events = graft.Tables.events(spark, dir)
     val views = events.filter(col("event_type") === "view")
     val purchases = events.filter(col("event_type") === "purchase")

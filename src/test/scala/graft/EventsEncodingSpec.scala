@@ -54,6 +54,25 @@ class EventsEncodingSpec extends AnyFunSuite {
     }
   }
 
+  test("eventsBetween agrees across encodings, incl. non-µs-aligned ns bounds") {
+    val dirs = Seq(
+      writeCorpus(c => col(c)) -> "int64-ns",
+      writeCorpus(c => timestamp_micros((col(c) / lit(1000L)).cast("long"))) -> "timestamp[us]",
+      writeCorpus(c => timestamp_micros((col(c) / lit(1000L)).cast("long"))
+        .cast("timestamp_ntz")) -> "timestamp_ntz[us]")
+    // lo sits 1 ns ABOVE the first instant (must exclude it — ceil-div,
+    // not floor), hi 1 ns above the second (must include it)
+    val lo = tsNs.min + 1L
+    val hi = tsNs.sorted.apply(1) + 1L
+    val expected = tsNs.zipWithIndex
+      .collect { case (ns, i) if ns >= lo && ns < hi => i.toLong }.sorted
+    for ((dir, label) <- dirs) {
+      val got = Tables.eventsBetween(spark, dir, lo, hi)
+        .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == expected, s"$label: eventsBetween [$lo,$hi) -> $got")
+    }
+  }
+
   test("the shipped corpus loads under the ts_ns contract") {
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
     assert(ev.schema("ts_ns").dataType == LongType)

@@ -156,6 +156,33 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(scan.contains("ReadSchema: struct<event_id:bigint>"), scan.takeRight(300))
   }
 
+  test("eventsBetween pushes the time range to the scan; a ts_ns filter cannot") {
+    // On a timestamp-typed corpus the derived ts_ns sits above a cast, so
+    // a range filter on it never reaches the parquet reader — the library
+    // answer is Tables.eventsBetween, which rewrites exact native-type
+    // bounds BELOW the derivation. At 100 TB this is row-group/partition
+    // pruning vs a full scan.
+    val lo = 1704067200L * 1000000000L // arbitrary in-corpus era bounds
+    val hi = lo + 86400L * 1000000000L
+    val pushed = Tables.eventsBetween(spark, sf, lo, hi)
+    val pushedScan = pushed.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(pushedScan.contains("PushedFilters: [") &&
+      pushedScan.contains("GreaterThanOrEqual(ts") &&
+      pushedScan.contains("LessThan(ts"),
+      s"time bounds must reach the scan: ${pushedScan.takeRight(400)}")
+    // the naive spelling documents WHY the helper exists: nothing about
+    // ts reaches PushedFilters
+    val naive = Tables.events(spark, sf)
+      .filter(col("ts_ns") >= lo && col("ts_ns") < hi)
+    val naiveScan = naive.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(!naiveScan.contains("GreaterThanOrEqual(ts"),
+      s"unexpected pushdown of the derived column: ${naiveScan.takeRight(400)}")
+    // and the two spellings agree row-for-row
+    val a = pushed.select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+    val b = naive.select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(a == b, s"pushed/naive row sets differ: ${a.size} vs ${b.size}")
+  }
+
   test("d5 candidates come from equi-joins only (no all-pairs anywhere)") {
     // VERDICT r1: the embedding near-dup must not ship a cartesian-shaped
     // non-equi join. Assert on the finalized plan of the real query.
