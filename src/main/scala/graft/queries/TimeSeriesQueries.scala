@@ -18,7 +18,36 @@ object TimeSeriesQueries {
   private def moneySum(c: Column, scale: Int = 2): Column =
     sum(c.cast(s"decimal(25,$scale)")).cast("double")
 
+  // ts6 fixed slice bounds: Jan 8 00:00 – Jan 10 00:00 UTC 2024 (~2/30 of
+  // every SF's Jan-2024 span), ns since epoch
+  private val SliceLoNs = 1704672000L * 1000000000L
+  private val SliceHiNs = 1704844800L * 1000000000L
+
   val all: Seq[Q] = Seq(
+    // ---- Time-range slice via the pushdown-preserving loader: the bounds
+    // reach the parquet scan in the at-rest type (Tables.eventsBetween —
+    // row-group pruning; PlanQualitySpec gates PushedFilters), then a
+    // per-type rollup over the slice. This is the query shape the
+    // reference's own domain runs constantly (dashboard panel over a time
+    // window), and the one where pushdown is the difference between
+    // scanning two days and scanning the year. Sum in exact int64 cents.
+    Q(
+      "ts6_time_slice",
+      (s, d) =>
+        Tables.eventsBetween(s, d, SliceLoNs, SliceHiNs)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            min(expr("ts_ns div 1000")).as("min_ts_us"),
+            max(expr("ts_ns div 1000")).as("max_ts_us"),
+            sum(round(col("value") * 100).cast("bigint")).as("sum_cents")),
+      Some(s"""SELECT event_type, COUNT(1) AS n,
+              |  MIN(epoch_us(ts)) AS min_ts_us, MAX(epoch_us(ts)) AS max_ts_us,
+              |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+              |FROM events
+              |WHERE epoch_us(ts) >= ${SliceLoNs / 1000L}
+              |  AND epoch_us(ts) < ${SliceHiNs / 1000L}
+              |GROUP BY event_type""".stripMargin)),
+
     // ---- Downsample: per (type, 5-min bucket) first/last/sum/count.
     // first/last are argmin/argmax over the composite (ts, event_id) key —
     // deterministic under timestamp ties, partial-aggregatable (no window,
