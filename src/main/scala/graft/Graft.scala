@@ -9,7 +9,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * pipeline is oracle- or property-gated (see SparkEntry / the test
   * suites).
   *
-  * The full declared surface — 78 oracle-gated queries over the
+  * The full declared surface — 88 oracle-gated queries over the
   * reference parity ops, TPC-H-shaped relational coverage, time-series,
   * text analysis, multimodal and streaming families — is enumerated in
   * [[SparkEntry.queries]]; this facade exposes the operations with a
@@ -132,6 +132,63 @@ object Graft {
     * Eagerly materialized (facade cache contract). */
   def keepBestPerCluster(docs: DataFrame): DataFrame =
     materialized(queries.DedupQueries.keepBestPinned(docs))
+
+  /** Edit-distance (Levenshtein) verification on the MinHash-LSH
+    * candidates — the position-sensitive third lens after Jaccard
+    * ([[nearDupPairs]]) and containment ([[containmentJoin]]): separates
+    * in-place edits (high edit_sim) from reorderings that fool a
+    * bag-of-shingles Jaccard. (doc_a, doc_b, edit_dist, max_len,
+    * edit_sim) at edit_sim ≥ 0.5; the O(len²) DP runs only on candidate
+    * pairs, never all-pairs. Eagerly materialized (facade cache
+    * contract). */
+  def editDistancePairs(docs: DataFrame, nHint: Long = -1L): DataFrame = {
+    val out = queries.DedupQueries.editDistancePairs(docs, nHint)
+      .localCheckpoint(true)
+    docs.sparkSession.catalog.clearCache()
+    out
+  }
+
+  /** Deterministic distributed k-means over quantized embeddings —
+    * exact int64 Lloyd's (hash-stride seeds, broadcast centroids ≤ ~50k
+    * at 64 dims, map-side-combined argmin): the final
+    * (vec_id, cell, dist) assignment after `updates` Lloyd rounds.
+    * Assign cost is the only n·k term; the update shuffle is n·dim
+    * partial sums (measured flat at the 100× octave — BENCH_NOTES). */
+  def kMeansAssign(emb: DataFrame, k: Int, updates: Int = 1,
+      nHint: Long = -1L): DataFrame = {
+    val (asg, _) = operators.KMeans.fit(
+      operators.KMeans.prepare(emb), k, updates, nHint)
+    asg.select("vec_id", "cell", "dist")
+  }
+
+  /** SemDeDup (Abbas et al. 2023): a vector is a semantic duplicate iff
+    * a LOWER-id member of its own k-means cell sits above the cosine
+    * threshold — (vec_id, cell, dup_of) with dup_of the smallest
+    * witness; anti-join on vec_id to drop dups. Size k ~ √n: within-cell
+    * verify volume is then n²/(2k) = n^1.5/2 (measured ON that curve at
+    * 1×/10×/100× — BENCH_NOTES). */
+  def semanticDups(emb: DataFrame, k: Int, threshold: Double = 0.9,
+      updates: Int = 1, nHint: Long = -1L): DataFrame =
+    queries.SimilarityQueries.semanticDedupOn(emb, k, threshold, updates, nHint)
+
+  /** The Gopher quality-rule gate as one per-row pass: (doc_id, n_words,
+    * flags, keep) where `flags` is the failed-rule bitmask (word count,
+    * mean word length, symbol ratio, bullet/ellipsis lines, alpha-word
+    * ratio, stopword floor) and keep = flags == 0. Pure scalar pipeline:
+    * one scan, zero shuffles. */
+  def gopherFilter(docs: DataFrame): DataFrame =
+    queries.TextQueries.gopherFilterOn(docs)
+
+  /** Misra–Gries heavy hitters over any column: at most `k` counters,
+    * (value, est) with est ≤ true count ≤ est + n/(k+1) and every value
+    * above n/(k+1) guaranteed present. Mergeable across any
+    * partitioning (the subtract-(k+1)th merge rule) — bounded memory at
+    * any scale. */
+  def approxHeavyHitters(df: DataFrame, column: String, k: Int = 16): DataFrame = {
+    import org.apache.spark.sql.functions.{col, explode}
+    df.agg(graft.functions.MisraGriesAgg.heavyHitters(k)(col(column)).as("mg"))
+      .select(explode(col("mg.counters")).as(Seq("value", "est")))
+  }
 
   /** Connected components over an undirected pair list (two long
     * columns) → (id, component): the keep-one-per-cluster step.

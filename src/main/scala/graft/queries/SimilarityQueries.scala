@@ -460,9 +460,12 @@ object SimilarityQueries {
     * with m ≈ n/k — k ~ √n keeps it n^1.5-class like s3). The demo
     * threshold matches d5's 0.45 (the corpus's planted near-dup level);
     * production thresholds are higher, which only shrinks the pair set. */
-  private def semanticDedup(s: SparkSession, d: String): DataFrame = {
+  private def semanticDedup(s: SparkSession, d: String): DataFrame =
+    semanticDedupOn(Tables.embeddings(s, d), KmK, threshold = 0.45)
+  private[graft] def semanticDedupOn(emb: DataFrame, k: Int,
+      threshold: Double, updates: Int = 1, nHint: Long = -1L): DataFrame = {
     val (asg, _) = graft.operators.KMeans.fit(
-      graft.operators.KMeans.prepare(Tables.embeddings(s, d)), KmK, updates = 1)
+      graft.operators.KMeans.prepare(emb), k, updates, nHint)
     val a = asg.select(col("cell"), col("vec_id").as("va"),
       col("q").as("qa"), col("nn").as("na"))
     val b = asg.select(col("cell"), col("vec_id").as("vb"),
@@ -471,7 +474,7 @@ object SimilarityQueries {
       .filter(col("va") < col("vb"))
       .filter(TextOps.qdot(col("qa"), col("qb")).cast("double") /
         (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double")))
-        >= 0.45)
+        >= threshold)
       .groupBy(col("vb"), col("cell"))
       .agg(min(col("va")).as("dup_of"))
       .select(col("vb").as("vec_id"), col("cell"), col("dup_of"))

@@ -269,10 +269,12 @@ object TextQueries {
     * length outside [3,10] · 3 symbol-to-word ratio >0.1 · 4 >90%
     * bullet-started lines · 5 >30% ellipsis-ended lines · 6 <80% words
     * with an alphabetic char · 7 fewer than 2 stopwords. */
-  private def gopherFilter(s: SparkSession, d: String): DataFrame = {
+  private def gopherFilter(s: SparkSession, d: String): DataFrame =
+    gopherFilterOn(Tables.documents(s, d))
+  private[graft] def gopherFilterOn(docs: DataFrame): DataFrame = {
     val t = TextOps.tokens(col("text"))
     val lines = split(col("text"), "\n")
-    Tables.documents(s, d)
+    docs
       .select(col("doc_id"),
         size(t).cast("bigint").as("n_words"),
         length(regexp_replace(col("text"), "\\s", "")).cast("bigint").as("n_letters"),

@@ -33,6 +33,58 @@ class GraftFacadeSpec extends AnyFunSuite {
     assert(comp(2L) == 1L && comp(4L) == 3L)
   }
 
+  test("round-7 facades match their gated queries (d15, d14, s4, t10, q50)") {
+    val docs = Tables.documents(spark, sf)
+    val emb = Tables.embeddings(spark, sf)
+    // d15 twin
+    val viaFacade = Graft.editDistancePairs(docs)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaQuery = SparkEntry.queries("d15_edit_distance")(spark, sf)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.catalog.clearCache()
+    assert(viaFacade == viaQuery && viaFacade.nonEmpty)
+    // d14 twin at the gate parameters (k = 16, threshold 0.45); sf0.001
+    // has no semantic dups of its own, so plant an exact copy of vec 0 —
+    // it must land in vec 0's cell and be reported with a lower witness
+    val planted = emb.filter(col("vec_id") === 0L)
+      .select((col("vec_id") + 900000L).as("vec_id"), col("embedding"),
+        col("label"))
+    val dups = Graft.semanticDups(emb.unionByName(planted), k = 16,
+        threshold = 0.45)
+      .select("vec_id", "dup_of").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dups.exists(_._1 == 900000L),
+      s"planted duplicate not caught: $dups")
+    val dupsQ = SparkEntry.queries("d14_semantic_dedup")(spark, sf)
+      .select("vec_id", "dup_of").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(Graft.semanticDups(emb, k = 16, threshold = 0.45)
+      .select("vec_id", "dup_of").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == dupsQ)
+    // s4: every vector lands in exactly one cell
+    val asg = Graft.kMeansAssign(emb, k = 16)
+    assert(asg.count() == emb.count())
+    assert(asg.select("vec_id").distinct().count() == emb.count())
+    // t10: keep ⇔ flags == 0
+    val g = Graft.gopherFilter(docs)
+    assert(g.count() == docs.count())
+    assert(g.filter(col("keep") =!= (col("flags") === 0L)).count() == 0L)
+    // q50: guarantees est ≤ true and true − est ≤ n/(k+1) for every token
+    val toks = docs.select(explode(
+      graft.operators.TextOps.tokens(col("text"))).as("token"))
+    val n = toks.count()
+    val k = 16
+    val exact = toks.groupBy("token").count()
+    val viol = Graft.approxHeavyHitters(toks, "token", k)
+      .join(exact, col("value") === col("token"))
+      .filter(col("est") > col("count") ||
+        (col("count") - col("est")) * (k + 1) > n)
+      .count()
+    assert(viol == 0L, "Misra-Gries guarantee violated")
+  }
+
   test("facade twins equal the driver-corpus query results") {
     val docs = Tables.documents(spark, sf)
     val viaFacade = Graft.nearDupPairs(docs)
