@@ -133,6 +133,19 @@ object Graft {
   def keepBestPerCluster(docs: DataFrame): DataFrame =
     materialized(queries.DedupQueries.keepBestPinned(docs))
 
+  /** Cross-corpus near-dup join — dedup a crawl INCREMENT against the
+    * already-accepted corpus (the nightly-ingest shape): bipartite banded
+    * MinHash-LSH candidates + exact shingle-Jaccard verify, returning
+    * (inc_id, corpus_id, inter, uni, jaccard) at jaccard ≥ 0.5.
+    * Anti-join the increment on inc_id to admit only novel docs. The
+    * increment's band table broadcasts under the size bound, so the
+    * corpus side ships nothing into the candidate join; at scale the
+    * corpus signature table is the write-once sketch stage. */
+  def crossNearDupPairs(increment: DataFrame, corpus: DataFrame,
+      incrementHint: Long = -1L, corpusHint: Long = -1L): DataFrame =
+    queries.DedupQueries.crossNearDups(increment, corpus,
+      incrementHint, corpusHint)
+
   /** Edit-distance (Levenshtein) verification on the MinHash-LSH
     * candidates — the position-sensitive third lens after Jaccard
     * ([[nearDupPairs]]) and containment ([[containmentJoin]]): separates

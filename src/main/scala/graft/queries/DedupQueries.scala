@@ -956,6 +956,101 @@ object DedupQueries {
        |FROM s GROUP BY doc_id, isl""".stripMargin
   }
 
+  /** d16: cross-corpus near-dup join — dedup a crawl INCREMENT against
+    * the already-accepted corpus, the incremental-ingest shape every
+    * production pipeline runs nightly: new docs are checked against the
+    * existing corpus, never against each other (that is d2/d3's job on
+    * the increment alone). Both sides share the same fixed MinHash
+    * family, so a band-bucket match ACROSS sides has the standard LSH
+    * recall; exact shingle-Jaccard verifies. The gate query's increment
+    * is the deterministic `doc_id % 10 == 0` slice.
+    *
+    * Scale shape: the corpus side's signature/band table is the
+    * write-once sketch stage (at 100 TB it lives as a table, not a
+    * recompute); the increment is a day's crawl — its band table
+    * broadcasts under the size bound, so the bipartite candidate join
+    * ships NOTHING of the corpus side. Candidates stay bucket-confined
+    * exactly as in d2. */
+  private[graft] def crossNearDups(inc: DataFrame, corpus: DataFrame,
+      incHint: Long = -1L, corpusHint: Long = -1L): DataFrame = {
+    val ni = if (incHint > 0) incHint else inc.count()
+    val nc = if (corpusHint > 0) corpusHint else corpus.count()
+    def bandsOf(docs: DataFrame): DataFrame = {
+      val sig = minhashSigs(docs).select(col("doc_id"),
+        array((0 until K).map(i => col(s"s$i")): _*).as("sig"))
+      sig.select(col("doc_id"),
+        explode(array((0 until Bands).map { b =>
+          struct(lit(b).as("band_idx"),
+            concat_ws("_", (0 until Rows).map(r =>
+              element_at(col("sig"), b * Rows + r + 1)): _*).as("band_val"))
+        }: _*)).as("band"))
+        .select(col("doc_id"), col("band.band_idx"), col("band.band_val"))
+    }
+    val cand = sizedHint(bandsOf(inc), ni * Bands, 128).as("a")
+      .join(bandsOf(corpus).as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val"))
+      .select(col("a.doc_id").as("inc_id"), col("b.doc_id").as("corpus_id"))
+      .distinct()
+    def sh(docs: DataFrame, idName: String): DataFrame = docs
+      .select(col("doc_id").as(idName),
+        TextOps.shingles(col("text")).as(s"sh_$idName"))
+      .filter(size(col(s"sh_$idName")) > 0)
+    cand
+      .join(sizedHint(sh(inc, "inc_id"), ni, 8192), "inc_id")
+      .join(sizedHint(sh(corpus, "corpus_id"), nc, 8192), "corpus_id")
+      .withColumn("inter",
+        size(array_intersect(col("sh_inc_id"), col("sh_corpus_id"))).cast("bigint"))
+      .withColumn("uni",
+        (size(col("sh_inc_id")) + size(col("sh_corpus_id"))).cast("bigint")
+          - col("inter"))
+      .withColumn("jaccard", col("inter").cast("double") / col("uni").cast("double"))
+      .filter(col("jaccard") >= 0.5)
+      .select("inc_id", "corpus_id", "inter", "uni", "jaccard")
+  }
+  private def crossDedupSql = {
+    def sigCte(pred: String) = {
+      val sigExprs = XHash.coeffs(K).zipWithIndex.map { case ((a, b), i) =>
+        s"MIN((${XHash.hashPSql("sh")} * $a + $b) % ${XHash.P}) AS s$i"
+      }.mkString(",\n    ")
+      s"""SELECT doc_id, $sigExprs
+         |  FROM (SELECT doc_id, unnest(${TextOps.shinglesSql("text")}) AS sh
+         |        FROM documents
+         |        WHERE $pred AND len(${TextOps.tokensSql("text")}) >= 3)
+         |  GROUP BY doc_id""".stripMargin
+    }
+    def bandCte(sig: String) = (0 until Bands).map { b =>
+      val cols = (0 until Rows).map(r => s"s${b * Rows + r}").mkString(", '_', ")
+      s"SELECT doc_id, $b AS band_idx, concat($cols) AS band_val FROM $sig"
+    }.mkString("\n    UNION ALL ")
+    s"""WITH sig_i AS (${sigCte("doc_id % 10 = 0")}),
+       |sig_c AS (${sigCte("doc_id % 10 <> 0")}),
+       |bands_i AS (
+       |    ${bandCte("sig_i")}),
+       |bands_c AS (
+       |    ${bandCte("sig_c")}),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS inc_id, b.doc_id AS corpus_id
+       |  FROM bands_i a JOIN bands_c b
+       |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val),
+       |sh_i AS (SELECT doc_id, ${TextOps.shinglesSql("text")} AS sh
+       |         FROM documents
+       |         WHERE doc_id % 10 = 0 AND len(${TextOps.tokensSql("text")}) >= 3),
+       |sh_c AS (SELECT doc_id, ${TextOps.shinglesSql("text")} AS sh
+       |         FROM documents
+       |         WHERE doc_id % 10 <> 0 AND len(${TextOps.tokensSql("text")}) >= 3),
+       |j AS (
+       |  SELECT inc_id, corpus_id,
+       |    CAST(len(list_intersect(si.sh, sc.sh)) AS BIGINT) AS inter,
+       |    CAST(len(si.sh) + len(sc.sh) AS BIGINT)
+       |      - CAST(len(list_intersect(si.sh, sc.sh)) AS BIGINT) AS uni
+       |  FROM cand JOIN sh_i si ON si.doc_id = inc_id
+       |  JOIN sh_c sc ON sc.doc_id = corpus_id)
+       |SELECT inc_id, corpus_id, inter, uni,
+       |  CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) AS jaccard
+       |FROM j WHERE CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) >= 0.5""".stripMargin
+  }
+
   /** d15: edit-distance verification on the d2 LSH candidates — the
     * third verify lens after Jaccard (d3, order-insensitive) and
     * containment (d9/d11, subset-sensitive): Levenshtein is POSITION-
@@ -1034,5 +1129,12 @@ object DedupQueries {
       Some(substringSpansSql)),
     Q("d15_edit_distance",
       (s, d) => editDistancePairs(Tables.documents(s, d)),
-      Some(editDistancePairsSql)))
+      Some(editDistancePairsSql)),
+    Q("d16_cross_dedup",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        crossNearDups(docs.filter(col("doc_id") % 10 === 0),
+          docs.filter(col("doc_id") % 10 =!= 0))
+      },
+      Some(crossDedupSql)))
 }

@@ -71,6 +71,23 @@ class GraftFacadeSpec extends AnyFunSuite {
     val g = Graft.gopherFilter(docs)
     assert(g.count() == docs.count())
     assert(g.filter(col("keep") =!= (col("flags") === 0L)).count() == 0L)
+    // d16: the facade twin of the gated cross-dedup slice
+    val inc = docs.filter(col("doc_id") % 10 === 0)
+    val rest = docs.filter(col("doc_id") % 10 =!= 0)
+    val cross = Graft.crossNearDupPairs(inc, rest)
+      .select("inc_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val crossQ = SparkEntry.queries("d16_cross_dedup")(spark, sf)
+      .select("inc_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cross == crossQ && cross.nonEmpty)
+    // and a planted increment doc duplicating a corpus doc is caught
+    val plantedInc = rest.limit(1)
+      .select((col("doc_id") + 800000L).as("doc_id"), col("text"),
+        col("lang"), col("source"), col("n_chars"))
+    val caught = Graft.crossNearDupPairs(plantedInc, rest)
+      .select("inc_id").collect().map(_.getLong(0)).toSet
+    assert(caught.exists(_ >= 800000L), "planted cross-dup not caught")
     // q50: guarantees est ≤ true and true − est ≤ n/(k+1) for every token
     val toks = docs.select(explode(
       graft.operators.TextOps.tokens(col("text"))).as("token"))
