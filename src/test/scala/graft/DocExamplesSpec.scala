@@ -85,6 +85,36 @@ class DocExamplesSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("quickstart: semantic dedup, cross-corpus ingest, verify lenses") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+
+    // semantic dedup (SemDeDup): k-means cells, then drop any vector with
+    // a lower-id cell-mate above the cosine threshold (size k ~ sqrt(n);
+    // 0.45 is this corpus's planted near-dup level — production uses higher)
+    val semDups = Graft.semanticDups(emb, k = 16, threshold = 0.45)
+
+    // nightly ingest: dedup a crawl increment against the accepted corpus
+    // (bipartite LSH join; the increment's band table broadcasts)
+    val increment = docs.filter(col("doc_id") % 10 === 0)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val crossDups = Graft.crossNearDupPairs(increment, corpus)
+
+    // position-sensitive verify on the LSH candidates: edit distance
+    // separates in-place edits from reorderings that fool Jaccard
+    val editPairs = Graft.editDistancePairs(docs)
+
+    // the Gopher rule set as one scan (flags bitmask, keep = flags == 0),
+    // and bounded-memory heavy hitters over any column
+    val quality = Graft.gopherFilter(docs)
+    val hot = Graft.approxHeavyHitters(docs.select(col("source")), "source", k = 8)
+
+    assert(semDups.count() > 0 && crossDups.count() > 0)
+    assert(editPairs.count() > 0 && hot.count() > 0)
+    assert(quality.count() == docs.count())
+    spark.catalog.clearCache()
+  }
+
   test("quickstart: as-of join (attribution)") {
     // Tables.events adapts whatever encoding the corpus carries (int64 ns
     // or parquet timestamp[us]) to one int64-ns `ts_ns` column. For time-
