@@ -228,6 +228,28 @@ class PlanQualitySpec extends AnyFunSuite {
       p.linesIterator.filter(_.contains("Join")).mkString("\n"))
   }
 
+  test("d15 edit-distance verify: equi-joins only (candidates, never all-pairs)") {
+    val df = SparkEntry.queries("d15_edit_distance")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    spark.catalog.clearCache()
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.linesIterator.filter(_.contains("Join")).mkString("\n"))
+  }
+
+  test("d16 cross-dedup: increment bands broadcast, no all-pairs anywhere") {
+    val df = SparkEntry.queries("d16_cross_dedup")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    spark.catalog.clearCache()
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.linesIterator.filter(_.contains("Join")).mkString("\n"))
+    // the bipartite candidate join builds on the (small) increment side —
+    // under the sizedHint bound it must plan as a broadcast hash join
+    assert(p.contains("BroadcastHashJoin"),
+      "increment band table should broadcast at this corpus size")
+  }
+
   test("sketch rejoins never broadcast ABOVE the size bound (100x AQE OOM, pinned)") {
     // AQE's compressed-size stats under-estimate wide sketch rows ~100x
     // and broadcast-convert the rejoin at exactly the scale where the
