@@ -130,6 +130,12 @@ object ScaleFixture {
     // 4th arg "dims": also replicate part/supplier factor× with keys
     // shifted ALONGSIDE the lineitem replicas — the dims-scaled octave
     val scaleDims = args.lift(3).contains("dims")
+    // SPARK_GRAFT_FIXTURE_TABLES=events,documents — replicate only the
+    // named tables (single-family deep octaves: a 1000× events fixture
+    // should not pay for 600M lineitem rows it will never scan)
+    val tablesFilter = sys.env.get("SPARK_GRAFT_FIXTURE_TABLES")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    def want(t: String): Boolean = tablesFilter.forall(_.contains(t))
     val spark = Sessions.local()
     spark.sparkContext.setLogLevel("WARN")
     Files.createDirectories(Paths.get(dest))
@@ -138,18 +144,24 @@ object ScaleFixture {
     // customer→orders→lineitem spine replicates with shifted keys
     val copied = if (scaleDims) Seq("region", "nation")
                  else Seq("region", "nation", "supplier", "part")
-    copied.foreach { t =>
-      Files.copy(Paths.get(s"$src/$t.parquet"), Paths.get(s"$dest/$t.parquet"),
-        StandardCopyOption.REPLACE_EXISTING)
+    copied.filter(t => want(t) || tablesFilter.isEmpty).foreach { t =>
+      val srcPath = Paths.get(s"$src/$t.parquet")
+      if (Files.isDirectory(srcPath)) { // a prior fixture's multi-part dir
+        spark.read.parquet(srcPath.toString)
+          .write.mode("overwrite").parquet(s"$dest/$t.parquet")
+      } else
+        Files.copy(srcPath, Paths.get(s"$dest/$t.parquet"),
+          StandardCopyOption.REPLACE_EXISTING)
     }
 
-    def replicate(name: String, perReplica: (DataFrame, Int) => DataFrame): Unit = {
-      val base = spark.read.parquet(s"$src/$name.parquet")
-      val out = (0 until factor).map(r => perReplica(base, r))
-        .reduce(_ unionAll _)
-      out.write.mode("overwrite").parquet(s"$dest/$name.parquet")
-      System.err.println(s"[scale-fixture] $name x$factor -> $dest")
-    }
+    def replicate(name: String, perReplica: (DataFrame, Int) => DataFrame): Unit =
+      if (want(name)) {
+        val base = spark.read.parquet(s"$src/$name.parquet")
+        val out = (0 until factor).map(r => perReplica(base, r))
+          .reduce(_ unionAll _)
+        out.write.mode("overwrite").parquet(s"$dest/$name.parquet")
+        System.err.println(s"[scale-fixture] $name x$factor -> $dest")
+      }
 
     replicate("customer", shiftCustomer)
     replicate("orders", shiftOrders)
