@@ -41,5 +41,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   // derby (managed-table catalog) scratch state stays out of the repo
   "-Dderby.system.home=/tmp/graft-derby",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] shares ONE heap between driver and all 32 executor threads:
+  // 8g starves execution memory to ~150 MB/task, which OOMs legitimate
+  // 2.5 GB sketch-join hash builds at the 1000x octave (and forces
+  // disk spill far too early everywhere else). The host has 128 GiB;
+  // 32g is the working default, SPARK_DRIVER_MEM still overrides.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )

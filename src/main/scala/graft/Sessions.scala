@@ -41,6 +41,15 @@ object Sessions {
     .config("spark.sql.shuffle.partitions", cores)
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    // Big shuffles should START wide and let AQE coalesce DOWN — the
+    // cluster-correct direction (partition count follows data volume,
+    // not core count). Locally the default stays = cores because wide
+    // initial splits tax the iterative queries (d7/d10 fixpoints pay
+    // per-round scheduling: measured +10 s across the sf0.1 suite at
+    // 512); deep octaves (≥ 1M docs) set SPARK_GRAFT_INITIAL_PARTITIONS
+    // to keep per-partition hash builds and sort spills bounded.
+    .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+      sys.env.getOrElse("SPARK_GRAFT_INITIAL_PARTITIONS", cores))
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.parquet.compression.codec", "zstd")

@@ -25,23 +25,36 @@ object DedupQueries {
   private val Bands = 4 //   -> 4 bands x 4 rows
   private val Rows = K / Bands
 
-  /** Broadcast-vs-shuffle decision for a sketch-join side whose row count
-    * is KNOWN exactly (an nHint or a real count() — never a stats
-    * estimate: AQE's compressed shuffle stats under-estimated the
-    * in-memory hash build ~100× and OOM'd the driver at the 100× octave,
-    * BENCH_NOTES finding #1; that class of bug cannot recur here because
-    * the bound multiplies an exact row count by a deliberately
-    * PESSIMISTIC in-memory width). Only when rows×rowBytes fits the
-    * session's 32 MB broadcast budget does the side broadcast — the r4
-    * verdict's size-aware re-enable, worth ~0.3–0.5 s/query at sf0.1;
-    * otherwise the shuffle_hash pin stays and AQE honors it in the final
-    * adaptive plan (PlanQualitySpec gate). knownRows ≤ 0 = unknown →
-    * always shuffle. */
+  /** Join-strategy ladder for a sketch-join side whose row count is
+    * KNOWN exactly (an nHint or a real count() — never a stats estimate:
+    * AQE's compressed shuffle stats under-estimated the in-memory hash
+    * build ~100× and OOM'd the driver at the 100× octave, BENCH_NOTES
+    * finding #1; that class of bug cannot recur here because the bound
+    * multiplies an exact row count by a deliberately PESSIMISTIC
+    * in-memory width). Three tiers:
+    *  - rows×rowBytes ≤ 32 MB: broadcast (the r4 size-aware re-enable,
+    *    worth ~0.3–0.5 s/query at sf0.1);
+    *  - ≤ [[SketchHashBytes]] (512 MB): shuffle_hash — per-partition
+    *    hash builds stay bounded and beat SMJ's sort. The bound is
+    *    CONCURRENCY-aware: all ~cores tasks build simultaneously from
+    *    one shared execution pool, and a hash relation costs several ×
+    *    its raw bytes (measured at the 1000× octave: a 960 MB side =
+    *    30 MB/partition raw asked for 512 MB builds and died at 32
+    *    concurrent tasks);
+    *  - above: sort-merge — a hash build CANNOT be made safe here,
+    *    because AQE coalescing decides the final partition count from
+    *    the same ~100×-under-estimating compressed stats (BENCH_NOTES
+    *    100× finding #1), while SMJ builds nothing and spills its sort
+    *    gracefully at any size.
+    * knownRows ≤ 0 = unknown → shuffle_hash. */
   private[graft] val SketchBroadcastBytes: Long = 32L << 20
+  private[graft] val SketchHashBytes: Long = 512L << 20
   private[graft] def sizedHint(df: DataFrame, knownRows: Long,
       rowBytes: Long): DataFrame =
     if (knownRows > 0 && knownRows <= SketchBroadcastBytes / rowBytes)
       broadcast(df)
+    else if (knownRows > 0 && knownRows > SketchHashBytes / rowBytes)
+      df.hint("merge")
     else df.hint("shuffle_hash")
 
   /** exact duplicate groups by full-text hash: one row per distinct text
@@ -775,14 +788,25 @@ object DedupQueries {
     val ex = docs
       .select(col("doc_id"), size(col("hs")).cast("bigint").as("n_sh"),
         explode(col("hs")).as("h"))
-    // df table and posting list are both O(corpus) — no-broadcast rule
+    // Shingle-row bound for the ladder: df table and posting list are
+    // both O(corpus-shingles), and their joins must follow the sizedHint
+    // ladder — the old flat shuffle_hash pins built GB-scale hash
+    // relations at the 1000× octave (5M docs ≈ 500M shingle rows) and
+    // died. A caller-supplied nHint GOVERNS the sizing (it may be a
+    // deliberate pretend-big — PlanQualitySpec pins that no broadcast
+    // appears then): multiply the exact doc count by a pessimistic
+    // per-doc shingle bound, erring toward merge. Only with no hint do
+    // we measure exactly (one pass over the pinned docs).
+    val nShingleRows =
+      if (nHint > 0) nHint * 1024L // pessimistic shingles/doc upper bound
+      else ex.count()
     val dfCounts = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("df").asc, col("h").asc)
     // every shingle ranked by global (df, h) order WITHIN its doc — the
     // prefix is the lowest k ranks; the posting side keeps its ranks too
     // for the positional filter below. Pinned: probed by both join sides.
-    val exRk = ex.join(dfCounts.hint("shuffle_hash"), "h")
+    val exRk = ex.join(sizedHint(dfCounts, nShingleRows, 16), "h")
       .withColumn("rk", row_number().over(w))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // k = n_sh − minInter + 1 covers the worst qualifying pair by
@@ -825,7 +849,7 @@ object DedupQueries {
     //     in F's tail (complementary to (2), which is tight when the
     //     FIRST match sits late).
     val ranked = prefix
-      .join(posting.hint("shuffle_hash"), "h")
+      .join(sizedHint(posting, nShingleRows, 48), "h")
       .filter(col("doc_p") =!= col("doc_f"))
       .filter(col("n_f") > col("n_p") ||
         (col("n_f") === col("n_p") && col("doc_p") < col("doc_f")))

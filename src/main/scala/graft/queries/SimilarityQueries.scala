@@ -184,7 +184,14 @@ object SimilarityQueries {
     val flips = (0L +: (0 until nProbe - 1).map(b => 1L << b)).toArray
     val probes = withSig.withColumn("psig",
       explode(array(flips.map(f => col("sig").bitwiseXOR(lit(f))): _*)))
-    val cand = probes.as("a").join(withSig.hint("shuffle_hash").as("b"),
+    // candidate-side strategy follows the sizedHint ladder when the
+    // caller supplies the corpus size (exact count, pessimistic ~640 B/row
+    // incl. the 64-long quantized vector); unknown size keeps the
+    // shuffle_hash pin (never a stats-estimated broadcast)
+    val bSide = if (nHint > 0)
+      graft.queries.DedupQueries.sizedHint(withSig, nHint, 640L)
+    else withSig.hint("shuffle_hash")
+    val cand = probes.as("a").join(bSide.as("b"),
         col("a.psig") === col("b.sig") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         (TextOps.qdot(col("a.q"), col("b.q")).cast("double") /

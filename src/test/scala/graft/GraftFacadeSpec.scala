@@ -254,7 +254,12 @@ class GraftFacadeSpec extends AnyFunSuite {
         nHint = emb.count()).write.format("noop").mode("overwrite").save()
     }
     info(s"s2 job counts: probed=$probed given=$given hinted=$hinted")
-    assert(given <= hinted,
-      s"in-plan mask must not cost more jobs than hint+count: given=$given hinted=$hinted")
+    // the hinted path may now cost one job LESS than the in-plan mask:
+    // with an exact nHint the candidate side follows the sizedHint
+    // ladder and broadcasts at this corpus size, eliminating a shuffle
+    // job — so the in-plan mask may cost at most one extra job, never
+    // more
+    assert(given <= hinted + 1,
+      s"in-plan mask must cost at most one job over hint+count: given=$given hinted=$hinted")
   }
 }
