@@ -384,6 +384,49 @@ object PipelineQueries {
        |SELECT token, COUNT(1) AS n_tok, TRUE AS bound_ok, TRUE AS hh_ok
        |FROM tok GROUP BY 1""".stripMargin
 
+  // ---- q51: Count-Min sketch — the point-frequency sketch completing
+  // the family (q19 HLL cardinality, q34 t-digest quantiles, q50 MG
+  // heavy hitters, d13 Bloom membership). Unlike q50, the CM matrix is
+  // an order-independent linear sketch over XHash buckets, so the
+  // ESTIMATE ITSELF is hash-gated: the oracle rebuilds the identical
+  // d×w matrix from exact counts (`cell(r,b) = Σ n_tok of colliding
+  // tokens`) and takes the same row-wise min. w = 32 and d = 4 are
+  // deliberately far below |vocab| so collisions occur and est > exact
+  // for some tokens — with w ≥ vocab the sketch would silently be an
+  // exact count and the gate would test nothing. Scale shape: the
+  // aggregation state is a fixed d×w int64 matrix with map-side
+  // combine (merge = elementwise sum), so shuffle volume is
+  // partitions × 1 KiB regardless of corpus size.
+  private val CmD = 4
+  private val CmW = 32
+  private def countMin(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.CountMinAgg
+    val toks = Tables.documents(s, d)
+      .select(explode(TextOps.tokens(col("text"))).as("token"))
+    val exact = toks.groupBy(col("token")).agg(count(lit(1)).as("n_tok"))
+    val sketch = toks
+      .agg(CountMinAgg.countMin(CmD, CmW)(
+        CountMinAgg.bucketsFor(CmD, CmW)(col("token"))).as("cm"))
+      .select(col("cm.cells").as("cells"))
+    exact.crossJoin(broadcast(sketch))
+      .select(col("token"), col("n_tok"),
+        CountMinAgg.estimate(CmD, CmW)(col("cells"), col("token"))
+          .as("cms_est"))
+  }
+  private val countMinSql = {
+    val b = XHash.hash60Sql("(token || ':' || CAST(r.r AS VARCHAR))")
+    s"""WITH tok AS (
+       |  SELECT unnest(${TextOps.tokensSql("text")}) AS token FROM documents),
+       |cnt AS (SELECT token, COUNT(1) AS n_tok FROM tok GROUP BY 1),
+       |buck AS (SELECT token, n_tok, r.r AS r, ($b % $CmW) AS b
+       |  FROM cnt, range($CmD) r(r)),
+       |cells AS (SELECT r, b, CAST(SUM(n_tok) AS BIGINT) AS cell
+       |  FROM buck GROUP BY 1, 2)
+       |SELECT bu.token, MIN(bu.n_tok) AS n_tok, MIN(c.cell) AS cms_est
+       |FROM buck bu JOIN cells c ON c.r = bu.r AND c.b = bu.b
+       |GROUP BY bu.token""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("t6_repetition", (s, d) => repetition(Tables.documents(s, d)),
       Some(repetitionSql)),
@@ -398,5 +441,6 @@ object PipelineQueries {
     Q("d13_bloom_decontam",
       (s, d) => bloomDecontam(Tables.documents(s, d)),
       Some(bloomDecontamSql)),
-    Q("q50_heavy_hitters", heavyHitters, Some(heavyHittersSql)))
+    Q("q50_heavy_hitters", heavyHitters, Some(heavyHittersSql)),
+    Q("q51_countmin", countMin, Some(countMinSql)))
 }
