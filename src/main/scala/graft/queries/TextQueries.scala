@@ -326,6 +326,63 @@ object TextQueries {
        |SELECT doc_id, n_words, flags, flags = 0 AS keep FROM m""".stripMargin
   }
 
+  // ---- t11: linear quality classifier — the fastText-style distilled
+  // scorer every pretraining pipeline runs after the rule gates (t10
+  // Gopher is rules; this is the learned-model stage with FROZEN
+  // weights, here a hand-set stand-in with the same wire shape: a
+  // linear model over per-doc features). All features are
+  // integer-scaled ratios (permille via int division, floor on
+  // non-negatives — identical `div`/`//` semantics in both engines),
+  // so the logit is exact int64 and the decision boundary is
+  // bit-stable cross-engine — no double dot products, no sigmoid
+  // (monotone: thresholding the logit IS thresholding the
+  // probability). Shape at scale: one scan, per-row codegen'd scalar
+  // pipeline, zero shuffles — the same class as t7/t10.
+  private val ClfBias  = -800L
+  private val ClfWStop = 4L // stopword permille: natural-language signal
+  private val ClfWDiv  = 1L // distinct-token permille: lexical diversity
+  private val ClfWPunct = -6L // punctuation permille: markup/boilerplate
+  private val ClfWLen  = 2L // capped length: substance
+  private def qualityClassifier(s: SparkSession, d: String): DataFrame = {
+    val t = TextOps.tokens(col("text"))
+    Tables.documents(s, d).select(
+      col("doc_id"), col("source"),
+      length(col("text")).cast("bigint").as("n_chars"),
+      greatest(size(t), lit(1)).cast("bigint").as("n_words"),
+      size(array_distinct(t)).cast("bigint").as("n_distinct"),
+      regexp_count(col("text"), lit("[^a-zA-Z0-9\\s]")).cast("bigint")
+        .as("n_punct"),
+      inList(t, Stopwords).cast("bigint").as("n_stop"))
+      .select(col("doc_id"), col("source"),
+        expr(s"""CAST($ClfBias
+          + $ClfWStop  * ((n_stop * 1000) div n_words)
+          + $ClfWDiv   * ((n_distinct * 1000) div n_words)
+          + $ClfWPunct * ((n_punct * 1000) div greatest(n_chars, 1))
+          + $ClfWLen   * least(n_words, 256) AS BIGINT)""").as("logit"))
+      .withColumn("keep", col("logit") >= 0)
+  }
+  private val qualityClassifierSql = {
+    val t = TextOps.tokensSql("text")
+    s"""WITH f AS (SELECT doc_id, source,
+       |    length(text) AS n_chars,
+       |    greatest(len($t), 1) AS n_words,
+       |    len(list_distinct($t)) AS n_distinct,
+       |    len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS n_punct,
+       |    ${inListSql(t, Stopwords)} AS n_stop
+       |  FROM documents)
+       |SELECT doc_id, source, CAST($ClfBias
+       |    + $ClfWStop  * ((n_stop * 1000) // n_words)
+       |    + $ClfWDiv   * ((n_distinct * 1000) // n_words)
+       |    + $ClfWPunct * ((n_punct * 1000) // greatest(n_chars, 1))
+       |    + $ClfWLen   * least(n_words, 256) AS BIGINT) AS logit,
+       |  CAST($ClfBias
+       |    + $ClfWStop  * ((n_stop * 1000) // n_words)
+       |    + $ClfWDiv   * ((n_distinct * 1000) // n_words)
+       |    + $ClfWPunct * ((n_punct * 1000) // greatest(n_chars, 1))
+       |    + $ClfWLen   * least(n_words, 256) AS BIGINT) >= 0 AS keep
+       |FROM f""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("t1_text_stats", textStats, Some(textStatsSql)),
     Q("t2_quality_score", qualityScore, Some(qualityScoreSql)),
@@ -335,5 +392,6 @@ object TextQueries {
     Q("t7_pii_scrub", piiScrub, Some(piiScrubSql)),
     Q("t8_vocab", vocab, Some(vocabSql)),
     Q("t9_tfidf", tfidf, Some(tfidfSql)),
-    Q("t10_gopher_filter", gopherFilter, Some(gopherFilterSql)))
+    Q("t10_gopher_filter", gopherFilter, Some(gopherFilterSql)),
+    Q("t11_quality_classifier", qualityClassifier, Some(qualityClassifierSql)))
 }
