@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Deterministic integer PageRank over an undirected edge list — graph
+  * centrality next to [[Components]] in the dedup toolchain: components
+  * collapse near-dup clusters, PageRank ranks WITHIN the similarity
+  * graph (canonical-document selection by centrality, crawl-frontier
+  * prioritization, seed scoring). Extension surface — the reference's
+  * one query has no graph ops (`kompactor.ts:107`).
+  *
+  * Exact integer power iteration so the DuckDB oracle replays it
+  * bit-for-bit with an unrolled CTE chain:
+  *   r_0(v)    = SCALE                      (uniform mass, 1e9 units)
+  *   r_{t+1}(v) = JUMP + (85 · Σ_{(u,v)∈E} (r_t(u) div deg(u))) div 100
+  * Both divisions are on non-negative int64s, where Spark's truncating
+  * `div` and DuckDB's flooring `//` agree. Σ over in-edges is an
+  * order-independent int64 sum — no doubles anywhere. At 64-bit: the
+  * per-node sum is bounded by the total mass n·SCALE, so 85·Σ fits
+  * int64 up to n ≈ 10^8 nodes; beyond that, drop SCALE to 1e6 (the
+  * recurrence is scale-covariant up to rounding).
+  *
+  * Shape at scale: a fixed small number of rounds, each one join of
+  * ranks (n rows) onto the cached degree-annotated edge list plus one
+  * map-side-combined aggregate on the destination — 2 shuffles per
+  * round, linear in |E|. The plan references the previous round once,
+  * so logical-plan depth grows linearly in rounds (unlike the 3×
+  * self-reference in Components that needs per-round lineage cuts);
+  * for iters beyond ~20, add the same `asLeaf` cadence.
+  */
+object PageRank {
+  val Scale: Long = 1000000000L
+  val Jump: Long = 150000000L // (1 − 0.85) · Scale
+
+  /** @param pairs undirected edge list, two long columns (left, right);
+    *              no self-loops, each undirected edge listed once
+    * @param iters fixed power-iteration count (deterministic plans —
+    *              convergence detection would make the oracle's CTE
+    *              depth data-dependent)
+    * @return (id, rank, deg) for every node incident to an edge */
+  def pageRank(pairs: DataFrame, iters: Int = 5): DataFrame = {
+    require(iters >= 1 && iters <= 20,
+      s"pageRank iters must be in [1,20] (unrolled oracle / plan depth), got $iters")
+    val p = pairs.toDF("u", "v")
+    // symmetrize; every node then has in-edges, so no dangling-mass term
+    val edges = p.unionAll(p.select(col("v").as("u"), col("u").as("v")))
+    val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    // (u, v, deg): the loop-invariant side, computed once and cached —
+    // without the pin every round would replay the upstream (LSH) pair
+    // generation through lineage
+    val contribEdges = edges.join(deg, "u")
+      .select(col("u"), col("v"), col("deg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      var ranks = deg.select(col("u").as("id"), lit(Scale).as("rank"))
+      var t = 0
+      while (t < iters) {
+        ranks = contribEdges
+          .join(ranks, contribEdges("u") === ranks("id"))
+          .select(col("v"), expr("rank div deg").as("c"))
+          .groupBy(col("v"))
+          .agg(expr(s"$Jump + (85 * sum(c)) div 100").as("rank"))
+          .select(col("v").as("id"), col("rank"))
+        t += 1
+      }
+      val out = ranks.join(deg, ranks("id") === deg("u"))
+        .select(col("id"), col("rank"), col("deg"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      // materialize while contribEdges is still pinned; the RESULT cache
+      // is then self-contained and (like Components) CALLER-owned —
+      // unpersist it when done
+      try out.count()
+      catch { case e: Throwable => out.unpersist(); throw e }
+      out
+    } finally contribEdges.unpersist()
+  }
+
+  /** Oracle twin: the unrolled CTE chain over `edges(u, v)` — append to
+    * a WITH that already defines `edges`. Yields CTEs `deg, r0..r<iters>`;
+    * the caller selects from `r<iters>`. */
+  def sqlCtes(iters: Int): String = {
+    val rounds = (1 to iters).map { t =>
+      s"""r$t AS (SELECT e.v AS id,
+         |    CAST($Jump + (85 * SUM(r.rank // d.deg)) // 100 AS BIGINT) AS rank
+         |  FROM edges e JOIN deg d ON d.u = e.u
+         |  JOIN r${t - 1} r ON r.id = e.u GROUP BY e.v)""".stripMargin
+    }
+    (Seq(
+      "deg AS (SELECT u, COUNT(1) AS deg FROM edges GROUP BY 1)",
+      s"r0 AS (SELECT u AS id, CAST($Scale AS BIGINT) AS rank FROM deg)") ++
+      rounds).mkString(",\n")
+  }
+}

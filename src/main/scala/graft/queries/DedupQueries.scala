@@ -569,6 +569,28 @@ object DedupQueries {
     s"""WITH RECURSIVE $componentsCtes
        |SELECT id, component FROM labels""".stripMargin
 
+  /** Graph centrality over the near-dup graph (p1): deterministic
+    * integer PageRank ([[graft.operators.PageRank]]) on the verified
+    * Jaccard pairs — ranks documents WITHIN the similarity structure
+    * (hub documents that many near-dups orbit score high; centrality is
+    * the canonical-selection signal d10's length heuristic can't see,
+    * and the same iterate-join-aggregate substrate as a crawl-graph
+    * frontier scorer). Fixed 5 rounds so the oracle is an unrolled CTE
+    * chain with the identical int64 recurrence. */
+  private val PrIters = 5
+  private def pagerank(s: SparkSession, d: String): DataFrame =
+    graft.operators.PageRank.pageRank(
+      jaccardPairs(Tables.documents(s, d))
+        .select(col("doc_a"), col("doc_b")), PrIters)
+  private def pagerankSql =
+    s"""WITH pairs AS ($jaccardPairsSql),
+       |edges AS (
+       |  SELECT doc_a AS u, doc_b AS v FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |${graft.operators.PageRank.sqlCtes(PrIters)}
+       |SELECT r$PrIters.id, r$PrIters.rank, CAST(d.deg AS BIGINT) AS deg
+       |FROM r$PrIters JOIN deg d ON d.u = r$PrIters.id""".stripMargin
+
   /** Quality-aware cluster canonicalization (d10): for every near-dup
     * cluster (connected component over the verified Jaccard pairs), keep
     * the longest member — ties broken by min doc_id — and report cluster
@@ -1142,6 +1164,7 @@ object DedupQueries {
     Q("d5_embedding_neardup", embNearDup, Some(embNearDupSql)),
     Q("d6_dedup_keep", dedupKeep, Some(dedupKeepSql)),
     Q("d7_components", components, Some(componentsSql)),
+    Q("p1_pagerank", pagerank, Some(pagerankSql)),
     Q("d9_containment", (s, d) => containmentPairs(Tables.documents(s, d)),
       Some(containmentPairsSql)),
     Q("d11_containment_join", (s, d) => containmentJoin(Tables.documents(s, d)),
