@@ -503,6 +503,98 @@ object SimilarityQueries {
        |    / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) >= 0.45
        |GROUP BY 1, 2""".stripMargin
 
+  // ---- s5: product quantization + ADC + exact rerank (Jégou et al.
+  // 2011) — the compressed-domain ANN path: vectors become m
+  // nearest-centroid codes from per-subspace k-means; queries scan
+  // CODES via a broadcast lookup table of exact query↔centroid
+  // subdistances, and only the R winning candidates per query are
+  // reranked against full vectors. See operators.ProductQuantizer for
+  // the full scale rationale (the scan side reads codes, ~1/100 the
+  // float footprint; the rerank touches queries × R vectors, not n).
+  // m=8 × k=64, R=20: measured rerank recall-of-exact-top3 0.75 at
+  // sf0.01 (weak-neighbor regime, same caveat as s2/s3 — see
+  // SimilarityRecallSpec scaladoc; 0.083 without rerank at m=4, 0.333
+  // at m=8: finer subspaces are THE resolution dial). The oracle
+  // replays fit/encode/LUT/scan/rerank in exact int64.
+  private val PqM = 8
+  private val PqK = 64
+  private val PqR = 20 // ADC candidates per query fed to the rerank
+  private val PqNQ = 8 // query subset (vec_id < PqNQ, s1's convention)
+  private[graft] def pqAdc(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.ProductQuantizer
+    val emb = Tables.embeddings(s, d)
+    val n = emb.count()
+    val prepared = ProductQuantizer.prepare(emb, Tables.EmbeddingDim, PqM)
+    val (codes, cb) = ProductQuantizer.fit(prepared, PqK, updates = 1, n)
+    val queries = prepared.filter(col("vec_id") < PqNQ)
+      .select(col("vec_id").as("qid"), col("sub"), col("qs").as("qqs"))
+    val cand = ProductQuantizer.adcTopK(codes, cb, queries, PqR)
+    val vecs = emb.select(col("vec_id"), TextOps.quantize(col("embedding")).as("q"))
+    val qfull = vecs.filter(col("vec_id") < PqNQ)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"))
+    ProductQuantizer.rerank(cand, vecs, qfull, TopK)
+  }
+  private def pqAdcSql = {
+    val subDim = Tables.EmbeddingDim / PqM
+    val slice = s"q[(s.s*$subDim+1):(s.s*$subDim+$subDim)]"
+    s"""WITH q AS (SELECT vec_id, ${TextOps.quantizeSql("embedding")} AS q FROM embeddings),
+       |nrows AS (SELECT COUNT(*) AS n FROM q),
+       |sq AS (SELECT vec_id, s.s AS sub, $slice AS qs FROM q, range($PqM) s(s)),
+       |e AS (SELECT vec_id, sub, unnest(qs) AS v,
+       |    generate_subscripts(qs, 1) AS i FROM sq),
+       |c0 AS (SELECT sub, vec_id AS cid, qs AS c FROM sq
+       |  WHERE ${XHash.hash60Sql("CAST(vec_id AS VARCHAR)")}
+       |    % (SELECT GREATEST(1, n // $PqK) FROM nrows) = 0),
+       |ce0 AS (SELECT sub, cid, unnest(c) AS w,
+       |    generate_subscripts(c, 1) AS i FROM c0),
+       |d0 AS (SELECT e.vec_id, e.sub, c.cid,
+       |    CAST(SUM((e.v - c.w) * (e.v - c.w)) AS BIGINT) AS dist
+       |  FROM e JOIN ce0 c ON c.sub = e.sub AND c.i = e.i GROUP BY 1, 2, 3),
+       |a1 AS (SELECT vec_id, sub, cid AS cell FROM (
+       |    SELECT vec_id, sub, cid,
+       |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid) AS rn
+       |    FROM d0) WHERE rn = 1),
+       |s1 AS (SELECT a1.sub, a1.cell, e.i, CAST(SUM(e.v) AS BIGINT) AS s,
+       |    COUNT(1) AS m
+       |  FROM a1 JOIN e ON e.vec_id = a1.vec_id AND e.sub = a1.sub
+       |  GROUP BY 1, 2, 3),
+       |c1 AS (SELECT sub, cell AS cid,
+       |    list((s - ((s % m) + m) % m) // m ORDER BY i) AS c
+       |  FROM s1 GROUP BY 1, 2),
+       |ce1 AS (SELECT sub, cid, unnest(c) AS w,
+       |    generate_subscripts(c, 1) AS i FROM c1),
+       |d1 AS (SELECT e.vec_id, e.sub, c.cid,
+       |    CAST(SUM((e.v - c.w) * (e.v - c.w)) AS BIGINT) AS dist
+       |  FROM e JOIN ce1 c ON c.sub = e.sub AND c.i = e.i GROUP BY 1, 2, 3),
+       |a2 AS (SELECT vec_id, sub, cid AS code FROM (
+       |    SELECT vec_id, sub, cid,
+       |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid) AS rn
+       |    FROM d1) WHERE rn = 1),
+       |lut AS (SELECT e.vec_id AS qid, c.sub, c.cid,
+       |    CAST(SUM((e.v - c.w) * (e.v - c.w)) AS BIGINT) AS pd
+       |  FROM e JOIN ce1 c ON c.sub = e.sub AND c.i = e.i
+       |  WHERE e.vec_id < $PqNQ GROUP BY 1, 2, 3),
+       |ad AS (SELECT l.qid, a.vec_id, CAST(SUM(l.pd) AS BIGINT) AS adist
+       |  FROM a2 a JOIN lut l ON l.sub = a.sub AND l.cid = a.code
+       |  WHERE l.qid <> a.vec_id GROUP BY 1, 2),
+       |ranked AS (SELECT qid AS query_id, vec_id AS neighbor_id, adist,
+       |    row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS rk
+       |  FROM ad),
+       |cand AS (SELECT query_id, neighbor_id FROM ranked WHERE rk <= $PqR),
+       |fe AS (SELECT vec_id, unnest(q) AS v,
+       |    generate_subscripts(q, 1) AS i FROM q),
+       |rd AS (SELECT c.query_id, c.neighbor_id,
+       |    CAST(SUM((a.v - b.v) * (a.v - b.v)) AS BIGINT) AS dist
+       |  FROM cand c JOIN fe a ON a.vec_id = c.query_id
+       |  JOIN fe b ON b.vec_id = c.neighbor_id AND b.i = a.i
+       |  GROUP BY 1, 2),
+       |rr AS (SELECT query_id, neighbor_id, dist,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rk
+       |  FROM rd)
+       |SELECT query_id, CAST(rk AS BIGINT) AS rk, neighbor_id, dist
+       |FROM rr WHERE rk <= $TopK""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("s1_cosine_topk", (s, d) => cosineTopK(Tables.embeddings(s, d)),
       Some(cosineTopKSql)),
@@ -511,5 +603,6 @@ object SimilarityQueries {
       Some(annLshSql)),
     Q("s3_ivf_topk", ivfTopK, Some(ivfTopKSql)),
     Q("s4_kmeans", kmeansSummary, Some(kmeansSummarySql)),
+    Q("s5_pq_adc", pqAdc, Some(pqAdcSql)),
     Q("d14_semantic_dedup", semanticDedup, Some(semanticDedupSql)))
 }

@@ -342,6 +342,22 @@ class PlanQualitySpec extends AnyFunSuite {
       s"span window must be per-doc:\n${p.linesIterator.filter(_.contains("Window")).mkString("\n")}")
   }
 
+  test("s5 PQ: LUT and candidates broadcast; codes/vector sides never " +
+      "nested-loop") {
+    // The compressed-ANN contract: the corpus-sized sides (codes in the
+    // ADC scan, full vectors in the rerank) are scanned once against
+    // BROADCAST small sides (the m×k LUT, the queries×R candidate list)
+    // — a shuffle or nested loop of the big side is the 100 TB killer.
+    val df = SparkEntry.queries("s5_pq_adc")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.linesIterator.filter(_.contains("Join")).mkString("\n"))
+    assert(p.contains("BroadcastHashJoin"),
+      "LUT/candidate joins must broadcast the small side")
+    spark.catalog.clearCache()
+  }
+
   test("fact-scaled customer/supplier joins are size-planned, not hint-forced") {
     // r5 verdict missing #5 (dims-scaled octave): customer and supplier
     // grow with the corpus, so q17/q38/q39/q41 must NOT hard-broadcast

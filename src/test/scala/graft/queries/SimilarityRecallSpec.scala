@@ -61,4 +61,21 @@ class SimilarityRecallSpec extends AnyFunSuite {
     assert(s2recall >= 0.55, f"s2 recall regressed: $s2recall%.3f (measured 0.75 @ nProbe=4)")
     assert(s3recall >= 0.35, f"s3 recall regressed: $s3recall%.3f (measured 0.438 @ nprobe=4)")
   }
+
+  test("s5 PQ+rerank top-k recall vs exact stays above the gate floor") {
+    // s5's query set is vec_id < 8 (vs s1's 32), so the baseline here is
+    // the s1 ranking restricted to those queries
+    val emb = Tables.embeddings(spark, sf)
+    val truth = SimilarityQueries.cosineTopK(emb, nQueries = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.size == 24, s"baseline should be 8 queries x top-3: ${truth.size}")
+    val s5 = SimilarityQueries.pqAdc(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val s5recall = truth.count(s5.contains).toDouble / truth.size
+    info(f"s5_recall=$s5recall%.4f (n=${truth.size})")
+    // measured 2026-08 (m=8, k=64, R=20 rerank): 0.75 — same
+    // weak-neighbor caveat as s2/s3 above; m is the resolution dial
+    // (0.083 at m=4 without rerank)
+    assert(s5recall >= 0.55, f"s5 recall regressed: $s5recall%.3f (measured 0.75)")
+  }
 }
