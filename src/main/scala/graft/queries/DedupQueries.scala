@@ -1152,6 +1152,80 @@ object DedupQueries {
        |FROM p
        |WHERE 1.0 - CAST(edit_dist AS DOUBLE) / CAST(max_len AS DOUBLE) >= 0.5""".stripMargin
 
+  // ---- d17: line-level dedup (C4-style) — dedup at SUB-document
+  // granularity: a line that occurs in more than one document survives
+  // only in its first-occurrence document (min doc_id); every other
+  // copy is dropped and the document is reassembled from its kept
+  // lines. This is the C4 "discard duplicated three-sentence spans" /
+  // boilerplate-removal stage that document-level dedup (d1..d16)
+  // cannot express. The corpus text is single-line (verified at every
+  // SF), so — t7's precedent — the query injects cross-document
+  // boilerplate lines deterministically by doc_id and the machinery
+  // under test is the real thing: explode, first-occurrence-wins over
+  // a 60-bit line-hash key, reassembly, byte-exact kept-text
+  // fingerprint the oracle must reproduce.
+  //
+  // Shape at scale: shuffle keys are the 60-bit line hash (narrow, not
+  // the line text) and doc_id — three linear shuffles (line stats,
+  // stats-to-lines rejoin, per-doc reassembly); no window, no
+  // cross-join. The per-line state is (count, min) — partial-agg both.
+  private def lineDedup(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val aug = concat(col("text"),
+      when(id % 3 === 0,
+        concat(lit("\nboilerplate-"), (id % 5).cast("string")))
+        .otherwise(lit("")),
+      when(id % 4 === 0,
+        concat(lit("\nfooter-"), (id % 3).cast("string")))
+        .otherwise(lit("")))
+    val lines = Tables.documents(s, d)
+      .select(id, posexplode(split(aug, "\n")).as(Seq("i", "line")))
+      .withColumn("h", XHash.hash60(col("line")))
+    val stats = lines.select(col("h"), col("doc_id")).distinct()
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+    val kept = lines.join(stats, "h")
+      .filter(col("n_docs") === 1 || col("doc_id") === col("first_doc"))
+    val totals = lines.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_lines"))
+    val keptAgg = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        XHash.hash60(array_join(transform(
+          array_sort(collect_list(struct(col("i"), col("line")))),
+          x => x.getField("line")), "\n")).as("kept_fp"))
+    totals.join(keptAgg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_fp"), XHash.hash60(lit(""))).as("kept_fp"))
+  }
+  private def lineDedupSql = {
+    val augT = "text" +
+      " || CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'boilerplate-' ||" +
+      " CAST(doc_id % 5 AS VARCHAR) ELSE '' END" +
+      " || CASE WHEN doc_id % 4 = 0 THEN chr(10) || 'footer-' ||" +
+      " CAST(doc_id % 3 AS VARCHAR) ELSE '' END"
+    s"""WITH aug AS (SELECT doc_id, $augT AS t FROM documents),
+       |l AS (SELECT doc_id,
+       |    unnest(string_split(t, chr(10))) AS line,
+       |    generate_subscripts(string_split(t, chr(10)), 1) AS i
+       |  FROM aug),
+       |lh AS (SELECT doc_id, i, line, ${XHash.hash60Sql("line")} AS h FROM l),
+       |stats AS (SELECT h, COUNT(DISTINCT doc_id) AS n_docs,
+       |    MIN(doc_id) AS first_doc
+       |  FROM lh GROUP BY 1),
+       |kept AS (SELECT lh.doc_id, lh.i, lh.line
+       |  FROM lh JOIN stats s ON s.h = lh.h
+       |  WHERE s.n_docs = 1 OR lh.doc_id = s.first_doc),
+       |tot AS (SELECT doc_id, COUNT(1) AS n_lines FROM lh GROUP BY 1),
+       |ka AS (SELECT doc_id, COUNT(1) AS n_kept,
+       |    ${XHash.hash60Sql("string_agg(line, chr(10) ORDER BY i)")} AS kept_fp
+       |  FROM kept GROUP BY 1)
+       |SELECT t.doc_id, t.n_lines,
+       |  COALESCE(ka.n_kept, 0) AS n_kept,
+       |  COALESCE(ka.kept_fp, ${XHash.hash60Sql("''")}) AS kept_fp
+       |FROM tot t LEFT JOIN ka ON ka.doc_id = t.doc_id""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("d1_exact_dedup", (s, d) => exactDedup(Tables.documents(s, d)),
       Some(exactDedupSql)),
@@ -1177,6 +1251,7 @@ object DedupQueries {
     Q("d15_edit_distance",
       (s, d) => editDistancePairs(Tables.documents(s, d)),
       Some(editDistancePairsSql)),
+    Q("d17_line_dedup", lineDedup, Some(lineDedupSql)),
     Q("d16_cross_dedup",
       (s, d) => {
         val docs = Tables.documents(s, d)

@@ -427,6 +427,36 @@ object PipelineQueries {
        |GROUP BY bu.token""".stripMargin
   }
 
+  // ---- q53: deterministic corpus shuffle into training shards — the
+  // last pipeline step before shard writes: a reproducible global
+  // permutation (order by a salted 60-bit hash of the doc id) mapped to
+  // (shard, position). Determinism is the point: the permutation is a
+  // pure function of row VALUES, so it is identical across engines,
+  // runs, and cluster sizes — resumable training, byte-stable shards.
+  // The global rank goes through operators.DistributedRank (quantile
+  // shards + broadcast offsets), so there is NO single-sorter global
+  // window at any corpus size; the hash key is also exactly the
+  // uniform-distribution axis the quantile sharding wants.
+  private val ShardSize = 100L
+  private def shardShuffle(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"),
+      XHash.hash60(concat(lit("shuf:"), col("doc_id").cast("string")))
+        .as("hk"))
+    graft.operators.DistributedRank.withRowNumber(
+      docs, Seq.empty, Seq(col("hk"), col("doc_id")), col("hk"), "rn")
+      .select(col("doc_id"),
+        expr(s"(rn - 1) div $ShardSize").as("shard"),
+        expr(s"(rn - 1) % $ShardSize").as("pos"))
+  }
+  private val shardShuffleSql =
+    s"""WITH h AS (SELECT doc_id,
+       |    ${XHash.hash60Sql("('shuf:' || CAST(doc_id AS VARCHAR))")} AS hk
+       |  FROM documents),
+       |r AS (SELECT doc_id, row_number() OVER (ORDER BY hk, doc_id) AS rn
+       |  FROM h)
+       |SELECT doc_id, (rn - 1) // $ShardSize AS shard,
+       |  (rn - 1) % $ShardSize AS pos FROM r""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("t6_repetition", (s, d) => repetition(Tables.documents(s, d)),
       Some(repetitionSql)),
@@ -442,5 +472,6 @@ object PipelineQueries {
       (s, d) => bloomDecontam(Tables.documents(s, d)),
       Some(bloomDecontamSql)),
     Q("q50_heavy_hitters", heavyHitters, Some(heavyHittersSql)),
-    Q("q51_countmin", countMin, Some(countMinSql)))
+    Q("q51_countmin", countMin, Some(countMinSql)),
+    Q("q53_shard_shuffle", shardShuffle, Some(shardShuffleSql)))
 }
