@@ -313,6 +313,70 @@ object Graft {
       overlap: Long = 16L): DataFrame =
     queries.PipelineQueries.chunk(docs, window, overlap)
 
+  /** Frozen-weight linear quality classifier (the fastText-style
+    * learned-model stage after the rule gates): integer-scaled feature
+    * ratios → exact int64 logit, keep = logit ≥ 0. One scan, zero
+    * shuffles. Requires (doc_id, text, source). */
+  def qualityClassifier(docs: DataFrame): DataFrame =
+    queries.TextQueries.qualityClassifierOn(docs)
+
+  /** C4-style line-level dedup: a line occurring in multiple documents
+    * survives only in its first-occurrence (min doc_id) document;
+    * returns (doc_id, n_lines, n_kept, kept_fp) with a byte-exact
+    * fingerprint of the reassembled kept text. Shuffle keys are the
+    * 60-bit line hash — three linear shuffles, no window. */
+  def lineDedup(docs: DataFrame): DataFrame =
+    queries.DedupQueries.lineDedupOn(docs)
+
+  /** Deterministic corpus shuffle into training shards: a reproducible
+    * global permutation (salted id-hash order) mapped to (shard, pos).
+    * The rank runs through [[operators.DistributedRank]] — no
+    * single-sorter global window at any size; pass `rowBound` when the
+    * row count is known. */
+  def assignShards(df: DataFrame, idCol: String = "doc_id",
+      shardSize: Long = 100000L, rowBound: Long = -1L): DataFrame =
+    queries.PipelineQueries.assignShardsOn(df, idCol, shardSize, rowBound)
+
+  /** Count-Min point-frequency estimates: builds the depth×width linear
+    * sketch over `column` in ONE pass (mergeable: map-side combine ships
+    * depth×width longs per partition at any corpus size) and returns
+    * (value, est) for each probe row. est ≥ true count always;
+    * est ≤ true + N·e/width with prob ≥ 1 − 2^−depth. */
+  def countMinEstimates(df: DataFrame, column: String, probes: DataFrame,
+      probeCol: String, depth: Int = 4, width: Int = 1024): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    import graft.functions.CountMinAgg
+    val sketch = df
+      .agg(CountMinAgg.countMin(depth, width)(
+        CountMinAgg.bucketsFor(depth, width)(col(column))).as("cm"))
+      .select(col("cm.cells").as("cells"))
+    probes.crossJoin(broadcast(sketch))
+      .select(col(probeCol).as("value"),
+        CountMinAgg.estimate(depth, width)(col("cells"), col(probeCol))
+          .as("est"))
+  }
+
+  /** Integer PageRank over an undirected pair list (two long columns):
+    * (id, rank, deg) after `iters` exact power-iteration rounds —
+    * centrality within the similarity graph (canonical selection, crawl
+    * frontier). Eagerly materialized (facade cache contract). */
+  def pageRank(pairs: DataFrame, iters: Int = 5): DataFrame = {
+    val ranks = operators.PageRank.pageRank(pairs, iters)
+    val out = ranks.localCheckpoint(true)
+    ranks.unpersist()
+    out
+  }
+
+  /** Compressed-domain ANN: product quantization (m subspaces × k
+    * centroids, exact int64 Lloyd fit), ADC candidate scan over the
+    * codes (broadcast LUT — the float vectors are never scanned), exact
+    * rerank of the R winners. Query set = `vec_id < nQueries`. `dim`
+    * must be divisible by m. */
+  def pqTopK(emb: DataFrame, dim: Int, m: Int = 8, k: Int = 64,
+      r: Int = 20, topK: Int = 3, nQueries: Int = 8,
+      nHint: Long = -1L): DataFrame =
+    queries.SimilarityQueries.pqTopKOn(emb, dim, m, k, r, topK, nQueries, nHint)
+
   // ---- joins ------------------------------------------------------------
 
   /** As-of join (most recent strictly-earlier build row per key):

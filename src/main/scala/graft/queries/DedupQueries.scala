@@ -1178,8 +1178,12 @@ object DedupQueries {
       when(id % 4 === 0,
         concat(lit("\nfooter-"), (id % 3).cast("string")))
         .otherwise(lit("")))
-    val lines = Tables.documents(s, d)
-      .select(id, posexplode(split(aug, "\n")).as(Seq("i", "line")))
+    lineDedupOn(Tables.documents(s, d).withColumn("text", aug))
+  }
+  /** The machinery on any (doc_id, text) frame — text split on '\n'. */
+  private[graft] def lineDedupOn(docs: DataFrame): DataFrame = {
+    val lines = docs
+      .select(col("doc_id"), posexplode(split(col("text"), "\n")).as(Seq("i", "line")))
       .withColumn("h", XHash.hash60(col("line")))
     val stats = lines.select(col("h"), col("doc_id")).distinct()
       .groupBy(col("h"))

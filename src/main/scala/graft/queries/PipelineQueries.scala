@@ -438,15 +438,20 @@ object PipelineQueries {
   // window at any corpus size; the hash key is also exactly the
   // uniform-distribution axis the quantile sharding wants.
   private val ShardSize = 100L
-  private def shardShuffle(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d).select(col("doc_id"),
-      XHash.hash60(concat(lit("shuf:"), col("doc_id").cast("string")))
+  private def shardShuffle(s: SparkSession, d: String): DataFrame =
+    assignShardsOn(Tables.documents(s, d), "doc_id", ShardSize)
+  private[graft] def assignShardsOn(df: DataFrame, idCol: String,
+      shardSize: Long, rowBound: Long = -1L): DataFrame = {
+    require(shardSize >= 1, s"shard size must be >= 1, got $shardSize")
+    val keyed = df.select(col(idCol),
+      XHash.hash60(concat(lit("shuf:"), col(idCol).cast("string")))
         .as("hk"))
     graft.operators.DistributedRank.withRowNumber(
-      docs, Seq.empty, Seq(col("hk"), col("doc_id")), col("hk"), "rn")
-      .select(col("doc_id"),
-        expr(s"(rn - 1) div $ShardSize").as("shard"),
-        expr(s"(rn - 1) % $ShardSize").as("pos"))
+      keyed, Seq.empty, Seq(col("hk"), col(idCol)), col("hk"), "rn",
+      rowBound = rowBound)
+      .select(col(idCol),
+        expr(s"(rn - 1) div $shardSize").as("shard"),
+        expr(s"(rn - 1) % $shardSize").as("pos"))
   }
   private val shardShuffleSql =
     s"""WITH h AS (SELECT doc_id,

@@ -520,19 +520,22 @@ object SimilarityQueries {
   private val PqK = 64
   private val PqR = 20 // ADC candidates per query fed to the rerank
   private val PqNQ = 8 // query subset (vec_id < PqNQ, s1's convention)
-  private[graft] def pqAdc(s: SparkSession, d: String): DataFrame = {
+  private[graft] def pqAdc(s: SparkSession, d: String): DataFrame =
+    pqTopKOn(Tables.embeddings(s, d), Tables.EmbeddingDim,
+      m = PqM, k = PqK, r = PqR, topK = TopK, nQueries = PqNQ)
+  private[graft] def pqTopKOn(emb: DataFrame, dim: Int, m: Int, k: Int,
+      r: Int, topK: Int, nQueries: Int, nHint: Long = -1L): DataFrame = {
     import graft.operators.ProductQuantizer
-    val emb = Tables.embeddings(s, d)
-    val n = emb.count()
-    val prepared = ProductQuantizer.prepare(emb, Tables.EmbeddingDim, PqM)
-    val (codes, cb) = ProductQuantizer.fit(prepared, PqK, updates = 1, n)
-    val queries = prepared.filter(col("vec_id") < PqNQ)
+    val n = if (nHint > 0) nHint else emb.count()
+    val prepared = ProductQuantizer.prepare(emb, dim, m)
+    val (codes, cb) = ProductQuantizer.fit(prepared, k, updates = 1, n)
+    val queries = prepared.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("sub"), col("qs").as("qqs"))
-    val cand = ProductQuantizer.adcTopK(codes, cb, queries, PqR)
+    val cand = ProductQuantizer.adcTopK(codes, cb, queries, r)
     val vecs = emb.select(col("vec_id"), TextOps.quantize(col("embedding")).as("q"))
-    val qfull = vecs.filter(col("vec_id") < PqNQ)
+    val qfull = vecs.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("q").as("qq"))
-    ProductQuantizer.rerank(cand, vecs, qfull, TopK)
+    ProductQuantizer.rerank(cand, vecs, qfull, topK)
   }
   private def pqAdcSql = {
     val subDim = Tables.EmbeddingDim / PqM

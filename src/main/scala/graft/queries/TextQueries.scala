@@ -343,9 +343,11 @@ object TextQueries {
   private val ClfWDiv  = 1L // distinct-token permille: lexical diversity
   private val ClfWPunct = -6L // punctuation permille: markup/boilerplate
   private val ClfWLen  = 2L // capped length: substance
-  private def qualityClassifier(s: SparkSession, d: String): DataFrame = {
+  private def qualityClassifier(s: SparkSession, d: String): DataFrame =
+    qualityClassifierOn(Tables.documents(s, d))
+  private[graft] def qualityClassifierOn(docs: DataFrame): DataFrame = {
     val t = TextOps.tokens(col("text"))
-    Tables.documents(s, d).select(
+    docs.select(
       col("doc_id"), col("source"),
       length(col("text")).cast("bigint").as("n_chars"),
       greatest(size(t), lit(1)).cast("bigint").as("n_words"),

@@ -210,6 +210,61 @@ class GraftFacadeSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("round-7 facades match their gated queries (t11, q53, s5, p1, q51)") {
+    val docs = Tables.documents(spark, sf)
+    val emb = Tables.embeddings(spark, sf)
+    // t11 twin
+    val clfF = Graft.qualityClassifier(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val clfQ = SparkEntry.queries("t11_quality_classifier")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(clfF == clfQ && clfF.nonEmpty)
+    // q53 twin at the gate shard size
+    val shF = Graft.assignShards(docs, "doc_id", shardSize = 100L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val shQ = SparkEntry.queries("q53_shard_shuffle")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(shF == shQ && shF.nonEmpty)
+    // s5 twin at the gate parameters
+    val pqF = Graft.pqTopK(emb, Tables.EmbeddingDim).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val pqQ = SparkEntry.queries("s5_pq_adc")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pqF == pqQ && pqF.nonEmpty)
+    // p1 twin: facade pageRank over the facade's own verified pairs
+    val prQ = SparkEntry.queries("p1_pagerank")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.catalog.clearCache()
+    val prF = Graft.pageRank(
+      Graft.nearDupPairs(docs).select("doc_a", "doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(prF == prQ && prF.nonEmpty)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "pageRank facade left entries pinned")
+    // q51 twin at the gate depth/width over the same token stream
+    val toks = docs.select(
+      explode(operators.TextOps.tokens(col("text"))).as("token"))
+    val cmF = Graft.countMinEstimates(toks, "token",
+        toks.distinct(), "token", depth = 4, width = 32).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val cmQ = SparkEntry.queries("q51_countmin")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(2))).toSet
+    assert(cmF == cmQ && cmF.nonEmpty)
+  }
+
+  test("lineDedup facade: first-occurrence wins on a user corpus") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta\nshared boilerplate line\nunique one"),
+      (2L, "gamma delta\nshared boilerplate line"),
+      (3L, "epsilon zeta\nanother original line")).toDF("doc_id", "text")
+    val out = Graft.lineDedup(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) == (3L, 3L), "doc 1 keeps all lines (first occurrence)")
+    assert(out(2L) == (2L, 1L), "doc 2 loses the shared line")
+    assert(out(3L) == (2L, 2L), "doc 3 untouched")
+  }
+
   test("facade calls leave no hidden entries in the session cache") {
     // r2 advice: persist-pinning internals must not leak into a user
     // session — facade results are self-contained (localCheckpoint) and
