@@ -206,7 +206,20 @@ object ScaleReport {
     val nEmb = emb.count()
     val d2 = graft.queries.DedupQueries.minhashLsh(docs).count()
     spark.catalog.clearCache()
-    val d3 = graft.queries.DedupQueries.jaccardPairs(docs).count()
+    // pairs pinned once: d3's count is also p1's input, and p1's wall
+    // must measure the 5 power-iteration rounds, not a pair-gen replay
+    val pairsP = graft.queries.DedupQueries.jaccardPairs(docs)
+      .select(col("doc_a"), col("doc_b")).persist()
+    val d3 = pairsP.count()
+    // p1 PageRank octave evidence (round 7): the graph is the d3 pair
+    // set (growth measured linear above); wall covers 5 rounds = one
+    // ranks-join + one dst-aggregate shuffle each over |E| edges
+    val tPr = System.nanoTime()
+    val prRanks = graft.operators.PageRank.pageRank(pairsP, 5)
+    val p1Nodes = prRanks.count()
+    val p1Sec = (System.nanoTime() - tPr) / 1e9
+    prRanks.unpersist()
+    pairsP.unpersist()
     spark.catalog.clearCache()
     val d5prodCand = graft.queries.DedupQueries
       .embNearDupBanded(emb, 8, 16, threshold = -1.0, dim = dim).count()
@@ -287,6 +300,47 @@ object ScaleReport {
       .head()
     Seq(prep, cent0, asg0, cent1).foreach(_.unpersist())
     spark.catalog.clearCache()
+    // s5 PQ octave evidence (round 7): fit is the n·m·k assign pass —
+    // linear in n at FIXED (m, k) (the codebook resolution is a
+    // constant at scale, unlike s3's √n cells); codes volume is exactly
+    // n·m; the ADC scan is queries × n candidate sums over the codes
+    // plus an R-row rerank against full vectors
+    val tPqFit = System.nanoTime()
+    val pqPrep = graft.operators.ProductQuantizer.prepare(emb, dim, 8)
+    val (pqCodesRaw, pqCbRaw) =
+      graft.operators.ProductQuantizer.fit(pqPrep, 64, 1, nEmb)
+    val pqCodes = pqCodesRaw.persist()
+    val pqCb = pqCbRaw.persist()
+    val pqCodesN = pqCodes.count()
+    pqCb.count()
+    val pqFitSec = (System.nanoTime() - tPqFit) / 1e9
+    val tPqScan = System.nanoTime()
+    val pqQueries = pqPrep.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("sub"), col("qs").as("qqs"))
+    val pqCand = graft.operators.ProductQuantizer
+      .adcTopK(pqCodes, pqCb, pqQueries, 20)
+    val pqVecs = emb.select(col("vec_id"),
+      graft.operators.TextOps.quantize(col("embedding")).as("q"))
+    val pqQf = pqVecs.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"))
+    val pqTopN = graft.operators.ProductQuantizer
+      .rerank(pqCand, pqVecs, pqQf, 3).count()
+    val pqScanSec = (System.nanoTime() - tPqScan) / 1e9
+    Seq(pqCodes, pqCb).foreach(_.unpersist())
+    spark.catalog.clearCache()
+    // d17 line dedup: linear counters (lines in / kept) under the gate
+    // query's deterministic boilerplate injection
+    val d17Aug = docs.withColumn("text", concat(col("text"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit("\nboilerplate-"), (col("doc_id") % 5).cast("string")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 4 === 0,
+        concat(lit("\nfooter-"), (col("doc_id") % 3).cast("string")))
+        .otherwise(lit(""))))
+    val d17Row = graft.queries.DedupQueries.lineDedupOn(d17Aug)
+      .agg(sum(col("n_lines")).as("l"), sum(col("n_kept")).as("k")).head()
+    val (d17Lines, d17Kept) = (d17Row.getLong(0), d17Row.getLong(1))
+    spark.catalog.clearCache()
     val json =
       s"""{"dir":"$dir","documents":$nDocs,"embeddings":$nEmb,""" +
         s""""d11_candidates":$d11Cand,"d11_pairs":$d11Pairs,""" +
@@ -300,7 +354,12 @@ object ScaleReport {
         s""""s4_k":$kScale,"s4_assign_sec":${"%.3f".formatLocal(java.util.Locale.ROOT, s4AssignSec)},""" +
         s""""s4_update_sec":${"%.3f".formatLocal(java.util.Locale.ROOT, s4UpdateSec)},""" +
         s""""d14_cells":${d14Stats.getLong(0)},"d14_cell_max":${d14Stats.getLong(1)},""" +
-        s""""d14_cell_median":${d14Stats.getLong(2)},"d14_candidate_pairs":${d14Stats.getLong(3)}}"""
+        s""""d14_cell_median":${d14Stats.getLong(2)},"d14_candidate_pairs":${d14Stats.getLong(3)},""" +
+        s""""p1_nodes":$p1Nodes,"p1_sec":${"%.3f".formatLocal(java.util.Locale.ROOT, p1Sec)},""" +
+        s""""s5_codes":$pqCodesN,"s5_top":$pqTopN,""" +
+        s""""s5_fit_sec":${"%.3f".formatLocal(java.util.Locale.ROOT, pqFitSec)},""" +
+        s""""s5_scan_sec":${"%.3f".formatLocal(java.util.Locale.ROOT, pqScanSec)},""" +
+        s""""d17_lines":$d17Lines,"d17_kept":$d17Kept}"""
     spark.stop()
     println(json)
   }
