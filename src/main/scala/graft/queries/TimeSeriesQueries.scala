@@ -171,6 +171,59 @@ object TimeSeriesQueries {
     // Variance numerator n·Σc² − (Σc)² is exact int64; z is then a fixed
     // tree of IEEE ops over exactly-agreed integers — bit-identical with
     // no rounding function involved.
+    // ---- Exponential moving average (ts7): per user, EWMA with
+    // alpha = 1/2 truncated to the trailing 8 samples — the recursion
+    // r_i = α·x_i + (1−α)·r_{i−1} unrolled to explicit geometric
+    // weights 2^7..2^0 over the last 8 lags. The truncation is the
+    // point: the recursive form is inherently sequential per key and
+    // not expressible as a window aggregate in either engine, while the
+    // unrolled form is ONE bounded-frame window pass (parallel per
+    // user, linear) and drops < 2^-8 of the mass. Weighted numerator /
+    // denominator are exact int64 over cents (short-history rows use
+    // only the weights that exist); the EWMA itself is one IEEE
+    // division of agreed integers — bit-identical cross-engine.
+    Q(
+      "ts7_ewma",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_us"), col("event_id"))
+        val base = Tables.events(s, d)
+          .select(col("user_id"), col("event_id"),
+            expr("ts_ns div 1000").as("ts_us"),
+            round(col("value") * 100).cast("bigint").as("c"))
+        val terms = (0 until 8).map { j =>
+          val weight = 1L << (7 - j)
+          val lv = if (j == 0) col("c") else lag(col("c"), j).over(w)
+          (when(lv.isNotNull, lv * weight).otherwise(lit(0L)),
+            when(lv.isNotNull, lit(weight)).otherwise(lit(0L)))
+        }
+        base
+          .withColumn("num", terms.map(_._1).reduce(_ + _))
+          .withColumn("den", terms.map(_._2).reduce(_ + _))
+          .select(col("user_id"), col("event_id"), col("c"),
+            (col("num").cast("double") / col("den").cast("double"))
+              .as("ewma_c"))
+      },
+      Some {
+        val cexp = "CAST(round(value * 100) AS BIGINT)"
+        val lags = (1 until 8)
+          .map(j => s"lag($cexp, $j) OVER w AS l$j").mkString(",\n|    ")
+        val num = "128 * c + " + (1 until 8)
+          .map(j => s"CASE WHEN l$j IS NULL THEN 0 ELSE ${1L << (7 - j)} * l$j END")
+          .mkString(" + ")
+        val den = "128 + " + (1 until 8)
+          .map(j => s"CASE WHEN l$j IS NULL THEN 0 ELSE ${1L << (7 - j)} END")
+          .mkString(" + ")
+        s"""SELECT user_id, event_id, c,
+           |  CAST($num AS DOUBLE) / CAST($den AS DOUBLE) AS ewma_c
+           |FROM (
+           |  SELECT user_id, event_id, $cexp AS c,
+           |    $lags
+           |  FROM events
+           |  WINDOW w AS (PARTITION BY user_id
+           |    ORDER BY epoch_us(ts), event_id))""".stripMargin
+      }),
+
     Q(
       "ts4_zscore",
       (s, d) => {
