@@ -377,6 +377,38 @@ object Graft {
       nHint: Long = -1L): DataFrame =
     queries.SimilarityQueries.pqTopKOn(emb, dim, m, k, r, topK, nQueries, nHint)
 
+  /** KenLM/CCNet-style n-gram LM scoring: a bigram model from the corpus
+    * itself (count tables), each doc scored by the exact integer mean of
+    * scaled conditional probabilities — monotone in perplexity, so
+    * thresholding avg_p6 IS the perplexity filter. Requires
+    * (doc_id, text); returns (doc_id, n_bigrams, avg_p6). */
+  def ngramLmScores(docs: DataFrame): DataFrame =
+    queries.TextQueries.ngramLmOn(docs)
+
+  /** URL canonicalization dedup (the first stage of a crawl pipeline):
+    * normalizes `url` (lowercase, fragment/tracking-param strip,
+    * scheme/www/trailing-slash strip) and returns one row per canonical
+    * URL with the kept doc and variant counts. Requires (doc_id, url).
+    * Per-row regexps + one hash groupBy — linear at any corpus size. */
+  def urlDedupGroups(withUrls: DataFrame): DataFrame =
+    queries.DedupQueries.urlDedupGroups(withUrls)
+
+  /** Per-node degree + triangle count over an oriented similarity edge
+    * list (doc_a < doc_b): local-clustering structure of the near-dup
+    * graph (dense-cluster members vs template hubs). Two equi-joins —
+    * each triangle enumerated once — never an all-pairs product. */
+  def triangleCounts(pairs: DataFrame): DataFrame =
+    queries.DedupQueries.triangleCounts(pairs)
+
+  /** CUSUM change-point detection per key: the classic Page statistic
+    * computed via its prefix-min closed form (two running-frame window
+    * passes — parallel per key, O(n), never a sequential recursion).
+    * Input needs an integer value column (e.g. cents); returns one row
+    * per key: peak statistic + its earliest location. */
+  def changePoints(df: DataFrame, keyCol: String, idCol: String,
+      tsCol: String, centsCol: String): DataFrame =
+    queries.TimeSeriesQueries.changePointsOn(df, keyCol, idCol, tsCol, centsCol)
+
   // ---- joins ------------------------------------------------------------
 
   /** As-of join (most recent strictly-earlier build row per key):

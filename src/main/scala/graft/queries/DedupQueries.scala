@@ -1230,6 +1230,135 @@ object DedupQueries {
        |FROM tot t LEFT JOIN ka ON ka.doc_id = t.doc_id""".stripMargin
   }
 
+  // ---- d18: URL canonicalization dedup — the first dedup stage of every
+  // web-crawl pipeline (CCNet/RefinedWeb run it before any content
+  // hashing): normalize each document's source URL, then keep one doc per
+  // canonical URL. The corpus ships no URL column, so — t7/t17 precedent —
+  // the query injects deterministic URLs keyed by doc_id (scheme and
+  // www./case/trailing-slash/utm/fragment variants of a shared target,
+  // docs in groups of 4 sharing one canonical), and the machinery under
+  // test is the real thing: the normalization regex chain (lowercase,
+  // fragment strip, tracking-param strip, scheme/www strip, trailing
+  // slash) and the canonical-group rollup.
+  //
+  // Shape at scale: per-row scalar regexps (codegen'd, no UDF) + ONE hash
+  // groupBy on the canonical string — linear, the cheapest dedup there is.
+  /** The normalization chain on a (doc_id, url) DataFrame — the facade
+    * entry for corpora that carry real URLs. */
+  private[graft] def urlDedupGroups(withUrls: DataFrame): DataFrame = {
+    val canon =
+      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        regexp_replace(regexp_replace(
+          lower(col("url")),
+          "#.*$", ""),            // fragment
+          "utm_[a-z_]+=[^&#]*", ""), // tracking params
+          "[?&]+$", ""),          // dangling separators
+          "^https?://", ""),      // scheme
+          "^www\\.", ""),         // www
+          "/+$", "")              // trailing slash
+    withUrls.select(col("doc_id"), col("url"), canon.as("canon_url"))
+      .groupBy(col("canon_url"))
+      .agg(min(col("doc_id")).as("keep_id"),
+        count(lit(1)).as("n_urls"),
+        countDistinct(col("url")).as("n_variants"))
+  }
+  private[graft] def urlDedupOn(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    val tid = expr("doc_id div 4")
+    val hostBase = concat(lit("site"), (tid % 50).cast("string"),
+      lit(".example.com"))
+    val url = concat(
+      when(id % 2 === 0, "http://").otherwise("https://"),
+      when(id % 3 === 0, "www.").otherwise(""),
+      when(id % 5 === 0, upper(hostBase)).otherwise(hostBase),
+      lit("/p/"), tid.cast("string"),
+      when(id % 7 === 0, "/").otherwise(""),
+      when(id % 3 === 1,
+        concat(lit("?utm_source=s"), (id % 9).cast("string"))).otherwise(""),
+      when(id % 13 === 0,
+        concat(lit("#sec"), (id % 4).cast("string"))).otherwise(""))
+    urlDedupGroups(docs.select(id, url.as("url")))
+  }
+  private def urlDedupSql = {
+    val url = "(CASE WHEN doc_id % 2 = 0 THEN 'http://' ELSE 'https://' END" +
+      " || CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END" +
+      " || CASE WHEN doc_id % 5 = 0" +
+      " THEN upper('site' || CAST((doc_id // 4) % 50 AS VARCHAR) || '.example.com')" +
+      " ELSE 'site' || CAST((doc_id // 4) % 50 AS VARCHAR) || '.example.com' END" +
+      " || '/p/' || CAST(doc_id // 4 AS VARCHAR)" +
+      " || CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END" +
+      " || CASE WHEN doc_id % 3 = 1 THEN '?utm_source=s' || CAST(doc_id % 9 AS VARCHAR) ELSE '' END" +
+      " || CASE WHEN doc_id % 13 = 0 THEN '#sec' || CAST(doc_id % 4 AS VARCHAR) ELSE '' END)"
+    val canon = "regexp_replace(regexp_replace(regexp_replace(regexp_replace(" +
+      "regexp_replace(regexp_replace(lower(url), " +
+      "'#.*$', '', 'g'), " +
+      "'utm_[a-z_]+=[^&#]*', '', 'g'), " +
+      "'[?&]+$', '', 'g'), " +
+      "'^https?://', '', 'g'), " +
+      "'^www\\.', '', 'g'), " +
+      "'/+$', '', 'g')"
+    s"""WITH u AS (SELECT doc_id, $url AS url FROM documents),
+       |c AS (SELECT doc_id, url, $canon AS canon_url FROM u)
+       |SELECT canon_url, MIN(doc_id) AS keep_id, COUNT(1) AS n_urls,
+       |  COUNT(DISTINCT url) AS n_variants
+       |FROM c GROUP BY 1""".stripMargin
+  }
+
+  // ---- p2: triangle counting over the near-dup similarity graph — the
+  // second graph-analytics operator next to p1's centrality: per-node
+  // triangle counts measure local clustering (a doc whose neighbors are
+  // also near-dups of EACH OTHER sits inside a dense duplication cluster;
+  // a high-degree/zero-triangle doc is a template hub — different cleanup
+  // action). Edges are the verified Jaccard pairs, already oriented
+  // doc_a < doc_b, so each triangle a<b<c is enumerated exactly once by
+  // two equi-joins (the standard distributed triangle enumeration —
+  // shuffle-bounded on node keys, never an all-pairs product; on skewed
+  // graphs the orientation would be by degree instead of id, same joins).
+  // Exact integer output: node, degree, triangle count.
+  private def triangles(s: SparkSession, d: String): DataFrame =
+    triangleCounts(jaccardPairs(Tables.documents(s, d))
+      .select(col("doc_a"), col("doc_b")))
+  /** Per-node degree + triangle count on an oriented (doc_a < doc_b)
+    * edge list — the facade entry for arbitrary similarity graphs. */
+  private[graft] def triangleCounts(e: DataFrame): DataFrame = {
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e2.doc_a") === col("e1.doc_b"))
+      .join(e.as("e3"),
+        col("e3.doc_a") === col("e1.doc_a") &&
+          col("e3.doc_b") === col("e2.doc_b"))
+      .select(col("e1.doc_a").as("x"), col("e1.doc_b").as("y"),
+        col("e2.doc_b").as("z"))
+    val triPerNode = tri
+      .select(explode(array(col("x"), col("y"), col("z"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_tri"))
+    val deg = e.select(col("doc_a").as("id"))
+      .union(e.select(col("doc_b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    deg.join(triPerNode, Seq("id"), "left")
+      .select(col("id"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+  }
+  private def trianglesSql =
+    s"""WITH pairs AS ($jaccardPairsSql),
+       |e AS (SELECT doc_a, doc_b FROM pairs),
+       |tri AS (
+       |  SELECT e1.doc_a AS x, e1.doc_b AS y, e2.doc_b AS z
+       |  FROM e e1
+       |  JOIN e e2 ON e2.doc_a = e1.doc_b
+       |  JOIN e e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b),
+       |tpn AS (
+       |  SELECT id, COUNT(1) AS n_tri FROM (
+       |    SELECT x AS id FROM tri
+       |    UNION ALL SELECT y FROM tri
+       |    UNION ALL SELECT z FROM tri)
+       |  GROUP BY 1),
+       |deg AS (
+       |  SELECT id, COUNT(1) AS deg FROM (
+       |    SELECT doc_a AS id FROM e UNION ALL SELECT doc_b FROM e)
+       |  GROUP BY 1)
+       |SELECT deg.id, deg.deg, COALESCE(tpn.n_tri, 0) AS n_tri
+       |FROM deg LEFT JOIN tpn ON tpn.id = deg.id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("d1_exact_dedup", (s, d) => exactDedup(Tables.documents(s, d)),
       Some(exactDedupSql)),
@@ -1256,6 +1385,9 @@ object DedupQueries {
       (s, d) => editDistancePairs(Tables.documents(s, d)),
       Some(editDistancePairsSql)),
     Q("d17_line_dedup", lineDedup, Some(lineDedupSql)),
+    Q("d18_url_dedup", (s, d) => urlDedupOn(Tables.documents(s, d)),
+      Some(urlDedupSql)),
+    Q("p2_triangles", triangles, Some(trianglesSql)),
     Q("d16_cross_dedup",
       (s, d) => {
         val docs = Tables.documents(s, d)

@@ -385,6 +385,65 @@ object TextQueries {
        |FROM f""".stripMargin
   }
 
+  // ---- t12: n-gram language-model scoring — the KenLM/CCNet-style
+  // perplexity filter (Wenzek et al. 2020): score each document by how
+  // predictable its token stream is under a bigram model trained on the
+  // corpus itself. The "model" is two count tables (bigram counts B and
+  // their prefix-token marginals U); each bigram occurrence scores the
+  // integer-scaled conditional p6 = B(w1,w2)·1e6 div U(w1), and the doc
+  // score is the exact integer mean — monotone in average conditional
+  // probability, so thresholding it IS the perplexity filter, with no
+  // log/double divergence between engines.
+  //
+  // Shape at scale: bigram extraction is per-row (slice + zip_with,
+  // codegen'd); the count tables are vocab-bounded aggregates; the
+  // scoring join is ONE shuffle equi-join of the exploded occurrences
+  // against the enriched bigram table on the bigram key. The model side
+  // is vocab-sized but UNKNOWN without materializing it, so it gets an
+  // explicit shuffle_hash hint rather than trusting AQE's compressed
+  // stats (the d2 lesson, BENCH_NOTES 100x finding #1) — narrow rows,
+  // bounded per-partition builds at any corpus size.
+  private[graft] def ngramLmOn(docs: DataFrame): DataFrame = {
+    val t = TextOps.tokens(col("text"))
+    val bigrams = zip_with(
+      slice(t, lit(1), greatest(size(t) - 1, lit(0))),
+      slice(t, lit(2), greatest(size(t) - 1, lit(0))),
+      (a, b) => concat(a, lit(" "), b))
+    val occ = docs.select(col("doc_id"), explode(bigrams).as("bg"))
+    val b = occ.groupBy(col("bg")).agg(count(lit(1)).as("b_cnt"))
+    val u = b
+      .groupBy(split(col("bg"), " ").getItem(0).as("w1"))
+      .agg(sum(col("b_cnt")).as("u_cnt"))
+    val model = b
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+      .join(u.hint("shuffle_hash"), "w1")
+      .select(col("bg"), expr("b_cnt * 1000000L div u_cnt").as("p6"))
+    occ.join(model.hint("shuffle_hash"), "bg")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        expr("sum(p6) div count(1)").as("avg_p6"))
+  }
+  private val ngramLmSql = {
+    val t = TextOps.tokensSql("text")
+    s"""WITH occ AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(range(1, len(t)),
+       |      i -> t[i] || ' ' || t[i+1])) AS bg
+       |  FROM (SELECT doc_id, $t AS t FROM documents)),
+       |b AS (SELECT bg, COUNT(1) AS b_cnt FROM occ GROUP BY 1),
+       |u AS (
+       |  SELECT string_split(bg, ' ')[1] AS w1,
+       |    CAST(SUM(b_cnt) AS BIGINT) AS u_cnt
+       |  FROM b GROUP BY 1),
+       |model AS (
+       |  SELECT bg, b_cnt * 1000000 // u_cnt AS p6
+       |  FROM b JOIN u ON u.w1 = string_split(b.bg, ' ')[1])
+       |SELECT doc_id, COUNT(1) AS n_bigrams,
+       |  CAST(SUM(p6) // COUNT(1) AS BIGINT) AS avg_p6
+       |FROM occ JOIN model USING (bg)
+       |GROUP BY doc_id""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("t1_text_stats", textStats, Some(textStatsSql)),
     Q("t2_quality_score", qualityScore, Some(qualityScoreSql)),
@@ -395,5 +454,7 @@ object TextQueries {
     Q("t8_vocab", vocab, Some(vocabSql)),
     Q("t9_tfidf", tfidf, Some(tfidfSql)),
     Q("t10_gopher_filter", gopherFilter, Some(gopherFilterSql)),
-    Q("t11_quality_classifier", qualityClassifier, Some(qualityClassifierSql)))
+    Q("t11_quality_classifier", qualityClassifier, Some(qualityClassifierSql)),
+    Q("t12_ngram_lm", (s, d) => ngramLmOn(Tables.documents(s, d)),
+      Some(ngramLmSql)))
 }

@@ -15,6 +15,29 @@ import graft.Tables
 object TimeSeriesQueries {
   private val BucketUs = 300L * 1000000L // 5-minute buckets
 
+  /** CUSUM change-point core on a generic (key, id, ts, cents) frame —
+    * see the ts8 entry below for the closed-form derivation. Returns one
+    * row per key: the peak statistic and its (earliest) location. */
+  private[graft] def changePointsOn(df: org.apache.spark.sql.DataFrame,
+      keyCol: String, idCol: String, tsCol: String,
+      centsCol: String): org.apache.spark.sql.DataFrame = {
+    val wAll = Window.partitionBy(col(keyCol))
+    val wRun = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wRank = Window.partitionBy(col(keyCol))
+      .orderBy(col("s").desc, col(tsCol).asc, col(idCol).asc)
+    df.select(col(keyCol), col(idCol), col(tsCol), col(centsCol).as("c"))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("sum_c", sum(col("c")).over(wAll))
+      .withColumn("p", sum(col("c") * col("n") - col("sum_c")).over(wRun))
+      .withColumn("s", col("p") - least(lit(0L), min(col("p")).over(wRun)))
+      .withColumn("rk", row_number().over(wRank))
+      .filter(col("rk") === 1)
+      .select(col(keyCol), col("n"), col("s").as("peak_s"),
+        col(tsCol).as("change_ts_us"), col(idCol).as("change_event_id"))
+  }
+
   private def moneySum(c: Column, scale: Int = 2): Column =
     sum(c.cast(s"decimal(25,$scale)")).cast("double")
 
@@ -223,6 +246,60 @@ object TimeSeriesQueries {
            |  WINDOW w AS (PARTITION BY user_id
            |    ORDER BY epoch_us(ts), event_id))""".stripMargin
       }),
+
+    // ---- CUSUM change-point detection (ts8): per user, the cumulative-sum
+    // statistic against the key's own mean, and the argmax of that
+    // statistic as the estimated change location (Page 1954 — the argmax
+    // of the CUSUM curve is the classic change-point estimator). The
+    // recursion S_i = max(0, S_{i-1} + d_i) looks sequential, but has the
+    // closed form S_i = P_i − min(0, min_{j≤i} P_j) over the deviation
+    // prefix sums P — so the whole statistic is TWO running-frame window
+    // passes sharing one (user) sort, parallel per key, O(n). The same
+    // prefix-extremum trick that made ts5's forward pass linear.
+    //
+    // Cross-engine determinism: deviations are scaled by the key's row
+    // count (d_i = c_i·n − Σc, exact int64 — no mean division), so P, S,
+    // and the argmax are integer-exact in both engines; magnitudes are
+    // bounded by n²·max_cents ≈ 2^56 at 600k rows/key — inside int64 at
+    // any realistic per-key cardinality. Argmax tie-break: earliest
+    // (ts, event_id) via the rank window's composite order.
+    Q(
+      "ts8_changepoint",
+      (s, d) => changePointsOn(
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_id"),
+            expr("ts_ns div 1000").as("ts_us"),
+            round(col("value") * 100).cast("bigint").as("c")),
+        "user_id", "event_id", "ts_us", "c"),
+      Some("""WITH f AS (
+             |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             |    CAST(round(value * 100) AS BIGINT) AS c,
+             |    COUNT(1) OVER (PARTITION BY user_id) AS n,
+             |    CAST(SUM(CAST(round(value * 100) AS BIGINT))
+             |      OVER (PARTITION BY user_id) AS BIGINT) AS sum_c
+             |  FROM events),
+             |p AS (
+             |  SELECT user_id, event_id, ts_us, n,
+             |    CAST(SUM(c * n - sum_c) OVER (
+             |      PARTITION BY user_id ORDER BY ts_us, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS BIGINT) AS p
+             |  FROM f),
+             |s AS (
+             |  SELECT user_id, event_id, ts_us, n,
+             |    p - least(0, CAST(MIN(p) OVER (
+             |      PARTITION BY user_id ORDER BY ts_us, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS BIGINT)) AS s
+             |  FROM p),
+             |r AS (
+             |  SELECT user_id, n, s, ts_us, event_id,
+             |    row_number() OVER (PARTITION BY user_id
+             |      ORDER BY s DESC, ts_us, event_id) AS rk
+             |  FROM s)
+             |SELECT user_id, n, s AS peak_s, ts_us AS change_ts_us,
+             |  event_id AS change_event_id
+             |FROM r WHERE rk = 1""".stripMargin)),
 
     Q(
       "ts4_zscore",

@@ -252,6 +252,63 @@ class GraftFacadeSpec extends AnyFunSuite {
     assert(cmF == cmQ && cmF.nonEmpty)
   }
 
+  test("round-8 facades match their gated queries (t12, d18, p2, ts8)") {
+    val docs = Tables.documents(spark, sf)
+    // t12 twin
+    val lmF = Graft.ngramLmScores(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val lmQ = SparkEntry.queries("t12_ngram_lm")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(lmF == lmQ && lmF.nonEmpty)
+    // d18: facade on hand-built URLs — variants of one target collapse,
+    // the distinct target survives alone
+    import spark.implicits._
+    val urls = Seq(
+      (1L, "https://www.Site.example.com/a/1?utm_source=x#top"),
+      (2L, "http://site.example.com/a/1/"),
+      (3L, "https://site.example.com/a/1"),
+      (4L, "https://other.example.com/b/2")).toDF("doc_id", "url")
+    val groups = Graft.urlDedupGroups(urls).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toList
+    assert(groups.length == 2)
+    assert(groups.contains(("site.example.com/a/1", 1L, 3L)))
+    assert(groups.contains(("other.example.com/b/2", 4L, 1L)))
+    // p2: facade on a hand-built graph with one known triangle + a tail
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))
+      .toDF("doc_a", "doc_b")
+    val triRows = Graft.triangleCounts(edges).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(triRows.size == 4)
+    assert(triRows(1L) == (2L, 1L) && triRows(2L) == (2L, 1L))
+    assert(triRows(3L) == (3L, 1L) && triRows(4L) == (1L, 0L))
+    // ts8 twin on the driver corpus shape
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"),
+        expr("ts_ns div 1000").as("ts_us"),
+        round(col("value") * 100).cast("bigint").as("c"))
+    val cpF = Graft.changePoints(ev, "user_id", "event_id", "ts_us", "c")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(4))).toSet
+    val cpQ = SparkEntry.queries("ts8_changepoint")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(4))).toSet
+    assert(cpF == cpQ && cpF.nonEmpty)
+    // the CUSUM statistic replayed single-threaded on one key must agree
+    val oneKey = ev.filter(col("user_id") === cpQ.head._1)
+      .collect().sortBy(r => (r.getLong(2), r.getLong(1)))
+    val cs = oneKey.map(_.getLong(3))
+    val n = cs.length.toLong
+    val sumC = cs.sum
+    var p = 0L; var minP = 0L; var best = (Long.MinValue, 0L)
+    oneKey.foreach { r =>
+      p += r.getLong(3) * n - sumC
+      val sStat = p - math.min(0L, math.min(minP, p))
+      minP = math.min(minP, p)
+      if (sStat > best._1) best = (sStat, r.getLong(1))
+    }
+    assert(cpQ.find(_._1 == oneKey.head.getLong(0))
+      .exists(t => t._2 == best._1 && t._3 == best._2),
+      s"single-threaded CUSUM replay disagrees: $best")
+  }
+
   test("lineDedup facade: first-occurrence wins on a user corpus") {
     import spark.implicits._
     val docs = Seq(
