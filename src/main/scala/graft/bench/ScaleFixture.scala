@@ -219,6 +219,14 @@ object ScaleReport {
     val p1Nodes = prRanks.count()
     val p1Sec = (System.nanoTime() - tPr) / 1e9
     prRanks.unpersist()
+    // p2 triangle enumeration over the same pinned pair set: wall covers
+    // the two oriented equi-joins + per-node rollup; the count is the
+    // linearity evidence (independent replicas add triangles, never
+    // cross-replica ones)
+    val tTri = System.nanoTime()
+    val p2Rows = graft.queries.DedupQueries.triangleCounts(pairsP)
+    val p2Nodes = p2Rows.count()
+    val p2Sec = (System.nanoTime() - tTri) / 1e9
     pairsP.unpersist()
     spark.catalog.clearCache()
     val d5prodCand = graft.queries.DedupQueries
@@ -341,6 +349,38 @@ object ScaleReport {
       .agg(sum(col("n_lines")).as("l"), sum(col("n_kept")).as("k")).head()
     val (d17Lines, d17Kept) = (d17Row.getLong(0), d17Row.getLong(1))
     spark.catalog.clearCache()
+    // t12 n-gram LM: wall covers bigram extraction + both count tables +
+    // the scoring join; the model row count is the vocab-growth evidence
+    // (replicas share no word, so bigram vocab grows exactly linearly
+    // while per-doc score distributions stay identical within replicas)
+    val tLm = System.nanoTime()
+    val lmScored = graft.queries.TextQueries.ngramLmOn(docs)
+      .agg(count(lit(1)).as("docs"), sum(col("n_bigrams")).as("occ")).head()
+    val t12Sec = (System.nanoTime() - tLm) / 1e9
+    val (t12Docs, t12Occ) = (lmScored.getLong(0), lmScored.getLong(1))
+    spark.catalog.clearCache()
+    // d18 URL dedup: canonical group count (exactly nDocs/4 under the
+    // gate injection — linear by construction, the evidence is the wall
+    // of the regex chain + single hash groupBy)
+    val tUrl = System.nanoTime()
+    val d18Groups = graft.queries.DedupQueries.urlDedupOn(docs).count()
+    val d18Sec = (System.nanoTime() - tUrl) / 1e9
+    spark.catalog.clearCache()
+    // ts8 CUSUM: per-key change points over events (present only in
+    // fixtures that replicate the events family); wall covers the two
+    // running-frame passes + the rank pass — one shuffle by key
+    val (ts8Keys, ts8Sec) =
+      if (Files.exists(Paths.get(s"$dir/events.parquet"))) {
+        val ev = graft.Tables.events(spark, dir)
+          .select(col("user_id"), col("event_id"),
+            expr("ts_ns div 1000").as("ts_us"),
+            round(col("value") * 100).cast("bigint").as("c"))
+        val tCp = System.nanoTime()
+        val k = graft.queries.TimeSeriesQueries
+          .changePointsOn(ev, "user_id", "event_id", "ts_us", "c").count()
+        (k, (System.nanoTime() - tCp) / 1e9)
+      } else (-1L, -1.0)
+    spark.catalog.clearCache()
     val json =
       s"""{"dir":"$dir","documents":$nDocs,"embeddings":$nEmb,""" +
         s""""d11_candidates":$d11Cand,"d11_pairs":$d11Pairs,""" +
@@ -359,7 +399,12 @@ object ScaleReport {
         s""""s5_codes":$pqCodesN,"s5_top":$pqTopN,""" +
         s""""s5_fit_sec":${"%.3f".formatLocal(java.util.Locale.ROOT, pqFitSec)},""" +
         s""""s5_scan_sec":${"%.3f".formatLocal(java.util.Locale.ROOT, pqScanSec)},""" +
-        s""""d17_lines":$d17Lines,"d17_kept":$d17Kept}"""
+        s""""d17_lines":$d17Lines,"d17_kept":$d17Kept,""" +
+        s""""p2_nodes":$p2Nodes,"p2_sec":${"%.3f".formatLocal(java.util.Locale.ROOT, p2Sec)},""" +
+        s""""t12_docs":$t12Docs,"t12_occ":$t12Occ,""" +
+        s""""t12_sec":${"%.3f".formatLocal(java.util.Locale.ROOT, t12Sec)},""" +
+        s""""d18_groups":$d18Groups,"d18_sec":${"%.3f".formatLocal(java.util.Locale.ROOT, d18Sec)},""" +
+        s""""ts8_keys":$ts8Keys,"ts8_sec":${"%.3f".formatLocal(java.util.Locale.ROOT, ts8Sec)}}"""
     spark.stop()
     println(json)
   }
