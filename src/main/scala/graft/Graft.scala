@@ -409,6 +409,24 @@ object Graft {
       tsCol: String, centsCol: String): DataFrame =
     queries.TimeSeriesQueries.changePointsOn(df, keyCol, idCol, tsCol, centsCol)
 
+  /** Batch audio-frame extraction: fixed-size analysis windows with
+    * exact int64 RMS/peak per frame, decoded via mapPartitions (one
+    * decoder per partition). Default decoder parses real RIFF/PCM16 WAV
+    * payloads with no external codec libraries; pass
+    * [[operators.Multimodal.FakeAudioDecoder]] for byte-derived demo
+    * signals. Input columns: (doc_id, audio binary). */
+  def audioFrames(media: DataFrame, frameSamples: Int = 160,
+      decoder: operators.Multimodal.AudioDecoder =
+        operators.Multimodal.RealWavDecoder): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    operators.Multimodal.audioFrames(
+      media.select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("audio"))
+        .as[operators.Multimodal.AudioRow],
+      decoder, frameSamples).toDF()
+  }
+
   // ---- joins ------------------------------------------------------------
 
   /** As-of join (most recent strictly-earlier build row per key):

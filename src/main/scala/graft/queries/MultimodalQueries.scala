@@ -52,7 +52,44 @@ object MultimodalQueries {
        |  unnest(range(0, octet_length(encode(text)) * 40 // 1000 + 1)) * 1000 AS frame_ts_ms
        |FROM documents""".stripMargin
 
+  /** Audio analysis frames (m3): the typed-Dataset mapPartitions batch
+    * decode again, over the 1-D signal case — fixed 32-sample windows,
+    * exact int64 RMS/peak per frame. FakeAudioDecoder treats each payload
+    * byte as a centered int8 sample (the corpus is ASCII text, which the
+    * oracle replays via ascii()); the REAL RIFF/PCM16 WAV parser runs the
+    * same trait + frame rollup on actual waveforms in MultimodalSpec. */
+  private val M3Frame = 32
+  private def audioFrames(s: SparkSession, d: String): DataFrame =
+    Multimodal.audioFrames(
+      Multimodal.audioFromDocuments(Tables.documents(s, d)),
+      Multimodal.FakeAudioDecoder, M3Frame)
+      .toDF()
+  private val audioFramesSql =
+    s"""WITH smp AS (
+       |  SELECT doc_id,
+       |    list_transform(range(1, length(text) + 1),
+       |      i -> ascii(substr(text, i, 1)) - 64) AS s
+       |  FROM documents),
+       |fr AS (
+       |  SELECT doc_id,
+       |    unnest(range(0, (len(s) + ${M3Frame - 1}) // $M3Frame)) AS frame_idx,
+       |    s
+       |  FROM smp),
+       |w AS (
+       |  SELECT doc_id, frame_idx,
+       |    s[frame_idx * $M3Frame + 1 :
+       |      least((frame_idx + 1) * $M3Frame, len(s))] AS f
+       |  FROM fr)
+       |SELECT doc_id, frame_idx,
+       |  CAST(len(f) AS BIGINT) AS n_samples,
+       |  CAST(floor(sqrt(CAST(
+       |    list_sum(list_transform(f, v -> v * v)) // len(f)
+       |    AS DOUBLE))) AS BIGINT) AS rms_q,
+       |  CAST(list_max(list_transform(f, v -> abs(v))) AS BIGINT) AS peak_q
+       |FROM w""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("m1_media_meta", mediaMeta, Some(mediaMetaSql)),
-    Q("m2_frame_sample", frameSample, Some(frameSampleSql)))
+    Q("m2_frame_sample", frameSample, Some(frameSampleSql)),
+    Q("m3_audio_frames", audioFrames, Some(audioFramesSql)))
 }

@@ -307,6 +307,15 @@ class GraftFacadeSpec extends AnyFunSuite {
     assert(cpQ.find(_._1 == oneKey.head.getLong(0))
       .exists(t => t._2 == best._1 && t._3 == best._2),
       s"single-threaded CUSUM replay disagrees: $best")
+    // m3 facade twin (fake decoder over the corpus payload bytes)
+    val afF = Graft.audioFrames(
+        docs.select(col("doc_id"), col("text").cast("binary").as("audio")),
+        frameSamples = 32,
+        decoder = operators.Multimodal.FakeAudioDecoder)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    val afQ = SparkEntry.queries("m3_audio_frames")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    assert(afF == afQ && afF.nonEmpty)
   }
 
   test("lineDedup facade: first-occurrence wins on a user corpus") {

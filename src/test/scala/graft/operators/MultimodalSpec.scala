@@ -109,4 +109,70 @@ class MultimodalSpec extends AnyFunSuite {
       .collect().map(r => r.doc_id -> r.media.toSeq).toMap
     assert(again(1L) == out(1L).media.toSeq)
   }
+
+  /** Build real RIFF/WAVE PCM16 bytes in-test: `chans` interleaved
+    * channels of the given int16 samples. */
+  private def wavBytes(samples: Array[Short], chans: Int = 1,
+      sr: Int = 8000): Array[Byte] = {
+    val dataLen = samples.length * chans * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(chans.toShort).putInt(sr)
+      .putInt(sr * chans * 2).putShort((chans * 2).toShort).putShort(16)
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(s => (0 until chans).foreach(_ => bb.putShort(s)))
+    bb.array()
+  }
+
+  test("real WAV decoder: PCM16 frames through the mapPartitions path") {
+    import spark.implicits._
+    // 800 samples of a 10k-amplitude square-ish wave: RMS = amplitude
+    // exactly, peak = amplitude; plus a silent tail frame
+    val tone = Array.tabulate[Short](800)(i =>
+      if (i % 2 == 0) 10000 else -10000)
+    val silent = Array.fill[Short](40)(0)
+    val media = Seq(
+      Multimodal.AudioRow(1L, wavBytes(tone ++ silent)),
+      Multimodal.AudioRow(2L, wavBytes(tone, chans = 2))) // stereo avg
+      .toDS()
+    val frames = Multimodal.audioFrames(media, Multimodal.RealWavDecoder, 160)
+      .collect().groupBy(_.doc_id)
+    // doc 1: 840 samples → 6 frames (5×160 + 1×40)
+    val f1 = frames(1L).sortBy(_.frame_idx)
+    assert(f1.length == 6)
+    assert(f1.take(5).forall(f => f.n_samples == 160 &&
+      f.rms_q == 10000L && f.peak_q == 10000L))
+    assert(f1.last.n_samples == 40 && f1.last.rms_q == 0L &&
+      f1.last.peak_q == 0L)
+    // doc 2: stereo channels identical → averaging preserves the wave
+    val f2 = frames(2L).sortBy(_.frame_idx)
+    assert(f2.length == 5 && f2.forall(_.rms_q == 10000L))
+  }
+
+  test("real WAV decoder fails loudly on non-WAV payloads") {
+    import spark.implicits._
+    val media = Seq(Multimodal.AudioRow(7L,
+      "this is not audio at all just text".getBytes("UTF-8"))).toDS()
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.audioFrames(media, Multimodal.RealWavDecoder, 160).collect()
+    }
+    assert(e.getMessage.contains("doc_id=7") ||
+      Option(e.getCause).exists(_.getMessage.contains("doc_id=7")))
+  }
+
+  test("fake audio decoder equals a hand computation") {
+    import spark.implicits._
+    // "abc" → bytes 97,98,99 → centered 33,34,35; one 2-sample frame +
+    // one 1-sample tail at frameSamples=2
+    val media = Seq(Multimodal.AudioRow(1L, "abc".getBytes("UTF-8"))).toDS()
+    val fr = Multimodal.audioFrames(media, Multimodal.FakeAudioDecoder, 2)
+      .collect().sortBy(_.frame_idx)
+    assert(fr.length == 2)
+    // frame 0: msq = (33²+34²)/2 = (1089+1156)/2 = 1122 → floor(sqrt) = 33
+    assert(fr(0).n_samples == 2 && fr(0).rms_q == 33L && fr(0).peak_q == 34L)
+    assert(fr(1).n_samples == 1 && fr(1).rms_q == 35L && fr(1).peak_q == 35L)
+  }
 }
