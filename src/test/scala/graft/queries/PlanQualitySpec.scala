@@ -326,6 +326,41 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), s"scrub must not shuffle:\n$p")
   }
 
+  test("ts8 CUSUM plans one shuffle by key; every window is a running frame") {
+    val p = plan("ts8_changepoint")
+    // AQE wraps the exchange; count genuine shuffle exchanges — the
+    // three window passes (partition-wide aggs, running frames, rank)
+    // must all reuse the single hashpartitioning(user_id) exchange
+    val exchanges = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"expected exactly one shuffle (by user_id):\n$p")
+    assert(!p.contains("UnboundedFollowing"),
+      s"CUSUM must never plan a backward-rescanning frame (ts5 lesson):\n$p")
+  }
+
+  test("t12 ngram LM: model joins are hash joins on the bigram key, no broadcast of the corpus") {
+    val p = plan("t12_ngram_lm")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"LM scoring must stay equi-join only:\n$p")
+    // the occurrence side is corpus-sized: it must never be broadcast
+    assert(p.contains("ShuffledHashJoin"),
+      s"model join should be the hinted shuffle_hash:\n$p")
+  }
+
+  test("d18 url dedup is scalar regexps + one hash aggregate (no join, no window)") {
+    val p = plan("d18_url_dedup")
+    assert(!p.contains("Join"), s"url dedup has no join:\n$p")
+    assert(!p.contains("Window"), s"url dedup has no window:\n$p")
+    assert(p.contains("HashAggregate"),
+      s"canonical rollup must be a hash aggregate:\n$p")
+  }
+
+  test("p2 triangles: equi-joins only over the oriented edge list") {
+    val p = plan("p2_triangles")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"triangle enumeration must be equi-joins, never all-pairs:\n$p")
+  }
+
   test("d12 substring spans: semi-join dup filter, per-doc window, no cross join") {
     val p = plan("d12_substring_spans")
     // duplicated-gram membership is a semi join on the gram hash — the
