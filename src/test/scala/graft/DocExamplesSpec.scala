@@ -202,6 +202,34 @@ class DocExamplesSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("quickstart: perplexity filter, url dedup, change points") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+
+    // bigram-LM fluency scores (exact integer mean conditional —
+    // thresholding avg_p6 IS the perplexity filter)
+    val scored = Graft.ngramLmScores(docs)
+
+    // URL canonicalization dedup: one survivor per canonical target
+    val crawl = docs.select(col("doc_id"),
+      concat(lit("https://www.example.com/item/"),
+        (col("doc_id") % 100).cast("string"),
+        lit("?utm_source=feed")).as("url"))
+    val canonical = Graft.urlDedupGroups(crawl)
+
+    // CUSUM change-point per user over exact integer cents
+    val ev = graft.Tables.events(spark, dir)
+    val changes = Graft.changePoints(
+      ev.select(col("user_id"), col("event_id"),
+        expr("ts_ns div 1000").as("ts_us"),
+        round(col("value") * 100).cast("bigint").as("cents")),
+      "user_id", "event_id", "ts_us", "cents")
+
+    assert(scored.count() == docs.count())
+    assert(canonical.count() == 100)
+    assert(changes.count() == ev.select("user_id").distinct().count())
+    spark.catalog.clearCache()
+  }
+
   test("README quickstart blocks are verbatim copies of this spec's code") {
     val readme = new String(Files.readAllBytes(Paths.get("README.md")), UTF_8)
     val start = readme.indexOf("## Quickstart")
