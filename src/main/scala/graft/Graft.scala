@@ -409,6 +409,16 @@ object Graft {
       tsCol: String, centsCol: String): DataFrame =
     queries.TimeSeriesQueries.changePointsOn(df, keyCol, idCol, tsCol, centsCol)
 
+  /** Radius (range) similarity search: every corpus vector within
+    * `threshold` cosine of each query vector (vec_id < nQueries), via
+    * bipartite banded sign-LSH — the query band table broadcasts, the
+    * corpus never shuffles, candidates are linear in the corpus for a
+    * fixed query set. Exact int64 cosine on the candidates. */
+  def rangeSearch(emb: DataFrame, nQueries: Int = 32,
+      threshold: Double = 0.3, dim: Int = -1, nHint: Long = -1L): DataFrame =
+    queries.SimilarityQueries.rangeSearchOn(emb, nQueries, threshold,
+      dim0 = dim, nHint = nHint)
+
   /** Batch audio-frame extraction: fixed-size analysis windows with
     * exact int64 RMS/peak per frame, decoded via mapPartitions (one
     * decoder per partition). Default decoder parses real RIFF/PCM16 WAV

@@ -57,7 +57,11 @@ object PageRank {
       var ranks = deg.select(col("u").as("id"), lit(Scale).as("rank"))
       var t = 0
       while (t < iters) {
-        ranks = contribEdges
+        // the cached edge side carries exact in-memory stats, so Catalyst
+        // broadcasts it when small; the hint only rules out sort-merge
+        // (5 rounds of per-round sorts) when it IS too big to broadcast —
+        // hash builds on the cached side are partition-bounded at any |E|
+        ranks = contribEdges.hint("shuffle_hash")
           .join(ranks, contribEdges("u") === ranks("id"))
           .select(col("v"), expr("rank div deg").as("c"))
           .groupBy(col("v"))

@@ -598,6 +598,91 @@ object SimilarityQueries {
        |FROM rr WHERE rk <= $TopK""".stripMargin
   }
 
+  // ---- s6: radius (range) similarity search — the retrieval sibling of
+  // the top-k family: ALL corpus vectors within cosine ≥ θ of each query
+  // vector, not a fixed k. Banded sign-LSH on both sides (d5's shared
+  // hyperplanes, so the DuckDB oracle reproduces the exact candidate
+  // set), but BIPARTITE: the query-side band table is nQueries×bands
+  // rows — always broadcast — so the corpus side never shuffles and the
+  // candidate volume is queries × per-band collisions, linear in the
+  // corpus at a fixed query set. Same d5 lessons baked in: cosine
+  // filter BEFORE the distinct (the dedup exchange carries only
+  // survivors), exact int64 dot/norms, sizedHint on the corpus rejoin.
+  // θ = 0.3 for the gate (≈2.4σ of the 64-d noise floor — enough true
+  // positives at sf0.01 to be a meaningful demo); production radius
+  // searches run at task-specific thresholds with autoBandParams.
+  private val S6NQ = 32
+  private val S6Theta = 0.3
+  private[graft] def rangeSearchOn(emb: DataFrame, nQueries: Int = S6NQ,
+      threshold: Double = S6Theta, bands: Int = DedupQueries.D5Bands,
+      rowBits: Int = DedupQueries.D5Rows, dim0: Int = -1,
+      nHint: Long = -1L): DataFrame = {
+    val n = if (nHint > 0) nHint else emb.count()
+    val dim = if (dim0 >= 0) dim0
+      else emb.select(size(col("embedding"))).head().getInt(0)
+    val e = emb
+      .select(col("vec_id"), TextOps.quantize(col("embedding")).as("q"))
+      .withColumn("nn", TextOps.qdot(col("q"), col("q")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val flatWeights = new Array[Long](bands * rowBits * dim)
+    for (b <- 0 until bands; j <- 0 until rowBits)
+      System.arraycopy(DedupQueries.d5Weights(dim, b, j), 0, flatWeights,
+        (b * rowBits + j) * dim, dim)
+    val bandRows = e.select(col("vec_id"),
+        posexplode(graft.functions.BandedSignatures(
+          col("q"), flatWeights, bands, rowBits)))
+      .toDF("vec_id", "band_idx", "band_sig")
+    val qBands = bandRows.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("band_idx"), col("band_sig"))
+    val cand = broadcast(qBands)
+      .join(bandRows, Seq("band_idx", "band_sig"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"))
+    val vecBytes = 8L * dim + 64L
+    cand
+      .join(broadcast(e.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"),
+          col("q").as("qq"), col("nn").as("nq"))), "query_id")
+      .join(DedupQueries.sizedHint(e.select(col("vec_id"),
+        col("q").as("qc"), col("nn").as("nc")), n, vecBytes), "vec_id")
+      .select(col("query_id"), col("vec_id"),
+        (TextOps.qdot(col("qq"), col("qc")).cast("double") /
+          (sqrt(col("nq").cast("double")) * sqrt(col("nc").cast("double"))))
+          .as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .distinct()
+  }
+  private def rangeSearchSql = {
+    import graft.queries.{DedupQueries => DQ}
+    s"""WITH q AS (SELECT vec_id, ${TextOps.quantizeSql("embedding")} AS q FROM embeddings),
+       |e AS (SELECT vec_id, unnest(q) AS v, generate_subscripts(q, 1) - 1 AS i FROM q),
+       |norms AS (SELECT vec_id, SUM(v * v) AS nn FROM e GROUP BY 1),
+       |proj AS (
+       |  SELECT e.vec_id, b.range AS band_idx, r.range AS j,
+       |    SUM(CASE WHEN ${XHash.hash60Sql("concat('d5_', b.range, '_', r.range, '_', e.i)")} % 2 = 0
+       |      THEN e.v ELSE -e.v END) AS p
+       |  FROM e CROSS JOIN range(${DQ.D5Bands}) b CROSS JOIN range(${DQ.D5Rows}) r
+       |  GROUP BY 1, 2, 3),
+       |sigs AS (
+       |  SELECT vec_id, band_idx,
+       |    CAST(SUM(CASE WHEN p > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS band_sig
+       |  FROM proj GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS vec_id
+       |  FROM sigs a JOIN sigs b
+       |    ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
+       |  WHERE a.vec_id < $S6NQ AND b.vec_id <> a.vec_id),
+       |dot AS (
+       |  SELECT c.query_id, c.vec_id, SUM(ea.v * eb.v) AS dot
+       |  FROM cand c JOIN e ea ON ea.vec_id = c.query_id
+       |  JOIN e eb ON eb.vec_id = c.vec_id AND ea.i = eb.i
+       |  GROUP BY 1, 2)
+       |SELECT query_id, dot.vec_id AS vec_id,
+       |  CAST(dot AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) AS cosine
+       |FROM dot JOIN norms na ON na.vec_id = query_id JOIN norms nb ON nb.vec_id = dot.vec_id
+       |WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) >= $S6Theta""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("s1_cosine_topk", (s, d) => cosineTopK(Tables.embeddings(s, d)),
       Some(cosineTopKSql)),
@@ -607,5 +692,9 @@ object SimilarityQueries {
     Q("s3_ivf_topk", ivfTopK, Some(ivfTopKSql)),
     Q("s4_kmeans", kmeansSummary, Some(kmeansSummarySql)),
     Q("s5_pq_adc", pqAdc, Some(pqAdcSql)),
+    Q("s6_range_search",
+      (s, d) => rangeSearchOn(Tables.embeddings(s, d),
+        dim0 = Tables.EmbeddingDim),
+      Some(rangeSearchSql)),
     Q("d14_semantic_dedup", semanticDedup, Some(semanticDedupSql)))
 }

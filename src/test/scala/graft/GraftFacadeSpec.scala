@@ -318,6 +318,29 @@ class GraftFacadeSpec extends AnyFunSuite {
     assert(afF == afQ && afF.nonEmpty)
   }
 
+  test("rangeSearch facade: planted duplicate is retrieved, threshold honored") {
+    val emb = Tables.embeddings(spark, sf)
+    // plant an exact copy of vec 3 under a high id: radius search from
+    // the query set must retrieve it at cosine 1 (any threshold)
+    val planted = emb.filter(col("vec_id") === 3L)
+      .select((col("vec_id") + 800000L).as("vec_id"), col("embedding"),
+        col("label"))
+    val hits = Graft.rangeSearch(emb.unionByName(planted),
+        nQueries = 32, threshold = 0.9, dim = Tables.EmbeddingDim)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    spark.catalog.clearCache()
+    assert(hits.exists(h => h._1 == 3L && h._2 == 800003L && h._3 > 0.999),
+      s"planted copy not retrieved: ${hits.toSeq}")
+    assert(hits.forall(_._3 >= 0.9), "threshold not honored")
+    // facade equals the gated query at the gate parameters
+    val rsF = Graft.rangeSearch(emb, dim = Tables.EmbeddingDim)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rsQ = SparkEntry.queries("s6_range_search")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.catalog.clearCache()
+    assert(rsF == rsQ && rsF.nonEmpty)
+  }
+
   test("lineDedup facade: first-occurrence wins on a user corpus") {
     import spark.implicits._
     val docs = Seq(
