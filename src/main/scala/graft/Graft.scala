@@ -409,6 +409,15 @@ object Graft {
       tsCol: String, centsCol: String): DataFrame =
     queries.TimeSeriesQueries.changePointsOn(df, keyCol, idCol, tsCol, centsCol)
 
+  /** BPE tokenizer training (Sennrich et al. 2016): `rounds` merge
+    * rounds over the corpus's (word, count) vocabulary — each round one
+    * vocab-sized pair-count aggregate, a top-1 argmax, and a broadcast
+    * literal rewrite. Returns the merge table (round, pair, merged, n) —
+    * the tokenizer artifact itself. Vocab-bounded at any corpus size;
+    * rounds are sequential because BPE is. Requires (doc_id, text). */
+  def bpeMerges(docs: DataFrame, rounds: Int = 3): DataFrame =
+    queries.TextQueries.bpeTrainOn(docs, rounds)
+
   /** Radius (range) similarity search: every corpus vector within
     * `threshold` cosine of each query vector (vec_id < nQueries), via
     * bipartite banded sign-LSH — the query band table broadcasts, the

@@ -444,6 +444,74 @@ object TextQueries {
        |GROUP BY doc_id""".stripMargin
   }
 
+  // ---- t13: BPE tokenizer training (Sennrich et al. 2016) — the merge
+  // table IS the tokenizer artifact every LLM pipeline ships. Trains on
+  // the (word, count) vocabulary aggregate — vocab-bounded, NOT
+  // corpus-bounded, exactly the shape fastBPE/HF tokenizers train on —
+  // with each merge round: (1) weighted adjacent-pair counts over the
+  // current symbol strings (one hash-agg), (2) the argmax pair (count
+  // desc, pair asc tie-break — a top-1, never a global sort), (3) a
+  // literal string replace of that pair across the vocab (broadcast
+  // scalar). Rounds are unrolled (merges are inherently sequential —
+  // that's BPE, not a plan choice); each round's work is one vocab-sized
+  // agg + a broadcast rewrite, so R rounds cost R linear passes over the
+  // VOCAB at any corpus size. Leftmost non-overlapping literal replace
+  // has identical semantics in both engines ("a a a" + merge "a a" →
+  // "aa a" — the standard left-to-right BPE application order).
+  private val BpeRounds = 3
+  private def bpeBigrams(s: Column): Column = {
+    val t = split(s, " ")
+    zip_with(
+      slice(t, lit(1), greatest(size(t) - 1, lit(0))),
+      slice(t, lit(2), greatest(size(t) - 1, lit(0))),
+      (a, b) => concat(a, lit(" "), b))
+  }
+  private[graft] def bpeTrainOn(docs: DataFrame,
+      rounds: Int = BpeRounds): DataFrame = {
+    val vocab = docs
+      .select(explode(TextOps.tokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .select(col("cnt"),
+        trim(regexp_replace(col("word"), "(.)", "$1 ")).as("s"))
+    var v = vocab
+    val merges = (1 to rounds).map { r =>
+      val best = v
+        .select(col("cnt"), explode(bpeBigrams(col("s"))).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("cnt")).as("n"))
+        .orderBy(col("n").desc, col("pair").asc).limit(1)
+        .select(lit(r.toLong).as("round"), col("pair"),
+          regexp_replace(col("pair"), " ", "").as("merged"), col("n"))
+      v = v.crossJoin(broadcast(best.select(col("pair").as("bp"))))
+        .withColumn("s", expr("replace(s, bp, replace(bp, ' ', ''))"))
+        .select(col("cnt"), col("s"))
+      best
+    }
+    merges.reduce(_ unionAll _)
+  }
+  private val bpeTrainSql = {
+    val bigrams = "list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])"
+    def round(r: Int) =
+      s"""p$r AS (
+         |  SELECT pair, CAST(SUM(cnt) AS BIGINT) AS n FROM (
+         |    SELECT cnt, unnest($bigrams) AS pair
+         |    FROM (SELECT cnt, string_split(s, ' ') AS t FROM v${r - 1}))
+         |  GROUP BY 1),
+         |b$r AS (SELECT $r AS round, pair, replace(pair, ' ', '') AS merged, n
+         |  FROM p$r ORDER BY n DESC, pair LIMIT 1),
+         |v$r AS (SELECT cnt,
+         |    replace(s, (SELECT pair FROM b$r), (SELECT merged FROM b$r)) AS s
+         |  FROM v${r - 1})""".stripMargin
+    s"""WITH v0 AS (
+       |  SELECT CAST(COUNT(1) AS BIGINT) AS cnt,
+       |    trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS s
+       |  FROM (SELECT unnest(${TextOps.tokensSql("text")}) AS word
+       |        FROM documents)
+       |  GROUP BY word),
+       |${(1 to BpeRounds).map(round).mkString(",\n")}
+       |SELECT CAST(round AS BIGINT) AS round, pair, merged, n
+       |FROM (${(1 to BpeRounds).map(r => s"SELECT * FROM b$r").mkString(" UNION ALL ")})""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("t1_text_stats", textStats, Some(textStatsSql)),
     Q("t2_quality_score", qualityScore, Some(qualityScoreSql)),
@@ -456,5 +524,7 @@ object TextQueries {
     Q("t10_gopher_filter", gopherFilter, Some(gopherFilterSql)),
     Q("t11_quality_classifier", qualityClassifier, Some(qualityClassifierSql)),
     Q("t12_ngram_lm", (s, d) => ngramLmOn(Tables.documents(s, d)),
-      Some(ngramLmSql)))
+      Some(ngramLmSql)),
+    Q("t13_bpe_train", (s, d) => bpeTrainOn(Tables.documents(s, d)),
+      Some(bpeTrainSql)))
 }

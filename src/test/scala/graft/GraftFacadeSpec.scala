@@ -318,6 +318,27 @@ class GraftFacadeSpec extends AnyFunSuite {
     assert(afF == afQ && afF.nonEmpty)
   }
 
+  test("bpeMerges facade: merges match a hand computation on a tiny vocab") {
+    import spark.implicits._
+    // vocab: "low" x3, "lower" x2, "lowest" x1 → pair counts:
+    // "l o"=6, "o w"=6, "w e"=3, "e r"=2, "e s"=1, "s t"=1
+    // round 1: tie (l o)/(o w) → lexicographic "l o" wins → "lo"
+    // round 2: "lo w"=6 (the merged symbol pairs with w) → "low"
+    val docs = Seq(
+      (1L, "low low low lower lower lowest")).toDF("doc_id", "text")
+    val merges = Graft.bpeMerges(docs, rounds = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3))).sortBy(_._1)
+    assert(merges(0) == ((1L, "l o", "lo", 6L)), merges.mkString(","))
+    assert(merges(1) == ((2L, "lo w", "low", 6L)), merges.mkString(","))
+    // the gated query at the driver corpus
+    val viaQ = SparkEntry.queries("t13_bpe_train")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    val viaF = Graft.bpeMerges(Tables.documents(spark, sf))
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(viaF == viaQ && viaF.size == 3)
+  }
+
   test("rangeSearch facade: planted duplicate is retrieved, threshold honored") {
     val emb = Tables.embeddings(spark, sf)
     // plant an exact copy of vec 3 under a high id: radius search from

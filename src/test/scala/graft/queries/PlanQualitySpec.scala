@@ -361,6 +361,15 @@ class PlanQualitySpec extends AnyFunSuite {
       s"triangle enumeration must be equi-joins, never all-pairs:\n$p")
   }
 
+  test("t13 BPE: every per-round argmax is a top-1, never a global sort") {
+    val p = plan("t13_bpe_train")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"merge argmax must be top-1:\n$p")
+    // the vocab rewrite joins a 1-row broadcast scalar — no shuffle join
+    assert(!p.contains("SortMergeJoin"),
+      s"best-pair application must broadcast the scalar:\n$p")
+  }
+
   test("d12 substring spans: semi-join dup filter, per-doc window, no cross join") {
     val p = plan("d12_substring_spans")
     // duplicated-gram membership is a semi join on the gram hash — the
