@@ -409,6 +409,15 @@ object Graft {
       tsCol: String, centsCol: String): DataFrame =
     queries.TimeSeriesQueries.changePointsOn(df, keyCol, idCol, tsCol, centsCol)
 
+  /** Winnowing fingerprints (Schleimer et al. 2003, the MOSS
+    * algorithm): positional token 3-gram hashes, rightmost-minimum
+    * selection per sliding window of 4 — the position-robust
+    * fingerprint set with the guarantee that any shared run of ≥ 6
+    * tokens yields a shared fingerprint. Per-row array arithmetic,
+    * zero shuffles; returns (doc_id, pos, fp). Requires (doc_id, text). */
+  def winnowFingerprints(docs: DataFrame): DataFrame =
+    queries.TextQueries.winnowOn(docs)
+
   /** BPE tokenizer training (Sennrich et al. 2016): `rounds` merge
     * rounds over the corpus's (word, count) vocabulary — each round one
     * vocab-sized pair-count aggregate, a top-1 argmax, and a broadcast

@@ -512,6 +512,65 @@ object TextQueries {
        |FROM (${(1 to BpeRounds).map(r => s"SELECT * FROM b$r").mkString(" UNION ALL ")})""".stripMargin
   }
 
+  // ---- t14: winnowing fingerprints (Schleimer et al. 2003 — the MOSS
+  // algorithm): positional token 3-gram hashes, then per sliding window
+  // of w=4 grams the RIGHTMOST minimal hash is selected; the distinct
+  // (position, hash) picks are the document's fingerprint set, with the
+  // guarantee that any shared run of ≥ w+2 tokens yields a shared
+  // fingerprint. Distinct from t5's single min-hash: this is the
+  // POSITION-ROBUST fingerprint SET overlap detectors join on.
+  //
+  // Shape at scale: everything is per-row array arithmetic (grams,
+  // window minima, tie-break, distinct) — ZERO shuffles; the output
+  // explode is ~n_grams/w rows per doc. The oracle replays the exact
+  // same windows; its post-unnest DISTINCT equals the per-row
+  // array_distinct because (pos, fp) is already unique per doc.
+  private val WinnowW = 4
+  private[graft] def winnowOn(docs: DataFrame): DataFrame = {
+    val t = TextOps.tokens(col("text"))
+    val grams = transform(
+      sequence(lit(1), greatest(size(t) - 2, lit(1))),
+      i => graft.functions.XHash.hash60(concat_ws(" ",
+        element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))))
+    val windows = transform(
+      sequence(lit(1), greatest(size(col("g")) - (WinnowW - 1), lit(1))),
+      i => {
+        val sl = slice(col("g"), i, lit(WinnowW))
+        val mn = array_min(sl)
+        struct(
+          (i + WinnowW - array_position(reverse(sl), mn)).as("pos"),
+          mn.as("fp"))
+      })
+    docs
+      .select(col("doc_id"), col("text"), t.as("toks"))
+      .filter(size(col("toks")) >= 2 + WinnowW) // ≥ w grams
+      .select(col("doc_id"), grams.as("g"))
+      .select(col("doc_id"),
+        explode(array_distinct(windows)).as("w"))
+      .select(col("doc_id"), col("w.pos").cast("bigint").as("pos"),
+        col("w.fp").as("fp"))
+  }
+  private val winnowSql = {
+    val t = TextOps.tokensSql("text")
+    val gram = graft.functions.XHash.hash60Sql("t[i] || ' ' || t[i+1] || ' ' || t[i+2]")
+    s"""WITH g AS (
+       |  SELECT doc_id,
+       |    list_transform(range(1, len(t) - 1), i -> $gram) AS g
+       |  FROM (SELECT doc_id, $t AS t FROM documents)
+       |  WHERE len(t) >= ${2 + WinnowW}),
+       |w AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(range(1, len(g) - ${WinnowW - 2}),
+       |      i -> struct_pack(
+       |        pos := i + $WinnowW - list_position(
+       |          list_reverse(g[i:i+${WinnowW - 1}]),
+       |          list_aggregate(g[i:i+${WinnowW - 1}], 'min')),
+       |        fp := list_aggregate(g[i:i+${WinnowW - 1}], 'min')))) AS w
+       |  FROM g)
+       |SELECT DISTINCT doc_id, CAST(w.pos AS BIGINT) AS pos, w.fp AS fp
+       |FROM w""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("t1_text_stats", textStats, Some(textStatsSql)),
     Q("t2_quality_score", qualityScore, Some(qualityScoreSql)),
@@ -526,5 +585,7 @@ object TextQueries {
     Q("t12_ngram_lm", (s, d) => ngramLmOn(Tables.documents(s, d)),
       Some(ngramLmSql)),
     Q("t13_bpe_train", (s, d) => bpeTrainOn(Tables.documents(s, d)),
-      Some(bpeTrainSql)))
+      Some(bpeTrainSql)),
+    Q("t14_winnowing", (s, d) => winnowOn(Tables.documents(s, d)),
+      Some(winnowSql)))
 }

@@ -339,6 +339,30 @@ class GraftFacadeSpec extends AnyFunSuite {
     assert(viaF == viaQ && viaF.size == 3)
   }
 
+  test("winnowing facade: shared runs share a fingerprint, disjoint docs don't") {
+    import spark.implicits._
+    val sharedRun = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, s"one two three $sharedRun nine ten eleven twelve"),
+      (2L, s"aaa bbb ccc ddd $sharedRun yyy zzz www qqq"),
+      (3L, "completely different words with nothing in common here at all"))
+      .toDF("doc_id", "text")
+    val fps = Graft.winnowFingerprints(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    // the MOSS guarantee: an 8-token shared run (> w+2 = 6) must yield
+    // at least one common fingerprint between docs 1 and 2
+    assert((fps(1L) & fps(2L)).nonEmpty, "shared run yielded no common fp")
+    // doc 3 shares no 3-gram with either, so no fingerprint either
+    assert((fps(3L) & (fps(1L) ++ fps(2L))).isEmpty)
+    // facade equals the gated query
+    val wQ = SparkEntry.queries("t14_winnowing")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val wF = Graft.winnowFingerprints(Tables.documents(spark, sf))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(wF == wQ && wF.nonEmpty)
+  }
+
   test("rangeSearch facade: planted duplicate is retrieved, threshold honored") {
     val emb = Tables.embeddings(spark, sf)
     // plant an exact copy of vec 3 under a high id: radius search from
