@@ -64,6 +64,14 @@ class PlanQualitySpec extends AnyFunSuite {
     // codegen'd operators carry the `* ` marker in the final adaptive plan;
     // the pair-scoring Project (where the dot products run) must have it
     assert(p.contains("* Project"), "scoring projection fell out of codegen")
+    // t14's winnow selection: the Generate input must stay codegen'd too
+    val wdf = SparkEntry.queries("t14_winnowing")(spark, sf)
+    wdf.collect()
+    val wp = wdf.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(wp.contains("winnow_picks"), "native winnow expression expected in plan")
+    assert(wp.contains("* Generate") || wp.contains("* Project"),
+      s"winnow pipeline fell out of codegen:\n$wp")
   }
 
   test("broadcastable semi/anti joins pick broadcast under the threshold") {
