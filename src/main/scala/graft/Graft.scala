@@ -409,6 +409,16 @@ object Graft {
       tsCol: String, centsCol: String): DataFrame =
     queries.TimeSeriesQueries.changePointsOn(df, keyCol, idCol, tsCol, centsCol)
 
+  /** Seasonal baseline + residuals: per-(type, bucket) profile
+    * (broadcast) with each row scored against its bucket's exact-integer
+    * mean — "is this normal for 3am?". Residuals are scaled by the
+    * bucket count (no mean division); is_high = strictly above 1.1× the
+    * bucket mean via cross-multiplication. All integers. */
+  def seasonalBaseline(df: DataFrame, typeCol: String, bucketCol: String,
+      idCol: String, centsCol: String): DataFrame =
+    queries.TimeSeriesQueries.seasonalBaselineOn(
+      df, typeCol, bucketCol, idCol, centsCol)
+
   /** Winnowing fingerprints (Schleimer et al. 2003, the MOSS
     * algorithm): positional token 3-gram hashes, rightmost-minimum
     * selection per sliding window of 4 — the position-robust

@@ -41,6 +41,24 @@ object TimeSeriesQueries {
   private def moneySum(c: Column, scale: Int = 2): Column =
     sum(c.cast(s"decimal(25,$scale)")).cast("double")
 
+  /** ts9's seasonal-baseline core on a generic (type, bucket, id, cents)
+    * frame: per-(type, bucket) profile (broadcast — bucket cardinality
+    * is small by construction), each row scored against its bucket's
+    * exact-integer mean. */
+  private[graft] def seasonalBaselineOn(df: org.apache.spark.sql.DataFrame,
+      typeCol: String, bucketCol: String, idCol: String,
+      centsCol: String): org.apache.spark.sql.DataFrame = {
+    val e = df.select(col(idCol), col(typeCol), col(bucketCol),
+      col(centsCol).as("c"))
+    val profile = e.groupBy(col(typeCol), col(bucketCol))
+      .agg(count(lit(1)).as("n_b"), sum(col("c")).as("sum_b"))
+    e.join(broadcast(profile), Seq(typeCol, bucketCol))
+      .select(col(idCol), col(typeCol), col(bucketCol),
+        col("c"), col("n_b"), col("sum_b"),
+        (col("c") * col("n_b") - col("sum_b")).as("resid_n"),
+        (col("c") * col("n_b") * 10 > col("sum_b") * 11).as("is_high"))
+  }
+
   // ts6 fixed slice bounds: Jan 8 00:00 – Jan 10 00:00 UTC 2024 (~2/30 of
   // every SF's Jan-2024 span), ns since epoch
   private val SliceLoNs = 1704672000L * 1000000000L
@@ -300,6 +318,40 @@ object TimeSeriesQueries {
              |SELECT user_id, n, s AS peak_s, ts_us AS change_ts_us,
              |  event_id AS change_event_id
              |FROM r WHERE rk = 1""".stripMargin)),
+
+    // ---- Seasonal baseline + residuals (ts9): the two-pass decomposition
+    // every metrics engine runs for "is this normal for 3am?" — a
+    // per-(type, hour-of-day) profile (one hash-agg; 24×types rows →
+    // broadcast), then each event scored against its bucket's mean.
+    // Unlike ts4's trailing window (local context), the baseline is the
+    // GLOBAL seasonal profile — the pair covers both anomaly lenses.
+    //
+    // Cross-engine determinism: the mean is never divided — residuals
+    // are scaled by the bucket count (resid_n = c·n_b − sum_b, ts8's
+    // trick, exact int64), and the high flag is the cross-multiplied
+    // comparison c·n_b·10 > sum_b·11 (strictly above 1.1× the bucket
+    // mean) — all integers, no doubles anywhere.
+    Q(
+      "ts9_seasonal_baseline",
+      (s, d) => seasonalBaselineOn(
+        Tables.events(s, d)
+          .select(col("event_id"), col("event_type"),
+            expr("(ts_ns div 3600000000000L) % 24").as("hod"),
+            round(col("value") * 100).cast("bigint").as("c")),
+        "event_type", "hod", "event_id", "c"),
+      Some("""WITH e AS (
+             |  SELECT event_id, event_type,
+             |    (epoch_us(ts) // 3600000000) % 24 AS hod,
+             |    CAST(round(value * 100) AS BIGINT) AS c
+             |  FROM events),
+             |p AS (
+             |  SELECT event_type, hod, COUNT(1) AS n_b,
+             |    CAST(SUM(c) AS BIGINT) AS sum_b
+             |  FROM e GROUP BY 1, 2)
+             |SELECT event_id, e.event_type, e.hod, c, n_b, sum_b,
+             |  c * n_b - sum_b AS resid_n,
+             |  c * n_b * 10 > sum_b * 11 AS is_high
+             |FROM e JOIN p ON p.event_type = e.event_type AND p.hod = e.hod""".stripMargin)),
 
     Q(
       "ts4_zscore",

@@ -339,6 +339,25 @@ class GraftFacadeSpec extends AnyFunSuite {
     assert(viaF == viaQ && viaF.size == 3)
   }
 
+  test("seasonalBaseline facade matches the gated query and a hand bucket") {
+    import spark.implicits._
+    // one bucket (t, 0): cents 10, 20, 30 → n_b=3, sum=60; 30·3=90 > 66 → high
+    val rows = Seq((1L, "t", 0L, 10L), (2L, "t", 0L, 20L), (3L, "t", 0L, 30L))
+      .toDF("id", "typ", "bkt", "cents")
+    val out = Graft.seasonalBaseline(rows, "typ", "bkt", "id", "cents")
+      .collect().map(r => r.getLong(3) -> (r.getLong(6), r.getBoolean(7))).toMap
+    assert(out(10L) == ((-30L, false)) && out(30L) == ((30L, true)))
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("event_type"),
+        expr("(ts_ns div 3600000000000L) % 24").as("hod"),
+        round(col("value") * 100).cast("bigint").as("c"))
+    val f = Graft.seasonalBaseline(ev, "event_type", "hod", "event_id", "c")
+      .collect().map(r => (r.getLong(0), r.getLong(6))).toSet
+    val q = SparkEntry.queries("ts9_seasonal_baseline")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(6))).toSet
+    assert(f == q && f.nonEmpty)
+  }
+
   test("winnowing facade: shared runs share a fingerprint, disjoint docs don't") {
     import spark.implicits._
     val sharedRun = "alpha beta gamma delta epsilon zeta eta theta"
