@@ -113,9 +113,14 @@ object ProductQuantizer {
       .select(col("qid"), col("sub"), col("cid"),
         (TextOps.qdot(col("qqs"), col("qqs"))
           - lit(2L) * TextOps.qdot(col("qqs"), col("c")) + col("cnn")).as("pd"))
-    val adist = codes
-      .join(broadcast(lut),
-        codes("sub") === lut("sub") && codes("code") === lut("cid"))
+    // explicit aliases: codes and lut share upstream lineage (both built
+    // from the prepared subvectors), so Dataset-column references here
+    // trip Spark's "trivially true equals predicate" warning while being
+    // resolved correctly via dataset-id disambiguation — the alias form
+    // is unambiguous and silent
+    val adist = codes.alias("pqc")
+      .join(broadcast(lut.alias("pql")),
+        col("pqc.sub") === col("pql.sub") && col("pqc.code") === col("pql.cid"))
       .groupBy(col("qid"), col("vec_id"))
       .agg(sum(col("pd")).as("adist"))
       .filter(col("qid") =!= col("vec_id"))
