@@ -437,6 +437,14 @@ object Graft {
   def bpeMerges(docs: DataFrame, rounds: Int = 3): DataFrame =
     queries.TextQueries.bpeTrainOn(docs, rounds)
 
+  /** BPE encode (the apply half of [[bpeMerges]]): replays the learned
+    * merge table over every word occurrence in round order and returns
+    * per-doc (n_words, n_bpe_tokens) — the token budget under the
+    * corpus's OWN learned tokenizer. Train side vocab-bounded; apply
+    * side one corpus-linear pass + a 1-row broadcast. */
+  def bpeEncode(docs: DataFrame, rounds: Int = 3): DataFrame =
+    queries.TextQueries.bpeEncodeOn(docs, rounds)
+
   /** Radius (range) similarity search: every corpus vector within
     * `threshold` cosine of each query vector (vec_id < nQueries), via
     * bipartite banded sign-LSH — the query band table broadcasts, the

@@ -488,7 +488,9 @@ object TextQueries {
     }
     merges.reduce(_ unionAll _)
   }
-  private val bpeTrainSql = {
+  /** The v0..b_R..v_R CTE chain shared by the train (t13) and encode
+    * (t15) oracles. */
+  private def bpeCtes: String = {
     val bigrams = "list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])"
     def round(r: Int) =
       s"""p$r AS (
@@ -501,15 +503,63 @@ object TextQueries {
          |v$r AS (SELECT cnt,
          |    replace(s, (SELECT pair FROM b$r), (SELECT merged FROM b$r)) AS s
          |  FROM v${r - 1})""".stripMargin
-    s"""WITH v0 AS (
+    s"""v0 AS (
        |  SELECT CAST(COUNT(1) AS BIGINT) AS cnt,
        |    trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS s
        |  FROM (SELECT unnest(${TextOps.tokensSql("text")}) AS word
        |        FROM documents)
        |  GROUP BY word),
-       |${(1 to BpeRounds).map(round).mkString(",\n")}
+       |${(1 to BpeRounds).map(round).mkString(",\n")}""".stripMargin
+  }
+  private val bpeTrainSql =
+    s"""WITH $bpeCtes
        |SELECT CAST(round AS BIGINT) AS round, pair, merged, n
        |FROM (${(1 to BpeRounds).map(r => s"SELECT * FROM b$r").mkString(" UNION ALL ")})""".stripMargin
+
+  // ---- t15: BPE encode — the APPLY half of the tokenizer pair: the
+  // t13 merge table, pivoted to one broadcast row, replayed over every
+  // word occurrence in round order (later merges compose with earlier
+  // ones — "lo w" only exists after "l o" fired). Output is the per-doc
+  // BPE symbol count next to the word count — the token-budget number a
+  // pipeline actually bills by, under ITS OWN learned tokenizer rather
+  // than t3's fixed heuristics. Shape: the train side is vocab-bounded
+  // (t13), the apply side is one corpus-linear explode + a 1-row
+  // broadcast + per-row literal replaces — zero extra shuffles beyond
+  // the final per-doc rollup.
+  private[graft] def bpeEncodeOn(docs: DataFrame,
+      rounds: Int = BpeRounds): DataFrame = {
+    val merges = bpeTrainOn(docs, rounds)
+    val aggs = (1 to rounds).map(r =>
+      max(when(col("round") === r, col("pair"))).as(s"p$r"))
+    val mRow = merges.groupBy().agg(aggs.head, aggs.tail: _*)
+    val applied = (1 to rounds).foldLeft(
+      "trim(regexp_replace(word, '(.)', '$1 '))") { (acc, r) =>
+      s"replace($acc, p$r, replace(p$r, ' ', ''))"
+    }
+    docs
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("word"))
+      .crossJoin(broadcast(mRow))
+      .select(col("doc_id"), expr(applied).as("s"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(size(split(col("s"), " "))).cast("bigint").as("n_bpe_tokens"))
+  }
+  private val bpeEncodeSql = {
+    val applied = (1 to BpeRounds).foldLeft(
+      "trim(regexp_replace(word, '(.)', '\\1 ', 'g'))") { (acc, r) =>
+      s"replace($acc, p$r, replace(p$r, ' ', ''))"
+    }
+    s"""WITH $bpeCtes,
+       |m AS (SELECT
+       |    ${(1 to BpeRounds).map(r =>
+              s"MAX(CASE WHEN round = $r THEN pair END) AS p$r").mkString(",\n    ")}
+       |  FROM (${(1 to BpeRounds).map(r => s"SELECT round, pair FROM b$r").mkString(" UNION ALL ")})),
+       |w AS (SELECT doc_id, unnest(${TextOps.tokensSql("text")}) AS word
+       |      FROM documents)
+       |SELECT doc_id, COUNT(1) AS n_words,
+       |  CAST(SUM(len(string_split($applied, ' '))) AS BIGINT) AS n_bpe_tokens
+       |FROM w CROSS JOIN m
+       |GROUP BY doc_id""".stripMargin
   }
 
   // ---- t14: winnowing fingerprints (Schleimer et al. 2003 — the MOSS
@@ -573,5 +623,7 @@ object TextQueries {
     Q("t13_bpe_train", (s, d) => bpeTrainOn(Tables.documents(s, d)),
       Some(bpeTrainSql)),
     Q("t14_winnowing", (s, d) => winnowOn(Tables.documents(s, d)),
-      Some(winnowSql)))
+      Some(winnowSql)),
+    Q("t15_bpe_encode", (s, d) => bpeEncodeOn(Tables.documents(s, d)),
+      Some(bpeEncodeSql)))
 }

@@ -337,6 +337,16 @@ class GraftFacadeSpec extends AnyFunSuite {
     val viaF = Graft.bpeMerges(Tables.documents(spark, sf))
       .collect().map(r => (r.getLong(0), r.getString(2))).toSet
     assert(viaF == viaQ && viaF.size == 3)
+    // encode on the tiny vocab: after merging to "low", the words become
+    // low=1 symbol, lower=3 (low e r), lowest=4 (low e s t) → doc totals
+    val enc = Graft.bpeEncode(docs, rounds = 2).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).head
+    assert(enc == ((6L, 3L * 1 + 2L * 3 + 4L)), s"encode totals: $enc")
+    val encF = Graft.bpeEncode(Tables.documents(spark, sf)).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val encQ = SparkEntry.queries("t15_bpe_encode")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(encF == encQ && encF.nonEmpty)
   }
 
   test("seasonalBaseline facade matches the gated query and a hand bucket") {
