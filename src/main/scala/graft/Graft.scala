@@ -9,7 +9,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * pipeline is oracle- or property-gated (see SparkEntry / the test
   * suites).
   *
-  * The full declared surface — 89 oracle-gated queries over the
+  * The full declared surface — 110 oracle-gated queries over the
   * reference parity ops, TPC-H-shaped relational coverage, time-series,
   * text analysis, multimodal and streaming families — is enumerated in
   * [[SparkEntry.queries]]; this facade exposes the operations with a
@@ -399,6 +399,48 @@ object Graft {
     * each triangle enumerated once — never an all-pairs product. */
   def triangleCounts(pairs: DataFrame): DataFrame =
     queries.DedupQueries.triangleCounts(pairs)
+
+  /** Deterministic synchronous label-propagation communities over an
+    * undirected edge list (each edge once, no self-loops): every node
+    * starts as its own label; each fixed round adopts the
+    * neighbor-majority label (min-label tie-break). Partitions each
+    * connected component into its dense sub-communities — duplication
+    * clusters vs template hubs. 2 shuffles per round, linear in |E|;
+    * returns (id, community). The result is cached; unpersist when
+    * done. */
+  def labelCommunities(pairs: DataFrame, rounds: Int = 3): DataFrame =
+    operators.LabelProp.propagate(pairs, rounds)
+
+  /** Z-order (Morton) layout keys for multi-dimensional file
+    * clustering: each axis is rank-equalized into 2^16 buckets
+    * (exact DistributedRank — skew-proof, no single-sorter window),
+    * the two bucket ids bit-interleaved into a 32-bit `zkey` (x on odd
+    * bits), plus `zshard` = the top-6-bit grid cell (64 balanced
+    * shards). Sort-or-partition files by zkey and row-group zone maps
+    * prune on EITHER axis's predicate, not just the sort leader's.
+    * Input needs (idCol, xCol, yCol) with numeric axes; returns
+    * (idCol, zkey, zshard). */
+  def zorderKeys(df: DataFrame, idCol: String, xCol: String,
+      yCol: String, rowBound: Long = -1L): DataFrame =
+    queries.PipelineQueries.zorderOn(df, idCol, xCol, yCol, rowBound)
+
+  /** Exact discrete rolling median per key over the trailing
+    * `window`-row frame (lower middle element — integer-exact, robust
+    * to the single-spike outliers that saturate a rolling mean).
+    * Input needs an integer value column (e.g. cents); one shuffle on
+    * the key, O(w log w) per row. Returns (keyCol, idCol, c, med_c). */
+  def rollingMedian(df: DataFrame, keyCol: String, idCol: String,
+      tsCol: String, centsCol: String, window: Int = 7): DataFrame =
+    queries.TimeSeriesQueries.rollingMedianOn(
+      df, keyCol, idCol, tsCol, centsCol, window)
+
+  /** Unicode NFC canonicalization of a string column via the native
+    * codegen'd [[graft.functions.NfcNormalize]] (JDK UAX #15 canonical
+    * composition; NFC, not NFKC — safe before hashing). Run it on text
+    * BEFORE fingerprinting/dedup so precomposed and decomposed
+    * encodings of the same visible text hash identically. */
+  def nfcNormalize(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    functions.NfcNormalize(text)
 
   /** CUSUM change-point detection per key: the classic Page statistic
     * computed via its prefix-min closed form (two running-frame window

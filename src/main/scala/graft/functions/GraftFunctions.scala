@@ -109,7 +109,8 @@ object GraftFunctions {
   private val nativeFunctions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "long_array_dot" -> (exprs => LongArrayDot(exprs(0), exprs(1))),
     "graft_hash60" -> (exprs => hash60Expr(exprs.head)),
-    "word_shingles" -> (exprs => wordShinglesBuilder(exprs)))
+    "word_shingles" -> (exprs => wordShinglesBuilder(exprs)),
+    "nfc_normalize" -> (exprs => NfcNormalize(exprs.head)))
 
   private[functions] val functions: Seq[(String, Seq[Expression] => Expression)] =
     nativeFunctions ++ chAliases

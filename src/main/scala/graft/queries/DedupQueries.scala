@@ -1359,6 +1359,26 @@ object DedupQueries {
        |SELECT deg.id, deg.deg, COALESCE(tpn.n_tri, 0) AS n_tri
        |FROM deg LEFT JOIN tpn ON tpn.id = deg.id""".stripMargin
 
+  // ---- p3: label-propagation communities over the near-dup graph —
+  // the third graph-analytics lens (d7 components: reachability; p2
+  // triangles: per-node density score; p3: an actual PARTITION of each
+  // component into its dense sub-communities — which docs belong to the
+  // same duplication cluster vs merely hang off a shared template hub).
+  // Deterministic synchronous LPA, fixed rounds, min-label tie-break —
+  // see operators.LabelProp for the exactness + scale contract.
+  private val LpRounds = 3
+  private def labelProp(s: SparkSession, d: String): DataFrame =
+    graft.operators.LabelProp.propagate(
+      jaccardPairs(Tables.documents(s, d))
+        .select(col("doc_a"), col("doc_b")), LpRounds)
+  private def labelPropSql =
+    s"""WITH pairs AS ($jaccardPairsSql),
+       |edges AS (
+       |  SELECT doc_a AS u, doc_b AS v FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |${graft.operators.LabelProp.sqlCtes(LpRounds)}
+       |SELECT id, lab AS community FROM l$LpRounds""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("d1_exact_dedup", (s, d) => exactDedup(Tables.documents(s, d)),
       Some(exactDedupSql)),
@@ -1388,6 +1408,7 @@ object DedupQueries {
     Q("d18_url_dedup", (s, d) => urlDedupOn(Tables.documents(s, d)),
       Some(urlDedupSql)),
     Q("p2_triangles", triangles, Some(trianglesSql)),
+    Q("p3_label_prop", labelProp, Some(labelPropSql)),
     Q("d16_cross_dedup",
       (s, d) => {
         val docs = Tables.documents(s, d)

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -453,6 +453,94 @@ object PipelineQueries {
         expr(s"(rn - 1) div $shardSize").as("shard"),
         expr(s"(rn - 1) % $shardSize").as("pos"))
   }
+  // ---- q52: Z-order layout keys — the compactor's multi-dimensional
+  // file-clustering step. The reference sorts output files on time alone
+  // (kompactor.ts:107 ORDER BY time), which makes time-range pruning
+  // perfect and series pruning useless: a one-series query still touches
+  // every file of the window. Interleaving the bits of BOTH axes
+  // (Morton/Z-order — the layout InfluxDB-class stores and lakehouse
+  // OPTIMIZE commands use) gives every file a tight min/max on time AND
+  // series hash, so row-group zone maps prune on either predicate.
+  //
+  // Raw-value interleave is skew-fragile (a hot hour or hot series
+  // collapses one axis's bits to a constant prefix); the standard fix is
+  // RANK equalization: each dimension is mapped to its exact global rank
+  // scaled into 2^16 buckets — both axes uniform by construction — and
+  // the two 16-bit bucket ids are bit-interleaved into a 32-bit zkey
+  // (time on odd bits). Ranks come from operators.DistributedRank (one
+  // data shuffle per axis, no single-sorter window at any size); the
+  // spread/interleave itself is the classic 4-step mask-shift sequence,
+  // pure per-row int64 codegen in Spark and the identical arithmetic in
+  // the oracle. zshard = the top 6 zkey bits — 64 balanced grid cells
+  // (each ~n/64 rows because both axes are rank-uniform), the unit a
+  // compactor would write as one file. Scale: two exact-rank shuffles +
+  // per-row bit math — nothing wider than the data, no skew sensitivity.
+  private val ZShardBits = 6
+  /** 16-bit value → its bits at even positions of a 32-bit word
+    * (Morton spread): the (x | x<<s) & mask cascade for s = 8,4,2,1. */
+  private def spread16(c0: Column): Column = {
+    val steps = Seq(8 -> 0x00FF00FFL, 4 -> 0x0F0F0F0FL,
+      2 -> 0x33333333L, 1 -> 0x55555555L)
+    steps.foldLeft(c0.bitwiseAND(lit(0xFFFFL))) { case (c, (sh, m)) =>
+      c.bitwiseOR(shiftleft(c, sh)).bitwiseAND(lit(m))
+    }
+  }
+  private def spread16Sql(e: String): String = {
+    val steps = Seq(8 -> 0x00FF00FFL, 4 -> 0x0F0F0F0FL,
+      2 -> 0x33333333L, 1 -> 0x55555555L)
+    steps.foldLeft(s"($e & 65535)") { case (c, (sh, m)) =>
+      s"(($c | ($c << $sh)) & $m)"
+    }
+  }
+  /** Z-order keys for a generic (id, x, y) frame: exact global rank per
+    * axis → 16-bit equalized buckets → interleaved 32-bit zkey + its
+    * top-[[ZShardBits]] grid shard. Output: (idCol, zkey, zshard). */
+  private[graft] def zorderOn(df: DataFrame, idCol: String, xCol: String,
+      yCol: String, rowBound: Long = -1L): DataFrame = {
+    val e = df.select(col(idCol), col(xCol).as("zx"), col(yCol).as("zy"))
+    val xr = graft.operators.DistributedRank.withRowNumber(
+      e, Seq.empty, Seq(col("zx"), col(idCol)), col("zx"), "xrn",
+      rowBound = rowBound)
+    val yr = graft.operators.DistributedRank.withRowNumber(
+      xr, Seq.empty, Seq(col("zy"), col(idCol)), col("zy"), "yrn",
+      rowBound = rowBound)
+    val nRow = e.agg(count(lit(1)).as("n_rows"))
+    yr.crossJoin(broadcast(nRow))
+      .select(col(idCol),
+        expr("((xrn - 1) * 65536) div n_rows").as("xb"),
+        expr("((yrn - 1) * 65536) div n_rows").as("yb"))
+      .select(col(idCol),
+        shiftleft(spread16(col("xb")), 1).bitwiseOR(spread16(col("yb")))
+          .as("zkey"))
+      .select(col(idCol), col("zkey"),
+        shiftright(col("zkey"), 32 - ZShardBits).as("zshard"))
+  }
+  private def zorderLayout(s: SparkSession, d: String): DataFrame =
+    zorderOn(
+      Tables.events(s, d).select(col("event_id"),
+        expr("ts_ns div 1000").as("ts_us"),
+        XHash.hash60(concat(lit("z:"), col("user_id").cast("string"),
+          lit("/"), col("event_type"))).as("series_h")),
+      "event_id", "ts_us", "series_h")
+  private val zorderLayoutSql = {
+    val sh = XHash.hash60Sql(
+      "('z:' || CAST(user_id AS VARCHAR) || '/' || event_type)")
+    s"""WITH e AS (SELECT event_id, epoch_us(ts) AS ts_us, $sh AS series_h
+       |  FROM events),
+       |n AS (SELECT COUNT(*) AS n_rows FROM e),
+       |r AS (SELECT event_id,
+       |    row_number() OVER (ORDER BY ts_us, event_id) - 1 AS xr,
+       |    row_number() OVER (ORDER BY series_h, event_id) - 1 AS yr
+       |  FROM e),
+       |b AS (SELECT event_id, (xr * 65536) // n_rows AS xb,
+       |    (yr * 65536) // n_rows AS yb FROM r, n),
+       |z AS (SELECT event_id,
+       |    ((${spread16Sql("xb")} << 1) | ${spread16Sql("yb")}) AS zkey
+       |  FROM b)
+       |SELECT event_id, zkey, zkey >> ${32 - ZShardBits} AS zshard
+       |FROM z""".stripMargin
+  }
+
   private val shardShuffleSql =
     s"""WITH h AS (SELECT doc_id,
        |    ${XHash.hash60Sql("('shuf:' || CAST(doc_id AS VARCHAR))")} AS hk
@@ -478,5 +566,6 @@ object PipelineQueries {
       Some(bloomDecontamSql)),
     Q("q50_heavy_hitters", heavyHitters, Some(heavyHittersSql)),
     Q("q51_countmin", countMin, Some(countMinSql)),
+    Q("q52_zorder_layout", zorderLayout, Some(zorderLayoutSql)),
     Q("q53_shard_shuffle", shardShuffle, Some(shardShuffleSql)))
 }

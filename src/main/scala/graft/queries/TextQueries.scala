@@ -607,6 +607,52 @@ object TextQueries {
        |FROM w""".stripMargin
   }
 
+  // ---- t16: Unicode NFC canonicalization — crawl-pipeline stage 0 for
+  // TEXT the way d18 is for URLs: the same visible string arrives both
+  // precomposed (U+00E9 "é") and decomposed (U+0065 U+0301 "e"+◌́ )
+  // across sources, and every byte-level fingerprint downstream (t5, d1,
+  // the d2 shingles) treats them as distinct documents unless composed
+  // first. The engine side is the native codegen'd
+  // [[graft.functions.NfcNormalize]] (JDK UAX #15 canonical
+  // composition); the oracle replays DuckDB's nfc_normalize — same
+  // form, byte-identical output, gated through the post-normalization
+  // fingerprint. The corpus ships ASCII-only text, so — t7/d18
+  // injection precedent — each doc gets a deterministic decoration by
+  // doc_id: three decomposed combining sequences that NFC must compose
+  // (é Å ö) and the U+FB01 ﬁ ligature that NFC must NOT touch
+  // (compatibility folding is NFKC — the ligature case pins the form).
+  // Per-row scalar, zero shuffles; `changed`/length deltas make the
+  // composition visible, the fp hash makes it exact.
+  private[graft] def nfcNormalizeOn(docs: DataFrame): DataFrame = {
+    import graft.functions.XHash
+    // decomposed sequences (base + combining mark) spelled as escapes —
+    // NFC must COMPOSE these; the ligature stays (it is NFKC's job)
+    val variant = when(col("doc_id") % 4 === 0, lit("e\u0301"))
+      .when(col("doc_id") % 4 === 1, lit("A\u030A"))
+      .when(col("doc_id") % 4 === 2, lit("o\u0308"))
+      .otherwise(lit("\uFB01"))
+    val decorated = concat(substring(col("text"), 1, 40), lit(" x"), variant)
+    docs.select(col("doc_id"), decorated.as("raw"))
+      .withColumn("norm", graft.functions.NfcNormalize(col("raw")))
+      .select(col("doc_id"),
+        length(col("raw")).cast("bigint").as("raw_len"),
+        length(col("norm")).cast("bigint").as("nfc_len"),
+        (col("norm") =!= col("raw")).as("changed"),
+        XHash.hash60(col("norm")).as("fp"))
+  }
+  private val nfcNormalizeSql = {
+    import graft.functions.XHash
+    val variant = "CASE doc_id % 4 WHEN 0 THEN 'e' || chr(769) " +
+      "WHEN 1 THEN 'A' || chr(778) WHEN 2 THEN 'o' || chr(776) " +
+      "ELSE chr(64257) END"
+    s"""WITH r AS (SELECT doc_id,
+       |    substr(text, 1, 40) || ' x' || $variant AS raw FROM documents),
+       |n AS (SELECT doc_id, raw, nfc_normalize(raw) AS norm FROM r)
+       |SELECT doc_id, length(raw) AS raw_len, length(norm) AS nfc_len,
+       |  norm <> raw AS changed, ${XHash.hash60Sql("norm")} AS fp
+       |FROM n""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("t1_text_stats", textStats, Some(textStatsSql)),
     Q("t2_quality_score", qualityScore, Some(qualityScoreSql)),
@@ -625,5 +671,7 @@ object TextQueries {
     Q("t14_winnowing", (s, d) => winnowOn(Tables.documents(s, d)),
       Some(winnowSql)),
     Q("t15_bpe_encode", (s, d) => bpeEncodeOn(Tables.documents(s, d)),
-      Some(bpeEncodeSql)))
+      Some(bpeEncodeSql)),
+    Q("t16_nfc_normalize", (s, d) => nfcNormalizeOn(Tables.documents(s, d)),
+      Some(nfcNormalizeSql)))
 }

@@ -59,6 +59,23 @@ object TimeSeriesQueries {
         (col("c") * col("n_b") * 10 > col("sum_b") * 11).as("is_high"))
   }
 
+  /** ts10's rolling-median core on a generic (key, id, ts, cents) frame:
+    * the exact discrete median (lower middle element) of the trailing
+    * `window`-row frame — collect the bounded frame, sort, index
+    * (n+1) div 2. O(w log w) per row with constant w, one shuffle on the
+    * key, one sorted pass per key. */
+  private[graft] def rollingMedianOn(df: org.apache.spark.sql.DataFrame,
+      keyCol: String, idCol: String, tsCol: String, centsCol: String,
+      window: Int = 7): org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(idCol)).rowsBetween(-(window - 1), 0)
+    df.select(col(keyCol), col(idCol), col(tsCol), col(centsCol).as("c"))
+      .withColumn("frame", sort_array(collect_list(col("c")).over(w)))
+      .select(col(keyCol), col(idCol), col("c"),
+        expr("element_at(frame, CAST((size(frame) + 1) div 2 AS INT))")
+          .as("med_c"))
+  }
+
   // ts6 fixed slice bounds: Jan 8 00:00 – Jan 10 00:00 UTC 2024 (~2/30 of
   // every SF's Jan-2024 span), ns since epoch
   private val SliceLoNs = 1704672000L * 1000000000L
@@ -487,5 +504,35 @@ object TimeSeriesQueries {
               |       ELSE CAST(pv AS DOUBLE)
               |         + CAST((nv - pv) * (bucket - pb) AS DOUBLE)
               |           / CAST(nb - pb AS DOUBLE) END AS v_interp
-              |FROM j""".stripMargin)))
+              |FROM j""".stripMargin)),
+
+    // ---- Rolling median (ts10): per user, the EXACT discrete median of
+    // the trailing-7-event frame — the robust-statistics anomaly lens
+    // next to ts4's mean/σ (a single spike saturates a 7-row mean but
+    // moves this median not at all). Median is not decomposable, so no
+    // engine has a native windowed median over arbitrary frames that is
+    // also cross-engine exact on doubles; on exact int64 cents the
+    // DISCRETE median (lower middle element) is well-defined and
+    // bit-identical everywhere. Spark side: collect the bounded frame as
+    // an array, sort, index the lower middle — O(w log w) per row with
+    // w = 7 constant, so linear end-to-end, one shuffle on user_id, one
+    // sorted pass per key (same cost class as ts4). DuckDB oracle:
+    // quantile_disc(c, 0.5) over the same frame — its discrete quantile
+    // picks sorted position floor((n−1)/2) (0-indexed), which equals
+    // element_at(sorted, (n+1) div 2) (1-indexed) for every frame
+    // length, verified for n = 1..7.
+    Q(
+      "ts10_rolling_median",
+      (s, d) => rollingMedianOn(
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_id"),
+            expr("ts_ns div 1000").as("ts_us"),
+            round(col("value") * 100).cast("bigint").as("c")),
+        "user_id", "event_id", "ts_us", "c"),
+      Some("""SELECT user_id, event_id,
+             |  CAST(round(value * 100) AS BIGINT) AS c,
+             |  quantile_disc(CAST(round(value * 100) AS BIGINT), 0.5) OVER (
+             |    PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS med_c
+             |FROM events""".stripMargin)))
 }

@@ -369,6 +369,49 @@ class PlanQualitySpec extends AnyFunSuite {
       s"triangle enumeration must be equi-joins, never all-pairs:\n$p")
   }
 
+  test("p3 label prop: equi-joins only; the per-node argmax is a hash " +
+      "aggregate, not a sort window") {
+    // the registered query materializes+caches (its plan is an
+    // InMemoryTableScan); inspect the unmaterialized pipeline instead
+    val pairs = DedupQueries.jaccardPairs(
+      graft.Tables.documents(spark, sf))
+      .select(org.apache.spark.sql.functions.col("doc_a"),
+        org.apache.spark.sql.functions.col("doc_b"))
+    val p = graft.operators.LabelProp.unmaterialized(pairs, 3)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"label rounds must be equi-joins, never all-pairs:\n$p")
+    assert(!p.contains("Window"),
+      s"majority pick must be max_by hash-agg, not a per-node sort window:\n$p")
+  }
+
+  test("q52 z-order: no all-pairs join; the interleave is pure per-row math") {
+    val p = plan("q52_zorder_layout")
+    assert(!p.contains("CartesianProduct"),
+      s"only the 1-row count may cross the pipeline (broadcast):\n$p")
+    // the bit cascade must be native codegen'd expressions (shiftleft/&),
+    // never a UDF ("AdaptiveSparkPlan isFinalPlan=false" hides the
+    // WholeStageCodegen spans pre-execution, so assert the expressions)
+    assert(p.contains("shiftleft(") && !p.contains("UDF"),
+      s"interleave must be native bit math:\n$p")
+  }
+
+  test("ts10 rolling median plans one shuffle by user; bounded frame only") {
+    val p = plan("ts10_rolling_median")
+    val exchanges = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"expected exactly one shuffle (by user_id):\n$p")
+    assert(!p.contains("UnboundedFollowing"),
+      s"median frame is trailing-bounded, never backward-rescanning:\n$p")
+  }
+
+  test("t16 nfc normalize is one scan with zero shuffles (scalar pipeline)") {
+    val p = plan("t16_nfc_normalize")
+    assert(!p.contains("Exchange"), s"normalization must not shuffle:\n$p")
+    assert(p.toLowerCase.contains("nfc_normalize"),
+      s"the native expression should appear in the plan:\n$p")
+  }
+
   test("t13 BPE: every per-round argmax is a top-1, never a global sort") {
     val p = plan("t13_bpe_train")
     assert(p.contains("TakeOrderedAndProject"),
