@@ -424,6 +424,18 @@ object Graft {
       yCol: String, rowBound: Long = -1L): DataFrame =
     queries.PipelineQueries.zorderOn(df, idCol, xCol, yCol, rowBound)
 
+  /** Write a DataFrame as z-ordered parquet files (each file one tight
+    * curve segment, so row-group zone maps bound BOTH layout axes —
+    * LayoutPruningSpec measures a one-series probe skipping most files
+    * where a time-sorted layout reads all of them). Same shuffle cost
+    * class as a time-sorted write: two exact-rank passes + one range
+    * exchange. */
+  def writeZOrdered(df: DataFrame, idCol: String, xCol: String,
+      yCol: String, outDir: String, numFiles: Int = 64,
+      rowBound: Long = -1L): Unit =
+    operators.Layout.writeZOrdered(df, idCol, xCol, yCol, outDir,
+      numFiles, rowBound)
+
   /** Exact discrete rolling median per key over the trailing
     * `window`-row frame (lower middle element — integer-exact, robust
     * to the single-spike outliers that saturate a rolling mean).
@@ -433,6 +445,25 @@ object Graft {
       tsCol: String, centsCol: String, window: Int = 7): DataFrame =
     queries.TimeSeriesQueries.rollingMedianOn(
       df, keyCol, idCol, tsCol, centsCol, window)
+
+  /** Per-key lag-1/lag-2 sample autocorrelation of an integer series —
+    * the memory/seasonality detector (trend-following keys show acf1
+    * near 1, alternating keys near −1, noise near 0). Exact
+    * count-scaled-residual arithmetic (no mean division) widened to
+    * decimals, one shuffle by key. Input needs an integer value column
+    * (e.g. cents); returns (keyCol, n, acf1, acf2). */
+  def autocorrelation(df: DataFrame, keyCol: String, idCol: String,
+      tsCol: String, centsCol: String): DataFrame =
+    queries.TimeSeriesQueries.autocorrOn(df, keyCol, idCol, tsCol, centsCol)
+
+  /** Deterministic T5-style span-corruption masks per document: ~5% of
+    * token positions start a 2–4 token span (overlaps merge), every
+    * decision a pure function of (doc_id, position) via the
+    * cross-engine hash — byte-stable masks across engines, runs, and
+    * cluster sizes. Per-row array arithmetic, zero shuffles; returns
+    * (doc_id, n_tokens, n_masked, mask_fp). Requires (doc_id, text). */
+  def spanCorruptionMasks(docs: DataFrame): DataFrame =
+    queries.PipelineQueries.spanCorruptionOn(docs)
 
   /** Unicode NFC canonicalization of a string column via the native
     * codegen'd [[graft.functions.NfcNormalize]] (JDK UAX #15 canonical

@@ -227,6 +227,16 @@ object ScaleReport {
     val p2Rows = graft.queries.DedupQueries.triangleCounts(pairsP)
     val p2Nodes = p2Rows.count()
     val p2Sec = (System.nanoTime() - tTri) / 1e9
+    // p3 label propagation over the same pinned pair set: wall covers
+    // 3 synchronous rounds (one labels-join + two hash-aggs each over
+    // the symmetrized |E|); community count is the structure evidence —
+    // independent replicas can only add communities, never merge them
+    val tLp = System.nanoTime()
+    val lpOut = graft.operators.LabelProp.propagate(pairsP, 3)
+    val p3Nodes = lpOut.count()
+    val p3Comms = lpOut.select(col("community")).distinct().count()
+    val p3Sec = (System.nanoTime() - tLp) / 1e9
+    lpOut.unpersist()
     pairsP.unpersist()
     spark.catalog.clearCache()
     val d5prodCand = graft.queries.DedupQueries
@@ -381,6 +391,58 @@ object ScaleReport {
         (k, (System.nanoTime() - tCp) / 1e9)
       } else (-1L, -1.0)
     spark.catalog.clearCache()
+    // t16 NFC normalization: zero-shuffle scalar class (t7/d18 cousins);
+    // wall of the scan + normalize + hash, changed count = the injected
+    // 3-in-4 composition rate (exactly linear by construction)
+    val tNfc = System.nanoTime()
+    // the fp sum forces the hash column — a bare count would let
+    // Catalyst prune the normalize+hash work out of the measurement
+    val nfcRow = graft.queries.TextQueries.nfcNormalizeOn(docs)
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("changed"), 1L).otherwise(0L)).as("ch"),
+        sum(col("fp") % 1000L).as("force")).head()
+    val t16Sec = (System.nanoTime() - tNfc) / 1e9
+    val (t16Rows, t16Changed) = (nfcRow.getLong(0), nfcRow.getLong(1))
+    spark.catalog.clearCache()
+    // q52 z-order + ts10 rolling median over events (events-family
+    // fixtures only). q52's wall covers the two exact-rank passes + the
+    // per-row interleave; shard max/median population is the balance
+    // evidence (rank equalization must hold under the replicas' time
+    // offsets). ts10 is ts4's cost class: one shuffle by key, one
+    // bounded frame — wall + row count.
+    val (q52Rows, q52MaxPop, q52MedPop, q52Sec, ts10Rows, ts10Sec) =
+      if (Files.exists(Paths.get(s"$dir/events.parquet"))) {
+        val evBase = graft.Tables.events(spark, dir)
+        val nEv = evBase.count()
+        val zin = evBase.select(col("event_id"),
+          expr("ts_ns div 1000").as("ts_us"),
+          graft.functions.XHash.hash60(concat(lit("z:"),
+            col("user_id").cast("string"), lit("/"), col("event_type")))
+            .as("series_h"))
+        val tZ = System.nanoTime()
+        val zstats = graft.queries.PipelineQueries
+          .zorderOn(zin, "event_id", "ts_us", "series_h", rowBound = nEv)
+          .groupBy(col("zshard")).agg(count(lit(1)).as("pop"))
+          .agg(sum(col("pop")).as("n"), max(col("pop")).as("maxp"),
+            expr("CAST(percentile_approx(pop, 0.5) AS BIGINT)").as("medp"))
+          .head()
+        val zSec = (System.nanoTime() - tZ) / 1e9
+        spark.catalog.clearCache()
+        val med = evBase.select(col("user_id"), col("event_id"),
+          expr("ts_ns div 1000").as("ts_us"),
+          round(col("value") * 100).cast("bigint").as("c"))
+        val tM = System.nanoTime()
+        // sum the median column — a bare count would let Catalyst prune
+        // the whole window frame out of the measurement
+        val mRow = graft.queries.TimeSeriesQueries
+          .rollingMedianOn(med, "user_id", "event_id", "ts_us", "c")
+          .agg(count(lit(1)).as("n"), sum(col("med_c")).as("force")).head()
+        val mRows = mRow.getLong(0)
+        val mSec = (System.nanoTime() - tM) / 1e9
+        (zstats.getLong(0), zstats.getLong(1), zstats.getLong(2), zSec,
+          mRows, mSec)
+      } else (-1L, -1L, -1L, -1.0, -1L, -1.0)
+    spark.catalog.clearCache()
     val json =
       s"""{"dir":"$dir","documents":$nDocs,"embeddings":$nEmb,""" +
         s""""d11_candidates":$d11Cand,"d11_pairs":$d11Pairs,""" +
@@ -404,7 +466,14 @@ object ScaleReport {
         s""""t12_docs":$t12Docs,"t12_occ":$t12Occ,""" +
         s""""t12_sec":${"%.3f".formatLocal(java.util.Locale.ROOT, t12Sec)},""" +
         s""""d18_groups":$d18Groups,"d18_sec":${"%.3f".formatLocal(java.util.Locale.ROOT, d18Sec)},""" +
-        s""""ts8_keys":$ts8Keys,"ts8_sec":${"%.3f".formatLocal(java.util.Locale.ROOT, ts8Sec)}}"""
+        s""""ts8_keys":$ts8Keys,"ts8_sec":${"%.3f".formatLocal(java.util.Locale.ROOT, ts8Sec)},""" +
+        s""""p3_nodes":$p3Nodes,"p3_communities":$p3Comms,""" +
+        s""""p3_sec":${"%.3f".formatLocal(java.util.Locale.ROOT, p3Sec)},""" +
+        s""""t16_rows":$t16Rows,"t16_changed":$t16Changed,""" +
+        s""""t16_sec":${"%.3f".formatLocal(java.util.Locale.ROOT, t16Sec)},""" +
+        s""""q52_rows":$q52Rows,"q52_shard_max":$q52MaxPop,"q52_shard_median":$q52MedPop,""" +
+        s""""q52_sec":${"%.3f".formatLocal(java.util.Locale.ROOT, q52Sec)},""" +
+        s""""ts10_rows":$ts10Rows,"ts10_sec":${"%.3f".formatLocal(java.util.Locale.ROOT, ts10Sec)}}"""
     spark.stop()
     println(json)
   }

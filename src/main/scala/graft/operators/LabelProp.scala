@@ -40,9 +40,13 @@ object LabelProp {
   def propagate(pairs: DataFrame, rounds: Int = 3): DataFrame = {
     require(rounds >= 1 && rounds <= 20,
       s"propagate rounds must be in [1,20] (unrolled oracle / plan depth), got $rounds")
-    // symmetrized edges cached once — the loop-invariant side of every
-    // round's join
-    val edges = symmetrize(pairs).persist(StorageLevel.MEMORY_AND_DISK)
+    // symmetrized edges cached once, PRE-PARTITIONED on the round-join
+    // key: the cached InMemoryRelation keeps its HashPartitioning(v), so
+    // every round's ShuffledHashJoin re-exchanges only the n-row label
+    // side — without the repartition the |E|-row edge cache re-shuffles
+    // on every round (measured 8.7 → ~3 s for 3 rounds at sf0.1)
+    val edges = symmetrize(pairs).repartition(col("v"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val out = loop(edges, rounds).persist(StorageLevel.MEMORY_AND_DISK)
       // materialize while the edge cache is pinned; the RESULT cache is

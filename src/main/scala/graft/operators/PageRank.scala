@@ -52,6 +52,10 @@ object PageRank {
     // generation through lineage
     val contribEdges = edges.join(deg, "u")
       .select(col("u"), col("v"), col("deg"))
+      // pre-partitioned on the round-join key: the cache keeps its
+      // HashPartitioning(u), so each round's join re-exchanges only the
+      // n-row ranks side instead of re-shuffling the |E|-row edge cache
+      .repartition(col("u"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       var ranks = deg.select(col("u").as("id"), lit(Scale).as("rank"))

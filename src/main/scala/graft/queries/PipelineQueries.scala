@@ -496,24 +496,31 @@ object PipelineQueries {
     * axis → 16-bit equalized buckets → interleaved 32-bit zkey + its
     * top-[[ZShardBits]] grid shard. Output: (idCol, zkey, zshard). */
   private[graft] def zorderOn(df: DataFrame, idCol: String, xCol: String,
-      yCol: String, rowBound: Long = -1L): DataFrame = {
-    val e = df.select(col(idCol), col(xCol).as("zx"), col(yCol).as("zy"))
+      yCol: String, rowBound: Long = -1L): DataFrame =
+    zorderAnnotate(df.select(col(idCol), col(xCol), col(yCol)),
+      idCol, xCol, yCol, rowBound)
+      .select(col(idCol), col("zkey"), col("zshard"))
+
+  /** [[zorderOn]] keeping EVERY input column (plus zkey/zshard) — the
+    * write-path form: operators.Layout range-partitions the annotated
+    * rows on zkey so each output file is one tight curve segment. */
+  private[graft] def zorderAnnotate(df: DataFrame, idCol: String,
+      xCol: String, yCol: String, rowBound: Long = -1L): DataFrame = {
+    val e = df.withColumn("__zx", col(xCol)).withColumn("__zy", col(yCol))
     val xr = graft.operators.DistributedRank.withRowNumber(
-      e, Seq.empty, Seq(col("zx"), col(idCol)), col("zx"), "xrn",
+      e, Seq.empty, Seq(col("__zx"), col(idCol)), col("__zx"), "__xrn",
       rowBound = rowBound)
     val yr = graft.operators.DistributedRank.withRowNumber(
-      xr, Seq.empty, Seq(col("zy"), col(idCol)), col("zy"), "yrn",
+      xr, Seq.empty, Seq(col("__zy"), col(idCol)), col("__zy"), "__yrn",
       rowBound = rowBound)
-    val nRow = e.agg(count(lit(1)).as("n_rows"))
+    val nRow = e.agg(count(lit(1)).as("__n_rows"))
     yr.crossJoin(broadcast(nRow))
-      .select(col(idCol),
-        expr("((xrn - 1) * 65536) div n_rows").as("xb"),
-        expr("((yrn - 1) * 65536) div n_rows").as("yb"))
-      .select(col(idCol),
-        shiftleft(spread16(col("xb")), 1).bitwiseOR(spread16(col("yb")))
-          .as("zkey"))
-      .select(col(idCol), col("zkey"),
-        shiftright(col("zkey"), 32 - ZShardBits).as("zshard"))
+      .withColumn("__xb", expr("((__xrn - 1) * 65536) div __n_rows"))
+      .withColumn("__yb", expr("((__yrn - 1) * 65536) div __n_rows"))
+      .withColumn("zkey",
+        shiftleft(spread16(col("__xb")), 1).bitwiseOR(spread16(col("__yb"))))
+      .withColumn("zshard", shiftright(col("zkey"), 32 - ZShardBits))
+      .drop("__zx", "__zy", "__xrn", "__yrn", "__n_rows", "__xb", "__yb")
   }
   private def zorderLayout(s: SparkSession, d: String): DataFrame =
     zorderOn(
@@ -539,6 +546,80 @@ object PipelineQueries {
        |  FROM b)
        |SELECT event_id, zkey, zkey >> ${32 - ZShardBits} AS zshard
        |FROM z""".stripMargin
+  }
+
+  // ---- q54: deterministic span corruption — the denoising-objective
+  // mask a T5-style pretraining pipeline computes per document: ~5% of
+  // token positions start a corruption span of 2–4 tokens, overlapping
+  // spans merge, and the trainer later replaces each masked span with a
+  // sentinel. Everything is a pure function of (doc_id, position) via
+  // the cross-engine hash — reproducible masks across engines, runs,
+  // and cluster sizes, which is what makes training resumable and
+  // ablations comparable. A position p is masked iff some position
+  // p−d (d ∈ 0..3) starts a span longer than d — the bounded-lookback
+  // closed form of greedy span placement (max span 4), so the mask is
+  // per-row array arithmetic: hash each position once, test 4
+  // neighbors, no explode, no shuffle, no sequential scan. Output is
+  // aggregate-gated per doc: token/masked counts + the exact
+  // fingerprint of the masked-position list.
+  private def spanStartSql(h: String) = s"($h % 20 = 0)"
+  private[graft] def spanCorruptionOn(docs: DataFrame): DataFrame = {
+    val n = size(TextOps.tokens(col("text")))
+    val rng = when(n >= 1, sequence(lit(1), n)).otherwise(
+      lit(Array.emptyIntArray))
+    // one 60-bit hash per position: h(p) = hash60(doc_id ':' p)
+    val harr = transform(col("rng"), p =>
+      XHash.hash60(concat(col("doc_id").cast("string"), lit(":"),
+        p.cast("string"))))
+    // start(h) = h % 20 == 0; len(h) = 2 + (h % 60) div 20 ∈ {2,3,4}
+    // (h % 20 == 0 ⇒ h % 60 ∈ {0,20,40}). "len > d" reduces to the
+    // division-free modular test h % 60 ≥ 20·(d−1) — a 60-bit div would
+    // be inexact through doubles, these comparisons are exact
+    def maskedAt(p: Column): Column = (0 to 3).map { d =>
+      val q = p - lit(d)
+      val h = element_at(col("harr"), q.cast("int"))
+      val longEnough =
+        if (d < 2) lit(true) else h % 60 >= lit(20L * (d - 1))
+      q >= 1 && h % 20 === 0 && longEnough
+    }.reduce(_ || _)
+    docs.select(col("doc_id"), rng.as("rng"))
+      .withColumn("harr", harr)
+      .withColumn("mpos", filter(col("rng"), p => maskedAt(p)))
+      .select(col("doc_id"),
+        size(col("rng")).cast("bigint").as("n_tokens"),
+        size(col("mpos")).cast("bigint").as("n_masked"),
+        XHash.hash60(array_join(
+          transform(col("mpos"), _.cast("string")), ",")).as("mask_fp"))
+  }
+  private val spanCorruptionSql = {
+    val h = XHash.hash60Sql(
+      "(CAST(doc_id AS VARCHAR) || ':' || CAST(q AS VARCHAR))")
+    // harr is 1-based like the range list; DuckDB list indexing is
+    // 1-based too, so the d-lookback is harr[p - d]
+    val maskTerm = (0 to 3).map { d =>
+      val longEnough =
+        if (d < 2) "" else s" AND harr[p - $d] % 60 >= ${20 * (d - 1)}"
+      s"(p - $d >= 1 AND harr[p - $d] % 20 = 0$longEnough)"
+    }.mkString(" OR ")
+    s"""WITH t AS (
+       |  SELECT doc_id, range(1, len(${TextOps.tokensSql("text")}) + 1) AS rng
+       |  FROM documents),
+       |hh AS (
+       |  SELECT doc_id, rng,
+       |    list_transform(rng, q -> $h) AS harr
+       |  FROM t),
+       |m AS (
+       |  SELECT doc_id, rng,
+       |    list_filter(rng, p -> $maskTerm) AS mpos
+       |  FROM hh)
+       |SELECT doc_id, len(rng) AS n_tokens, len(mpos) AS n_masked,
+       |  ${XHash.hash60Sql(
+      // DuckDB array_to_string returns NULL (not '') on an empty list —
+      // unmasked docs must hash the empty string like the Spark side
+      "COALESCE(array_to_string(" +
+        "list_transform(mpos, x -> CAST(x AS VARCHAR)), ','), '')")}
+       |    AS mask_fp
+       |FROM m""".stripMargin
   }
 
   private val shardShuffleSql =
@@ -567,5 +648,8 @@ object PipelineQueries {
     Q("q50_heavy_hitters", heavyHitters, Some(heavyHittersSql)),
     Q("q51_countmin", countMin, Some(countMinSql)),
     Q("q52_zorder_layout", zorderLayout, Some(zorderLayoutSql)),
-    Q("q53_shard_shuffle", shardShuffle, Some(shardShuffleSql)))
+    Q("q53_shard_shuffle", shardShuffle, Some(shardShuffleSql)),
+    Q("q54_span_corruption",
+      (s, d) => spanCorruptionOn(Tables.documents(s, d)),
+      Some(spanCorruptionSql)))
 }

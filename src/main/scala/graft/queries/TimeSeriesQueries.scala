@@ -76,6 +76,43 @@ object TimeSeriesQueries {
           .as("med_c"))
   }
 
+  /** ts11's autocorrelation core on a generic (key, id, ts, cents)
+    * frame: lag-1/lag-2 sample ACF from count-scaled exact-integer
+    * residuals (r_n = c·n − S; the n² factors cancel so
+    * Σ r(i)·r(i−k) / Σ r² IS the textbook estimator). Products widen to
+    * DECIMAL before multiplying — int64 overflows at ~10⁶-row keys. */
+  private[graft] def autocorrOn(df: org.apache.spark.sql.DataFrame,
+      keyCol: String, idCol: String, tsCol: String,
+      centsCol: String): org.apache.spark.sql.DataFrame = {
+    val wAll = Window.partitionBy(col(keyCol))
+    val wLag = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(idCol))
+    // resid fits decimal(19,0) (|c·n − S| ≲ 10^10 at million-row
+    // keys); Spark then types the product decimal(38,0) — exact —
+    // where a (38,0)×(38,0) multiply would overflow-null instead
+    val dec = "decimal(19,0)"
+    df.select(col(keyCol), col(idCol), col(tsCol), col(centsCol).as("c"))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("s_c", sum(col("c")).over(wAll))
+      .withColumn("r0", (col("c") * col("n") - col("s_c")).cast(dec))
+      .withColumn("r1", lag(col("r0"), 1).over(wLag))
+      .withColumn("r2", lag(col("r0"), 2).over(wLag))
+      .groupBy(col(keyCol))
+      .agg(max(col("n")).as("n"),
+        sum(col("r0") * col("r0")).as("den"),
+        sum(when(col("r1").isNotNull, col("r0") * col("r1"))
+          .otherwise(lit(0))).as("num1"),
+        sum(when(col("r2").isNotNull, col("r0") * col("r2"))
+          .otherwise(lit(0))).as("num2"))
+      .select(col(keyCol), col("n"),
+        when(col("den") > 0,
+          col("num1").cast("double") / col("den").cast("double"))
+          .otherwise(lit(0.0)).as("acf1"),
+        when(col("den") > 0,
+          col("num2").cast("double") / col("den").cast("double"))
+          .otherwise(lit(0.0)).as("acf2"))
+  }
+
   // ts6 fixed slice bounds: Jan 8 00:00 – Jan 10 00:00 UTC 2024 (~2/30 of
   // every SF's Jan-2024 span), ns since epoch
   private val SliceLoNs = 1704672000L * 1000000000L
@@ -534,5 +571,61 @@ object TimeSeriesQueries {
              |  quantile_disc(CAST(round(value * 100) AS BIGINT), 0.5) OVER (
              |    PARTITION BY user_id ORDER BY epoch_us(ts), event_id
              |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS med_c
-             |FROM events""".stripMargin)))
+             |FROM events""".stripMargin)),
+
+    // ---- Autocorrelation (ts11): per key, the lag-1 and lag-2 sample
+    // autocorrelation of the cents series — the seasonality/memory
+    // detector that tells a monitoring engine whether ts7's EWMA (high
+    // positive ACF) or ts9's seasonal profile (oscillating ACF) is the
+    // right model for a series. ACF needs the per-key mean; dividing by
+    // it would leave engine-dependent doubles everywhere, so — ts9's
+    // trick, taken one step further — residuals are scaled by the key's
+    // row count: resid_n = c·n − S is an exact integer, and
+    // r_k = Σ resid_n(i)·resid_n(i−k) / Σ resid_n² equals the standard
+    // estimator exactly (the n² factors cancel). Products are widened to
+    // DECIMAL(38,0) BEFORE multiplying (int64 would overflow at
+    // ~10^6-row keys: (c·n)² ≈ 10²⁰); DuckDB's HUGEINT twin is likewise
+    // exact, and both engines produce the identical correctly-rounded
+    // double from the same exact integers — ONE IEEE division, no
+    // rounding functions. Shape: one shuffle by key; the partition-wide
+    // aggregates and both lag passes share the single sorted pass
+    // (ts8's plan class), then a per-key hash-agg.
+    Q(
+      "ts11_autocorr",
+      (s, d) => autocorrOn(
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_id"),
+            expr("ts_ns div 1000").as("ts_us"),
+            round(col("value") * 100).cast("bigint").as("c")),
+        "user_id", "event_id", "ts_us", "c"),
+      Some("""WITH e AS (
+             |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             |    CAST(round(value * 100) AS BIGINT) AS c
+             |  FROM events),
+             |f AS (
+             |  SELECT user_id, event_id, ts_us, c,
+             |    COUNT(1) OVER (PARTITION BY user_id) AS n,
+             |    CAST(SUM(c) OVER (PARTITION BY user_id) AS BIGINT) AS s_c
+             |  FROM e),
+             |r AS (
+             |  SELECT user_id, n,
+             |    CAST(c * n - s_c AS HUGEINT) AS r0,
+             |    lag(CAST(c * n - s_c AS HUGEINT), 1) OVER w AS r1,
+             |    lag(CAST(c * n - s_c AS HUGEINT), 2) OVER w AS r2
+             |  FROM f
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+             |a AS (
+             |  SELECT user_id, MAX(n) AS n,
+             |    SUM(r0 * r0) AS den,
+             |    SUM(CASE WHEN r1 IS NULL THEN 0 ELSE r0 * r1 END) AS num1,
+             |    SUM(CASE WHEN r2 IS NULL THEN 0 ELSE r0 * r2 END) AS num2
+             |  FROM r GROUP BY 1)
+             |SELECT user_id, n,
+             |  CASE WHEN den > 0
+             |    THEN CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE)
+             |    ELSE 0.0 END AS acf1,
+             |  CASE WHEN den > 0
+             |    THEN CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)
+             |    ELSE 0.0 END AS acf2
+             |FROM a""".stripMargin)))
 }

@@ -54,6 +54,35 @@ class ZorderSpec extends AnyFunSuite {
       "perfectly uniform grid must land 4096/64 rows in every shard")
   }
 
+  test("rank equalization is skew-proof on the MARGINALS: 90%-hot axes still split exactly") {
+    // 90% of rows share ONE x value (a hot hour) and a hot y value —
+    // raw-value interleave would collapse those axes' top bits to a
+    // constant (every hot row in one octile); rank equalization
+    // tie-breaks by id, so each axis still splits into EXACTLY n/8 per
+    // octile. (Joint balance additionally needs the axes decorrelated:
+    // here both hot blocks take their ranks from the SAME id order, so
+    // rows concentrate on the grid diagonal — real time×series axes
+    // don't share a tie-break; the corpus test below covers the joint
+    // claim.)
+    val n = 4096
+    val rows = (0 until n).map { i =>
+      val x = if (i % 10 != 0) 777L else i.toLong // 90% hot x
+      val y = if (i % 10 != 5) 999L else i * 31L  // 90% hot y
+      (i.toLong, x, y)
+    }
+    val zkeys = PipelineQueries.zorderOn(
+      rows.toDF("id", "x", "y"), "id", "x", "y", rowBound = n)
+      .collect().map(r => r.getLong(1))
+    def octiles(sel: Long => Long): Map[Long, Int] =
+      zkeys.map(z => sel(z) >> 13).groupBy(identity).view.mapValues(_.length).toMap
+    val xOct = octiles(z => unmorton(z)._1)
+    val yOct = octiles(z => unmorton(z)._2)
+    Seq(xOct, yOct).foreach { m =>
+      assert(m.size == 8 && m.values.forall(_ == n / 8),
+        s"rank-equalized marginals must split exactly: $m")
+    }
+  }
+
   test("q52 on the corpus: every shard spans <= 1/8 of BOTH axes") {
     val out = graft.SparkEntry.queries("q52_zorder_layout")(
       spark, "/root/testdata/sf0.001")

@@ -412,6 +412,20 @@ class PlanQualitySpec extends AnyFunSuite {
       s"the native expression should appear in the plan:\n$p")
   }
 
+  test("q54 span corruption runs with ZERO shuffles (per-row array math)") {
+    val p = plan("q54_span_corruption")
+    assert(!p.contains("Exchange"), s"mask derivation must not shuffle:\n$p")
+  }
+
+  test("ts11 autocorr plans one shuffle by key (windows + agg share it)") {
+    val p = plan("ts11_autocorr")
+    val exchanges = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"expected exactly one shuffle (by user_id):\n$p")
+    assert(!p.contains("UnboundedFollowing"),
+      s"no backward-rescanning frames (ts5 lesson):\n$p")
+  }
+
   test("t13 BPE: every per-round argmax is a top-1, never a global sort") {
     val p = plan("t13_bpe_train")
     assert(p.contains("TakeOrderedAndProject"),
