@@ -9,7 +9,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * pipeline is oracle- or property-gated (see SparkEntry / the test
   * suites).
   *
-  * The full declared surface — 110 oracle-gated queries over the
+  * The full declared surface — 115 oracle-gated queries over the
   * reference parity ops, TPC-H-shaped relational coverage, time-series,
   * text analysis, multimodal and streaming families — is enumerated in
   * [[SparkEntry.queries]]; this facade exposes the operations with a
@@ -455,6 +455,22 @@ object Graft {
   def autocorrelation(df: DataFrame, keyCol: String, idCol: String,
       tsCol: String, centsCol: String): DataFrame =
     queries.TimeSeriesQueries.autocorrOn(df, keyCol, idCol, tsCol, centsCol)
+
+  /** Unicode script composition per document (codepoint-range counts
+    * for Latin/digits/Cyrillic/CJK/Greek/Devanagari + the dominant
+    * script): the routing signal multilingual pipelines compute before
+    * lexicon langid. Per-row regexps, zero shuffles. Requires
+    * (doc_id, text). */
+  def scriptProfile(docs: DataFrame): DataFrame =
+    queries.TextQueries.scriptProfileOn(docs)
+
+  /** Maximum-inner-product top-k (MIPS — raw dot product, NOT cosine:
+    * on unnormalized embeddings a long vector can out-rank a
+    * better-aligned short one, which is the retrieval objective
+    * recommenders use). Exact int64 dots; query side broadcasts, the
+    * corpus never shuffles. Requires (vec_id, embedding). */
+  def mipsTopK(emb: DataFrame, nQueries: Int = 32, topK: Int = 3): DataFrame =
+    queries.SimilarityQueries.mipsTopK(emb, nQueries, topK)
 
   /** Deterministic T5-style span-corruption masks per document: ~5% of
     * token positions start a 2–4 token span (overlaps merge), every

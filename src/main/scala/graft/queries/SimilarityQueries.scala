@@ -683,6 +683,46 @@ object SimilarityQueries {
        |WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) >= $S6Theta""".stripMargin
   }
 
+  // ---- s7: maximum-inner-product search (MIPS) — the retrieval
+  // objective recommenders and learned-retrieval systems actually rank
+  // by: raw dot product, NOT cosine. On unnormalized embeddings the two
+  // orders genuinely differ (a long vector can out-dot a better-aligned
+  // short one), so this is a distinct semantic from s1, not a variant.
+  // Exact int64 dots over the quantized vectors — the score itself is
+  // hash-gated, no doubles anywhere. Same broadcast-query shape as s1:
+  // the corpus side never shuffles; per-query top-k with deterministic
+  // tie-break.
+  private[graft] def mipsTopK(emb: DataFrame, nQueries: Int = NQueries,
+      topK: Int = TopK): DataFrame = {
+    val e = emb.select(col("vec_id"), TextOps.quantize(col("embedding")).as("q"))
+    val queries = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"))
+    val scored = e.join(broadcast(queries), col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        TextOps.qdot(col("qq"), col("q")).as("dot"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dot").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w).cast("bigint"))
+      .filter(col("rk") <= topK)
+      .select(col("query_id"), col("neighbor_id"), col("rk"), col("dot"))
+  }
+  private val mipsTopKSql =
+    s"""WITH q AS (SELECT vec_id, ${TextOps.quantizeSql("embedding")} AS q FROM embeddings),
+       |e AS (SELECT vec_id, unnest(q) AS v, generate_subscripts(q, 1) AS i FROM q),
+       |dot AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |    CAST(SUM(a.v * b.v) AS BIGINT) AS dot
+       |  FROM e a JOIN e b ON a.i = b.i AND a.vec_id < $NQueries
+       |   AND b.vec_id <> a.vec_id
+       |  GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY dot DESC, neighbor_id) AS rk, dot
+       |  FROM dot)
+       |SELECT query_id, neighbor_id, rk, dot
+       |FROM ranked WHERE rk <= $TopK""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("s1_cosine_topk", (s, d) => cosineTopK(Tables.embeddings(s, d)),
       Some(cosineTopKSql)),
@@ -696,5 +736,7 @@ object SimilarityQueries {
       (s, d) => rangeSearchOn(Tables.embeddings(s, d),
         dim0 = Tables.EmbeddingDim),
       Some(rangeSearchSql)),
+    Q("s7_mips", (s, d) => mipsTopK(Tables.embeddings(s, d)),
+      Some(mipsTopKSql)),
     Q("d14_semantic_dedup", semanticDedup, Some(semanticDedupSql)))
 }

@@ -653,6 +653,58 @@ object TextQueries {
        |FROM n""".stripMargin
   }
 
+
+  // ---- t17: Unicode script profile -- the script-composition signal a
+  // multilingual crawl pipeline computes before langid proper (t4's
+  // marker lexicons only work once the text is known Latin-script;
+  // CJK/Cyrillic/Greek/Devanagari routing happens here first). Counts
+  // come from EXPLICIT codepoint-range character classes -- identical
+  // byte-for-byte in Java regex and RE2, where named script classes
+  // differ subtly between engines. The corpus is ASCII-only, so
+  // (t7/t16 precedent) docs get a deterministic foreign-script
+  // decoration by doc_id; the machinery under test -- per-row
+  // regexp_count over codepoint ranges + the argmax routing chain --
+  // is the real thing. Zero shuffles, one scan.
+  private[graft] def scriptProfileOn(docs: DataFrame): DataFrame = {
+    val inj = when(col("doc_id") % 5 === 1, lit(" \u041F\u0440\u0438\u0432\u0435\u0442 \u043C\u0438\u0440"))
+      .when(col("doc_id") % 5 === 2, lit(" \u4F60\u597D\u4E16\u754C"))
+      .when(col("doc_id") % 5 === 3, lit(" \u03B1\u03B2\u03B3 \u03B4\u03AD\u03BB\u03C4\u03B1"))
+      .when(col("doc_id") % 5 === 4, lit(" \u092E\u0930\u093E\u0920\u0940"))
+      .otherwise(lit(""))
+    val t = concat(col("text"), inj)
+    def cnt(rx: String) = regexp_count(t, lit(rx)).cast("bigint")
+    val scripts = Seq(
+      "cyrillic" -> cnt("[\u0400-\u04FF]"),
+      "cjk" -> cnt("[\u4E00-\u9FFF]"),
+      "greek" -> cnt("[\u0370-\u03FF]"),
+      "devanagari" -> cnt("[\u0900-\u097F]"))
+    val maxNonLatin = greatest(scripts.map(_._2): _*)
+    val main = scripts.reverse.foldLeft[Column](lit("latin")) {
+      case (acc, (name, c)) =>
+        when(c === maxNonLatin && maxNonLatin > 0, name).otherwise(acc)
+    }
+    docs.select(col("doc_id"),
+      cnt("[A-Za-z]").as("n_latin"), cnt("[0-9]").as("n_digit"),
+      scripts(0)._2.as("n_cyrillic"), scripts(1)._2.as("n_cjk"),
+      scripts(2)._2.as("n_greek"), scripts(3)._2.as("n_devanagari"),
+      main.as("main_script"))
+  }
+  private val scriptProfileSql =
+    """WITH u AS (SELECT doc_id, text || (CASE doc_id % 5 WHEN 1 THEN ' ' || chr(1055) || chr(1088) || chr(1080) || chr(1074) || chr(1077) || chr(1090) || chr(32) || chr(1084) || chr(1080) || chr(1088) WHEN 2 THEN ' ' || chr(20320) || chr(22909) || chr(19990) || chr(30028) WHEN 3 THEN ' ' || chr(945) || chr(946) || chr(947) || chr(32) || chr(948) || chr(941) || chr(955) || chr(964) || chr(945) WHEN 4 THEN ' ' || chr(2350) || chr(2352) || chr(2366) || chr(2336) || chr(2368) ELSE '' END) AS t FROM documents)
+       |SELECT doc_id,
+       |  len(regexp_extract_all(t, '[A-Za-z]')) AS n_latin,
+       |  len(regexp_extract_all(t, '[0-9]')) AS n_digit,
+       |  len(regexp_extract_all(t, '[' || chr(1024) || '-' || chr(1279) || ']')) AS n_cyrillic,
+       |  len(regexp_extract_all(t, '[' || chr(19968) || '-' || chr(40959) || ']')) AS n_cjk,
+       |  len(regexp_extract_all(t, '[' || chr(880) || '-' || chr(1023) || ']')) AS n_greek,
+       |  len(regexp_extract_all(t, '[' || chr(2304) || '-' || chr(2431) || ']')) AS n_devanagari,
+       |  CASE WHEN greatest(len(regexp_extract_all(t, '[' || chr(1024) || '-' || chr(1279) || ']')), len(regexp_extract_all(t, '[' || chr(19968) || '-' || chr(40959) || ']')), len(regexp_extract_all(t, '[' || chr(880) || '-' || chr(1023) || ']')), len(regexp_extract_all(t, '[' || chr(2304) || '-' || chr(2431) || ']'))) = 0 THEN 'latin'
+       |       WHEN len(regexp_extract_all(t, '[' || chr(1024) || '-' || chr(1279) || ']')) = greatest(len(regexp_extract_all(t, '[' || chr(1024) || '-' || chr(1279) || ']')), len(regexp_extract_all(t, '[' || chr(19968) || '-' || chr(40959) || ']')), len(regexp_extract_all(t, '[' || chr(880) || '-' || chr(1023) || ']')), len(regexp_extract_all(t, '[' || chr(2304) || '-' || chr(2431) || ']'))) THEN 'cyrillic'
+       |       WHEN len(regexp_extract_all(t, '[' || chr(19968) || '-' || chr(40959) || ']')) = greatest(len(regexp_extract_all(t, '[' || chr(1024) || '-' || chr(1279) || ']')), len(regexp_extract_all(t, '[' || chr(19968) || '-' || chr(40959) || ']')), len(regexp_extract_all(t, '[' || chr(880) || '-' || chr(1023) || ']')), len(regexp_extract_all(t, '[' || chr(2304) || '-' || chr(2431) || ']'))) THEN 'cjk'
+       |       WHEN len(regexp_extract_all(t, '[' || chr(880) || '-' || chr(1023) || ']')) = greatest(len(regexp_extract_all(t, '[' || chr(1024) || '-' || chr(1279) || ']')), len(regexp_extract_all(t, '[' || chr(19968) || '-' || chr(40959) || ']')), len(regexp_extract_all(t, '[' || chr(880) || '-' || chr(1023) || ']')), len(regexp_extract_all(t, '[' || chr(2304) || '-' || chr(2431) || ']'))) THEN 'greek'
+       |       ELSE 'devanagari' END AS main_script
+       |FROM u""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("t1_text_stats", textStats, Some(textStatsSql)),
     Q("t2_quality_score", qualityScore, Some(qualityScoreSql)),
@@ -673,5 +725,7 @@ object TextQueries {
     Q("t15_bpe_encode", (s, d) => bpeEncodeOn(Tables.documents(s, d)),
       Some(bpeEncodeSql)),
     Q("t16_nfc_normalize", (s, d) => nfcNormalizeOn(Tables.documents(s, d)),
-      Some(nfcNormalizeSql)))
+      Some(nfcNormalizeSql)),
+    Q("t17_script_profile", (s, d) => scriptProfileOn(Tables.documents(s, d)),
+      Some(scriptProfileSql)))
 }

@@ -627,5 +627,68 @@ object TimeSeriesQueries {
              |  CASE WHEN den > 0
              |    THEN CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)
              |    ELSE 0.0 END AS acf2
-             |FROM a""".stripMargin)))
+             |FROM a""".stripMargin)),
+
+    // ---- Holt double-exponential smoothing (ts12): per key, the
+    // level+trend forecast f = l + b with α = β = 1/2 — what a
+    // monitoring engine runs on TRENDING series where ts7's flat EWMA
+    // lags systematically. The (l, b) recursion is sequential per key;
+    // like ts7 it is unrolled to an explicit 8-lag linear filter, but
+    // the weights now come from powers of the 2×2 state matrix: the
+    // (l, b) update is s_i = A·s_{i−1} + v·x_i with A = [[1/2, 1/2],
+    // [−1/4, 3/4]], v = [1/2, 1/4]; writing A' = 4A = [[2,2],[−1,3]]
+    // and v' = 4v = [2,1] keeps everything integer:
+    // w_j = 1ᵀA'ʲv′ / 4^{j+1} — computed below in exact integers over
+    // the common denominator 4⁸ = 65536 (truncated tail mass 181/65536
+    // ≈ 0.3%). Each forecast is Σ wInt_j·c_{i−j} in int64 followed by
+    // ONE IEEE division by 65536 — bit-identical cross-engine. Rows
+    // with fewer than 8 predecessors are the documented warm-up: NULL
+    // in both engines (Holt weights alternate sign, so — unlike ts7 —
+    // a partial-window renormalization is not well-defined). One
+    // bounded-frame window pass, one shuffle by key.
+    Q(
+      "ts12_holt",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_us"), col("event_id"))
+        val base = Tables.events(s, d)
+          .select(col("user_id"), col("event_id"),
+            expr("ts_ns div 1000").as("ts_us"),
+            round(col("value") * 100).cast("bigint").as("c"))
+        val lv = (0 until 8).map(j =>
+          if (j == 0) col("c") else lag(col("c"), j).over(w))
+        val num = HoltWeights.zip(lv).map { case (wi, l) => l * wi }
+          .reduce(_ + _)
+        base.select(col("user_id"), col("event_id"), col("c"),
+          when(lv(7).isNotNull, num.cast("double") / lit(65536.0))
+            .otherwise(lit(null).cast("double")).as("holt_fc"))
+      },
+      Some {
+        val cexp = "CAST(round(value * 100) AS BIGINT)"
+        val lags = (1 until 8)
+          .map(j => s"lag($cexp, $j) OVER w AS l$j").mkString(",\n|    ")
+        val num = s"${HoltWeights.head} * c + " + (1 until 8)
+          .map(j => s"(${HoltWeights(j)}) * l$j").mkString(" + ")
+        s"""SELECT user_id, event_id, c,
+           |  CASE WHEN l7 IS NULL THEN NULL
+           |    ELSE CAST($num AS DOUBLE) / 65536.0 END AS holt_fc
+           |FROM (
+           |  SELECT user_id, event_id, $cexp AS c,
+           |    $lags
+           |  FROM events
+           |  WINDOW w AS (PARTITION BY user_id
+           |    ORDER BY epoch_us(ts), event_id))""".stripMargin
+      }))
+
+  /** ts12's unrolled filter weights, scaled by 4⁸: wInt_j =
+    * 1ᵀ·A'ʲ·v′·4^(7−j) with A' = [[2,2],[−1,3]], v' = [2,1] — the
+    * exact-integer form of Holt's α=β=1/2 forecast weights. */
+  private[graft] lazy val HoltWeights: Seq[Long] = {
+    var n = (2L, 1L)
+    (0 until 8).map { j =>
+      val out = (n._1 + n._2) * (1L << (2 * (7 - j)))
+      n = (2 * n._1 + 2 * n._2, -n._1 + 3 * n._2)
+      out
+    }
+  }
 }

@@ -426,6 +426,33 @@ class PlanQualitySpec extends AnyFunSuite {
       s"no backward-rescanning frames (ts5 lesson):\n$p")
   }
 
+  test("t17 script profile is one scan with zero shuffles (per-row regexps)") {
+    val p = plan("t17_script_profile")
+    assert(!p.contains("Exchange"), s"script counting must not shuffle:\n$p")
+  }
+
+  test("ts12 holt plans one shuffle by key; bounded lag frame only") {
+    val p = plan("ts12_holt")
+    val exchanges = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"expected exactly one shuffle (by user_id):\n$p")
+    assert(!p.contains("UnboundedFollowing"),
+      s"no backward-rescanning frames (ts5 lesson):\n$p")
+  }
+
+  test("s7 MIPS broadcasts the query side; only the rank pass shuffles") {
+    val p = plan("s7_mips")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query side must broadcast:\n$p")
+    // one exchange: scored pairs by query_id for the top-k (s1's shape);
+    // the scoring join itself must not move the corpus
+    val exchanges = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"only the rank-by-query exchange expected:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"top-k must push the group limit below the sort:\n$p")
+  }
+
   test("t13 BPE: every per-round argmax is a top-1, never a global sort") {
     val p = plan("t13_bpe_train")
     assert(p.contains("TakeOrderedAndProject"),
