@@ -41,7 +41,8 @@ class Compactor(
     percentageMaxFileSize: Int = 30, //            kompactor.ts:39
     rowGroupTargetBytes: Long = 32L << 20,
     dictionaryEncoding: Boolean = false,
-    sortPartitionBytes: Long = 16L << 20) {
+    sortPartitionBytes: Long = 16L << 20,
+    zorderColumn: Option[String] = None) {
 
   /** 130% of target — above this an output is split (kompactor.ts:53-57,
     * dead code in the reference, live here). */
@@ -67,10 +68,36 @@ class Compactor(
       spark.sparkContext.defaultParallelism,
       math.ceil(totalBytes.toDouble / sortPartitionBytes).toInt))
     val df = spark.read.parquet(inputs: _*)
+    // Opt-in z-order layout (like the sizing knobs: a capability the
+    // reference's config shape implies but its ORDER BY time never uses):
+    // within ONE bucket the time axis is already window-bounded with
+    // known metadata min/max, so a FIXED-GRID interleave — time scaled
+    // into 16 bits by the bucket's own span × 16 series-hash bits — is
+    // the z-curve with ZERO extra passes (q52's rank equalization needs
+    // two rank shuffles; here the window bound does the equalizing).
+    // Output files/row groups then carry tight zone maps on time AND
+    // series, so a one-series scan prunes row groups instead of reading
+    // the whole window (LayoutPruningSpec measures the effect).
+    val sortKey: org.apache.spark.sql.Column = zorderColumn match {
+      case None => col(timeColumn)
+      case Some(series) =>
+        import org.apache.spark.sql.functions.{expr, greatest, least, lit, shiftleft, xxhash64}
+        val lo = bucket.files.map(_.min_time).min
+        val span = math.max(1L, bucket.files.map(_.max_time).max - lo)
+        // exact integer div (the double quotient is inexact past 2^53);
+        // clamp: metadata bounds are trusted elsewhere, but a stray row
+        // outside them must not wrap the 16-bit grid
+        val xb = least(greatest(
+          expr(s"((`$timeColumn` - ${lo}L) * 65535) div ${span}L"),
+          lit(0L)), lit(65535L))
+        val yb = xxhash64(col(series)).bitwiseAND(lit(0xFFFFL))
+        shiftleft(graft.queries.PipelineQueries.spread16(xb), 1)
+          .bitwiseOR(graft.queries.PipelineQueries.spread16(yb))
+    }
     val sorted: DataFrame =
-      if (kSort == 1) df.coalesce(1).sortWithinPartitions(col(timeColumn))
-      else df.repartitionByRange(kSort, col(timeColumn))
-        .sortWithinPartitions(col(timeColumn))
+      if (kSort == 1) df.coalesce(1).sortWithinPartitions(sortKey)
+      else df.repartitionByRange(kSort, sortKey)
+        .sortWithinPartitions(sortKey)
 
     val tmpDir = new Path(rootDir,
       s"${bucket.outputDir}/.tmp_c_${bucket.firstWal}_${bucket.lastWal}")
@@ -83,7 +110,8 @@ class Compactor(
       .parquet(tmpDir.toString)
 
     // part-NNNNN names sort in range order => concatenation order is the
-    // global time order
+    // global sort-key order (time by default; the z-curve when
+    // zorderColumn is set — row groups stay range-disjoint either way)
     val parts = fs.listStatus(tmpDir).map(_.getPath)
       .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
       .sortBy(_.getName)

@@ -22,6 +22,8 @@ object Main {
       |  --window-hours N        compaction window (1=hourly, 24=daily; default 1)
       |  --target-file-size-mb N desired output size (default 100)
       |  --time-column NAME      sort/time column (default "time")
+      |  --zorder-col NAME       opt-in z-order layout: interleave time with
+      |                          this column's hash (default: time sort)
       |  --parallelism N         concurrent bucket merges (default 4)
       |  --help                  this text""".stripMargin
 
@@ -39,6 +41,8 @@ object Main {
       case "--target-file-size-mb" :: v :: t =>
         cfg = cfg.copy(maxDesiredFileSizeBytes = v.toLong << 20); rest = t
       case "--time-column" :: v :: t => cfg = cfg.copy(timeColumn = v); rest = t
+      case "--zorder-col" :: v :: t =>
+        cfg = cfg.copy(zorderColumn = Some(v)); rest = t
       case "--parallelism" :: v :: t =>
         cfg = cfg.copy(bucketParallelism = v.toInt); rest = t
       case flag :: _ if flag.startsWith("--") =>

@@ -29,7 +29,11 @@ final case class CompactConfig(
     bucketParallelism: Int = 4,
     // catalogs above this many file entries plan on executors
     // (Planner.planDistributed) instead of in driver memory
-    distributedPlanThreshold: Int = 100000)
+    distributedPlanThreshold: Int = 100000,
+    // opt-in z-order layout: interleave time with this column's hash so
+    // output zone maps bound BOTH axes (default: reference-parity time
+    // sort)
+    zorderColumn: Option[String] = None)
 
 final case class HostReport(
     host: String,
@@ -56,7 +60,8 @@ class Orchestrator(
     f
   }
   private val compactor = new Compactor(spark, fs, config.timeColumn,
-    config.maxDesiredFileSizeBytes, config.percentageMaxFileSize)
+    config.maxDesiredFileSizeBytes, config.percentageMaxFileSize,
+    zorderColumn = config.zorderColumn)
 
   private def log(msg: String): Unit =
     if (config.verbose) System.err.println(s"[compact] $msg")

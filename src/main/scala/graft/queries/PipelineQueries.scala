@@ -477,8 +477,9 @@ object PipelineQueries {
   // per-row bit math — nothing wider than the data, no skew sensitivity.
   private val ZShardBits = 6
   /** 16-bit value → its bits at even positions of a 32-bit word
-    * (Morton spread): the (x | x<<s) & mask cascade for s = 8,4,2,1. */
-  private def spread16(c0: Column): Column = {
+    * (Morton spread): the (x | x<<s) & mask cascade for s = 8,4,2,1.
+    * Shared with the compactor's opt-in z-order layout. */
+  private[graft] def spread16(c0: Column): Column = {
     val steps = Seq(8 -> 0x00FF00FFL, 4 -> 0x0F0F0F0FL,
       2 -> 0x33333333L, 1 -> 0x55555555L)
     steps.foldLeft(c0.bitwiseAND(lit(0xFFFFL))) { case (c, (sh, m)) =>

@@ -480,4 +480,36 @@ class GraftFacadeSpec extends AnyFunSuite {
     assert(given <= hinted + 1,
       s"in-plan mask must cost at most one job over hint+count: given=$given hinted=$hinted")
   }
+
+  test("round-9 facades match their gated queries") {
+    val docs = Tables.documents(spark, sf)
+    val emb = Tables.embeddings(spark, sf)
+    def q(name: String) = SparkEntry.queries(name)(spark, sf)
+    assert(Graft.scriptProfile(docs).collect().toSet ==
+      q("t17_script_profile").collect().toSet)
+    assert(Graft.spanCorruptionMasks(docs).collect().toSet ==
+      q("q54_span_corruption").collect().toSet)
+    assert(Graft.mipsTopK(emb).collect().toSet ==
+      q("s7_mips").collect().toSet)
+    val ev = Tables.events(spark, sf).select(col("user_id"), col("event_id"),
+      expr("ts_ns div 1000").as("ts_us"),
+      round(col("value") * 100).cast("bigint").as("c"))
+    assert(Graft.rollingMedian(ev, "user_id", "event_id", "ts_us", "c")
+      .collect().toSet == q("ts10_rolling_median").collect().toSet)
+    assert(Graft.autocorrelation(ev, "user_id", "event_id", "ts_us", "c")
+      .collect().toSet == q("ts11_autocorr").collect().toSet)
+    val zin = Tables.events(spark, sf).select(col("event_id"),
+      expr("ts_ns div 1000").as("ts_us"),
+      graft.functions.XHash.hash60(concat(lit("z:"),
+        col("user_id").cast("string"), lit("/"), col("event_type")))
+        .as("series_h"))
+    assert(Graft.zorderKeys(zin, "event_id", "ts_us", "series_h")
+      .collect().toSet == q("q52_zorder_layout").collect().toSet)
+    val pairs = Graft.nearDupPairs(docs).select(col("doc_a"), col("doc_b"))
+    val viaFacade = Graft.labelCommunities(pairs)
+    val viaQuery = q("p3_label_prop")
+    assert(viaFacade.collect().toSet == viaQuery.collect().toSet)
+    Seq(viaFacade, viaQuery).foreach(_.unpersist())
+    spark.catalog.clearCache()
+  }
 }
