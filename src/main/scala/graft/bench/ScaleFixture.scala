@@ -404,13 +404,32 @@ object ScaleReport {
     val t16Sec = (System.nanoTime() - tNfc) / 1e9
     val (t16Rows, t16Changed) = (nfcRow.getLong(0), nfcRow.getLong(1))
     spark.catalog.clearCache()
-    // q52 z-order + ts10 rolling median over events (events-family
-    // fixtures only). q52's wall covers the two exact-rank passes + the
-    // per-row interleave; shard max/median population is the balance
-    // evidence (rank equalization must hold under the replicas' time
-    // offsets). ts10 is ts4's cost class: one shuffle by key, one
-    // bounded frame — wall + row count.
-    val (q52Rows, q52MaxPop, q52MedPop, q52Sec, ts10Rows, ts10Sec) =
+    // t17 script profile: the second zero-shuffle scalar-regex pass
+    // (t16's cousin); the script histogram forces every count column
+    val tScr = System.nanoTime()
+    val scrRow = graft.queries.TextQueries.scriptProfileOn(docs)
+      .agg(count(lit(1)).as("n"), sum(col("n_cyrillic")).as("cy"),
+        sum(col("n_cjk") + col("n_greek") + col("n_devanagari")).as("oth"))
+      .head()
+    val t17Sec = (System.nanoTime() - tScr) / 1e9
+    val t17Rows = scrRow.getLong(0)
+    spark.catalog.clearCache()
+    // s7 MIPS: s1's broadcast-query cost class on raw int64 dots; the
+    // rank sum forces the scoring pass
+    val tMips = System.nanoTime()
+    val s7Rows = graft.queries.SimilarityQueries.mipsTopK(emb)
+      .agg(count(lit(1)).as("n"), sum(col("dot") % 97L).as("force")).head()
+      .getLong(0)
+    val s7Sec = (System.nanoTime() - tMips) / 1e9
+    spark.catalog.clearCache()
+    // q52 z-order + ts10 rolling median + ts12 holt over events
+    // (events-family fixtures only). q52's wall covers the two
+    // exact-rank passes + the per-row interleave; shard max/median
+    // population is the balance evidence (rank equalization must hold
+    // under the replicas' time offsets). ts10/ts12 are ts4's cost
+    // class: one shuffle by key, one bounded frame — wall + row count.
+    val (q52Rows, q52MaxPop, q52MedPop, q52Sec, ts10Rows, ts10Sec,
+        ts12Sec) =
       if (Files.exists(Paths.get(s"$dir/events.parquet"))) {
         val evBase = graft.Tables.events(spark, dir)
         val nEv = evBase.count()
@@ -439,9 +458,21 @@ object ScaleReport {
           .agg(count(lit(1)).as("n"), sum(col("med_c")).as("force")).head()
         val mRows = mRow.getLong(0)
         val mSec = (System.nanoTime() - tM) / 1e9
+        spark.catalog.clearCache()
+        val wH = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+        val holtLv = (0 until 8).map(j =>
+          if (j == 0) col("c") else lag(col("c"), j).over(wH))
+        val holtNum = graft.queries.TimeSeriesQueries.HoltWeights
+          .zip(holtLv).map { case (wi, l) => l * wi }.reduce(_ + _)
+        val tH = System.nanoTime()
+        med.select(col("user_id"),
+          when(holtLv(7).isNotNull, holtNum).otherwise(lit(0L)).as("f"))
+          .agg(count(lit(1)), sum(col("f") % 97L)).head()
+        val hSec = (System.nanoTime() - tH) / 1e9
         (zstats.getLong(0), zstats.getLong(1), zstats.getLong(2), zSec,
-          mRows, mSec)
-      } else (-1L, -1L, -1L, -1.0, -1L, -1.0)
+          mRows, mSec, hSec)
+      } else (-1L, -1L, -1L, -1.0, -1L, -1.0, -1.0)
     spark.catalog.clearCache()
     val json =
       s"""{"dir":"$dir","documents":$nDocs,"embeddings":$nEmb,""" +
@@ -473,7 +504,10 @@ object ScaleReport {
         s""""t16_sec":${"%.3f".formatLocal(java.util.Locale.ROOT, t16Sec)},""" +
         s""""q52_rows":$q52Rows,"q52_shard_max":$q52MaxPop,"q52_shard_median":$q52MedPop,""" +
         s""""q52_sec":${"%.3f".formatLocal(java.util.Locale.ROOT, q52Sec)},""" +
-        s""""ts10_rows":$ts10Rows,"ts10_sec":${"%.3f".formatLocal(java.util.Locale.ROOT, ts10Sec)}}"""
+        s""""ts10_rows":$ts10Rows,"ts10_sec":${"%.3f".formatLocal(java.util.Locale.ROOT, ts10Sec)},""" +
+        s""""ts12_sec":${"%.3f".formatLocal(java.util.Locale.ROOT, ts12Sec)},""" +
+        s""""t17_rows":$t17Rows,"t17_sec":${"%.3f".formatLocal(java.util.Locale.ROOT, t17Sec)},""" +
+        s""""s7_rows":$s7Rows,"s7_sec":${"%.3f".formatLocal(java.util.Locale.ROOT, s7Sec)}}"""
     spark.stop()
     println(json)
   }
