@@ -9,7 +9,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * pipeline is oracle- or property-gated (see SparkEntry / the test
   * suites).
   *
-  * The full declared surface — 115 oracle-gated queries over the
+  * The full declared surface — 116 oracle-gated queries over the
   * reference parity ops, TPC-H-shaped relational coverage, time-series,
   * text analysis, multimodal and streaming families — is enumerated in
   * [[SparkEntry.queries]]; this facade exposes the operations with a
@@ -560,6 +560,21 @@ object Graft {
         org.apache.spark.sql.functions.col("audio"))
         .as[operators.Multimodal.AudioRow],
       decoder, frameSamples).toDF()
+  }
+
+  /** Keyframe features from length-prefixed GVID video containers
+    * ((doc_id, video) binary rows — [[operators.Multimodal.packGvid]]
+    * builds them): walk the container, keep every `everyK`-th frame,
+    * emit exact byte-level features per kept frame. mapPartitions batch
+    * parse, zero shuffles; undecodable containers fail loudly with the
+    * doc id. */
+  def videoKeyframes(media: DataFrame, everyK: Int = 3): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    operators.Multimodal.videoKeyFrames(
+      media.select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("video"))
+        .as[operators.Multimodal.VideoRow], everyK).toDF()
   }
 
   // ---- joins ------------------------------------------------------------

@@ -333,4 +333,92 @@ object Multimodal {
         explode(sequence(lit(0L), expr(s"duration_ms div $stepMs"))))
       .withColumn("frame_ts_ms", col("frame_idx") * lit(stepMs))
   }
+
+  // ---- video containers (m4) ---------------------------------------------
+
+  final case class VideoRow(doc_id: Long, video: Array[Byte])
+  final case class VideoKeyFrame(
+      doc_id: Long, frame_idx: Long, n_bytes: Long, sum_b: Long, max_b: Long)
+
+  /** Minimal length-prefixed frame container ("GVID"): magic, u32le
+    * frame count, then per frame u32le length + payload. The REAL
+    * container format the m4 parser walks — the m3 precedent (RIFF/PCM16)
+    * applied to the video case: container walking is the Spark-side
+    * machinery under test; frame CONTENT decoding would need codec
+    * libraries this environment doesn't ship, so frame features are
+    * byte-level (exactly what the oracle can replay). */
+  def packGvid(frames: Seq[Array[Byte]]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def u32le(v: Int): Unit =
+      out.write(Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte))
+    out.write("GVID".getBytes("US-ASCII"))
+    u32le(frames.length)
+    frames.foreach { f => u32le(f.length); out.write(f) }
+    out.toByteArray
+  }
+
+  /** GVID container → frame payloads; undecodable payloads fail loudly
+    * with the doc id (m3's stance). */
+  def parseGvid(bytes: Array[Byte], docId: Long): Array[Array[Byte]] = {
+    def fail(msg: String) = throw new IllegalArgumentException(
+      s"undecodable video payload for doc_id=$docId: $msg (${bytes.length} bytes)")
+    def u32(o: Int): Long =
+      (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+        ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+    if (bytes.length < 8 || new String(bytes, 0, 4, "US-ASCII") != "GVID")
+      fail("not a GVID container")
+    val n = u32(4)
+    if (n < 0 || n > Int.MaxValue) fail(s"bad frame count $n")
+    var off = 8
+    val frames = Array.newBuilder[Array[Byte]]
+    var i = 0L
+    while (i < n) {
+      if (off + 4 > bytes.length) fail(s"truncated at frame $i header")
+      val len = u32(off).toInt
+      off += 4
+      if (len < 0 || off + len > bytes.length)
+        fail(s"truncated at frame $i payload ($len bytes)")
+      frames += java.util.Arrays.copyOfRange(bytes, off, off + len)
+      off += len
+      i += 1
+    }
+    if (off != bytes.length) fail(s"${bytes.length - off} trailing bytes")
+    frames.result()
+  }
+
+  /** Keyframe extraction: walk the container, keep every `everyK`-th
+    * frame, emit exact byte-level features (count, sum, max of unsigned
+    * byte values) — mapPartitions batch, one parser per partition. */
+  def videoKeyFrames(media: Dataset[VideoRow],
+      everyK: Int = 3): Dataset[VideoKeyFrame] = {
+    require(everyK >= 1, s"everyK must be >= 1, got $everyK")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      parseGvid(r.video, r.doc_id).iterator.zipWithIndex
+        .filter(_._2 % everyK == 0)
+        .map { case (f, i) =>
+          var sum = 0L
+          var max = 0L
+          f.foreach { b => val v = (b & 0xff).toLong; sum += v; max = math.max(max, v) }
+          VideoKeyFrame(r.doc_id, i.toLong, f.length.toLong, sum, max)
+        }
+    })
+  }
+
+  /** documents → REAL GVID containers over the utf8 payload, frame size
+    * 16 + 8·(doc_id % 3) bytes (last frame short) — deterministic, so
+    * the oracle replays the byte arithmetic while the Spark path walks
+    * genuinely packed binary. */
+  def videoFromDocuments(docs: DataFrame): Dataset[VideoRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, payload) =>
+        val fs = 16 + 8 * (id % 3).toInt
+        VideoRow(id, packGvid(payload.grouped(fs).toSeq))
+      }
+  }
 }

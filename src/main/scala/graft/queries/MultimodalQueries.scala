@@ -88,8 +88,42 @@ object MultimodalQueries {
        |  CAST(list_max(list_transform(f, v -> abs(v))) AS BIGINT) AS peak_q
        |FROM w""".stripMargin
 
+  /** Video keyframes (m4): documents packed into REAL length-prefixed
+    * GVID containers (magic + u32le count + u32le-length frames —
+    * genuinely packed binary, m3's RIFF precedent for the video case),
+    * then the parser walks the container, samples every 3rd frame, and
+    * emits exact byte-level features. The oracle replays the frame
+    * arithmetic over the ASCII payload (byte == codepoint). */
+  private val M4Every = 3
+  private def videoKeyframes(s: SparkSession, d: String): DataFrame =
+    Multimodal.videoKeyFrames(
+      Multimodal.videoFromDocuments(Tables.documents(s, d)), M4Every)
+      .toDF()
+  private val videoKeyframesSql =
+    s"""WITH p AS (
+       |  SELECT doc_id, text, length(text) AS n,
+       |    16 + 8 * (doc_id % 3) AS fs
+       |  FROM documents),
+       |fr AS (
+       |  SELECT doc_id, text, n, fs,
+       |    unnest(range(0, (n + fs - 1) // fs)) AS frame_idx
+       |  FROM p),
+       |k AS (SELECT * FROM fr WHERE frame_idx % $M4Every = 0),
+       |b AS (
+       |  SELECT doc_id, frame_idx,
+       |    list_transform(
+       |      range(frame_idx * fs + 1, least((frame_idx + 1) * fs, n) + 1),
+       |      i -> ascii(substr(text, CAST(i AS INT), 1))) AS bs
+       |  FROM k)
+       |SELECT doc_id, frame_idx,
+       |  CAST(len(bs) AS BIGINT) AS n_bytes,
+       |  CAST(list_sum(bs) AS BIGINT) AS sum_b,
+       |  CAST(list_max(bs) AS BIGINT) AS max_b
+       |FROM b""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("m1_media_meta", mediaMeta, Some(mediaMetaSql)),
     Q("m2_frame_sample", frameSample, Some(frameSampleSql)),
-    Q("m3_audio_frames", audioFrames, Some(audioFramesSql)))
+    Q("m3_audio_frames", audioFrames, Some(audioFramesSql)),
+    Q("m4_video_keyframes", videoKeyframes, Some(videoKeyframesSql)))
 }

@@ -175,4 +175,49 @@ class MultimodalSpec extends AnyFunSuite {
     assert(fr(0).n_samples == 2 && fr(0).rms_q == 33L && fr(0).peak_q == 34L)
     assert(fr(1).n_samples == 1 && fr(1).rms_q == 35L && fr(1).peak_q == 35L)
   }
+
+  test("GVID container round-trips, including frames past the 1-byte length range") {
+    val frames = Seq(
+      Array.fill[Byte](3)(7),
+      Array.fill[Byte](300)(42), // length 300 needs the second LE byte
+      Array.emptyByteArray,
+      Array.tabulate[Byte](17)(i => i.toByte))
+    val packed = Multimodal.packGvid(frames)
+    val back = Multimodal.parseGvid(packed, docId = 1L)
+    assert(back.length == frames.length)
+    frames.zip(back).foreach { case (a, b) => assert(a.sameElements(b)) }
+  }
+
+  test("GVID parser fails loudly on bad magic, truncation, trailing bytes") {
+    val good = Multimodal.packGvid(Seq(Array.fill[Byte](5)(1)))
+    val badMagic = good.clone(); badMagic(0) = 'X'.toByte
+    assert(intercept[IllegalArgumentException] {
+      Multimodal.parseGvid(badMagic, 7L)
+    }.getMessage.contains("doc_id=7"))
+    intercept[IllegalArgumentException] {
+      Multimodal.parseGvid(good.dropRight(2), 7L) // truncated payload
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.parseGvid(good ++ Array[Byte](0), 7L) // trailing byte
+    }
+  }
+
+  test("video keyframes: every-3rd sampling with exact byte features") {
+    import spark.implicits._
+    val payload = (0 until 100).map(i => ('A' + i % 26).toChar).mkString
+    val docs = Seq((33L, payload)).toDF("doc_id", "text")
+    // doc 33: fs = 16 + 8*(33 % 3) = 16 -> 7 frames (last = 4 bytes);
+    // sampled idx 0, 3, 6
+    val kf = Multimodal.videoKeyFrames(
+      Multimodal.videoFromDocuments(docs), 3).collect()
+      .sortBy(_.frame_idx)
+    assert(kf.map(_.frame_idx).toSeq == Seq(0L, 3L, 6L))
+    assert(kf(0).n_bytes == 16 && kf(2).n_bytes == 4)
+    val bytes = payload.getBytes("UTF-8").map(_ & 0xff)
+    def sum(lo: Int, hi: Int) = bytes.slice(lo, hi).map(_.toLong).sum
+    assert(kf(0).sum_b == sum(0, 16))
+    assert(kf(1).sum_b == sum(48, 64))
+    assert(kf(2).sum_b == sum(96, 100))
+    assert(kf(2).max_b == bytes.slice(96, 100).max.toLong)
+  }
 }
