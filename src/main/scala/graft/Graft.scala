@@ -9,7 +9,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * pipeline is oracle- or property-gated (see SparkEntry / the test
   * suites).
   *
-  * The full declared surface — 116 oracle-gated queries over the
+  * The full declared surface — 118 oracle-gated queries over the
   * reference parity ops, TPC-H-shaped relational coverage, time-series,
   * text analysis, multimodal and streaming families — is enumerated in
   * [[SparkEntry.queries]]; this facade exposes the operations with a
@@ -480,6 +480,25 @@ object Graft {
     * (doc_id, n_tokens, n_masked, mask_fp). Requires (doc_id, text). */
   def spanCorruptionMasks(docs: DataFrame): DataFrame =
     queries.PipelineQueries.spanCorruptionOn(docs)
+
+  /** Robust rolling slope per key: the exact discrete median of the
+    * trailing `window` adjacent-pair derivatives — rate-of-change that
+    * shrugs off single glitch samples (the bounded-window Theil–Sen
+    * idea). Input needs an integer value column; rows before the first
+    * slope are NULL. One shuffle on the key. */
+  def robustSlope(df: DataFrame, keyCol: String, idCol: String,
+      tsCol: String, vCol: String, window: Int = 7): DataFrame =
+    queries.TimeSeriesQueries.robustSlopeOn(
+      df, keyCol, idCol, tsCol, vCol, window)
+
+  /** SQ8 compressed top-k (scalar quantization): per-dim byte codes
+    * against corpus min/span, approximate dot over the integer
+    * reconstruction, exact rerank of the R winners — FAISS's SQ8 next
+    * to [[pqTopK]]'s product quantization, exact integers end to end.
+    * Requires (vec_id, embedding). */
+  def sqTopK(emb: DataFrame, nQueries: Int = 8, topK: Int = 3,
+      rerankR: Int = 20): DataFrame =
+    queries.SimilarityQueries.sqTopK(emb, nQueries, topK, rerankR)
 
   /** Unicode NFC canonicalization of a string column via the native
     * codegen'd [[graft.functions.NfcNormalize]] (JDK UAX #15 canonical

@@ -723,6 +723,93 @@ object SimilarityQueries {
        |SELECT query_id, neighbor_id, rk, dot
        |FROM ranked WHERE rk <= $TopK""".stripMargin
 
+  // ---- s8: scalar quantization (SQ8) — the OTHER classical compressed
+  // index next to s5's product quantization: each dimension is scaled
+  // independently into one unsigned byte against the corpus's per-dim
+  // min/span, the approximate scan ranks by dot against the
+  // RECONSTRUCTED bytes (8× smaller than the floats), and the R=20
+  // winners are reranked exactly. Everything is integer arithmetic —
+  // codes, reconstruction (min + (c·span) div 255), approx dots — so
+  // the pipeline is hash-gated end to end, exact rerank included.
+  // Scale shape: per-dim stats are ONE 64-row aggregate folded into the
+  // plan as literals (no per-row join against a stats table); the code/
+  // reconstruction arrays are per-row; the scan is s1's broadcast-query
+  // class over the small reconstructed side; at production scale the
+  // codes table is the write-once artifact exactly like s5's.
+  private val S8Queries = 8
+  private val S8Rerank = 20
+  private[graft] def sqTopK(emb: DataFrame, nQueries: Int = S8Queries,
+      topK: Int = TopK, rerankR: Int = S8Rerank): DataFrame = {
+    val e = emb.select(col("vec_id"), TextOps.quantize(col("embedding")).as("q"))
+    // per-dim min/span: a 64-row result, embedded as plan literals
+    val stats = e.select(posexplode(col("q")).as(Seq("i", "v")))
+      .groupBy(col("i"))
+      .agg(min(col("v")).as("mn"), greatest(max(col("v")) - min(col("v")), lit(1L)).as("sp"))
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val dim = stats.size
+    val minsSql = (0 until dim).map(i => s"${stats(i)._1}L").mkString("array(", ",", ")")
+    val spansSql = (0 until dim).map(i => s"${stats(i)._2}L").mkString("array(", ",", ")")
+    // codes then integer reconstruction: recon_i = mn + (c·sp) div 255 —
+    // SQL `div` inside the lambdas keeps every step exact int64
+    val coded = e.withColumn("recon", expr(
+      s"""zip_with(
+         |  zip_with(
+         |    zip_with(zip_with(q, $minsSql, (v, m) -> v - m),
+         |      $spansSql, (d, s) -> (d * 255) div s),
+         |    $spansSql, (c, s) -> (c * s) div 255),
+         |  $minsSql, (r, m) -> r + m)""".stripMargin))
+    val queries = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"))
+    val approx = coded.join(broadcast(queries),
+        col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("q"),
+        TextOps.qdot(col("qq"), col("recon")).as("adot"))
+    val wA = Window.partitionBy(col("query_id"))
+      .orderBy(col("adot").desc, col("neighbor_id"))
+    val cand = approx.withColumn("ark", row_number().over(wA))
+      .filter(col("ark") <= rerankR)
+    val wE = Window.partitionBy(col("query_id"))
+      .orderBy(col("dot").desc, col("neighbor_id"))
+    cand.join(broadcast(queries), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        TextOps.qdot(col("qq"), col("q")).as("dot"))
+      .withColumn("rk", row_number().over(wE).cast("bigint"))
+      .filter(col("rk") <= topK)
+      .select(col("query_id"), col("neighbor_id"), col("rk"), col("dot"))
+  }
+  private val sqTopKSql =
+    s"""WITH q AS (SELECT vec_id, ${TextOps.quantizeSql("embedding")} AS q FROM embeddings),
+       |e AS (SELECT vec_id, unnest(q) AS v, generate_subscripts(q, 1) AS i FROM q),
+       |st AS (SELECT i, MIN(v) AS mn, GREATEST(MAX(v) - MIN(v), 1) AS sp
+       |  FROM e GROUP BY 1),
+       |r AS (
+       |  SELECT e.vec_id, e.i,
+       |    st.mn + ((((e.v - st.mn) * 255) // st.sp) * st.sp) // 255 AS rv
+       |  FROM e JOIN st USING (i)),
+       |ad AS (
+       |  SELECT a.vec_id AS query_id, r.vec_id AS neighbor_id,
+       |    CAST(SUM(a.v * r.rv) AS BIGINT) AS adot
+       |  FROM e a JOIN r ON a.i = r.i AND a.vec_id < $S8Queries
+       |   AND r.vec_id <> a.vec_id
+       |  GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY adot DESC, neighbor_id) AS ark
+       |    FROM ad) WHERE ark <= $S8Rerank),
+       |ex AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |    CAST(SUM(a.v * b.v) AS BIGINT) AS dot
+       |  FROM cand c
+       |  JOIN e a ON a.vec_id = c.query_id
+       |  JOIN e b ON b.vec_id = c.neighbor_id AND b.i = a.i
+       |  GROUP BY 1, 2)
+       |SELECT query_id, neighbor_id,
+       |  row_number() OVER (PARTITION BY query_id
+       |    ORDER BY dot DESC, neighbor_id) AS rk, dot
+       |FROM ex
+       |QUALIFY rk <= $TopK""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("s1_cosine_topk", (s, d) => cosineTopK(Tables.embeddings(s, d)),
       Some(cosineTopKSql)),
@@ -738,5 +825,7 @@ object SimilarityQueries {
       Some(rangeSearchSql)),
     Q("s7_mips", (s, d) => mipsTopK(Tables.embeddings(s, d)),
       Some(mipsTopKSql)),
+    Q("s8_sq8", (s, d) => sqTopK(Tables.embeddings(s, d)),
+      Some(sqTopKSql)),
     Q("d14_semantic_dedup", semanticDedup, Some(semanticDedupSql)))
 }

@@ -678,7 +678,79 @@ object TimeSeriesQueries {
            |  FROM events
            |  WINDOW w AS (PARTITION BY user_id
            |    ORDER BY epoch_us(ts), event_id))""".stripMargin
-      }))
+      }),
+
+    // ---- Robust slope (ts13): per user, the exact discrete median of
+    // the trailing-7 adjacent-pair derivatives — ts3's rate-of-change
+    // with ts10's outlier armor (a single glitch sample corrupts two
+    // adjacent slopes yet moves the 7-slope median not at all; the
+    // bounded-window Theil–Sen idea without its O(n²) pair set). Every
+    // slope is ts3's one-IEEE-division of exact int64s, and the lower
+    // median SELECTS one of those doubles (never averages), so the
+    // outputs are bit-exact cross-engine. DuckDB's windowed
+    // quantile_disc ignores NULLs, which matches collect_list skipping
+    // the per-key leading null slope.
+    Q(
+      "ts13_robust_slope",
+      (s, d) => robustSlopeOn(
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_id"),
+            expr("ts_ns div 1000").as("ts_us"),
+            floor(col("value") * lit(1e6)).cast("bigint").as("v_e6")),
+        "user_id", "event_id", "ts_us", "v_e6"),
+      Some("""WITH e AS (
+             |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             |    CAST(FLOOR(value * 1e6) AS BIGINT) AS v_e6
+             |  FROM events),
+             |s AS (
+             |  SELECT user_id, event_id, ts_us,
+             |    CASE WHEN lag(ts_us) OVER w IS NOT NULL
+             |           AND ts_us <> lag(ts_us) OVER w
+             |      THEN CAST((v_e6 - lag(v_e6) OVER w) * 1000000 AS DOUBLE)
+             |           / CAST(ts_us - lag(ts_us) OVER w AS DOUBLE)
+             |    END AS slope
+             |  FROM e
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id))
+             |SELECT user_id, event_id,
+             |  quantile_disc(slope, 0.5) OVER (
+             |    PARTITION BY user_id ORDER BY ts_us, event_id
+             |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS med_slope
+             |FROM s""".stripMargin)))
+
+  /** ts13's robust-slope core: per key, the DISCRETE median of the
+    * trailing `window` adjacent-pair slopes — ts3's derivative made
+    * outlier-proof the way ts10 hardens ts4 (one glitch sample corrupts
+    * two adjacent slopes but moves a 7-slope median not at all; the
+    * bounded-window form of the Theil–Sen idea without its O(n²)
+    * pairs). Each slope is ONE IEEE division of exactly-agreed int64s
+    * (ts3's contract) — bit-identical cross-engine — and the lower
+    * median picks an ELEMENT of that set (never an average), so the
+    * output doubles are exact matches too. One shuffle by key; lag +
+    * one bounded frame share the sorted pass. */
+  private[graft] def robustSlopeOn(df: org.apache.spark.sql.DataFrame,
+      keyCol: String, idCol: String, tsCol: String, vCol: String,
+      window: Int = 7): org.apache.spark.sql.DataFrame = {
+    val wLag = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(idCol))
+    val wFrame = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(idCol)).rowsBetween(-(window - 1), 0)
+    df.select(col(keyCol), col(idCol), col(tsCol), col(vCol).as("v"))
+      .withColumn("pv", lag(col("v"), 1).over(wLag))
+      .withColumn("pt", lag(col(tsCol), 1).over(wLag))
+      .withColumn("slope",
+        when(col("pt").isNotNull && col(tsCol) =!= col("pt"),
+          ((col("v") - col("pv")) * lit(1000000L)).cast("double") /
+            (col(tsCol) - col("pt")).cast("double")))
+      // collect_list skips the leading null slope, matching
+      // quantile_disc's null-ignoring frame on the oracle side; a row
+      // with NO non-null slope yet (each key's first) yields NULL in
+      // both engines
+      .withColumn("frame", sort_array(collect_list(col("slope")).over(wFrame)))
+      .select(col(keyCol), col(idCol),
+        when(size(col("frame")) > 0,
+          expr("element_at(frame, CAST((size(frame) + 1) div 2 AS INT))"))
+          .otherwise(lit(null).cast("double")).as("med_slope"))
+  }
 
   /** ts12's unrolled filter weights, scaled by 4⁸: wInt_j =
     * 1ᵀ·A'ʲ·v′·4^(7−j) with A' = [[2,2],[−1,3]], v' = [2,1] — the
