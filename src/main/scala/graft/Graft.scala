@@ -385,6 +385,16 @@ object Graft {
   def ngramLmScores(docs: DataFrame): DataFrame =
     queries.TextQueries.ngramLmOn(docs)
 
+  /** CCNet-style perplexity routing (Wenzek et al. 2020): each doc
+    * scored by exact integer bits-per-bigram under the corpus bigram LM
+    * (floor(−log₂ P) via binary-string length — doubles-free), then
+    * routed to 'head' / 'middle' / 'tail' quality buckets on fixed
+    * bits thresholds. Training pipelines keep head+middle. Requires
+    * (doc_id, text); returns (doc_id, n_bigrams, bits_x1000, bucket).
+    * Same plan shape as [[ngramLmScores]] — one model join, one agg. */
+  def lmPerplexityBuckets(docs: DataFrame): DataFrame =
+    queries.TextQueries.lmPerplexityOn(docs)
+
   /** URL canonicalization dedup (the first stage of a crawl pipeline):
     * normalizes `url` (lowercase, fragment/tracking-param strip,
     * scheme/www/trailing-slash strip) and returns one row per canonical

@@ -403,7 +403,11 @@ object TextQueries {
   // explicit shuffle_hash hint rather than trusting AQE's compressed
   // stats (the d2 lesson, BENCH_NOTES 100x finding #1) — narrow rows,
   // bounded per-partition builds at any corpus size.
-  private[graft] def ngramLmOn(docs: DataFrame): DataFrame = {
+  /** Shared t12/t18 core: (exploded per-doc bigram occurrences, the
+    * corpus bigram model with fixed-point conditional probability
+    * `p6 = P(w2|w1) × 10⁶`). One vocab-bounded agg pair + one hinted
+    * equi-join; see the scale notes above. */
+  private def bigramOccAndModel(docs: DataFrame): (DataFrame, DataFrame) = {
     val t = TextOps.tokens(col("text"))
     val bigrams = zip_with(
       slice(t, lit(1), greatest(size(t) - 1, lit(0))),
@@ -418,6 +422,11 @@ object TextQueries {
       .withColumn("w1", split(col("bg"), " ").getItem(0))
       .join(u.hint("shuffle_hash"), "w1")
       .select(col("bg"), expr("b_cnt * 1000000L div u_cnt").as("p6"))
+    (occ, model)
+  }
+
+  private[graft] def ngramLmOn(docs: DataFrame): DataFrame = {
+    val (occ, model) = bigramOccAndModel(docs)
     occ.join(model.hint("shuffle_hash"), "bg")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
@@ -705,6 +714,71 @@ object TextQueries {
        |       ELSE 'devanagari' END AS main_script
        |FROM u""".stripMargin
 
+  // ---- t18: LM-perplexity quality routing (the CCNet recipe, Wenzek et
+  // al. 2020: score each document by its perplexity under a corpus LM,
+  // route to head/middle/tail buckets, train on head+middle). The LM is
+  // t12's fixed-point bigram model; the per-document score is
+  // BITS-PER-BIGRAM — the exact integer floor(−log₂ P(w2|w1)) cost
+  // 20 − floor(log₂ p6), where floor(log₂ x) is computed as
+  // length(bin(x)) − 1: both engines print the same minimal binary
+  // string for a positive int64, so the doubles-free log is hash-exact
+  // (same determinism trick class as t9's integer-scaled tf-idf; a real
+  // float log diverges between libms). p6 ∈ [0, 10⁶] (integer division
+  // can floor small probabilities to 0 on huge corpora), clamped to ≥1
+  // so the cost caps at 20 bits — the standard "unknown ≈ uniform
+  // floor" smoothing. avg bits ×1000 keeps three fractional digits in
+  // int64. Bucket thresholds are fixed config (head ≤ 8 bits/bigram,
+  // middle ≤ 12): CCNet derives them from corpus terciles, but a fixed
+  // cutoff is deterministic and keeps the query one-pass — at 100 TB the
+  // tercile variant is one extra approx_percentile over the scored
+  // table, not a different plan shape.
+  //
+  // Shape at scale: identical to t12 (shared model) + one per-doc agg;
+  // the only additions are per-row codegen'd integer ops. One extra
+  // shuffle nowhere.
+  private val PerplexityHeadBitsX1000 = 8000L
+  private val PerplexityMidBitsX1000 = 12000L
+  private[graft] def lmPerplexityOn(docs: DataFrame): DataFrame = {
+    val (occ, model) = bigramOccAndModel(docs)
+    occ.join(model.hint("shuffle_hash"), "bg")
+      .withColumn("bits",
+        expr("20L - (length(bin(greatest(p6, 1L))) - 1)"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        expr("sum(bits) * 1000L div count(1)").as("bits_x1000"))
+      .withColumn("bucket",
+        when(col("bits_x1000") <= PerplexityHeadBitsX1000, "head")
+          .when(col("bits_x1000") <= PerplexityMidBitsX1000, "middle")
+          .otherwise("tail"))
+  }
+  private val lmPerplexitySql = {
+    val t = TextOps.tokensSql("text")
+    s"""WITH occ AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(range(1, len(t)),
+       |      i -> t[i] || ' ' || t[i+1])) AS bg
+       |  FROM (SELECT doc_id, $t AS t FROM documents)),
+       |b AS (SELECT bg, COUNT(1) AS b_cnt FROM occ GROUP BY 1),
+       |u AS (
+       |  SELECT string_split(bg, ' ')[1] AS w1,
+       |    CAST(SUM(b_cnt) AS BIGINT) AS u_cnt
+       |  FROM b GROUP BY 1),
+       |model AS (
+       |  SELECT bg, b_cnt * 1000000 // u_cnt AS p6
+       |  FROM b JOIN u ON u.w1 = string_split(b.bg, ' ')[1]),
+       |scored AS (
+       |  SELECT doc_id, COUNT(1) AS n_bigrams,
+       |    CAST(SUM(20 - (length(bin(greatest(p6, 1))) - 1)) * 1000
+       |      // COUNT(1) AS BIGINT) AS bits_x1000
+       |  FROM occ JOIN model USING (bg)
+       |  GROUP BY doc_id)
+       |SELECT doc_id, n_bigrams, bits_x1000,
+       |  CASE WHEN bits_x1000 <= $PerplexityHeadBitsX1000 THEN 'head'
+       |       WHEN bits_x1000 <= $PerplexityMidBitsX1000 THEN 'middle'
+       |       ELSE 'tail' END AS bucket
+       |FROM scored""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("t1_text_stats", textStats, Some(textStatsSql)),
     Q("t2_quality_score", qualityScore, Some(qualityScoreSql)),
@@ -727,5 +801,7 @@ object TextQueries {
     Q("t16_nfc_normalize", (s, d) => nfcNormalizeOn(Tables.documents(s, d)),
       Some(nfcNormalizeSql)),
     Q("t17_script_profile", (s, d) => scriptProfileOn(Tables.documents(s, d)),
-      Some(scriptProfileSql)))
+      Some(scriptProfileSql)),
+    Q("t18_lm_perplexity", (s, d) => lmPerplexityOn(Tables.documents(s, d)),
+      Some(lmPerplexitySql)))
 }

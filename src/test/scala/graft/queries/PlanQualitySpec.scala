@@ -355,6 +355,17 @@ class PlanQualitySpec extends AnyFunSuite {
       s"model join should be the hinted shuffle_hash:\n$p")
   }
 
+  test("t18 perplexity routing keeps t12's plan shape: equi-joins only, scoring agg is partial") {
+    val p = plan("t18_lm_perplexity")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"perplexity scoring must stay equi-join only:\n$p")
+    assert(p.contains("ShuffledHashJoin"),
+      s"model join should be the hinted shuffle_hash:\n$p")
+    // the per-doc bits agg must map-side combine before the doc_id shuffle
+    assert(p.contains("partial_count") || p.contains("Partial"),
+      s"doc scoring agg must be partial (map-side combined):\n$p")
+  }
+
   test("d18 url dedup is scalar regexps + one hash aggregate (no join, no window)") {
     val p = plan("d18_url_dedup")
     assert(!p.contains("Join"), s"url dedup has no join:\n$p")
