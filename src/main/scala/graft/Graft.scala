@@ -403,10 +403,14 @@ object Graft {
   def urlDedupGroups(withUrls: DataFrame): DataFrame =
     queries.DedupQueries.urlDedupGroups(withUrls)
 
-  /** Per-node degree + triangle count over an oriented similarity edge
-    * list (doc_a < doc_b): local-clustering structure of the near-dup
-    * graph (dense-cluster members vs template hubs). Two equi-joins —
-    * each triangle enumerated once — never an all-pairs product. */
+  /** Per-node degree + triangle count over an undirected similarity
+    * edge list (two long columns, each edge once, no self-loops):
+    * local-clustering structure of the near-dup graph (dense-cluster
+    * members vs template hubs). Degree-orients the edges internally —
+    * wedge fan-out stays bounded on power-law graphs — then two
+    * equi-joins enumerate each triangle once; never an all-pairs
+    * product. The edge list is pinned and materialized once (PageRank
+    * cache discipline); the returned frame is caller-owned cache. */
   def triangleCounts(pairs: DataFrame): DataFrame =
     queries.DedupQueries.triangleCounts(pairs)
 

@@ -115,11 +115,19 @@ object GraftFunctions {
   private[functions] val functions: Seq[(String, Seq[Expression] => Expression)] =
     nativeFunctions ++ chAliases
 
-  /** Register on an already-built session (temp functions). */
+  /** Register on an already-built session (temp functions). Idempotent:
+    * `graft_hash60` is uniquely ours, so its presence means this session
+    * already carries the full set — re-registering is harmless but spams
+    * `function X replaced a previously registered function` warnings
+    * from every callsite (session build + q43 + facade; r7 verdict #4). */
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
+    if (registry.functionExists(FunctionIdentifier("graft_hash60"))) return
     functions.foreach { case (name, builder) =>
-      registry.createOrReplaceTempFunction(name, builder, "built-in")
+      // `ifNull` already exists as a Spark built-in with identical
+      // semantics (coalesce of two args) — replacing it would only warn
+      if (!registry.functionExists(FunctionIdentifier(name)))
+        registry.createOrReplaceTempFunction(name, builder, "built-in")
     }
   }
 }

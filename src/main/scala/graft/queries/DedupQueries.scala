@@ -124,6 +124,10 @@ object DedupQueries {
     val sigArr = sigs.select(col("doc_id"),
       array((0 until K).map(i => col(s"s$i")): _*).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize BEFORE the multi-leg consumption: the band self-join +
+    // two sketch rejoins otherwise race to fill the cache, each replaying
+    // the minhash projection (CacheDisciplineSpec's no-replay contract)
+    sigArr.count()
     val bands = sigArr.select(col("doc_id"),
       explode(array((0 until Bands).map { b =>
         struct(lit(b).as("band_idx"),
@@ -343,6 +347,7 @@ object DedupQueries {
       .select(col("vec_id"), TextOps.quantize(col("embedding")).as("q"))
       .withColumn("nn", TextOps.qdot(col("q"), col("q")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    e.count() // materialize before the 3-way reference (no leg race)
     // all band signatures in ONE native loop expression: the weight
     // tensor rides along as a referenced object, so generated-code size
     // is O(1) in bands×rowBits — the unrolled per-band expression array
@@ -361,6 +366,7 @@ object DedupQueries {
           col("q"), flatWeights, bands, rowBits)))
       .toDF("vec_id", "band_idx", "band_sig")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    bandRows.count() // reads e's cache; self-join legs then read this one
     val cand = bandRows.as("a").join(
         sizedHint(bandRows, n * bands, 64).as("b"),
         col("a.band_idx") === col("b.band_idx") &&
@@ -488,7 +494,7 @@ object DedupQueries {
 
   private def embNearDup(s: SparkSession, d: String): DataFrame =
     embNearDupBanded(Tables.embeddings(s, d), D5Bands, D5Rows, 0.45,
-      dim = Tables.EmbeddingDim)
+      dim = Tables.EmbeddingDim, nHint = Tables.embeddingsRows(s, d))
   private val embNearDupSql =
     s"""WITH q AS (SELECT vec_id, ${TextOps.quantizeSql("embedding")} AS q FROM embeddings),
        |e AS (SELECT vec_id, unnest(q) AS v, generate_subscripts(q, 1) - 1 AS i FROM q),
@@ -522,7 +528,7 @@ object DedupQueries {
     * higher doc_id of every verified pair), rolled up per language —
     * what a training-data pipeline actually ships downstream. */
   private[graft] def dedupKeep(s: SparkSession, d: String): DataFrame = {
-    val n = Tables.documents(s, d).count()
+    val n = Tables.documentsRows(s, d) // footer-exact, no probe job
     val dupB = jaccardPairs(Tables.documents(s, d), n)
       .select(col("doc_b").as("doc_id")).distinct()
     Tables.documents(s, d)
@@ -548,7 +554,8 @@ object DedupQueries {
     * jumping, O(log diameter) rounds, per-round unpersist. */
   private def components(s: SparkSession, d: String): DataFrame =
     graft.operators.Components.connectedComponents(
-      jaccardPairs(Tables.documents(s, d)).select(col("doc_a"), col("doc_b")))
+      jaccardPairs(Tables.documents(s, d), Tables.documentsRows(s, d))
+        .select(col("doc_a"), col("doc_b")))
       .orderBy(col("id")) // deterministic presentation; tiny result
   /** Transitive closure via recursive CTE (UNION dedup terminates it),
     * then min reachable label per node == the component id. Shared by the
@@ -580,7 +587,7 @@ object DedupQueries {
   private val PrIters = 5
   private def pagerank(s: SparkSession, d: String): DataFrame =
     graft.operators.PageRank.pageRank(
-      jaccardPairs(Tables.documents(s, d))
+      jaccardPairs(Tables.documents(s, d), Tables.documentsRows(s, d))
         .select(col("doc_a"), col("doc_b")), PrIters)
   private def pagerankSql =
     s"""WITH pairs AS ($jaccardPairsSql),
@@ -807,6 +814,7 @@ object DedupQueries {
           .as("hs"))
       .filter(size(col("hs")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    docs.count() // materialize before the 3-way reference (no leg race)
     val ex = docs
       .select(col("doc_id"), size(col("hs")).cast("bigint").as("n_sh"),
         explode(col("hs")).as("h"))
@@ -831,6 +839,7 @@ object DedupQueries {
     val exRk = ex.join(sizedHint(dfCounts, nShingleRows, 16), "h")
       .withColumn("rk", row_number().over(w))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    exRk.count() // both probe sides (prefix + posting) then read cache
     // k = n_sh − minInter + 1 covers the worst qualifying pair by
     // pigeonhole (see minInterCol for why it is derived from the verify's
     // own division, not from (1−θ)·n_sh)
@@ -1309,43 +1318,114 @@ object DedupQueries {
   // triangle counts measure local clustering (a doc whose neighbors are
   // also near-dups of EACH OTHER sits inside a dense duplication cluster;
   // a high-degree/zero-triangle doc is a template hub — different cleanup
-  // action). Edges are the verified Jaccard pairs, already oriented
-  // doc_a < doc_b, so each triangle a<b<c is enumerated exactly once by
-  // two equi-joins (the standard distributed triangle enumeration —
-  // shuffle-bounded on node keys, never an all-pairs product; on skewed
-  // graphs the orientation would be by degree instead of id, same joins).
-  // Exact integer output: node, degree, triangle count.
+  // action). Edges are the verified Jaccard pairs, ORIENTED BY (degree,
+  // id): each edge points from its lower-degree endpoint to the higher
+  // (ties by id), so each triangle is enumerated exactly once by two
+  // equi-joins AND the per-node wedge fan-out is bounded by the oriented
+  // out-degree — on a power-law graph a degree-d hub contributes C(d,2)
+  // wedges under a low-ID orientation but 0 as a join-key source under
+  // degree orientation (TriangleOrientationSpec measures the planted-hub
+  // case). Per-node triangle counts and degrees are orientation-
+  // invariant, so the output is identical under any acyclic orientation.
+  // Cache discipline: the LSH pair pipeline runs ONCE — pairs are pinned
+  // for the orientation pass, then the oriented edge list is pinned AND
+  // materialized before its five-way self-reference (three join legs +
+  // two degree legs); CacheDisciplineSpec gates the no-replay contract.
   private def triangles(s: SparkSession, d: String): DataFrame =
-    triangleCounts(jaccardPairs(Tables.documents(s, d))
-      .select(col("doc_a"), col("doc_b")))
-  /** Per-node degree + triangle count on an oriented (doc_a < doc_b)
-    * edge list — the facade entry for arbitrary similarity graphs. */
-  private[graft] def triangleCounts(e: DataFrame): DataFrame = {
-    val tri = e.as("e1")
-      .join(e.as("e2"), col("e2.doc_a") === col("e1.doc_b"))
+    triangleCounts(
+      jaccardPairs(Tables.documents(s, d), Tables.documentsRows(s, d))
+        .select(col("doc_a"), col("doc_b")))
+  /** Per-node degree + triangle count on an undirected edge list (two
+    * long columns, each edge listed once, no self-loops) — the facade
+    * entry for arbitrary similarity graphs. Degree-orients internally;
+    * the result (one InMemoryTable, caller-owned like PageRank's) is
+    * already materialized when this returns. */
+  private[graft] def triangleCounts(pairs: DataFrame): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val p = pairs.toDF("doc_a", "doc_b").persist(lvl)
+    try {
+      p.count() // one upstream (LSH) pass; the orientation reads cache
+      val e = degreeOriented(p)
+        // pre-partitioned on the wedge-join key (e2/e3 probe on src)
+        .repartition(col("src"))
+        .persist(lvl)
+      try {
+        e.count() // materialize BEFORE the 5-way reference: no leg race,
+                  // no upstream replay (the r7 verdict's scale-killer)
+        val out = orientedTriangleCounts(e).persist(lvl)
+        try out.count() // result cache caller-owned (PageRank precedent)
+        catch { case t: Throwable => out.unpersist(); throw t }
+        out
+      } finally e.unpersist()
+    } finally p.unpersist()
+  }
+  /** Degree orientation: every undirected edge (doc_a, doc_b) becomes
+    * (src, dst) with src ≺ dst under the total order (degree, id) — the
+    * standard bounded-arboricity trick: wedge fan-out per node is then
+    * bounded by its LOWER-degree-endpoint out-degree, so a power-law
+    * hub stops being a wedge source (TriangleOrientationSpec measures
+    * the planted-hub case). Uncached; expects doc_a/doc_b columns. */
+  private[graft] def degreeOriented(p: DataFrame): DataFrame = {
+    val deg0 = p.select(col("doc_a").as("id"))
+      .unionAll(p.select(col("doc_b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    p.join(deg0.as("da"), col("doc_a") === col("da.id"))
+      .join(deg0.as("db"), col("doc_b") === col("db.id"))
+      .select(
+        when(col("da.deg") < col("db.deg") ||
+            (col("da.deg") === col("db.deg") && col("doc_a") < col("doc_b")),
+          struct(col("doc_a").as("s"), col("doc_b").as("t")))
+          .otherwise(struct(col("doc_b").as("s"), col("doc_a").as("t")))
+          .as("ed"))
+      .select(col("ed.s").as("src"), col("ed.t").as("dst"))
+  }
+  /** Enumeration half over an ACYCLICALLY ORIENTED edge list (src ≺ dst
+    * under any total order; here (deg, id)) — uncached, for plan
+    * inspection and the orientation spec. */
+  private[graft] def orientedTriangleCounts(e: DataFrame): DataFrame = {
+    val tri = orientedWedges(e)
       .join(e.as("e3"),
-        col("e3.doc_a") === col("e1.doc_a") &&
-          col("e3.doc_b") === col("e2.doc_b"))
-      .select(col("e1.doc_a").as("x"), col("e1.doc_b").as("y"),
-        col("e2.doc_b").as("z"))
+        col("e3.src") === col("x") && col("e3.dst") === col("z"))
+      .select(col("x"), col("y"), col("z"))
     val triPerNode = tri
       .select(explode(array(col("x"), col("y"), col("z"))).as("id"))
       .groupBy(col("id")).agg(count(lit(1)).as("n_tri"))
-    val deg = e.select(col("doc_a").as("id"))
-      .union(e.select(col("doc_b").as("id")))
+    val deg = e.select(col("src").as("id"))
+      .unionAll(e.select(col("dst").as("id")))
       .groupBy(col("id")).agg(count(lit(1)).as("deg"))
     deg.join(triPerNode, Seq("id"), "left")
       .select(col("id"), col("deg"),
         coalesce(col("n_tri"), lit(0L)).as("n_tri"))
   }
+  /** The wedge (open-triangle candidate) set of an oriented edge list —
+    * the intermediate whose size degree orientation bounds (its row
+    * count is Σ C(out-deg, 2)-ish; the orientation spec measures it). */
+  private[graft] def orientedWedges(e: DataFrame): DataFrame =
+    e.as("e1")
+      .join(e.as("e2"), col("e2.src") === col("e1.dst"))
+      .select(col("e1.src").as("x"), col("e1.dst").as("y"),
+        col("e2.dst").as("z"))
   private def trianglesSql =
     s"""WITH pairs AS ($jaccardPairsSql),
-       |e AS (SELECT doc_a, doc_b FROM pairs),
+       |p AS (SELECT doc_a, doc_b FROM pairs),
+       |deg0 AS (
+       |  SELECT id, COUNT(1) AS deg FROM (
+       |    SELECT doc_a AS id FROM p UNION ALL SELECT doc_b FROM p)
+       |  GROUP BY 1),
+       |e AS (
+       |  SELECT
+       |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND p.doc_a < p.doc_b)
+       |      THEN p.doc_a ELSE p.doc_b END AS src,
+       |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND p.doc_a < p.doc_b)
+       |      THEN p.doc_b ELSE p.doc_a END AS dst
+       |  FROM p
+       |  JOIN deg0 da ON da.id = p.doc_a
+       |  JOIN deg0 db ON db.id = p.doc_b),
        |tri AS (
-       |  SELECT e1.doc_a AS x, e1.doc_b AS y, e2.doc_b AS z
+       |  SELECT e1.src AS x, e1.dst AS y, e2.dst AS z
        |  FROM e e1
-       |  JOIN e e2 ON e2.doc_a = e1.doc_b
-       |  JOIN e e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b),
+       |  JOIN e e2 ON e2.src = e1.dst
+       |  JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst),
        |tpn AS (
        |  SELECT id, COUNT(1) AS n_tri FROM (
        |    SELECT x AS id FROM tri
@@ -1354,7 +1434,7 @@ object DedupQueries {
        |  GROUP BY 1),
        |deg AS (
        |  SELECT id, COUNT(1) AS deg FROM (
-       |    SELECT doc_a AS id FROM e UNION ALL SELECT doc_b FROM e)
+       |    SELECT src AS id FROM e UNION ALL SELECT dst FROM e)
        |  GROUP BY 1)
        |SELECT deg.id, deg.deg, COALESCE(tpn.n_tri, 0) AS n_tri
        |FROM deg LEFT JOIN tpn ON tpn.id = deg.id""".stripMargin
@@ -1369,7 +1449,7 @@ object DedupQueries {
   private val LpRounds = 3
   private def labelProp(s: SparkSession, d: String): DataFrame =
     graft.operators.LabelProp.propagate(
-      jaccardPairs(Tables.documents(s, d))
+      jaccardPairs(Tables.documents(s, d), Tables.documentsRows(s, d))
         .select(col("doc_a"), col("doc_b")), LpRounds)
   private def labelPropSql =
     s"""WITH pairs AS ($jaccardPairsSql),
@@ -1382,9 +1462,11 @@ object DedupQueries {
   val all: Seq[Q] = Seq(
     Q("d1_exact_dedup", (s, d) => exactDedup(Tables.documents(s, d)),
       Some(exactDedupSql)),
-    Q("d2_minhash_lsh", (s, d) => minhashLsh(Tables.documents(s, d)),
+    Q("d2_minhash_lsh",
+      (s, d) => minhashLsh(Tables.documents(s, d), Tables.documentsRows(s, d)),
       Some(minhashLshSql)),
-    Q("d3_jaccard_pairs", (s, d) => jaccardPairs(Tables.documents(s, d)),
+    Q("d3_jaccard_pairs",
+      (s, d) => jaccardPairs(Tables.documents(s, d), Tables.documentsRows(s, d)),
       Some(jaccardPairsSql)),
     Q("d4_simhash", (s, d) => simhash(Tables.documents(s, d)),
       Some(simhashSql)),
@@ -1392,17 +1474,23 @@ object DedupQueries {
     Q("d6_dedup_keep", dedupKeep, Some(dedupKeepSql)),
     Q("d7_components", components, Some(componentsSql)),
     Q("p1_pagerank", pagerank, Some(pagerankSql)),
-    Q("d9_containment", (s, d) => containmentPairs(Tables.documents(s, d)),
+    Q("d9_containment",
+      (s, d) => containmentPairs(Tables.documents(s, d),
+        nHint = Tables.documentsRows(s, d)),
       Some(containmentPairsSql)),
-    Q("d11_containment_join", (s, d) => containmentJoin(Tables.documents(s, d)),
+    Q("d11_containment_join",
+      (s, d) => containmentJoin(Tables.documents(s, d),
+        nHint = Tables.documentsRows(s, d)),
       Some(containmentJoinSql)),
-    Q("d10_keep_best", (s, d) => keepBest(Tables.documents(s, d)),
+    Q("d10_keep_best",
+      (s, d) => keepBest(Tables.documents(s, d), Tables.documentsRows(s, d)),
       Some(keepBestSql)),
     Q("d12_substring_spans",
       (s, d) => substringSpans(Tables.documents(s, d)),
       Some(substringSpansSql)),
     Q("d15_edit_distance",
-      (s, d) => editDistancePairs(Tables.documents(s, d)),
+      (s, d) => editDistancePairs(Tables.documents(s, d),
+        Tables.documentsRows(s, d)),
       Some(editDistancePairsSql)),
     Q("d17_line_dedup", lineDedup, Some(lineDedupSql)),
     Q("d18_url_dedup", (s, d) => urlDedupOn(Tables.documents(s, d)),

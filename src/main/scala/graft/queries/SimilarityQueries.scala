@@ -180,6 +180,11 @@ object SimilarityQueries {
             expr("shiftleft(CAST(1 AS BIGINT), bits) - 1")))
           .drop("n_rows", "bits")
       }).drop("sig_full")
+      // pinned + materialized: the probe explosion and the index side are
+      // both full-corpus references to this signature table — uncached
+      // they recompute the quantize+24-projection scan twice and race
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    withSig.count()
     // query-side probe explosion: sig, sig^1, sig^2, ... (bits 0..nProbe−2)
     val flips = (0L +: (0 until nProbe - 1).map(b => 1L << b)).toArray
     val probes = withSig.withColumn("psig",
@@ -331,6 +336,12 @@ object SimilarityQueries {
   private[graft] def ivfTopKPinned(emb: DataFrame, topK: Int = TopK,
       nHint: Long = -1L, nProbe: Int = NProbe): (DataFrame, Seq[DataFrame]) = {
     val assigned = ivfAssign(emb, nHint, nProbe)
+    // materialize the pinned inverted file BEFORE the self-join: the two
+    // join legs otherwise race to fill the same cache blocks, each
+    // recomputing the full assignment pipeline (r7 verdict #2 — the
+    // `Block rdd_N already exists` warnings and the [4.3, 9.4] s spread;
+    // PageRank.scala count-then-consume pattern, CacheDisciplineSpec)
+    assigned.count()
     val index = assigned.filter(col("arn") === 1) // home cells only
     val wRank = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
@@ -348,7 +359,7 @@ object SimilarityQueries {
     (out, Seq(assigned))
   }
   private def ivfTopK(s: SparkSession, d: String): DataFrame =
-    ivfTopKDf(Tables.embeddings(s, d))
+    ivfTopKDf(Tables.embeddings(s, d), nHint = Tables.embeddingsRows(s, d))
   private val ivfTopKSql =
     s"""WITH q AS (SELECT vec_id, ${TextOps.quantizeSql("embedding")} AS q FROM embeddings),
        |nrows AS (SELECT COUNT(*) AS n FROM q),
@@ -468,7 +479,8 @@ object SimilarityQueries {
     * threshold matches d5's 0.45 (the corpus's planted near-dup level);
     * production thresholds are higher, which only shrinks the pair set. */
   private def semanticDedup(s: SparkSession, d: String): DataFrame =
-    semanticDedupOn(Tables.embeddings(s, d), KmK, threshold = 0.45)
+    semanticDedupOn(Tables.embeddings(s, d), KmK, threshold = 0.45,
+      nHint = Tables.embeddingsRows(s, d))
   private[graft] def semanticDedupOn(emb: DataFrame, k: Int,
       threshold: Double, updates: Int = 1, nHint: Long = -1L): DataFrame = {
     val (asg, _) = graft.operators.KMeans.fit(
@@ -522,7 +534,8 @@ object SimilarityQueries {
   private val PqNQ = 8 // query subset (vec_id < PqNQ, s1's convention)
   private[graft] def pqAdc(s: SparkSession, d: String): DataFrame =
     pqTopKOn(Tables.embeddings(s, d), Tables.EmbeddingDim,
-      m = PqM, k = PqK, r = PqR, topK = TopK, nQueries = PqNQ)
+      m = PqM, k = PqK, r = PqR, topK = TopK, nQueries = PqNQ,
+      nHint = Tables.embeddingsRows(s, d))
   private[graft] def pqTopKOn(emb: DataFrame, dim: Int, m: Int, k: Int,
       r: Int, topK: Int, nQueries: Int, nHint: Long = -1L): DataFrame = {
     import graft.operators.ProductQuantizer
@@ -624,14 +637,19 @@ object SimilarityQueries {
       .select(col("vec_id"), TextOps.quantize(col("embedding")).as("q"))
       .withColumn("nn", TextOps.qdot(col("q"), col("q")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    e.count() // materialize before the 4-way reference (no leg race)
     val flatWeights = new Array[Long](bands * rowBits * dim)
     for (b <- 0 until bands; j <- 0 until rowBits)
       System.arraycopy(DedupQueries.d5Weights(dim, b, j), 0, flatWeights,
         (b * rowBits + j) * dim, dim)
+    // pinned + materialized: the query-band broadcast and the corpus
+    // band side otherwise each recompute the bands×rowBits projection
     val bandRows = e.select(col("vec_id"),
         posexplode(graft.functions.BandedSignatures(
           col("q"), flatWeights, bands, rowBits)))
       .toDF("vec_id", "band_idx", "band_sig")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    bandRows.count()
     val qBands = bandRows.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("band_idx"), col("band_sig"))
     val cand = broadcast(qBands)
@@ -814,14 +832,15 @@ object SimilarityQueries {
     Q("s1_cosine_topk", (s, d) => cosineTopK(Tables.embeddings(s, d)),
       Some(cosineTopKSql)),
     Q("s2_ann_lsh",
-      (s, d) => annLsh(Tables.embeddings(s, d), dim0 = Tables.EmbeddingDim),
+      (s, d) => annLsh(Tables.embeddings(s, d), dim0 = Tables.EmbeddingDim,
+        nHint = Tables.embeddingsRows(s, d)),
       Some(annLshSql)),
     Q("s3_ivf_topk", ivfTopK, Some(ivfTopKSql)),
     Q("s4_kmeans", kmeansSummary, Some(kmeansSummarySql)),
     Q("s5_pq_adc", pqAdc, Some(pqAdcSql)),
     Q("s6_range_search",
       (s, d) => rangeSearchOn(Tables.embeddings(s, d),
-        dim0 = Tables.EmbeddingDim),
+        dim0 = Tables.EmbeddingDim, nHint = Tables.embeddingsRows(s, d)),
       Some(rangeSearchSql)),
     Q("s7_mips", (s, d) => mipsTopK(Tables.embeddings(s, d)),
       Some(mipsTopKSql)),

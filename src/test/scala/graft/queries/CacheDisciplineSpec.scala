@@ -1,0 +1,122 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.util.LongAccumulator
+import org.scalatest.funsuite.AnyFunSuite
+import graft.{Tables, TestSpark}
+
+/** The cache-discipline gate (r7 verdict #3): any operator that persists
+  * intermediates must MATERIALIZE them before multi-leg consumption —
+  * otherwise (a) the first action's legs race to fill the same cache
+  * blocks, each recomputing the upstream pipeline (`Block rdd_N already
+  * exists` — s3's r7 defect), or (b) the returned frame silently replays
+  * the whole upstream per reference (p2's r7 5× LSH replay).
+  *
+  * The gate instruments the operator's INPUT with a per-partition
+  * evaluation accumulator and asserts, per operator:
+  *  1. building the operator evaluates the input a bounded number of
+  *     times (the pinned stages run during construction), and
+  *  2. consuming the returned frame evaluates the input at most the
+  *     operator's DECLARED per-consume budget — 0 for fully-pinned
+  *     pipelines; d3/d9 budget 2 for their by-design verify re-scans
+  *     (recomputing narrow-from-scan beats pinning corpus-wide shingle
+  *     arrays), and crucially NEVER the pinned stages themselves.
+  * At 100 TB an un-materialized multi-reference pin is an N× replay of
+  * the most expensive stage in the pipeline; this spec turns that class
+  * of defect into a red test instead of a per-round plan audit.
+  */
+class CacheDisciplineSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Re-root `df` on an instrumented RDD scan: the accumulator counts
+    * PARTITION EVALUATIONS of the input (cache hits skip it). */
+  private def instrumented(df: DataFrame): (DataFrame, LongAccumulator, Int) = {
+    val acc = spark.sparkContext.longAccumulator("input-evals")
+    val rdd = df.rdd.mapPartitions { it => acc.add(1); it }
+    (spark.createDataFrame(rdd, df.schema), acc, rdd.getNumPartitions)
+  }
+
+  /** Build via `op`, then assert consuming the result adds at most
+    * `maxConsume` full input passes. Returns build-time passes. */
+  private def boundedReplay(name: String, input: DataFrame,
+      maxConsume: Double = 0.0)(op: DataFrame => DataFrame): Double = {
+    spark.catalog.clearCache()
+    val (in, acc, parts) = instrumented(input)
+    val out = op(in)
+    val builds = acc.value.toDouble / parts
+    out.count() // consume
+    val consumed = acc.value.toDouble / parts - builds
+    assert(consumed <= maxConsume,
+      s"$name: consuming the returned frame replayed the input $consumed " +
+        s"times (budget $maxConsume) — persisted intermediates must be " +
+        "materialized before the operator returns")
+    spark.catalog.clearCache()
+    builds
+  }
+
+  private lazy val docs = Tables.documents(spark, sf)
+  private lazy val emb = Tables.embeddings(spark, sf)
+  private lazy val nDocs = Tables.documentsRows(spark, sf)
+  private lazy val nEmb = Tables.embeddingsRows(spark, sf)
+
+  private def syntheticPairs: DataFrame = {
+    import spark.implicits._
+    Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (3L, 5L), (2L, 5L)).toDF("doc_a", "doc_b")
+  }
+
+  test("p2 triangleCounts: edge list computed once, no replay on consume") {
+    // the pair-list input stands in for the LSH pipeline p2 feeds it
+    val builds = boundedReplay("p2", syntheticPairs)(
+      DedupQueries.triangleCounts)
+    // the five-way self-reference must NOT mean five upstream passes:
+    // one pass pins the pairs, everything downstream reads caches
+    assert(builds == 1.0,
+      s"p2 built with $builds input passes; the pair pipeline must run once")
+  }
+
+  test("s3 ivfTopK: pinned assignment table materialized before the self-join") {
+    boundedReplay("s3", emb)(in =>
+      SimilarityQueries.ivfTopKDf(in, nHint = nEmb))
+  }
+
+  test("d5 embedding near-dup: sig/band pins materialized at build") {
+    boundedReplay("d5", emb)(in =>
+      DedupQueries.embNearDupBanded(in, DedupQueries.D5Bands,
+        DedupQueries.D5Rows, 0.45, dim = Tables.EmbeddingDim, nHint = nEmb))
+  }
+
+  test("d2 minhash LSH: signature matrix materialized at build") {
+    boundedReplay("d2", docs)(in =>
+      DedupQueries.minhashLsh(in, nHint = nDocs))
+  }
+
+  test("d3 jaccard pairs: pinned sketch never replays; verify re-scans stay in budget") {
+    boundedReplay("d3", docs, maxConsume = 2.0)(in =>
+      DedupQueries.jaccardPairs(in, nHint = nDocs))
+  }
+
+  test("s2 ANN-LSH: signature table materialized at build") {
+    boundedReplay("s2", emb)(in =>
+      SimilarityQueries.annLsh(in, dim0 = Tables.EmbeddingDim, nHint = nEmb))
+  }
+
+  test("s6 range search: vector + band pins materialized at build") {
+    boundedReplay("s6", emb)(in =>
+      SimilarityQueries.rangeSearchOn(in, dim0 = Tables.EmbeddingDim,
+        nHint = nEmb))
+  }
+
+  test("d9 containment: pinned sketch never replays; verify re-scans stay in budget") {
+    boundedReplay("d9", docs, maxConsume = 2.0)(in =>
+      DedupQueries.containmentPairs(in, nHint = nDocs))
+  }
+
+  test("p1/p3 regression: graph ops stay self-contained (PageRank pattern)") {
+    boundedReplay("p1", syntheticPairs)(in =>
+      graft.operators.PageRank.pageRank(in, 3))
+    boundedReplay("p3", syntheticPairs)(in =>
+      graft.operators.LabelProp.propagate(in, 2))
+  }
+}
