@@ -387,7 +387,8 @@ object Graft {
 
   /** CCNet-style perplexity routing (Wenzek et al. 2020): each doc
     * scored by exact integer bits-per-bigram under the corpus bigram LM
-    * (floor(−log₂ P) via binary-string length — doubles-free), then
+    * (exact ceil(−log₂ P) via 2²⁰ fixed point + binary-string length —
+    * doubles-free), then
     * routed to 'head' / 'middle' / 'tail' quality buckets on fixed
     * bits thresholds. Training pipelines keep head+middle. Requires
     * (doc_id, text); returns (doc_id, n_bigrams, bits_x1000, bucket).

@@ -85,11 +85,15 @@ class Compactor(
         val lo = bucket.files.map(_.min_time).min
         val span = math.max(1L, bucket.files.map(_.max_time).max - lo)
         // exact integer div (the double quotient is inexact past 2^53);
-        // clamp: metadata bounds are trusted elsewhere, but a stray row
-        // outside them must not wrap the 16-bit grid
-        val xb = least(greatest(
-          expr(s"((`$timeColumn` - ${lo}L) * 65535) div ${span}L"),
-          lit(0L)), lit(65535L))
+        // clamp the RAW time into [lo, lo+span] BEFORE scaling: a stray
+        // row far outside the bucket's trusted metadata bounds must land
+        // on grid cell 0/65535, not wrap the ×65535 product negative
+        // (r7 advice). The product is computed in DECIMAL so even a
+        // multi-day --window-hours span (> ~39 h overflows int64×65535)
+        // stays exact; layout-only cost, once per row.
+        val xb = expr(
+          s"CAST((CAST(least(greatest(`$timeColumn`, ${lo}L), ${lo + span}L) " +
+            s"AS DECIMAL(38,0)) - ${lo}L) * 65535 div ${span}L AS BIGINT)")
         val yb = xxhash64(col(series)).bitwiseAND(lit(0xFFFFL))
         shiftleft(graft.queries.PipelineQueries.spread16(xb), 1)
           .bitwiseOR(graft.queries.PipelineQueries.spread16(yb))

@@ -27,7 +27,8 @@ object Layout {
   /** Write `df` as `numFiles` z-ordered parquet files under `outDir`.
     * The two layout axes must be numeric columns (e.g. a µs timestamp
     * and a series hash); every input column is preserved, plus the
-    * `zkey` curve position. */
+    * `zkey` curve position. `rowBound`, when > 0, must be the EXACT row
+    * count (it becomes the bucket divisor) and saves a counting pass. */
   def writeZOrdered(df: DataFrame, idCol: String, xCol: String,
       yCol: String, outDir: String, numFiles: Int = 64,
       rowBound: Long = -1L): Unit = {

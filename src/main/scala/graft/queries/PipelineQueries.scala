@@ -504,7 +504,11 @@ object PipelineQueries {
 
   /** [[zorderOn]] keeping EVERY input column (plus zkey/zshard) — the
     * write-path form: operators.Layout range-partitions the annotated
-    * rows on zkey so each output file is one tight curve segment. */
+    * rows on zkey so each output file is one tight curve segment.
+    * `rowBound > 0` must be the EXACT row count here (it becomes the
+    * bucket divisor, not just a planning bound) — callers that know it
+    * (Layout.writeZOrdered, ScaleFixture) save a third full pass over
+    * the input on the write path (r7 advice). */
   private[graft] def zorderAnnotate(df: DataFrame, idCol: String,
       xCol: String, yCol: String, rowBound: Long = -1L): DataFrame = {
     val e = df.withColumn("__zx", col(xCol)).withColumn("__zy", col(yCol))
@@ -514,8 +518,10 @@ object PipelineQueries {
     val yr = graft.operators.DistributedRank.withRowNumber(
       xr, Seq.empty, Seq(col("__zy"), col(idCol)), col("__zy"), "__yrn",
       rowBound = rowBound)
-    val nRow = e.agg(count(lit(1)).as("__n_rows"))
-    yr.crossJoin(broadcast(nRow))
+    val withN =
+      if (rowBound > 0) yr.withColumn("__n_rows", lit(rowBound))
+      else yr.crossJoin(broadcast(e.agg(count(lit(1)).as("__n_rows"))))
+    withN
       .withColumn("__xb", expr("((__xrn - 1) * 65536) div __n_rows"))
       .withColumn("__yb", expr("((__yrn - 1) * 65536) div __n_rows"))
       .withColumn("zkey",
@@ -563,7 +569,6 @@ object PipelineQueries {
   // neighbors, no explode, no shuffle, no sequential scan. Output is
   // aggregate-gated per doc: token/masked counts + the exact
   // fingerprint of the masked-position list.
-  private def spanStartSql(h: String) = s"($h % 20 = 0)"
   private[graft] def spanCorruptionOn(docs: DataFrame): DataFrame = {
     val n = size(TextOps.tokens(col("text")))
     val rng = when(n >= 1, sequence(lit(1), n)).otherwise(

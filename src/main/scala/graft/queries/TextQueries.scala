@@ -421,7 +421,12 @@ object TextQueries {
     val model = b
       .withColumn("w1", split(col("bg"), " ").getItem(0))
       .join(u.hint("shuffle_hash"), "w1")
-      .select(col("bg"), expr("b_cnt * 1000000L div u_cnt").as("p6"))
+      // p6: t12's reporting scale (parts-per-million). p20: the same
+      // probability in 2^20 fixed point — floor(log2 p20) − 20 is then
+      // EXACTLY floor(log2 P) (t18's bit cost needs a power-of-two
+      // scale; 10^6 ≠ 2^20 made the old p6-based cost ~1 bit high)
+      .select(col("bg"), expr("b_cnt * 1000000L div u_cnt").as("p6"),
+        expr("b_cnt * 1048576L div u_cnt").as("p20"))
     (occ, model)
   }
 
@@ -717,21 +722,25 @@ object TextQueries {
   // ---- t18: LM-perplexity quality routing (the CCNet recipe, Wenzek et
   // al. 2020: score each document by its perplexity under a corpus LM,
   // route to head/middle/tail buckets, train on head+middle). The LM is
-  // t12's fixed-point bigram model; the per-document score is
-  // BITS-PER-BIGRAM — the exact integer floor(−log₂ P(w2|w1)) cost
-  // 20 − floor(log₂ p6), where floor(log₂ x) is computed as
-  // length(bin(x)) − 1: both engines print the same minimal binary
-  // string for a positive int64, so the doubles-free log is hash-exact
-  // (same determinism trick class as t9's integer-scaled tf-idf; a real
-  // float log diverges between libms). p6 ∈ [0, 10⁶] (integer division
-  // can floor small probabilities to 0 on huge corpora), clamped to ≥1
-  // so the cost caps at 20 bits — the standard "unknown ≈ uniform
-  // floor" smoothing. avg bits ×1000 keeps three fractional digits in
-  // int64. Bucket thresholds are fixed config (head ≤ 8 bits/bigram,
-  // middle ≤ 12): CCNet derives them from corpus terciles, but a fixed
-  // cutoff is deterministic and keeps the query one-pass — at 100 TB the
-  // tercile variant is one extra approx_percentile over the scored
-  // table, not a different plan shape.
+  // t12's fixed-point bigram model carrying a 2^20 fixed-point
+  // probability p20 = ⌊P(w2|w1)·2²⁰⌋; the per-document score is
+  // BITS-PER-BIGRAM — the EXACT integer ceil(−log₂ P(w2|w1)) =
+  // 20 − floor(log₂ p20) (floor(log₂ ⌊x⌋) = floor(log₂ x) for x ≥ 1,
+  // and the scale being a power of two makes the identity exact — the
+  // earlier 10⁶ scale was systematically ~1 bit high, r7 advice).
+  // floor(log₂ x) is computed as length(bin(x)) − 1: both engines print
+  // the same minimal binary string for a positive int64, so the
+  // doubles-free log is hash-exact (same determinism trick class as
+  // t9's integer-scaled tf-idf; a real float log diverges between
+  // libms). p20 ∈ [0, 2²⁰] (integer division can floor small
+  // probabilities to 0 on huge corpora), clamped to ≥1 so the cost caps
+  // at 20 bits — the standard "unknown ≈ uniform floor" smoothing.
+  // avg bits ×1000 keeps three fractional digits in int64. Bucket
+  // thresholds are fixed config (head ≤ 8 bits/bigram, middle ≤ 12):
+  // CCNet derives them from corpus terciles, but a fixed cutoff is
+  // deterministic and keeps the query one-pass — at 100 TB the tercile
+  // variant is one extra approx_percentile over the scored table, not a
+  // different plan shape.
   //
   // Shape at scale: identical to t12 (shared model) + one per-doc agg;
   // the only additions are per-row codegen'd integer ops. One extra
@@ -742,7 +751,7 @@ object TextQueries {
     val (occ, model) = bigramOccAndModel(docs)
     occ.join(model.hint("shuffle_hash"), "bg")
       .withColumn("bits",
-        expr("20L - (length(bin(greatest(p6, 1L))) - 1)"))
+        expr("20L - (length(bin(greatest(p20, 1L))) - 1)"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
         expr("sum(bits) * 1000L div count(1)").as("bits_x1000"))
@@ -764,11 +773,11 @@ object TextQueries {
        |    CAST(SUM(b_cnt) AS BIGINT) AS u_cnt
        |  FROM b GROUP BY 1),
        |model AS (
-       |  SELECT bg, b_cnt * 1000000 // u_cnt AS p6
+       |  SELECT bg, b_cnt * 1048576 // u_cnt AS p20
        |  FROM b JOIN u ON u.w1 = string_split(b.bg, ' ')[1]),
        |scored AS (
        |  SELECT doc_id, COUNT(1) AS n_bigrams,
-       |    CAST(SUM(20 - (length(bin(greatest(p6, 1))) - 1)) * 1000
+       |    CAST(SUM(20 - (length(bin(greatest(p20, 1))) - 1)) * 1000
        |      // COUNT(1) AS BIGINT) AS bits_x1000
        |  FROM occ JOIN model USING (bg)
        |  GROUP BY doc_id)

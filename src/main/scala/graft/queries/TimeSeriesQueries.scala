@@ -87,10 +87,13 @@ object TimeSeriesQueries {
     val wAll = Window.partitionBy(col(keyCol))
     val wLag = Window.partitionBy(col(keyCol))
       .orderBy(col(tsCol), col(idCol))
-    // resid fits decimal(19,0) (|c·n − S| ≲ 10^10 at million-row
-    // keys); Spark then types the product decimal(38,0) — exact —
-    // where a (38,0)×(38,0) multiply would overflow-null instead
-    val dec = "decimal(19,0)"
+    // resid cast widened to decimal(28,0): |c·n − S| ≲ 10^10 at
+    // million-row keys, but a (19,0) cast NULLed silently past 10^19
+    // (large cents × huge keys — r7 advice). At (28,0) Spark types the
+    // product decimal(38,0) — still exact for |r| ≤ 10^19 products —
+    // and the cast itself cannot overflow before ~10^28 residuals,
+    // which the n·|c| domain cannot reach (int64 inputs)
+    val dec = "decimal(28,0)"
     df.select(col(keyCol), col(idCol), col(tsCol), col(centsCol).as("c"))
       .withColumn("n", count(lit(1)).over(wAll))
       .withColumn("s_c", sum(col("c")).over(wAll))
