@@ -710,4 +710,16 @@ object Graft {
       minTokens: Int = 5): DataFrame =
     streaming.CorpusIngest.ingest(
       streaming.CorpusIngest.readDocs(spark, landingDir), minTokens)
+
+  /** Cross-batch NEAR-duplicate detection over a landing directory —
+    * the streaming twin of [[nearDupPairs]]: each incoming document is
+    * matched against every previously ingested doc sharing a MinHash-LSH
+    * band bucket (state-store-backed corpus index), emitting
+    * (doc_id, dup_of, sig_matches) rows in append mode. `minSigMatches`
+    * of 16 signature components is the similarity gate (8 ≈ Jaccard
+    * 0.5). Streaming ≡ batch is pinned by StreamingNearDupSpec. */
+  def streamNearDups(spark: SparkSession, landingDir: String,
+      minSigMatches: Int = 8): DataFrame =
+    streaming.CorpusIngest.nearDupMatches(
+      streaming.CorpusIngest.readDocs(spark, landingDir), minSigMatches)
 }

