@@ -42,7 +42,7 @@ class Compactor(
     rowGroupTargetBytes: Long = 32L << 20,
     dictionaryEncoding: Boolean = false,
     sortPartitionBytes: Long = 16L << 20,
-    zorderColumn: Option[String] = None) {
+    zorderColumns: Seq[String] = Nil) {
 
   /** 130% of target — above this an output is split (kompactor.ts:53-57,
     * dead code in the reference, live here). */
@@ -72,31 +72,36 @@ class Compactor(
     // reference's config shape implies but its ORDER BY time never uses):
     // within ONE bucket the time axis is already window-bounded with
     // known metadata min/max, so a FIXED-GRID interleave — time scaled
-    // into 16 bits by the bucket's own span × 16 series-hash bits — is
-    // the z-curve with ZERO extra passes (q52's rank equalization needs
-    // two rank shuffles; here the window bound does the equalizing).
-    // Output files/row groups then carry tight zone maps on time AND
-    // series, so a one-series scan prunes row groups instead of reading
-    // the whole window (LayoutPruningSpec measures the effect).
-    val sortKey: org.apache.spark.sql.Column = zorderColumn match {
-      case None => col(timeColumn)
-      case Some(series) =>
-        import org.apache.spark.sql.functions.{expr, greatest, least, lit, shiftleft, xxhash64}
+    // into B bits by the bucket's own span × B hash bits per tag column
+    // — is the z-curve with ZERO extra passes (q52's rank equalization
+    // needs two rank shuffles; here the window bound does the
+    // equalizing). N AXES (r7 verdict #9): time is axis 0 plus one hash
+    // axis per --zorder-col entry, per-axis bits B = min(16, 63/k), so
+    // `--zorder-col host,sensor` gives every output row group tight
+    // zone maps on time AND both tags (LayoutPruningSpec measures the
+    // file-skip effect; ZorderCompactSpec the clustering).
+    val sortKey: org.apache.spark.sql.Column = zorderColumns match {
+      case Nil => col(timeColumn)
+      case seriesCols =>
+        import org.apache.spark.sql.functions.{expr, lit, xxhash64}
+        val k = seriesCols.length + 1
+        val bits = graft.queries.PipelineQueries.zAxisBits(k)
+        val gridMax = (1L << bits) - 1
         val lo = bucket.files.map(_.min_time).min
         val span = math.max(1L, bucket.files.map(_.max_time).max - lo)
         // exact integer div (the double quotient is inexact past 2^53);
         // clamp the RAW time into [lo, lo+span] BEFORE scaling: a stray
         // row far outside the bucket's trusted metadata bounds must land
-        // on grid cell 0/65535, not wrap the ×65535 product negative
+        // on grid cell 0/max, not wrap the ×gridMax product negative
         // (r7 advice). The product is computed in DECIMAL so even a
         // multi-day --window-hours span (> ~39 h overflows int64×65535)
         // stays exact; layout-only cost, once per row.
-        val xb = expr(
+        val tb = expr(
           s"CAST((CAST(least(greatest(`$timeColumn`, ${lo}L), ${lo + span}L) " +
-            s"AS DECIMAL(38,0)) - ${lo}L) * 65535 div ${span}L AS BIGINT)")
-        val yb = xxhash64(col(series)).bitwiseAND(lit(0xFFFFL))
-        shiftleft(graft.queries.PipelineQueries.spread16(xb), 1)
-          .bitwiseOR(graft.queries.PipelineQueries.spread16(yb))
+            s"AS DECIMAL(38,0)) - ${lo}L) * ${gridMax}L div ${span}L AS BIGINT)")
+        val axes = tb +: seriesCols.map(c =>
+          xxhash64(col(c)).bitwiseAND(lit(gridMax)))
+        graft.queries.PipelineQueries.interleaveBits(axes, bits)
     }
     val sorted: DataFrame =
       if (kSort == 1) df.coalesce(1).sortWithinPartitions(sortKey)
@@ -115,7 +120,7 @@ class Compactor(
 
     // part-NNNNN names sort in range order => concatenation order is the
     // global sort-key order (time by default; the z-curve when
-    // zorderColumn is set — row groups stay range-disjoint either way)
+    // zorderColumns is set — row groups stay range-disjoint either way)
     val parts = fs.listStatus(tmpDir).map(_.getPath)
       .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
       .sortBy(_.getName)

@@ -22,8 +22,9 @@ object Main {
       |  --window-hours N        compaction window (1=hourly, 24=daily; default 1)
       |  --target-file-size-mb N desired output size (default 100)
       |  --time-column NAME      sort/time column (default "time")
-      |  --zorder-col NAME       opt-in z-order layout: interleave time with
-      |                          this column's hash (default: time sort)
+      |  --zorder-col A[,B...]   opt-in z-order layout: interleave time with
+      |                          these columns' hashes (default: time sort;
+      |                          N columns = an (N+1)-axis curve)
       |  --parallelism N         concurrent bucket merges (default 4)
       |  --help                  this text""".stripMargin
 
@@ -42,7 +43,8 @@ object Main {
         cfg = cfg.copy(maxDesiredFileSizeBytes = v.toLong << 20); rest = t
       case "--time-column" :: v :: t => cfg = cfg.copy(timeColumn = v); rest = t
       case "--zorder-col" :: v :: t =>
-        cfg = cfg.copy(zorderColumn = Some(v)); rest = t
+        cfg = cfg.copy(zorderColumns =
+          v.split(',').toSeq.map(_.trim).filter(_.nonEmpty)); rest = t
       case "--parallelism" :: v :: t =>
         cfg = cfg.copy(bucketParallelism = v.toInt); rest = t
       case flag :: _ if flag.startsWith("--") =>

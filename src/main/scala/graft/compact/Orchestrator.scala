@@ -30,10 +30,10 @@ final case class CompactConfig(
     // catalogs above this many file entries plan on executors
     // (Planner.planDistributed) instead of in driver memory
     distributedPlanThreshold: Int = 100000,
-    // opt-in z-order layout: interleave time with this column's hash so
-    // output zone maps bound BOTH axes (default: reference-parity time
-    // sort)
-    zorderColumn: Option[String] = None)
+    // opt-in z-order layout: interleave time with these columns' hashes
+    // so output zone maps bound EVERY axis (default: reference-parity
+    // time sort); one column = classic 2-axis, N columns = N+1 axes
+    zorderColumns: Seq[String] = Nil)
 
 final case class HostReport(
     host: String,
@@ -61,7 +61,7 @@ class Orchestrator(
   }
   private val compactor = new Compactor(spark, fs, config.timeColumn,
     config.maxDesiredFileSizeBytes, config.percentageMaxFileSize,
-    zorderColumn = config.zorderColumn)
+    zorderColumns = config.zorderColumns)
 
   private def log(msg: String): Unit =
     if (config.verbose) System.err.println(s"[compact] $msg")

@@ -31,10 +31,19 @@ object Layout {
     * count (it becomes the bucket divisor) and saves a counting pass. */
   def writeZOrdered(df: DataFrame, idCol: String, xCol: String,
       yCol: String, outDir: String, numFiles: Int = 64,
+      rowBound: Long = -1L): Unit =
+    writeZOrderedAxes(df, idCol, Seq(xCol, yCol), outDir, numFiles, rowBound)
+
+  /** N-axis form (tag-heavy payloads want time × 2+ tags): same write
+    * shape, per-axis bit budget from PipelineQueries.zAxisBits, axis 0
+    * owning the top bit of each interleave group. 2-axis calls produce
+    * byte-identical keys to [[writeZOrdered]]'s historical layout. */
+  def writeZOrderedAxes(df: DataFrame, idCol: String,
+      axisCols: Seq[String], outDir: String, numFiles: Int = 64,
       rowBound: Long = -1L): Unit = {
     require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
     graft.queries.PipelineQueries
-      .zorderAnnotate(df, idCol, xCol, yCol, rowBound)
+      .zorderAnnotateAxes(df, idCol, axisCols, rowBound)
       .drop("zshard")
       .repartitionByRange(numFiles, col("zkey"))
       .sortWithinPartitions(col("zkey"))

@@ -502,6 +502,27 @@ object PipelineQueries {
       idCol, xCol, yCol, rowBound)
       .select(col(idCol), col("zkey"), col("zshard"))
 
+  /** Round-robin bit interleave of `axes`, each already reduced to
+    * `bits` bits: bit i of axis j lands at position i·k + (k−1−j), so
+    * axis 0 owns the most significant slot of every bit group (for
+    * k = 2, bits = 16 this is exactly `spread16(x) << 1 | spread16(y)` —
+    * the 2-axis fast path stays bit-identical). One codegen'd
+    * shift/mask/or chain per row, k·bits terms, no shuffle. */
+  private[graft] def interleaveBits(axes: Seq[Column], bits: Int): Column = {
+    val k = axes.length
+    require(k >= 1 && bits >= 1 && k * bits <= 63,
+      s"interleaveBits: $k axes x $bits bits must fit a signed int64")
+    val terms = for {
+      (a, j) <- axes.zipWithIndex
+      i <- 0 until bits
+    } yield shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), i * k + (k - 1 - j))
+    terms.reduce(_.bitwiseOR(_))
+  }
+
+  /** Per-axis bit budget for a k-axis z-key: 16 bits per axis while the
+    * key fits int64 (2, 3 axes), then split 63 evenly (4 axes → 15…). */
+  private[graft] def zAxisBits(k: Int): Int = math.min(16, 63 / k)
+
   /** [[zorderOn]] keeping EVERY input column (plus zkey/zshard) — the
     * write-path form: operators.Layout range-partitions the annotated
     * rows on zkey so each output file is one tight curve segment.
@@ -510,24 +531,39 @@ object PipelineQueries {
     * (Layout.writeZOrdered, ScaleFixture) save a third full pass over
     * the input on the write path (r7 advice). */
   private[graft] def zorderAnnotate(df: DataFrame, idCol: String,
-      xCol: String, yCol: String, rowBound: Long = -1L): DataFrame = {
-    val e = df.withColumn("__zx", col(xCol)).withColumn("__zy", col(yCol))
-    val xr = graft.operators.DistributedRank.withRowNumber(
-      e, Seq.empty, Seq(col("__zx"), col(idCol)), col("__zx"), "__xrn",
-      rowBound = rowBound)
-    val yr = graft.operators.DistributedRank.withRowNumber(
-      xr, Seq.empty, Seq(col("__zy"), col(idCol)), col("__zy"), "__yrn",
-      rowBound = rowBound)
+      xCol: String, yCol: String, rowBound: Long = -1L): DataFrame =
+    zorderAnnotateAxes(df, idCol, Seq(xCol, yCol), rowBound)
+
+  /** N-axis generalization (r7 verdict #9 — tag-heavy InfluxDB payloads
+    * often want time × 2+ tags): exact global rank per axis
+    * (DistributedRank — no global single-sorter window), equalized into
+    * [[zAxisBits]]-bit buckets, round-robin interleaved. Axis 0 owns the
+    * top bit of each group; `zshard` is the top [[ZShardBits]] of the
+    * key. The 2-axis form is bit-identical to the historical
+    * spread16-based key (q52's oracle pins it). */
+  private[graft] def zorderAnnotateAxes(df: DataFrame, idCol: String,
+      axisCols: Seq[String], rowBound: Long = -1L): DataFrame = {
+    val k = axisCols.length
+    require(k >= 2, s"z-order needs >= 2 axes, got $axisCols")
+    val bits = zAxisBits(k)
+    val ranked = axisCols.zipWithIndex.foldLeft(df) { case (acc, (c, j)) =>
+      graft.operators.DistributedRank.withRowNumber(
+        acc, Seq.empty, Seq(col(c), col(idCol)), col(c), s"__rn$j",
+        rowBound = rowBound)
+    }
     val withN =
-      if (rowBound > 0) yr.withColumn("__n_rows", lit(rowBound))
-      else yr.crossJoin(broadcast(e.agg(count(lit(1)).as("__n_rows"))))
-    withN
-      .withColumn("__xb", expr("((__xrn - 1) * 65536) div __n_rows"))
-      .withColumn("__yb", expr("((__yrn - 1) * 65536) div __n_rows"))
+      if (rowBound > 0) ranked.withColumn("__n_rows", lit(rowBound))
+      else ranked.crossJoin(broadcast(df.agg(count(lit(1)).as("__n_rows"))))
+    val bucketed = (0 until k).foldLeft(withN) { (acc, j) =>
+      acc.withColumn(s"__b$j",
+        expr(s"((__rn$j - 1) * ${1L << bits}) div __n_rows"))
+    }
+    bucketed
       .withColumn("zkey",
-        shiftleft(spread16(col("__xb")), 1).bitwiseOR(spread16(col("__yb"))))
-      .withColumn("zshard", shiftright(col("zkey"), 32 - ZShardBits))
-      .drop("__zx", "__zy", "__xrn", "__yrn", "__n_rows", "__xb", "__yb")
+        interleaveBits((0 until k).map(j => col(s"__b$j")), bits))
+      .withColumn("zshard", shiftright(col("zkey"), k * bits - ZShardBits))
+      .drop("__n_rows")
+      .drop((0 until k).flatMap(j => Seq(s"__rn$j", s"__b$j")): _*)
   }
   private def zorderLayout(s: SparkSession, d: String): DataFrame =
     zorderOn(

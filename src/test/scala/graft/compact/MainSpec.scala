@@ -22,6 +22,16 @@ class MainSpec extends AnyFunSuite {
       cfg.timeColumn == "ts" && cfg.bucketParallelism == 8)
   }
 
+  test("--zorder-col: single column and multi-axis comma list") {
+    val Right(one) = Main.parseArgs(Seq("/d", "--zorder-col", "sensor")): @unchecked
+    assert(one.zorderColumns == Seq("sensor"))
+    val Right(two) = Main.parseArgs(
+      Seq("/d", "--zorder-col", "host, sensor")): @unchecked
+    assert(two.zorderColumns == Seq("host", "sensor"))
+    val Right(none) = Main.parseArgs(Seq("/d")): @unchecked
+    assert(none.zorderColumns.isEmpty)
+  }
+
   test("errors: unknown flag, missing dir, trailing arg; --help is usage") {
     assert(Main.parseArgs(Seq("/d", "--nope")).isLeft)
     assert(Main.parseArgs(Seq("--dry-run")).isLeft)

@@ -40,8 +40,8 @@ class ZorderCompactSpec extends AnyFunSuite {
 
   /** number of maximal single-tag runs in file order — 8 perfectly
     * clustered series give ~8 runs, a time-sorted interleave gives ~N */
-  private def tagRuns(path: String): Int = {
-    val tags = spark.read.parquet(path).select("sensor")
+  private def tagRuns(path: String, tagCol: String = "sensor"): Int = {
+    val tags = spark.read.parquet(path).select(tagCol)
       .collect().map(_.getString(0))
     1 + tags.sliding(2).count { case Array(a, b) => a != b; case _ => false }
   }
@@ -62,7 +62,7 @@ class ZorderCompactSpec extends AnyFunSuite {
     val dir = Files.createTempDirectory("graft_zc_z").toFile
     val bucket = mkBucket(dir)
     val r = new Compactor(spark, Compactor.localFs(spark),
-      zorderColumn = Some("sensor")).merge(new Path(dir.toString), bucket)
+      zorderColumns = Seq("sensor")).merge(new Path(dir.toString), bucket)
     assert(r.files.length == 1)
     val meta = r.files.head
     val out = new File(dir, meta.path).toString
@@ -87,5 +87,40 @@ class ZorderCompactSpec extends AnyFunSuite {
       case _ => ()
     }
     assert(bad == 0, s"$bad time inversions inside tag runs")
+  }
+
+  test("--zorder-col host,sensor: 3-axis curve clusters BOTH tags") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_zc_z3").toFile
+    val rel = s"edge0/dbs/db-0/table-0/2025-01-26/22-00/0000000001.parquet"
+    val f = new File(dir, rel)
+    f.getParentFile.mkdirs()
+    val tmp = new File(f.getParentFile, ".t")
+    // two independent tag axes interleaved in time
+    (0 until N).map(i => (base + i.toLong * 1000003L,
+        s"host${i % 4}", s"sensor${(i / 4) % Series}", i * 0.5))
+      .toDF("time", "host", "sensor", "value")
+      .coalesce(1).write.mode("overwrite")
+      .option("compression", "none").parquet(tmp.toString)
+    val part = tmp.listFiles.find(_.getName.endsWith(".parquet")).get
+    Files.move(part.toPath, f.toPath)
+    tmp.listFiles.foreach(_.delete()); tmp.delete()
+    val bucket = Bucket("edge0", "db-0", "table-0", "2025-01-26", 22,
+      Vector(FileMeta(1, rel, f.length(), N, base, base,
+        base + (N - 1).toLong * 1000003L)),
+      Set(rel))
+    val r = new Compactor(spark, Compactor.localFs(spark),
+      zorderColumns = Seq("host", "sensor")).merge(new Path(dir.toString), bucket)
+    val meta = r.files.head
+    val out = new File(dir, meta.path).toString
+    assert(spark.read.parquet(out).count() == N && meta.row_count == N)
+    assert(meta.min_time == base &&
+      meta.max_time == base + (N - 1).toLong * 1000003L)
+    // both tag axes cluster: far fewer runs than the time interleave
+    // leaves (host flips every row, sensor every 4 rows in time order)
+    val hostRuns = tagRuns(out, "host")
+    val sensorRuns = tagRuns(out, "sensor")
+    assert(hostRuns < N / 2, s"host should cluster, got $hostRuns runs")
+    assert(sensorRuns < N / 2, s"sensor should cluster, got $sensorRuns runs")
   }
 }

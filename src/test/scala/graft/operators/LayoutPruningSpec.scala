@@ -115,4 +115,54 @@ class LayoutPruningSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("3-axis probe: (type AND user) predicates prune beyond 2-axis") {
+    // tag-heavy payloads want time x 2+ tags (r7 verdict #9): split the
+    // series hash into its two real tag axes. A (type_h, user_h) point
+    // probe must admit FEW 3-axis files, while the time-sorted layout
+    // (every file spans both hash ranges) admits ~all.
+    val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_id"), expr("ts_ns div 1000").as("ts_us"),
+        graft.functions.XHash.hash60(col("event_type")).as("type_h"),
+        graft.functions.XHash.hash60(col("user_id").cast("string"))
+          .as("user_h"))
+      .persist()
+    val n = ev.count()
+    val zdir = java.nio.file.Files.createTempDirectory("graft_z3layout").toString
+    val tdir = java.nio.file.Files.createTempDirectory("graft_t3layout").toString
+    try {
+      Layout.writeZOrderedAxes(ev, "event_id",
+        Seq("ts_us", "type_h", "user_h"), zdir, NumFiles, rowBound = n)
+      Layout.writeTimeSorted(ev, "ts_us", tdir, NumFiles)
+      assert(spark.read.parquet(zdir).count() == n)
+
+      val zStats = fileStats(zdir, Set("ts_us", "type_h", "user_h"))
+      val tStats = fileStats(tdir, Set("ts_us", "type_h", "user_h"))
+      assert(zStats.size >= NumFiles / 2 && tStats.size >= NumFiles / 2)
+
+      val probe = ev.select(col("type_h"), col("user_h")).head()
+      val pred = Map("type_h" -> ((probe.getLong(0), probe.getLong(0))),
+        "user_h" -> ((probe.getLong(1), probe.getLong(1))))
+      val tMatched = filesAdmitting(tStats, pred)
+      val zMatched = filesAdmitting(zStats, pred)
+      assert(tMatched >= (tStats.size * 9) / 10,
+        s"time-sorted zone maps should admit ~all files: $tMatched/${tStats.size}")
+      assert(zMatched * 2 <= tMatched,
+        s"3-axis z-order must at least halve the admitted files: " +
+          s"$zMatched vs $tMatched")
+      // the third axis buys pruning a 2-axis (time x type) layout cannot
+      // have on user_h: any single file bounds user_h to < the full range
+      val zUserSpan = zStats.map(s => s("user_h")._2 - s("user_h")._1).min
+      val tUserSpan = tStats.map(s => s("user_h")._2 - s("user_h")._1).min
+      assert(zUserSpan < tUserSpan,
+        s"tightest z-file user_h span $zUserSpan !< time-sorted $tUserSpan")
+    } finally {
+      ev.unpersist()
+      Seq(zdir, tdir).foreach { d =>
+        val f = new java.io.File(d)
+        Option(f.listFiles).foreach(_.foreach(x => { x.delete(); () }))
+        f.delete()
+      }
+    }
+  }
 }
