@@ -445,8 +445,13 @@ class GraftFacadeSpec extends AnyFunSuite {
   }
 
   test("passing the embedding dim skips the probe job (one fewer job)") {
-    // job-group + statusTracker: a synchronous, exact per-block job count
+    // job-group + statusTracker: a synchronous, exact per-block job count.
+    // Cache cleared per block: s2 pins+materializes its signature table
+    // at build (r8 cache discipline), and the three calls share a logical
+    // plan — without the clear, later blocks silently read the first
+    // block's cache and count fewer jobs for the wrong reason.
     def countJobs(group: String)(body: => Unit): Int = {
+      spark.catalog.clearCache()
       spark.sparkContext.setJobGroup(group, group)
       try body finally spark.sparkContext.clearJobGroup()
       spark.sparkContext.statusTracker.getJobIdsForGroup(group).length

@@ -100,8 +100,22 @@ class DedupScaleSpec extends AnyFunSuite {
         "guard must fire before any job is submitted")
     } finally sc.clearJobGroup()
 
-    // force = true builds the plan (lazy — nothing runs here)
-    val forced = DedupQueries.embNearDupBanded(emb, DedupQueries.D5Bands,
+    // force = true passes the guard; since r8 the pinned stages then
+    // MATERIALIZE at build (CacheDisciplineSpec contract), so building
+    // on the poison frame evaluates it — the surfaced error being the
+    // POISON (a SparkException), not the guard's IllegalArgumentException,
+    // proves force bypassed the guard and nothing short-circuited it
+    val forcedEx = intercept[org.apache.spark.SparkException] {
+      DedupQueries.embNearDupBanded(emb, DedupQueries.D5Bands,
+        DedupQueries.D5Rows, threshold = 0.45, dim = 2, nHint = 500000L,
+        force = true)
+    }
+    assert(forcedEx.getMessage.contains("a task evaluated the guarded frame"))
+    spark.catalog.clearCache()
+    // ...and on a real frame the forced build yields the d5 contract
+    val tiny = spark.range(8L).select(col("id").as("vec_id"),
+      array(col("id").cast("float"), lit(1f)).as("embedding"))
+    val forced = DedupQueries.embNearDupBanded(tiny, DedupQueries.D5Bands,
       DedupQueries.D5Rows, threshold = 0.45, dim = 2, nHint = 500000L,
       force = true)
     assert(forced.columns.toSeq == Seq("vec_a", "vec_b", "cosine"))
