@@ -375,9 +375,27 @@ class PlanQualitySpec extends AnyFunSuite {
   }
 
   test("p2 triangles: equi-joins only over the oriented edge list") {
+    // the registered query materializes (its final plan is an
+    // InMemoryRelation), so gate the UNCACHED halves directly: the
+    // degree orientation and the wedge/close enumeration must both be
+    // pure equi-joins — never a cartesian or nested-loop shape
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+      .toDF("doc_a", "doc_b")
+    val op = DedupQueries.degreeOriented(pairs)
+      .queryExecution.executedPlan.toString
+    assert(!op.contains("CartesianProduct") && !op.contains("BroadcastNestedLoopJoin"),
+      s"degree orientation must be equi-joins:\n$op")
+    val e = DedupQueries.degreeOriented(pairs)
+    val tp = DedupQueries.orientedTriangleCounts(e)
+      .queryExecution.executedPlan.toString
+    assert(!tp.contains("CartesianProduct") && !tp.contains("BroadcastNestedLoopJoin"),
+      s"triangle enumeration must be equi-joins, never all-pairs:\n$tp")
+    // and the registered query's final (cached) form still carries none
     val p = plan("p2_triangles")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
-      s"triangle enumeration must be equi-joins, never all-pairs:\n$p")
+      s"registered p2 plan regressed:\n$p")
+    spark.catalog.clearCache()
   }
 
   test("p3 label prop: equi-joins only; the per-node argmax is a hash " +
