@@ -1350,9 +1350,10 @@ object DedupQueries {
   // case). Per-node triangle counts and degrees are orientation-
   // invariant, so the output is identical under any acyclic orientation.
   // Cache discipline: the LSH pair pipeline runs ONCE — pairs are pinned
-  // for the orientation pass, then the oriented edge list is pinned AND
-  // materialized before its five-way self-reference (three join legs +
-  // two degree legs); CacheDisciplineSpec gates the no-replay contract.
+  // for the degree pass, the (tiny) degree table is pinned and reused by
+  // both orientation probes AND the output join, and the oriented edge
+  // list is pinned + materialized before its three enumeration legs;
+  // CacheDisciplineSpec gates the no-replay contract.
   private def triangles(s: SparkSession, d: String): DataFrame =
     triangleCounts(
       jaccardPairs(Tables.documents(s, d), Tables.documentsRows(s, d))
@@ -1367,18 +1368,35 @@ object DedupQueries {
     val p = pairs.toDF("doc_a", "doc_b").persist(lvl)
     try {
       p.count() // one upstream (LSH) pass; the orientation reads cache
-      val e = degreeOriented(p)
-        // pre-partitioned on the wedge-join key (e2/e3 probe on src)
-        .repartition(col("src"))
+      // degrees once, pinned: the orientation probes it twice and the
+      // output join reuses it (it IS the undirected degree column) — the
+      // uncached form re-aggregated degrees in both places
+      val deg0 = p.select(col("doc_a").as("id"))
+        .unionAll(p.select(col("doc_b").as("id")))
+        .groupBy(col("id")).agg(count(lit(1)).as("deg"))
         .persist(lvl)
       try {
-        e.count() // materialize BEFORE the 5-way reference: no leg race,
-                  // no upstream replay (the r7 verdict's scale-killer)
-        val out = orientedTriangleCounts(e).persist(lvl)
-        try out.count() // result cache caller-owned (PageRank precedent)
-        catch { case t: Throwable => out.unpersist(); throw t }
-        out
-      } finally e.unpersist()
+        deg0.count()
+        val e = orientBy(p, deg0).persist(lvl)
+        try {
+          e.count() // materialize BEFORE the 3-leg enumeration: no leg
+                    // race, no upstream replay (r7's scale-killer)
+          val tri = orientedWedges(e)
+            .join(e.as("e3"),
+              col("e3.src") === col("x") && col("e3.dst") === col("z"))
+            .select(col("x"), col("y"), col("z"))
+          val triPerNode = tri
+            .select(explode(array(col("x"), col("y"), col("z"))).as("id"))
+            .groupBy(col("id")).agg(count(lit(1)).as("n_tri"))
+          val out = deg0.join(triPerNode, Seq("id"), "left")
+            .select(col("id"), col("deg"),
+              coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+            .persist(lvl)
+          try out.count() // result cache caller-owned (PageRank precedent)
+          catch { case t: Throwable => out.unpersist(); throw t }
+          out
+        } finally e.unpersist()
+      } finally deg0.unpersist()
     } finally p.unpersist()
   }
   /** Degree orientation: every undirected edge (doc_a, doc_b) becomes
@@ -1387,10 +1405,14 @@ object DedupQueries {
     * bounded by its LOWER-degree-endpoint out-degree, so a power-law
     * hub stops being a wedge source (TriangleOrientationSpec measures
     * the planted-hub case). Uncached; expects doc_a/doc_b columns. */
-  private[graft] def degreeOriented(p: DataFrame): DataFrame = {
-    val deg0 = p.select(col("doc_a").as("id"))
+  private[graft] def degreeOriented(p: DataFrame): DataFrame =
+    orientBy(p, p.select(col("doc_a").as("id"))
       .unionAll(p.select(col("doc_b").as("id")))
-      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg")))
+  /** [[degreeOriented]] against a caller-supplied (id, deg) table —
+    * [[triangleCounts]] pins the degree table once and reuses it here
+    * AND as the output's degree column. */
+  private[graft] def orientBy(p: DataFrame, deg0: DataFrame): DataFrame =
     p.join(deg0.as("da"), col("doc_a") === col("da.id"))
       .join(deg0.as("db"), col("doc_b") === col("db.id"))
       .select(
@@ -1400,7 +1422,6 @@ object DedupQueries {
           .otherwise(struct(col("doc_b").as("s"), col("doc_a").as("t")))
           .as("ed"))
       .select(col("ed.s").as("src"), col("ed.t").as("dst"))
-  }
   /** Enumeration half over an ACYCLICALLY ORIENTED edge list (src ≺ dst
     * under any total order; here (deg, id)) — uncached, for plan
     * inspection and the orientation spec. */
