@@ -42,10 +42,16 @@ object Components {
         .persist(StorageLevel.MEMORY_AND_DISK)
     val p = pairs.toDF("doc_a", "doc_b")
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // materialize BEFORE the multi-leg references below: the first round
+    // action references edges twice (both union legs) and each edge leg
+    // references p — unfilled, the legs race to build the caches, each
+    // replaying the upstream pair pipeline (CacheDisciplineSpec / r8)
+    p.count()
     // undirected: propagate both ways
     val edges = p.unionAll(
       p.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    edges.count() // reads p's cache; round legs then read this one
     // round 0 folds the first propagation: label = min(id, neighbors)
     var labels = asLeaf(
       edges.select(col("doc_a").as("id"), col("doc_b").as("label"))

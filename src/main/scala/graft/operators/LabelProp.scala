@@ -47,6 +47,10 @@ object LabelProp {
     // on every round (measured 8.7 → ~3 s for 3 rounds at sf0.1)
     val edges = symmetrize(pairs).repartition(col("v"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // materialize BEFORE the loop: the result count references this
+    // cache once per round — unfilled, the round legs race to build it,
+    // each replaying the upstream pair pipeline (CacheDisciplineSpec)
+    edges.count()
     try {
       val out = loop(edges, rounds).persist(StorageLevel.MEMORY_AND_DISK)
       // materialize while the edge cache is pinned; the RESULT cache is

@@ -57,6 +57,11 @@ object PageRank {
       // n-row ranks side instead of re-shuffling the |E|-row edge cache
       .repartition(col("u"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // materialize BEFORE the loop: the final count()'s plan references
+    // this cache once per round, and unfilled those references race to
+    // build it — each replaying the upstream (LSH) pair generation
+    // (the s3-class defect; CacheDisciplineSpec / r8)
+    contribEdges.count()
     try {
       var ranks = deg.select(col("u").as("id"), lit(Scale).as("rank"))
       var t = 0
