@@ -123,4 +123,82 @@ class ZorderCompactSpec extends AnyFunSuite {
     assert(hostRuns < N / 2, s"host should cluster, got $hostRuns runs")
     assert(sensorRuns < N / 2, s"sensor should cluster, got $sensorRuns runs")
   }
+
+  /** per-ROW-GROUP (min, max) string stats of the named columns */
+  private def rowGroupStats(path: String,
+      cols: Set[String]): Seq[Map[String, (String, String)]] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.io.api.Binary
+    val r = ParquetFileReader.open(HadoopInputFile.fromPath(
+      new Path(path), new org.apache.hadoop.conf.Configuration()))
+    try {
+      val out = collection.mutable.ArrayBuffer[Map[String, (String, String)]]()
+      r.getFooter.getBlocks.forEach { b =>
+        val m = collection.mutable.Map[String, (String, String)]()
+        b.getColumns.forEach { c =>
+          val name = c.getPath.toDotString
+          if (cols.contains(name) && c.getStatistics != null &&
+              c.getStatistics.hasNonNullValue)
+            (c.getStatistics.genericGetMin, c.getStatistics.genericGetMax) match {
+              case (lo: Binary, hi: Binary) =>
+                m(name) = (lo.toStringUsingUTF8, hi.toStringUsingUTF8)
+              case _ => ()
+            }
+        }
+        out += m.toMap
+      }
+      out.toSeq
+    } finally r.close()
+  }
+
+  test("3-axis merge: row-group zone maps prune a two-tag probe") {
+    // the pruning measurement for the COMPACTOR's own output (the
+    // Layout writer's is in LayoutPruningSpec): small row groups, then
+    // count the groups a (host AND sensor) point probe admits under
+    // each layout — the time sort interleaves both tags through every
+    // group (admits all), the 3-axis curve bounds them per group
+    import spark.implicits._
+    def mkBucket2(dir: File): Bucket = {
+      val rel = s"edge0/dbs/db-0/table-0/2025-01-26/22-00/0000000001.parquet"
+      val f = new File(dir, rel)
+      f.getParentFile.mkdirs()
+      val tmp = new File(f.getParentFile, ".t")
+      (0 until N).map(i => (base + i.toLong * 1000003L,
+          s"host${i % 4}", s"sensor${(i / 4) % Series}", i * 0.5))
+        .toDF("time", "host", "sensor", "value")
+        .coalesce(1).write.mode("overwrite")
+        .option("compression", "none").parquet(tmp.toString)
+      val part = tmp.listFiles.find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, f.toPath)
+      tmp.listFiles.foreach(_.delete()); tmp.delete()
+      Bucket("edge0", "db-0", "table-0", "2025-01-26", 22,
+        Vector(FileMeta(1, rel, f.length(), N, base, base,
+          base + (N - 1).toLong * 1000003L)),
+        Set(rel))
+    }
+    def admitted(path: String): (Int, Int) = {
+      val stats = rowGroupStats(path, Set("host", "sensor"))
+      val hit = stats.count { s =>
+        val (hLo, hHi) = s("host"); val (sLo, sHi) = s("sensor")
+        hLo <= "host1" && "host1" <= hHi && sLo <= "sensor3" && "sensor3" <= sHi
+      }
+      (hit, stats.size)
+    }
+    val tDir = Files.createTempDirectory("graft_zc_rg_t").toFile
+    val rT = new Compactor(spark, Compactor.localFs(spark),
+      rowGroupTargetBytes = 4096).merge(new Path(tDir.toString), mkBucket2(tDir))
+    val (tHit, tGroups) = admitted(new File(tDir, rT.files.head.path).toString)
+    val zDir = Files.createTempDirectory("graft_zc_rg_z").toFile
+    val rZ = new Compactor(spark, Compactor.localFs(spark),
+      rowGroupTargetBytes = 4096, zorderColumns = Seq("host", "sensor"))
+      .merge(new Path(zDir.toString), mkBucket2(zDir))
+    val (zHit, zGroups) = admitted(new File(zDir, rZ.files.head.path).toString)
+    assert(tGroups >= 4 && zGroups >= 4,
+      s"need multiple row groups to measure pruning: t=$tGroups z=$zGroups")
+    assert(tHit == tGroups,
+      s"time sort interleaves both tags through every group: $tHit/$tGroups")
+    assert(zHit * 2 <= zGroups,
+      s"3-axis curve must let the probe skip most groups: $zHit/$zGroups")
+  }
 }
