@@ -673,12 +673,56 @@ object PipelineQueries {
        |SELECT doc_id, (rn - 1) // $ShardSize AS shard,
        |  (rn - 1) % $ShardSize AS pos FROM r""".stripMargin
 
+  /** Importance-weighted sampling (q55): per-DOCUMENT acceptance
+    * probability p_i ∝ a quality weight (here the capped length — any
+    * per-row score works), with the Horvitz–Thompson 1/p_i reweighted
+    * population estimate alongside the raw counts. q44 samples at
+    * per-STRATUM rates; this is the per-row form a mixture builder uses
+    * to upweight rare-but-good documents while keeping totals unbiased.
+    *
+    * Cross-engine determinism: acceptance is pure integer arithmetic on
+    * the shared 60-bit hash (q31/q44's family); the HT estimate sums
+    * exact int64 micro-units — each sampled row contributes
+    * 10¹² div (500·w) = ⌊10⁶/p_i·10⁻⁶⌋ — so the sum is
+    * order-independent and ONE exact-int→double division at the end is
+    * bit-identical in both engines. Scale: a scan-level filterless
+    * single hash-agg (the sample decision is a projected boolean, no
+    * second pass for the totals), partial-aggregated map-side. */
+  private def weightedSample(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"),
+        least(greatest(col("n_chars"), lit(1L)), lit(800L)).as("w"))
+      .withColumn("sampled",
+        XHash.hash60(col("doc_id").cast("string")) % lit(1000000L) <
+          col("w") * lit(500L))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("sampled"), lit(1L)).otherwise(lit(0L))).as("n_sampled"),
+        sum(when(col("sampled"), expr("1000000000000 div (w * 500)"))
+          .otherwise(lit(0L))).as("ht_e6"))
+      .select(col("lang"), col("source"), col("n_total"), col("n_sampled"),
+        (col("ht_e6").cast("double") / lit(1000000.0)).as("est_total_docs"))
+  private val weightedSampleSql =
+    s"""WITH w AS (
+       |  SELECT doc_id, lang, source,
+       |    LEAST(GREATEST(n_chars, 1), 800) AS w,
+       |    (${XHash.hash60Sql("CAST(doc_id AS VARCHAR)")} % 1000000) <
+       |      LEAST(GREATEST(n_chars, 1), 800) * 500 AS sampled
+       |  FROM documents)
+       |SELECT lang, source, COUNT(1) AS n_total,
+       |  CAST(SUM(CASE WHEN sampled THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+       |  CAST(CAST(SUM(CASE WHEN sampled
+       |      THEN 1000000000000 // (w * 500) ELSE 0 END) AS BIGINT) AS DOUBLE)
+       |    / 1000000.0 AS est_total_docs
+       |FROM w GROUP BY 1, 2""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("t6_repetition", (s, d) => repetition(Tables.documents(s, d)),
       Some(repetitionSql)),
     Q("d8_contamination", (s, d) => contamination(Tables.documents(s, d)),
       Some(contaminationSql)),
     Q("q44_stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),
+    Q("q55_weighted_sample", weightedSample, Some(weightedSampleSql)),
     Q("q45_sequence_pack", (s, d) => sequencePack(Tables.documents(s, d)),
       Some(sequencePackSql)),
     Q("q48_chunks", (s, d) => chunk(Tables.documents(s, d)),

@@ -828,6 +828,115 @@ object SimilarityQueries {
        |FROM ex
        |QUALIFY rk <= $TopK""".stripMargin
 
+  /** ANN recall@k evaluation (s9): the measurement every ANN deployment
+    * tunes against — per query, |LSH top-k ∩ exact top-k| / k. At 100 TB
+    * nobody can eyeball whether nProbe/bucket-bits are right; this query
+    * IS the tuning loop, run on a sampled query set: the exact side is
+    * s1's broadcast-queries one-pass scan (linear in n, no shuffle of
+    * the corpus), the ANN side is s2's bucketed probe join, and both
+    * rank with the same (cosine desc, id) tie-break so recall is
+    * deterministic.
+    *
+    * One signature+norm table is pinned and materialized at build (the
+    * r8 cache contract) and feeds BOTH sides — the corpus is scanned
+    * once, not once per leg. Probe signatures are pairwise distinct, so
+    * each (query, candidate) pair meets at most once — no dedup pass.
+    */
+  private[graft] def recallEval(emb: DataFrame, nQueries: Int = NQueries,
+      topK: Int = TopK, dim0: Int = -1, nHint: Long = -1L,
+      nProbe: Int = AnnProbes): DataFrame = {
+    require(nProbe >= 1 && nProbe <= 4,
+      s"nProbe must be in [1, 4]: $nProbe")
+    val dim = if (dim0 >= 0) dim0
+      else emb.select(size(col("embedding"))).head().getInt(0)
+    val n = if (nHint > 0) nHint else emb.count()
+    val mask = (1L << annBucketBits(n)) - 1L
+    val base = emb
+      .select(col("vec_id"), TextOps.quantize(col("embedding")).as("q"))
+      .withColumn("nn", TextOps.qdot(col("q"), col("q")))
+      .withColumn("sig", sigCol(dim).bitwiseAND(lit(mask)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    base.count()
+    val queries = base.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"),
+        col("nn").as("qnn"), col("sig").as("qsig"))
+    def score(cand: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("neighbor_id"))
+      cand.select(col("query_id"), col("vec_id").as("neighbor_id"),
+          (TextOps.qdot(col("qq"), col("q")).cast("double") /
+            (sqrt(col("qnn").cast("double")) * sqrt(col("nn").cast("double"))))
+            .as("cosine"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= topK)
+        .select(col("query_id"), col("neighbor_id"))
+    }
+    val exactK = score(base.join(broadcast(queries),
+      col("query_id") =!= col("vec_id")))
+    val flips = (0L +: (0 until nProbe - 1).map(b => 1L << b)).toArray
+    val probes = queries.withColumn("psig",
+      explode(array(flips.map(f => col("qsig").bitwiseXOR(lit(f))): _*)))
+    val annK = score(base.join(broadcast(probes),
+        col("psig") === col("sig") && col("query_id") =!= col("vec_id")))
+      .withColumn("hit", lit(1L))
+    exactK.join(annK, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("k"), sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .select(col("query_id"), col("n_hits"),
+        (col("n_hits").cast("double") / col("k").cast("double")).as("recall"))
+  }
+  private val recallEvalSql =
+    s"""WITH q AS (SELECT vec_id, ${TextOps.quantizeSql("embedding")} AS q FROM embeddings),
+       |nrows AS (SELECT COUNT(*) AS n FROM q),
+       |mask AS (
+       |  SELECT CAST(POWER(2, LEAST($SigBits, GREATEST(3, COALESCE(
+       |      MIN(CASE WHEN POWER(2, r.range + 6) >= n THEN r.range END),
+       |      $SigBits)))) AS BIGINT) - 1 AS m
+       |  FROM range(0, ${SigBits + 1}) r, nrows GROUP BY n),
+       |sig AS ($lshSignatureSql),
+       |e AS (SELECT vec_id, unnest(q) AS v, generate_subscripts(q, 1) AS i FROM q),
+       |norms AS (SELECT vec_id, SUM(v * v) AS nn FROM e GROUP BY 1),
+       |exact_dot AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, SUM(a.v * b.v) AS dot
+       |  FROM e a JOIN e b ON a.i = b.i AND a.vec_id < $NQueries
+       |   AND b.vec_id <> a.vec_id
+       |  GROUP BY 1, 2),
+       |exact_k AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY
+       |        CAST(dot AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) *
+       |          sqrt(CAST(nb.nn AS DOUBLE))) DESC, neighbor_id) AS rk
+       |    FROM exact_dot JOIN norms na ON na.vec_id = query_id
+       |    JOIN norms nb ON nb.vec_id = neighbor_id)
+       |  WHERE rk <= $TopK),
+       |flips AS (SELECT unnest([${(0L +: (0 until AnnProbes - 1).map(b => 1L << b)).mkString(", ")}]) AS f),
+       |ann_cand AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id
+       |  FROM sig a CROSS JOIN flips JOIN sig b
+       |    ON xor(a.sig & (SELECT m FROM mask), f) = (b.sig & (SELECT m FROM mask))
+       |   AND a.vec_id < $NQueries AND b.vec_id <> a.vec_id),
+       |ann_dot AS (
+       |  SELECT c.query_id, c.neighbor_id, SUM(ea.v * eb.v) AS dot
+       |  FROM ann_cand c JOIN e ea ON ea.vec_id = c.query_id
+       |  JOIN e eb ON eb.vec_id = c.neighbor_id AND ea.i = eb.i
+       |  GROUP BY 1, 2),
+       |ann_k AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY
+       |        CAST(dot AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) *
+       |          sqrt(CAST(nb.nn AS DOUBLE))) DESC, neighbor_id) AS rk
+       |    FROM ann_dot JOIN norms na ON na.vec_id = query_id
+       |    JOIN norms nb ON nb.vec_id = neighbor_id)
+       |  WHERE rk <= $TopK)
+       |SELECT x.query_id,
+       |  CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hits,
+       |  CAST(COUNT(a.neighbor_id) AS DOUBLE) / CAST(COUNT(1) AS DOUBLE) AS recall
+       |FROM exact_k x LEFT JOIN ann_k a
+       |  ON a.query_id = x.query_id AND a.neighbor_id = x.neighbor_id
+       |GROUP BY 1""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("s1_cosine_topk", (s, d) => cosineTopK(Tables.embeddings(s, d)),
       Some(cosineTopKSql)),
@@ -846,5 +955,9 @@ object SimilarityQueries {
       Some(mipsTopKSql)),
     Q("s8_sq8", (s, d) => sqTopK(Tables.embeddings(s, d)),
       Some(sqTopKSql)),
+    Q("s9_recall_eval",
+      (s, d) => recallEval(Tables.embeddings(s, d), dim0 = Tables.EmbeddingDim,
+        nHint = Tables.embeddingsRows(s, d)),
+      Some(recallEvalSql)),
     Q("d14_semantic_dedup", semanticDedup, Some(semanticDedupSql)))
 }

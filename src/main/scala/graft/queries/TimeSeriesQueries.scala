@@ -14,6 +14,7 @@ import graft.Tables
   */
 object TimeSeriesQueries {
   private val BucketUs = 300L * 1000000L // 5-minute buckets
+  private val HourUs = 3600L * 1000000L // ts14's rollup bucket
 
   /** CUSUM change-point core on a generic (key, id, ts, cents) frame —
     * see the ts8 entry below for the closed-form derivation. Returns one
@@ -718,7 +719,96 @@ object TimeSeriesQueries {
              |  quantile_disc(slope, 0.5) OVER (
              |    PARTITION BY user_id ORDER BY ts_us, event_id
              |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS med_slope
-             |FROM s""".stripMargin)))
+             |FROM s""".stripMargin)),
+
+    // ---- Counter-reset-aware rate (ts14): Prometheus increase()/rate()
+    // semantics over cumulative counter readings — per series (user_id),
+    // adjacent deltas with reset detection (a reading BELOW its
+    // predecessor means the counter restarted near zero, so the
+    // post-reset reading itself is that step's increase, floored at 0
+    // for robustness against negative readings), rolled up per hour.
+    // The one metrics-domain operator the derivative family (ts3/ts13)
+    // can't express: a plain delta goes NEGATIVE at a restart and
+    // corrupts the whole hour's total.
+    //
+    // Determinism: readings quantized to exact int64 cents
+    // (round(value·100), ts6's proven contract); the hourly increase is
+    // an int64 SUM of int64 contributions — order-independent across
+    // partitions; the rate is ONE IEEE division of two exactly-agreed
+    // int64s (ts3's contract). A single-delta hour has zero span →
+    // NULL rate in both engines.
+    //
+    // Scale: one shuffle on user_id for the lag window (millions of
+    // series at 100 TB — no straggler partitions), then a
+    // partial-aggregatable hash-agg on (user_id, hour); nothing global.
+    Q(
+      "ts14_counter_rate",
+      (s, d) => counterRateOn(
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_id"),
+            expr("ts_ns div 1000").as("ts_us"),
+            round(col("value") * 100).cast("bigint").as("c")),
+        "user_id", "event_id", "ts_us", "c"),
+      Some(s"""WITH e AS (
+              |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+              |    CAST(round(value * 100) AS BIGINT) AS c
+              |  FROM events),
+              |d AS (
+              |  SELECT user_id, ts_us, ts_us // $HourUs AS hour,
+              |    CASE WHEN c >= pc THEN c - pc
+              |      ELSE greatest(c, 0) END AS inc,
+              |    CASE WHEN c < pc THEN 1 ELSE 0 END AS reset
+              |  FROM (
+              |    SELECT user_id, ts_us, c,
+              |      lag(c) OVER (PARTITION BY user_id
+              |        ORDER BY ts_us, event_id) AS pc
+              |    FROM e)
+              |  WHERE pc IS NOT NULL)
+              |SELECT user_id, hour,
+              |  CAST(SUM(inc) AS BIGINT) AS increase_cents,
+              |  CAST(SUM(reset) AS BIGINT) AS n_resets,
+              |  COUNT(1) AS n_deltas,
+              |  CASE WHEN MAX(ts_us) > MIN(ts_us)
+              |    THEN CAST(SUM(inc) * 1000000 AS DOUBLE)
+              |         / CAST(MAX(ts_us) - MIN(ts_us) AS DOUBLE)
+              |  END AS rate_cents_per_sec
+              |FROM d GROUP BY 1, 2""".stripMargin)))
+
+  /** ts14's counter-rate core on a generic (key, id, ts_µs, int64
+    * reading) frame — Prometheus increase() semantics: per key in
+    * (ts, id) order, each adjacent delta contributes `cur − prev` when
+    * the counter moved forward and `max(cur, 0)` after a reset (the
+    * counter restarted near zero, so the post-reset reading IS the
+    * step's increase), rolled up per hour bucket with the reset count
+    * and the increase-over-observed-span rate. One shuffle on the key
+    * for the lag window, then a partial-aggregatable hash-agg — nothing
+    * global, no stragglers at any series cardinality. */
+  private[graft] def counterRateOn(df: org.apache.spark.sql.DataFrame,
+      keyCol: String, idCol: String, tsCol: String,
+      cCol: String): org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("ts_us"), col(idCol))
+    df.select(col(keyCol), col(idCol), col(tsCol).as("ts_us"),
+        col(cCol).as("c"))
+      .withColumn("pc", lag(col("c"), 1).over(w))
+      .filter(col("pc").isNotNull)
+      .select(col(keyCol), col("ts_us"),
+        expr(s"ts_us div $HourUs").as("hour"),
+        when(col("c") >= col("pc"), col("c") - col("pc"))
+          .otherwise(greatest(col("c"), lit(0L))).as("inc"),
+        when(col("c") < col("pc"), lit(1L)).otherwise(lit(0L)).as("reset"))
+      .groupBy(col(keyCol), col("hour"))
+      .agg(sum(col("inc")).as("increase_cents"),
+        sum(col("reset")).as("n_resets"),
+        count(lit(1)).as("n_deltas"),
+        min(col("ts_us")).as("lo_us"), max(col("ts_us")).as("hi_us"))
+      .select(col(keyCol), col("hour"),
+        col("increase_cents"), col("n_resets"), col("n_deltas"),
+        when(col("hi_us") > col("lo_us"),
+          (col("increase_cents") * lit(1000000L)).cast("double") /
+            (col("hi_us") - col("lo_us")).cast("double"))
+          .otherwise(lit(null).cast("double")).as("rate_cents_per_sec"))
+  }
 
   /** ts13's robust-slope core: per key, the DISCRETE median of the
     * trailing `window` adjacent-pair slopes — ts3's derivative made
