@@ -772,7 +772,106 @@ object TimeSeriesQueries {
               |    THEN CAST(SUM(inc) * 1000000 AS DOUBLE)
               |         / CAST(MAX(ts_us) - MIN(ts_us) AS DOUBLE)
               |  END AS rate_cents_per_sec
-              |FROM d GROUP BY 1, 2""".stripMargin)))
+              |FROM d GROUP BY 1, 2""".stripMargin)),
+
+    // ---- Bucketed-histogram quantiles (ts15): Prometheus
+    // histogram_quantile — readings counted into log₂ buckets per
+    // (type, hour), each quantile linearly interpolated inside the
+    // first bucket whose cumulative count reaches ⌈q·n⌉. The 100-TB
+    // shape: exact percentiles (q20) globally SORT each key's readings;
+    // this never sorts or re-shuffles them — one counting pass, then
+    // all later steps touch ≤ ~40 rows per key. See histogramQuantileOn
+    // for the determinism contract.
+    Q(
+      "ts15_histogram_quantile",
+      (s, d) => histogramQuantileOn(
+        Tables.events(s, d)
+          .select(col("event_type"),
+            expr(s"(ts_ns div 1000) div $HourUs").as("hour"),
+            round(col("value") * 100).cast("bigint").as("c")),
+        Seq("event_type", "hour"), "c"),
+      Some {
+        def est(r: String) =
+          s"""MAX(CASE WHEN cum >= $r AND cum - cnt < $r
+             |    THEN CAST(lo AS DOUBLE) +
+             |      CAST((hi - lo) * ($r - (cum - cnt)) AS DOUBLE)
+             |        / CAST(cnt AS DOUBLE) END)""".stripMargin
+        s"""WITH e AS (
+           |  SELECT event_type, epoch_us(ts) // $HourUs AS hour,
+           |    GREATEST(CAST(round(value * 100) AS BIGINT), 0) AS c
+           |  FROM events),
+           |bk AS (
+           |  SELECT event_type, hour,
+           |    CASE WHEN c <= 1 THEN 0 ELSE length(bin(c - 1)) END AS b,
+           |    COUNT(1) AS cnt
+           |  FROM e GROUP BY 1, 2, 3),
+           |cm AS (
+           |  SELECT event_type, hour, b, cnt,
+           |    SUM(cnt) OVER (PARTITION BY event_type, hour ORDER BY b
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           |    SUM(cnt) OVER (PARTITION BY event_type, hour) AS n,
+           |    CASE WHEN b = 0 THEN 0
+           |      ELSE (1::BIGINT << (b - 1)) END AS lo,
+           |    (1::BIGINT << b) AS hi
+           |  FROM bk)
+           |SELECT event_type, hour, CAST(MAX(n) AS BIGINT) AS n,
+           |  ${est("((50 * n + 99) // 100)")} AS p50,
+           |  ${est("((90 * n + 99) // 100)")} AS p90,
+           |  ${est("((99 * n + 99) // 100)")} AS p99
+           |FROM cm GROUP BY 1, 2""".stripMargin
+      }))
+
+  /** ts15's histogram-quantile core on a generic (key, int64 cents)
+    * frame — Prometheus `histogram_quantile` semantics: readings land in
+    * log₂ buckets (bucket k holds (2^{k−1}, 2^k]; k = length(bin(c−1))
+    * for c > 1 — the same pure-integer ceil-log₂ both engines agree on,
+    * annBucketBits' trick), and each requested quantile is linearly
+    * interpolated inside the first bucket whose cumulative count reaches
+    * rank ⌈q·n⌉ — exactly how Prometheus estimates from `le` buckets.
+    *
+    * Determinism: ranks and cumulative counts are exact int64s; the
+    * estimate is lo + (hi−lo)·(rank−cum_prev)/cnt — ONE int64→double
+    * division plus one IEEE add, bit-identical cross-engine.
+    *
+    * Scale: one partial-aggregated shuffle to (key, bucket) counts —
+    * the frame every later step touches is ≤ ~40 rows per key
+    * (log-bounded), so the cum-window and the final per-key fold are
+    * noise at any corpus size. This is the whole point of bucketed
+    * histograms at 100 TB: the raw readings are never sorted, never
+    * re-shuffled — exact percentile ranks (q20's sort path) cost a
+    * global sort per key; this costs a counting pass. */
+  private[graft] def histogramQuantileOn(df: org.apache.spark.sql.DataFrame,
+      keyCols: Seq[String], cCol: String,
+      qs: Seq[Int] = Seq(50, 90, 99)): org.apache.spark.sql.DataFrame = {
+    val ks = keyCols.map(col)
+    val buckets = df
+      .select(ks :+ greatest(col(cCol), lit(0L)).as("c"): _*)
+      .withColumn("b",
+        when(col("c") <= 1L, lit(0)).otherwise(length(bin(col("c") - 1))))
+      .groupBy(ks :+ col("b"): _*)
+      .agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy(ks: _*).orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy(ks: _*)
+    val cum = buckets
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+      .withColumn("lo",
+        when(col("b") === 0, lit(0L))
+          .otherwise(expr("shiftleft(CAST(1 AS BIGINT), b - 1)")))
+      .withColumn("hi", expr("shiftleft(CAST(1 AS BIGINT), b)"))
+    val qCols = qs.map { q =>
+      val rank = expr(s"($q * n + 99) div 100") // ⌈q·n/100⌉ in int64
+      val inBucket = col("cum") >= rank && (col("cum") - col("cnt")) < rank
+      max(when(inBucket,
+        col("lo").cast("double") +
+          ((col("hi") - col("lo")) * (rank - (col("cum") - col("cnt"))))
+            .cast("double") / col("cnt").cast("double")))
+        .as(s"p$q")
+    }
+    cum.groupBy(ks: _*)
+      .agg(max(col("n")).as("n"), qCols: _*)
+  }
 
   /** ts14's counter-rate core on a generic (key, id, ts_µs, int64
     * reading) frame — Prometheus increase() semantics: per key in

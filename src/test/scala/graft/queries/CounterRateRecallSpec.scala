@@ -57,6 +57,36 @@ class CounterRateSpec extends AnyFunSuite {
   }
 }
 
+class HistogramQuantileSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("planted 1..100: interpolated quantiles match the hand replay") {
+    val rows = (1L to 100L).map(c => (1L, c))
+    val got = TimeSeriesQueries.histogramQuantileOn(
+      rows.toDF("k", "c"), Seq("k"), "c").collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getLong(1) == 100L)
+    // log2 buckets cum: 1,2,4,8,16,32,64,100. rank50 falls in (32,64]:
+    // 32 + 32·(50−32)/32 = 50 exactly; rank90/99 in (64,128], cnt 36
+    assert(r.getDouble(2) == 50.0, s"p50=${r.getDouble(2)}")
+    assert(r.getDouble(3) == 64.0 + 64.0 * 26.0 / 36.0, s"p90=${r.getDouble(3)}")
+    assert(r.getDouble(4) == 64.0 + 64.0 * 35.0 / 36.0, s"p99=${r.getDouble(4)}")
+  }
+
+  test("quantiles are monotone and bracket the data on real events") {
+    val rows = graft.SparkEntry.queries("ts15_histogram_quantile")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (p50, p90, p99) = (r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(p50 <= p90 && p90 <= p99, s"monotone: $p50 $p90 $p99")
+      assert(p50 >= 0.0)
+    }
+  }
+}
+
 class RecallEvalSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val sf = "/root/testdata/sf0.001"
