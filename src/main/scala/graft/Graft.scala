@@ -722,4 +722,16 @@ object Graft {
       minSigMatches: Int = 8): DataFrame =
     streaming.CorpusIngest.nearDupMatches(
       streaming.CorpusIngest.readDocs(spark, landingDir), minSigMatches)
+
+  /** Streaming counter-reset rate deltas over a landing directory of
+    * event files — the incremental twin of ts14's delta half: per-series
+    * last-reading state (constant per series), one delta row per
+    * arriving reading with Prometheus reset semantics. Roll up with
+    * [[queries.TimeSeriesQueries.counterRollup]] (or any windowed agg)
+    * downstream. Streaming ≡ batch is pinned by
+    * StreamingCounterRateSpec. */
+  def streamCounterDeltas(spark: SparkSession,
+      landingDir: String): DataFrame =
+    streaming.StreamCounterRate.deltas(
+      streaming.EventStreams.readEvents(spark, landingDir)).toDF()
 }

@@ -14,7 +14,7 @@ import graft.Tables
   */
 object TimeSeriesQueries {
   private val BucketUs = 300L * 1000000L // 5-minute buckets
-  private val HourUs = 3600L * 1000000L // ts14's rollup bucket
+  private[graft] val HourUs = 3600L * 1000000L // ts14/ts15 rollup bucket
 
   /** CUSUM change-point core on a generic (key, id, ts, cents) frame —
     * see the ts8 entry below for the closed-form derivation. Returns one
@@ -884,6 +884,16 @@ object TimeSeriesQueries {
     * global, no stragglers at any series cardinality. */
   private[graft] def counterRateOn(df: org.apache.spark.sql.DataFrame,
       keyCol: String, idCol: String, tsCol: String,
+      cCol: String): org.apache.spark.sql.DataFrame =
+    counterRollup(counterDeltasOn(df, keyCol, idCol, tsCol, cCol), keyCol)
+
+  /** ts14's delta half: one row per adjacent reading pair —
+    * (key, ts_µs, hour, increase contribution, reset flag). Factored so
+    * [[graft.streaming.StreamCounterRate]] can emit the SAME delta rows
+    * incrementally (per-series last-reading state) and share
+    * [[counterRollup]], making streaming ≡ batch a checkable identity. */
+  private[graft] def counterDeltasOn(df: org.apache.spark.sql.DataFrame,
+      keyCol: String, idCol: String, tsCol: String,
       cCol: String): org.apache.spark.sql.DataFrame = {
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col("ts_us"), col(idCol))
@@ -896,6 +906,12 @@ object TimeSeriesQueries {
         when(col("c") >= col("pc"), col("c") - col("pc"))
           .otherwise(greatest(col("c"), lit(0L))).as("inc"),
         when(col("c") < col("pc"), lit(1L)).otherwise(lit(0L)).as("reset"))
+  }
+
+  /** ts14's rollup half over delta rows (see [[counterDeltasOn]]). */
+  private[graft] def counterRollup(deltas: org.apache.spark.sql.DataFrame,
+      keyCol: String): org.apache.spark.sql.DataFrame =
+    deltas
       .groupBy(col(keyCol), col("hour"))
       .agg(sum(col("inc")).as("increase_cents"),
         sum(col("reset")).as("n_resets"),
@@ -907,7 +923,6 @@ object TimeSeriesQueries {
           (col("increase_cents") * lit(1000000L)).cast("double") /
             (col("hi_us") - col("lo_us")).cast("double"))
           .otherwise(lit(null).cast("double")).as("rate_cents_per_sec"))
-  }
 
   /** ts13's robust-slope core: per key, the DISCRETE median of the
     * trailing `window` adjacent-pair slopes — ts3's derivative made
