@@ -63,7 +63,17 @@ object Bench {
     // SPARK_GRAFT_BENCH_PASSES=1 exists for one-shot big-fixture timing
     // (e.g. the 100x octave) — the driver's default contract is 3.
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
-    val samples = names.map { n => n -> Seq.fill(passes)(timeOne(n)).sorted }
+    // each timed pass runs the registry in a DIFFERENT seeded order (r8
+    // verdict #8): with a fixed order, one multi-second host-contention
+    // window inflates the same registry-ADJACENT block in every pass, so
+    // a whole query family looks regressed (the r8 q23–q37 and d7–d12
+    // blocks). Shuffling per pass decorrelates wall-clock neighborhoods
+    // from registry neighborhoods; min-of-passes per query is unchanged.
+    val byPass = (0 until passes).map { p =>
+      val order = new scala.util.Random(9973L * (p + 1)).shuffle(names)
+      order.map(n => n -> timeOne(n)).toMap
+    }
+    val samples = names.map { n => n -> byPass.map(_(n)).sorted }
     val results = samples.map { case (n, s) => n -> s.head }
     // The driver keeps only the last 2000 chars of stdout and parses the
     // final line, so the contract line must (a) be last — no sbt epilogue
@@ -93,9 +103,29 @@ object Bench {
     // last rung drop per-query detail — `{"queries":{}}` still parses,
     // where an overflowed line regresses the artifact to `parsed: null`.
     val sfShort = java.nio.file.Paths.get(sfDir).getFileName.toString
+    // last rung before giving up per-query detail entirely: keep the
+    // MOST EXPENSIVE queries that fit the window (sorted desc by time —
+    // they are the ones drift analysis needs) and say how many were cut.
+    // At 123 queries even the 1-decimal line overflowed in r8 and the
+    // driver artifact silently degraded to `{"queries":{}}` (r8 ADVICE).
+    def renderTop(): String = {
+      val desc = results.sortBy(-_._2)
+      val kept = scala.collection.mutable.ListBuffer[(String, Double)]()
+      def line(omitted: Int): String = {
+        val qs = kept.map { case (k, v) => "\"" + k + "\":" + fmt(2)(v) }
+          .mkString("{", ",", "}")
+        s"""{"metric":"total","value":${fmt(3)(total)},"unit":"sec","queries":$qs,"queries_omitted":$omitted$errsPart,"sf":"$sfShort"}"""
+      }
+      desc.foreach { kv =>
+        kept += kv
+        if (line(results.size - kept.size).length > 1980) kept.remove(kept.size - 1)
+      }
+      line(results.size - kept.size)
+    }
     val json = Seq(render(fmt(3), sfDir), render(fmt(2), sfDir),
         render(fmt(1), sfDir)).find(_.length <= 1980)
       .orElse(Some(render(fmt(1), sfShort)).filter(_.length <= 1995))
+      .orElse(Some(renderTop()).filter(_.length <= 1995))
       .getOrElse {
         s"""{"metric":"total","value":${fmt(3)(total)},"unit":"sec","queries":{}$errsPart,"sf":"$sfDir"}"""
       }

@@ -250,6 +250,41 @@ object Graft {
     materialized(
       queries.SimilarityQueries.ivfTopKPinned(emb, topK, nHint, nProbe))
 
+  // ---- ANN index artifacts (build once, serve many) ----------------------
+
+  /** Build the persistent index artifact for one ANN family under `dir`
+    * (parquet tables + manifest.json — any Hadoop-visible filesystem):
+    * family ∈ {"lsh", "ivf", "pq", "sq8"} selects s2 signatures / s3
+    * inverted file + centroids / s5 codes + codebook / s8 per-dim stats.
+    * ONE corpus scan per build; every later query batch reads the
+    * artifact instead of rebuilding it ([[operators.AnnIndex]] — the
+    * loaded query half is the identical implementation as the inline
+    * s2/s3/s5/s8 queries, pinned loaded ≡ built by AnnIndexSpec). */
+  def buildAnnIndex(emb: DataFrame, dir: String, family: String,
+      dim: Int, nHint: Long = -1L): operators.AnnIndex.Manifest =
+    family match {
+      case "lsh" => operators.AnnIndex.buildLsh(emb, dir, dim, nHint)
+      case "ivf" => operators.AnnIndex.buildIvf(emb, dir, dim, nHint)
+      case "pq"  => operators.AnnIndex.buildPq(emb, dir, dim, nHint = nHint)
+      case "sq8" => operators.AnnIndex.buildSq(emb, dir, dim)
+      case other => throw new IllegalArgumentException(
+        s"unknown ANN index family '$other' (lsh | ivf | pq | sq8)")
+    }
+
+  /** Top-k from a PERSISTED index directory — no rebuild: dispatches on
+    * the manifest's family. `emb` is consulted only by the compressed
+    * families (pq/sq8) for query vectors + exact rerank winners. */
+  def annIndexTopK(spark: SparkSession, dir: String, emb: DataFrame,
+      topK: Int = 3): DataFrame = {
+    import operators.AnnIndex
+    AnnIndex.readManifest(spark, dir).family match {
+      case "lsh" => AnnIndex.lshTopK(AnnIndex.loadLsh(spark, dir), topK)
+      case "ivf" => AnnIndex.ivfTopK(AnnIndex.loadIvf(spark, dir), topK)
+      case "pq"  => AnnIndex.pqTopK(AnnIndex.loadPq(spark, dir), emb, topK = topK)
+      case "sq8" => AnnIndex.sqTopK(AnnIndex.loadSq(spark, dir), emb, topK = topK)
+    }
+  }
+
   // ---- text quality / packing (docs: doc_id, text [, lang]) -------------
 
   /** Per-document repetition signals (most-frequent-token fraction,

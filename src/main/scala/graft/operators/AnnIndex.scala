@@ -1,0 +1,209 @@
+package graft.operators
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.queries.SimilarityQueries
+
+/** Index-as-artifact for the ANN family: build ONCE, persist as parquet
+  * tables + a small JSON manifest, serve MANY query batches from the
+  * loaded artifact. The inline query paths (s2/s3/s5/s8 in
+  * [[SimilarityQueries]]) rebuild their signature/cell/code tables
+  * inside every call — correct for a one-shot gate query, wrong for a
+  * deployment: at 100 TB the index build is a large batch job (scan the
+  * whole corpus once) and the query side is many small jobs that must
+  * NOT pay the build again. This object is the write/load seam between
+  * the two; each `*TopK` here runs the IDENTICAL query half as the
+  * inline path (same private implementations), so loaded ≡ built is a
+  * checkable identity (AnnIndexSpec pins it per family).
+  *
+  * Layout under `dir` (any Hadoop-visible filesystem — local, HDFS,
+  * object store):
+  *   manifest.json            family, dim, n, params
+  *   lsh_signatures.parquet   (vec_id, q, nn, sig)           [family=lsh]
+  *   ivf_assign.parquet       (vec_id, q, nn, cell, arn)     [family=ivf]
+  *   ivf_centroids.parquet    (cent_id, cq, cnn)             [family=ivf]
+  *   pq_codes.parquet         (vec_id, sub, code)            [family=pq]
+  *   pq_codebook.parquet      (sub, cid, c, cnn)             [family=pq]
+  *   sq_stats.parquet         (i, mn, sp)                    [family=sq8]
+  *
+  * Everything in the artifact is exact int64 (the cross-engine
+  * quantization contract), so a parquet round-trip is bit-lossless and
+  * the loaded query results hash-match the built ones.
+  */
+object AnnIndex {
+
+  /** What the manifest records: enough to re-plan queries without
+    * touching the corpus (bucket masks, cell strides, subspace split). */
+  final case class Manifest(family: String, dim: Int, n: Long,
+      params: Map[String, Long])
+
+  private val mapper = new ObjectMapper()
+
+  private def writeManifest(spark: SparkSession, dir: String,
+      m: Manifest): Unit = {
+    val root = mapper.createObjectNode()
+    root.put("family", m.family)
+    root.put("dim", m.dim)
+    root.put("n", m.n)
+    val p = root.putObject("params")
+    m.params.toSeq.sortBy(_._1).foreach { case (k, v) => p.put(k, v) }
+    val path = new Path(dir, "manifest.json")
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(path, true)
+    try out.write(root.toPrettyString.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Read a manifest back; fails loudly on a missing/foreign directory
+    * (loading half an index would corrupt every query served from it). */
+  def readManifest(spark: SparkSession, dir: String): Manifest = {
+    val path = new Path(dir, "manifest.json")
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    val in = fs.open(path)
+    val root = try mapper.readTree(in) finally in.close()
+    val params = scala.collection.mutable.Map[String, Long]()
+    root.get("params").fields().forEachRemaining { e =>
+      params(e.getKey) = e.getValue.asLong()
+    }
+    Manifest(root.get("family").asText(), root.get("dim").asInt(),
+      root.get("n").asLong(), params.toMap)
+  }
+
+  private def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  private def expectFamily(m: Manifest, want: String): Unit =
+    require(m.family == want,
+      s"index at hand is family '${m.family}', expected '$want'")
+
+  // ---- s2: sign-LSH signature index --------------------------------------
+
+  /** Build + persist the LSH signature table. One corpus scan; the
+    * signature projection is the same plan as the inline s2 build. */
+  def buildLsh(emb: DataFrame, dir: String, dim: Int,
+      nHint: Long = -1L): Manifest = {
+    val spark = emb.sparkSession
+    val n = if (nHint > 0) nHint else emb.count()
+    SimilarityQueries.lshSignatures(emb, dim, n)
+      .write.mode("overwrite").parquet(s"$dir/lsh_signatures.parquet")
+    val m = Manifest("lsh", dim, n,
+      Map("bucket_bits" -> SimilarityQueries.annBucketBits(n).toLong))
+    writeManifest(spark, dir, m)
+    m
+  }
+
+  final case class LoadedLsh(manifest: Manifest, signatures: DataFrame)
+
+  def loadLsh(spark: SparkSession, dir: String): LoadedLsh = {
+    val m = readManifest(spark, dir)
+    expectFamily(m, "lsh")
+    LoadedLsh(m, table(spark, dir, "lsh_signatures"))
+  }
+
+  /** s2's query half against the loaded artifact — the parquet scan IS
+    * the index read; no rebuild, no corpus access. */
+  def lshTopK(ix: LoadedLsh, topK: Int = 3, nProbe: Int = 4): DataFrame =
+    SimilarityQueries.annLshFromSigs(ix.signatures, topK,
+      ix.manifest.n, nProbe)
+
+  // ---- s3: IVF inverted file ----------------------------------------------
+
+  /** Build + persist the IVF inverted file (assignment table with the
+    * nProbe probe rows per vector) and the centroid table (so FUTURE
+    * query batches not in the corpus can assign against it). */
+  def buildIvf(emb: DataFrame, dir: String, dim: Int, nHint: Long = -1L,
+      nProbe: Int = 4): Manifest = {
+    val spark = emb.sparkSession
+    val n = if (nHint > 0) nHint else emb.count()
+    SimilarityQueries.ivfAssignRaw(emb, n, nProbe)
+      .write.mode("overwrite").parquet(s"$dir/ivf_assign.parquet")
+    SimilarityQueries.ivfCentroids(emb, n)
+      .write.mode("overwrite").parquet(s"$dir/ivf_centroids.parquet")
+    val m = Manifest("ivf", dim, n, Map(
+      "cells" -> SimilarityQueries.ivfCells(n).toLong,
+      "n_probe" -> nProbe.toLong))
+    writeManifest(spark, dir, m)
+    m
+  }
+
+  final case class LoadedIvf(manifest: Manifest, assign: DataFrame,
+      centroids: DataFrame)
+
+  def loadIvf(spark: SparkSession, dir: String): LoadedIvf = {
+    val m = readManifest(spark, dir)
+    expectFamily(m, "ivf")
+    LoadedIvf(m, table(spark, dir, "ivf_assign"),
+      table(spark, dir, "ivf_centroids"))
+  }
+
+  /** s3's query half against the loaded inverted file. */
+  def ivfTopK(ix: LoadedIvf, topK: Int = 3): DataFrame =
+    SimilarityQueries.ivfTopKFromAssign(ix.assign, topK)
+
+  // ---- s5: product-quantization codes + codebook ---------------------------
+
+  /** Build + persist the PQ artifact: fit (hash-stride seeds + one Lloyd
+    * round, the s5 contract), then write codes (n·m rows — at production
+    * scale ~1/100 the float footprint, the table queries scan) and the
+    * codebook (m·k rows — broadcast at query time). */
+  def buildPq(emb: DataFrame, dir: String, dim: Int, m: Int = 8,
+      k: Int = 64, nHint: Long = -1L): Manifest = {
+    val spark = emb.sparkSession
+    val n = if (nHint > 0) nHint else emb.count()
+    val prepared = ProductQuantizer.prepare(emb, dim, m)
+    val (codes, cb) = ProductQuantizer.fit(prepared, k, updates = 1, n)
+    codes.write.mode("overwrite").parquet(s"$dir/pq_codes.parquet")
+    cb.write.mode("overwrite").parquet(s"$dir/pq_codebook.parquet")
+    val mf = Manifest("pq", dim, n, Map("m" -> m.toLong, "k" -> k.toLong))
+    writeManifest(spark, dir, mf)
+    mf
+  }
+
+  final case class LoadedPq(manifest: Manifest, codes: DataFrame,
+      codebook: DataFrame)
+
+  def loadPq(spark: SparkSession, dir: String): LoadedPq = {
+    val m = readManifest(spark, dir)
+    expectFamily(m, "pq")
+    LoadedPq(m, table(spark, dir, "pq_codes"), table(spark, dir, "pq_codebook"))
+  }
+
+  /** s5's query half against the loaded codes: ADC scan + exact rerank.
+    * `emb` is the embedding store — only the query rows and the R rerank
+    * winners per query are ever read from it. */
+  def pqTopK(ix: LoadedPq, emb: DataFrame, r: Int = 20, topK: Int = 3,
+      nQueries: Int = 8): DataFrame =
+    SimilarityQueries.pqQueryFromIndex(ix.codes, ix.codebook, emb,
+      ix.manifest.dim, ix.manifest.params("m").toInt, r, topK, nQueries)
+
+  // ---- s8: scalar-quantization stats ---------------------------------------
+
+  /** Build + persist the SQ8 artifact: the per-dim (min, span) table —
+    * dim rows; codes/reconstructions are pure functions of it. */
+  def buildSq(emb: DataFrame, dir: String, dim: Int): Manifest = {
+    val spark = emb.sparkSession
+    SimilarityQueries.sqStatsOf(emb)
+      .write.mode("overwrite").parquet(s"$dir/sq_stats.parquet")
+    val m = Manifest("sq8", dim, -1L, Map.empty)
+    writeManifest(spark, dir, m)
+    m
+  }
+
+  final case class LoadedSq(manifest: Manifest, stats: DataFrame)
+
+  def loadSq(spark: SparkSession, dir: String): LoadedSq = {
+    val m = readManifest(spark, dir)
+    expectFamily(m, "sq8")
+    LoadedSq(m, table(spark, dir, "sq_stats"))
+  }
+
+  /** s8's query half against the loaded stats (a dim-row collect — plan
+    * literals, exactly the inline path). */
+  def sqTopK(ix: LoadedSq, emb: DataFrame, nQueries: Int = 8,
+      topK: Int = 3, rerankR: Int = 20): DataFrame = {
+    val stats = ix.stats.collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    SimilarityQueries.sqTopKWithStats(emb, stats, nQueries, topK, rerankR)
+  }
+}

@@ -152,17 +152,30 @@ object SimilarityQueries {
     * stays linear: ×nProbe buckets of the same ~64-vector size. */
   private[graft] def annLsh(emb: DataFrame, topK: Int = TopK,
       dim0: Int = -1, nHint: Long = -1L, nProbe: Int = AnnProbes): DataFrame = {
-    require(nProbe >= 1 && nProbe <= 4,
-      s"nProbe must be in [1, 4] (flip bits live inside the 3-bit minimum mask): $nProbe")
     // dim < 0 = probe with one tiny head() job (convenience); callers on a
     // hot path pass the known dimension so the query trace has no extra job
     val dim = if (dim0 >= 0) dim0
       else emb.select(size(col("embedding"))).head().getInt(0)
+    val withSig = lshSignatures(emb, dim, nHint)
+      // pinned + materialized: the probe explosion and the index side are
+      // both full-corpus references to this signature table — uncached
+      // they recompute the quantize+24-projection scan twice and race
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    withSig.count()
+    annLshFromSigs(withSig, topK, nHint, nProbe)
+  }
+
+  /** The s2 signature table (vec_id, q, nn, sig) — the write-once LSH
+    * index artifact ([[graft.operators.AnnIndex]] persists it as
+    * parquet). NOT persisted here: the inline query path pins it, the
+    * artifact path writes it. */
+  private[graft] def lshSignatures(emb: DataFrame, dim: Int,
+      nHint: Long = -1L): DataFrame = {
     val base = emb
       .select(col("vec_id"), TextOps.quantize(col("embedding")).as("q"))
       .withColumn("nn", TextOps.qdot(col("q"), col("q")))
       .withColumn("sig_full", sigCol(dim))
-    val withSig = (if (nHint > 0)
+    (if (nHint > 0)
         // known corpus size: static mask, plan identical to the classic one
         base.withColumn("sig",
           col("sig_full").bitwiseAND(lit((1L << annBucketBits(nHint)) - 1L)))
@@ -180,11 +193,15 @@ object SimilarityQueries {
             expr("shiftleft(CAST(1 AS BIGINT), bits) - 1")))
           .drop("n_rows", "bits")
       }).drop("sig_full")
-      // pinned + materialized: the probe explosion and the index side are
-      // both full-corpus references to this signature table — uncached
-      // they recompute the quantize+24-projection scan twice and race
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    withSig.count()
+  }
+
+  /** The s2 query half over an existing signature table (pinned by the
+    * inline path, or loaded from the parquet artifact): multi-probe
+    * bucket join + exact cosine rank. */
+  private[graft] def annLshFromSigs(withSig: DataFrame, topK: Int = TopK,
+      nHint: Long = -1L, nProbe: Int = AnnProbes): DataFrame = {
+    require(nProbe >= 1 && nProbe <= 4,
+      s"nProbe must be in [1, 4] (flip bits live inside the 3-bit minimum mask): $nProbe")
     // query-side probe explosion: sig, sig^1, sig^2, ... (bits 0..nProbe−2)
     val flips = (0L +: (0 until nProbe - 1).map(b => 1L << b)).toArray
     val probes = withSig.withColumn("psig",
@@ -279,6 +296,29 @@ object SimilarityQueries {
     * is the vector's HOME cell (where it lives in the inverted file);
     * the rest are the cells it PROBES as a query. */
   private[graft] def ivfAssign(emb: DataFrame, nHint: Long = -1L,
+      nProbe: Int = 1): DataFrame =
+    ivfAssignRaw(emb, nHint, nProbe)
+      // referenced twice (both sides of the per-cell self-join): pin the
+      // assignment table — the materialized inverted file of IVF
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** The s3 centroid table (cent_id, cq, cnn) — the other half of the
+    * write-once IVF artifact: new query batches (vectors NOT in the
+    * corpus) assign against it without touching the inverted file.
+    * Requires a known corpus size (the artifact build path counts). */
+  private[graft] def ivfCentroids(emb: DataFrame, nHint: Long): DataFrame = {
+    require(nHint > 0, s"ivfCentroids needs the corpus size, got $nHint")
+    val stride = math.max(1L, nHint / ivfCells(nHint))
+    emb.select(col("vec_id"), TextOps.quantize(col("embedding")).as("q"))
+      .withColumn("nn", TextOps.qdot(col("q"), col("q")))
+      .filter(XHash.hash60(col("vec_id").cast("string")) % stride === 0)
+      .select(col("vec_id").as("cent_id"), col("q").as("cq"),
+        col("nn").as("cnn"))
+  }
+
+  /** [[ivfAssign]] without the cache pin — the artifact build path
+    * writes this frame as parquet instead of pinning it. */
+  private[graft] def ivfAssignRaw(emb: DataFrame, nHint: Long = -1L,
       nProbe: Int = 1): DataFrame = {
     val base = emb
       .select(col("vec_id"), TextOps.quantize(col("embedding")).as("q"))
@@ -310,9 +350,6 @@ object SimilarityQueries {
       .filter(col("arn") <= nProbe)
       .select(col("vec_id"), col("q"), col("nn"),
         col("cent_id").as("cell"), col("arn"))
-      // referenced twice (both sides of the per-cell self-join): pin the
-      // assignment table — the materialized inverted file of IVF
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   /** IVF-style ANN: deterministic hash-sampled coarse quantizer
@@ -342,10 +379,18 @@ object SimilarityQueries {
     // `Block rdd_N already exists` warnings and the [4.3, 9.4] s spread;
     // PageRank.scala count-then-consume pattern, CacheDisciplineSpec)
     assigned.count()
+    (ivfTopKFromAssign(assigned, topK), Seq(assigned))
+  }
+
+  /** The s3 query half over an existing assignment table (pinned by the
+    * inline path, or loaded from the parquet inverted-file artifact):
+    * per-cell self-join + exact cosine rank within probed cells. */
+  private[graft] def ivfTopKFromAssign(assigned: DataFrame,
+      topK: Int = TopK): DataFrame = {
     val index = assigned.filter(col("arn") === 1) // home cells only
     val wRank = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
-    val out = assigned.as("a").join(index.as("b"),
+    assigned.as("a").join(index.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("neighbor_id"),
         col("b.cell").as("cell"),
@@ -356,7 +401,6 @@ object SimilarityQueries {
       .filter(col("rk") <= topK)
       .select(col("query_id"), col("neighbor_id"), col("cell"), col("rk"),
         round(col("cosine"), 6).as("cosine_r"))
-    (out, Seq(assigned))
   }
   private def ivfTopK(s: SparkSession, d: String): DataFrame =
     ivfTopKDf(Tables.embeddings(s, d), nHint = Tables.embeddingsRows(s, d))
@@ -542,7 +586,20 @@ object SimilarityQueries {
     val n = if (nHint > 0) nHint else emb.count()
     val prepared = ProductQuantizer.prepare(emb, dim, m)
     val (codes, cb) = ProductQuantizer.fit(prepared, k, updates = 1, n)
-    val queries = prepared.filter(col("vec_id") < nQueries)
+    pqQueryFromIndex(codes, cb, emb, dim, m, r, topK, nQueries)
+  }
+
+  /** The s5 query half over an existing codes + codebook pair (fit
+    * inline, or loaded from the parquet artifact): ADC scan over the
+    * codes + exact rerank of the R winners against the embedding store.
+    * The query subvectors come from re-preparing ONLY the query rows —
+    * queries × m rows, never the corpus. */
+  private[graft] def pqQueryFromIndex(codes: DataFrame, cb: DataFrame,
+      emb: DataFrame, dim: Int, m: Int, r: Int, topK: Int,
+      nQueries: Int): DataFrame = {
+    import graft.operators.ProductQuantizer
+    val queries = ProductQuantizer
+      .prepare(emb.filter(col("vec_id") < nQueries), dim, m)
       .select(col("vec_id").as("qid"), col("sub"), col("qs").as("qqs"))
     val cand = ProductQuantizer.adcTopK(codes, cb, queries, r)
     val vecs = emb.select(col("vec_id"), TextOps.quantize(col("embedding")).as("q"))
@@ -757,13 +814,29 @@ object SimilarityQueries {
   private val S8Queries = 8
   private val S8Rerank = 20
   private[graft] def sqTopK(emb: DataFrame, nQueries: Int = S8Queries,
+      topK: Int = TopK, rerankR: Int = S8Rerank): DataFrame =
+    sqTopKWithStats(emb,
+      // per-dim min/span: a 64-row result, embedded as plan literals
+      sqStatsOf(emb).collect()
+        .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap,
+      nQueries, topK, rerankR)
+
+  /** The s8 per-dim (min, span) stats frame — the write-once SQ8
+    * artifact (dim rows): codes and reconstructions are pure functions
+    * of it, so persisting these dim rows IS persisting the index. */
+  private[graft] def sqStatsOf(emb: DataFrame): DataFrame =
+    emb.select(TextOps.quantize(col("embedding")).as("q"))
+      .select(posexplode(col("q")).as(Seq("i", "v")))
+      .groupBy(col("i"))
+      .agg(min(col("v")).as("mn"),
+        greatest(max(col("v")) - min(col("v")), lit(1L)).as("sp"))
+
+  /** The s8 query half against known stats (computed inline, or loaded
+    * from the parquet artifact). */
+  private[graft] def sqTopKWithStats(emb: DataFrame,
+      stats: Map[Int, (Long, Long)], nQueries: Int = S8Queries,
       topK: Int = TopK, rerankR: Int = S8Rerank): DataFrame = {
     val e = emb.select(col("vec_id"), TextOps.quantize(col("embedding")).as("q"))
-    // per-dim min/span: a 64-row result, embedded as plan literals
-    val stats = e.select(posexplode(col("q")).as(Seq("i", "v")))
-      .groupBy(col("i"))
-      .agg(min(col("v")).as("mn"), greatest(max(col("v")) - min(col("v")), lit(1L)).as("sp"))
-      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     val dim = stats.size
     val minsSql = (0 until dim).map(i => s"${stats(i)._1}L").mkString("array(", ",", ")")
     val spansSql = (0 until dim).map(i => s"${stats(i)._2}L").mkString("array(", ",", ")")
