@@ -121,6 +121,99 @@ object Multimodal {
       }
   }
 
+  /** 1-D average-hash over a byte payload — [[averageHash]]'s exact
+    * algorithm applied to a 1-D signal: the payload splits into `bits`
+    * equal segments and bit (bits−1−j) is set iff segment j's mean
+    * exceeds the global mean (strictly, compared by exact int64
+    * cross-multiplication — no division anywhere). LOCALITY-PRESERVING
+    * like the 2-D aHash: a small edit moves a few segment means, so
+    * near-identical payloads land at small Hamming distance — which is
+    * what [[LocalityFakeMediaDecoder]] needs so the m5 perceptual-dedup
+    * query demonstrates real near-dup geometry on the text-as-payload
+    * corpus while staying exactly replayable by the DuckDB oracle.
+    * 60 bits so every band value and the hash itself stay positive. */
+  def ahash1d(bytes: Array[Byte], bits: Int = 60): Long = {
+    val n = bytes.length
+    if (n == 0) return 0L
+    var tot = 0L
+    var i = 0
+    while (i < n) { tot += (bytes(i) & 0xff); i += 1 }
+    var h = 0L
+    var j = 0
+    while (j < bits) {
+      val lo = (j.toLong * n / bits).toInt
+      val hi = ((j + 1).toLong * n / bits).toInt
+      var ss = 0L
+      i = lo
+      while (i < hi) { ss += (bytes(i) & 0xff); i += 1 }
+      if (hi > lo && ss * n > tot * (hi - lo)) h |= 1L << (bits - 1 - j)
+      j += 1
+    }
+    h
+  }
+
+  /** [[FakeMediaDecoder]] with a LOCALITY-PRESERVING perceptual hash
+    * ([[ahash1d]]) instead of the md5-60: the m5 image-dedup stage needs
+    * near-identical payloads to land NEAR each other in Hamming space
+    * (the property the real [[averageHash]] has on pixels), which a
+    * cryptographic hash destroys by design. Metadata stays byte-derived
+    * exactly like the plain fake. */
+  object LocalityFakeMediaDecoder extends MediaDecoder {
+    val name = "fake-ahash"
+    def decodeBatch(batch: Iterator[MediaRow]): Iterator[MediaFeatures] =
+      batch.map { r =>
+        val h = bytesHash60(r.media)
+        MediaFeatures(
+          doc_id = r.doc_id,
+          meta = MediaMeta(
+            size_bytes = r.media.length.toLong,
+            format = r.format,
+            width = (h % 1280L).toInt,
+            height = (h / 1280L % 720L).toInt,
+            duration_ms = r.media.length.toLong * 40L),
+          phash = ahash1d(r.media))
+      }
+  }
+
+  /** Banded Hamming self-join over a perceptual-hash column — the
+    * LAION-style image near-dup stage: d4's simhash banding applied to
+    * [[averageHash]]/[[ahash1d]] fingerprints. Two hashes within
+    * `maxHamming` bits share SOME contiguous `bandBits`-bit band with
+    * high probability (pigeonhole guarantees it when
+    * maxHamming < bands), so candidates come from `bands` equi-joins on
+    * the band values — shuffle by (band, value), NEVER all-pairs; the
+    * exact `bit_count(xor)` verify runs only on collisions. At corpus
+    * scale this is the same shape as d5: candidate volume is
+    * n²·bands/2^bandBits chance pairs plus the true near-dups — linear
+    * for bandBits ~ log₂ n.
+    *
+    * @param features (doc_id, phash) — any perceptual hash whose bit
+    *                 positions all sit below bands·bandBits
+    * @return (doc_a, doc_b, hamming), doc_a < doc_b, each pair once */
+  def phashNearDupPairs(features: DataFrame, bands: Int = 4,
+      bandBits: Int = 15, maxHamming: Int = 12): DataFrame = {
+    require(bands >= 1 && bandBits >= 1 && bands * bandBits <= 64,
+      s"bands x bandBits must fit one long: $bands x $bandBits")
+    val mask = (1L << bandBits) - 1L
+    val sigs = features.select(col("doc_id"), col("phash"),
+      posexplode(array((0 until bands).map(b =>
+        shiftrightunsigned(col("phash"), b * bandBits)
+          .bitwiseAND(lit(mask))): _*)).as(Seq("band_idx", "band_val")))
+      // referenced by both self-join legs: pin + materialize (the r8
+      // cache contract) so the upstream decode runs once, not per leg
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sigs.count()
+    sigs.as("a").join(sigs.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.phash").bitwiseXOR(col("b.phash")))
+          .cast("bigint").as("hamming"))
+      .filter(col("hamming") <= maxHamming) // verify BEFORE the dedup
+      .distinct()
+  }
+
   /** Same 60-bit md5 hash as [[XHash.hash60]], computed JVM-side. */
   def bytesHash60(bytes: Array[Byte]): Long = {
     val md = java.security.MessageDigest.getInstance("MD5")

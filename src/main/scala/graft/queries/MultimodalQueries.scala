@@ -121,9 +121,60 @@ object MultimodalQueries {
        |  CAST(list_max(bs) AS BIGINT) AS max_b
        |FROM b""".stripMargin
 
+  /** Image perceptual near-dup (m5): the LAION-style multimodal dedup
+    * stage — perceptual hashes from the batch decoder, then a banded
+    * Hamming self-join (d4's simhash banding on the image-hash column)
+    * with the exact bit_count verify on collisions only. The gate runs
+    * the LOCALITY-preserving fake hash (ahash1d — the 1-D form of the
+    * real 8×8 average-hash, byte-replayable by the oracle); the REAL
+    * ImageIO aHash runs the identical pair operator on actual
+    * near-identical PNGs in MultimodalSpec. */
+  private val M5Bands = 4
+  private val M5BandBits = 15
+  private val M5MaxHamming = 12
+  private def imageNearDup(s: SparkSession, d: String): DataFrame = {
+    val media = Multimodal.mediaFromDocuments(Tables.documents(s, d))
+    val features = Multimodal
+      .decodeFeatures(media, Multimodal.LocalityFakeMediaDecoder)
+      .toDF().select(col("doc_id"), col("phash"))
+    Multimodal.phashNearDupPairs(features, M5Bands, M5BandBits, M5MaxHamming)
+  }
+  private val imageNearDupSql =
+    s"""WITH a AS (
+       |  SELECT doc_id, length(text) AS n,
+       |    list_transform(range(1, length(text) + 1),
+       |      i -> ascii(substr(text, CAST(i AS INT), 1))) AS bs
+       |  FROM documents),
+       |t AS (SELECT doc_id, n, bs, CAST(list_sum(bs) AS BIGINT) AS tot FROM a),
+       |seg AS (
+       |  SELECT doc_id, n, tot, r.range AS j,
+       |    CAST(COALESCE(list_sum(bs[CAST((r.range * n) // 60 + 1 AS INT) :
+       |      CAST(((r.range + 1) * n) // 60 AS INT)]), 0) AS BIGINT) AS ss,
+       |    ((r.range + 1) * n) // 60 - (r.range * n) // 60 AS sl
+       |  FROM t CROSS JOIN range(60) r),
+       |h AS (
+       |  SELECT doc_id,
+       |    CAST(SUM(CASE WHEN sl > 0 AND ss * n > tot * sl
+       |      THEN (1::BIGINT << CAST(59 - j AS INT)) ELSE 0 END) AS BIGINT) AS ph
+       |  FROM seg GROUP BY 1),
+       |sig AS (
+       |  SELECT doc_id, ph, b.range AS band,
+       |    (ph >> CAST(b.range * $M5BandBits AS INT)) & ${(1L << M5BandBits) - 1} AS bv
+       |  FROM h CROSS JOIN range($M5Bands) b),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM sig a JOIN sig b
+       |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
+       |SELECT DISTINCT c.doc_a, c.doc_b,
+       |  CAST(bit_count(xor(ha.ph, hb.ph)) AS BIGINT) AS hamming
+       |FROM cand c JOIN h ha ON ha.doc_id = c.doc_a
+       |JOIN h hb ON hb.doc_id = c.doc_b
+       |WHERE bit_count(xor(ha.ph, hb.ph)) <= $M5MaxHamming""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("m1_media_meta", mediaMeta, Some(mediaMetaSql)),
     Q("m2_frame_sample", frameSample, Some(frameSampleSql)),
     Q("m3_audio_frames", audioFrames, Some(audioFramesSql)),
-    Q("m4_video_keyframes", videoKeyframes, Some(videoKeyframesSql)))
+    Q("m4_video_keyframes", videoKeyframes, Some(videoKeyframesSql)),
+    Q("m5_image_neardup", imageNearDup, Some(imageNearDupSql)))
 }

@@ -57,6 +57,64 @@ class MultimodalSpec extends AnyFunSuite {
     assert(feats(1L).phash == expected)
   }
 
+  /** A textured pseudorandom PNG (deterministic LCG per (seed, x, y))
+    * with an optional localized brightness perturbation — the planted
+    * near-identical variant for the perceptual-dedup test. */
+  private def texturedPng(w: Int, h: Int, seed: Long,
+      perturb: Boolean = false): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      var v = seed * 6364136223846793005L + (x * 131L + y) * 1442695040888963407L
+      v ^= (v >>> 31)
+      var g = ((v & 0xffL) % 200L + 28L).toInt
+      // a small bright patch in one corner — moves a couple of the 64
+      // aHash cells, leaves the rest untouched
+      if (perturb && x < w / 8 && y < h / 8) g = math.min(255, g + 90)
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  test("m5 real path: banded Hamming join finds planted near-identical PNGs") {
+    import spark.implicits._
+    // 1/2: identical; 3: near-identical to 1 (small patch); 4..9: unrelated
+    val media = (Seq(
+      Multimodal.MediaRow(1L, texturedPng(64, 64, 7L), "png"),
+      Multimodal.MediaRow(2L, texturedPng(64, 64, 7L), "png"),
+      Multimodal.MediaRow(3L, texturedPng(64, 64, 7L, perturb = true), "png")) ++
+      (4L to 9L).map(i =>
+        Multimodal.MediaRow(i, texturedPng(64, 64, 100L + i), "png"))).toDS()
+    val feats = Multimodal.decodeFeatures(media, Multimodal.RealMediaDecoder)
+      .toDF().select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("phash"))
+    val pairs = Multimodal.phashNearDupPairs(
+        feats, bands = 4, bandBits = 16, maxHamming = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    spark.catalog.clearCache()
+    assert(pairs.contains((1L, 2L)) && pairs((1L, 2L)) == 0L,
+      s"identical images must collide at hamming 0: $pairs")
+    assert(pairs.contains((1L, 3L)) && pairs((1L, 3L)) > 0L,
+      s"planted near-identical pair must be found: $pairs")
+    // no unrelated pair sneaks under the threshold
+    assert(pairs.keySet.subsetOf(Set((1L, 2L), (1L, 3L), (2L, 3L))),
+      s"unexpected pairs: $pairs")
+  }
+
+  test("ahash1d is locality-preserving on byte payloads") {
+    val base = Array.tabulate[Byte](600)(i => ((i * 37 + 11) % 251).toByte)
+    val near = base.clone(); (0 until 12).foreach(i => near(i) = 127.toByte)
+    val far = Array.tabulate[Byte](600)(i => ((i * 101 + 5) % 251).toByte)
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(Multimodal.ahash1d(base) == Multimodal.ahash1d(base.clone()))
+    val nearH = ham(Multimodal.ahash1d(base), Multimodal.ahash1d(near))
+    val farH = ham(Multimodal.ahash1d(base), Multimodal.ahash1d(far))
+    assert(nearH <= 6, s"small edit must move few bits: $nearH")
+    assert(farH >= 15, s"unrelated payloads must sit far apart: $farH")
+  }
+
   test("real decoder fails loudly on undecodable payloads") {
     import spark.implicits._
     val media = Seq(Multimodal.MediaRow(9L, Array[Byte](1, 2, 3), "png")).toDS()
