@@ -36,11 +36,29 @@ object PageRank {
 
   /** @param pairs undirected edge list, two long columns (left, right);
     *              no self-loops, each undirected edge listed once
-    * @param iters fixed power-iteration count (deterministic plans —
-    *              convergence detection would make the oracle's CTE
-    *              depth data-dependent)
+    * @param iters max power-iteration count (bounds plan depth and the
+    *              unrolled oracle's CTE chain)
     * @return (id, rank, deg) for every node incident to an edge */
-  def pageRank(pairs: DataFrame, iters: Int = 5): DataFrame = {
+  def pageRank(pairs: DataFrame, iters: Int = 5): DataFrame =
+    pageRankRuns(pairs, iters)._1
+
+  /** [[pageRank]] plus the executed round count. Rounds run at most
+    * `iters` times with an EXACT-FIXED-POINT early exit: after each
+    * round, a bounded n-row check asks whether ANY node's integer rank
+    * moved — `r_{t+1} = r_t` makes every later round identical (the
+    * recurrence is a deterministic function of the previous vector), so
+    * stopping early provably returns the same output as the full
+    * unroll, and the static `iters`-round oracle stays exact however
+    * many rounds actually executed. Converged graphs (stars, small
+    * diameters, re-runs on already-ranked snapshots) stop paying for
+    * |E|-row joins the moment the answer stops changing — on a 100 TB
+    * edge list each skipped round is two full shuffles.
+    *
+    * Each round's ranks are pinned and the previous round's pin
+    * released, so logical-plan depth is O(1) per round regardless of
+    * `iters` (the lazy-chain form grew linearly and needed an `asLeaf`
+    * cadence beyond ~20 rounds). */
+  def pageRankRuns(pairs: DataFrame, iters: Int = 5): (DataFrame, Int) = {
     require(iters >= 1 && iters <= 20,
       s"pageRank iters must be in [1,20] (unrolled oracle / plan depth), got $iters")
     val p = pairs.toDF("u", "v")
@@ -57,26 +75,42 @@ object PageRank {
       // n-row ranks side instead of re-shuffling the |E|-row edge cache
       .repartition(col("u"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // materialize BEFORE the loop: the final count()'s plan references
-    // this cache once per round, and unfilled those references race to
-    // build it — each replaying the upstream (LSH) pair generation
-    // (the s3-class defect; CacheDisciplineSpec / r8)
+    // materialize BEFORE the loop: each round's plan references this
+    // cache, and unfilled those references race to build it — each
+    // replaying the upstream (LSH) pair generation (the s3-class
+    // defect; CacheDisciplineSpec / r8)
     contribEdges.count()
+    var ranks = deg.select(col("u").as("id"), lit(Scale).as("rank"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    ranks.count()
     try {
-      var ranks = deg.select(col("u").as("id"), lit(Scale).as("rank"))
       var t = 0
-      while (t < iters) {
+      var converged = false
+      while (t < iters && !converged) {
         // the cached edge side carries exact in-memory stats, so Catalyst
         // broadcasts it when small; the hint only rules out sort-merge
-        // (5 rounds of per-round sorts) when it IS too big to broadcast —
-        // hash builds on the cached side are partition-bounded at any |E|
-        ranks = contribEdges.hint("shuffle_hash")
+        // (per-round sorts) when it IS too big to broadcast — hash
+        // builds on the cached side are partition-bounded at any |E|
+        val next = contribEdges.hint("shuffle_hash")
           .join(ranks, contribEdges("u") === ranks("id"))
           .select(col("v"), expr("rank div deg").as("c"))
           .groupBy(col("v"))
           .agg(expr(s"$Jump + (85 * sum(c)) div 100").as("rank"))
           .select(col("v").as("id"), col("rank"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        next.count() // materialize before the delta check + next round
         t += 1
+        if (t < iters) {
+          // exact fixed point ⇔ no node moved: an n-row join of two
+          // pinned rank vectors, short-circuited at the first mover —
+          // noise next to the |E|-row round join it can save
+          converged = next.as("n")
+            .join(ranks.as("p"), col("n.id") === col("p.id"))
+            .filter(col("n.rank") =!= col("p.rank"))
+            .isEmpty
+        }
+        ranks.unpersist()
+        ranks = next
       }
       val out = ranks.join(deg, ranks("id") === deg("u"))
         .select(col("id"), col("rank"), col("deg"))
@@ -86,8 +120,8 @@ object PageRank {
       // unpersist it when done
       try out.count()
       catch { case e: Throwable => out.unpersist(); throw e }
-      out
-    } finally contribEdges.unpersist()
+      (out, t)
+    } finally { contribEdges.unpersist(); ranks.unpersist() }
   }
 
   /** Oracle twin: the unrolled CTE chain over `edges(u, v)` — append to

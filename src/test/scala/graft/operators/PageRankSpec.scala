@@ -62,4 +62,33 @@ class PageRankSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](run(Seq((1L, 2L)), 0))
     intercept[IllegalArgumentException](run(Seq((1L, 2L)), 21))
   }
+
+  test("exact fixed point exits early with output identical to the full unroll") {
+    // a 6-cycle: every node has degree 2, each receives 2·(Scale div 2)
+    // = Scale, so r1 = Jump + (85·Scale) div 100 = Scale — the integer
+    // fixed point is hit after ONE round; rounds 2..5 are provably
+    // identical, so the early exit must stop at 1 and still equal the
+    // 5-round replay bit-for-bit
+    val cycle = Seq[(Long, Long)](
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (6L, 1L))
+    val (df, rounds) = PageRank.pageRankRuns(cycle.toDF("a", "b"), 5)
+    val got = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    df.unpersist()
+    assert(rounds == 1, s"cycle should converge after round 1, ran $rounds")
+    val expect = replay(cycle, 5)
+    assert(got == expect, "early-exited output diverged from the full unroll")
+    assert(got.values.forall(_ == PageRank.Scale))
+  }
+
+  test("non-converged graphs run the full iteration budget") {
+    val pairs = Seq[(Long, Long)](
+      (1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L),
+      (10L, 11L), (11L, 12L), (12L, 10L), (12L, 13L))
+    // the replay confirms every round up to 5 still moves some rank —
+    // so the early exit must NOT fire
+    (1 to 5).foreach(t => assert(replay(pairs, t) != replay(pairs, t - 1)))
+    val (df, rounds) = PageRank.pageRankRuns(pairs.toDF("a", "b"), 5)
+    df.unpersist()
+    assert(rounds == 5, s"no fixed point before round 5, but ran $rounds")
+  }
 }
