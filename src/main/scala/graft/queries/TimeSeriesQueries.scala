@@ -842,14 +842,31 @@ object TimeSeriesQueries {
     * global sort per key; this costs a counting pass. */
   private[graft] def histogramQuantileOn(df: org.apache.spark.sql.DataFrame,
       keyCols: Seq[String], cCol: String,
-      qs: Seq[Int] = Seq(50, 90, 99)): org.apache.spark.sql.DataFrame = {
+      qs: Seq[Int] = Seq(50, 90, 99)): org.apache.spark.sql.DataFrame =
+    quantilesFromBuckets(histogramBucketsOn(df, keyCols, cCol), keyCols, qs)
+
+  /** ts15's counting half: readings → (key…, b, cnt) log₂-bucket counts
+    * — the ONE pass that touches the raw readings. Factored so
+    * [[graft.streaming.StreamHistogram]] can maintain the SAME bucket
+    * counts as mergeable per-key state and share
+    * [[quantilesFromBuckets]], making streaming ≡ batch a checkable
+    * identity (the ts14/counterRollup pattern). */
+  private[graft] def histogramBucketsOn(df: org.apache.spark.sql.DataFrame,
+      keyCols: Seq[String], cCol: String): org.apache.spark.sql.DataFrame = {
     val ks = keyCols.map(col)
-    val buckets = df
-      .select(ks :+ greatest(col(cCol), lit(0L)).as("c"): _*)
+    df.select(ks :+ greatest(col(cCol), lit(0L)).as("c"): _*)
       .withColumn("b",
         when(col("c") <= 1L, lit(0)).otherwise(length(bin(col("c") - 1))))
       .groupBy(ks :+ col("b"): _*)
       .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** ts15's interpolation half over (key…, b, cnt) bucket counts — every
+    * step here touches ≤ ~40 log-bounded rows per key. */
+  private[graft] def quantilesFromBuckets(buckets: org.apache.spark.sql.DataFrame,
+      keyCols: Seq[String],
+      qs: Seq[Int] = Seq(50, 90, 99)): org.apache.spark.sql.DataFrame = {
+    val ks = keyCols.map(col)
     val wCum = Window.partitionBy(ks: _*).orderBy(col("b"))
       .rowsBetween(Window.unboundedPreceding, 0)
     val wAll = Window.partitionBy(ks: _*)
