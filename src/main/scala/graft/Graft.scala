@@ -267,8 +267,9 @@ object Graft {
       case "ivf" => operators.AnnIndex.buildIvf(emb, dir, dim, nHint)
       case "pq"  => operators.AnnIndex.buildPq(emb, dir, dim, nHint = nHint)
       case "sq8" => operators.AnnIndex.buildSq(emb, dir, dim)
+      case "ivfpq" => operators.AnnIndex.buildIvfPq(emb, dir, dim, nHint = nHint)
       case other => throw new IllegalArgumentException(
-        s"unknown ANN index family '$other' (lsh | ivf | pq | sq8)")
+        s"unknown ANN index family '$other' (lsh | ivf | pq | sq8 | ivfpq)")
     }
 
   /** Top-k from a PERSISTED index directory — no rebuild: dispatches on
@@ -282,6 +283,8 @@ object Graft {
       case "ivf" => AnnIndex.ivfTopK(AnnIndex.loadIvf(spark, dir), topK)
       case "pq"  => AnnIndex.pqTopK(AnnIndex.loadPq(spark, dir), emb, topK = topK)
       case "sq8" => AnnIndex.sqTopK(AnnIndex.loadSq(spark, dir), emb, topK = topK)
+      case "ivfpq" =>
+        AnnIndex.ivfPqTopK(AnnIndex.loadIvfPq(spark, dir), emb, topK = topK)
     }
   }
 
@@ -768,5 +771,18 @@ object Graft {
   def streamCounterDeltas(spark: SparkSession,
       landingDir: String): DataFrame =
     streaming.StreamCounterRate.deltas(
+      streaming.EventStreams.readEvents(spark, landingDir)).toDF()
+
+  /** Streaming bucketed-histogram counters over a landing directory of
+    * event files — the incremental twin of ts15's counting half: per-
+    * (series, hour) log₂-bucket counts as mergeable MapState (≤ ~40
+    * entries per key), emitting updated (event_type, hour, b, cnt) rows
+    * per micro-batch; counts are monotone, so the latest row per
+    * (key, b) is the live bucket table. Interpolate quantiles with
+    * [[queries.TimeSeriesQueries.quantilesFromBuckets]] downstream.
+    * Streaming ≡ batch is pinned by StreamingHistogramSpec. */
+  def streamHistogramBuckets(spark: SparkSession,
+      landingDir: String): DataFrame =
+    streaming.StreamHistogram.buckets(
       streaming.EventStreams.readEvents(spark, landingDir)).toDF()
 }

@@ -177,6 +177,62 @@ object AnnIndex {
     SimilarityQueries.pqQueryFromIndex(ix.codes, ix.codebook, emb,
       ix.manifest.dim, ix.manifest.params("m").toInt, r, topK, nQueries)
 
+  // ---- s10: IVF-PQ — coarse cells + residual codes --------------------------
+
+  /** Build + persist the IVF-PQ artifact (the FAISS `IVFx,PQy`
+    * composition): home-cell table, centroid table, residual-PQ codes
+    * (already joined with their home cell — the exact scan-side table)
+    * and the residual codebook. One corpus scan builds all four. */
+  def buildIvfPq(emb: DataFrame, dir: String, dim: Int, m: Int = 8,
+      k: Int = 64, nHint: Long = -1L): Manifest = {
+    val spark = emb.sparkSession
+    val n = if (nHint > 0) nHint else emb.count()
+    val cents = SimilarityQueries.ivfCentroids(emb, n)
+    val home = SimilarityQueries.ivfAssignRaw(emb, n, nProbe = 1)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    home.count() // residual build + code join both read it
+    try {
+      val resid = home.join(broadcast(cents), col("cell") === col("cent_id"))
+        .select(col("vec_id"),
+          zip_with(col("q"), col("cq"), (a, b) => a - b).as("q"))
+      val prepared = ProductQuantizer.prepareQuantized(resid, dim, m)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      prepared.count()
+      try {
+        val (codes, cb) = ProductQuantizer.fit(prepared, k, updates = 1, n)
+        codes.join(home.select(col("vec_id"), col("cell")), "vec_id")
+          .write.mode("overwrite").parquet(s"$dir/ivfpq_codes.parquet")
+        cb.write.mode("overwrite").parquet(s"$dir/ivfpq_codebook.parquet")
+        cents.write.mode("overwrite").parquet(s"$dir/ivfpq_centroids.parquet")
+      } finally prepared.unpersist()
+    } finally home.unpersist()
+    val mf = Manifest("ivfpq", dim, n, Map(
+      "cells" -> SimilarityQueries.ivfCells(n).toLong,
+      "m" -> m.toLong, "k" -> k.toLong))
+    writeManifest(spark, dir, mf)
+    mf
+  }
+
+  final case class LoadedIvfPq(manifest: Manifest, codes: DataFrame,
+      codebook: DataFrame, centroids: DataFrame)
+
+  def loadIvfPq(spark: SparkSession, dir: String): LoadedIvfPq = {
+    val m = readManifest(spark, dir)
+    expectFamily(m, "ivfpq")
+    LoadedIvfPq(m, table(spark, dir, "ivfpq_codes"),
+      table(spark, dir, "ivfpq_codebook"), table(spark, dir, "ivfpq_centroids"))
+  }
+
+  /** s10's query half against the loaded artifact: per-probed-cell
+    * residual LUT (broadcast) + ADC scan over the cell-homed codes +
+    * exact rerank. `emb` is the embedding store — only the query rows
+    * and the R winners per query are read from it. */
+  def ivfPqTopK(ix: LoadedIvfPq, emb: DataFrame, r: Int = 40,
+      topK: Int = 3, nQueries: Int = 8, nProbe: Int = 32): DataFrame =
+    SimilarityQueries.ivfPqQueryFromIndex(ix.codes, ix.codebook,
+      ix.centroids, emb, ix.manifest.dim,
+      ix.manifest.params("m").toInt, r, topK, nQueries, nProbe)
+
   // ---- s8: scalar-quantization stats ---------------------------------------
 
   /** Build + persist the SQ8 artifact: the per-dim (min, span) table —

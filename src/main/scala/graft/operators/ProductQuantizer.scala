@@ -37,11 +37,18 @@ object ProductQuantizer {
 
   /** Subvector split, no shuffle: (vec_id, sub, qs: array<long>, nns).
     * `dim` must be divisible by `m`. */
-  def prepare(emb: DataFrame, dim: Int, m: Int): DataFrame = {
+  def prepare(emb: DataFrame, dim: Int, m: Int): DataFrame =
+    prepareQuantized(
+      emb.select(col("vec_id"), TextOps.quantize(col("embedding")).as("q")),
+      dim, m)
+
+  /** [[prepare]] over an ALREADY-quantized (vec_id, q: array<long>)
+    * frame — the residual path: IVF-PQ quantizes `q − centroid` int64
+    * residuals, which never existed as float embeddings. */
+  def prepareQuantized(qdf: DataFrame, dim: Int, m: Int): DataFrame = {
     require(m >= 1 && dim % m == 0, s"dim $dim must split into m=$m subspaces")
     val subDim = dim / m
-    emb.select(col("vec_id"), TextOps.quantize(col("embedding")).as("q"))
-      .select(col("vec_id"), explode(array((0 until m).map(s =>
+    qdf.select(col("vec_id"), explode(array((0 until m).map(s =>
         struct(lit(s).as("sub"),
           slice(col("q"), s * subDim + 1, subDim).as("qs"))): _*)).as("e"))
       .select(col("vec_id"), col("e.sub").as("sub"), col("e.qs").as("qs"))
@@ -121,6 +128,36 @@ object ProductQuantizer {
     val adist = codes.alias("pqc")
       .join(broadcast(lut.alias("pql")),
         col("pqc.sub") === col("pql.sub") && col("pqc.code") === col("pql.cid"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("pd")).as("adist"))
+      .filter(col("qid") =!= col("vec_id"))
+    adist.groupBy(col("qid"))
+      .agg(graft.functions.TopKAgg.topK(topK)(
+        -col("adist").cast("double"), col("vec_id")).as("tk"))
+      .select(col("qid"), posexplode(col("tk.rows")).as(Seq("pos", "r")))
+      .select(col("qid").as("query_id"), (col("pos") + 1).cast("bigint").as("rk"),
+        col("r.id").as("neighbor_id"), (-col("r.score")).cast("long").as("adist"))
+  }
+
+  /** Cell-keyed ADC scan for IVF-PQ (Jégou et al. 2011 §IV: PQ over
+    * RESIDUALS inside coarse cells): the LUT carries one subdistance
+    * table per (query, PROBED CELL) — the query's residual differs per
+    * cell — and a candidate matches only through its HOME cell, so each
+    * (query, candidate) pair meets exactly once. Same scale shape as
+    * [[adcTopK]]: broadcast LUT (queries × nProbe × m × k rows), one
+    * pass over the codes-with-cell table, map-side-combined sum.
+    *
+    * @param codesWithCell (vec_id, cell, sub, code)
+    * @param lut           (qid, cell, sub, cid, pd) exact int64 residual
+    *                      subdistances, small — broadcast
+    * @return (query_id, rk, neighbor_id, adist) top-k by (adist, id) */
+  def ivfAdcTopK(codesWithCell: DataFrame, lut: DataFrame,
+      topK: Int): DataFrame = {
+    val adist = codesWithCell.alias("ipc")
+      .join(broadcast(lut.alias("ipl")),
+        col("ipc.cell") === col("ipl.cell") &&
+          col("ipc.sub") === col("ipl.sub") &&
+          col("ipc.code") === col("ipl.cid"))
       .groupBy(col("qid"), col("vec_id"))
       .agg(sum(col("pd")).as("adist"))
       .filter(col("qid") =!= col("vec_id"))

@@ -668,6 +668,186 @@ object SimilarityQueries {
        |FROM rr WHERE rk <= $TopK""".stripMargin
   }
 
+  // ---- s10: IVF-PQ — the production web-scale index composition
+  // (Jégou et al. 2011 §IV; the FAISS `IVFx,PQy` default): s3's coarse
+  // cells localize, then PQ quantizes the RESIDUAL q − centroid inside
+  // each cell — residual energy is a fraction of the vector's, so the
+  // same m×k code budget buys far finer resolution than s5's direct
+  // encoding. Query: assign to nProbe cells, build one residual LUT per
+  // (query, probed cell) — the residual differs per cell — ADC-scan only
+  // the codes homed in probed cells, exact-rerank the R winners.
+  // Scale shape: codes + home cells are the write-once artifact (bytes,
+  // not floats); the LUT is queries × nProbe × m × k rows broadcast; the
+  // scan touches probed cells only (nProbe/√n of the corpus); the rerank
+  // touches queries × R full vectors. nProbe is the recall dial — 16 of
+  // the 64 sf0.01 cells for the gate (weak-neighbor regime, same caveat
+  // as s2/s3/s5: recall-of-exact is capped by P(true neighbor's home
+  // cell is probed); the near-dup regime probes 1-4 cells at ~100%).
+  // nProbe and R interact: more probed cells dilute a fixed ADC top-R
+  // (measured recall-of-exact at sf0.01: nProbe/R 16/20 → 0.58,
+  // 24/20 → 0.71, 32/20 → 0.67, 32/40 → 0.75 — matching s5's flat-PQ
+  // recall at the same m×k budget; SimilarityRecallSpec gates it).
+  private val IpqNProbe = 32
+  private val IpqR = 40 // ADC candidates per query fed to the rerank
+  private val IpqNQ = 8 // query subset (vec_id < IpqNQ, s5's convention)
+  private[graft] def ivfPq(s: SparkSession, d: String): DataFrame =
+    ivfPqTopKOn(Tables.embeddings(s, d), Tables.EmbeddingDim,
+      m = PqM, k = PqK, r = IpqR, topK = TopK, nQueries = IpqNQ,
+      nProbe = IpqNProbe, nHint = Tables.embeddingsRows(s, d))
+  private[graft] def ivfPqTopKOn(emb: DataFrame, dim: Int, m: Int, k: Int,
+      r: Int, topK: Int, nQueries: Int, nProbe: Int,
+      nHint: Long = -1L): DataFrame = {
+    import graft.operators.ProductQuantizer
+    val n = if (nHint > 0) nHint else emb.count()
+    // coarse half: home cells for the corpus (arn = 1) + the shared
+    // hash-stride centroid table
+    val cents = ivfCentroids(emb, n)
+    val home = ivfAssignRaw(emb, n, nProbe = 1)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    home.count() // referenced by the residual build AND the ADC join
+    // residual half: r = q − centroid(home cell), exact int64, then the
+    // PQ pipeline unchanged — prepare/fit never know they see residuals
+    val resid = home.join(broadcast(cents), col("cell") === col("cent_id"))
+      .select(col("vec_id"),
+        zip_with(col("q"), col("cq"), (a, b) => a - b).as("q"))
+    val prepared = ProductQuantizer.prepareQuantized(resid, dim, m)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    prepared.count() // fit references it once per assign round
+    val (codes, cb) = ProductQuantizer.fit(prepared, k, updates = 1, n)
+    val codesWithCell = codes
+      .join(home.select(col("vec_id"), col("cell")), "vec_id")
+    ivfPqQueryFromIndex(codesWithCell, cb, cents, emb, dim, m, r, topK,
+      nQueries, nProbe)
+  }
+
+  /** The s10 query half over an existing (codes-with-home-cell,
+    * codebook, centroid) triple — fit inline above, or loaded from the
+    * parquet artifact ([[graft.operators.AnnIndex]] family `ivfpq`):
+    * rank ALL cells per query by the same (cosine desc, cent_id) order,
+    * keep nProbe, residualize the query against EACH probed cell's
+    * centroid, ADC-scan only codes homed in probed cells, exact-rerank
+    * the R winners. Only the query rows and the R winners per query
+    * ever touch the embedding store. */
+  private[graft] def ivfPqQueryFromIndex(codesWithCell: DataFrame,
+      cb: DataFrame, cents: DataFrame, emb: DataFrame, dim: Int, m: Int,
+      r: Int, topK: Int, nQueries: Int, nProbe: Int): DataFrame = {
+    import graft.operators.ProductQuantizer
+    val qv = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id"), TextOps.quantize(col("embedding")).as("qq"))
+      .withColumn("qnn", TextOps.qdot(col("qq"), col("qq")))
+    val wq = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cent_id"))
+    val qprobe = qv.join(broadcast(cents))
+      .withColumn("ccos",
+        TextOps.qdot(col("qq"), col("cq")).cast("double") /
+          (sqrt(col("qnn").cast("double")) * sqrt(col("cnn").cast("double"))))
+      .withColumn("arn", row_number().over(wq))
+      .filter(col("arn") <= nProbe)
+      .select(col("vec_id").as("qid"), col("cent_id").as("cell"),
+        zip_with(col("qq"), col("cq"), (a, b) => a - b).as("rq"))
+    val subDim = dim / m
+    val qsub = qprobe.select(col("qid"), col("cell"),
+        explode(array((0 until m).map(s0 =>
+          struct(lit(s0).as("sub"),
+            slice(col("rq"), s0 * subDim + 1, subDim).as("qqs"))): _*)).as("e"))
+      .select(col("qid"), col("cell"), col("e.sub").as("sub"),
+        col("e.qqs").as("qqs"))
+    val lut = qsub.join(cb, "sub")
+      .select(col("qid"), col("cell"), col("sub"), col("cid"),
+        (TextOps.qdot(col("qqs"), col("qqs"))
+          - lit(2L) * TextOps.qdot(col("qqs"), col("c")) + col("cnn")).as("pd"))
+    val cand = ProductQuantizer.ivfAdcTopK(codesWithCell, lut, r)
+    val vecs = emb.select(col("vec_id"), TextOps.quantize(col("embedding")).as("q"))
+    val qfull = vecs.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"))
+    ProductQuantizer.rerank(cand, vecs, qfull, topK)
+  }
+  private def ivfPqSql = {
+    val subDim = Tables.EmbeddingDim / PqM
+    s"""WITH q AS (SELECT vec_id, ${TextOps.quantizeSql("embedding")} AS q FROM embeddings),
+       |nrows AS (SELECT COUNT(*) AS n FROM q),
+       |strid AS (
+       |  SELECT GREATEST(1, n // LEAST(65536, GREATEST(8,
+       |    CAST(POWER(2, COALESCE(
+       |      MIN(CASE WHEN POWER(4, r.range) >= n THEN r.range END),
+       |      16)) AS BIGINT)))) AS st
+       |  FROM range(0, 17) r, nrows GROUP BY n),
+       |e AS (SELECT vec_id, unnest(q) AS v, generate_subscripts(q, 1) AS i FROM q),
+       |norms AS (SELECT vec_id, SUM(v * v) AS nn FROM e GROUP BY 1),
+       |cdot AS (
+       |  SELECT e.vec_id, c.vec_id AS cent_id, SUM(e.v * c.v) AS dot
+       |  FROM e JOIN e c ON e.i = c.i
+       |   AND ${XHash.hash60Sql("CAST(c.vec_id AS VARCHAR)")} % (SELECT st FROM strid) = 0
+       |  GROUP BY 1, 2),
+       |assigned AS (
+       |  SELECT vec_id, cent_id AS cell, arn FROM (
+       |    SELECT cdot.vec_id, cent_id,
+       |      row_number() OVER (PARTITION BY cdot.vec_id ORDER BY
+       |        CAST(dot AS DOUBLE) / (sqrt(CAST(n1.nn AS DOUBLE)) * sqrt(CAST(n2.nn AS DOUBLE))) DESC,
+       |        cent_id) AS arn
+       |    FROM cdot JOIN norms n1 ON n1.vec_id = cdot.vec_id
+       |    JOIN norms n2 ON n2.vec_id = cent_id)
+       |  WHERE arn = 1 OR (vec_id < $IpqNQ AND arn <= $IpqNProbe)),
+       |home AS (SELECT vec_id, cell FROM assigned WHERE arn = 1),
+       |ce AS (SELECT vec_id AS cent_id, i, v AS w FROM e
+       |  WHERE ${XHash.hash60Sql("CAST(vec_id AS VARCHAR)")} % (SELECT st FROM strid) = 0),
+       |rs AS (SELECT h.vec_id, CAST((e.i - 1) // $subDim AS INT) AS sub,
+       |    ((e.i - 1) % $subDim) + 1 AS si, e.v - ce.w AS rv
+       |  FROM home h JOIN e ON e.vec_id = h.vec_id
+       |  JOIN ce ON ce.cent_id = h.cell AND ce.i = e.i),
+       |c0 AS (SELECT sub, vec_id AS cid, si, rv AS w FROM rs
+       |  WHERE ${XHash.hash60Sql("CAST(vec_id AS VARCHAR)")}
+       |    % (SELECT GREATEST(1, n // $PqK) FROM nrows) = 0),
+       |d0 AS (SELECT r.vec_id, r.sub, c.cid,
+       |    CAST(SUM((r.rv - c.w) * (r.rv - c.w)) AS BIGINT) AS dist
+       |  FROM rs r JOIN c0 c ON c.sub = r.sub AND c.si = r.si GROUP BY 1, 2, 3),
+       |a1 AS (SELECT vec_id, sub, cid AS cell FROM (
+       |    SELECT vec_id, sub, cid,
+       |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid) AS rn
+       |    FROM d0) WHERE rn = 1),
+       |s1 AS (SELECT a1.sub, a1.cell, r.si, CAST(SUM(r.rv) AS BIGINT) AS s,
+       |    COUNT(1) AS m
+       |  FROM a1 JOIN rs r ON r.vec_id = a1.vec_id AND r.sub = a1.sub
+       |  GROUP BY 1, 2, 3),
+       |c1 AS (SELECT sub, cell AS cid, si,
+       |    (s - ((s % m) + m) % m) // m AS w FROM s1),
+       |d1 AS (SELECT r.vec_id, r.sub, c.cid,
+       |    CAST(SUM((r.rv - c.w) * (r.rv - c.w)) AS BIGINT) AS dist
+       |  FROM rs r JOIN c1 c ON c.sub = r.sub AND c.si = r.si GROUP BY 1, 2, 3),
+       |a2 AS (SELECT vec_id, sub, cid AS code FROM (
+       |    SELECT vec_id, sub, cid,
+       |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid) AS rn
+       |    FROM d1) WHERE rn = 1),
+       |qrs AS (SELECT a.vec_id AS qid, a.cell,
+       |    CAST((e.i - 1) // $subDim AS INT) AS sub,
+       |    ((e.i - 1) % $subDim) + 1 AS si, e.v - ce.w AS rv
+       |  FROM assigned a JOIN e ON e.vec_id = a.vec_id
+       |  JOIN ce ON ce.cent_id = a.cell AND ce.i = e.i
+       |  WHERE a.vec_id < $IpqNQ AND a.arn <= $IpqNProbe),
+       |lut AS (SELECT qr.qid, qr.cell, c.sub, c.cid,
+       |    CAST(SUM((qr.rv - c.w) * (qr.rv - c.w)) AS BIGINT) AS pd
+       |  FROM qrs qr JOIN c1 c ON c.sub = qr.sub AND c.si = qr.si
+       |  GROUP BY 1, 2, 3, 4),
+       |ad AS (SELECT l.qid, a.vec_id, CAST(SUM(l.pd) AS BIGINT) AS adist
+       |  FROM a2 a JOIN home h ON h.vec_id = a.vec_id
+       |  JOIN lut l ON l.cell = h.cell AND l.sub = a.sub AND l.cid = a.code
+       |  WHERE l.qid <> a.vec_id GROUP BY 1, 2),
+       |ranked AS (SELECT qid AS query_id, vec_id AS neighbor_id, adist,
+       |    row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS rk
+       |  FROM ad),
+       |cand AS (SELECT query_id, neighbor_id FROM ranked WHERE rk <= $IpqR),
+       |rd AS (SELECT c.query_id, c.neighbor_id,
+       |    CAST(SUM((a.v - b.v) * (a.v - b.v)) AS BIGINT) AS dist
+       |  FROM cand c JOIN e a ON a.vec_id = c.query_id
+       |  JOIN e b ON b.vec_id = c.neighbor_id AND b.i = a.i
+       |  GROUP BY 1, 2),
+       |rr AS (SELECT query_id, neighbor_id, dist,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rk
+       |  FROM rd)
+       |SELECT query_id, CAST(rk AS BIGINT) AS rk, neighbor_id, dist
+       |FROM rr WHERE rk <= $TopK""".stripMargin
+  }
+
   // ---- s6: radius (range) similarity search — the retrieval sibling of
   // the top-k family: ALL corpus vectors within cosine ≥ θ of each query
   // vector, not a fixed k. Banded sign-LSH on both sides (d5's shared
@@ -1032,5 +1212,6 @@ object SimilarityQueries {
       (s, d) => recallEval(Tables.embeddings(s, d), dim0 = Tables.EmbeddingDim,
         nHint = Tables.embeddingsRows(s, d)),
       Some(recallEvalSql)),
+    Q("s10_ivfpq", ivfPq, Some(ivfPqSql)),
     Q("d14_semantic_dedup", semanticDedup, Some(semanticDedupSql)))
 }

@@ -66,6 +66,19 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(fromIndex.nonEmpty && fromIndex == inline)
   }
 
+  test("ivfpq: query-from-loaded == query-from-built") {
+    val dir = tmp("ivfpq")
+    val mf = AnnIndex.buildIvfPq(emb, dir, dim, m = 8, k = 64, nHint = n)
+    assert(mf.params("cells") == SimilarityQueries.ivfCells(n).toLong)
+    val loaded = AnnIndex.loadIvfPq(spark, dir)
+    val fromIndex = rows(AnnIndex.ivfPqTopK(loaded, emb))
+    val inline = rows(SimilarityQueries.ivfPqTopKOn(
+      emb, dim, m = 8, k = 64, r = 40, topK = 3, nQueries = 8,
+      nProbe = 32, nHint = n))
+    spark.catalog.clearCache()
+    assert(fromIndex.nonEmpty && fromIndex == inline)
+  }
+
   test("sq8: query-from-loaded == query-from-built") {
     val dir = tmp("sq")
     AnnIndex.buildSq(emb, dir, dim)

@@ -523,6 +523,31 @@ class PlanQualitySpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("s10 IVF-PQ: cell-keyed LUT broadcast; codes/vector sides never " +
+      "nested-loop") {
+    // Same contract as s5 plus the coarse layer: the codes-with-cell
+    // scan joins a BROADCAST (query, cell, sub, code)-keyed residual
+    // LUT (an equi-key HASH join — m×k rows per probed cell, never a
+    // loop); the one legitimate nested-loop shape is the coarse
+    // quantizer's vectors×centroids scoring join (semantically a cross
+    // product of n × √n rows, the same join s3 plans), which must
+    // build on the BROADCAST centroid side — never a shuffled
+    // CartesianProduct of anything corpus-sized.
+    val df = SparkEntry.queries("s10_ivfpq")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"),
+      p.linesIterator.filter(_.contains("Join")).mkString("\n"))
+    val bnlj = p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin"))
+      .toSeq
+    assert(bnlj.forall(_.contains("BuildRight")),
+      s"centroid scoring joins must build on the broadcast side:\n" +
+        bnlj.mkString("\n"))
+    assert(p.contains("BroadcastHashJoin"),
+      "LUT/candidate joins must broadcast the small side")
+    spark.catalog.clearCache()
+  }
+
   test("fact-scaled customer/supplier joins are size-planned, not hint-forced") {
     // r5 verdict missing #5 (dims-scaled octave): customer and supplier
     // grow with the corpus, so q17/q38/q39/q41 must NOT hard-broadcast

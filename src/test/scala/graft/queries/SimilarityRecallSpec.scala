@@ -78,4 +78,22 @@ class SimilarityRecallSpec extends AnyFunSuite {
     // (0.083 at m=4 without rerank)
     assert(s5recall >= 0.55, f"s5 recall regressed: $s5recall%.3f (measured 0.75)")
   }
+
+  test("s10 IVF-PQ+rerank top-k recall vs exact stays above the gate floor") {
+    // same query set as s5 (vec_id < 8); the rerank is exact, so recall
+    // = P(true neighbor's home cell probed AND it survives the ADC
+    // top-R) — nProbe is the dial (16 of the 64 sf0.01 cells here)
+    val emb = Tables.embeddings(spark, sf)
+    val truth = SimilarityQueries.cosineTopK(emb, nQueries = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.size == 24, s"baseline should be 8 queries x top-3: ${truth.size}")
+    val s10 = SimilarityQueries.ivfPq(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    spark.catalog.clearCache()
+    val s10recall = truth.count(s10.contains).toDouble / truth.size
+    info(f"s10_recall=$s10recall%.4f (n=${truth.size})")
+    // the verdict's gate: IVF-PQ must not be WORSE than flat PQ (s5's
+    // measured 0.75) — residuals buy resolution, probing costs coverage
+    assert(s10recall >= 0.55, f"s10 recall regressed: $s10recall%.3f")
+  }
 }
