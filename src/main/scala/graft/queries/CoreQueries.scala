@@ -498,7 +498,11 @@ object CoreQueries {
     // one buffer (state O(group), parallelism O(groups)); the sketch is
     // O(1) per group and partial-aggregatable. Sketches are
     // engine-specific, so rows-only gate + ApproxPercentileSpec accuracy
-    // bound vs the exact values.
+    // bound vs the exact values. Accuracy 1000 (r8 verdict #5: the
+    // 10000 default made q34 the 4th most expensive query on the
+    // contended driver host — the Greenwald-Khanna buffer each
+    // partition serializes scales with accuracy, and 1000 keeps rank
+    // error at 0.1% of the group, 50x inside the 5% value gate).
     Q(
       "q34_approx_percentiles",
       // Same gating pattern as q19: the t-digest estimate can't
@@ -514,7 +518,7 @@ object CoreQueries {
         Tables.lineitem(s, d)
           .groupBy(col("l_returnflag"))
           .agg(expr(
-            "approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 10000)")
+            "approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 1000)")
             .as("aps"),
             expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))").as("eps"),
             count(lit(1)).as("n"))

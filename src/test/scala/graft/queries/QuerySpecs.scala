@@ -48,7 +48,11 @@ class QuerySpecs extends AnyFunSuite {
     val approx = Tables.lineitem(spark, sf)
       .groupBy(col("l_returnflag"))
       .agg(expr(
-        "approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 10000)")
+        // q34's shipped accuracy (1000): rank error 0.1% of the group —
+        // far inside the 5% value gate below, at a tenth the sketch
+        // state of the 10000 default (the partial-agg buffer each
+        // partition serializes scales with accuracy)
+        "approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 1000)")
         .as("aps"))
       .select(col("l_returnflag"), element_at(col("aps"), 1),
         element_at(col("aps"), 2), element_at(col("aps"), 3))
