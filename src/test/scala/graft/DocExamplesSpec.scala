@@ -55,6 +55,23 @@ class DocExamplesSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("quickstart: persisted ANN index — build once, query many") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+
+    // build the IVF-PQ index ONCE (coarse cells + residual codes) as
+    // parquet tables + a manifest — the write-once artifact a large
+    // deployment serves every future query batch from
+    val ixDir = Files.createTempDirectory("ann_index").toString
+    Graft.buildAnnIndex(emb, ixDir, family = "ivfpq", dim = 64)
+
+    // query the LOADED artifact — no rebuild, hash-identical rows to
+    // the inline path (families: lsh | ivf | pq | sq8 | ivfpq)
+    val neighbors = Graft.annIndexTopK(spark, ixDir, emb)
+
+    assert(neighbors.count() > 0)
+    spark.catalog.clearCache()
+  }
+
   test("quickstart: quality signals and sequence packing") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
 
