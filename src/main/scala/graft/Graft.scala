@@ -272,6 +272,23 @@ object Graft {
         s"unknown ANN index family '$other' (lsh | ivf | pq | sq8 | ivfpq)")
     }
 
+  /** Append a new vector batch to a PERSISTED index with frozen
+    * quantizers — the nightly-ingest contract: O(increment) at any
+    * index size, encoding a pure per-row function so any chunking
+    * yields the same codes (AnnIndexSpec pins chunked ≡ one-shot).
+    * Supported for `ivfpq` (centroids + residual codebook frozen);
+    * the other families either re-derive their quantizer from corpus
+    * statistics (sq8) or key their layout on corpus size (lsh bucket
+    * bits, ivf cell stride), where an append would silently change
+    * query semantics — those fail loudly and want a rebuild. */
+  def appendAnnIndex(newEmb: DataFrame, dir: String): Long =
+    operators.AnnIndex.readManifest(newEmb.sparkSession, dir).family match {
+      case "ivfpq" => operators.AnnIndex.appendIvfPq(newEmb, dir)
+      case other => throw new IllegalArgumentException(
+        s"append is supported for family 'ivfpq'; '$other' derives its " +
+          "quantizer/layout from corpus statistics - rebuild instead")
+    }
+
   /** Top-k from a PERSISTED index directory — no rebuild: dispatches on
     * the manifest's family. `emb` is consulted only by the compressed
     * families (pq/sq8) for query vectors + exact rerank winners. */

@@ -213,6 +213,60 @@ object AnnIndex {
     mf
   }
 
+  /** Append a NEW batch of vectors to a persisted IVF-PQ index with
+    * FROZEN quantizers — the production ingest contract: centroids and
+    * the residual codebook never change on append (re-training is a
+    * scheduled rebuild, not an ingest step), so encoding is a pure
+    * per-row function and appending in any chunking yields the same
+    * codes table (AnnIndexSpec pins chunked ≡ one-shot). One scan of
+    * the increment: assign each new vector its home cell against the
+    * stored centroid table, encode its residual with the stored
+    * codebook, append the (vec_id, cell, sub, code) rows — the
+    * existing codes are never read or rewritten, which is what makes
+    * nightly ingest O(increment) at any index size. Caller contract:
+    * increment vec_ids are disjoint from the indexed corpus (same as
+    * every id-keyed table in the library).
+    *
+    * @return rows appended to the codes table (nInc × m) */
+  def appendIvfPq(newEmb: DataFrame, dir: String): Long = {
+    val spark = newEmb.sparkSession
+    val mf = readManifest(spark, dir)
+    expectFamily(mf, "ivfpq")
+    val (dim, m) = (mf.dim, mf.params("m").toInt)
+    val cents = table(spark, dir, "ivfpq_centroids")
+    val cb = table(spark, dir, "ivfpq_codebook")
+    // home cell against the FROZEN centroids — the same (cosine desc,
+    // cent_id) order as the build-side assignment
+    val qv = newEmb
+      .select(col("vec_id"), TextOps.quantize(col("embedding")).as("q"))
+      .withColumn("nn", TextOps.qdot(col("q"), col("q")))
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cent_id"))
+    val home = qv.join(broadcast(cents))
+      .withColumn("ccos",
+        TextOps.qdot(col("q"), col("cq")).cast("double") /
+          (sqrt(col("nn").cast("double")) * sqrt(col("cnn").cast("double"))))
+      .withColumn("arn", row_number().over(wq))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("q"), col("cent_id").as("cell"), col("cq"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    home.count() // residual encode + cell join both read it
+    try {
+      val resid = home.select(col("vec_id"),
+        zip_with(col("q"), col("cq"), (a, b) => a - b).as("q"))
+      val prepared = ProductQuantizer.prepareQuantized(resid, dim, m)
+      val newCodes = ProductQuantizer.assign(prepared, cb)
+        .select(col("vec_id"), col("sub"), col("cell").as("code"))
+        .join(home.select(col("vec_id"), col("cell")), "vec_id")
+        .select(col("vec_id"), col("sub"), col("code"), col("cell"))
+      newCodes.write.mode("append").parquet(s"$dir/ivfpq_codes.parquet")
+      val appended = newEmb.count()
+      writeManifest(spark, dir, mf.copy(n = mf.n + appended))
+      appended * m
+    } finally home.unpersist()
+  }
+
   final case class LoadedIvfPq(manifest: Manifest, codes: DataFrame,
       codebook: DataFrame, centroids: DataFrame)
 

@@ -79,6 +79,40 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(fromIndex.nonEmpty && fromIndex == inline)
   }
 
+  test("ivfpq append: frozen-quantizer ingest — chunked == one-shot, clones found") {
+    import org.apache.spark.sql.functions._
+    // base index on the corpus; the increment is 8 exact clones of the
+    // query vectors under fresh ids (the re-crawled-image shape)
+    val inc = emb.filter(col("vec_id") < 8)
+      .select((col("vec_id") + 10000000L).as("vec_id"), col("embedding"),
+        col("label"))
+    val dirA = tmp("ipq_app_a")
+    AnnIndex.buildIvfPq(emb, dirA, dim, m = 8, k = 64, nHint = n)
+    val before = AnnIndex.loadIvfPq(spark, dirA).codes.count()
+    assert(AnnIndex.appendIvfPq(inc, dirA) == 8L * 8)
+    val after = AnnIndex.loadIvfPq(spark, dirA)
+    assert(after.codes.count() == before + 8 * 8)
+    assert(after.manifest.n == n + 8)
+    // encoding is a pure per-row function of the frozen quantizers, so
+    // appending in two chunks must yield the identical codes table
+    val dirB = tmp("ipq_app_b")
+    AnnIndex.buildIvfPq(emb, dirB, dim, m = 8, k = 64, nHint = n)
+    AnnIndex.appendIvfPq(inc.filter(col("vec_id") % 2 === 0), dirB)
+    AnnIndex.appendIvfPq(inc.filter(col("vec_id") % 2 === 1), dirB)
+    assert(rows(AnnIndex.loadIvfPq(spark, dirB).codes)
+      == rows(after.codes))
+    // a clone shares its original's home cell and codes exactly, so the
+    // query finds it at rank 1 with exact rerank distance 0
+    val top = AnnIndex.ivfPqTopK(after, emb.unionAll(inc))
+      .filter(col("rk") === 1).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    (0L until 8L).foreach { q =>
+      assert(top(q) == (q + 10000000L, 0L),
+        s"query $q should find its appended clone at rank 1: ${top(q)}")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("sq8: query-from-loaded == query-from-built") {
     val dir = tmp("sq")
     AnnIndex.buildSq(emb, dir, dim)
