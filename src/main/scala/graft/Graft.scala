@@ -305,6 +305,15 @@ object Graft {
     }
   }
 
+  /** Recall@k of a PERSISTED index vs the exact cosine top-k over the
+    * same query sample — the tuning-loop measurement (is nProbe/R/bits
+    * right for this corpus?) run against the artifact it evaluates,
+    * never rebuilding it. One row:
+    * (family, n_queries, k, n_truth, n_hits, recall). */
+  def annIndexRecall(spark: SparkSession, dir: String, emb: DataFrame,
+      topK: Int = 3, nQueries: Int = 8): DataFrame =
+    operators.AnnIndex.recallVsExact(spark, dir, emb, topK, nQueries)
+
   // ---- text quality / packing (docs: doc_id, text [, lang]) -------------
 
   /** Per-document repetition signals (most-frequent-token fraction,

@@ -316,4 +316,51 @@ object AnnIndex {
       .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     SimilarityQueries.sqTopKWithStats(emb, stats, nQueries, topK, rerankR)
   }
+
+  // ---- recall@k against a LOADED index ---------------------------------
+
+  /** The s9 tuning loop pointed at a persisted artifact: recall@k of the
+    * loaded index's top-k vs the exact cosine top-k over the same query
+    * sample — one row (family, n_queries, k, n_truth, n_hits, recall).
+    * This is the measurement an operator runs after every build or
+    * parameter change (is nProbe/R/bits right for THIS corpus?) without
+    * ever rebuilding the index it evaluates; the exact leg is bounded by
+    * the sampled query set (s1's broadcast-queries scan). Family output
+    * shapes are normalized here: lsh emits undirected pairs (counted in
+    * either orientation, the SimilarityRecallSpec convention); the
+    * ranked families emit (query_id, neighbor_id) directly. */
+  def recallVsExact(spark: SparkSession, dir: String, emb: DataFrame,
+      topK: Int = 3, nQueries: Int = 8): DataFrame = {
+    val fam = readManifest(spark, dir).family
+    val got: DataFrame = fam match {
+      case "lsh" =>
+        val out = lshTopK(loadLsh(spark, dir), topK)
+        out.select(col("vec_a").as("query_id"), col("vec_b").as("neighbor_id"))
+          .unionAll(out.select(col("vec_b").as("query_id"),
+            col("vec_a").as("neighbor_id")))
+      case "ivf" =>
+        ivfTopK(loadIvf(spark, dir), topK)
+          .select(col("query_id"), col("neighbor_id"))
+      case "pq" =>
+        pqTopK(loadPq(spark, dir), emb, topK = topK, nQueries = nQueries)
+          .select(col("query_id"), col("neighbor_id"))
+      case "sq8" =>
+        sqTopK(loadSq(spark, dir), emb, nQueries = nQueries, topK = topK)
+          .select(col("query_id"), col("neighbor_id"))
+      case "ivfpq" =>
+        ivfPqTopK(loadIvfPq(spark, dir), emb, topK = topK,
+          nQueries = nQueries)
+          .select(col("query_id"), col("neighbor_id"))
+    }
+    val truth = SimilarityQueries.cosineTopK(emb, nQueries, topK)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = truth.join(got.distinct(),
+      Seq("query_id", "neighbor_id"), "left_semi")
+    truth.agg(count(lit(1)).as("n_truth"))
+      .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
+      .select(lit(fam).as("family"), lit(nQueries).as("n_queries"),
+        lit(topK).as("k"), col("n_truth"), col("n_hits"),
+        (col("n_hits").cast("double") / col("n_truth").cast("double"))
+          .as("recall"))
+  }
 }

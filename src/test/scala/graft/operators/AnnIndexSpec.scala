@@ -122,6 +122,26 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(fromIndex.nonEmpty && fromIndex == inline)
   }
 
+  test("recall@k runs against the loaded artifact and matches the inline number") {
+    import org.apache.spark.sql.functions._
+    // the s9 tuning loop against a persisted index: same params as the
+    // gated inline s10 query, so the recall must equal the inline
+    // measurement exactly (identical candidate sets + tie-breaks)
+    val dir = tmp("ipq_recall")
+    AnnIndex.buildIvfPq(emb, dir, dim, m = 8, k = 64, nHint = n)
+    val row = graft.Graft.annIndexRecall(spark, dir, emb).head()
+    assert(row.getString(0) == "ivfpq" && row.getLong(3) == 24L)
+    val truth = SimilarityQueries.cosineTopK(emb, nQueries = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val inline = SimilarityQueries.ivfPqTopKOn(emb, dim, m = 8, k = 64,
+        r = 40, topK = 3, nQueries = 8, nProbe = 32, nHint = n)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    spark.catalog.clearCache()
+    val inlineRecall = truth.count(inline.contains).toDouble / truth.size
+    assert(row.getDouble(5) == inlineRecall,
+      s"loaded-index recall ${row.getDouble(5)} != inline $inlineRecall")
+  }
+
   test("loading a directory of the wrong family fails loudly") {
     val dir = tmp("guard")
     AnnIndex.buildSq(emb, dir, dim)
