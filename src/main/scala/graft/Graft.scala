@@ -799,6 +799,24 @@ object Graft {
     streaming.StreamCounterRate.deltas(
       streaming.EventStreams.readEvents(spark, landingDir)).toDF()
 
+  /** Cross-batch EMBEDDING near-duplicate detection over a landing
+    * directory of embedding parquet files — the streaming twin of
+    * [[embeddingNearDups]] (batch d5) and the vector-side sibling of
+    * [[streamNearDups]]: each arriving vector is matched against every
+    * previously ingested vector sharing a sign-LSH band bucket
+    * (state-store-backed band index holding the quantized vectors), and
+    * verified by the EXACT quantized cosine — streaming ≡ batch is
+    * bit-exact on the distinct pair set (StreamingEmbedDedupSpec).
+    * Emits (vec_id, dup_of, cosine) in append mode; use
+    * [[queries.DedupQueries.autoBandParams]] sizing for production
+    * thresholds. */
+  def streamEmbeddingNearDups(spark: SparkSession, landingDir: String,
+      bands: Int = 32, rowBits: Int = 4, threshold: Double = 0.45,
+      dim: Int = 64): DataFrame =
+    streaming.StreamEmbedDedup.nearDupMatches(
+      streaming.StreamEmbedDedup.readEmbeddings(spark, landingDir),
+      bands, rowBits, threshold, dim)
+
   /** Streaming bucketed-histogram counters over a landing directory of
     * event files — the incremental twin of ts15's counting half: per-
     * (series, hour) log₂-bucket counts as mergeable MapState (≤ ~40

@@ -1,0 +1,103 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+import graft.operators.TextOps
+import graft.queries.DedupQueries
+
+/** Cross-batch EMBEDDING near-duplicate detection — the streaming twin
+  * of batch d5 ([[DedupQueries.embNearDupBanded]]) and the vector-side
+  * sibling of [[CorpusIngest.nearDupMatches]]: every arriving vector is
+  * checked against ALL previously ingested vectors sharing a sign-LSH
+  * band bucket, in the same micro-batch pass that files it — the
+  * image/embedding ingest stage of a LAION-style pipeline, where the
+  * question at ingest time is "have we already got this (or nearly
+  * this)?" and a nightly batch job is too late.
+  *
+  * Mechanics: the per-row banded signature is the SAME native
+  * [[graft.functions.BandedSignatures]] projection (same d5Weights
+  * hyperplanes) as the batch join key, computed without a shuffle;
+  * the state store is keyed by (band_idx, band_sig) and each bucket
+  * holds the (vec_id, quantized vector, norm) of every vector ever
+  * filed under it. A new vector emits one row per already-filed bucket
+  * member whose EXACT quantized cosine reaches `threshold` — the same
+  * int64 dot + IEEE sqrt/divide as the batch verify, so streaming ≡
+  * batch is bit-exact on the distinct pair set
+  * (StreamingEmbedDedupSpec pins it).
+  *
+  * Output (append mode): `(vec_id, dup_of, cosine)` with `dup_of` the
+  * earlier-ingested side; a pair sharing several bands emits once per
+  * shared band (dedup downstream — the batch twin's DISTINCT).
+  *
+  * State story at scale: the band buckets are the corpus's vector
+  * near-dup index — one (id, dim-long vector, norm) entry per band per
+  * unique vector (bands× the corpus footprint; RocksDB-backed in
+  * production). Holding the vectors IN state is what buys the exact
+  * in-stream verify; the lean alternative — signatures in state, exact
+  * verify against an external vector store — trades state size for a
+  * lookup round-trip and drops nothing else in this design.
+  */
+object StreamEmbedDedup {
+
+  val embSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType, containsNull = false)),
+    StructField("label", StringType)))
+
+  /** File-source stream over a directory of embedding parquet files. */
+  def readEmbeddings(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(embSchema)
+      .option("maxFilesPerTrigger", "1") // per-file batches: state must carry
+      .parquet(dir)
+
+  /** Banded sign-LSH state dedup; append-mode (vec_id, dup_of, cosine)
+    * rows at exact cosine ≥ threshold. Parameters mirror batch d5 —
+    * use [[DedupQueries.autoBandParams]] for production thresholds. */
+  def nearDupMatches(emb: DataFrame, bands: Int, rowBits: Int,
+      threshold: Double, dim: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val flatWeights = new Array[Long](bands * rowBits * dim)
+    for (b <- 0 until bands; j <- 0 until rowBits)
+      System.arraycopy(DedupQueries.d5Weights(dim, b, j), 0, flatWeights,
+        (b * rowBits + j) * dim, dim)
+    emb
+      .select(col("vec_id"), TextOps.quantize(col("embedding")).as("q"))
+      .withColumn("nn", TextOps.qdot(col("q"), col("q")))
+      .select(col("vec_id"), col("nn"), col("q"),
+        posexplode(graft.functions.BandedSignatures(
+          col("q"), flatWeights, bands, rowBits)))
+      .toDF("vec_id", "nn", "q", "band_idx", "band_sig")
+      .as[(Long, Long, Array[Long], Int, Long)]
+      .groupByKey { case (_, _, _, bandIdx, bandSig) => (bandIdx, bandSig) }
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: (Int, Long), rows: Iterator[(Long, Long, Array[Long], Int, Long)],
+            state: org.apache.spark.sql.streaming.GroupState[List[(Long, Array[Long], Long)]]) => {
+          var filed = state.getOption.getOrElse(Nil)
+          val out = List.newBuilder[(Long, Long, Double)]
+          // vec_id order makes within-batch matching deterministic
+          rows.map(r => (r._1, r._3, r._2)).toList.sortBy(_._1)
+            .foreach { case (id, q, nn) =>
+              if (!filed.exists(_._1 == id)) { // re-ingest adds nothing
+                filed.foreach { case (pid, pq, pnn) =>
+                  // exact int64 dot + the batch verify's IEEE ops —
+                  // bit-identical to the column form
+                  var dot = 0L
+                  var i = 0
+                  while (i < q.length) { dot += q(i) * pq(i); i += 1 }
+                  val cos = dot.toDouble /
+                    (math.sqrt(nn.toDouble) * math.sqrt(pnn.toDouble))
+                  if (cos >= threshold) out += ((id, pid, cos))
+                }
+                filed = (id, q, nn) :: filed
+              }
+            }
+          state.update(filed)
+          out.result().iterator
+        })
+      .toDF("vec_id", "dup_of", "cosine")
+  }
+}

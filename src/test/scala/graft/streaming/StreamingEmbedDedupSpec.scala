@@ -1,0 +1,71 @@
+package graft.streaming
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.{Tables, TestSpark}
+import graft.queries.DedupQueries
+
+/** Streaming embedding near-dup ≡ batch d5 (the StreamingNearDupSpec
+  * pattern on the vector side): once every vector has flowed through,
+  * the distinct (earlier, later, cosine) match set — cosines compared
+  * as exact doubles, since the in-state verify runs the identical int64
+  * dot + IEEE sqrt/divide as the batch column form — must equal the
+  * batch banded pipeline's verified pairs at the same threshold,
+  * regardless of micro-batch splits. Planted clones (ids above the
+  * corpus, cosine 1.0) guarantee the gate tests a non-empty set even
+  * where the raw corpus has no threshold-grade pairs.
+  */
+class StreamingEmbedDedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+  private val (bands, rowBits, threshold) = (32, 4, 0.45)
+
+  test("streaming match set equals batch d5 pairs across micro-batches") {
+    val dir = Files.createTempDirectory("graft_embdedup_stream").toString
+    val emb = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding", "label")
+    val n = Tables.embeddingsRows(spark, sf)
+    // clones of the first 5 vectors under ids above the corpus — the
+    // re-crawled-image shape; ids stay nondecreasing across the three
+    // files so streaming orientation dup_of < vec_id matches the batch
+    // vec_a < vec_b
+    val clones = emb.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"),
+        col("label"))
+    emb.filter(col("vec_id") < n / 2).coalesce(1)
+      .write.mode("append").parquet(dir)
+    emb.filter(col("vec_id") >= n / 2).coalesce(1)
+      .write.mode("append").parquet(dir)
+    clones.coalesce(1).write.mode("append").parquet(dir)
+
+    val q = StreamEmbedDedup.nearDupMatches(
+        StreamEmbedDedup.readEmbeddings(spark, dir),
+        bands, rowBits, threshold, dim = Tables.EmbeddingDim)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("embdedup_stream")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_ckpt_embdedup").toString)
+      .start()
+    val batches = try {
+      q.processAllAvailable()
+      q.recentProgress.count(_.numInputRows > 0)
+    } finally q.stop()
+    assert(batches >= 3, s"expected >= 3 micro-batches, got $batches")
+
+    val streamed = spark.table("embdedup_stream")
+      .select("dup_of", "vec_id", "cosine").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+    val all = emb.unionAll(clones)
+    val batch = DedupQueries.embNearDupBanded(all, bands, rowBits,
+        threshold, dim = Tables.EmbeddingDim, nHint = n + 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    spark.catalog.clearCache()
+    assert(batch.size >= 5, s"planted clones missing from batch: ${batch.size}")
+    assert(streamed == batch,
+      s"stream-only: ${(streamed -- batch).take(5)}; " +
+        s"batch-only: ${(batch -- streamed).take(5)}")
+  }
+}
