@@ -817,6 +817,17 @@ object Graft {
       streaming.StreamEmbedDedup.readEmbeddings(spark, landingDir),
       bands, rowBits, threshold, dim)
 
+  /** Keep a persisted IVF-PQ index fresh from a landing directory of
+    * embedding files: a foreachBatch sink appending each micro-batch
+    * with frozen quantizers ([[appendAnnIndex]]'s contract — chunked ≡
+    * one-shot, pinned by StreamingEmbedDedupSpec). Returns the started
+    * query. */
+  def streamIndexAppend(spark: SparkSession, landingDir: String,
+      indexDir: String, checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    streaming.StreamEmbedDedup.indexAppendSink(
+      streaming.StreamEmbedDedup.readEmbeddings(spark, landingDir),
+      indexDir, checkpointDir)
+
   /** Streaming bucketed-histogram counters over a landing directory of
     * event files — the incremental twin of ts15's counting half: per-
     * (series, hour) log₂-bucket counts as mergeable MapState (≤ ~40

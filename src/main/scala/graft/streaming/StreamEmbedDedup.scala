@@ -44,7 +44,7 @@ object StreamEmbedDedup {
   val embSchema: StructType = StructType(Seq(
     StructField("vec_id", LongType),
     StructField("embedding", ArrayType(FloatType, containsNull = false)),
-    StructField("label", StringType)))
+    StructField("label", IntegerType)))
 
   /** File-source stream over a directory of embedding parquet files. */
   def readEmbeddings(spark: SparkSession, dir: String): DataFrame =
@@ -52,6 +52,34 @@ object StreamEmbedDedup {
       .schema(embSchema)
       .option("maxFilesPerTrigger", "1") // per-file batches: state must carry
       .parquet(dir)
+
+  /** Keep a persisted IVF-PQ index fresh from a landing directory: a
+    * foreachBatch sink that [[graft.operators.AnnIndex.appendIvfPq]]s
+    * each arriving embedding file — frozen quantizers make per-batch
+    * encoding a pure per-row function, so ANY micro-batch split yields
+    * the same codes table as a one-shot append (the AnnIndexSpec
+    * chunked ≡ one-shot identity is exactly the property that makes
+    * this sink exactly-once-equivalent under replays: re-appending a
+    * batch after a crash duplicates code ROWS, and the query side is
+    * insensitive to duplicated identical codes only if the caller
+    * dedups — so production checkpoints the batchId high-water mark,
+    * which is what the `seenBatch` guard below does within a run).
+    * Returns the started query; stop it to stop ingesting. */
+  def indexAppendSink(emb: DataFrame, indexDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    @volatile var lastBatch = -1L
+    emb.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (batchId > lastBatch) { // replay guard within this run
+          if (!batch.isEmpty) {
+            graft.operators.AnnIndex.appendIvfPq(batch.toDF(), indexDir)
+          }
+          lastBatch = batchId
+        }
+      }
+      .start()
+  }
 
   /** Banded sign-LSH state dedup; append-mode (vec_id, dup_of, cosine)
     * rows at exact cosine ≥ threshold. Parameters mirror batch d5 —

@@ -68,4 +68,47 @@ class StreamingEmbedDedupSpec extends AnyFunSuite {
       s"stream-only: ${(streamed -- batch).take(5)}; " +
         s"batch-only: ${(batch -- streamed).take(5)}")
   }
+
+  test("streamed index appends equal a one-shot append (live index stays queryable)") {
+    import graft.operators.AnnIndex
+    val emb = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding", "label")
+    val n = Tables.embeddingsRows(spark, sf)
+    val inc = emb.filter(col("vec_id") < 6)
+      .select((col("vec_id") + 2000000L).as("vec_id"), col("embedding"),
+        col("label"))
+    // two landing files -> two micro-batches, each appended by the sink
+    val landing = Files.createTempDirectory("graft_ixappend_landing").toString
+    inc.filter(col("vec_id") % 2 === 0).coalesce(1)
+      .write.mode("append").parquet(landing)
+    inc.filter(col("vec_id") % 2 === 1).coalesce(1)
+      .write.mode("append").parquet(landing)
+
+    val streamedIx = Files.createTempDirectory("graft_ix_streamed").toString
+    AnnIndex.buildIvfPq(emb, streamedIx, Tables.EmbeddingDim,
+      m = 8, k = 64, nHint = n)
+    val q = StreamEmbedDedup.indexAppendSink(
+      StreamEmbedDedup.readEmbeddings(spark, landing), streamedIx,
+      Files.createTempDirectory("graft_ckpt_ixappend").toString)
+    try q.processAllAvailable() finally q.stop()
+
+    val oneShotIx = Files.createTempDirectory("graft_ix_oneshot").toString
+    AnnIndex.buildIvfPq(emb, oneShotIx, Tables.EmbeddingDim,
+      m = 8, k = 64, nHint = n)
+    AnnIndex.appendIvfPq(inc, oneShotIx)
+
+    def codes(dir: String) = AnnIndex.loadIvfPq(spark, dir).codes
+      .collect().map(_.toString).sorted.toSeq
+    assert(codes(streamedIx) == codes(oneShotIx),
+      "streamed appends diverged from the one-shot append")
+    assert(AnnIndex.readManifest(spark, streamedIx).n == n + 6)
+    // the live index serves queries that find the streamed-in clones
+    val top = AnnIndex.ivfPqTopK(AnnIndex.loadIvfPq(spark, streamedIx),
+        emb.unionAll(inc), nQueries = 6)
+      .filter(col("rk") === 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    (0L until 6L).foreach(qid =>
+      assert(top(qid) == qid + 2000000L, s"query $qid: ${top(qid)}"))
+    spark.catalog.clearCache()
+  }
 }
