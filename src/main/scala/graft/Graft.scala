@@ -828,6 +828,26 @@ object Graft {
       streaming.StreamEmbedDedup.readEmbeddings(spark, landingDir),
       indexDir, checkpointDir)
 
+  /** Cross-batch IMAGE near-duplicate detection over a landing
+    * directory of document/media parquet files — the third modality of
+    * the ingest-dedup triad (docs: [[streamNearDups]]; embeddings:
+    * [[streamEmbeddingNearDups]]): per-row Hamming band slices of the
+    * perceptual hash (same bit slices as batch m5's join key), band
+    * buckets holding (doc_id, phash) — 16 bytes per band per unique
+    * image — and an exact bitCount verify on collisions only.
+    * Streaming ≡ batch pinned by StreamingImageDedupSpec. Emits
+    * (doc_id, dup_of, hamming) in append mode. */
+  def streamImageNearDups(spark: SparkSession, landingDir: String,
+      bands: Int = 4, bandBits: Int = 15, maxHamming: Int = 12): DataFrame =
+    streaming.StreamImageDedup.nearDupMatches(
+      operators.Multimodal.decodeFeatures(
+        operators.Multimodal.mediaFromDocuments(
+          streaming.CorpusIngest.readDocs(spark, landingDir)),
+        operators.Multimodal.LocalityFakeMediaDecoder)
+        .toDF().select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("phash")),
+      bands, bandBits, maxHamming)
+
   /** Streaming bucketed-histogram counters over a landing directory of
     * event files — the incremental twin of ts15's counting half: per-
     * (series, hour) log₂-bucket counts as mergeable MapState (≤ ~40
