@@ -819,7 +819,74 @@ object TimeSeriesQueries {
            |  ${est("((90 * n + 99) // 100)")} AS p90,
            |  ${est("((99 * n + 99) // 100)")} AS p99
            |FROM cm GROUP BY 1, 2""".stripMargin
-      }))
+      }),
+
+    // ---- Multi-window SLO burn-rate alerts (ts16): the Google SRE
+    // workbook's fast-burn pair (ch. 5, "Alerting on SLOs") over the
+    // metrics family ts14/ts15 built — per service (user_id), the error
+    // budget consumption rate in a SHORT window (hour) gated by the
+    // same rate in a LONG window (6 h): the short window catches the
+    // burn fast, the long window suppresses flapping on a brief spike.
+    // SLO 99% (budget 1%); both windows must burn > 14.4× budget to
+    // alert (the workbook's 1h/6h pairing). Errors are the
+    // deterministic `event_id % 20 = 0` 5% marker (t7's injection
+    // precedent — the corpus ships no error flags).
+    //
+    // Determinism: both burn rates are ONE int64→double division
+    // ((errs·100)/total — budget folded into the numerator); the alert
+    // is a cross-multiplied INTEGER comparison (errs·1000 > total·144
+    // ⟺ burn > 14.4), so the boolean is exact cross-engine.
+    //
+    // Scale: two partial-aggregatable hash-aggs (hour and 6-hour keys)
+    // and one equi-join of the 6-hour rollup onto the hour rows — the
+    // long-window side is 6× smaller and joins on its own agg key;
+    // nothing global, no windows over raw events.
+    Q(
+      "ts16_burn_rate",
+      (s, d) => burnRateOn(
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_id"),
+            expr(s"(ts_ns div 1000) div $HourUs").as("hour"))),
+      Some(s"""WITH e AS (
+              |  SELECT user_id, epoch_us(ts) // $HourUs AS hour,
+              |    CASE WHEN event_id % 20 = 0 THEN 1 ELSE 0 END AS err
+              |  FROM events),
+              |s AS (SELECT user_id, hour, CAST(SUM(err) AS BIGINT) AS err_s,
+              |    COUNT(1) AS tot_s
+              |  FROM e GROUP BY 1, 2),
+              |l AS (SELECT user_id, hour // 6 AS hour6,
+              |    CAST(SUM(err) AS BIGINT) AS err_l, COUNT(1) AS tot_l
+              |  FROM e GROUP BY 1, 2)
+              |SELECT s.user_id, s.hour, err_s, tot_s, err_l, tot_l,
+              |  CAST(err_s * 100 AS DOUBLE) / CAST(tot_s AS DOUBLE) AS burn_short,
+              |  CAST(err_l * 100 AS DOUBLE) / CAST(tot_l AS DOUBLE) AS burn_long,
+              |  (err_s * 1000 > tot_s * 144 AND err_l * 1000 > tot_l * 144) AS alert
+              |FROM s JOIN l ON l.user_id = s.user_id
+              |  AND l.hour6 = s.hour // 6""".stripMargin)))
+
+  /** ts16's burn-rate core on a generic (key, event_id, hour) frame —
+    * see the registry entry for semantics and the determinism/scale
+    * contract. Exposed for the facade; thresholds are the SRE
+    * workbook's 99% SLO / 14.4× fast-burn pairing. */
+  private[graft] def burnRateOn(
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val e = df.select(col("user_id"), col("hour"),
+      when(col("event_id") % 20 === 0, lit(1L)).otherwise(lit(0L)).as("err"))
+    val short = e.groupBy(col("user_id"), col("hour"))
+      .agg(sum(col("err")).as("err_s"), count(lit(1)).as("tot_s"))
+    val long = e.groupBy(col("user_id"), expr("hour div 6").as("hour6"))
+      .agg(sum(col("err")).as("err_l"), count(lit(1)).as("tot_l"))
+    short.withColumn("hour6", expr("hour div 6"))
+      .join(long, Seq("user_id", "hour6"))
+      .select(col("user_id"), col("hour"), col("err_s"), col("tot_s"),
+        col("err_l"), col("tot_l"),
+        ((col("err_s") * 100).cast("double") / col("tot_s").cast("double"))
+          .as("burn_short"),
+        ((col("err_l") * 100).cast("double") / col("tot_l").cast("double"))
+          .as("burn_long"),
+        (col("err_s") * 1000 > col("tot_s") * 144 &&
+          col("err_l") * 1000 > col("tot_l") * 144).as("alert"))
+  }
 
   /** ts15's histogram-quantile core on a generic (key, int64 cents)
     * frame — Prometheus `histogram_quantile` semantics: readings land in
