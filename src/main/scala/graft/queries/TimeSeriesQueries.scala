@@ -862,7 +862,110 @@ object TimeSeriesQueries {
               |  CAST(err_l * 100 AS DOUBLE) / CAST(tot_l AS DOUBLE) AS burn_long,
               |  (err_s * 1000 > tot_s * 144 AND err_l * 1000 > tot_l * 144) AS alert
               |FROM s JOIN l ON l.user_id = s.user_id
-              |  AND l.hour6 = s.hour // 6""".stripMargin)))
+              |  AND l.hour6 = s.hour // 6""".stripMargin)),
+
+    // ---- Shape-preserving downsampling (ts17): LTTB — largest triangle
+    // three buckets (Steinarsson 2013, the Grafana/InfluxDB standard
+    // visualization downsampler) — per series, ONE REAL POINT per bucket,
+    // the one subtending the largest triangle with its neighbor buckets,
+    // so peaks/troughs survive where ts1's per-bucket averages flatten
+    // them. Distributed variant: the triangle anchors are the NEIGHBOR
+    // BUCKETS' CENTROIDS (Steinarsson's sequential form anchors on the
+    // previously SELECTED point — a chain dependency no parallel engine
+    // can shard; the centroid anchor is his own §4.2 simplification and
+    // keeps every bucket independent). First/last bucket keep their
+    // first/last point (the LTTB endpoint-anchor convention).
+    //
+    // Determinism: centroids are one int64→double division per axis;
+    // the area is |Δx·Δy − Δx'·Δy'| over those doubles with an explicit
+    // parenthesization both engines evaluate identically, and the
+    // argmax tie-breaks through (area desc, ts asc, event_id asc) — a
+    // total order (event_id unique), so the SELECTED POINTS (the
+    // output: exact int64s only) hash-match cross-engine.
+    //
+    // Scale: one hash-agg to bucket centroids, one lag/lead window over
+    // the (tiny) per-key bucket table, one equi-join of events onto
+    // their bucket's anchor row, then a map-side-combinable max(struct)
+    // argmax per bucket — the raw points are scanned once and never
+    // globally sorted (the sequential LTTB is a per-key full-series
+    // scan; this is the 100-TB shape of the same estimator).
+    Q(
+      "ts17_lttb",
+      (s, d) => lttbOn(
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_id"),
+            expr("ts_ns div 1000").as("ts_us"),
+            round(col("value") * 100).cast("bigint").as("c")),
+        "user_id", "event_id"),
+      Some(s"""WITH e AS (
+              |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+              |    CAST(round(value * 100) AS BIGINT) AS c,
+              |    epoch_us(ts) // $HourUs AS b
+              |  FROM events),
+              |cent AS (SELECT user_id, b, COUNT(1) AS cnt,
+              |    CAST(SUM(ts_us) AS BIGINT) AS sx, CAST(SUM(c) AS BIGINT) AS sy
+              |  FROM e GROUP BY 1, 2),
+              |nb AS (SELECT user_id, b,
+              |    CAST(lag(sx) OVER w AS DOUBLE) / CAST(lag(cnt) OVER w AS DOUBLE) AS xp,
+              |    CAST(lag(sy) OVER w AS DOUBLE) / CAST(lag(cnt) OVER w AS DOUBLE) AS yp,
+              |    CAST(lead(sx) OVER w AS DOUBLE) / CAST(lead(cnt) OVER w AS DOUBLE) AS xn,
+              |    CAST(lead(sy) OVER w AS DOUBLE) / CAST(lead(cnt) OVER w AS DOUBLE) AS yn,
+              |    MIN(b) OVER (PARTITION BY user_id) AS bmin,
+              |    MAX(b) OVER (PARTITION BY user_id) AS bmax
+              |  FROM cent WINDOW w AS (PARTITION BY user_id ORDER BY b)),
+              |sc AS (SELECT e.user_id, e.b, e.ts_us, e.c, e.event_id,
+              |    CASE WHEN e.b = nb.bmin OR e.b = nb.bmax THEN 0.0
+              |      ELSE abs((xp - xn) * (CAST(e.c AS DOUBLE) - yp)
+              |             - (xp - CAST(e.ts_us AS DOUBLE)) * (yn - yp)) END AS s1,
+              |    CASE WHEN e.b = nb.bmax AND e.b <> nb.bmin
+              |      THEN e.ts_us ELSE -e.ts_us END AS s2,
+              |    CASE WHEN e.b = nb.bmax AND e.b <> nb.bmin
+              |      THEN e.event_id ELSE -e.event_id END AS s3
+              |  FROM e JOIN nb ON nb.user_id = e.user_id AND nb.b = e.b),
+              |r AS (SELECT user_id, b, ts_us, c,
+              |    row_number() OVER (PARTITION BY user_id, b
+              |      ORDER BY s1 DESC, s2 DESC, s3 DESC) AS rn
+              |  FROM sc)
+              |SELECT user_id, b, ts_us, c FROM r WHERE rn = 1""".stripMargin)))
+
+  /** ts17's LTTB core on a generic (key, id, ts_µs, int64 value) frame —
+    * see the registry entry for the estimator and the determinism/scale
+    * contract. One representative REAL point per (key, bucket); "prev/
+    * next bucket" are the neighboring NON-EMPTY buckets in b order. */
+  private[graft] def lttbOn(df: org.apache.spark.sql.DataFrame,
+      keyCol: String, idCol: String,
+      bucketUs: Long = HourUs): org.apache.spark.sql.DataFrame = {
+    val e = df.select(col(keyCol), col(idCol), col("ts_us"), col("c"))
+      .withColumn("b", expr(s"ts_us div $bucketUs"))
+    val cent = e.groupBy(col(keyCol), col("b"))
+      .agg(count(lit(1)).as("cnt"), sum(col("ts_us")).as("sx"),
+        sum(col("c")).as("sy"))
+    val wB = Window.partitionBy(col(keyCol)).orderBy(col("b"))
+    val wK = Window.partitionBy(col(keyCol))
+    def ratio(num: Column, den: Column) = num.cast("double") / den.cast("double")
+    val nb = cent
+      .withColumn("xp", ratio(lag(col("sx"), 1).over(wB), lag(col("cnt"), 1).over(wB)))
+      .withColumn("yp", ratio(lag(col("sy"), 1).over(wB), lag(col("cnt"), 1).over(wB)))
+      .withColumn("xn", ratio(lead(col("sx"), 1).over(wB), lead(col("cnt"), 1).over(wB)))
+      .withColumn("yn", ratio(lead(col("sy"), 1).over(wB), lead(col("cnt"), 1).over(wB)))
+      .withColumn("bmin", min(col("b")).over(wK))
+      .withColumn("bmax", max(col("b")).over(wK))
+      .select(col(keyCol), col("b"), col("xp"), col("yp"), col("xn"),
+        col("yn"), col("bmin"), col("bmax"))
+    val isEdge = col("b") === col("bmin") || col("b") === col("bmax")
+    val isLast = col("b") === col("bmax") && col("b") =!= col("bmin")
+    e.join(nb, Seq(keyCol, "b"))
+      .withColumn("s1", when(isEdge, lit(0.0)).otherwise(
+        abs((col("xp") - col("xn")) * (col("c").cast("double") - col("yp"))
+          - (col("xp") - col("ts_us").cast("double")) * (col("yn") - col("yp")))))
+      .withColumn("s2", when(isLast, col("ts_us")).otherwise(-col("ts_us")))
+      .withColumn("s3", when(isLast, col(idCol)).otherwise(-col(idCol)))
+      .groupBy(col(keyCol), col("b"))
+      .agg(max(struct(col("s1"), col("s2"), col("s3"),
+        col("ts_us"), col("c"))).as("m"))
+      .select(col(keyCol), col("b"), col("m.ts_us").as("ts_us"),
+        col("m.c").as("c"))
+  }
 
   /** ts16's burn-rate core on a generic (key, event_id, hour) frame —
     * see the registry entry for semantics and the determinism/scale
