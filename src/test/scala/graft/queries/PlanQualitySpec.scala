@@ -346,6 +346,29 @@ class PlanQualitySpec extends AnyFunSuite {
       s"CUSUM must never plan a backward-rescanning frame (ts5 lesson):\n$p")
   }
 
+  test("ts16 burn rate: two partial hash-aggs + one equi-join, nothing global") {
+    val p = plan("ts16_burn_rate")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.linesIterator.filter(_.contains("Join")).mkString("\n"))
+    // both window rollups are HASH aggregates (partial-combinable) —
+    // no sort-based agg, no window function over raw events
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("Window"), s"burn rate must not plan a window:\n$p")
+  }
+
+  test("ts17 LTTB: raw points never per-key sorted; argmax is a hash agg") {
+    val p = plan("ts17_lttb")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.linesIterator.filter(_.contains("Join")).mkString("\n"))
+    // the ONLY window runs over the per-key bucket-centroid table (the
+    // lag/lead anchors); the per-point selection is a combinable
+    // max(struct) hash agg, so raw events are scanned, joined to their
+    // bucket row, and reduced — never globally or per-key sorted
+    val windows = p.linesIterator.filter(_.trim.startsWith("Window")).toSeq
+    assert(windows.size <= 2, s"only the bucket-table windows expected:\n$p")
+    assert(p.contains("ObjectHashAggregate") || p.contains("HashAggregate"), p)
+  }
+
   test("t12 ngram LM: model joins are hash joins on the bigram key, no broadcast of the corpus") {
     val p = plan("t12_ngram_lm")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
