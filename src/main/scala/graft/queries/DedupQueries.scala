@@ -598,6 +598,57 @@ object DedupQueries {
     s"""WITH RECURSIVE $componentsCtes
        |SELECT id, component FROM labels""".stripMargin
 
+  /** Dedup-aware train/val/test split (q56): the split is keyed by the
+    * near-dup COMPONENT, not the document — q44's per-doc hash split
+    * leaks: two near-duplicate documents hash independently, so one
+    * lands in train and its twin in test, and the eval measures
+    * memorization of the training twin. Here every document carries
+    * its component id (singletons are their own component), the
+    * 80/10/10 hash rule is applied to the COMPONENT, and therefore no
+    * near-dup cluster ever straddles a split — by construction, which
+    * DedupSplitSpec re-checks doc-by-doc. Same cross-engine hash as
+    * every split in the library (md5-60), so assignment is
+    * deterministic across engines, runs and cluster sizes.
+    *
+    * Scale: the component table is the d7 artifact (pointer-jumping
+    * rounds over the pair graph — the expensive half, already built by
+    * any dedup pipeline); the split itself is a broadcast-able LEFT
+    * join of that (clusters ≪ corpus) table onto the corpus plus one
+    * hash-agg. */
+  private def dedupSplit(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val comp = graft.operators.Components.connectedComponents(
+      jaccardPairs(docs, Tables.documentsRows(s, d))
+        .select(col("doc_a"), col("doc_b")))
+    val h = XHash.hash60(col("component").cast("string")) % 1000L
+    docs.select(col("doc_id"), col("n_chars"))
+      .join(comp, docs("doc_id") === comp("id"), "left")
+      .select(col("doc_id"), col("n_chars"),
+        coalesce(col("component"), col("doc_id")).as("component"))
+      .withColumn("split",
+        when(h < 800L, lit("train")).when(h < 900L, lit("val"))
+          .otherwise(lit("test")))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("component")).as("n_components"),
+        sum(col("n_chars")).as("sum_chars"))
+  }
+  private def dedupSplitSql =
+    s"""WITH RECURSIVE $componentsCtes,
+       |allc AS (
+       |  SELECT d.doc_id, d.n_chars,
+       |    COALESCE(l.component, d.doc_id) AS component
+       |  FROM documents d LEFT JOIN labels l ON l.id = d.doc_id),
+       |sp AS (SELECT doc_id, n_chars, component,
+       |    CASE WHEN ${XHash.hash60Sql("CAST(component AS VARCHAR)")} % 1000 < 800 THEN 'train'
+       |         WHEN ${XHash.hash60Sql("CAST(component AS VARCHAR)")} % 1000 < 900 THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM allc)
+       |SELECT split, COUNT(1) AS n_docs,
+       |  COUNT(DISTINCT component) AS n_components,
+       |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+       |FROM sp GROUP BY 1""".stripMargin
+
   /** Graph centrality over the near-dup graph (p1): deterministic
     * integer PageRank ([[graft.operators.PageRank]]) on the verified
     * Jaccard pairs — ranks documents WITHIN the similarity structure
@@ -1516,6 +1567,7 @@ object DedupQueries {
     Q("d5_embedding_neardup", embNearDup, Some(embNearDupSql)),
     Q("d6_dedup_keep", dedupKeep, Some(dedupKeepSql)),
     Q("d7_components", components, Some(componentsSql)),
+    Q("q56_dedup_split", dedupSplit, Some(dedupSplitSql)),
     Q("p1_pagerank", pagerank, Some(pagerankSql)),
     Q("d9_containment",
       (s, d) => containmentPairs(Tables.documents(s, d),
