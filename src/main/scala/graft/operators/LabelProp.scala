@@ -35,9 +35,25 @@ object LabelProp {
 
   /** @param pairs  undirected edge list, two long columns (left, right);
     *               no self-loops, each undirected edge listed once
-    * @param rounds fixed synchronous rounds (deterministic plans)
+    * @param rounds max synchronous rounds (bounds plan depth and the
+    *               unrolled oracle's CTE chain)
     * @return (id, community) for every node incident to an edge */
-  def propagate(pairs: DataFrame, rounds: Int = 3): DataFrame = {
+  def propagate(pairs: DataFrame, rounds: Int = 3): DataFrame =
+    propagateRuns(pairs, rounds)._1
+
+  /** [[propagate]] plus the executed round count — the PageRank
+    * early-exit contract applied to LPA: after each round a bounded
+    * n-row check asks whether ANY label moved; `l_{t+1} = l_t` makes
+    * every later round identical (the update is a deterministic
+    * function of the previous labels), so stopping early provably
+    * returns the full unroll's output and the static `rounds`-CTE
+    * oracle stays exact. Synchronous LPA can also OSCILLATE (a 2-cycle
+    * never hits a fixed point — the lone edge swaps labels forever);
+    * oscillating graphs simply run the full budget, converged ones
+    * stop paying two |E|-row shuffles per skipped round. Per-round
+    * pins keep logical-plan depth O(1) per round (the lazy chain grew
+    * linearly and carried the asLeaf-beyond-20 caveat). */
+  def propagateRuns(pairs: DataFrame, rounds: Int = 3): (DataFrame, Int) = {
     require(rounds >= 1 && rounds <= 20,
       s"propagate rounds must be in [1,20] (unrolled oracle / plan depth), got $rounds")
     // symmetrized edges cached once, PRE-PARTITIONED on the round-join
@@ -47,18 +63,42 @@ object LabelProp {
     // on every round (measured 8.7 → ~3 s for 3 rounds at sf0.1)
     val edges = symmetrize(pairs).repartition(col("v"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // materialize BEFORE the loop: the result count references this
-    // cache once per round — unfilled, the round legs race to build it,
-    // each replaying the upstream pair pipeline (CacheDisciplineSpec)
+    // materialize BEFORE the loop: each round's plan references this
+    // cache — unfilled, the round legs race to build it, each replaying
+    // the upstream pair pipeline (CacheDisciplineSpec)
     edges.count()
+    var labels = edges.select(col("u").as("id"))
+      .distinct().withColumn("lab", col("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    labels.count()
     try {
-      val out = loop(edges, rounds).persist(StorageLevel.MEMORY_AND_DISK)
-      // materialize while the edge cache is pinned; the RESULT cache is
-      // caller-owned (Components precedent) — unpersist when done
-      try out.count()
-      catch { case e: Throwable => out.unpersist(); throw e }
-      out
-    } finally edges.unpersist()
+      var t = 0
+      var converged = false
+      while (t < rounds && !converged) {
+        val next = round(edges, labels).persist(StorageLevel.MEMORY_AND_DISK)
+        next.count() // materialize before the delta check + next round
+        t += 1
+        if (t < rounds) {
+          // exact fixed point ⇔ no label moved: an n-row join of two
+          // pinned label vectors, short-circuited at the first mover
+          converged = next.as("n")
+            .join(labels.as("p"), col("n.id") === col("p.id"))
+            .filter(col("n.lab") =!= col("p.lab"))
+            .isEmpty
+        }
+        labels.unpersist()
+        labels = next
+      }
+      // the result is a RENAME-ONLY projection of the final pinned
+      // round, which the cache manager canonicalizes to the SAME cache
+      // entry — so the final round's (already materialized) cache IS
+      // the caller-owned result cache: a second persist here would be
+      // a no-op duplicate, and unpersisting `labels` would drop the
+      // very blocks the returned frame serves from (the r9 p3
+      // CacheDisciplineSpec catch). Caller unpersists the result.
+      (labels.select(col("id"), col("lab").as("community")), t)
+    } catch { case e: Throwable => labels.unpersist(); throw e }
+    finally edges.unpersist()
   }
 
   /** The same pipeline with no caching or materialization — for plan
@@ -78,22 +118,26 @@ object LabelProp {
       .distinct().withColumn("lab", col("id"))
     var t = 0
     while (t < rounds) {
-      // neighbor labels of u = labels of each v; majority label with
-      // min-label tie-break = max_by over the (n, −lab) struct —
-      // partial-aggregatable in both hash aggregates, so the shuffle
-      // carries one candidate per (node, label), then one per node
-      labels = edges.hint("shuffle_hash")
-        .join(labels, edges("v") === labels("id"))
-        .select(edges("u").as("nid"), col("lab"))
-        .groupBy(col("nid"), col("lab")).agg(count(lit(1)).as("n"))
-        .groupBy(col("nid"))
-        .agg(max_by(col("lab"), struct(col("n"), negate(col("lab"))))
-          .as("lab"))
-        .select(col("nid").as("id"), col("lab"))
+      labels = round(edges, labels)
       t += 1
     }
     labels.select(col("id"), col("lab").as("community"))
   }
+
+  /** One synchronous round: neighbor labels of u = labels of each v;
+    * majority label with min-label tie-break = max_by over the
+    * (n, −lab) struct — partial-aggregatable in both hash aggregates,
+    * so the shuffle carries one candidate per (node, label), then one
+    * per node. */
+  private def round(edges: DataFrame, labels: DataFrame): DataFrame =
+    edges.hint("shuffle_hash")
+      .join(labels, edges("v") === labels("id"))
+      .select(edges("u").as("nid"), col("lab"))
+      .groupBy(col("nid"), col("lab")).agg(count(lit(1)).as("n"))
+      .groupBy(col("nid"))
+      .agg(max_by(col("lab"), struct(col("n"), negate(col("lab"))))
+        .as("lab"))
+      .select(col("nid").as("id"), col("lab"))
 
   /** Oracle twin: the unrolled CTE chain over `edges(u, v)` — append to
     * a WITH that already defines `edges`. Yields CTEs `l0..l<rounds>`;
