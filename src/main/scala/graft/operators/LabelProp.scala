@@ -35,24 +35,48 @@ object LabelProp {
 
   /** @param pairs  undirected edge list, two long columns (left, right);
     *               no self-loops, each undirected edge listed once
-    * @param rounds max synchronous rounds (bounds plan depth and the
-    *               unrolled oracle's CTE chain)
-    * @return (id, community) for every node incident to an edge */
-  def propagate(pairs: DataFrame, rounds: Int = 3): DataFrame =
-    propagateRuns(pairs, rounds)._1
+    * @param rounds fixed synchronous rounds (deterministic plans)
+    * @return (id, community) for every node incident to an edge
+    *
+    * Runs the LAZY round chain — one action evaluates all rounds with
+    * no per-round barrier, which MEASURES faster at small fixed budgets
+    * (the gate's 3 rounds: 2.8 s vs 5.1 s for the pinned-loop variant
+    * at sf0.1 — per-round job+cache-write overhead dominates when each
+    * round is sub-second). For long budgets or graphs expected to
+    * converge, use [[propagateRuns]]: early exit + O(1) plan depth. */
+  def propagate(pairs: DataFrame, rounds: Int = 3): DataFrame = {
+    require(rounds >= 1 && rounds <= 20,
+      s"propagate rounds must be in [1,20] (unrolled oracle / plan depth), got $rounds")
+    val edges = symmetrize(pairs).repartition(col("v"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // materialize BEFORE the loop: the result count references this
+    // cache once per round — unfilled, the round legs race to build it,
+    // each replaying the upstream pair pipeline (CacheDisciplineSpec)
+    edges.count()
+    try {
+      val out = loop(edges, rounds).persist(StorageLevel.MEMORY_AND_DISK)
+      // materialize while the edge cache is pinned; the RESULT cache is
+      // caller-owned (Components precedent) — unpersist when done
+      try out.count()
+      catch { case e: Throwable => out.unpersist(); throw e }
+      out
+    } finally edges.unpersist()
+  }
 
-  /** [[propagate]] plus the executed round count — the PageRank
-    * early-exit contract applied to LPA: after each round a bounded
-    * n-row check asks whether ANY label moved; `l_{t+1} = l_t` makes
-    * every later round identical (the update is a deterministic
-    * function of the previous labels), so stopping early provably
-    * returns the full unroll's output and the static `rounds`-CTE
-    * oracle stays exact. Synchronous LPA can also OSCILLATE (a 2-cycle
-    * never hits a fixed point — the lone edge swaps labels forever);
-    * oscillating graphs simply run the full budget, converged ones
-    * stop paying two |E|-row shuffles per skipped round. Per-round
-    * pins keep logical-plan depth O(1) per round (the lazy chain grew
-    * linearly and carried the asLeaf-beyond-20 caveat). */
+  /** [[propagate]]'s PINNED-LOOP twin, returning the executed round
+    * count — the PageRank early-exit contract applied to LPA: after
+    * each round a bounded n-row check asks whether ANY label moved;
+    * `l_{t+1} = l_t` makes every later round identical (the update is
+    * a deterministic function of the previous labels), so stopping
+    * early provably returns the full unroll's output and the static
+    * `rounds`-CTE oracle stays exact. Synchronous LPA can also
+    * OSCILLATE (a 2-cycle never hits a fixed point — the lone edge
+    * swaps labels forever); oscillating graphs simply run the full
+    * budget, converged ones stop paying two |E|-row shuffles per
+    * skipped round. Per-round pins keep logical-plan depth O(1) per
+    * round — use this form for budgets beyond ~5 rounds or graphs
+    * expected to converge; the lazy [[propagate]] wins at small fixed
+    * budgets (measured trade in its scaladoc). */
   def propagateRuns(pairs: DataFrame, rounds: Int = 3): (DataFrame, Int) = {
     require(rounds >= 1 && rounds <= 20,
       s"propagate rounds must be in [1,20] (unrolled oracle / plan depth), got $rounds")
