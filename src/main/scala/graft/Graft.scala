@@ -254,19 +254,20 @@ object Graft {
 
   /** Build the persistent index artifact for one ANN family under `dir`
     * (parquet tables + manifest.json — any Hadoop-visible filesystem):
-    * family ∈ {"lsh", "ivf", "pq", "sq8"} selects s2 signatures / s3
-    * inverted file + centroids / s5 codes + codebook / s8 per-dim stats.
+    * family ∈ {"lsh", "ivf", "pq", "sq8", "ivfpq"} selects s2
+    * signatures / s3 inverted file + centroids / s5 codes + codebook /
+    * s8 per-dim stats / s10 coarse cells + residual codes + codebook.
     * ONE corpus scan per build; every later query batch reads the
     * artifact instead of rebuilding it ([[operators.AnnIndex]] — the
     * loaded query half is the identical implementation as the inline
-    * s2/s3/s5/s8 queries, pinned loaded ≡ built by AnnIndexSpec). */
+    * s2/s3/s5/s8/s10 queries, pinned loaded ≡ built by AnnIndexSpec). */
   def buildAnnIndex(emb: DataFrame, dir: String, family: String,
       dim: Int, nHint: Long = -1L): operators.AnnIndex.Manifest =
     family match {
       case "lsh" => operators.AnnIndex.buildLsh(emb, dir, dim, nHint)
       case "ivf" => operators.AnnIndex.buildIvf(emb, dir, dim, nHint)
       case "pq"  => operators.AnnIndex.buildPq(emb, dir, dim, nHint = nHint)
-      case "sq8" => operators.AnnIndex.buildSq(emb, dir, dim)
+      case "sq8" => operators.AnnIndex.buildSq(emb, dir, dim, nHint)
       case "ivfpq" => operators.AnnIndex.buildIvfPq(emb, dir, dim, nHint = nHint)
       case other => throw new IllegalArgumentException(
         s"unknown ANN index family '$other' (lsh | ivf | pq | sq8 | ivfpq)")
@@ -440,6 +441,18 @@ object Graft {
       r: Int = 20, topK: Int = 3, nQueries: Int = 8,
       nHint: Long = -1L): DataFrame =
     queries.SimilarityQueries.pqTopKOn(emb, dim, m, k, r, topK, nQueries, nHint)
+
+  /** IVF-PQ ANN (the FAISS `IVFx,PQy` composition): √n coarse cells
+    * localize, PQ codes the residual inside each cell; queries ADC-scan
+    * only their nProbe probed cells and exact-rerank the R winners.
+    * Query set = `vec_id < nQueries`; `dim` must be divisible by m.
+    * Eagerly materialized: the pinned home-cell and residual-subvector
+    * tables are released before returning (facade cache contract). */
+  def ivfPqTopK(emb: DataFrame, dim: Int, m: Int = 8, k: Int = 64,
+      r: Int = 40, topK: Int = 3, nQueries: Int = 8, nProbe: Int = 32,
+      nHint: Long = -1L): DataFrame =
+    materialized(queries.SimilarityQueries.ivfPqTopKPinned(
+      emb, dim, m, k, r, topK, nQueries, nProbe, nHint))
 
   /** KenLM/CCNet-style n-gram LM scoring: a bigram model from the corpus
     * itself (count tables), each doc scored by the exact integer mean of

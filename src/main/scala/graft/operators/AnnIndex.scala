@@ -290,12 +290,16 @@ object AnnIndex {
   // ---- s8: scalar-quantization stats ---------------------------------------
 
   /** Build + persist the SQ8 artifact: the per-dim (min, span) table —
-    * dim rows; codes/reconstructions are pure functions of it. */
-  def buildSq(emb: DataFrame, dir: String, dim: Int): Manifest = {
+    * dim rows; codes/reconstructions are pure functions of it. The
+    * manifest records the corpus size like every other family (it is
+    * the artifact's only self-description). */
+  def buildSq(emb: DataFrame, dir: String, dim: Int,
+      nHint: Long = -1L): Manifest = {
     val spark = emb.sparkSession
+    val n = if (nHint > 0) nHint else emb.count()
     SimilarityQueries.sqStatsOf(emb)
       .write.mode("overwrite").parquet(s"$dir/sq_stats.parquet")
-    val m = Manifest("sq8", dim, -1L, Map.empty)
+    val m = Manifest("sq8", dim, n, Map.empty)
     writeManifest(spark, dir, m)
     m
   }
@@ -351,6 +355,9 @@ object AnnIndex {
         ivfPqTopK(loadIvfPq(spark, dir), emb, topK = topK,
           nQueries = nQueries)
           .select(col("query_id"), col("neighbor_id"))
+      case other => throw new IllegalArgumentException(
+        s"index at hand is family '$other', expected one of " +
+          "lsh | ivf | pq | sq8 | ivfpq (corrupted or newer-format manifest?)")
     }
     val truth = SimilarityQueries.cosineTopK(emb, nQueries, topK)
       .select(col("query_id"), col("neighbor_id"))

@@ -100,16 +100,21 @@ object LabelProp {
       var converged = false
       while (t < rounds && !converged) {
         val next = round(edges, labels).persist(StorageLevel.MEMORY_AND_DISK)
-        next.count() // materialize before the delta check + next round
-        t += 1
-        if (t < rounds) {
-          // exact fixed point ⇔ no label moved: an n-row join of two
-          // pinned label vectors, short-circuited at the first mover
-          converged = next.as("n")
-            .join(labels.as("p"), col("n.id") === col("p.id"))
-            .filter(col("n.lab") =!= col("p.lab"))
-            .isEmpty
-        }
+        // until `labels = next`, the outer catch releases only the OLD
+        // labels — a failure in the count/convergence window would leave
+        // this round's pin stranded in the session cache
+        try {
+          next.count() // materialize before the delta check + next round
+          t += 1
+          if (t < rounds) {
+            // exact fixed point ⇔ no label moved: an n-row join of two
+            // pinned label vectors, short-circuited at the first mover
+            converged = next.as("n")
+              .join(labels.as("p"), col("n.id") === col("p.id"))
+              .filter(col("n.lab") =!= col("p.lab"))
+              .isEmpty
+          }
+        } catch { case e: Throwable => next.unpersist(); throw e }
         labels.unpersist()
         labels = next
       }

@@ -98,17 +98,22 @@ object PageRank {
           .agg(expr(s"$Jump + (85 * sum(c)) div 100").as("rank"))
           .select(col("v").as("id"), col("rank"))
           .persist(StorageLevel.MEMORY_AND_DISK)
-        next.count() // materialize before the delta check + next round
-        t += 1
-        if (t < iters) {
-          // exact fixed point ⇔ no node moved: an n-row join of two
-          // pinned rank vectors, short-circuited at the first mover —
-          // noise next to the |E|-row round join it can save
-          converged = next.as("n")
-            .join(ranks.as("p"), col("n.id") === col("p.id"))
-            .filter(col("n.rank") =!= col("p.rank"))
-            .isEmpty
-        }
+        // until `ranks = next`, the outer finally releases only the OLD
+        // ranks — a failure in the count/convergence window would leave
+        // this round's pin stranded in the session cache
+        try {
+          next.count() // materialize before the delta check + next round
+          t += 1
+          if (t < iters) {
+            // exact fixed point ⇔ no node moved: an n-row join of two
+            // pinned rank vectors, short-circuited at the first mover —
+            // noise next to the |E|-row round join it can save
+            converged = next.as("n")
+              .join(ranks.as("p"), col("n.id") === col("p.id"))
+              .filter(col("n.rank") =!= col("p.rank"))
+              .isEmpty
+          }
+        } catch { case e: Throwable => next.unpersist(); throw e }
         ranks.unpersist()
         ranks = next
       }

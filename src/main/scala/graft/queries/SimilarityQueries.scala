@@ -694,9 +694,23 @@ object SimilarityQueries {
     ivfPqTopKOn(Tables.embeddings(s, d), Tables.EmbeddingDim,
       m = PqM, k = PqK, r = IpqR, topK = TopK, nQueries = IpqNQ,
       nProbe = IpqNProbe, nHint = Tables.embeddingsRows(s, d))
+  /** Inline s10 (build fused with the query half). Like s3's
+    * [[ivfTopKDf]], the gate path discards the pins (bench clears the
+    * cache per query); user-facing callers go through
+    * [[ivfPqTopKPinned]] / the facade's `materialized(...)` so no cache
+    * entry outlives the call. */
   private[graft] def ivfPqTopKOn(emb: DataFrame, dim: Int, m: Int, k: Int,
       r: Int, topK: Int, nQueries: Int, nProbe: Int,
-      nHint: Long = -1L): DataFrame = {
+      nHint: Long = -1L): DataFrame =
+    ivfPqTopKPinned(emb, dim, m, k, r, topK, nQueries, nProbe, nHint)._1
+
+  /** [[ivfPqTopKOn]] plus the pinned frames it holds in the session
+    * cache (the home-cell table and the prepared residual subvectors) —
+    * the s3 ivfTopKPinned pattern, so the facade can release them after
+    * materializing the result. */
+  private[graft] def ivfPqTopKPinned(emb: DataFrame, dim: Int, m: Int,
+      k: Int, r: Int, topK: Int, nQueries: Int, nProbe: Int,
+      nHint: Long = -1L): (DataFrame, Seq[DataFrame]) = {
     import graft.operators.ProductQuantizer
     val n = if (nHint > 0) nHint else emb.count()
     // coarse half: home cells for the corpus (arn = 1) + the shared
@@ -716,8 +730,8 @@ object SimilarityQueries {
     val (codes, cb) = ProductQuantizer.fit(prepared, k, updates = 1, n)
     val codesWithCell = codes
       .join(home.select(col("vec_id"), col("cell")), "vec_id")
-    ivfPqQueryFromIndex(codesWithCell, cb, cents, emb, dim, m, r, topK,
-      nQueries, nProbe)
+    (ivfPqQueryFromIndex(codesWithCell, cb, cents, emb, dim, m, r, topK,
+      nQueries, nProbe), Seq(home, prepared))
   }
 
   /** The s10 query half over an existing (codes-with-home-cell,

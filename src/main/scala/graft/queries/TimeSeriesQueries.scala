@@ -903,12 +903,15 @@ object TimeSeriesQueries {
               |    epoch_us(ts) // $HourUs AS b
               |  FROM events),
               |cent AS (SELECT user_id, b, COUNT(1) AS cnt,
-              |    CAST(SUM(ts_us) AS BIGINT) AS sx, CAST(SUM(c) AS BIGINT) AS sy
+              |    CAST(SUM(ts_us - b * $HourUs) AS BIGINT) AS sx,
+              |    CAST(SUM(c) AS BIGINT) AS sy
               |  FROM e GROUP BY 1, 2),
               |nb AS (SELECT user_id, b,
-              |    CAST(lag(sx) OVER w AS DOUBLE) / CAST(lag(cnt) OVER w AS DOUBLE) AS xp,
+              |    CAST((lag(b) OVER w) * $HourUs AS DOUBLE)
+              |      + CAST(lag(sx) OVER w AS DOUBLE) / CAST(lag(cnt) OVER w AS DOUBLE) AS xp,
               |    CAST(lag(sy) OVER w AS DOUBLE) / CAST(lag(cnt) OVER w AS DOUBLE) AS yp,
-              |    CAST(lead(sx) OVER w AS DOUBLE) / CAST(lead(cnt) OVER w AS DOUBLE) AS xn,
+              |    CAST((lead(b) OVER w) * $HourUs AS DOUBLE)
+              |      + CAST(lead(sx) OVER w AS DOUBLE) / CAST(lead(cnt) OVER w AS DOUBLE) AS xn,
               |    CAST(lead(sy) OVER w AS DOUBLE) / CAST(lead(cnt) OVER w AS DOUBLE) AS yn,
               |    MIN(b) OVER (PARTITION BY user_id) AS bmin,
               |    MAX(b) OVER (PARTITION BY user_id) AS bmax
@@ -937,16 +940,28 @@ object TimeSeriesQueries {
       bucketUs: Long = HourUs): org.apache.spark.sql.DataFrame = {
     val e = df.select(col(keyCol), col(idCol), col("ts_us"), col("c"))
       .withColumn("b", expr(s"ts_us div $bucketUs"))
+    // centroid x sums BUCKET-RELATIVE offsets (ts_us − b·bucketUs ∈
+    // [0, bucketUs)), not raw epoch-µs: at ~1.8e15 µs per row a raw
+    // int64 sum wraps past ~5,200 rows in one bucket under non-ANSI
+    // sum (r9 ADVICE) — offsets push the wrap point to ~2.5e9 rows per
+    // (key, bucket). The bucket base is added back when forming the
+    // centroid: base·bucketUs ≤ ~1.8e15 < 2^53 is exactly representable,
+    // so base + sx/cnt is one exact cast + one IEEE divide + one IEEE
+    // add, bit-identical cross-engine.
     val cent = e.groupBy(col(keyCol), col("b"))
-      .agg(count(lit(1)).as("cnt"), sum(col("ts_us")).as("sx"),
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("ts_us") - col("b") * lit(bucketUs)).as("sx"),
         sum(col("c")).as("sy"))
     val wB = Window.partitionBy(col(keyCol)).orderBy(col("b"))
     val wK = Window.partitionBy(col(keyCol))
     def ratio(num: Column, den: Column) = num.cast("double") / den.cast("double")
+    def centX(off: Column => Column) =
+      (off(col("b")) * lit(bucketUs)).cast("double") +
+        ratio(off(col("sx")), off(col("cnt")))
     val nb = cent
-      .withColumn("xp", ratio(lag(col("sx"), 1).over(wB), lag(col("cnt"), 1).over(wB)))
+      .withColumn("xp", centX(c => lag(c, 1).over(wB)))
       .withColumn("yp", ratio(lag(col("sy"), 1).over(wB), lag(col("cnt"), 1).over(wB)))
-      .withColumn("xn", ratio(lead(col("sx"), 1).over(wB), lead(col("cnt"), 1).over(wB)))
+      .withColumn("xn", centX(c => lead(c, 1).over(wB)))
       .withColumn("yn", ratio(lead(col("sy"), 1).over(wB), lead(col("cnt"), 1).over(wB)))
       .withColumn("bmin", min(col("b")).over(wK))
       .withColumn("bmax", max(col("b")).over(wK))
