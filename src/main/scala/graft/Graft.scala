@@ -315,6 +315,25 @@ object Graft {
       topK: Int = 3, nQueries: Int = 8): DataFrame =
     operators.AnnIndex.recallVsExact(spark, dir, emb, topK, nQueries)
 
+  /** Serve an OUT-OF-CORPUS query batch from a persisted index — the
+    * deployment path: `queries` is a (query_id, embedding) frame of NEW
+    * vectors (their ids are a namespace of their own), assigned against
+    * the index's stored quantizers exactly as [[appendAnnIndex]] assigns
+    * increments; nothing is rebuilt or re-fit. Top-k per query; the
+    * query batch broadcasts, the corpus-side artifact never shuffles.
+    * `emb` is the embedding store — consulted by the compressed
+    * families (pq/sq8/ivfpq) for exact rerank winners only. */
+  def annIndexServe(spark: SparkSession, dir: String, queries: DataFrame,
+      emb: DataFrame, topK: Int = 3): DataFrame =
+    operators.AnnIndex.serveTopK(spark, dir, queries, emb, topK)
+
+  /** Recall@k of the SERVING path ([[annIndexServe]]) vs the exact
+    * bipartite cosine top-k for the same out-of-corpus batch — the
+    * tuning loop measured on the path a deployment actually runs. */
+  def annIndexServeRecall(spark: SparkSession, dir: String, emb: DataFrame,
+      queries: DataFrame, topK: Int = 3): DataFrame =
+    operators.AnnIndex.recallVsExactOn(spark, dir, emb, queries, topK)
+
   // ---- text quality / packing (docs: doc_id, text [, lang]) -------------
 
   /** Per-document repetition signals (most-frequent-token fraction,

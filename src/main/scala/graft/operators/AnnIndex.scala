@@ -321,6 +321,103 @@ object AnnIndex {
     SimilarityQueries.sqTopKWithStats(emb, stats, nQueries, topK, rerankR)
   }
 
+  // ---- out-of-corpus query-batch serving -------------------------------
+  //
+  // The seam between artifact-exists and artifact-serves: each `*Serve`
+  // takes a (query_id, embedding) DataFrame of NEW vectors — an id
+  // namespace of its own, disjoint from the indexed corpus — derives
+  // their probe keys against the STORED quantizers (signatures /
+  // centroids / codebooks / stats; nothing is re-fit, exactly as
+  // [[appendIvfPq]] assigns increments), and returns top-k per query.
+  // Scale shape shared by all five families: the query batch broadcasts;
+  // the corpus-side artifact streams through one broadcast hash join and
+  // never shuffles; only rerank winners touch the embedding store.
+  // AnnServeSpec pins the exhaustive-parameter identities (probe
+  // everything ⇒ serve ≡ exact) and the plan gates.
+
+  /** s2 serving: signatures for the batch under the index's FROZEN mask
+    * width, multi-probe bucket join against the stored signature table,
+    * exact cosine top-k. (query_id, neighbor_id, rk, cosine_r). */
+  def lshServe(ix: LoadedLsh, queries: DataFrame, topK: Int = 3,
+      nProbe: Int = 4): DataFrame =
+    SimilarityQueries.lshServeFromSigs(ix.signatures, queries,
+      ix.manifest.dim, ix.manifest.params("bucket_bits").toInt, topK, nProbe)
+
+  /** s3 serving: assign the batch to its nProbe nearest STORED
+    * centroids, probe the stored inverted file's home cells, exact
+    * cosine top-k. (query_id, neighbor_id, cell, rk, cosine_r). */
+  def ivfServe(ix: LoadedIvf, queries: DataFrame, topK: Int = 3,
+      nProbe: Int = 4): DataFrame =
+    SimilarityQueries.ivfServeFromAssign(ix.assign, ix.centroids, queries,
+      topK, nProbe)
+
+  /** s5 serving: batch subvectors against the stored codebook, ADC scan
+    * over the stored codes, exact rerank of the R winners against the
+    * embedding store. (query_id, rk, neighbor_id, dist). */
+  def pqServe(ix: LoadedPq, emb: DataFrame, queries: DataFrame,
+      r: Int = 20, topK: Int = 3): DataFrame =
+    SimilarityQueries.pqServeOn(ix.codes, ix.codebook, emb, queries,
+      ix.manifest.dim, ix.manifest.params("m").toInt, r, topK)
+
+  /** s8 serving: approximate dot against the corpus reconstructed from
+    * the stored per-dim stats, exact rerank of the R winners.
+    * (query_id, neighbor_id, rk, dot). */
+  def sqServe(ix: LoadedSq, emb: DataFrame, queries: DataFrame,
+      topK: Int = 3, rerankR: Int = 20): DataFrame = {
+    val stats = ix.stats.collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    SimilarityQueries.sqServeWithStats(emb, queries, stats, topK, rerankR)
+  }
+
+  /** s10 serving: batch → nProbe cells against the stored centroids,
+    * per-cell residual LUT against the stored codebook, ADC over probed
+    * cells, exact rerank. (query_id, rk, neighbor_id, dist). */
+  def ivfPqServe(ix: LoadedIvfPq, emb: DataFrame, queries: DataFrame,
+      r: Int = 40, topK: Int = 3, nProbe: Int = 32): DataFrame =
+    SimilarityQueries.ivfPqServeOn(ix.codes, ix.codebook, ix.centroids,
+      emb, queries, ix.manifest.dim, ix.manifest.params("m").toInt,
+      r, topK, nProbe)
+
+  /** Family-dispatched serving against a persisted index dir. `emb` is
+    * the embedding store — consulted by the compressed families
+    * (pq/sq8/ivfpq) for exact rerank winners only. */
+  def serveTopK(spark: SparkSession, dir: String, queries: DataFrame,
+      emb: DataFrame, topK: Int = 3): DataFrame =
+    readManifest(spark, dir).family match {
+      case "lsh"   => lshServe(loadLsh(spark, dir), queries, topK)
+      case "ivf"   => ivfServe(loadIvf(spark, dir), queries, topK)
+      case "pq"    => pqServe(loadPq(spark, dir), emb, queries, topK = topK)
+      case "sq8"   => sqServe(loadSq(spark, dir), emb, queries, topK = topK)
+      case "ivfpq" => ivfPqServe(loadIvfPq(spark, dir), emb, queries,
+        topK = topK)
+      case other => throw new IllegalArgumentException(
+        s"index at hand is family '$other', expected one of " +
+          "lsh | ivf | pq | sq8 | ivfpq (corrupted or newer-format manifest?)")
+    }
+
+  /** Recall@k of the SERVING path against the exact bipartite cosine
+    * top-k for the same out-of-corpus query batch — the tuning loop
+    * measured on the path a deployment actually runs (the in-corpus
+    * [[recallVsExact]] measures the gate shape). One row:
+    * (family, n_queries, k, n_truth, n_hits, recall). */
+  def recallVsExactOn(spark: SparkSession, dir: String, emb: DataFrame,
+      queries: DataFrame, topK: Int = 3): DataFrame = {
+    val fam = readManifest(spark, dir).family
+    val got = serveTopK(spark, dir, queries, emb, topK)
+      .select(col("query_id"), col("neighbor_id"))
+    val truth = SimilarityQueries.cosineTopKServe(emb, queries, topK)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = truth.join(got.distinct(),
+      Seq("query_id", "neighbor_id"), "left_semi")
+    truth.agg(count_distinct(col("query_id")).as("n_queries"),
+        count(lit(1)).as("n_truth"))
+      .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
+      .select(lit(fam).as("family"), col("n_queries"), lit(topK).as("k"),
+        col("n_truth"), col("n_hits"),
+        (col("n_hits").cast("double") / col("n_truth").cast("double"))
+          .as("recall"))
+  }
+
   // ---- recall@k against a LOADED index ---------------------------------
 
   /** The s9 tuning loop pointed at a persisted artifact: recall@k of the

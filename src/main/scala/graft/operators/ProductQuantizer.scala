@@ -115,7 +115,7 @@ object ProductQuantizer {
     * dims × 1e-6 quantization, far under 2^53), so the Double-scored
     * TopKAgg loses nothing. */
   def adcTopK(codes: DataFrame, codebook: DataFrame, queries: DataFrame,
-      topK: Int): DataFrame = {
+      topK: Int, excludeSelf: Boolean = true): DataFrame = {
     val lut = queries.join(codebook, "sub")
       .select(col("qid"), col("sub"), col("cid"),
         (TextOps.qdot(col("qqs"), col("qqs"))
@@ -125,12 +125,16 @@ object ProductQuantizer {
     // trip Spark's "trivially true equals predicate" warning while being
     // resolved correctly via dataset-id disambiguation — the alias form
     // is unambiguous and silent
-    val adist = codes.alias("pqc")
+    val summed = codes.alias("pqc")
       .join(broadcast(lut.alias("pql")),
         col("pqc.sub") === col("pql.sub") && col("pqc.code") === col("pql.cid"))
       .groupBy(col("qid"), col("vec_id"))
       .agg(sum(col("pd")).as("adist"))
-      .filter(col("qid") =!= col("vec_id"))
+    // excludeSelf = in-corpus query sets (ids shared with the codes
+    // table); serving an OUT-OF-CORPUS batch keeps every candidate —
+    // query ids live in their own namespace there
+    val adist = if (excludeSelf) summed.filter(col("qid") =!= col("vec_id"))
+                else summed
     adist.groupBy(col("qid"))
       .agg(graft.functions.TopKAgg.topK(topK)(
         -col("adist").cast("double"), col("vec_id")).as("tk"))
@@ -152,15 +156,18 @@ object ProductQuantizer {
     *                      subdistances, small — broadcast
     * @return (query_id, rk, neighbor_id, adist) top-k by (adist, id) */
   def ivfAdcTopK(codesWithCell: DataFrame, lut: DataFrame,
-      topK: Int): DataFrame = {
-    val adist = codesWithCell.alias("ipc")
+      topK: Int, excludeSelf: Boolean = true): DataFrame = {
+    val summed = codesWithCell.alias("ipc")
       .join(broadcast(lut.alias("ipl")),
         col("ipc.cell") === col("ipl.cell") &&
           col("ipc.sub") === col("ipl.sub") &&
           col("ipc.code") === col("ipl.cid"))
       .groupBy(col("qid"), col("vec_id"))
       .agg(sum(col("pd")).as("adist"))
-      .filter(col("qid") =!= col("vec_id"))
+    // excludeSelf = in-corpus query sets; out-of-corpus serving keeps
+    // every candidate (see [[adcTopK]])
+    val adist = if (excludeSelf) summed.filter(col("qid") =!= col("vec_id"))
+                else summed
     adist.groupBy(col("qid"))
       .agg(graft.functions.TopKAgg.topK(topK)(
         -col("adist").cast("double"), col("vec_id")).as("tk"))

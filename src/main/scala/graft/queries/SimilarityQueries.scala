@@ -596,15 +596,31 @@ object SimilarityQueries {
     * queries × m rows, never the corpus. */
   private[graft] def pqQueryFromIndex(codes: DataFrame, cb: DataFrame,
       emb: DataFrame, dim: Int, m: Int, r: Int, topK: Int,
-      nQueries: Int): DataFrame = {
+      nQueries: Int): DataFrame =
+    pqServeOn(codes, cb, emb,
+      emb.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("embedding")),
+      dim, m, r, topK, excludeSelf = true)
+
+  /** The s5 query half against an EXPLICIT (query_id, embedding) batch
+    * of NEW vectors — the serving path: query subvectors come from
+    * re-preparing only the batch (queries × m rows), the ADC scan reads
+    * codes only, the rerank touches queries × R vectors. The in-corpus
+    * gate form above is this with queries sliced from the corpus and
+    * self-matches excluded. */
+  private[graft] def pqServeOn(codes: DataFrame, cb: DataFrame,
+      emb: DataFrame, queries: DataFrame, dim: Int, m: Int, r: Int,
+      topK: Int, excludeSelf: Boolean = false): DataFrame = {
     import graft.operators.ProductQuantizer
-    val queries = ProductQuantizer
-      .prepare(emb.filter(col("vec_id") < nQueries), dim, m)
+    val qsub = ProductQuantizer
+      .prepareQuantized(
+        queries.select(col("query_id").as("vec_id"),
+          TextOps.quantize(col("embedding")).as("q")), dim, m)
       .select(col("vec_id").as("qid"), col("sub"), col("qs").as("qqs"))
-    val cand = ProductQuantizer.adcTopK(codes, cb, queries, r)
+    val cand = ProductQuantizer.adcTopK(codes, cb, qsub, r, excludeSelf)
     val vecs = emb.select(col("vec_id"), TextOps.quantize(col("embedding")).as("q"))
-    val qfull = vecs.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("q").as("qq"))
+    val qfull = queries
+      .select(col("query_id"), TextOps.quantize(col("embedding")).as("qq"))
     ProductQuantizer.rerank(cand, vecs, qfull, topK)
   }
   private def pqAdcSql = {
@@ -744,10 +760,31 @@ object SimilarityQueries {
     * ever touch the embedding store. */
   private[graft] def ivfPqQueryFromIndex(codesWithCell: DataFrame,
       cb: DataFrame, cents: DataFrame, emb: DataFrame, dim: Int, m: Int,
-      r: Int, topK: Int, nQueries: Int, nProbe: Int): DataFrame = {
+      r: Int, topK: Int, nQueries: Int, nProbe: Int): DataFrame =
+    ivfPqServeOn(codesWithCell, cb, cents, emb,
+      emb.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("embedding")),
+      dim, m, r, topK, nProbe, excludeSelf = true)
+
+  /** The s10 query half against an EXPLICIT query batch — the serving
+    * path: `queries` is a (query_id, embedding) frame of NEW vectors
+    * (not in the indexed corpus), assigned to their nProbe cells against
+    * the STORED centroids exactly as [[graft.operators.AnnIndex
+    * .appendIvfPq]] assigns increments, then residual-LUT + ADC over
+    * probed cells + exact rerank. Scale shape: the query batch (and
+    * everything derived from it — probes, LUT, candidates) broadcasts;
+    * the corpus codes stream through one broadcast hash join and never
+    * shuffle; only the R winners per query touch the embedding store.
+    * The in-corpus gate form above is this with queries sliced from the
+    * corpus and self-matches excluded. */
+  private[graft] def ivfPqServeOn(codesWithCell: DataFrame,
+      cb: DataFrame, cents: DataFrame, emb: DataFrame, queries: DataFrame,
+      dim: Int, m: Int, r: Int, topK: Int, nProbe: Int,
+      excludeSelf: Boolean = false): DataFrame = {
     import graft.operators.ProductQuantizer
-    val qv = emb.filter(col("vec_id") < nQueries)
-      .select(col("vec_id"), TextOps.quantize(col("embedding")).as("qq"))
+    val qv = queries
+      .select(col("query_id").as("vec_id"),
+        TextOps.quantize(col("embedding")).as("qq"))
       .withColumn("qnn", TextOps.qdot(col("qq"), col("qq")))
     val wq = Window.partitionBy(col("vec_id"))
       .orderBy(col("ccos").desc, col("cent_id"))
@@ -770,10 +807,10 @@ object SimilarityQueries {
       .select(col("qid"), col("cell"), col("sub"), col("cid"),
         (TextOps.qdot(col("qqs"), col("qqs"))
           - lit(2L) * TextOps.qdot(col("qqs"), col("c")) + col("cnn")).as("pd"))
-    val cand = ProductQuantizer.ivfAdcTopK(codesWithCell, lut, r)
+    val cand = ProductQuantizer.ivfAdcTopK(codesWithCell, lut, r, excludeSelf)
     val vecs = emb.select(col("vec_id"), TextOps.quantize(col("embedding")).as("q"))
-    val qfull = vecs.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("q").as("qq"))
+    val qfull = queries
+      .select(col("query_id"), TextOps.quantize(col("embedding")).as("qq"))
     ProductQuantizer.rerank(cand, vecs, qfull, topK)
   }
   private def ivfPqSql = {
@@ -1030,6 +1067,22 @@ object SimilarityQueries {
   private[graft] def sqTopKWithStats(emb: DataFrame,
       stats: Map[Int, (Long, Long)], nQueries: Int = S8Queries,
       topK: Int = TopK, rerankR: Int = S8Rerank): DataFrame = {
+    sqServeWithStats(emb,
+      emb.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("embedding")),
+      stats, topK, rerankR, excludeSelf = true)
+  }
+
+  /** The s8 query half against an EXPLICIT (query_id, embedding) query
+    * batch — the serving path: the reconstructed corpus streams once
+    * against the broadcast batch; only rerank winners are scored
+    * exactly. The in-corpus gate form above is this with queries sliced
+    * from the corpus and self-matches excluded. */
+  private[graft] def sqServeWithStats(emb: DataFrame, queryEmb: DataFrame,
+      stats: Map[Int, (Long, Long)], topK: Int = TopK,
+      rerankR: Int = S8Rerank, excludeSelf: Boolean = false): DataFrame = {
+    val queries = queryEmb.select(col("query_id"),
+      TextOps.quantize(col("embedding")).as("qq"))
     val e = emb.select(col("vec_id"), TextOps.quantize(col("embedding")).as("q"))
     val dim = stats.size
     val minsSql = (0 until dim).map(i => s"${stats(i)._1}L").mkString("array(", ",", ")")
@@ -1043,10 +1096,8 @@ object SimilarityQueries {
          |      $spansSql, (d, s) -> (d * 255) div s),
          |    $spansSql, (c, s) -> (c * s) div 255),
          |  $minsSql, (r, m) -> r + m)""".stripMargin))
-    val queries = e.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("q").as("qq"))
     val approx = coded.join(broadcast(queries),
-        col("query_id") =!= col("vec_id"))
+        if (excludeSelf) col("query_id") =!= col("vec_id") else lit(true))
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("q"),
         TextOps.qdot(col("qq"), col("recon")).as("adot"))
     val wA = Window.partitionBy(col("query_id"))
@@ -1204,6 +1255,162 @@ object SimilarityQueries {
        |  ON a.query_id = x.query_id AND a.neighbor_id = x.neighbor_id
        |GROUP BY 1""".stripMargin
 
+  // ---- out-of-corpus query-batch serving (s11) — the deployment seam:
+  // every family's gate query above slices its query set FROM the
+  // indexed corpus (vec_id < nQueries), which exercises the index shape
+  // but not the serving contract. A real serving path takes a batch of
+  // NEW vectors (an id namespace of its own), derives their probe keys
+  // against the STORED quantizers (signatures / centroids / codebooks /
+  // stats — never re-fitting anything), and returns top-k per query.
+  // Shared scale shape across families: the query batch and everything
+  // derived from it broadcasts; the corpus-side artifact (signature
+  // table, inverted file, codes) streams through ONE broadcast hash
+  // join and never shuffles; only rerank winners touch the embedding
+  // store. [[graft.operators.AnnIndex]] wires these to loaded artifacts.
+
+  /** Normalized query batch: (query_id, qq, qnn) exact int64. */
+  private[graft] def queryVectors(queries: DataFrame): DataFrame =
+    queries.select(col("query_id"), TextOps.quantize(col("embedding")).as("qq"))
+      .withColumn("qnn", TextOps.qdot(col("qq"), col("qq")))
+
+  /** s2's serving half: signatures for the NEW query batch under the
+    * index's FROZEN mask width (`bucketBits` from the manifest — the
+    * mask must match what the signature table was bucketed with, not
+    * the batch's size), multi-probe flips on the query side only, then
+    * one broadcast bucket join against the stored signature table and
+    * an exact cosine top-k per query. */
+  private[graft] def lshServeFromSigs(withSig: DataFrame, queries: DataFrame,
+      dim: Int, bucketBits: Int, topK: Int = TopK,
+      nProbe: Int = AnnProbes): DataFrame = {
+    require(nProbe >= 1 && nProbe <= 4,
+      s"nProbe must be in [1, 4] (flip bits live inside the 3-bit minimum mask): $nProbe")
+    val mask = (1L << bucketBits) - 1L
+    val qv = queries
+      .select(col("query_id"), TextOps.quantize(col("embedding")).as("q"))
+      .withColumn("qnn", TextOps.qdot(col("q"), col("q")))
+      .withColumn("qsig", sigCol(dim).bitwiseAND(lit(mask)))
+      .select(col("query_id"), col("q").as("qq"), col("qnn"), col("qsig"))
+    val flips = (0L +: (0 until nProbe - 1).map(b => 1L << b)).toArray
+    val probes = qv.withColumn("psig",
+      explode(array(flips.map(f => col("qsig").bitwiseXOR(lit(f))): _*)))
+    val scored = withSig.join(broadcast(probes), col("sig") === col("psig"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (TextOps.qdot(col("qq"), col("q")).cast("double") /
+          (sqrt(col("qnn").cast("double")) * sqrt(col("nn").cast("double"))))
+          .as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w).cast("bigint"))
+      .filter(col("rk") <= topK)
+      .select(col("query_id"), col("neighbor_id"), col("rk"),
+        round(col("cosine"), 6).as("cosine_r"))
+  }
+
+  /** s3's serving half: assign the NEW batch to its nProbe nearest
+    * STORED centroids (the same (cosine desc, cent_id) order as the
+    * build-side assignment), then one broadcast join of the probe rows
+    * onto the home cells of the stored inverted file and an exact
+    * cosine top-k within probed cells. */
+  private[graft] def ivfServeFromAssign(assign: DataFrame, cents: DataFrame,
+      queries: DataFrame, topK: Int = TopK,
+      nProbe: Int = NProbe): DataFrame = {
+    val qv = queryVectors(queries)
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("ccos").desc, col("cent_id"))
+    val qprobe = qv.join(broadcast(cents))
+      .withColumn("ccos",
+        TextOps.qdot(col("qq"), col("cq")).cast("double") /
+          (sqrt(col("qnn").cast("double")) * sqrt(col("cnn").cast("double"))))
+      .withColumn("arn", row_number().over(wq))
+      .filter(col("arn") <= nProbe)
+      .select(col("query_id"), col("qq"), col("qnn"),
+        col("cent_id").as("cell"))
+    val index = assign.filter(col("arn") === 1) // stored home cells
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    index.join(broadcast(qprobe), Seq("cell"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cell"),
+        (TextOps.qdot(col("qq"), col("q")).cast("double") /
+          (sqrt(col("qnn").cast("double")) * sqrt(col("nn").cast("double"))))
+          .as("cosine"))
+      .withColumn("rk", row_number().over(wRank).cast("bigint"))
+      .filter(col("rk") <= topK)
+      .select(col("query_id"), col("neighbor_id"), col("cell"), col("rk"),
+        round(col("cosine"), 6).as("cosine_r"))
+  }
+
+  /** Exact bipartite cosine top-k of a NEW query batch against the
+    * corpus — s1's broadcast-queries scan with an external batch: the
+    * truth leg for serving-path recall, and the brute-force serving
+    * baseline itself. */
+  private[graft] def cosineTopKServe(emb: DataFrame, queries: DataFrame,
+      topK: Int = TopK): DataFrame = {
+    val e = emb
+      .select(col("vec_id"), TextOps.quantize(col("embedding")).as("q"))
+      .withColumn("nn", TextOps.qdot(col("q"), col("q")))
+    val scored = e.join(broadcast(queryVectors(queries)))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (TextOps.qdot(col("qq"), col("q")).cast("double") /
+          (sqrt(col("qnn").cast("double")) * sqrt(col("nn").cast("double"))))
+          .as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w).cast("bigint"))
+      .filter(col("rk") <= topK)
+      .select(col("query_id"), col("neighbor_id"), col("rk"),
+        round(col("cosine"), 6).as("cosine_r"))
+  }
+
+  // s11 gate: hold the first S11NQ vectors OUT of the corpus, index the
+  // rest, serve the held-out rows as a new query batch through the lsh
+  // serving half (mask width frozen at the INDEXED corpus's size). The
+  // signature table is referenced once (the batch side broadcasts), so
+  // nothing pins.
+  private val S11NQ = 8
+  private[graft] def annServeLsh(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val n = Tables.embeddingsRows(s, d) - S11NQ
+    val corpus = emb.filter(col("vec_id") >= S11NQ)
+    val queries = emb.filter(col("vec_id") < S11NQ)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    lshServeFromSigs(lshSignatures(corpus, Tables.EmbeddingDim, n),
+      queries, Tables.EmbeddingDim, annBucketBits(n))
+  }
+  private val annServeLshSql =
+    s"""WITH q AS (SELECT vec_id, ${TextOps.quantizeSql("embedding")} AS q FROM embeddings),
+       |nrows AS (SELECT COUNT(*) AS n FROM q WHERE vec_id >= $S11NQ),
+       |mask AS (
+       |  SELECT CAST(POWER(2, LEAST($SigBits, GREATEST(3, COALESCE(
+       |      MIN(CASE WHEN POWER(2, r.range + 6) >= n THEN r.range END),
+       |      $SigBits)))) AS BIGINT) - 1 AS m
+       |  FROM range(0, ${SigBits + 1}) r, nrows GROUP BY n),
+       |sig AS ($lshSignatureSql),
+       |e AS (SELECT vec_id, unnest(q) AS v, generate_subscripts(q, 1) AS i FROM q),
+       |norms AS (SELECT vec_id, SUM(v * v) AS nn FROM e GROUP BY 1),
+       |flips AS (SELECT unnest([${(0L +: (0 until AnnProbes - 1).map(b => 1L << b)).mkString(", ")}]) AS f),
+       |cand AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id
+       |  FROM sig a CROSS JOIN flips JOIN sig b
+       |    ON xor(a.sig & (SELECT m FROM mask), f) = (b.sig & (SELECT m FROM mask))
+       |   AND a.vec_id < $S11NQ AND b.vec_id >= $S11NQ),
+       |dot AS (
+       |  SELECT c.query_id, c.neighbor_id, SUM(ea.v * eb.v) AS dot
+       |  FROM cand c JOIN e ea ON ea.vec_id = c.query_id
+       |  JOIN e eb ON eb.vec_id = c.neighbor_id AND ea.i = eb.i
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT query_id, neighbor_id,
+       |    CAST(dot AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) AS cosine
+       |  FROM dot JOIN norms na ON na.vec_id = query_id
+       |  JOIN norms nb ON nb.vec_id = neighbor_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk,
+       |    cosine
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, rk, round(cosine, 6) AS cosine_r
+       |FROM ranked WHERE rk <= $TopK""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("s1_cosine_topk", (s, d) => cosineTopK(Tables.embeddings(s, d)),
       Some(cosineTopKSql)),
@@ -1227,5 +1434,6 @@ object SimilarityQueries {
         nHint = Tables.embeddingsRows(s, d)),
       Some(recallEvalSql)),
     Q("s10_ivfpq", ivfPq, Some(ivfPqSql)),
+    Q("s11_ann_serve", annServeLsh, Some(annServeLshSql)),
     Q("d14_semantic_dedup", semanticDedup, Some(semanticDedupSql)))
 }
