@@ -41,6 +41,12 @@ object AnnIndex {
 
   private val mapper = new ObjectMapper()
 
+  /** Manifest commit = write `.manifest.json.tmp` fully, delete the
+    * target, rename tmp → target, length-verify — the compactor's
+    * snapshot commit protocol ([[graft.compact.Orchestrator]]
+    * writeAtomic): on stores where rename is copy+delete the only
+    * crash-visible states are (tmp+old), (tmp only) or (new), never a
+    * torn manifest, and [[readManifest]] heals the (tmp only) window. */
   private def writeManifest(spark: SparkSession, dir: String,
       m: Manifest): Unit = {
     val root = mapper.createObjectNode()
@@ -49,17 +55,23 @@ object AnnIndex {
     root.put("n", m.n)
     val p = root.putObject("params")
     m.params.toSeq.sortBy(_._1).foreach { case (k, v) => p.put(k, v) }
+    val bytes = root.toPrettyString.getBytes("UTF-8")
     val path = new Path(dir, "manifest.json")
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
-    val out = fs.create(path, true)
-    try out.write(root.toPrettyString.getBytes("UTF-8")) finally out.close()
+    val tmp = new Path(path.getParent, s".${path.getName}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(bytes) finally out.close()
+    fs.delete(path, false)
+    if (!fs.rename(tmp, path))
+      throw new java.io.IOException(s"rename $tmp -> $path failed")
+    val len = fs.getFileStatus(path).getLen
+    if (len != bytes.length)
+      throw new java.io.IOException(
+        s"manifest commit verify failed: $path is $len bytes, expected ${bytes.length}")
   }
 
-  /** Read a manifest back; fails loudly on a missing/foreign directory
-    * (loading half an index would corrupt every query served from it). */
-  def readManifest(spark: SparkSession, dir: String): Manifest = {
-    val path = new Path(dir, "manifest.json")
-    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+  private def parseManifest(fs: org.apache.hadoop.fs.FileSystem,
+      path: Path): Manifest = {
     val in = fs.open(path)
     val root = try mapper.readTree(in) finally in.close()
     val params = scala.collection.mutable.Map[String, Long]()
@@ -68,6 +80,39 @@ object AnnIndex {
     }
     Manifest(root.get("family").asText(), root.get("dim").asInt(),
       root.get("n").asLong(), params.toMap)
+  }
+
+  /** Read a manifest back; fails loudly on a missing/foreign directory
+    * (loading half an index would corrupt every query served from it).
+    * Heals an interrupted [[writeManifest]] first — the compactor's
+    * recoverInterruptedCommits cases: target missing + complete tmp →
+    * finish the rename; parseable target → drop the stale tmp; corrupt
+    * target + parseable tmp → complete the commit from the tmp; both
+    * unparseable → refuse loudly rather than pick one blind. */
+  def readManifest(spark: SparkSession, dir: String): Manifest = {
+    val path = new Path(dir, "manifest.json")
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    val tmp = new Path(path.getParent, s".${path.getName}.tmp")
+    def parses(p: Path): Boolean =
+      try { parseManifest(fs, p); true }
+      catch { case scala.util.control.NonFatal(_) => false }
+    if (fs.exists(tmp)) {
+      if (!fs.exists(path)) {
+        if (!fs.rename(tmp, path))
+          throw new java.io.IOException(s"manifest recovery rename failed: $tmp")
+      } else if (parses(path)) {
+        fs.delete(tmp, false)
+      } else if (parses(tmp)) {
+        fs.delete(path, false)
+        if (!fs.rename(tmp, path))
+          throw new java.io.IOException(s"manifest recovery rename failed: $tmp")
+      } else {
+        throw new java.io.IOException(
+          s"both $path and $tmp are unparseable — refusing to pick one " +
+            "blind; manual repair required")
+      }
+    }
+    parseManifest(fs, path)
   }
 
   private def table(spark: SparkSession, dir: String, name: String): DataFrame =
@@ -201,17 +246,35 @@ object AnnIndex {
       try {
         val (codes, cb) = ProductQuantizer.fit(prepared, k, updates = 1, n)
         codes.join(home.select(col("vec_id"), col("cell")), "vec_id")
-          .write.mode("overwrite").parquet(s"$dir/ivfpq_codes.parquet")
+          .write.mode("overwrite").parquet(deltaPath(dir, 0L))
         cb.write.mode("overwrite").parquet(s"$dir/ivfpq_codebook.parquet")
         cents.write.mode("overwrite").parquet(s"$dir/ivfpq_centroids.parquet")
       } finally prepared.unpersist()
     } finally home.unpersist()
     val mf = Manifest("ivfpq", dim, n, Map(
       "cells" -> SimilarityQueries.ivfCells(n).toLong,
-      "m" -> m.toLong, "k" -> k.toLong))
+      "m" -> m.toLong, "k" -> k.toLong, "deltas" -> 1L))
     writeManifest(spark, dir, mf)
     mf
   }
+
+  /** Codes live as numbered DELTA directories under the codes root: the
+    * manifest's `deltas` count is the COMMIT POINT — readers open
+    * exactly the committed delta dirs, so data written by an append that
+    * never reached its manifest commit is invisible (never half-read),
+    * and a retried append overwrites the orphan dir before committing.
+    * (Pre-delta legacy artifacts — no `deltas` param — read the flat
+    * codes dir unchanged.) */
+  private def deltaPath(dir: String, i: Long): String =
+    f"$dir/ivfpq_codes.parquet/delta-$i%05d"
+
+  private def codesTable(spark: SparkSession, dir: String,
+      m: Manifest): DataFrame =
+    m.params.get("deltas") match {
+      case Some(d) =>
+        spark.read.parquet((0L until d).map(deltaPath(dir, _)): _*)
+      case None => table(spark, dir, "ivfpq_codes") // legacy flat layout
+    }
 
   /** Append a NEW batch of vectors to a persisted IVF-PQ index with
     * FROZEN quantizers — the production ingest contract: centroids and
@@ -227,11 +290,41 @@ object AnnIndex {
     * increment vec_ids are disjoint from the indexed corpus (same as
     * every id-keyed table in the library).
     *
-    * @return rows appended to the codes table (nInc × m) */
-  def appendIvfPq(newEmb: DataFrame, dir: String): Long = {
+    * CRASH-SAFE: the increment's codes go to the NEXT delta dir (an
+    * uncommitted path no reader opens), and only then does the atomic
+    * manifest commit publish `deltas + 1` / the new `n` — a reader
+    * never sees codes the manifest doesn't describe or vice versa. A
+    * crash between the two leaves an orphan delta dir that the retry
+    * overwrites before committing (convergent), and stale orphans from
+    * abandoned appends are healed (deleted) up front.
+    *
+    * @param batchId replay guard for streaming ingest: when ≥ 0, the
+    *   manifest records the applied high-water mark and an append whose
+    *   batchId is ≤ it is a no-op — Structured Streaming re-delivers
+    *   the last uncommitted micro-batch after a restart, and without
+    *   the guard the replay would double every (vec_id, sub, code,
+    *   cell) row and corrupt ADC sums. Batch callers omit it.
+    * @return rows appended to the codes table (nInc × m); 0 for an
+    *   already-applied batchId */
+  def appendIvfPq(newEmb: DataFrame, dir: String,
+      batchId: Long = -1L): Long = {
     val spark = newEmb.sparkSession
     val mf = readManifest(spark, dir)
     expectFamily(mf, "ivfpq")
+    require(mf.params.contains("deltas"),
+      "this ivfpq artifact predates the delta layout - rebuild it " +
+        "(appending to a flat codes dir cannot be made crash-safe)")
+    if (batchId >= 0 && mf.params.get("last_batch").exists(_ >= batchId))
+      return 0L // replayed micro-batch: already applied and committed
+    val committed = mf.params("deltas")
+    // heal: delete orphan delta dirs from appends that never committed
+    val codesRoot = new Path(s"$dir/ivfpq_codes.parquet")
+    val fs = codesRoot.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.listStatus(codesRoot).foreach { st =>
+      val name = st.getPath.getName
+      if (name.startsWith("delta-") && name.drop(6).toLong >= committed)
+        fs.delete(st.getPath, true)
+    }
     val (dim, m) = (mf.dim, mf.params("m").toInt)
     val cents = table(spark, dir, "ivfpq_centroids")
     val cb = table(spark, dir, "ivfpq_codebook")
@@ -260,9 +353,14 @@ object AnnIndex {
         .select(col("vec_id"), col("sub"), col("cell").as("code"))
         .join(home.select(col("vec_id"), col("cell")), "vec_id")
         .select(col("vec_id"), col("sub"), col("code"), col("cell"))
-      newCodes.write.mode("append").parquet(s"$dir/ivfpq_codes.parquet")
+      // stage: an uncommitted delta dir (overwrite — idempotent retry)
+      newCodes.write.mode("overwrite").parquet(deltaPath(dir, committed))
       val appended = newEmb.count()
-      writeManifest(spark, dir, mf.copy(n = mf.n + appended))
+      // commit: the atomic manifest write IS the publish point
+      val batchParam =
+        if (batchId >= 0) Map("last_batch" -> batchId) else Map.empty
+      writeManifest(spark, dir, mf.copy(n = mf.n + appended,
+        params = mf.params + ("deltas" -> (committed + 1)) ++ batchParam))
       appended * m
     } finally home.unpersist()
   }
@@ -273,7 +371,7 @@ object AnnIndex {
   def loadIvfPq(spark: SparkSession, dir: String): LoadedIvfPq = {
     val m = readManifest(spark, dir)
     expectFamily(m, "ivfpq")
-    LoadedIvfPq(m, table(spark, dir, "ivfpq_codes"),
+    LoadedIvfPq(m, codesTable(spark, dir, m),
       table(spark, dir, "ivfpq_codebook"), table(spark, dir, "ivfpq_centroids"))
   }
 

@@ -55,31 +55,30 @@ object StreamEmbedDedup {
 
   /** Keep a persisted IVF-PQ index fresh from a landing directory: a
     * foreachBatch sink that [[graft.operators.AnnIndex.appendIvfPq]]s
-    * each arriving embedding file — frozen quantizers make per-batch
+    * each arriving embedding file. Frozen quantizers make per-batch
     * encoding a pure per-row function, so ANY micro-batch split yields
-    * the same codes table as a one-shot append (the AnnIndexSpec
-    * chunked ≡ one-shot identity is exactly the property that makes
-    * this sink exactly-once-equivalent under replays: re-appending a
-    * batch after a crash duplicates code ROWS, and the query side is
-    * insensitive to duplicated identical codes only if the caller
-    * dedups — so production checkpoints the batchId high-water mark,
-    * which is what the `seenBatch` guard below does within a run).
+    * the same codes table as a one-shot append; EXACTLY-ONCE under
+    * crash/restart replays comes from the index's own commit protocol
+    * (r9 ADVICE #1): the batchId is passed through and the manifest
+    * records the applied high-water mark DURABLY, so when Structured
+    * Streaming re-delivers the last uncommitted micro-batch after a
+    * restart, the replay is a no-op — and a crash BETWEEN the delta
+    * write and the manifest commit leaves only an orphan dir the retry
+    * overwrites (never duplicated (vec_id, sub, code, cell) rows, which
+    * would double ADC sums and corrupt rankings).
     * Returns the started query; stop it to stop ingesting. */
   def indexAppendSink(emb: DataFrame, indexDir: String,
-      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
-    @volatile var lastBatch = -1L
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
     emb.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        if (batchId > lastBatch) { // replay guard within this run
-          if (!batch.isEmpty) {
-            graft.operators.AnnIndex.appendIvfPq(batch.toDF(), indexDir)
-          }
-          lastBatch = batchId
+        if (!batch.isEmpty) {
+          graft.operators.AnnIndex.appendIvfPq(batch.toDF(), indexDir,
+            batchId = batchId)
+          ()
         }
       }
       .start()
-  }
 
   /** Banded sign-LSH state dedup; append-mode (vec_id, dup_of, cosine)
     * rows at exact cosine ≥ threshold. Parameters mirror batch d5 —
