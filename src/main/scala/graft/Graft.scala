@@ -334,6 +334,62 @@ object Graft {
       queries: DataFrame, topK: Int = 3): DataFrame =
     operators.AnnIndex.recallVsExactOn(spark, dir, emb, queries, topK)
 
+  // ---- dedup-pipeline artifact (build once, consume many) ---------------
+
+  /** Build the persistent dedup artifact under `dir`: the MinHash
+    * signature matrix, the verified Jaccard pair graph, and the
+    * connected-component table — the three tables every near-dup
+    * pipeline otherwise rebuilds inline per query
+    * ([[operators.DedupIndex]]; crash-safe commits, loaded ≡ built
+    * pinned by DedupIndexSpec). */
+  def buildDedupIndex(docs: DataFrame, dir: String,
+      nHint: Long = -1L): operators.ArtifactIO.Manifest =
+    operators.DedupIndex.build(docs, dir, nHint)
+
+  /** Append a NEW document batch to a persisted dedup artifact — d16's
+    * bipartite increment join (O(increment + touched components), never
+    * a corpus rebuild); incremental ≡ one-shot by construction.
+    * `corpusDocs` is the already-indexed corpus, consulted only for
+    * candidate verification. `batchId` ≥ 0 = durable streaming replay
+    * guard. Returns verified new pairs appended. */
+  def appendDedupIndex(newDocs: DataFrame, corpusDocs: DataFrame,
+      dir: String, batchId: Long = -1L): Long =
+    operators.DedupIndex.append(newDocs, corpusDocs, dir, batchId)
+
+  /** q56's dedup-aware train/val/test split from the stored component
+    * table — the expensive component build is not re-paid. */
+  def dedupSplitFrom(spark: SparkSession, dir: String,
+      docs: DataFrame): DataFrame =
+    operators.DedupIndex.splitFrom(docs, operators.DedupIndex.load(spark, dir))
+
+  /** d10's cluster canonicalization from the stored component table. */
+  def keepBestFrom(spark: SparkSession, dir: String, docs: DataFrame,
+      nHint: Long = -1L): DataFrame =
+    operators.DedupIndex.keepBestFrom(docs,
+      operators.DedupIndex.load(spark, dir), nHint)
+
+  /** p1's centrality over the stored pair graph. Eagerly materialized
+    * (facade cache contract). */
+  def pageRankFrom(spark: SparkSession, dir: String,
+      iters: Int = 5): DataFrame = {
+    val ranks = operators.DedupIndex.pageRankFrom(
+      operators.DedupIndex.load(spark, dir), iters)
+    val out = ranks.localCheckpoint(true)
+    ranks.unpersist()
+    out
+  }
+
+  /** p3's communities over the stored pair graph. Eagerly materialized
+    * (facade cache contract). */
+  def labelPropFrom(spark: SparkSession, dir: String,
+      rounds: Int = 3): DataFrame = {
+    val labels = operators.DedupIndex.labelPropFrom(
+      operators.DedupIndex.load(spark, dir), rounds)
+    val out = labels.localCheckpoint(true)
+    labels.unpersist()
+    out
+  }
+
   // ---- text quality / packing (docs: doc_id, text [, lang]) -------------
 
   /** Per-document repetition signals (most-frequent-token fraction,

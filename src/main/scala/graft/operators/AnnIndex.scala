@@ -1,7 +1,5 @@
 package graft.operators
 
-import com.fasterxml.jackson.databind.ObjectMapper
-import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.queries.SimilarityQueries
@@ -35,85 +33,19 @@ import graft.queries.SimilarityQueries
 object AnnIndex {
 
   /** What the manifest records: enough to re-plan queries without
-    * touching the corpus (bucket masks, cell strides, subspace split). */
-  final case class Manifest(family: String, dim: Int, n: Long,
-      params: Map[String, Long])
+    * touching the corpus (bucket masks, cell strides, subspace split).
+    * Commit/read/heal live in [[ArtifactIO]] — the compactor's snapshot
+    * commit protocol shared with [[DedupIndex]]. */
+  type Manifest = ArtifactIO.Manifest
+  val Manifest: ArtifactIO.Manifest.type = ArtifactIO.Manifest
 
-  private val mapper = new ObjectMapper()
-
-  /** Manifest commit = write `.manifest.json.tmp` fully, delete the
-    * target, rename tmp → target, length-verify — the compactor's
-    * snapshot commit protocol ([[graft.compact.Orchestrator]]
-    * writeAtomic): on stores where rename is copy+delete the only
-    * crash-visible states are (tmp+old), (tmp only) or (new), never a
-    * torn manifest, and [[readManifest]] heals the (tmp only) window. */
   private def writeManifest(spark: SparkSession, dir: String,
-      m: Manifest): Unit = {
-    val root = mapper.createObjectNode()
-    root.put("family", m.family)
-    root.put("dim", m.dim)
-    root.put("n", m.n)
-    val p = root.putObject("params")
-    m.params.toSeq.sortBy(_._1).foreach { case (k, v) => p.put(k, v) }
-    val bytes = root.toPrettyString.getBytes("UTF-8")
-    val path = new Path(dir, "manifest.json")
-    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
-    val tmp = new Path(path.getParent, s".${path.getName}.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(bytes) finally out.close()
-    fs.delete(path, false)
-    if (!fs.rename(tmp, path))
-      throw new java.io.IOException(s"rename $tmp -> $path failed")
-    val len = fs.getFileStatus(path).getLen
-    if (len != bytes.length)
-      throw new java.io.IOException(
-        s"manifest commit verify failed: $path is $len bytes, expected ${bytes.length}")
-  }
-
-  private def parseManifest(fs: org.apache.hadoop.fs.FileSystem,
-      path: Path): Manifest = {
-    val in = fs.open(path)
-    val root = try mapper.readTree(in) finally in.close()
-    val params = scala.collection.mutable.Map[String, Long]()
-    root.get("params").fields().forEachRemaining { e =>
-      params(e.getKey) = e.getValue.asLong()
-    }
-    Manifest(root.get("family").asText(), root.get("dim").asInt(),
-      root.get("n").asLong(), params.toMap)
-  }
+      m: Manifest): Unit = ArtifactIO.writeManifest(spark, dir, m)
 
   /** Read a manifest back; fails loudly on a missing/foreign directory
-    * (loading half an index would corrupt every query served from it).
-    * Heals an interrupted [[writeManifest]] first — the compactor's
-    * recoverInterruptedCommits cases: target missing + complete tmp →
-    * finish the rename; parseable target → drop the stale tmp; corrupt
-    * target + parseable tmp → complete the commit from the tmp; both
-    * unparseable → refuse loudly rather than pick one blind. */
-  def readManifest(spark: SparkSession, dir: String): Manifest = {
-    val path = new Path(dir, "manifest.json")
-    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
-    val tmp = new Path(path.getParent, s".${path.getName}.tmp")
-    def parses(p: Path): Boolean =
-      try { parseManifest(fs, p); true }
-      catch { case scala.util.control.NonFatal(_) => false }
-    if (fs.exists(tmp)) {
-      if (!fs.exists(path)) {
-        if (!fs.rename(tmp, path))
-          throw new java.io.IOException(s"manifest recovery rename failed: $tmp")
-      } else if (parses(path)) {
-        fs.delete(tmp, false)
-      } else if (parses(tmp)) {
-        fs.delete(path, false)
-        if (!fs.rename(tmp, path))
-          throw new java.io.IOException(s"manifest recovery rename failed: $tmp")
-      } else {
-        throw new java.io.IOException(
-          s"both $path and $tmp are unparseable — refusing to pick one " +
-            "blind; manual repair required")
-      }
-    }
-    parseManifest(fs, path)
-  }
+    * and heals any interrupted commit first ([[ArtifactIO.readManifest]]). */
+  def readManifest(spark: SparkSession, dir: String): Manifest =
+    ArtifactIO.readManifest(spark, dir)
 
   private def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
@@ -318,13 +250,8 @@ object AnnIndex {
       return 0L // replayed micro-batch: already applied and committed
     val committed = mf.params("deltas")
     // heal: delete orphan delta dirs from appends that never committed
-    val codesRoot = new Path(s"$dir/ivfpq_codes.parquet")
-    val fs = codesRoot.getFileSystem(spark.sessionState.newHadoopConf())
-    fs.listStatus(codesRoot).foreach { st =>
-      val name = st.getPath.getName
-      if (name.startsWith("delta-") && name.drop(6).toLong >= committed)
-        fs.delete(st.getPath, true)
-    }
+    ArtifactIO.healOrphans(spark, s"$dir/ivfpq_codes.parquet", "delta-",
+      committed)
     val (dim, m) = (mf.dim, mf.params("m").toInt)
     val cents = table(spark, dir, "ivfpq_centroids")
     val cb = table(spark, dir, "ivfpq_codebook")

@@ -1,0 +1,110 @@
+package graft.operators
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Shared crash-safe manifest commit for persisted index artifacts
+  * ([[AnnIndex]], [[DedupIndex]]) — the compactor's snapshot commit
+  * protocol ([[graft.compact.Orchestrator]] writeAtomic /
+  * recoverInterruptedCommits) applied to the artifacts' one mutable
+  * file: write `.manifest.json.tmp` fully, delete the target, rename
+  * tmp → target, length-verify; reads heal every interrupted state. On
+  * stores where rename is copy+delete the only crash-visible states are
+  * (tmp+old), (tmp only) or (new) — never a torn manifest. */
+object ArtifactIO {
+
+  /** What a manifest records: enough to re-plan queries without
+    * touching the corpus (family dispatch, quantizer geometry, commit
+    * points for delta/versioned tables). `dim` is 0 for artifacts with
+    * no vector geometry. */
+  final case class Manifest(family: String, dim: Int, n: Long,
+      params: Map[String, Long])
+
+  private val mapper = new ObjectMapper()
+
+  def writeManifest(spark: SparkSession, dir: String, m: Manifest): Unit = {
+    val root = mapper.createObjectNode()
+    root.put("family", m.family)
+    root.put("dim", m.dim)
+    root.put("n", m.n)
+    val p = root.putObject("params")
+    m.params.toSeq.sortBy(_._1).foreach { case (k, v) => p.put(k, v) }
+    val bytes = root.toPrettyString.getBytes("UTF-8")
+    val path = new Path(dir, "manifest.json")
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    val tmp = new Path(path.getParent, s".${path.getName}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(bytes) finally out.close()
+    fs.delete(path, false)
+    if (!fs.rename(tmp, path))
+      throw new java.io.IOException(s"rename $tmp -> $path failed")
+    val len = fs.getFileStatus(path).getLen
+    if (len != bytes.length)
+      throw new java.io.IOException(
+        s"manifest commit verify failed: $path is $len bytes, expected ${bytes.length}")
+  }
+
+  private def parseManifest(fs: org.apache.hadoop.fs.FileSystem,
+      path: Path): Manifest = {
+    val in = fs.open(path)
+    val root = try mapper.readTree(in) finally in.close()
+    val params = scala.collection.mutable.Map[String, Long]()
+    root.get("params").fields().forEachRemaining { e =>
+      params(e.getKey) = e.getValue.asLong()
+    }
+    Manifest(root.get("family").asText(), root.get("dim").asInt(),
+      root.get("n").asLong(), params.toMap)
+  }
+
+  /** Read a manifest back; fails loudly on a missing/foreign directory
+    * (loading half an index would corrupt every query served from it).
+    * Heals an interrupted [[writeManifest]] first — the compactor's
+    * recoverInterruptedCommits cases: target missing + complete tmp →
+    * finish the rename; parseable target → drop the stale tmp; corrupt
+    * target + parseable tmp → complete the commit from the tmp; both
+    * unparseable → refuse loudly rather than pick one blind. */
+  def readManifest(spark: SparkSession, dir: String): Manifest = {
+    val path = new Path(dir, "manifest.json")
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    val tmp = new Path(path.getParent, s".${path.getName}.tmp")
+    def parses(p: Path): Boolean =
+      try { parseManifest(fs, p); true }
+      catch { case scala.util.control.NonFatal(_) => false }
+    if (fs.exists(tmp)) {
+      if (!fs.exists(path)) {
+        if (!fs.rename(tmp, path))
+          throw new java.io.IOException(s"manifest recovery rename failed: $tmp")
+      } else if (parses(path)) {
+        fs.delete(tmp, false)
+      } else if (parses(tmp)) {
+        fs.delete(path, false)
+        if (!fs.rename(tmp, path))
+          throw new java.io.IOException(s"manifest recovery rename failed: $tmp")
+      } else {
+        throw new java.io.IOException(
+          s"both $path and $tmp are unparseable — refusing to pick one " +
+            "blind; manual repair required")
+      }
+    }
+    parseManifest(fs, path)
+  }
+
+  /** Delete numbered subdirectories of `root` at or beyond the commit
+    * point — the orphan-heal step before staging a new delta/version
+    * (an orphan is data from a mutation that never reached its manifest
+    * commit; the retry overwrites slot `committed`, later slots are
+    * abandoned). `prefix` is e.g. "delta-" or "v-". */
+  def healOrphans(spark: SparkSession, root: String, prefix: String,
+      committed: Long): Unit = {
+    val p = new Path(root)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) fs.listStatus(p).foreach { st =>
+      val name = st.getPath.getName
+      if (name.startsWith(prefix) &&
+          name.drop(prefix.length).forall(_.isDigit) &&
+          name.drop(prefix.length).toLong >= committed)
+        fs.delete(st.getPath, true)
+    }
+  }
+}

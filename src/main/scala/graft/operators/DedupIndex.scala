@@ -1,0 +1,227 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import graft.queries.DedupQueries
+
+/** Dedup-pipeline-as-artifact (r9 verdict #3): persist the three tables
+  * every near-dup pipeline rebuilds inline per query — the MinHash
+  * signature matrix, the verified Jaccard pair graph, and the connected
+  * component table — as one loadable artifact, with incremental append
+  * via d16's bipartite increment join. The [[AnnIndex]] precedent
+  * applied to the dedup family: q56's wall IS the d7 component build,
+  * and with the artifact every downstream consumer (dedup-aware splits,
+  * cluster canonicalization, centrality, communities) becomes a cheap
+  * join against a table that already exists.
+  *
+  * Layout under `dir` (any Hadoop-visible filesystem):
+  *   manifest.json                     family=dedup, n, commit points
+  *   signatures.parquet/delta-NNNNN    (doc_id, sig: array<long>)
+  *   pairs.parquet/delta-NNNNN         (doc_a, doc_b, inter, uni, jaccard)
+  *   components.parquet/v-NNNNN        (id, component)
+  *
+  * Signatures and pairs are APPEND-ONLY (numbered deltas); the component
+  * table is VERSIONED because new edges can merge existing components —
+  * each append publishes a full new version, recomputing only the
+  * components the increment touches. All three commit through the
+  * manifest ([[ArtifactIO]] — the compactor's snapshot protocol): a
+  * reader never sees a delta/version the manifest doesn't describe, and
+  * a crashed append leaves only orphan dirs the retry overwrites
+  * (DedupIndexSpec pins reader-isolation and second-run convergence).
+  *
+  * Every stored frame is exact int64 (signatures, ids, counts) plus the
+  * one IEEE-divide jaccard double — a parquet round-trip is lossless, so
+  * loaded ≡ built is a checkable identity for every consumer.
+  */
+object DedupIndex {
+  import ArtifactIO.Manifest
+
+  final case class LoadedDedup(manifest: Manifest, signatures: DataFrame,
+      pairs: DataFrame, components: DataFrame)
+
+  private def sigPath(dir: String, i: Long): String =
+    f"$dir/signatures.parquet/delta-$i%05d"
+  private def pairPath(dir: String, i: Long): String =
+    f"$dir/pairs.parquet/delta-$i%05d"
+  private def compPath(dir: String, i: Long): String =
+    f"$dir/components.parquet/v-$i%05d"
+
+  /** Build + persist the artifact: ONE shingle scan of the corpus feeds
+    * the signature write and the pair verification; components build
+    * from the just-written pair table (a lineage cut — the pointer
+    * jumping rounds replay parquet, not the LSH pipeline). */
+  def build(docs: DataFrame, dir: String, nHint: Long = -1L): Manifest = {
+    val spark = docs.sparkSession
+    val n = if (nHint > 0) nHint else docs.count()
+    val sigArr = DedupQueries.minhashSigArr(docs)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    sigArr.count() // sig write + band join + sig rejoins all read it
+    try {
+      sigArr.write.mode("overwrite").parquet(sigPath(dir, 0L))
+      val pairs = DedupQueries.jaccardVerify(
+        DedupQueries.lshFromSigArr(sigArr, n)
+          .select(col("doc_a"), col("doc_b")), docs, n)
+      pairs.write.mode("overwrite").parquet(pairPath(dir, 0L))
+      val comp = Components.connectedComponents(
+        spark.read.parquet(pairPath(dir, 0L))
+          .select(col("doc_a"), col("doc_b")))
+      try comp.write.mode("overwrite").parquet(compPath(dir, 0L))
+      finally comp.unpersist()
+    } finally sigArr.unpersist()
+    val mf = Manifest("dedup", 0, n, Map(
+      "sig_deltas" -> 1L, "pair_deltas" -> 1L, "comp_versions" -> 1L))
+    ArtifactIO.writeManifest(spark, dir, mf)
+    mf
+  }
+
+  def load(spark: SparkSession, dir: String): LoadedDedup = {
+    val m = ArtifactIO.readManifest(spark, dir)
+    require(m.family == "dedup",
+      s"index at hand is family '${m.family}', expected 'dedup'")
+    LoadedDedup(m,
+      spark.read.parquet(
+        (0L until m.params("sig_deltas")).map(sigPath(dir, _)): _*),
+      spark.read.parquet(
+        (0L until m.params("pair_deltas")).map(pairPath(dir, _)): _*),
+      spark.read.parquet(compPath(dir, m.params("comp_versions") - 1)))
+  }
+
+  /** Append a NEW document batch — d16's bipartite increment shape, so
+    * the work is O(increment + touched), never a corpus rebuild:
+    *
+    *  1. signatures: one shingle scan of the increment only
+    *  2. candidates: increment bands × STORED corpus bands (broadcast
+    *     the increment side under the size bound) + increment-internal
+    *     LSH — the corpus text is touched only for the candidate docs
+    *     (a semi join), oriented (min, max) so incremental ≡ one-shot
+    *  3. components: only the components the new pairs touch are
+    *     re-solved (their star edges + the new pairs through the same
+    *     pointer-jumping loop); untouched components keep their rows
+    *
+    * CRASH-SAFE like [[AnnIndex.appendIvfPq]]: all three writes go to
+    * uncommitted delta/version slots, the atomic manifest commit is the
+    * publish point, orphans are healed up front and the retry
+    * overwrites them. `batchId` ≥ 0 is the durable streaming replay
+    * guard (an applied batch is a no-op).
+    *
+    * Caller contract: increment doc_ids are disjoint from the corpus;
+    * `corpusDocs` is the already-indexed corpus (consulted only for
+    * candidate verification).
+    *
+    * @return verified new pairs appended (cross + within-increment) */
+  def append(newDocs: DataFrame, corpusDocs: DataFrame, dir: String,
+      batchId: Long = -1L): Long = {
+    val spark = newDocs.sparkSession
+    val mf = ArtifactIO.readManifest(spark, dir)
+    require(mf.family == "dedup",
+      s"index at hand is family '${mf.family}', expected 'dedup'")
+    if (batchId >= 0 && mf.params.get("last_batch").exists(_ >= batchId))
+      return 0L // replayed micro-batch: already applied and committed
+    val (sd, pd, cv) = (mf.params("sig_deltas"), mf.params("pair_deltas"),
+      mf.params("comp_versions"))
+    ArtifactIO.healOrphans(spark, s"$dir/signatures.parquet", "delta-", sd)
+    ArtifactIO.healOrphans(spark, s"$dir/pairs.parquet", "delta-", pd)
+    ArtifactIO.healOrphans(spark, s"$dir/components.parquet", "v-", cv)
+    val ni = newDocs.count()
+    val incSig = DedupQueries.minhashSigArr(newDocs)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    incSig.count() // sig write + both candidate legs read it
+    try {
+      incSig.write.mode("overwrite").parquet(sigPath(dir, sd))
+      val corpusSigs = spark.read.parquet(
+        (0L until sd).map(sigPath(dir, _)): _*)
+      val incBands = DedupQueries.sigBandRows(incSig).drop("sig")
+      val corpusBands = DedupQueries.sigBandRows(corpusSigs).drop("sig")
+      val crossCand = DedupQueries
+        .sizedHint(incBands, ni * DedupQueries.Bands, 128).as("a")
+        .join(corpusBands.as("b"),
+          col("a.band_idx") === col("b.band_idx") &&
+            col("a.band_val") === col("b.band_val"))
+        .select(col("a.doc_id").as("inc_id"), col("b.doc_id").as("corpus_id"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      crossCand.count() // candidate-id pull + verify join both read it
+      try {
+        val candIds = crossCand.select(col("corpus_id").as("doc_id")).distinct()
+        val nCand = candIds.count()
+        // only candidate corpus docs are ever shingled — O(candidates)
+        val corpusCandDocs = corpusDocs.join(candIds, Seq("doc_id"), "left_semi")
+        val cross = crossCand.select(
+          least(col("inc_id"), col("corpus_id")).as("doc_a"),
+          greatest(col("inc_id"), col("corpus_id")).as("doc_b"))
+        val within = DedupQueries.lshFromSigArr(incSig, ni)
+          .select(col("doc_a"), col("doc_b"))
+        val newPairs = DedupQueries.jaccardVerify(cross.unionAll(within),
+          newDocs.unionByName(corpusCandDocs), ni + nCand)
+        newPairs.write.mode("overwrite").parquet(pairPath(dir, pd))
+        val written = spark.read.parquet(pairPath(dir, pd))
+        val nNew = written.count()
+        val compParam = if (nNew > 0) {
+          val oldComp = spark.read.parquet(compPath(dir, cv - 1))
+          val (merged, sub) = mergeComponents(oldComp,
+            written.select(col("doc_a"), col("doc_b")))
+          try merged.write.mode("overwrite").parquet(compPath(dir, cv))
+          finally sub.unpersist()
+          Map("comp_versions" -> (cv + 1))
+        } else Map.empty[String, Long] // no new edges: components stand
+        val batchParam =
+          if (batchId >= 0) Map("last_batch" -> batchId) else Map.empty
+        ArtifactIO.writeManifest(spark, dir, mf.copy(n = mf.n + ni,
+          params = mf.params + ("sig_deltas" -> (sd + 1)) +
+            ("pair_deltas" -> (pd + 1)) ++ compParam ++ batchParam))
+        nNew
+      } finally crossCand.unpersist()
+    } finally incSig.unpersist()
+  }
+
+  /** Incremental connected components: new edges can only change the
+    * components they TOUCH, so re-solve exactly those — each affected
+    * old component collapses to star edges (member → its min-id label,
+    * self row dropped), unioned with the new pairs, through the same
+    * [[Components]] pointer-jumping loop. Labels are min-reachable-id,
+    * a pure function of the graph, so incremental ≡ one-shot by
+    * construction (DedupIndexSpec pins it). Returns (merged table,
+    * the sub-solve's caller-owned cache pin). */
+  private def mergeComponents(oldComp: DataFrame,
+      newPairs: DataFrame): (DataFrame, DataFrame) = {
+    val touched = newPairs.select(col("doc_a").as("id"))
+      .unionAll(newPairs.select(col("doc_b").as("id"))).distinct()
+    val touchedComps = oldComp.join(touched, Seq("id"), "left_semi")
+      .select(col("component")).distinct()
+    val affected = oldComp.join(touchedComps, Seq("component"), "left_semi")
+    val starEdges = affected.filter(col("id") =!= col("component"))
+      .select(col("id").as("doc_a"), col("component").as("doc_b"))
+    val sub = Components.connectedComponents(
+      starEdges.unionAll(newPairs.select(col("doc_a"), col("doc_b"))))
+    val merged = oldComp.join(touchedComps, Seq("component"), "left_anti")
+      .select(col("id"), col("component"))
+      .unionAll(sub.select(col("id"), col("component")))
+    (merged, sub)
+  }
+
+  // ---- consumers of the loaded artifact --------------------------------
+  // Each is the gate query's own factored half pointed at the stored
+  // table — loaded ≡ built is an identity, not an approximation.
+
+  /** q56's dedup-aware train/val/test split from the stored component
+    * table — the component build (q56's wall) is not re-paid. */
+  def splitFrom(docs: DataFrame, ix: LoadedDedup): DataFrame =
+    DedupQueries.dedupSplitFromComponents(docs, ix.components)
+
+  /** d10's quality-aware cluster canonicalization from the stored
+    * component table. */
+  def keepBestFrom(docs: DataFrame, ix: LoadedDedup,
+      nHint: Long = -1L): DataFrame =
+    DedupQueries.keepBestFromComponents(docs, ix.components, nHint)
+
+  /** p1's centrality over the stored pair graph (caller owns the
+    * returned frame's cache — the PageRank contract). */
+  def pageRankFrom(ix: LoadedDedup, iters: Int = 5): DataFrame =
+    PageRank.pageRank(ix.pairs.select(col("doc_a"), col("doc_b")), iters)
+
+  /** p3's communities over the stored pair graph (caller owns the
+    * returned frame's cache — the LabelProp contract). */
+  def labelPropFrom(ix: LoadedDedup, rounds: Int = 3): DataFrame =
+    LabelProp.propagate(ix.pairs.select(col("doc_a"), col("doc_b")), rounds)
+}

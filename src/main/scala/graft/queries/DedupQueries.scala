@@ -21,9 +21,9 @@ import graft.operators.TextOps
   * dedup layout (MinHashLSH as in Spark MLlib, RAPIDS deduplication).
   */
 object DedupQueries {
-  private val K = 16 // minhash signatures
-  private val Bands = 4 //   -> 4 bands x 4 rows
-  private val Rows = K / Bands
+  private[graft] val K = 16 // minhash signatures
+  private[graft] val Bands = 4 //   -> 4 bands x 4 rows
+  private[graft] val Rows = K / Bands
 
   /** Join-strategy ladder for a sketch-join side whose row count is
     * KNOWN exactly (an nHint or a real count() — never a stats estimate:
@@ -116,18 +116,24 @@ object DedupQueries {
     // exact doc count (cheap metadata scan) upper-bounds every sketch
     // side below — the input to the size-aware broadcast decision
     val n = if (nHint > 0) nHint else docs.count()
-    val sigs = minhashSigs(docs)
     // the signature matrix is referenced 3× (band explode + both candidate
     // rejoins); ReuseExchange only dedups two of the subtrees, so pin the
     // tiny sketch table (K longs/doc) in storage — at scale this is the
     // "write the sketch table once" stage every web-dedup pipeline has
-    val sigArr = sigs.select(col("doc_id"),
-      array((0 until K).map(i => col(s"s$i")): _*).as("sig"))
+    val sigArr = minhashSigArr(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // materialize BEFORE the multi-leg consumption: the band self-join +
     // two sketch rejoins otherwise race to fill the cache, each replaying
     // the minhash projection (CacheDisciplineSpec's no-replay contract)
     sigArr.count()
+    (lshFromSigArr(sigArr, n), Seq(sigArr))
+  }
+
+  /** The LSH candidate half over an existing (doc_id, sig) signature
+    * table (pinned by the inline path above, or loaded from the
+    * [[graft.operators.DedupIndex]] parquet artifact): band self-join +
+    * exact signature-agreement count. */
+  private[graft] def lshFromSigArr(sigArr: DataFrame, n: Long): DataFrame = {
     val bands = sigBandRows(sigArr).drop("sig")
     // band table: n×Bands rows, ~128 B in memory (ids + band_val string)
     val cand = bands.as("a").join(
@@ -143,7 +149,7 @@ object DedupQueries {
     // AQE's stats-driven broadcast conversion OOM'd the driver on exactly
     // this join. Above the bound shuffle_hash keeps the build
     // per-partition (16 longs/doc easily fits any task) at every scale.
-    val out = cand
+    cand
       .join(sizedHint(sigArr.select(col("doc_id").as("doc_a"),
         col("sig").as("sig_a")), n, 512), "doc_a")
       .join(sizedHint(sigArr.select(col("doc_id").as("doc_b"),
@@ -152,8 +158,14 @@ object DedupQueries {
         aggregate(zip_with(col("sig_a"), col("sig_b"),
           (x, y) => when(x === y, 1L).otherwise(0L)), lit(0L), (acc, v) => acc + v))
       .select("doc_a", "doc_b", "sig_matches")
-    (out, Seq(sigArr))
   }
+
+  /** The (doc_id, sig: array<long>) signature-matrix form of
+    * [[minhashSigs]] — the write-once sketch table shape
+    * ([[graft.operators.DedupIndex]] persists exactly this frame). */
+  private[graft] def minhashSigArr(docs: DataFrame): DataFrame =
+    minhashSigs(docs).select(col("doc_id"),
+      array((0 until K).map(i => col(s"s$i")): _*).as("sig"))
 
   /** (doc_id, band_idx, band_val, sig) band rows from a (doc_id, sig)
     * signature frame — ONE shared construction for the batch LSH join
@@ -212,15 +224,24 @@ object DedupQueries {
   private[graft] def jaccardPairsPinned(docsIn: DataFrame,
       nHint: Long = -1L): (DataFrame, Seq[DataFrame]) = {
     val n = if (nHint > 0) nHint else docsIn.count()
+    val (lsh, pinned) = minhashLshPinned(docsIn, n)
+    (jaccardVerify(lsh.select("doc_a", "doc_b"), docsIn, n), pinned)
+  }
+
+  /** The exact-Jaccard precision pass over an existing (doc_a, doc_b)
+    * candidate set: shingle the docs, intersect per candidate, keep
+    * pairs at J ≥ 0.5. Factored so the [[graft.operators.DedupIndex]]
+    * append path can verify its bipartite increment candidates against
+    * only the docs the candidates touch. */
+  private[graft] def jaccardVerify(cand: DataFrame, docsIn: DataFrame,
+      n: Long): DataFrame = {
     val docs = docsIn
       .select(col("doc_id"), TextOps.shingles(col("text")).as("sh"))
       .filter(size(col("sh")) > 0)
-    val (lsh, pinned) = minhashLshPinned(docsIn, n)
-    val cand = lsh.select("doc_a", "doc_b")
     // shingle arrays are O(corpus) and WIDE (~hundreds of 25-byte strings
     // per doc — pessimistic 8 KB/row): the size bound flips to broadcast
     // only for genuinely tiny corpora; see sizedHint
-    val out = cand
+    cand
       .join(sizedHint(docs.select(col("doc_id").as("doc_a"),
         col("sh").as("sh_a")), n, 8192), "doc_a")
       .join(sizedHint(docs.select(col("doc_id").as("doc_b"),
@@ -231,7 +252,6 @@ object DedupQueries {
       .withColumn("jaccard", col("inter").cast("double") / col("uni").cast("double"))
       .filter(col("jaccard") >= 0.5)
       .select("doc_a", "doc_b", "inter", "uni", "jaccard")
-    (out, pinned)
   }
   private def jaccardPairsSql =
     s"""WITH sig AS ($minhashSigsSql),
@@ -620,6 +640,15 @@ object DedupQueries {
     val comp = graft.operators.Components.connectedComponents(
       jaccardPairs(docs, Tables.documentsRows(s, d))
         .select(col("doc_a"), col("doc_b")))
+    dedupSplitFromComponents(docs, comp)
+  }
+
+  /** q56's split half over an EXISTING (id, component) table — computed
+    * inline above, or loaded from the [[graft.operators.DedupIndex]]
+    * artifact so the expensive component build is paid once, not per
+    * split request. */
+  private[graft] def dedupSplitFromComponents(docs: DataFrame,
+      comp: DataFrame): DataFrame = {
     val h = XHash.hash60(col("component").cast("string")) % 1000L
     docs.select(col("doc_id"), col("n_chars"))
       .join(comp, docs("doc_id") === comp("id"), "left")
@@ -690,6 +719,15 @@ object DedupQueries {
     val (pairs, pinned) = jaccardPairsPinned(docs, n)
     val labels = graft.operators.Components.connectedComponents(
       pairs.select(col("doc_a"), col("doc_b")))
+    (keepBestFromComponents(docs, labels, n), pinned :+ labels)
+  }
+
+  /** d10's canonicalization half over an EXISTING (id, component) table
+    * — computed inline above, or loaded from the
+    * [[graft.operators.DedupIndex]] artifact. */
+  private[graft] def keepBestFromComponents(docs: DataFrame,
+      labels: DataFrame, nHint: Long = -1L): DataFrame = {
+    val n = if (nHint > 0) nHint else docs.count()
     val sized = labels.join(
       // O(corpus) side, but a NARROW one (two longs): broadcast under the
       // exact-count size bound only
@@ -704,9 +742,8 @@ object DedupQueries {
         col("n_chars").as("keep_chars"))
     val agg = sized.groupBy(col("component"))
       .agg(count(lit(1)).as("n_members"), sum(col("n_chars")).as("sum_chars"))
-    val out = keep.join(agg, "component")
+    keep.join(agg, "component")
       .select("component", "keep_id", "keep_chars", "n_members", "sum_chars")
-    (out, pinned :+ labels)
   }
   private def keepBestSql =
     s"""WITH RECURSIVE $componentsCtes,
