@@ -35,9 +35,9 @@ import graft.queries.DedupQueries
   * near-dup index — one (id, dim-long vector, norm) entry per band per
   * unique vector (bands× the corpus footprint; RocksDB-backed in
   * production). Holding the vectors IN state is what buys the exact
-  * in-stream verify; the lean alternative — signatures in state, exact
-  * verify against an external vector store — trades state size for a
-  * lookup round-trip and drops nothing else in this design.
+  * in-stream verify; [[nearDupMatchesLean]] is the other end of the
+  * dial — ids-only state (bands × 8 B per vector), exact verify
+  * deferred to a join against the vector store.
   */
 object StreamEmbedDedup {
 
@@ -126,5 +126,68 @@ object StreamEmbedDedup {
           out.result().iterator
         })
       .toDF("vec_id", "dup_of", "cosine")
+  }
+
+  /** [[nearDupMatches]]'s LEAN-STATE twin (the r9 verdict #7 dial): the
+    * state store holds ONLY the filed vec_ids per band bucket — bands ×
+    * 8 B per vector instead of bands × (vector + norm), the shape that
+    * keeps web-scale streaming state bounded — and the exact cosine
+    * verify is deferred OUT of the stateful operator: the candidate
+    * stream (which carries the arriving row's own vector through, it is
+    * in the input anyway) joins the external vector `store` for the
+    * earlier side's vector, then applies the identical int64 dot + IEEE
+    * sqrt/divide. Emits the same (vec_id, dup_of, cosine) rows as the
+    * in-state verify (StreamingEmbedDedupSpec pins the match sets
+    * equal) provided `store` covers every previously-filed vector — the
+    * deployment contract: the store IS the corpus table this ingest
+    * writes, so a lag window can defer (never lose — the batch twin is
+    * the backstop) matches against not-yet-visible rows. */
+  def nearDupMatchesLean(emb: DataFrame, store: DataFrame, bands: Int,
+      rowBits: Int, threshold: Double, dim: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val flatWeights = new Array[Long](bands * rowBits * dim)
+    for (b <- 0 until bands; j <- 0 until rowBits)
+      System.arraycopy(DedupQueries.d5Weights(dim, b, j), 0, flatWeights,
+        (b * rowBits + j) * dim, dim)
+    val cand = emb
+      .select(col("vec_id"), TextOps.quantize(col("embedding")).as("q"))
+      .withColumn("nn", TextOps.qdot(col("q"), col("q")))
+      .select(col("vec_id"), col("nn"), col("q"),
+        posexplode(graft.functions.BandedSignatures(
+          col("q"), flatWeights, bands, rowBits)))
+      .toDF("vec_id", "nn", "q", "band_idx", "band_sig")
+      .as[(Long, Long, Array[Long], Int, Long)]
+      .groupByKey { case (_, _, _, bandIdx, bandSig) => (bandIdx, bandSig) }
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: (Int, Long), rows: Iterator[(Long, Long, Array[Long], Int, Long)],
+            state: org.apache.spark.sql.streaming.GroupState[List[Long]]) => {
+          var filed = state.getOption.getOrElse(Nil)
+          val out = List.newBuilder[(Long, Long, Array[Long], Long)]
+          // vec_id order makes within-batch candidates deterministic —
+          // the same traversal as the in-state verify
+          rows.map(r => (r._1, r._3, r._2)).toList.sortBy(_._1)
+            .foreach { case (id, q, nn) =>
+              if (!filed.contains(id)) { // re-ingest adds nothing
+                filed.foreach(pid => out += ((id, nn, q, pid)))
+                filed = id :: filed
+              }
+            }
+          state.update(filed)
+          out.result().iterator
+        })
+      .toDF("vec_id", "nn", "q", "dup_of")
+    // exact verify as a stream-static join: only candidates ever look
+    // up the store, and the math is bit-identical to the in-state form
+    val storeQ = store
+      .select(col("vec_id").as("dup_of"),
+        TextOps.quantize(col("embedding")).as("pq"))
+      .withColumn("pnn", TextOps.qdot(col("pq"), col("pq")))
+    cand.join(storeQ, "dup_of")
+      .select(col("vec_id"), col("dup_of"),
+        (TextOps.qdot(col("q"), col("pq")).cast("double") /
+          (sqrt(col("nn").cast("double")) * sqrt(col("pnn").cast("double"))))
+          .as("cosine"))
+      .filter(col("cosine") >= threshold)
   }
 }

@@ -69,6 +69,45 @@ class StreamingEmbedDedupSpec extends AnyFunSuite {
         s"batch-only: ${(batch -- streamed).take(5)}")
   }
 
+  test("lean (ids-only state) mode emits the identical match set via the store join") {
+    val dir = Files.createTempDirectory("graft_embdedup_lean").toString
+    val emb = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding", "label")
+    val n = Tables.embeddingsRows(spark, sf)
+    val clones = emb.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"),
+        col("label"))
+    emb.filter(col("vec_id") < n / 2).coalesce(1)
+      .write.mode("append").parquet(dir)
+    emb.filter(col("vec_id") >= n / 2).coalesce(1)
+      .write.mode("append").parquet(dir)
+    clones.coalesce(1).write.mode("append").parquet(dir)
+    // the store covers every filed vector (the deployment contract:
+    // the store is the corpus table this very ingest maintains)
+    val store = emb.unionAll(clones)
+
+    def run(name: String, df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] = {
+      val q = df.writeStream.outputMode("append").format("memory")
+        .queryName(name)
+        .option("checkpointLocation",
+          Files.createTempDirectory(s"graft_ckpt_$name").toString)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      spark.table(name).select("dup_of", "vec_id", "cosine")
+        .distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    }
+    val lean = run("embdedup_lean", StreamEmbedDedup.nearDupMatchesLean(
+      StreamEmbedDedup.readEmbeddings(spark, dir), store,
+      bands, rowBits, threshold, dim = Tables.EmbeddingDim))
+    val full = run("embdedup_full", StreamEmbedDedup.nearDupMatches(
+      StreamEmbedDedup.readEmbeddings(spark, dir),
+      bands, rowBits, threshold, dim = Tables.EmbeddingDim))
+    assert(full.size >= 5, s"planted clones missing: ${full.size}")
+    assert(lean == full,
+      s"lean-only: ${(lean -- full).take(5)}; full-only: ${(full -- lean).take(5)}")
+  }
+
   test("streamed index appends equal a one-shot append (live index stays queryable)") {
     import graft.operators.AnnIndex
     val emb = Tables.embeddings(spark, sf)
