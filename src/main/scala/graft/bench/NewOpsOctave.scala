@@ -9,7 +9,9 @@ import graft.Sessions
   * every output column evaluated — the Bench discipline) + output rows
   * (the linearity evidence). Run at 1× (sf0.1) and the ScaleFixture
   * 10×/100× replicas:
-  *   runMain graft.bench.NewOpsOctave [sfDir]
+  *   runMain graft.bench.NewOpsOctave [sfDir] [name1,name2,...]
+  * The optional second arg overrides the query list (r9 verdict #4:
+  * targeted octave rows for later-landing operators).
   */
 object NewOpsOctave {
   def main(args: Array[String]): Unit = {
@@ -17,9 +19,11 @@ object NewOpsOctave {
     val spark = Sessions.local()
     spark.sparkContext.setLogLevel("WARN")
     Sessions.quietBenignWarnings()
-    val names = Seq("ts14_counter_rate", "ts15_histogram_quantile",
-      "s9_recall_eval", "s10_ivfpq", "q55_weighted_sample",
-      "m5_image_neardup")
+    val names = args.drop(1).headOption
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq("ts14_counter_rate", "ts15_histogram_quantile",
+        "s9_recall_eval", "s10_ivfpq", "q55_weighted_sample",
+        "m5_image_neardup"))
     val parts = names.map { name =>
       val fn = graft.SparkEntry.queries(name)
       val t0 = System.nanoTime()
