@@ -139,9 +139,16 @@ object Bench {
       render(fmt(3), sfDir).stripSuffix("}") + s""","spread":$spread}"""
     // a targeted/filtered run must never replace the committed full-suite
     // baseline (r5 ADVICE: a 1-query run clobbered BENCH_OUT.json and the
-    // 80-query spread baseline was lost) — route it to its own file
-    val outFile = if (only.nonEmpty || skip.nonEmpty) "BENCH_TARGETED.json"
-                  else "BENCH_OUT.json"
+    // 80-query spread baseline was lost) — route it to its own file.
+    // Full runs land in BENCH_LAST.json (gitignored) by default for the
+    // same reason one level up (r9 ADVICE/verdict #3): the driver's
+    // per-round run used to overwrite the committed quiet-host baseline
+    // in the worktree. Refreshing BENCH_OUT.json is now a deliberate
+    // act: SPARK_GRAFT_BENCH_OUT=BENCH_OUT.json on a quiet-host
+    // min-of-3 run.
+    val outFile =
+      if (only.nonEmpty || skip.nonEmpty) "BENCH_TARGETED.json"
+      else sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(outFile), fileJson + "\n")
     spark.stop()
