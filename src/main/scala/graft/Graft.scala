@@ -356,6 +356,18 @@ object Graft {
       dir: String, batchId: Long = -1L): Long =
     operators.DedupIndex.append(newDocs, corpusDocs, dir, batchId)
 
+  /** Read-only near-dup probe of NEW documents against a persisted
+    * dedup artifact — ingest-time "have we already got this (or nearly
+    * this)?" with no mutation: the batch's bands against the STORED
+    * signatures, exact Jaccard verify touching only candidate corpus
+    * docs; identical match set to [[crossNearDupPairs]] on the same
+    * inputs (spec-pinned). Query ids must be disjoint from the corpus. */
+  def dedupServeNearDups(spark: SparkSession, dir: String,
+      queries: DataFrame, corpusDocs: DataFrame,
+      nHint: Long = -1L): DataFrame =
+    operators.DedupIndex.serveNearDups(queries, corpusDocs,
+      operators.DedupIndex.load(spark, dir), nHint)
+
   /** q56's dedup-aware train/val/test split from the stored component
     * table — the expensive component build is not re-paid. */
   def dedupSplitFrom(spark: SparkSession, dir: String,

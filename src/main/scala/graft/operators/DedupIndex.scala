@@ -200,6 +200,51 @@ object DedupIndex {
     (merged, sub)
   }
 
+  /** Query a batch of NEW documents against the stored corpus WITHOUT
+    * mutating the artifact — ingest-time "have we already got this (or
+    * nearly this)?" as a read-only call: [[append]]'s bipartite
+    * candidate + verify halves with no writes. Candidates come from the
+    * batch's bands against the STORED signature table (the corpus text
+    * is shingled only for candidate docs, via a semi join); the match
+    * set is identical to the d16 cross-dedup operator on the same
+    * inputs (DedupIndexSpec pins it) — the artifact just removes the
+    * corpus-side signature scan from every call. Caller contract:
+    * query doc_ids are disjoint from the corpus.
+    *
+    * @return (inc_id, corpus_id, inter, uni, jaccard) at J ≥ 0.5 */
+  def serveNearDups(queries: DataFrame, corpusDocs: DataFrame,
+      ix: LoadedDedup, nHint: Long = -1L): DataFrame = {
+    val ni = if (nHint > 0) nHint else queries.count()
+    val qSig = DedupQueries.minhashSigArr(queries)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    qSig.count() // band leg + (via cand) verify leg read it
+    try {
+      val qBands = DedupQueries.sigBandRows(qSig).drop("sig")
+      val corpusBands = DedupQueries.sigBandRows(ix.signatures).drop("sig")
+      val cand = DedupQueries
+        .sizedHint(qBands, ni * DedupQueries.Bands, 128).as("a")
+        .join(corpusBands.as("b"),
+          col("a.band_idx") === col("b.band_idx") &&
+            col("a.band_val") === col("b.band_val"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      cand.count() // candidate-id pull + verify join both read it
+      try {
+        val candIds = cand.select(col("doc_b").as("doc_id")).distinct()
+        val nCand = candIds.count()
+        val corpusCandDocs = corpusDocs.join(candIds, Seq("doc_id"), "left_semi")
+        DedupQueries.jaccardVerify(cand,
+            queries.unionByName(corpusCandDocs), ni + nCand)
+          .select(col("doc_a").as("inc_id"), col("doc_b").as("corpus_id"),
+            col("inter"), col("uni"), col("jaccard"))
+          // localCheckpoint: the result must outlive the candidate/sig
+          // pins released below (read-only call, nothing stays cached)
+          .localCheckpoint(true)
+      } finally cand.unpersist()
+    } finally qSig.unpersist()
+  }
+
   // ---- consumers of the loaded artifact --------------------------------
   // Each is the gate query's own factored half pointed at the stored
   // table — loaded ≡ built is an identity, not an approximation.

@@ -68,7 +68,53 @@ class DocExamplesSpec extends AnyFunSuite {
     // the inline path (families: lsh | ivf | pq | sq8 | ivfpq)
     val neighbors = Graft.annIndexTopK(spark, ixDir, emb)
 
+    // SERVE an out-of-corpus batch (the deployment path): NEW vectors
+    // under their own ids, assigned against the STORED quantizers — the
+    // batch broadcasts, the artifact never shuffles — then the tuning
+    // loop's recall@k measured on that same serving path
+    val batch = emb.filter(col("vec_id") < 8)
+      .select((col("vec_id") + 1000000L).as("query_id"), col("embedding"))
+    val topk = Graft.annIndexServe(spark, ixDir, batch, emb)
+    val recall = Graft.annIndexServeRecall(spark, ixDir, emb, batch)
+
+    // keep the index fresh: crash-safe incremental append with frozen
+    // quantizers (delta dirs + atomic manifest commit; a batchId makes
+    // streaming replays a durable no-op)
+    Graft.appendAnnIndex(batch.withColumnRenamed("query_id", "vec_id"), ixDir)
+
     assert(neighbors.count() > 0)
+    assert(topk.count() > 0 && recall.count() == 1)
+    assert(graft.operators.AnnIndex.readManifest(spark, ixDir).n
+      == spark.read.parquet(s"$dir/embeddings.parquet").count() + 8)
+    spark.catalog.clearCache()
+  }
+
+  test("quickstart: persisted dedup pipeline — build once, consume many") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+
+    // build ONCE: signature scan + LSH/verify pair pass + component solve
+    val dxDir = Files.createTempDirectory("dedup_index").toString
+    Graft.buildDedupIndex(docs, dxDir)
+
+    // every consumer is now a join against stored tables — the expensive
+    // pipeline is not re-paid per call
+    val split = Graft.dedupSplitFrom(spark, dxDir, docs) // q56, no rebuild
+    val best = Graft.keepBestFrom(spark, dxDir, docs) // d10
+    val ranks = Graft.pageRankFrom(spark, dxDir) // p1
+    val comms = Graft.labelPropFrom(spark, dxDir) // p3
+
+    // ingest: probe NEW docs read-only ("have we already got this?"),
+    // then append them — d16's bipartite increment, crash-safe commits
+    val newDocs = docs.filter(col("doc_id") < 8)
+      .withColumn("doc_id", col("doc_id") + 1000000000L)
+    val seen = Graft.dedupServeNearDups(spark, dxDir, newDocs, docs)
+    Graft.appendDedupIndex(newDocs, docs, dxDir)
+
+    assert(split.count() == 3 && best.count() > 0)
+    assert(ranks.count() > 0 && comms.count() > 0)
+    assert(seen.count() >= 8) // exact clones: every new doc matches its twin
+    assert(graft.operators.DedupIndex.load(spark, dxDir).manifest.n
+      == docs.count() + 8)
     spark.catalog.clearCache()
   }
 

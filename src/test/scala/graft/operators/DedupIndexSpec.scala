@@ -95,6 +95,22 @@ class DedupIndexSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("read-only serve == the d16 cross-dedup operator; artifact untouched") {
+    val inc = docs.filter(col("doc_id") % 10 === 0)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val dir = tmp("serve")
+    DedupIndex.build(corpus, dir, -1L)
+    val before = Files.readAllBytes(Paths.get(dir, "manifest.json")).toSeq
+    val ix = DedupIndex.load(spark, dir)
+    val served = rows(DedupIndex.serveNearDups(inc, corpus, ix))
+    val d16 = rows(DedupQueries.crossNearDups(inc, corpus))
+    assert(served.nonEmpty && served == d16,
+      "serve must equal the oracle-gated d16 operator on the same inputs")
+    assert(Files.readAllBytes(Paths.get(dir, "manifest.json")).toSeq == before,
+      "read-only serve must not mutate the artifact")
+    spark.catalog.clearCache()
+  }
+
   test("crash between staged writes and manifest commit: invisible, retry converges") {
     val inc = docs.filter(col("doc_id") % 10 === 0)
     val corpus = docs.filter(col("doc_id") % 10 =!= 0)
