@@ -928,6 +928,22 @@ object Graft {
       streaming.StreamEmbedDedup.readEmbeddings(spark, landingDir),
       indexDir, checkpointDir)
 
+  /** Serve a landing directory of (query_id, embedding) files from a
+    * persisted ANN index — the retrieval half of the streaming story
+    * next to [[streamIndexAppend]]'s ingest half: each micro-batch is
+    * answered via [[annIndexServe]] (stored quantizers, no rebuild)
+    * into `outDir/batch-<id>` (overwrite — replay-idempotent; read the
+    * results with `outDir/batch-*`). Micro-batch splits are invisible:
+    * per-query top-k is batching-independent (spec-pinned). Returns
+    * the started query; stop it to stop serving. */
+  def streamIndexServe(spark: SparkSession, landingDir: String,
+      indexDir: String, emb: DataFrame, outDir: String,
+      checkpointDir: String,
+      topK: Int = 3): org.apache.spark.sql.streaming.StreamingQuery =
+    streaming.StreamEmbedDedup.serveSink(
+      streaming.StreamEmbedDedup.readQueries(spark, landingDir),
+      indexDir, emb, outDir, checkpointDir, topK)
+
   /** Cross-batch IMAGE near-duplicate detection over a landing
     * directory of document/media parquet files — the third modality of
     * the ingest-dedup triad (docs: [[streamNearDups]]; embeddings:

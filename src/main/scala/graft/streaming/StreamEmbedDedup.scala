@@ -80,6 +80,44 @@ object StreamEmbedDedup {
       }
       .start()
 
+  val querySchema: StructType = StructType(Seq(
+    StructField("query_id", LongType),
+    StructField("embedding", ArrayType(FloatType, containsNull = false))))
+
+  /** File-source stream over a directory of (query_id, embedding)
+    * parquet files — the landing zone of [[serveSink]]. */
+  def readQueries(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(querySchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+
+  /** Serve a STREAM of query vectors from a persisted ANN index — the
+    * retrieval half of the streaming story next to [[indexAppendSink]]'s
+    * ingest half: each micro-batch of (query_id, embedding) rows is
+    * answered through [[graft.operators.AnnIndex.serveTopK]] (stored
+    * quantizers, no rebuild, batch side broadcast) and written to
+    * `outDir/batch-<id>` with overwrite — idempotent under post-restart
+    * replays, the per-batch analogue of the index commit protocol;
+    * readers union the batch dirs (`outDir/batch-*`). Per-query top-k
+    * is independent of batching, so ANY micro-batch split yields the
+    * same result rows as one batch serve (StreamingEmbedDedupSpec pins
+    * it). `emb` is the embedding store for the compressed families'
+    * exact rerank. Returns the started query; stop it to stop serving. */
+  def serveSink(queries: DataFrame, indexDir: String, emb: DataFrame,
+      outDir: String, checkpointDir: String,
+      topK: Int = 3): org.apache.spark.sql.streaming.StreamingQuery =
+    queries.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.operators.AnnIndex.serveTopK(batch.sparkSession, indexDir,
+            batch.toDF(), emb, topK)
+            .write.mode("overwrite").parquet(s"$outDir/batch-$batchId")
+        }
+      }
+      .start()
+
   /** Banded sign-LSH state dedup; append-mode (vec_id, dup_of, cosine)
     * rows at exact cosine ≥ threshold. Parameters mirror batch d5 —
     * use [[DedupQueries.autoBandParams]] for production thresholds. */

@@ -571,6 +571,20 @@ class PlanQualitySpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("s11 serve: the query batch broadcasts; one rank exchange; " +
+      "corpus signatures never shuffle") {
+    // the serving contract: everything derived from the 8-vector batch
+    // (signatures, probe flips) broadcasts; the corpus-side signature
+    // table streams through the one broadcast hash join; the only
+    // exchange in the plan is the rank-by-query window
+    val p = plan("s11_ann_serve")
+    assert(p.contains("BroadcastHashJoin"),
+      s"probe join must broadcast the query batch:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"only the rank-by-query exchange expected:\n$p")
+  }
+
   test("fact-scaled customer/supplier joins are size-planned, not hint-forced") {
     // r5 verdict missing #5 (dims-scaled octave): customer and supplier
     // grow with the corpus, so q17/q38/q39/q41 must NOT hard-broadcast

@@ -108,6 +108,38 @@ class StreamingEmbedDedupSpec extends AnyFunSuite {
       s"lean-only: ${(lean -- full).take(5)}; full-only: ${(full -- lean).take(5)}")
   }
 
+  test("streamed serving equals one batch serve (micro-batch splits invisible)") {
+    import graft.operators.AnnIndex
+    val emb = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding", "label")
+    val n = Tables.embeddingsRows(spark, sf)
+    val ixDir = Files.createTempDirectory("graft_ix_serve_stream").toString
+    AnnIndex.buildIvfPq(emb, ixDir, Tables.EmbeddingDim, m = 8, k = 64,
+      nHint = n)
+    // 8 out-of-corpus queries land as two files -> two micro-batches
+    val queries = emb.filter(col("vec_id") < 8)
+      .select((col("vec_id") + 3000000L).as("query_id"), col("embedding"))
+    val landing = Files.createTempDirectory("graft_serve_landing").toString
+    queries.filter(col("query_id") % 2 === 0).coalesce(1)
+      .write.mode("append").parquet(landing)
+    queries.filter(col("query_id") % 2 === 1).coalesce(1)
+      .write.mode("append").parquet(landing)
+    val outDir = Files.createTempDirectory("graft_serve_out").toString
+    val q = StreamEmbedDedup.serveSink(
+      StreamEmbedDedup.readQueries(spark, landing), ixDir, emb, outDir,
+      Files.createTempDirectory("graft_ckpt_serve").toString)
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.read.parquet(s"$outDir/batch-*")
+      .collect().map(_.toString).sorted.toSeq
+    val oneBatch = AnnIndex.ivfPqServe(AnnIndex.loadIvfPq(spark, ixDir),
+        emb, queries)
+      .collect().map(_.toString).sorted.toSeq
+    spark.catalog.clearCache()
+    assert(streamed.nonEmpty && streamed == oneBatch,
+      "per-query top-k must be independent of micro-batch splits")
+  }
+
   test("streamed index appends equal a one-shot append (live index stays queryable)") {
     import graft.operators.AnnIndex
     val emb = Tables.embeddings(spark, sf)
