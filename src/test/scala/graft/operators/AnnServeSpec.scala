@@ -156,6 +156,26 @@ class AnnServeSpec extends AnyFunSuite {
     assert(truth.nonEmpty && truth.forall(served.contains))
   }
 
+  test("serving sees appended vectors: a post-append clone query returns it at rank 1") {
+    // the ingest→serve loop: append new vectors with frozen quantizers,
+    // then serve a query carrying one appended vector's embedding — the
+    // loaded index must retrieve the appended twin at rank 1, distance 0
+    val dir = tmp("append_serve")
+    AnnIndex.buildIvfPq(corpus, dir, dim, m = 8, k = 64, nHint = nCorpus)
+    val inc = Tables.embeddings(spark, sf).filter(col("vec_id") < NQ)
+      .select((col("vec_id") + 5000000L).as("vec_id"), col("embedding"),
+        col("label"))
+    AnnIndex.appendIvfPq(inc, dir)
+    val fullEmb = corpus.unionByName(inc)
+    val q1 = inc.filter(col("vec_id") === 5000003L)
+      .select((col("vec_id") + 1000L).as("query_id"), col("embedding"))
+    val top1 = AnnIndex.ivfPqServe(AnnIndex.loadIvfPq(spark, dir), fullEmb,
+      q1, topK = 1).head()
+    spark.catalog.clearCache()
+    assert(top1.getLong(2) == 5000003L && top1.getLong(3) == 0L,
+      s"appended twin must serve at rank 1 with dist 0: $top1")
+  }
+
   test("plan gates: the query batch broadcasts; the stored artifact never shuffles") {
     val dirL = tmp("plan_lsh")
     AnnIndex.buildLsh(corpus, dirL, dim, nCorpus)
