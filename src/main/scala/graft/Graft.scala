@@ -327,6 +327,18 @@ object Graft {
       emb: DataFrame, topK: Int = 3): DataFrame =
     operators.AnnIndex.serveTopK(spark, dir, queries, emb, topK)
 
+  /** FILTERED serving from a persisted index — metadata-predicate
+    * retrieval with PRE-FILTER semantics: `keepIds` (one `vec_id`
+    * column, the predicate's surviving ids) restricts the stored
+    * scan-side table via one semi join before scoring, so the result is
+    * exactly the top-k of the filtered corpus; the quantizers are
+    * untouched (one join per predicate, never a rebuild). All five
+    * families. */
+  def annIndexServeWhere(spark: SparkSession, dir: String,
+      queries: DataFrame, keepIds: DataFrame, emb: DataFrame,
+      topK: Int = 3): DataFrame =
+    operators.AnnIndex.serveTopKWhere(spark, dir, queries, keepIds, emb, topK)
+
   /** Recall@k of the SERVING path ([[annIndexServe]]) vs the exact
     * bipartite cosine top-k for the same out-of-corpus batch — the
     * tuning loop measured on the path a deployment actually runs. */

@@ -420,6 +420,58 @@ object AnnIndex {
           "lsh | ivf | pq | sq8 | ivfpq (corrupted or newer-format manifest?)")
     }
 
+  /** FILTERED serving — the metadata-predicate retrieval every vector
+    * store ships ("top-k among the docs this user may see"), with
+    * PRE-FILTER semantics: `keepIds` (one `vec_id` column — the
+    * predicate's surviving ids, e.g. `attrs.filter(pred)
+    * .select("vec_id")`) restricts the STORED scan-side table via one
+    * semi join BEFORE scoring, so the result is exactly the top-k of
+    * the filtered corpus (post-filtering an unfiltered top-k — the
+    * classic trap — under-fills k whenever the neighborhood is
+    * predicate-poor). The quantizers are untouched: signatures, cells,
+    * codes and stats were built on the full corpus and still apply to
+    * its filtered subset, which is what makes the filter one join
+    * instead of a rebuild per predicate. AnnServeSpec pins the
+    * exhaustive-parameter identity (probe everything ⇒ byte-equal to
+    * the exact scan over the filtered corpus). */
+  def serveTopKWhere(spark: SparkSession, dir: String, queries: DataFrame,
+      keepIds: DataFrame, emb: DataFrame, topK: Int = 3): DataFrame = {
+    val keep = keepIds.select(col("vec_id"))
+    def filteredEmb = emb.join(keep, Seq("vec_id"), "left_semi")
+    readManifest(spark, dir).family match {
+      case "lsh" =>
+        val ix = loadLsh(spark, dir)
+        SimilarityQueries.lshServeFromSigs(
+          ix.signatures.join(keep, Seq("vec_id"), "left_semi"), queries,
+          ix.manifest.dim, ix.manifest.params("bucket_bits").toInt, topK)
+      case "ivf" =>
+        val ix = loadIvf(spark, dir)
+        SimilarityQueries.ivfServeFromAssign(
+          ix.assign.join(keep, Seq("vec_id"), "left_semi"), ix.centroids,
+          queries, topK)
+      case "pq" =>
+        val ix = loadPq(spark, dir)
+        SimilarityQueries.pqServeOn(
+          ix.codes.join(keep, Seq("vec_id"), "left_semi"), ix.codebook,
+          filteredEmb, queries, ix.manifest.dim,
+          ix.manifest.params("m").toInt, r = 20, topK = topK)
+      case "sq8" =>
+        val ix = loadSq(spark, dir)
+        val stats = ix.stats.collect()
+          .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+        SimilarityQueries.sqServeWithStats(filteredEmb, queries, stats, topK)
+      case "ivfpq" =>
+        val ix = loadIvfPq(spark, dir)
+        SimilarityQueries.ivfPqServeOn(
+          ix.codes.join(keep, Seq("vec_id"), "left_semi"), ix.codebook,
+          ix.centroids, filteredEmb, queries, ix.manifest.dim,
+          ix.manifest.params("m").toInt, r = 40, topK = topK, nProbe = 32)
+      case other => throw new IllegalArgumentException(
+        s"index at hand is family '$other', expected one of " +
+          "lsh | ivf | pq | sq8 | ivfpq (corrupted or newer-format manifest?)")
+    }
+  }
+
   /** Recall@k of the SERVING path against the exact bipartite cosine
     * top-k for the same out-of-corpus query batch — the tuning loop
     * measured on the path a deployment actually runs (the in-corpus

@@ -1361,6 +1361,70 @@ object SimilarityQueries {
         round(col("cosine"), 6).as("cosine_r"))
   }
 
+  // ---- s12: filtered vector search — the metadata-predicate retrieval
+  // every production vector store ships (and every RAG pipeline needs:
+  // "top-k among the docs this user may see / in this language / from
+  // this source"). PRE-FILTERING semantics: the predicate restricts the
+  // candidate set BEFORE scoring, so the result is exactly the top-k of
+  // the filtered corpus — post-filtering (rank first, filter the top-k
+  // after) silently returns < k rows whenever the unfiltered top-k is
+  // predicate-poor, which is the classic filtered-ANN correctness trap.
+  // Scale shape: s1's broadcast-query scan over the filtered corpus —
+  // the predicate prunes at the scan (PushedFilters), the query side
+  // broadcasts, nothing else changes. The artifact-backed sibling
+  // ([[graft.operators.AnnIndex.ivfServeWhere]]) applies the same
+  // pre-filter to the stored inverted file via a semi join before the
+  // per-cell ranking.
+  private[graft] def filteredTopK(emb: DataFrame, nQueries: Int = NQueries,
+      topK: Int = TopK): DataFrame = {
+    val e = emb.select(col("vec_id"), col("label"),
+        TextOps.quantize(col("embedding")).as("q"))
+      .withColumn("nn", TextOps.qdot(col("q"), col("q")))
+    // queries come from the FULL corpus (a querying user is not subject
+    // to the candidate predicate)
+    val queries = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"),
+        col("nn").as("qnn"))
+    val cand = e.filter(col("label") % 2 === 0) // the metadata predicate
+    val scored = cand.join(broadcast(queries),
+        col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("label").cast("bigint").as("label"),
+        (TextOps.qdot(col("qq"), col("q")).cast("double") /
+          (sqrt(col("qnn").cast("double")) * sqrt(col("nn").cast("double"))))
+          .as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w).cast("bigint"))
+      .filter(col("rk") <= topK)
+      .select(col("query_id"), col("neighbor_id"), col("label"), col("rk"),
+        round(col("cosine"), 6).as("cosine_r"))
+  }
+  private val filteredTopKSql =
+    s"""WITH q AS (SELECT vec_id, label, ${TextOps.quantizeSql("embedding")} AS q
+       |  FROM embeddings),
+       |e AS (SELECT vec_id, unnest(q) AS v, generate_subscripts(q, 1) AS i FROM q),
+       |norms AS (SELECT vec_id, SUM(v * v) AS nn FROM e GROUP BY 1),
+       |dot AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, SUM(a.v * b.v) AS dot
+       |  FROM e a JOIN e b ON a.i = b.i AND a.vec_id < $NQueries
+       |   AND b.vec_id <> a.vec_id
+       |  JOIN q fb ON fb.vec_id = b.vec_id AND fb.label % 2 = 0
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT query_id, neighbor_id, CAST(fq.label AS BIGINT) AS label,
+       |    CAST(dot AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) AS cosine
+       |  FROM dot JOIN norms na ON na.vec_id = query_id
+       |  JOIN norms nb ON nb.vec_id = neighbor_id
+       |  JOIN q fq ON fq.vec_id = neighbor_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, label,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, neighbor_id) AS rk, cosine
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, label, rk, round(cosine, 6) AS cosine_r
+       |FROM ranked WHERE rk <= $TopK""".stripMargin
+
   // s11 gate: hold the first S11NQ vectors OUT of the corpus, index the
   // rest, serve the held-out rows as a new query batch through the lsh
   // serving half (mask width frozen at the INDEXED corpus's size). The
@@ -1435,5 +1499,8 @@ object SimilarityQueries {
       Some(recallEvalSql)),
     Q("s10_ivfpq", ivfPq, Some(ivfPqSql)),
     Q("s11_ann_serve", annServeLsh, Some(annServeLshSql)),
+    Q("s12_filtered_search",
+      (s, d) => filteredTopK(Tables.embeddings(s, d)),
+      Some(filteredTopKSql)),
     Q("d14_semantic_dedup", semanticDedup, Some(semanticDedupSql)))
 }

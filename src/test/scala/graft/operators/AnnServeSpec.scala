@@ -156,6 +156,52 @@ class AnnServeSpec extends AnyFunSuite {
     assert(truth.nonEmpty && truth.forall(served.contains))
   }
 
+  test("filtered serve (pre-filter): probe ALL cells == exact over the FILTERED corpus") {
+    // the metadata predicate is one semi join against the stored
+    // inverted file; with every cell probed the result must be
+    // byte-equal to the exact bipartite scan over the filtered corpus —
+    // and stricter than post-filtering, which would under-fill k
+    val pred = col("label") % 2 === 0
+    val keep = corpus.filter(pred).select(col("vec_id"))
+    val dir = tmp("ivf_where")
+    AnnIndex.buildIvf(corpus, dir, dim, nCorpus)
+    val ix = AnnIndex.loadIvf(spark, dir)
+    val served = rows(SimilarityQueries.ivfServeFromAssign(
+        ix.assign.join(keep, Seq("vec_id"), "left_semi"), ix.centroids,
+        queries, topK = 3, nProbe = 100000)
+      .select(col("query_id"), col("neighbor_id"), col("rk"), col("cosine_r")))
+    val exact = rows(SimilarityQueries.cosineTopKServe(
+      corpus.filter(pred), queries, 3))
+    assert(served.nonEmpty && served == exact)
+    // the default-parameter facade returns only predicate-passing rows
+    val got = AnnIndex.serveTopKWhere(spark, dir, queries, keep, corpus)
+      .select(col("neighbor_id")).collect().map(_.getLong(0)).toSet
+    val allowed = keep.collect().map(_.getLong(0)).toSet
+    assert(got.nonEmpty && got.forall(allowed.contains))
+  }
+
+  test("filtered serve on the compressed family: exhaustive R == exact filtered L2") {
+    val pred = col("label") % 2 === 0
+    val keep = corpus.filter(pred).select(col("vec_id"))
+    val dir = tmp("ipq_where")
+    AnnIndex.buildIvfPq(corpus, dir, dim, m = 8, k = 64, nHint = nCorpus)
+    val ix = AnnIndex.loadIvfPq(spark, dir)
+    val filtered = corpus.filter(pred)
+    val served = rows(SimilarityQueries.ivfPqServeOn(
+      ix.codes.join(keep, Seq("vec_id"), "left_semi"), ix.codebook,
+      ix.centroids, filtered, queries, dim, 8,
+      r = nCorpus.toInt + 1, topK = 3, nProbe = 100000))
+    val vecs = filtered.select(col("vec_id"),
+      TextOps.quantize(col("embedding")).as("q"))
+    val qfull = queries.select(col("query_id"),
+      TextOps.quantize(col("embedding")).as("qq"))
+    val cand = queries.select(col("query_id"))
+      .crossJoin(filtered.select(col("vec_id").as("neighbor_id")))
+    val exact = rows(ProductQuantizer.rerank(cand, vecs, qfull, 3))
+    spark.catalog.clearCache()
+    assert(served.nonEmpty && served == exact)
+  }
+
   test("serving sees appended vectors: a post-append clone query returns it at rank 1") {
     // the ingest→serve loop: append new vectors with frozen quantizers,
     // then serve a query carrying one appended vector's embedding — the
