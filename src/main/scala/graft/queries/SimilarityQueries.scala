@@ -1370,8 +1370,10 @@ object SimilarityQueries {
   // after) silently returns < k rows whenever the unfiltered top-k is
   // predicate-poor, which is the classic filtered-ANN correctness trap.
   // Scale shape: s1's broadcast-query scan over the filtered corpus —
-  // the predicate prunes at the scan (PushedFilters), the query side
-  // broadcasts, nothing else changes. The artifact-backed sibling
+  // the predicate applies AT the scan, before any join or shuffle
+  // (plain comparisons additionally reach PushedFilters for row-group
+  // pruning; the gate's `% 2` form filters post-read, still pre-join),
+  // the query side broadcasts, nothing else changes. The artifact-backed sibling
   // ([[graft.operators.AnnIndex.ivfServeWhere]]) applies the same
   // pre-filter to the stored inverted file via a semi join before the
   // per-cell ranking.
