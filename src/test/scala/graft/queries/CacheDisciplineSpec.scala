@@ -119,4 +119,35 @@ class CacheDisciplineSpec extends AnyFunSuite {
     boundedReplay("p3", syntheticPairs)(in =>
       graft.operators.LabelProp.propagate(in, 2))
   }
+
+  test("DedupIndex.build: input scanned a bounded number of times; loaded artifact replays nothing") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("cds_dedupix").toString
+    // consuming the LOADED artifact reads parquet, never the input:
+    // budget 0 — and the build itself must stay bounded (the pinned
+    // signature table feeds the sig write + band join + rejoins; only
+    // the jaccard verify's two by-design shingle re-scans and the
+    // doc-length rejoin touch the input again)
+    val builds = boundedReplay("dedup_build", docs)(in => {
+      graft.operators.DedupIndex.build(in, dir, nDocs)
+      graft.operators.DedupIndex.load(spark, dir).pairs
+    })
+    assert(builds <= 4.0,
+      s"DedupIndex.build scanned the input $builds times; the signature " +
+        "pipeline must run once plus the declared verify re-scans")
+  }
+
+  test("DedupIndex.serveNearDups: result self-contained, no corpus replay on consume") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("cds_dedupserve").toString
+    graft.operators.DedupIndex.build(docs, dir, nDocs)
+    val ix = graft.operators.DedupIndex.load(spark, dir)
+    import org.apache.spark.sql.functions._
+    val batch = docs.filter(col("doc_id") < 8)
+      .withColumn("doc_id", col("doc_id") + 1000000000L)
+    // the served frame is localCheckpoint'ed: consuming it must not
+    // touch the corpus again (budget 0)
+    boundedReplay("dedup_serve", docs)(in =>
+      graft.operators.DedupIndex.serveNearDups(batch, in, ix, 8L))
+  }
 }
