@@ -1427,6 +1427,110 @@ object SimilarityQueries {
        |SELECT query_id, neighbor_id, label, rk, round(cosine, 6) AS cosine_r
        |FROM ranked WHERE rk <= $TopK""".stripMargin
 
+  // ---- s13: hybrid lexical+vector retrieval with reciprocal-rank
+  // fusion (Cormack et al. 2009 — the RAG-standard two-tower fusion):
+  // per query, a LEXICAL leg ranks candidates by exact shared-shingle
+  // overlap (the term-match signal embeddings blur: rare exact tokens,
+  // codes, names) and a VECTOR leg by exact cosine; the fused score is
+  // RRF = Σ_leg 1/(k + rank_leg) over each leg's top-R list — rank
+  // fusion needs no score calibration between incomparable scales,
+  // which is exactly why production hybrid search uses it. Determinism:
+  // both leg ranks are integer row_numbers over total orders
+  // ((overlap desc, id) / (cosine desc, id)); RRF sums two IEEE
+  // divisions of small-int ranks in a fixed order — bit-identical
+  // cross-engine, ties broken by doc_id. Scale shape: both legs are
+  // s1's broadcast-query scan (the corpus is scanned twice, never
+  // shuffled); per-leg truncation at R bounds the fusion join at
+  // queries × R rows per leg, the standard top-R-lists RRF form.
+  private val HQ = 8
+  private val RrfK = 60  // the canonical RRF dampening constant
+  private val RrfR = 100 // per-leg list length fed to the fusion
+  private[graft] def hybridRrf(docs: DataFrame, emb: DataFrame,
+      nQueries: Int = HQ, topK: Int = TopK, kRrf: Int = RrfK,
+      r: Int = RrfR): DataFrame = {
+    val sh = docs.select(col("doc_id"), TextOps.shingles(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val qsh = sh.filter(col("doc_id") < nQueries)
+      .select(col("doc_id").as("query_id"), col("sh").as("qsh"))
+    val wL = Window.partitionBy(col("query_id"))
+      .orderBy(col("inter").desc, col("doc_id"))
+    val lexRank = sh.join(broadcast(qsh), col("query_id") =!= col("doc_id"))
+      .select(col("query_id"), col("doc_id"),
+        size(array_intersect(col("qsh"), col("sh"))).cast("bigint").as("inter"))
+      .filter(col("inter") > 0)
+      .withColumn("lex_rank", row_number().over(wL).cast("bigint"))
+      .filter(col("lex_rank") <= r)
+      .select(col("query_id"), col("doc_id"), col("lex_rank"))
+    val e = emb.select(col("vec_id"), TextOps.quantize(col("embedding")).as("q"))
+      .withColumn("nn", TextOps.qdot(col("q"), col("q")))
+    val qv = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"),
+        col("nn").as("qnn"))
+    val wV = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("doc_id"))
+    val vecRank = e.join(broadcast(qv), col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("doc_id"),
+        (TextOps.qdot(col("qq"), col("q")).cast("double") /
+          (sqrt(col("qnn").cast("double")) * sqrt(col("nn").cast("double"))))
+          .as("cosine"))
+      .withColumn("vec_rank", row_number().over(wV).cast("bigint"))
+      .filter(col("vec_rank") <= r)
+      .select(col("query_id"), col("doc_id"), col("vec_rank"))
+    val wF = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+    lexRank.join(vecRank, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(kRrf) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(kRrf) + col("vec_rank")), lit(0.0)))
+      .withColumn("rk", row_number().over(wF).cast("bigint"))
+      .filter(col("rk") <= topK)
+      .select(col("query_id"), col("doc_id"),
+        coalesce(col("lex_rank"), lit(-1L)).as("lex_rank"),
+        coalesce(col("vec_rank"), lit(-1L)).as("vec_rank"),
+        col("rk"), round(col("rrf"), 6).as("rrf_r"))
+  }
+  private val hybridRrfSql =
+    s"""WITH sh AS (SELECT doc_id, ${TextOps.shinglesSql("text")} AS sh
+       |  FROM documents WHERE len(${TextOps.tokensSql("text")}) >= 3),
+       |lex0 AS (
+       |  SELECT q.doc_id AS query_id, c.doc_id AS doc_id,
+       |    CAST(len(list_intersect(q.sh, c.sh)) AS BIGINT) AS inter
+       |  FROM sh q JOIN sh c ON q.doc_id < $HQ AND c.doc_id <> q.doc_id
+       |  WHERE len(list_intersect(q.sh, c.sh)) > 0),
+       |lexr AS (
+       |  SELECT query_id, doc_id, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY inter DESC, doc_id) AS lex_rank
+       |  FROM lex0 QUALIFY lex_rank <= $RrfR),
+       |qv AS (SELECT vec_id, ${TextOps.quantizeSql("embedding")} AS q FROM embeddings),
+       |e AS (SELECT vec_id, unnest(q) AS v, generate_subscripts(q, 1) AS i FROM qv),
+       |norms AS (SELECT vec_id, SUM(v * v) AS nn FROM e GROUP BY 1),
+       |vd AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS doc_id, SUM(a.v * b.v) AS dot
+       |  FROM e a JOIN e b ON a.i = b.i AND a.vec_id < $HQ
+       |   AND b.vec_id <> a.vec_id
+       |  GROUP BY 1, 2),
+       |vecr AS (
+       |  SELECT query_id, doc_id, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY
+       |        CAST(dot AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) DESC,
+       |        doc_id) AS vec_rank
+       |  FROM vd JOIN norms na ON na.vec_id = query_id
+       |  JOIN norms nb ON nb.vec_id = doc_id
+       |  QUALIFY vec_rank <= $RrfR),
+       |fused AS (
+       |  SELECT COALESCE(l.query_id, v.query_id) AS query_id,
+       |    COALESCE(l.doc_id, v.doc_id) AS doc_id, l.lex_rank, v.vec_rank,
+       |    COALESCE(CAST(1 AS DOUBLE) / ($RrfK + l.lex_rank), 0)
+       |      + COALESCE(CAST(1 AS DOUBLE) / ($RrfK + v.vec_rank), 0) AS rrf
+       |  FROM lexr l FULL JOIN vecr v
+       |    ON v.query_id = l.query_id AND v.doc_id = l.doc_id)
+       |SELECT query_id, doc_id,
+       |  COALESCE(lex_rank, -1) AS lex_rank,
+       |  COALESCE(vec_rank, -1) AS vec_rank,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rk,
+       |  round(rrf, 6) AS rrf_r
+       |FROM fused QUALIFY rk <= $TopK""".stripMargin
+
   // s11 gate: hold the first S11NQ vectors OUT of the corpus, index the
   // rest, serve the held-out rows as a new query batch through the lsh
   // serving half (mask width frozen at the INDEXED corpus's size). The
@@ -1504,5 +1608,8 @@ object SimilarityQueries {
     Q("s12_filtered_search",
       (s, d) => filteredTopK(Tables.embeddings(s, d)),
       Some(filteredTopKSql)),
+    Q("s13_hybrid_rrf",
+      (s, d) => hybridRrf(Tables.documents(s, d), Tables.embeddings(s, d)),
+      Some(hybridRrfSql)),
     Q("d14_semantic_dedup", semanticDedup, Some(semanticDedupSql)))
 }
