@@ -553,6 +553,18 @@ object Graft {
     materialized(queries.SimilarityQueries.ivfPqTopKPinned(
       emb, dim, m, k, r, topK, nQueries, nProbe, nHint))
 
+  /** Hybrid lexical+vector retrieval with reciprocal-rank fusion (the
+    * RAG-standard two-tower fusion): a lexical leg ranks by exact
+    * shared-shingle overlap, a vector leg by exact cosine, fused as
+    * Σ 1/(kRrf + rank) over each leg's top-`r` list — rank fusion needs
+    * no score calibration between incomparable scales. `docs` (doc_id,
+    * text) and `emb` (vec_id, embedding) share the id space; queries
+    * are `doc_id < nQueries`. Returns (query_id, doc_id, lex_rank,
+    * vec_rank, rk, rrf_r); a leg the candidate missed reports rank −1. */
+  def hybridSearch(docs: DataFrame, emb: DataFrame, nQueries: Int = 8,
+      topK: Int = 3, kRrf: Int = 60, r: Int = 100): DataFrame =
+    queries.SimilarityQueries.hybridRrf(docs, emb, nQueries, topK, kRrf, r)
+
   /** KenLM/CCNet-style n-gram LM scoring: a bigram model from the corpus
     * itself (count tables), each doc scored by the exact integer mean of
     * scaled conditional probabilities — monotone in perplexity, so
