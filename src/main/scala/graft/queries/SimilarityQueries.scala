@@ -1531,6 +1531,152 @@ object SimilarityQueries {
        |  round(rrf, 6) AS rrf_r
        |FROM fused QUALIFY rk <= $TopK""".stripMargin
 
+  // ---- s14: MMR diversity re-ranking (Carbonell & Goldstein 1998 —
+  // maximal marginal relevance, the standard RAG diversity pass): a
+  // plain top-k hands the generator k near-copies of the same passage;
+  // MMR re-picks greedily from a relevance pool, each pick maximizing
+  //   λ·sim(q, d) − (1−λ)·max_{s∈Selected} sim(d, s)
+  // — relevance minus redundancy against what's already selected. The
+  // greedy chain is inherently sequential, but k is tiny and fixed, so
+  // the rounds UNROLL (the library's PageRank/BPE pattern): each round
+  // is one join + one argmax over the pool, and the DuckDB twin is the
+  // identical unrolled CTE chain. Determinism: sims are the established
+  // exact-int-dot cosine doubles; the λ = 0.7 combination is scored as
+  // score10 = 7·sim − 3·max_redundancy (two IEEE mults + one subtract,
+  // fixed order — same order, no decimal literals, bit-identical
+  // cross-engine), ties through doc_id.
+  // Scale shape: the pool is s1's broadcast-query top-R (corpus scanned
+  // once, never shuffled); everything after — pairwise sims and the k
+  // selection rounds — touches queries × R (× R) rows only.
+  private val MmrNQ = 8
+  private val MmrR = 10 // relevance pool per query fed to the greedy picks
+  private[graft] def mmrRerank(emb: DataFrame, nQueries: Int = MmrNQ,
+      poolR: Int = MmrR, topK: Int = TopK): DataFrame = {
+    require(topK == 3, "the unrolled selection (and its oracle) is k = 3")
+    val e = emb.select(col("vec_id"), TextOps.quantize(col("embedding")).as("q"))
+      .withColumn("nn", TextOps.qdot(col("q"), col("q")))
+    val qv = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"),
+        col("nn").as("qnn"))
+    val wP = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("doc_id"))
+    // referenced by every selection round: pin + materialize (house
+    // cache discipline; the registry path relies on per-query clearCache)
+    val pool = e.join(broadcast(qv), col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("doc_id"),
+        (TextOps.qdot(col("qq"), col("q")).cast("double") /
+          (sqrt(col("qnn").cast("double")) * sqrt(col("nn").cast("double"))))
+          .as("sim"))
+      .withColumn("pr", row_number().over(wP))
+      .filter(col("pr") <= poolR)
+      .select(col("query_id"), col("doc_id"), col("sim"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pool.count()
+    // pairwise redundancy sims within each query's pool — queries×R rows
+    // of vectors (broadcastable), queries×R×R scored pairs
+    val pv = pool.select(col("query_id"), col("doc_id"))
+      .join(e.select(col("vec_id").as("doc_id"), col("q").as("dq"),
+        col("nn").as("dnn")), "doc_id")
+    val ds = pv.as("a").join(pv.as("b"),
+        col("a.query_id") === col("b.query_id") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.query_id").as("query_id"), col("a.doc_id").as("d"),
+        col("b.doc_id").as("s"),
+        (TextOps.qdot(col("a.dq"), col("b.dq")).cast("double") /
+          (sqrt(col("a.dnn").cast("double")) * sqrt(col("b.dnn").cast("double"))))
+          .as("ds"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ds.count()
+    def argmax(cand: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("doc_id"))
+      cand.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("query_id"), col("doc_id"), col("score"))
+    }
+    // round 1: nothing selected yet — pure relevance
+    val sel1 = argmax(pool.withColumn("score", lit(7) * col("sim")))
+    // round 2: redundancy against the single selected doc
+    val sel2 = argmax(pool
+      .join(sel1.select(col("query_id"), col("doc_id").as("s1")), "query_id")
+      .filter(col("doc_id") =!= col("s1"))
+      .join(ds.select(col("query_id"), col("d").as("doc_id"),
+        col("s").as("s1"), col("ds").as("ds1")), Seq("query_id", "doc_id", "s1"))
+      .withColumn("score", lit(7) * col("sim") - lit(3) * col("ds1")))
+    // round 3: redundancy = max over the two selected docs
+    val sel3 = argmax(pool
+      .join(sel1.select(col("query_id"), col("doc_id").as("s1")), "query_id")
+      .join(sel2.select(col("query_id"), col("doc_id").as("s2")), "query_id")
+      .filter(col("doc_id") =!= col("s1") && col("doc_id") =!= col("s2"))
+      .join(ds.select(col("query_id"), col("d").as("doc_id"),
+        col("s").as("s1"), col("ds").as("ds1")), Seq("query_id", "doc_id", "s1"))
+      .join(ds.select(col("query_id"), col("d").as("doc_id"),
+        col("s").as("s2"), col("ds").as("ds2")), Seq("query_id", "doc_id", "s2"))
+      .withColumn("score",
+        lit(7) * col("sim") - lit(3) * greatest(col("ds1"), col("ds2"))))
+    sel1.withColumn("rk", lit(1L))
+      .unionAll(sel2.withColumn("rk", lit(2L)))
+      .unionAll(sel3.withColumn("rk", lit(3L)))
+      .select(col("query_id"), col("doc_id"), col("rk"),
+        round(col("score"), 6).as("mmr10_r"))
+  }
+  private val mmrRerankSql =
+    s"""WITH q AS (SELECT vec_id, ${TextOps.quantizeSql("embedding")} AS q FROM embeddings),
+       |e AS (SELECT vec_id, unnest(q) AS v, generate_subscripts(q, 1) AS i FROM q),
+       |norms AS (SELECT vec_id, SUM(v * v) AS nn FROM e GROUP BY 1),
+       |dot AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS doc_id, SUM(a.v * b.v) AS dot
+       |  FROM e a JOIN e b ON a.i = b.i AND a.vec_id < $MmrNQ
+       |   AND b.vec_id <> a.vec_id
+       |  GROUP BY 1, 2),
+       |pool AS (
+       |  SELECT query_id, doc_id,
+       |    CAST(dot AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) AS sim
+       |  FROM dot JOIN norms na ON na.vec_id = query_id
+       |  JOIN norms nb ON nb.vec_id = doc_id
+       |  QUALIFY row_number() OVER (PARTITION BY query_id
+       |    ORDER BY sim DESC, doc_id) <= $MmrR),
+       |pd AS (
+       |  SELECT p1.query_id, p1.doc_id AS d, p2.doc_id AS s, SUM(ea.v * eb.v) AS dot
+       |  FROM pool p1 JOIN pool p2
+       |    ON p2.query_id = p1.query_id AND p2.doc_id <> p1.doc_id
+       |  JOIN e ea ON ea.vec_id = p1.doc_id
+       |  JOIN e eb ON eb.vec_id = p2.doc_id AND eb.i = ea.i
+       |  GROUP BY 1, 2, 3),
+       |dsim AS (
+       |  SELECT query_id, d, s,
+       |    CAST(dot AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) AS ds
+       |  FROM pd JOIN norms na ON na.vec_id = d
+       |  JOIN norms nb ON nb.vec_id = s),
+       |sel1 AS (
+       |  SELECT query_id, doc_id, 7 * sim AS score FROM pool
+       |  QUALIFY row_number() OVER (PARTITION BY query_id
+       |    ORDER BY 7 * sim DESC, doc_id) = 1),
+       |sel2 AS (
+       |  SELECT p.query_id, p.doc_id, 7 * p.sim - 3 * x.ds AS score
+       |  FROM pool p JOIN sel1 ON sel1.query_id = p.query_id
+       |   AND p.doc_id <> sel1.doc_id
+       |  JOIN dsim x ON x.query_id = p.query_id AND x.d = p.doc_id
+       |   AND x.s = sel1.doc_id
+       |  QUALIFY row_number() OVER (PARTITION BY p.query_id
+       |    ORDER BY 7 * p.sim - 3 * x.ds DESC, p.doc_id) = 1),
+       |sel3 AS (
+       |  SELECT p.query_id, p.doc_id,
+       |    7 * p.sim - 3 * GREATEST(x1.ds, x2.ds) AS score
+       |  FROM pool p
+       |  JOIN sel1 ON sel1.query_id = p.query_id AND p.doc_id <> sel1.doc_id
+       |  JOIN sel2 ON sel2.query_id = p.query_id AND p.doc_id <> sel2.doc_id
+       |  JOIN dsim x1 ON x1.query_id = p.query_id AND x1.d = p.doc_id
+       |   AND x1.s = sel1.doc_id
+       |  JOIN dsim x2 ON x2.query_id = p.query_id AND x2.d = p.doc_id
+       |   AND x2.s = sel2.doc_id
+       |  QUALIFY row_number() OVER (PARTITION BY p.query_id
+       |    ORDER BY 7 * p.sim - 3 * GREATEST(x1.ds, x2.ds) DESC, p.doc_id) = 1)
+       |SELECT query_id, doc_id, CAST(1 AS BIGINT) AS rk, round(score, 6) AS mmr10_r FROM sel1
+       |UNION ALL
+       |SELECT query_id, doc_id, CAST(2 AS BIGINT) AS rk, round(score, 6) AS mmr10_r FROM sel2
+       |UNION ALL
+       |SELECT query_id, doc_id, CAST(3 AS BIGINT) AS rk, round(score, 6) AS mmr10_r FROM sel3""".stripMargin
+
   // s11 gate: hold the first S11NQ vectors OUT of the corpus, index the
   // rest, serve the held-out rows as a new query batch through the lsh
   // serving half (mask width frozen at the INDEXED corpus's size). The
@@ -1611,5 +1757,8 @@ object SimilarityQueries {
     Q("s13_hybrid_rrf",
       (s, d) => hybridRrf(Tables.documents(s, d), Tables.embeddings(s, d)),
       Some(hybridRrfSql)),
+    Q("s14_mmr_rerank",
+      (s, d) => mmrRerank(Tables.embeddings(s, d)),
+      Some(mmrRerankSql)),
     Q("d14_semantic_dedup", semanticDedup, Some(semanticDedupSql)))
 }
