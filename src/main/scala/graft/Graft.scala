@@ -565,6 +565,17 @@ object Graft {
       topK: Int = 3, kRrf: Int = 60, r: Int = 100): DataFrame =
     queries.SimilarityQueries.hybridRrf(docs, emb, nQueries, topK, kRrf, r)
 
+  /** MMR diversity re-ranking (Carbonell & Goldstein 1998): greedy
+    * top-`topK` from each query's top-`poolR` relevance pool maximizing
+    * relevance minus redundancy against what's already selected
+    * (score10 = 7·sim − 3·max_selected sim) — a plain top-k hands the
+    * generator k near-copies of the same passage; MMR demotes them.
+    * Queries are `vec_id < nQueries`; k is fixed at 3 (unrolled
+    * selection). Returns (query_id, doc_id, rk, mmr10_r). */
+  def mmrRerank(emb: DataFrame, nQueries: Int = 8,
+      poolR: Int = 10): DataFrame =
+    queries.SimilarityQueries.mmrRerank(emb, nQueries, poolR)
+
   /** KenLM/CCNet-style n-gram LM scoring: a bigram model from the corpus
     * itself (count tables), each doc scored by the exact integer mean of
     * scaled conditional probabilities — monotone in perplexity, so

@@ -118,6 +118,22 @@ class DocExamplesSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("quickstart: retrieval for RAG — hybrid fusion + MMR diversity") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+
+    // hybrid search: exact shared-shingle leg + exact cosine leg, fused
+    // by reciprocal ranks (RRF needs no cross-scale score calibration)
+    val hybrid = Graft.hybridSearch(docs, emb, nQueries = 8, topK = 3)
+
+    // MMR: greedy relevance-minus-redundancy picks from the top-10 pool —
+    // plain top-k hands the generator k near-copies; MMR demotes them
+    val diverse = Graft.mmrRerank(emb, nQueries = 8, poolR = 10)
+
+    assert(hybrid.count() == 24 && diverse.count() == 24)
+    spark.catalog.clearCache()
+  }
+
   test("quickstart: quality signals and sequence packing") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
 
