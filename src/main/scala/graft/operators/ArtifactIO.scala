@@ -100,10 +100,9 @@ object ArtifactIO {
     val p = new Path(root)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(p)) fs.listStatus(p).foreach { st =>
-      val name = st.getPath.getName
-      if (name.startsWith(prefix) &&
-          name.drop(prefix.length).forall(_.isDigit) &&
-          name.drop(prefix.length).toLong >= committed)
+      val suffix = st.getPath.getName.stripPrefix(prefix)
+      if (st.getPath.getName.startsWith(prefix) && suffix.nonEmpty &&
+          suffix.forall(_.isDigit) && suffix.toLong >= committed)
         fs.delete(st.getPath, true)
     }
   }
