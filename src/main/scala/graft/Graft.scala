@@ -571,10 +571,12 @@ object Graft {
     * (score10 = 7·sim − 3·max_selected sim) — a plain top-k hands the
     * generator k near-copies of the same passage; MMR demotes them.
     * Queries are `vec_id < nQueries`; k is fixed at 3 (unrolled
-    * selection). Returns (query_id, doc_id, rk, mmr10_r). */
+    * selection). Returns (query_id, doc_id, rk, mmr10_r). Eagerly
+    * materialized: the pinned pool/pairwise-sim tables are released
+    * before returning (facade cache contract). */
   def mmrRerank(emb: DataFrame, nQueries: Int = 8,
       poolR: Int = 10): DataFrame =
-    queries.SimilarityQueries.mmrRerank(emb, nQueries, poolR)
+    materialized(queries.SimilarityQueries.mmrRerankPinned(emb, nQueries, poolR))
 
   /** KenLM/CCNet-style n-gram LM scoring: a bigram model from the corpus
     * itself (count tables), each doc scored by the exact integer mean of

@@ -1551,7 +1551,16 @@ object SimilarityQueries {
   private val MmrNQ = 8
   private val MmrR = 10 // relevance pool per query fed to the greedy picks
   private[graft] def mmrRerank(emb: DataFrame, nQueries: Int = MmrNQ,
-      poolR: Int = MmrR, topK: Int = TopK): DataFrame = {
+      poolR: Int = MmrR, topK: Int = TopK): DataFrame =
+    mmrRerankPinned(emb, nQueries, poolR, topK)._1
+
+  /** [[mmrRerank]] plus the pinned frames it holds in the session cache
+    * (the relevance pool and the pairwise-sim table — each referenced by
+    * every selection round): the gate path discards them (bench clears
+    * per query), the facade materializes and releases (the
+    * ivfPqTopKPinned pattern). */
+  private[graft] def mmrRerankPinned(emb: DataFrame, nQueries: Int = MmrNQ,
+      poolR: Int = MmrR, topK: Int = TopK): (DataFrame, Seq[DataFrame]) = {
     require(topK == 3, "the unrolled selection (and its oracle) is k = 3")
     val e = emb.select(col("vec_id"), TextOps.quantize(col("embedding")).as("q"))
       .withColumn("nn", TextOps.qdot(col("q"), col("q")))
@@ -1613,11 +1622,12 @@ object SimilarityQueries {
         col("s").as("s2"), col("ds").as("ds2")), Seq("query_id", "doc_id", "s2"))
       .withColumn("score",
         lit(7) * col("sim") - lit(3) * greatest(col("ds1"), col("ds2"))))
-    sel1.withColumn("rk", lit(1L))
+    val out = sel1.withColumn("rk", lit(1L))
       .unionAll(sel2.withColumn("rk", lit(2L)))
       .unionAll(sel3.withColumn("rk", lit(3L)))
       .select(col("query_id"), col("doc_id"), col("rk"),
         round(col("score"), 6).as("mmr10_r"))
+    (out, Seq(pool, ds))
   }
   private val mmrRerankSql =
     s"""WITH q AS (SELECT vec_id, ${TextOps.quantizeSql("embedding")} AS q FROM embeddings),

@@ -444,6 +444,41 @@ class GraftFacadeSpec extends AnyFunSuite {
       "facade left entries pinned in the session cache")
   }
 
+  test("round-10 artifact/retrieval facades leave no hidden cache entries") {
+    // same contract as above for the round-10 surface: persisted-index
+    // serving, the dedup artifact consumers, hybrid RRF, MMR
+    spark.catalog.clearCache()
+    val docs = Tables.documents(spark, sf)
+    val emb = Tables.embeddings(spark, sf)
+    val n = Tables.embeddingsRows(spark, sf)
+    val batch = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 4)
+      .select((org.apache.spark.sql.functions.col("vec_id") + 7000000L)
+        .as("query_id"), org.apache.spark.sql.functions.col("embedding"))
+    val ixDir = java.nio.file.Files
+      .createTempDirectory("gfs_annix").toString
+    Graft.buildAnnIndex(emb, ixDir, "ivfpq", Tables.EmbeddingDim, n)
+    spark.catalog.clearCache() // build pins are released; belt-and-braces
+    Graft.annIndexServe(spark, ixDir, batch, emb).count()
+    Graft.annIndexServeWhere(spark, ixDir, batch,
+      emb.select("vec_id"), emb).count()
+    val dxDir = java.nio.file.Files
+      .createTempDirectory("gfs_dedupix").toString
+    Graft.buildDedupIndex(docs, dxDir, Tables.documentsRows(spark, sf))
+    Graft.dedupSplitFrom(spark, dxDir, docs).count()
+    Graft.keepBestFrom(spark, dxDir, docs).count()
+    Graft.pageRankFrom(spark, dxDir).count()
+    Graft.labelPropFrom(spark, dxDir).count()
+    Graft.dedupServeNearDups(spark, dxDir,
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") < 4)
+        .withColumn("doc_id",
+          org.apache.spark.sql.functions.col("doc_id") + 7000000L),
+      docs).count()
+    Graft.hybridSearch(docs, emb, nQueries = 4).count()
+    Graft.mmrRerank(emb, nQueries = 4).count()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "a round-10 facade left entries pinned in the session cache")
+  }
+
   test("passing the embedding dim skips the probe job (one fewer job)") {
     // job-group + statusTracker: a synchronous, exact per-block job count.
     // Cache cleared per block: s2 pins+materializes its signature table

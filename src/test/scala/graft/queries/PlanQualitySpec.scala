@@ -585,6 +585,17 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(exchanges == 1, s"only the rank-by-query exchange expected:\n$p")
   }
 
+  test("s13 hybrid RRF: both legs broadcast the query side; no all-pairs of the corpus") {
+    // lexical and vector legs are each one broadcast-query scan (the
+    // semantically-cross query×corpus joins must build on the broadcast
+    // 8-row side, s7's accepted shape); the fusion join is equi-keyed
+    val p = plan("s13_hybrid_rrf")
+    assert(!p.contains("CartesianProduct"), p)
+    val bnlj = p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(bnlj.nonEmpty && bnlj.forall(_.contains("BuildRight")),
+      s"query legs must build on the broadcast side:\n${bnlj.mkString("\n")}")
+  }
+
   test("fact-scaled customer/supplier joins are size-planned, not hint-forced") {
     // r5 verdict missing #5 (dims-scaled octave): customer and supplier
     // grow with the corpus, so q17/q38/q39/q41 must NOT hard-broadcast
