@@ -965,6 +965,22 @@ object Graft {
       streaming.StreamEmbedDedup.readEmbeddings(spark, landingDir),
       indexDir, checkpointDir)
 
+  /** Streaming ingest into a persisted DEDUP artifact: each arriving
+    * (doc_id, text) file is appended (d16's bipartite increment) and
+    * then published to `corpusDir/batch-<id>` — the corpus the next
+    * batch verifies against. Exactly-once end to end: the manifest's
+    * batchId high-water mark no-ops replays, the publish is a per-batch
+    * overwrite, and the index commits FIRST so a crash between the two
+    * converges on retry. Seed `corpusDir` with the already-indexed
+    * corpus before starting. Streamed ≡ one-shot build pinned by
+    * StreamDedupIngestSpec. Returns the started query. */
+  def streamDedupIngest(spark: SparkSession, landingDir: String,
+      indexDir: String, corpusDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    streaming.StreamDedupIngest.ingestSink(
+      streaming.StreamDedupIngest.readDocs(spark, landingDir),
+      indexDir, corpusDir, checkpointDir)
+
   /** Serve a landing directory of (query_id, embedding) files from a
     * persisted ANN index — the retrieval half of the streaming story
     * next to [[streamIndexAppend]]'s ingest half: each micro-batch is

@@ -1,0 +1,66 @@
+package graft.streaming
+
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.{Tables, TestSpark}
+import graft.operators.DedupIndex
+
+/** Streaming dedup-artifact ingest ≡ one-shot build: after two
+  * micro-batches flow through [[StreamDedupIngest.ingestSink]], the
+  * artifact's signatures, verified pair graph AND merged components
+  * must equal a one-shot [[DedupIndex.build]] on the union corpus —
+  * cross-batch pairs included (batch 2 verifies against seed + batch 1
+  * through the published corpus dirs). Micro-batch splits must be
+  * invisible to the artifact, exactly like the ANN index's chunked ≡
+  * one-shot identity.
+  */
+class StreamDedupIngestSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def rows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("streamed ingest across micro-batches equals the one-shot build") {
+    val all = Tables.documents(spark, sf).select("doc_id", "text")
+    // seed = doc_id % 10 != 0 (the d16 cut); the increments land as two
+    // files: every 20th doc, then the remaining 10th-but-not-20th docs —
+    // cross-batch near-dups exist across all three slices
+    val seed = all.filter(col("doc_id") % 10 =!= 0)
+    val inc1 = all.filter(col("doc_id") % 20 === 0)
+    val inc2 = all.filter(col("doc_id") % 10 === 0 && col("doc_id") % 20 =!= 0)
+
+    val ixDir = Files.createTempDirectory("graft_sdi_ix").toString
+    DedupIndex.build(seed, ixDir, -1L)
+    val corpusDir = Files.createTempDirectory("graft_sdi_corpus").toString
+    seed.coalesce(1).write.parquet(s"$corpusDir/batch-seed")
+    val landing = Files.createTempDirectory("graft_sdi_landing").toString
+    inc1.coalesce(1).write.mode("append").parquet(landing)
+    inc2.coalesce(1).write.mode("append").parquet(landing)
+
+    val q = StreamDedupIngest.ingestSink(
+      StreamDedupIngest.readDocs(spark, landing), ixDir, corpusDir,
+      Files.createTempDirectory("graft_sdi_ckpt").toString)
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = DedupIndex.load(spark, ixDir)
+    val oneShotDir = Files.createTempDirectory("graft_sdi_oneshot").toString
+    DedupIndex.build(all, oneShotDir, -1L)
+    val oneShot = DedupIndex.load(spark, oneShotDir)
+    assert(streamed.manifest.n == oneShot.manifest.n)
+    assert(rows(streamed.signatures.select(col("doc_id"),
+        concat_ws(",", col("sig")).as("s")))
+      == rows(oneShot.signatures.select(col("doc_id"),
+        concat_ws(",", col("sig")).as("s"))))
+    assert(rows(streamed.pairs) == rows(oneShot.pairs),
+      "streamed pair graph must equal the one-shot build (cross-batch pairs included)")
+    assert(rows(streamed.components) == rows(oneShot.components),
+      "streamed component merge must equal the one-shot solve")
+    // the published corpus matches what the artifact describes
+    val published = spark.read.parquet(s"$corpusDir/batch-*").count()
+    assert(published == oneShot.manifest.n)
+    spark.catalog.clearCache()
+  }
+}
