@@ -37,12 +37,22 @@ object ArtifactIO {
     val out = fs.create(tmp, true)
     try out.write(bytes) finally out.close()
     fs.delete(path, false)
-    if (!fs.rename(tmp, path))
-      throw new java.io.IOException(s"rename $tmp -> $path failed")
-    val len = fs.getFileStatus(path).getLen
-    if (len != bytes.length)
-      throw new java.io.IOException(
-        s"manifest commit verify failed: $path is $len bytes, expected ${bytes.length}")
+    if (!fs.rename(tmp, path)) {
+      // a crash-healing reader may have raced us inside the
+      // delete-to-rename window and promoted OUR tmp itself — the commit
+      // then completed, just not by our hand. Losing the rename is a
+      // failure only if the target doesn't hold what we wrote.
+      val landed =
+        try parseManifest(fs, path) == m
+        catch { case scala.util.control.NonFatal(_) => false }
+      if (!landed)
+        throw new java.io.IOException(s"rename $tmp -> $path failed")
+    } else {
+      val len = fs.getFileStatus(path).getLen
+      if (len != bytes.length)
+        throw new java.io.IOException(
+          s"manifest commit verify failed: $path is $len bytes, expected ${bytes.length}")
+    }
   }
 
   private def parseManifest(fs: org.apache.hadoop.fs.FileSystem,
@@ -60,10 +70,22 @@ object ArtifactIO {
   /** Read a manifest back; fails loudly on a missing/foreign directory
     * (loading half an index would corrupt every query served from it).
     * Heals an interrupted [[writeManifest]] first — the compactor's
-    * recoverInterruptedCommits cases: target missing + complete tmp →
-    * finish the rename; parseable target → drop the stale tmp; corrupt
-    * target + parseable tmp → complete the commit from the tmp; both
-    * unparseable → refuse loudly rather than pick one blind. */
+    * recoverInterruptedCommits cases — but stays PASSIVE while a live
+    * writer may be mid-commit: on (tmp exists, target missing) the
+    * target is retried briefly before recovery (a writer inside its
+    * delete-to-rename window finishes in milliseconds; a crashed one
+    * never does), and a recovery rename lost to a concurrent healer
+    * counts as success if the target now parses. Heal cases: target
+    * missing + PARSEABLE tmp → finish the rename (an unparseable tmp —
+    * a crash mid-tmp-write on a first-ever build — is deleted, never
+    * promoted into a corrupt manifest); parseable target → ignore the
+    * stale tmp (the next commit overwrites it; deleting it here would
+    * race a live writer's fresh tmp); corrupt target + parseable tmp →
+    * complete the commit from the tmp; both unparseable → refuse loudly
+    * rather than pick one blind. The stale-tmp delete next to a
+    * parseable target keeps crashed-commit leftovers from accumulating;
+    * its only race (a reader dropping a LIVE writer's fresh tmp) is
+    * caught by the writer's lost-rename content check. */
   def readManifest(spark: SparkSession, dir: String): Manifest = {
     val path = new Path(dir, "manifest.json")
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
@@ -71,16 +93,24 @@ object ArtifactIO {
     def parses(p: Path): Boolean =
       try { parseManifest(fs, p); true }
       catch { case scala.util.control.NonFatal(_) => false }
+    def recoverRename(): Unit =
+      if (!fs.rename(tmp, path) && !parses(path))
+        throw new java.io.IOException(s"manifest recovery rename failed: $tmp")
+    if (fs.exists(tmp) && !fs.exists(path)) {
+      // a live writer sits in its delete-to-rename window for only an
+      // instant — wait it out before concluding this is a crash
+      var waits = 0
+      while (waits < 50 && !fs.exists(path)) { Thread.sleep(10); waits += 1 }
+    }
     if (fs.exists(tmp)) {
       if (!fs.exists(path)) {
-        if (!fs.rename(tmp, path))
-          throw new java.io.IOException(s"manifest recovery rename failed: $tmp")
+        if (parses(tmp)) recoverRename()
+        else fs.delete(tmp, false) // torn first-ever commit: nothing to heal
       } else if (parses(path)) {
-        fs.delete(tmp, false)
+        fs.delete(tmp, false) // committed manifest wins; drop the stale tmp
       } else if (parses(tmp)) {
         fs.delete(path, false)
-        if (!fs.rename(tmp, path))
-          throw new java.io.IOException(s"manifest recovery rename failed: $tmp")
+        recoverRename()
       } else {
         throw new java.io.IOException(
           s"both $path and $tmp are unparseable — refusing to pick one " +

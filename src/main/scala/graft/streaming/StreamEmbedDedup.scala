@@ -172,14 +172,18 @@ object StreamEmbedDedup {
     * keeps web-scale streaming state bounded — and the exact cosine
     * verify is deferred OUT of the stateful operator: the candidate
     * stream (which carries the arriving row's own vector through, it is
-    * in the input anyway) joins the external vector `store` for the
-    * earlier side's vector, then applies the identical int64 dot + IEEE
-    * sqrt/divide. Emits the same (vec_id, dup_of, cosine) rows as the
-    * in-state verify (StreamingEmbedDedupSpec pins the match sets
-    * equal) provided `store` covers every previously-filed vector — the
-    * deployment contract: the store IS the corpus table this ingest
-    * writes, so a lag window can defer (never lose — the batch twin is
-    * the backstop) matches against not-yet-visible rows. */
+    * in the input anyway) LEFT-joins the external vector `store` for
+    * the earlier side's vector, then applies the identical int64 dot +
+    * IEEE sqrt/divide. Output is (vec_id, dup_of, cosine, verified):
+    * verified rows are exactly the in-state verify's matches when the
+    * store covers every previously-filed vector
+    * (StreamingEmbedDedupSpec pins the match sets equal); a candidate
+    * whose earlier-side vector is NOT yet visible in the store (store
+    * lag — the same pipeline usually feeds both) is EMITTED with
+    * cosine = null, verified = false rather than silently dropped, so
+    * the caller can quarantine/retry it once the store catches up. A
+    * store-covered candidate below the threshold is a verified
+    * non-match and is dropped — only coverage gaps defer. */
   def nearDupMatchesLean(emb: DataFrame, store: DataFrame, bands: Int,
       rowBits: Int, threshold: Double, dim: Int): DataFrame = {
     val spark = emb.sparkSession
@@ -215,17 +219,20 @@ object StreamEmbedDedup {
           out.result().iterator
         })
       .toDF("vec_id", "nn", "q", "dup_of")
-    // exact verify as a stream-static join: only candidates ever look
-    // up the store, and the math is bit-identical to the in-state form
+    // exact verify as a stream-static LEFT join: only candidates ever
+    // look up the store, the math is bit-identical to the in-state
+    // form, and a store miss (earlier-side vector not yet visible)
+    // surfaces as an unverified row instead of vanishing
     val storeQ = store
       .select(col("vec_id").as("dup_of"),
         TextOps.quantize(col("embedding")).as("pq"))
       .withColumn("pnn", TextOps.qdot(col("pq"), col("pq")))
-    cand.join(storeQ, "dup_of")
+    cand.join(storeQ, Seq("dup_of"), "left")
       .select(col("vec_id"), col("dup_of"),
         (TextOps.qdot(col("q"), col("pq")).cast("double") /
           (sqrt(col("nn").cast("double")) * sqrt(col("pnn").cast("double"))))
-          .as("cosine"))
-      .filter(col("cosine") >= threshold)
+          .as("cosine"),
+        col("pq").isNotNull.as("verified"))
+      .filter(!col("verified") || col("cosine") >= threshold)
   }
 }

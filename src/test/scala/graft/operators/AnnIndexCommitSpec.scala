@@ -123,6 +123,19 @@ class AnnIndexCommitSpec extends AnyFunSuite {
     assert(!Files.exists(tmpPath(dir)))
   }
 
+  test("torn tmp with NO committed manifest: never promoted into a corrupt manifest") {
+    // a crash mid-tmp-write on a first-ever build: partial tmp, no target
+    val dir = tmp("torn_first")
+    Files.write(tmpPath(dir), "{\"fam".getBytes)
+    intercept[java.io.IOException](AnnIndex.readManifest(spark, dir))
+    assert(!Files.exists(manifestPath(dir)),
+      "a partial tmp must not be installed as manifest.json")
+    assert(!Files.exists(tmpPath(dir)), "the torn tmp must be dropped")
+    // and a subsequent build succeeds cleanly in the same dir
+    AnnIndex.buildSq(emb, dir, dim, n)
+    assert(AnnIndex.readManifest(spark, dir).family == "sq8")
+  }
+
   test("both target and tmp unparseable: refuse loudly, never guess") {
     val dir = tmp("refuse")
     AnnIndex.buildSq(emb, dir, dim, n)

@@ -100,12 +100,55 @@ class StreamingEmbedDedupSpec extends AnyFunSuite {
     val lean = run("embdedup_lean", StreamEmbedDedup.nearDupMatchesLean(
       StreamEmbedDedup.readEmbeddings(spark, dir), store,
       bands, rowBits, threshold, dim = Tables.EmbeddingDim))
+    // full store coverage: every emitted row is a verified match
+    assert(spark.table("embdedup_lean").filter(!col("verified")).isEmpty,
+      "a fully-covering store must leave nothing unverified")
     val full = run("embdedup_full", StreamEmbedDedup.nearDupMatches(
       StreamEmbedDedup.readEmbeddings(spark, dir),
       bands, rowBits, threshold, dim = Tables.EmbeddingDim))
     assert(full.size >= 5, s"planted clones missing: ${full.size}")
     assert(lean == full,
       s"lean-only: ${(lean -- full).take(5)}; full-only: ${(full -- lean).take(5)}")
+  }
+
+  test("lean mode store lag: candidates against not-yet-visible vectors defer, not drop") {
+    val dir = Files.createTempDirectory("graft_embdedup_lag").toString
+    val emb = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding", "label")
+    val clones = emb.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"),
+        col("label"))
+    emb.coalesce(1).write.mode("append").parquet(dir)
+    clones.coalesce(1).write.mode("append").parquet(dir)
+    // the LAGGING store: originals 0 and 1 not yet visible — their
+    // clone candidates cannot verify this pass
+    val store = emb.filter(col("vec_id") >= 2).unionAll(clones)
+    val q = StreamEmbedDedup.nearDupMatchesLean(
+        StreamEmbedDedup.readEmbeddings(spark, dir), store,
+        bands, rowBits, threshold, dim = Tables.EmbeddingDim)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("embdedup_lag")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_ckpt_embdedup_lag").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.table("embdedup_lag")
+    val deferred = out.filter(!col("verified"))
+      .select("vec_id", "dup_of").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the clone pairs whose earlier side is store-invisible surface as
+    // unverified rows (cosine null) instead of silently vanishing
+    assert(Set((1000000L, 0L), (1000001L, 1L)).subsetOf(deferred),
+      s"missing deferred candidates: $deferred")
+    assert(out.filter(!col("verified")).filter(col("cosine").isNotNull).isEmpty,
+      "unverified rows must carry no cosine")
+    // covered clones still verify normally in the same pass
+    val verified = out.filter(col("verified"))
+      .select("vec_id", "dup_of").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((2L until 5L).forall(i => verified.contains((1000000L + i, i))),
+      s"covered clones must verify: $verified")
+    spark.catalog.clearCache()
   }
 
   test("streamed serving equals one batch serve (micro-batch splits invisible)") {
