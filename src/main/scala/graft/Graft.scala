@@ -349,35 +349,37 @@ object Graft {
   // ---- dedup-pipeline artifact (build once, consume many) ---------------
 
   /** Build the persistent dedup artifact under `dir`: the MinHash
-    * signature matrix, the verified Jaccard pair graph, and the
-    * connected-component table — the three tables every near-dup
-    * pipeline otherwise rebuilds inline per query
-    * ([[operators.DedupIndex]]; crash-safe commits, loaded ≡ built
-    * pinned by DedupIndexSpec). */
+    * signature matrix, its pre-computed band rows, the per-doc hashed
+    * shingle sets (the verify data — so serving never reads corpus
+    * text), the verified Jaccard pair graph, and the
+    * connected-component table — the tables every near-dup pipeline
+    * otherwise rebuilds inline per query ([[operators.DedupIndex]];
+    * crash-safe commits, loaded ≡ built pinned by DedupIndexSpec). */
   def buildDedupIndex(docs: DataFrame, dir: String,
       nHint: Long = -1L): operators.ArtifactIO.Manifest =
     operators.DedupIndex.build(docs, dir, nHint)
 
   /** Append a NEW document batch to a persisted dedup artifact — d16's
-    * bipartite increment join (O(increment + touched components), never
-    * a corpus rebuild); incremental ≡ one-shot by construction.
-    * `corpusDocs` is the already-indexed corpus, consulted only for
-    * candidate verification. `batchId` ≥ 0 = durable streaming replay
-    * guard. Returns verified new pairs appended. */
-  def appendDedupIndex(newDocs: DataFrame, corpusDocs: DataFrame,
-      dir: String, batchId: Long = -1L): Long =
-    operators.DedupIndex.append(newDocs, corpusDocs, dir, batchId)
+    * bipartite increment join (O(increment + candidates + touched
+    * components), never a corpus rebuild — candidate verification reads
+    * the artifact's stored shingle table, not the corpus text);
+    * incremental ≡ one-shot by construction. `batchId` ≥ 0 = durable
+    * streaming replay guard. Returns verified new pairs appended. */
+  def appendDedupIndex(newDocs: DataFrame, dir: String,
+      batchId: Long = -1L): Long =
+    operators.DedupIndex.append(newDocs, dir, batchId)
 
   /** Read-only near-dup probe of NEW documents against a persisted
     * dedup artifact — ingest-time "have we already got this (or nearly
-    * this)?" with no mutation: the batch's bands against the STORED
-    * signatures, exact Jaccard verify touching only candidate corpus
-    * docs; identical match set to [[crossNearDupPairs]] on the same
-    * inputs (spec-pinned). Query ids must be disjoint from the corpus. */
+    * this)?" with no mutation and no corpus-text access: the batch's
+    * bands against the STORED band table, exact Jaccard verify against
+    * the STORED shingle sets of candidate docs only (per-call cost
+    * bounded by candidates, flat in the corpus size); identical match
+    * set to [[crossNearDupPairs]] on the same inputs (spec-pinned).
+    * Query ids must be disjoint from the corpus. */
   def dedupServeNearDups(spark: SparkSession, dir: String,
-      queries: DataFrame, corpusDocs: DataFrame,
-      nHint: Long = -1L): DataFrame =
-    operators.DedupIndex.serveNearDups(queries, corpusDocs,
+      queries: DataFrame, nHint: Long = -1L): DataFrame =
+    operators.DedupIndex.serveNearDups(queries,
       operators.DedupIndex.load(spark, dir), nHint)
 
   /** q56's dedup-aware train/val/test split from the stored component

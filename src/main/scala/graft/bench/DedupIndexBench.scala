@@ -51,7 +51,13 @@ object DedupIndexBench {
     // read-only serve: 8 re-crawled docs under fresh ids
     val batch = docs.filter(col("doc_id") < 8)
       .withColumn("doc_id", col("doc_id") + 1000000000L)
-    consumer("serve8")(ix => DedupIndex.serveNearDups(batch, docs, ix, 8L))
+    consumer("serve8")(ix => DedupIndex.serveNearDups(batch, ix, 8L))
+    // append wall at a fixed 8-doc increment (text-free verify path)
+    val inc = docs.filter(col("doc_id") >= 8 && col("doc_id") < 16)
+      .withColumn("doc_id", col("doc_id") + 2000000000L)
+    val (_, appendSec) = timed(DedupIndex.append(inc, ixDir))
+    spark.catalog.clearCache()
+    parts += s""""append8_sec":${f(appendSec)}"""
     // contrast: the inline q56 gate re-pays signatures + pairs + d7
     val (_, inlineSec) = timed {
       graft.SparkEntry.queries("q56_dedup_split")(spark, dir)

@@ -5,72 +5,102 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 import graft.queries.DedupQueries
 
-/** Dedup-pipeline-as-artifact (r9 verdict #3): persist the three tables
-  * every near-dup pipeline rebuilds inline per query — the MinHash
-  * signature matrix, the verified Jaccard pair graph, and the connected
-  * component table — as one loadable artifact, with incremental append
-  * via d16's bipartite increment join. The [[AnnIndex]] precedent
-  * applied to the dedup family: q56's wall IS the d7 component build,
-  * and with the artifact every downstream consumer (dedup-aware splits,
-  * cluster canonicalization, centrality, communities) becomes a cheap
-  * join against a table that already exists.
+/** Dedup-pipeline-as-artifact (r9 verdict #3): persist the tables every
+  * near-dup pipeline rebuilds inline per query — the MinHash signature
+  * matrix, its pre-computed band rows, the per-doc hashed shingle sets
+  * the exact verify needs, the verified Jaccard pair graph, and the
+  * connected component table — as one loadable artifact, with
+  * incremental append via d16's bipartite increment join. The
+  * [[AnnIndex]] precedent applied to the dedup family: q56's wall IS
+  * the d7 component build, and with the artifact every downstream
+  * consumer (dedup-aware splits, cluster canonicalization, centrality,
+  * communities) becomes a cheap join against a table that already
+  * exists.
   *
   * Layout under `dir` (any Hadoop-visible filesystem):
   *   manifest.json                     family=dedup, n, commit points
   *   signatures.parquet/delta-NNNNN    (doc_id, sig: array<long>)
+  *   bands.parquet/delta-NNNNN         (doc_id, band_idx, band_val)
+  *   shingles.parquet/delta-NNNNN      (doc_id, hs: array<long>)
   *   pairs.parquet/delta-NNNNN         (doc_a, doc_b, inter, uni, jaccard)
   *   components.parquet/v-NNNNN        (id, component)
   *
-  * Signatures and pairs are APPEND-ONLY (numbered deltas); the component
-  * table is VERSIONED because new edges can merge existing components —
-  * each append publishes a full new version, recomputing only the
-  * components the increment touches. All three commit through the
-  * manifest ([[ArtifactIO]] — the compactor's snapshot protocol): a
-  * reader never sees a delta/version the manifest doesn't describe, and
-  * a crashed append leaves only orphan dirs the retry overwrites
-  * (DedupIndexSpec pins reader-isolation and second-run convergence).
+  * The band table is [[DedupQueries.sigBandRows]]'s output persisted
+  * once per delta (r10 verdict #4): probe joins read it instead of
+  * re-deriving bands from every stored signature on every call. The
+  * shingle table is the d11 verify-set representation — DISTINCT 60-bit
+  * md5 shingle hashes, ~100× smaller than the text — persisted so the
+  * exact-verify half of [[serveNearDups]]/[[append]] never streams the
+  * corpus text (r10 verdict #1): a probe's per-call cost is bounded by
+  * its candidates, not by the corpus.
   *
-  * Every stored frame is exact int64 (signatures, ids, counts) plus the
-  * one IEEE-divide jaccard double — a parquet round-trip is lossless, so
-  * loaded ≡ built is a checkable identity for every consumer.
+  * Signatures/bands/shingles advance in lockstep (one `sig_deltas`
+  * commit point); pairs are append-only deltas; the component table is
+  * VERSIONED because new edges can merge existing components — each
+  * append publishes a full new version, recomputing only the components
+  * the increment touches. All writes commit through the manifest
+  * ([[ArtifactIO]] — the compactor's snapshot protocol): a reader never
+  * sees a delta/version the manifest doesn't describe, and a crashed
+  * append leaves only orphan dirs the retry overwrites (DedupIndexSpec
+  * pins reader-isolation and second-run convergence).
+  *
+  * Every stored frame is exact int64 (signatures, hashes, ids, counts)
+  * plus the one IEEE-divide jaccard double — a parquet round-trip is
+  * lossless, so loaded ≡ built is a checkable identity for every
+  * consumer.
   */
 object DedupIndex {
   import ArtifactIO.Manifest
 
   final case class LoadedDedup(manifest: Manifest, signatures: DataFrame,
-      pairs: DataFrame, components: DataFrame)
+      bands: DataFrame, shingleSets: DataFrame, pairs: DataFrame,
+      components: DataFrame)
 
   private def sigPath(dir: String, i: Long): String =
     f"$dir/signatures.parquet/delta-$i%05d"
+  private def bandPath(dir: String, i: Long): String =
+    f"$dir/bands.parquet/delta-$i%05d"
+  private def shinglePath(dir: String, i: Long): String =
+    f"$dir/shingles.parquet/delta-$i%05d"
   private def pairPath(dir: String, i: Long): String =
     f"$dir/pairs.parquet/delta-$i%05d"
   private def compPath(dir: String, i: Long): String =
     f"$dir/components.parquet/v-$i%05d"
 
-  /** Build + persist the artifact: ONE shingle scan of the corpus feeds
-    * the signature write and the pair verification; components build
-    * from the just-written pair table (a lineage cut — the pointer
-    * jumping rounds replay parquet, not the LSH pipeline). */
+  /** Build + persist the artifact. ONE shingle+md5 pass over the corpus
+    * (the pinned hashed-shingle table) feeds the shingle-set write, the
+    * signature derivation, the band write AND the pair verification;
+    * components build from the just-written pair table (a lineage cut —
+    * the pointer-jumping rounds replay parquet, not the LSH pipeline). */
   def build(docs: DataFrame, dir: String, nHint: Long = -1L): Manifest = {
     val spark = docs.sparkSession
     val n = if (nHint > 0) nHint else docs.count()
-    val sigArr = DedupQueries.minhashSigArr(docs)
+    val hsT = DedupQueries.hashedShingleSets(docs)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    sigArr.count() // sig write + band join + sig rejoins all read it
+    hsT.count() // shingle write + sig derivation + verify rejoins read it
     try {
-      sigArr.write.mode("overwrite").parquet(sigPath(dir, 0L))
-      val pairs = DedupQueries.jaccardVerify(
-        DedupQueries.lshFromSigArr(sigArr, n)
-          .select(col("doc_a"), col("doc_b")), docs, n)
-      pairs.write.mode("overwrite").parquet(pairPath(dir, 0L))
-      val comp = Components.connectedComponents(
-        spark.read.parquet(pairPath(dir, 0L))
-          .select(col("doc_a"), col("doc_b")))
-      try comp.write.mode("overwrite").parquet(compPath(dir, 0L))
-      finally comp.unpersist()
-    } finally sigArr.unpersist()
+      hsT.write.mode("overwrite").parquet(shinglePath(dir, 0L))
+      val sigArr = DedupQueries.minhashSigArrFromHashes(hsT)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      sigArr.count() // sig write + band write + band join + sig rejoins
+      try {
+        sigArr.write.mode("overwrite").parquet(sigPath(dir, 0L))
+        DedupQueries.sigBandRows(sigArr).drop("sig")
+          .write.mode("overwrite").parquet(bandPath(dir, 0L))
+        val pairs = DedupQueries.jaccardVerifyHashed(
+          DedupQueries.lshFromSigArr(sigArr, n)
+            .select(col("doc_a"), col("doc_b")), hsT, n)
+        pairs.write.mode("overwrite").parquet(pairPath(dir, 0L))
+        val comp = Components.connectedComponents(
+          spark.read.parquet(pairPath(dir, 0L))
+            .select(col("doc_a"), col("doc_b")))
+        try comp.write.mode("overwrite").parquet(compPath(dir, 0L))
+        finally comp.unpersist()
+      } finally sigArr.unpersist()
+    } finally hsT.unpersist()
     val mf = Manifest("dedup", 0, n, Map(
-      "sig_deltas" -> 1L, "pair_deltas" -> 1L, "comp_versions" -> 1L))
+      "sig_deltas" -> 1L, "pair_deltas" -> 1L, "comp_versions" -> 1L,
+      "verify_tables" -> 1L))
     ArtifactIO.writeManifest(spark, dir, mf)
     mf
   }
@@ -79,100 +109,123 @@ object DedupIndex {
     val m = ArtifactIO.readManifest(spark, dir)
     require(m.family == "dedup",
       s"index at hand is family '${m.family}', expected 'dedup'")
+    require(m.params.contains("verify_tables"),
+      "this dedup artifact predates the stored band/shingle tables - " +
+        "rebuild it (text-free serving needs the persisted verify data)")
+    val sd = m.params("sig_deltas")
     LoadedDedup(m,
-      spark.read.parquet(
-        (0L until m.params("sig_deltas")).map(sigPath(dir, _)): _*),
+      spark.read.parquet((0L until sd).map(sigPath(dir, _)): _*),
+      spark.read.parquet((0L until sd).map(bandPath(dir, _)): _*),
+      spark.read.parquet((0L until sd).map(shinglePath(dir, _)): _*),
       spark.read.parquet(
         (0L until m.params("pair_deltas")).map(pairPath(dir, _)): _*),
       spark.read.parquet(compPath(dir, m.params("comp_versions") - 1)))
   }
 
   /** Append a NEW document batch — d16's bipartite increment shape, so
-    * the work is O(increment + touched), never a corpus rebuild:
+    * the work is O(increment + candidates + touched components), never
+    * a corpus rebuild, and the corpus TEXT is never read at all:
     *
-    *  1. signatures: one shingle scan of the increment only
-    *  2. candidates: increment bands × STORED corpus bands (broadcast
-    *     the increment side under the size bound) + increment-internal
-    *     LSH — the corpus text is touched only for the candidate docs
-    *     (a semi join), oriented (min, max) so incremental ≡ one-shot
-    *  3. components: only the components the new pairs touch are
+    *  1. shingle sets + signatures + bands: one shingle pass of the
+    *     increment only
+    *  2. candidates: increment bands × the STORED band table (broadcast
+    *     the increment side under the size bound; bands are read as
+    *     written, never re-derived from signatures) + increment-internal
+    *     LSH — oriented (min, max) so incremental ≡ one-shot
+    *  3. verify: exact Jaccard over the increment's hashed shingle sets
+    *     plus the STORED sets of candidate docs (one semi join on the
+    *     shingle table — ~100× smaller than the text it replaces)
+    *  4. components: only the components the new pairs touch are
     *     re-solved (their star edges + the new pairs through the same
     *     pointer-jumping loop); untouched components keep their rows
     *
-    * CRASH-SAFE like [[AnnIndex.appendIvfPq]]: all three writes go to
+    * CRASH-SAFE like [[AnnIndex.appendIvfPq]]: all writes go to
     * uncommitted delta/version slots, the atomic manifest commit is the
     * publish point, orphans are healed up front and the retry
     * overwrites them. `batchId` ≥ 0 is the durable streaming replay
     * guard (an applied batch is a no-op).
     *
-    * Caller contract: increment doc_ids are disjoint from the corpus;
-    * `corpusDocs` is the already-indexed corpus (consulted only for
-    * candidate verification).
+    * Caller contract: increment doc_ids are disjoint from the corpus.
     *
     * @return verified new pairs appended (cross + within-increment) */
-  def append(newDocs: DataFrame, corpusDocs: DataFrame, dir: String,
-      batchId: Long = -1L): Long = {
+  def append(newDocs: DataFrame, dir: String, batchId: Long = -1L): Long = {
     val spark = newDocs.sparkSession
     val mf = ArtifactIO.readManifest(spark, dir)
     require(mf.family == "dedup",
       s"index at hand is family '${mf.family}', expected 'dedup'")
+    require(mf.params.contains("verify_tables"),
+      "this dedup artifact predates the stored band/shingle tables - " +
+        "rebuild it (text-free appends need the persisted verify data)")
     if (batchId >= 0 && mf.params.get("last_batch").exists(_ >= batchId))
       return 0L // replayed micro-batch: already applied and committed
     val (sd, pd, cv) = (mf.params("sig_deltas"), mf.params("pair_deltas"),
       mf.params("comp_versions"))
     ArtifactIO.healOrphans(spark, s"$dir/signatures.parquet", "delta-", sd)
+    ArtifactIO.healOrphans(spark, s"$dir/bands.parquet", "delta-", sd)
+    ArtifactIO.healOrphans(spark, s"$dir/shingles.parquet", "delta-", sd)
     ArtifactIO.healOrphans(spark, s"$dir/pairs.parquet", "delta-", pd)
     ArtifactIO.healOrphans(spark, s"$dir/components.parquet", "v-", cv)
     val ni = newDocs.count()
-    val incSig = DedupQueries.minhashSigArr(newDocs)
+    val incHs = DedupQueries.hashedShingleSets(newDocs)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    incSig.count() // sig write + both candidate legs read it
+    incHs.count() // shingle write + sig derivation + verify read it
     try {
-      incSig.write.mode("overwrite").parquet(sigPath(dir, sd))
-      val corpusSigs = spark.read.parquet(
-        (0L until sd).map(sigPath(dir, _)): _*)
-      val incBands = DedupQueries.sigBandRows(incSig).drop("sig")
-      val corpusBands = DedupQueries.sigBandRows(corpusSigs).drop("sig")
-      val crossCand = DedupQueries
-        .sizedHint(incBands, ni * DedupQueries.Bands, 128).as("a")
-        .join(corpusBands.as("b"),
-          col("a.band_idx") === col("b.band_idx") &&
-            col("a.band_val") === col("b.band_val"))
-        .select(col("a.doc_id").as("inc_id"), col("b.doc_id").as("corpus_id"))
-        .distinct()
+      incHs.write.mode("overwrite").parquet(shinglePath(dir, sd))
+      val incSig = DedupQueries.minhashSigArrFromHashes(incHs)
         .persist(StorageLevel.MEMORY_AND_DISK)
-      crossCand.count() // candidate-id pull + verify join both read it
+      incSig.count() // sig write + band write + both candidate legs
       try {
-        val candIds = crossCand.select(col("corpus_id").as("doc_id")).distinct()
-        val nCand = candIds.count()
-        // only candidate corpus docs are ever shingled — O(candidates)
-        val corpusCandDocs = corpusDocs.join(candIds, Seq("doc_id"), "left_semi")
-        val cross = crossCand.select(
-          least(col("inc_id"), col("corpus_id")).as("doc_a"),
-          greatest(col("inc_id"), col("corpus_id")).as("doc_b"))
-        val within = DedupQueries.lshFromSigArr(incSig, ni)
-          .select(col("doc_a"), col("doc_b"))
-        val newPairs = DedupQueries.jaccardVerify(cross.unionAll(within),
-          newDocs.unionByName(corpusCandDocs), ni + nCand)
-        newPairs.write.mode("overwrite").parquet(pairPath(dir, pd))
-        val written = spark.read.parquet(pairPath(dir, pd))
-        val nNew = written.count()
-        val compParam = if (nNew > 0) {
-          val oldComp = spark.read.parquet(compPath(dir, cv - 1))
-          val (merged, sub) = mergeComponents(oldComp,
-            written.select(col("doc_a"), col("doc_b")))
-          try merged.write.mode("overwrite").parquet(compPath(dir, cv))
-          finally sub.unpersist()
-          Map("comp_versions" -> (cv + 1))
-        } else Map.empty[String, Long] // no new edges: components stand
-        val batchParam =
-          if (batchId >= 0) Map("last_batch" -> batchId) else Map.empty
-        ArtifactIO.writeManifest(spark, dir, mf.copy(n = mf.n + ni,
-          params = mf.params + ("sig_deltas" -> (sd + 1)) +
-            ("pair_deltas" -> (pd + 1)) ++ compParam ++ batchParam))
-        nNew
-      } finally crossCand.unpersist()
-    } finally incSig.unpersist()
+        incSig.write.mode("overwrite").parquet(sigPath(dir, sd))
+        val incBands = DedupQueries.sigBandRows(incSig).drop("sig")
+        incBands.write.mode("overwrite").parquet(bandPath(dir, sd))
+        // the stored band table as written — never re-derived (r10 #4)
+        val corpusBands = spark.read.parquet(
+          (0L until sd).map(bandPath(dir, _)): _*)
+        val crossCand = DedupQueries
+          .sizedHint(incBands, ni * DedupQueries.Bands, 128).as("a")
+          .join(corpusBands.as("b"),
+            col("a.band_idx") === col("b.band_idx") &&
+              col("a.band_val") === col("b.band_val"))
+          .select(col("a.doc_id").as("inc_id"), col("b.doc_id").as("corpus_id"))
+          .distinct()
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        crossCand.count() // candidate-id pull + verify join both read it
+        try {
+          val candIds = crossCand.select(col("corpus_id").as("doc_id")).distinct()
+          val nCand = candIds.count()
+          // verify data for candidates comes from the STORED shingle
+          // table — the corpus text is never touched
+          val corpusCandHs = spark.read.parquet(
+              (0L until sd).map(shinglePath(dir, _)): _*)
+            .join(candIds, Seq("doc_id"), "left_semi")
+          val cross = crossCand.select(
+            least(col("inc_id"), col("corpus_id")).as("doc_a"),
+            greatest(col("inc_id"), col("corpus_id")).as("doc_b"))
+          val within = DedupQueries.lshFromSigArr(incSig, ni)
+            .select(col("doc_a"), col("doc_b"))
+          val newPairs = DedupQueries.jaccardVerifyHashed(
+            cross.unionAll(within), incHs.unionByName(corpusCandHs),
+            ni + nCand)
+          newPairs.write.mode("overwrite").parquet(pairPath(dir, pd))
+          val written = spark.read.parquet(pairPath(dir, pd))
+          val nNew = written.count()
+          val compParam = if (nNew > 0) {
+            val oldComp = spark.read.parquet(compPath(dir, cv - 1))
+            val (merged, sub) = mergeComponents(oldComp,
+              written.select(col("doc_a"), col("doc_b")))
+            try merged.write.mode("overwrite").parquet(compPath(dir, cv))
+            finally sub.unpersist()
+            Map("comp_versions" -> (cv + 1))
+          } else Map.empty[String, Long] // no new edges: components stand
+          val batchParam =
+            if (batchId >= 0) Map("last_batch" -> batchId) else Map.empty
+          ArtifactIO.writeManifest(spark, dir, mf.copy(n = mf.n + ni,
+            params = mf.params + ("sig_deltas" -> (sd + 1)) +
+              ("pair_deltas" -> (pd + 1)) ++ compParam ++ batchParam))
+          nNew
+        } finally crossCand.unpersist()
+      } finally incSig.unpersist()
+    } finally incHs.unpersist()
   }
 
   /** Incremental connected components: new edges can only change the
@@ -203,27 +256,28 @@ object DedupIndex {
   /** Query a batch of NEW documents against the stored corpus WITHOUT
     * mutating the artifact — ingest-time "have we already got this (or
     * nearly this)?" as a read-only call: [[append]]'s bipartite
-    * candidate + verify halves with no writes. Candidates come from the
-    * batch's bands against the STORED signature table (the corpus text
-    * is shingled only for candidate docs, via a semi join); the match
-    * set is identical to the d16 cross-dedup operator on the same
-    * inputs (DedupIndexSpec pins it) — the artifact just removes the
-    * corpus-side signature scan from every call. Caller contract:
-    * query doc_ids are disjoint from the corpus.
+    * candidate + verify halves with no writes, and no corpus text
+    * anywhere. Candidates come from the batch's bands against the
+    * STORED band table; the exact verify reads the STORED hashed
+    * shingle sets of candidate docs only (one semi join on the shingle
+    * table — per-call cost bounded by the candidates, flat in the
+    * corpus size). The match set is identical to the d16 cross-dedup
+    * operator on the same inputs (DedupIndexSpec pins it). Caller
+    * contract: query doc_ids are disjoint from the corpus.
     *
     * @return (inc_id, corpus_id, inter, uni, jaccard) at J ≥ 0.5 */
-  def serveNearDups(queries: DataFrame, corpusDocs: DataFrame,
-      ix: LoadedDedup, nHint: Long = -1L): DataFrame = {
+  def serveNearDups(queries: DataFrame, ix: LoadedDedup,
+      nHint: Long = -1L): DataFrame = {
     val ni = if (nHint > 0) nHint else queries.count()
-    val qSig = DedupQueries.minhashSigArr(queries)
+    val qHs = DedupQueries.hashedShingleSets(queries)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    qSig.count() // band leg + (via cand) verify leg read it
+    qHs.count() // sig derivation + verify leg read it
     try {
-      val qBands = DedupQueries.sigBandRows(qSig).drop("sig")
-      val corpusBands = DedupQueries.sigBandRows(ix.signatures).drop("sig")
+      val qBands = DedupQueries.sigBandRows(
+        DedupQueries.minhashSigArrFromHashes(qHs)).drop("sig")
       val cand = DedupQueries
         .sizedHint(qBands, ni * DedupQueries.Bands, 128).as("a")
-        .join(corpusBands.as("b"),
+        .join(ix.bands.as("b"),
           col("a.band_idx") === col("b.band_idx") &&
             col("a.band_val") === col("b.band_val"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -233,16 +287,17 @@ object DedupIndex {
       try {
         val candIds = cand.select(col("doc_b").as("doc_id")).distinct()
         val nCand = candIds.count()
-        val corpusCandDocs = corpusDocs.join(candIds, Seq("doc_id"), "left_semi")
-        DedupQueries.jaccardVerify(cand,
-            queries.unionByName(corpusCandDocs), ni + nCand)
+        val corpusCandHs = ix.shingleSets
+          .join(candIds, Seq("doc_id"), "left_semi")
+        DedupQueries.jaccardVerifyHashed(cand,
+            qHs.unionByName(corpusCandHs), ni + nCand)
           .select(col("doc_a").as("inc_id"), col("doc_b").as("corpus_id"),
             col("inter"), col("uni"), col("jaccard"))
           // localCheckpoint: the result must outlive the candidate/sig
           // pins released below (read-only call, nothing stays cached)
           .localCheckpoint(true)
       } finally cand.unpersist()
-    } finally qSig.unpersist()
+    } finally qHs.unpersist()
   }
 
   // ---- consumers of the loaded artifact --------------------------------

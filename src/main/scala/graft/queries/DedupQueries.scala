@@ -253,6 +253,58 @@ object DedupQueries {
       .filter(col("jaccard") >= 0.5)
       .select("doc_a", "doc_b", "inter", "uni", "jaccard")
   }
+
+  /** (doc_id, hs: array<long>) — each doc's shingle set as DISTINCT
+    * 60-bit md5 hashes, d11's verify-set representation
+    * ([[containmentCandidates]]): ~8 B per shingle instead of ~25-byte
+    * strings, so a verify that reads it shuffles ~100× less than one
+    * that re-shingles corpus text. [[graft.operators.DedupIndex]]
+    * persists exactly this frame so its serve/append verifies never
+    * touch the text table. Same exclusion as [[minhashSigs]] (docs too
+    * short to shingle). */
+  private[graft] def hashedShingleSets(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        array_distinct(transform(TextOps.shingles(col("text")),
+          g => XHash.hash60(g))).as("hs"))
+      .filter(size(col("hs")) > 0)
+
+  /** [[minhashSigArr]] computed FROM a hashed shingle-set table instead
+    * of raw text — `min((h60 % P)·a + b) % P` over the same distinct
+    * multiset, so values are identical to the text path (min over
+    * distinct hashes = min over the shingle multiset). Lets
+    * [[graft.operators.DedupIndex]] derive signatures and verify sets
+    * from ONE shingle+md5 pass over the corpus. */
+  private[graft] def minhashSigArrFromHashes(hsT: DataFrame): DataFrame = {
+    val hashed = hsT.select(col("doc_id"), explode(col("hs")).as("h60"))
+      .select(col("doc_id"), (col("h60") % XHash.P).as("h"))
+    val aggs = XHash.coeffs(K).zipWithIndex.map { case ((a, b), i) =>
+      min((col("h") * a + b) % XHash.P).as(s"s$i")
+    }
+    hashed.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"),
+        array((0 until K).map(i => col(s"s$i")): _*).as("sig"))
+  }
+
+  /** [[jaccardVerify]] over hashed shingle sets: `hsAll` is a
+    * (doc_id, hs) table covering every doc either side of `cand`
+    * references. Same J ≥ 0.5 gate; inter/uni count distinct 60-bit
+    * hashes (identical to the string counts absent a 60-bit collision
+    * inside one pair — the d11 representation contract). The ~4 KB/row
+    * pessimistic width drives the broadcast ladder exactly as d11's
+    * verify does. */
+  private[graft] def jaccardVerifyHashed(cand: DataFrame, hsAll: DataFrame,
+      n: Long): DataFrame =
+    cand
+      .join(sizedHint(hsAll.select(col("doc_id").as("doc_a"),
+        col("hs").as("hs_a")), n, 4096), "doc_a")
+      .join(sizedHint(hsAll.select(col("doc_id").as("doc_b"),
+        col("hs").as("hs_b")), n, 4096), "doc_b")
+      .withColumn("inter", size(array_intersect(col("hs_a"), col("hs_b"))).cast("bigint"))
+      .withColumn("uni",
+        (size(col("hs_a")) + size(col("hs_b"))).cast("bigint") - col("inter"))
+      .withColumn("jaccard", col("inter").cast("double") / col("uni").cast("double"))
+      .filter(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b", "inter", "uni", "jaccard")
   private def jaccardPairsSql =
     s"""WITH sig AS ($minhashSigsSql),
        |bands AS (

@@ -9,27 +9,29 @@ import graft.operators.DedupIndex
   * (ANN index) and [[StreamEmbedDedup.serveSink]] (retrieval): each
   * micro-batch of (doc_id, text) rows is APPENDED to the
   * [[graft.operators.DedupIndex]] artifact (d16's bipartite increment —
-  * signatures, verified pairs vs the corpus so far, touched-component
-  * re-solve) and then PUBLISHED to the corpus directory the next batch
-  * verifies against.
+  * shingle sets, signatures, bands, verified pairs vs the stored
+  * verify tables, touched-component re-solve) and then PUBLISHED to the
+  * corpus directory. The append verifies against the artifact's OWN
+  * stored shingle table (r10 verdict #1) — the published text corpus is
+  * for downstream consumers (splits, canonicalization, training reads),
+  * not for verification, so a batch's cost never scales with it.
   *
   * Exactly-once under crash/restart replays, end to end:
   *  - the index append commits through the artifact's manifest with the
   *    batchId high-water mark — a replayed batch is a durable no-op;
   *  - the corpus publish is a per-batch overwrite dir
   *    (`corpusDir/batch-<id>`), so the replay rewrites identical bytes;
-  *  - ORDER matters: the index commits FIRST — a crash between the two
-  *    replays the batch, which no-ops on the index and completes the
-  *    missing publish, converging to the no-crash state. (Publishing
-  *    first would let the next batch verify against docs the index
-  *    never ingested.)
+  *  - ORDER: the index commits FIRST — a crash between the two replays
+  *    the batch, which no-ops on the index and completes the missing
+  *    publish, converging to the no-crash state (the corpus never
+  *    describes docs the index hasn't ingested).
   *
-  * Contract: `corpusDir` is SEEDED with the already-indexed corpus
-  * (e.g. `batch-seed/`) before the sink starts — the artifact and the
-  * corpus directory must describe the same document set; batch doc_ids
-  * are disjoint from everything ingested before (the append contract).
-  * StreamDedupIngestSpec pins streamed-in-chunks ≡ one-shot build on
-  * the union corpus for signatures, pairs AND components.
+  * Contract: `corpusDir` starts seeded with the already-indexed corpus
+  * (e.g. `batch-seed/`) so artifact and corpus directory describe the
+  * same document set; batch doc_ids are disjoint from everything
+  * ingested before (the append contract). StreamDedupIngestSpec pins
+  * streamed-in-chunks ≡ one-shot build on the union corpus for
+  * signatures, pairs AND components.
   */
 object StreamDedupIngest {
 
@@ -52,14 +54,9 @@ object StreamDedupIngest {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (!batch.isEmpty) {
-          val spark = batch.sparkSession
-          // the corpus so far = every published batch dir (incl. the
-          // seed); on a replay the crashed batch was never published,
-          // so the increment verifies against the same corpus as the
-          // original attempt
-          val corpus = spark.read.parquet(s"$corpusDir/batch-*")
-            .select("doc_id", "text")
-          DedupIndex.append(batch.toDF(), corpus, indexDir, batchId)
+          // verify runs against the artifact's own stored shingle
+          // table — the published text corpus is never read here
+          DedupIndex.append(batch.toDF(), indexDir, batchId)
           batch.toDF().write.mode("overwrite")
             .parquet(s"$corpusDir/batch-$batchId")
         }

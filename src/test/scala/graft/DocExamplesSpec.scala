@@ -107,8 +107,8 @@ class DocExamplesSpec extends AnyFunSuite {
     // then append them — d16's bipartite increment, crash-safe commits
     val newDocs = docs.filter(col("doc_id") < 8)
       .withColumn("doc_id", col("doc_id") + 1000000000L)
-    val seen = Graft.dedupServeNearDups(spark, dxDir, newDocs, docs)
-    Graft.appendDedupIndex(newDocs, docs, dxDir)
+    val seen = Graft.dedupServeNearDups(spark, dxDir, newDocs)
+    Graft.appendDedupIndex(newDocs, dxDir)
 
     assert(split.count() == 3 && best.count() > 0)
     assert(ranks.count() > 0 && comms.count() > 0)

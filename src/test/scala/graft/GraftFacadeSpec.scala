@@ -471,8 +471,7 @@ class GraftFacadeSpec extends AnyFunSuite {
     Graft.dedupServeNearDups(spark, dxDir,
       docs.filter(org.apache.spark.sql.functions.col("doc_id") < 4)
         .withColumn("doc_id",
-          org.apache.spark.sql.functions.col("doc_id") + 7000000L),
-      docs).count()
+          org.apache.spark.sql.functions.col("doc_id") + 7000000L)).count()
     Graft.hybridSearch(docs, emb, nQueries = 4).count()
     Graft.mmrRerank(emb, nQueries = 4).count()
     assert(spark.sharedState.cacheManager.isEmpty,

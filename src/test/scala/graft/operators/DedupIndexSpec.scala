@@ -47,6 +47,16 @@ class DedupIndexSpec extends AnyFunSuite {
       .select(col("doc_id"), concat_ws(",", col("sig")).as("s")))
     assert(rows(ix.signatures
       .select(col("doc_id"), concat_ws(",", col("sig")).as("s"))) == inlineSigs)
+    // stored band rows == the band derivation the probe joins would
+    // otherwise recompute per call
+    assert(rows(ix.bands) == rows(DedupQueries
+      .sigBandRows(DedupQueries.minhashSigArr(docs)).drop("sig")
+      .select(col("doc_id"), col("band_idx"), col("band_val"))))
+    // stored shingle sets == the d11 hashed verify-set representation
+    assert(rows(ix.shingleSets
+        .select(col("doc_id"), concat_ws(",", col("hs")).as("h")))
+      == rows(DedupQueries.hashedShingleSets(docs)
+        .select(col("doc_id"), concat_ws(",", col("hs")).as("h"))))
     val inlinePairs = rows(DedupQueries.jaccardPairs(docs, n))
     spark.catalog.clearCache()
     assert(rows(ix.pairs).nonEmpty && rows(ix.pairs) == inlinePairs)
@@ -77,7 +87,7 @@ class DedupIndexSpec extends AnyFunSuite {
     val corpus = docs.filter(col("doc_id") % 10 =!= 0)
     val dirInc = tmp("inc")
     DedupIndex.build(corpus, dirInc, -1L)
-    val nNew = DedupIndex.append(inc, corpus, dirInc)
+    val nNew = DedupIndex.append(inc, dirInc)
     assert(nNew > 0, "the fixture has cross-cut near-dups")
     val a = DedupIndex.load(spark, dirInc)
     val dirOne = tmp("oneshot")
@@ -88,6 +98,13 @@ class DedupIndexSpec extends AnyFunSuite {
         concat_ws(",", col("sig")).as("s")))
       == rows(b.signatures.select(col("doc_id"),
         concat_ws(",", col("sig")).as("s"))))
+    assert(rows(a.bands) == rows(b.bands),
+      "incremental band table must equal the one-shot build")
+    assert(rows(a.shingleSets.select(col("doc_id"),
+        concat_ws(",", col("hs")).as("h")))
+      == rows(b.shingleSets.select(col("doc_id"),
+        concat_ws(",", col("hs")).as("h"))),
+      "incremental shingle-set table must equal the one-shot build")
     assert(rows(a.pairs) == rows(b.pairs),
       "incremental pair set must equal the one-shot build")
     assert(rows(a.components) == rows(b.components),
@@ -102,7 +119,7 @@ class DedupIndexSpec extends AnyFunSuite {
     DedupIndex.build(corpus, dir, -1L)
     val before = Files.readAllBytes(Paths.get(dir, "manifest.json")).toSeq
     val ix = DedupIndex.load(spark, dir)
-    val served = rows(DedupIndex.serveNearDups(inc, corpus, ix))
+    val served = rows(DedupIndex.serveNearDups(inc, ix))
     val d16 = rows(DedupQueries.crossNearDups(inc, corpus))
     assert(served.nonEmpty && served == d16,
       "serve must equal the oracle-gated d16 operator on the same inputs")
@@ -120,7 +137,7 @@ class DedupIndexSpec extends AnyFunSuite {
     val basePairs = rows(DedupIndex.load(spark, dir).pairs)
     // full append, then revert the manifest — the on-disk state of a
     // crash after every staged write and before the commit
-    DedupIndex.append(inc, corpus, dir)
+    DedupIndex.append(inc, dir)
     Files.write(Paths.get(dir, "manifest.json"), preAppend)
     Files.deleteIfExists(Paths.get(dir, ".manifest.json.crc"))
     val crashed = DedupIndex.load(spark, dir)
@@ -128,7 +145,7 @@ class DedupIndexSpec extends AnyFunSuite {
       "a reader must never see uncommitted deltas")
     assert(crashed.manifest.params("comp_versions") == 1L)
     // retry converges to the exact no-crash state
-    DedupIndex.append(inc, corpus, dir)
+    DedupIndex.append(inc, dir)
     val healed = DedupIndex.load(spark, dir)
     val dirOne = tmp("crash_ctl")
     DedupIndex.build(docs, dirOne, n)
@@ -143,10 +160,10 @@ class DedupIndexSpec extends AnyFunSuite {
     val corpus = docs.filter(col("doc_id") % 10 =!= 0)
     val dir = tmp("replay")
     DedupIndex.build(corpus, dir, -1L)
-    assert(DedupIndex.append(inc, corpus, dir, batchId = 0L) > 0)
+    assert(DedupIndex.append(inc, dir, batchId = 0L) > 0)
     val once = rows(DedupIndex.load(spark, dir).pairs)
     val nOnce = DedupIndex.load(spark, dir).manifest.n
-    assert(DedupIndex.append(inc, corpus, dir, batchId = 0L) == 0L)
+    assert(DedupIndex.append(inc, dir, batchId = 0L) == 0L)
     val after = DedupIndex.load(spark, dir)
     assert(rows(after.pairs) == once && after.manifest.n == nOnce,
       "replayed batch must not duplicate pairs or over-count n")

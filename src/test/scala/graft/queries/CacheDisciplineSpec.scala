@@ -124,30 +124,41 @@ class CacheDisciplineSpec extends AnyFunSuite {
     val dir = java.nio.file.Files
       .createTempDirectory("cds_dedupix").toString
     // consuming the LOADED artifact reads parquet, never the input:
-    // budget 0 — and the build itself must stay bounded (the pinned
-    // signature table feeds the sig write + band join + rejoins; only
-    // the jaccard verify's two by-design shingle re-scans and the
-    // doc-length rejoin touch the input again)
+    // budget 0 — and the build itself must stay bounded (ONE
+    // shingle+md5 pass pins the hashed shingle table; signatures,
+    // bands, candidates and the verify all read caches/parquet)
     val builds = boundedReplay("dedup_build", docs)(in => {
       graft.operators.DedupIndex.build(in, dir, nDocs)
       graft.operators.DedupIndex.load(spark, dir).pairs
     })
-    assert(builds <= 4.0,
-      s"DedupIndex.build scanned the input $builds times; the signature " +
-        "pipeline must run once plus the declared verify re-scans")
+    assert(builds <= 1.0,
+      s"DedupIndex.build scanned the input $builds times; the hashed " +
+        "shingle pass must be the only corpus read")
   }
 
-  test("DedupIndex.serveNearDups: result self-contained, no corpus replay on consume") {
+  test("DedupIndex.serveNearDups: corpus never read — candidates verify from stored tables") {
     val dir = java.nio.file.Files
       .createTempDirectory("cds_dedupserve").toString
     graft.operators.DedupIndex.build(docs, dir, nDocs)
-    val ix = graft.operators.DedupIndex.load(spark, dir)
     import org.apache.spark.sql.functions._
-    val batch = docs.filter(col("doc_id") < 8)
+    // instrument the CORPUS: a text-free serve must evaluate it zero
+    // times at build AND consume — everything comes from the artifact
+    spark.catalog.clearCache()
+    val (in, acc, _) = {
+      val acc0 = spark.sparkContext.longAccumulator("corpus-evals")
+      val rdd = docs.rdd.mapPartitions { it => acc0.add(1); it }
+      (spark.createDataFrame(rdd, docs.schema), acc0, ())
+    }
+    val batch = in.filter(col("doc_id") < 8)
       .withColumn("doc_id", col("doc_id") + 1000000000L)
-    // the served frame is localCheckpoint'ed: consuming it must not
-    // touch the corpus again (budget 0)
-    boundedReplay("dedup_serve", docs)(in =>
-      graft.operators.DedupIndex.serveNearDups(batch, in, ix, 8L))
+      .localCheckpoint(true) // the query batch is the caller's, not the corpus
+    acc.reset()
+    val ix = graft.operators.DedupIndex.load(spark, dir)
+    val served = graft.operators.DedupIndex.serveNearDups(batch, ix, 8L)
+    served.count()
+    assert(acc.value == 0L,
+      s"serveNearDups evaluated the corpus ${acc.value} times; the " +
+        "stored band/shingle tables must carry the whole probe")
+    spark.catalog.clearCache()
   }
 }
