@@ -290,6 +290,19 @@ object Graft {
           "quantizer/layout from corpus statistics - rebuild instead")
     }
 
+  /** Fold an appendable index's accumulated per-batch code deltas into
+    * one slab — the maintenance call a long-running ingest stream
+    * schedules so `load` mounts one dir instead of thousands. Contents
+    * (and every query result) are unchanged; crash-safe behind the
+    * manifest commit (DeltaCompactionSpec). Supported for `ivfpq` (the
+    * one appendable family — the others never accumulate deltas). */
+  def compactAnnIndex(spark: SparkSession, dir: String): operators.ArtifactIO.Manifest =
+    operators.AnnIndex.readManifest(spark, dir).family match {
+      case "ivfpq" => operators.AnnIndex.compactIvfPqDeltas(spark, dir)
+      case other => throw new IllegalArgumentException(
+        s"compaction applies to family 'ivfpq'; '$other' has no delta dirs")
+    }
+
   /** Top-k from a PERSISTED index directory — no rebuild: dispatches on
     * the manifest's family. `emb` is consulted only by the compressed
     * families (pq/sq8) for query vectors + exact rerank winners. */
@@ -368,6 +381,15 @@ object Graft {
   def appendDedupIndex(newDocs: DataFrame, dir: String,
       batchId: Long = -1L): Long =
     operators.DedupIndex.append(newDocs, dir, batchId)
+
+  /** Fold a dedup artifact's accumulated per-batch delta dirs
+    * (signatures, bands, shingle sets, pairs) into one slab each and GC
+    * superseded component versions — the maintenance call a streaming
+    * ingest schedules. Contents (and every consumer's results) are
+    * unchanged; crash-safe behind the manifest commit
+    * (DeltaCompactionSpec). */
+  def compactDedupIndex(spark: SparkSession, dir: String): operators.ArtifactIO.Manifest =
+    operators.DedupIndex.compactDeltas(spark, dir)
 
   /** Read-only near-dup probe of NEW documents against a persisted
     * dedup artifact — ingest-time "have we already got this (or nearly

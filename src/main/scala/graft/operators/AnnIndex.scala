@@ -200,11 +200,20 @@ object AnnIndex {
   private def deltaPath(dir: String, i: Long): String =
     f"$dir/ivfpq_codes.parquet/delta-$i%05d"
 
+  /** Live code-delta window: `deltas` counts live slots from
+    * `deltas_base` (0 when absent). [[compactIvfPqDeltas]] folds the
+    * window into one slab at the next slot and advances the base — slot
+    * numbers never reset, so staged-but-uncommitted data stays
+    * unambiguous. */
+  private def deltaWindow(m: Manifest): (Long, Long) =
+    (m.params.getOrElse("deltas_base", 0L), m.params("deltas"))
+
   private def codesTable(spark: SparkSession, dir: String,
       m: Manifest): DataFrame =
     m.params.get("deltas") match {
-      case Some(d) =>
-        spark.read.parquet((0L until d).map(deltaPath(dir, _)): _*)
+      case Some(_) =>
+        val (b, d) = deltaWindow(m)
+        spark.read.parquet((b until b + d).map(deltaPath(dir, _)): _*)
       case None => table(spark, dir, "ivfpq_codes") // legacy flat layout
     }
 
@@ -248,10 +257,12 @@ object AnnIndex {
         "(appending to a flat codes dir cannot be made crash-safe)")
     if (batchId >= 0 && mf.params.get("last_batch").exists(_ >= batchId))
       return 0L // replayed micro-batch: already applied and committed
-    val committed = mf.params("deltas")
-    // heal: delete orphan delta dirs from appends that never committed
+    val (base, count) = deltaWindow(mf)
+    val committed = base + count // next uncommitted slot
+    // heal: delete orphan delta dirs from appends/compactions that
+    // never committed, and folded dirs a crashed compaction GC left
     ArtifactIO.healOrphans(spark, s"$dir/ivfpq_codes.parquet", "delta-",
-      committed)
+      committed, base)
     val (dim, m) = (mf.dim, mf.params("m").toInt)
     val cents = table(spark, dir, "ivfpq_centroids")
     val cb = table(spark, dir, "ivfpq_codebook")
@@ -287,9 +298,40 @@ object AnnIndex {
       val batchParam =
         if (batchId >= 0) Map("last_batch" -> batchId) else Map.empty
       writeManifest(spark, dir, mf.copy(n = mf.n + appended,
-        params = mf.params + ("deltas" -> (committed + 1)) ++ batchParam))
+        params = mf.params + ("deltas" -> (count + 1)) ++ batchParam))
       appended * m
     } finally home.unpersist()
+  }
+
+  /** Fold the accumulated ivfpq code deltas into ONE slab — the
+    * small-files cure for a long-running [[graft.streaming
+    * .StreamEmbedDedup.indexAppendSink]] stream (one delta dir per
+    * micro-batch otherwise; r10 verdict #2). Same protocol as
+    * [[graft.operators.DedupIndex.compactDeltas]]: heal → stage the
+    * merged slab at the next slot → atomic manifest commit (base jumps
+    * past the folded window, count 1) → GC the folded dirs (readers
+    * already ignore them; a crash mid-GC is swept by the next
+    * mutation's heal). Codes are an unordered bag keyed by
+    * (vec_id, sub) — the fold is a pure re-layout, every query result
+    * is unchanged (DeltaCompactionSpec pins it). */
+  def compactIvfPqDeltas(spark: SparkSession, dir: String): Manifest = {
+    val mf = readManifest(spark, dir)
+    expectFamily(mf, "ivfpq")
+    require(mf.params.contains("deltas"),
+      "this ivfpq artifact predates the delta layout - rebuild it")
+    val (base, count) = deltaWindow(mf)
+    if (count <= 1) return mf // already one slab
+    ArtifactIO.healOrphans(spark, s"$dir/ivfpq_codes.parquet", "delta-",
+      base + count, base)
+    spark.read.parquet((base until base + count).map(deltaPath(dir, _)): _*)
+      .coalesce(32).write.mode("overwrite")
+      .parquet(deltaPath(dir, base + count))
+    val mf2 = mf.copy(params = mf.params +
+      ("deltas_base" -> (base + count)) + ("deltas" -> 1L))
+    writeManifest(spark, dir, mf2)
+    ArtifactIO.healOrphans(spark, s"$dir/ivfpq_codes.parquet", "delta-",
+      base + count + 1, base + count)
+    mf2
   }
 
   final case class LoadedIvfPq(manifest: Manifest, codes: DataFrame,

@@ -120,19 +120,25 @@ object ArtifactIO {
     parseManifest(fs, path)
   }
 
-  /** Delete numbered subdirectories of `root` at or beyond the commit
-    * point — the orphan-heal step before staging a new delta/version
-    * (an orphan is data from a mutation that never reached its manifest
-    * commit; the retry overwrites slot `committed`, later slots are
-    * abandoned). `prefix` is e.g. "delta-" or "v-". */
+  /** Delete numbered subdirectories of `root` outside the committed
+    * live window `[liveBase, committed)` — the orphan-heal step before
+    * staging a new delta/version (an orphan above the window is data
+    * from a mutation that never reached its manifest commit; the retry
+    * overwrites slot `committed`, later slots are abandoned) and the
+    * garbage-collection step after a compaction commit (slots below
+    * `liveBase` were folded into the committed slab; readers already
+    * ignore them, so deleting them is safe at any point after the
+    * commit — the compactor's delete-AFTER-rewrite ordering). `prefix`
+    * is e.g. "delta-" or "v-". */
   def healOrphans(spark: SparkSession, root: String, prefix: String,
-      committed: Long): Unit = {
+      committed: Long, liveBase: Long = 0L): Unit = {
     val p = new Path(root)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(p)) fs.listStatus(p).foreach { st =>
       val suffix = st.getPath.getName.stripPrefix(prefix)
       if (st.getPath.getName.startsWith(prefix) && suffix.nonEmpty &&
-          suffix.forall(_.isDigit) && suffix.toLong >= committed)
+          suffix.forall(_.isDigit) &&
+          (suffix.toLong >= committed || suffix.toLong < liveBase))
         fs.delete(st.getPath, true)
     }
   }

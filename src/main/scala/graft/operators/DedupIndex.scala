@@ -105,6 +105,21 @@ object DedupIndex {
     mf
   }
 
+  /** Live delta-slot windows: `sig_deltas`/`pair_deltas` COUNT the live
+    * slots; `sig_base`/`pair_base` (0 when absent — pre-compaction
+    * manifests) are where the window STARTS. [[compactDeltas]] folds a
+    * window into one slab at the next slot and advances the base, so
+    * slot numbers never reset (a folded slot is never reused — the
+    * invariant that keeps staged-but-uncommitted data unambiguous). */
+  private def sigSlots(m: Manifest): Seq[Long] = {
+    val b = m.params.getOrElse("sig_base", 0L)
+    b until b + m.params("sig_deltas")
+  }
+  private def pairSlots(m: Manifest): Seq[Long] = {
+    val b = m.params.getOrElse("pair_base", 0L)
+    b until b + m.params("pair_deltas")
+  }
+
   def load(spark: SparkSession, dir: String): LoadedDedup = {
     val m = ArtifactIO.readManifest(spark, dir)
     require(m.family == "dedup",
@@ -112,13 +127,11 @@ object DedupIndex {
     require(m.params.contains("verify_tables"),
       "this dedup artifact predates the stored band/shingle tables - " +
         "rebuild it (text-free serving needs the persisted verify data)")
-    val sd = m.params("sig_deltas")
     LoadedDedup(m,
-      spark.read.parquet((0L until sd).map(sigPath(dir, _)): _*),
-      spark.read.parquet((0L until sd).map(bandPath(dir, _)): _*),
-      spark.read.parquet((0L until sd).map(shinglePath(dir, _)): _*),
-      spark.read.parquet(
-        (0L until m.params("pair_deltas")).map(pairPath(dir, _)): _*),
+      spark.read.parquet(sigSlots(m).map(i => sigPath(dir, i)): _*),
+      spark.read.parquet(sigSlots(m).map(i => bandPath(dir, i)): _*),
+      spark.read.parquet(sigSlots(m).map(i => shinglePath(dir, i)): _*),
+      spark.read.parquet(pairSlots(m).map(i => pairPath(dir, i)): _*),
       spark.read.parquet(compPath(dir, m.params("comp_versions") - 1)))
   }
 
@@ -160,27 +173,33 @@ object DedupIndex {
       return 0L // replayed micro-batch: already applied and committed
     val (sd, pd, cv) = (mf.params("sig_deltas"), mf.params("pair_deltas"),
       mf.params("comp_versions"))
-    ArtifactIO.healOrphans(spark, s"$dir/signatures.parquet", "delta-", sd)
-    ArtifactIO.healOrphans(spark, s"$dir/bands.parquet", "delta-", sd)
-    ArtifactIO.healOrphans(spark, s"$dir/shingles.parquet", "delta-", sd)
-    ArtifactIO.healOrphans(spark, s"$dir/pairs.parquet", "delta-", pd)
-    ArtifactIO.healOrphans(spark, s"$dir/components.parquet", "v-", cv)
+    val (sb, pb) = (mf.params.getOrElse("sig_base", 0L),
+      mf.params.getOrElse("pair_base", 0L))
+    val (sigEnd, pairEnd) = (sb + sd, pb + pd)
+    ArtifactIO.healOrphans(spark, s"$dir/signatures.parquet", "delta-",
+      sigEnd, sb)
+    ArtifactIO.healOrphans(spark, s"$dir/bands.parquet", "delta-", sigEnd, sb)
+    ArtifactIO.healOrphans(spark, s"$dir/shingles.parquet", "delta-",
+      sigEnd, sb)
+    ArtifactIO.healOrphans(spark, s"$dir/pairs.parquet", "delta-", pairEnd, pb)
+    // cv - 1 as the live base also GCs superseded component versions
+    ArtifactIO.healOrphans(spark, s"$dir/components.parquet", "v-", cv, cv - 1)
     val ni = newDocs.count()
     val incHs = DedupQueries.hashedShingleSets(newDocs)
       .persist(StorageLevel.MEMORY_AND_DISK)
     incHs.count() // shingle write + sig derivation + verify read it
     try {
-      incHs.write.mode("overwrite").parquet(shinglePath(dir, sd))
+      incHs.write.mode("overwrite").parquet(shinglePath(dir, sigEnd))
       val incSig = DedupQueries.minhashSigArrFromHashes(incHs)
         .persist(StorageLevel.MEMORY_AND_DISK)
       incSig.count() // sig write + band write + both candidate legs
       try {
-        incSig.write.mode("overwrite").parquet(sigPath(dir, sd))
+        incSig.write.mode("overwrite").parquet(sigPath(dir, sigEnd))
         val incBands = DedupQueries.sigBandRows(incSig).drop("sig")
-        incBands.write.mode("overwrite").parquet(bandPath(dir, sd))
+        incBands.write.mode("overwrite").parquet(bandPath(dir, sigEnd))
         // the stored band table as written — never re-derived (r10 #4)
         val corpusBands = spark.read.parquet(
-          (0L until sd).map(bandPath(dir, _)): _*)
+          (sb until sigEnd).map(bandPath(dir, _)): _*)
         val crossCand = DedupQueries
           .sizedHint(incBands, ni * DedupQueries.Bands, 128).as("a")
           .join(corpusBands.as("b"),
@@ -196,7 +215,7 @@ object DedupIndex {
           // verify data for candidates comes from the STORED shingle
           // table — the corpus text is never touched
           val corpusCandHs = spark.read.parquet(
-              (0L until sd).map(shinglePath(dir, _)): _*)
+              (sb until sigEnd).map(shinglePath(dir, _)): _*)
             .join(candIds, Seq("doc_id"), "left_semi")
           val cross = crossCand.select(
             least(col("inc_id"), col("corpus_id")).as("doc_a"),
@@ -206,8 +225,8 @@ object DedupIndex {
           val newPairs = DedupQueries.jaccardVerifyHashed(
             cross.unionAll(within), incHs.unionByName(corpusCandHs),
             ni + nCand)
-          newPairs.write.mode("overwrite").parquet(pairPath(dir, pd))
-          val written = spark.read.parquet(pairPath(dir, pd))
+          newPairs.write.mode("overwrite").parquet(pairPath(dir, pairEnd))
+          val written = spark.read.parquet(pairPath(dir, pairEnd))
           val nNew = written.count()
           val compParam = if (nNew > 0) {
             val oldComp = spark.read.parquet(compPath(dir, cv - 1))
@@ -226,6 +245,73 @@ object DedupIndex {
         } finally crossCand.unpersist()
       } finally incSig.unpersist()
     } finally incHs.unpersist()
+  }
+
+  /** Fold the accumulated delta dirs into ONE slab per table — the
+    * repo's own small-files cure applied to its own artifact (r10
+    * verdict #2): a week of streaming ingest is thousands of per-batch
+    * delta dirs that every [[load]] mounts and every [[append]]
+    * re-scans; after compaction they are one parquet dir each, with
+    * contents (and therefore every consumer's results) IDENTICAL.
+    *
+    * Protocol — the same staged-write + manifest-commit + delete-AFTER
+    * ordering as the compactor's snapshot rewrite ([[graft.compact
+    * .Orchestrator]] B13) and [[append]]:
+    *  1. heal orphans (a crashed prior compaction staged at these slots)
+    *  2. write each merged slab to the NEXT uncommitted slot (slot
+    *     numbers never reset, so staged data is unambiguous)
+    *  3. atomic manifest commit: base jumps past the folded window,
+    *     count becomes 1 — readers flip from N dirs to 1 in one step
+    *  4. GC the folded dirs (a crash here leaves stale dirs below the
+    *     base that readers already ignore; the next mutation's heal
+    *     sweeps them)
+    * Superseded component versions are GC'd too (the live table is the
+    * newest version only). A single-delta artifact is a no-op apart
+    * from that GC. Returns the committed manifest. */
+  def compactDeltas(spark: SparkSession, dir: String): Manifest = {
+    val mf = ArtifactIO.readManifest(spark, dir)
+    require(mf.family == "dedup",
+      s"index at hand is family '${mf.family}', expected 'dedup'")
+    val (sd, pd, cv) = (mf.params("sig_deltas"), mf.params("pair_deltas"),
+      mf.params("comp_versions"))
+    val (sb, pb) = (mf.params.getOrElse("sig_base", 0L),
+      mf.params.getOrElse("pair_base", 0L))
+    ArtifactIO.healOrphans(spark, s"$dir/components.parquet", "v-", cv, cv - 1)
+    if (sd <= 1 && pd <= 1) return mf // already one slab per table
+    ArtifactIO.healOrphans(spark, s"$dir/signatures.parquet", "delta-",
+      sb + sd, sb)
+    ArtifactIO.healOrphans(spark, s"$dir/bands.parquet", "delta-",
+      sb + sd, sb)
+    ArtifactIO.healOrphans(spark, s"$dir/shingles.parquet", "delta-",
+      sb + sd, sb)
+    ArtifactIO.healOrphans(spark, s"$dir/pairs.parquet", "delta-",
+      pb + pd, pb)
+    // stage: one slab per table at the next slot. coalesce bounds the
+    // slab's file count (delta dirs arrive as 1-file micro-batches;
+    // without it the "slab" would keep one file per folded delta)
+    def fold(pathOf: (String, Long) => String, base: Long, count: Long,
+        slot: Long): Unit =
+      spark.read.parquet((base until base + count).map(pathOf(dir, _)): _*)
+        .coalesce(32).write.mode("overwrite").parquet(pathOf(dir, slot))
+    fold(sigPath, sb, sd, sb + sd)
+    fold(bandPath, sb, sd, sb + sd)
+    fold(shinglePath, sb, sd, sb + sd)
+    fold(pairPath, pb, pd, pb + pd)
+    // commit: the window flips to [end, end+1) atomically
+    val mf2 = mf.copy(params = mf.params +
+      ("sig_base" -> (sb + sd)) + ("sig_deltas" -> 1L) +
+      ("pair_base" -> (pb + pd)) + ("pair_deltas" -> 1L))
+    ArtifactIO.writeManifest(spark, dir, mf2)
+    // GC AFTER the commit: readers already ignore the folded window
+    ArtifactIO.healOrphans(spark, s"$dir/signatures.parquet", "delta-",
+      sb + sd + 1, sb + sd)
+    ArtifactIO.healOrphans(spark, s"$dir/bands.parquet", "delta-",
+      sb + sd + 1, sb + sd)
+    ArtifactIO.healOrphans(spark, s"$dir/shingles.parquet", "delta-",
+      sb + sd + 1, sb + sd)
+    ArtifactIO.healOrphans(spark, s"$dir/pairs.parquet", "delta-",
+      pb + pd + 1, pb + pd)
+    mf2
   }
 
   /** Incremental connected components: new edges can only change the
