@@ -1,0 +1,96 @@
+package graft.bench
+
+import org.apache.spark.sql.functions._
+import graft.Sessions
+import graft.operators.{AnnIndex, DedupIndex}
+
+/** Evidence row for artifact delta compaction (r10 verdict #2): a
+  * long-running ingest leaves one delta dir per micro-batch; this
+  * measures what that actually costs a reader and an appender — load +
+  * probe wall and append wall against a 30-delta artifact, then the
+  * same calls after `compactDeltas` folded the windows to one slab per
+  * table. Dedup artifact and the ivfpq code deltas.
+  *   runMain graft.bench.CompactionBench [sfDir] [nAppends]
+  */
+object CompactionBench {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val nAppends = args.lift(1).map(_.toInt).getOrElse(30)
+    val spark = Sessions.local()
+    spark.sparkContext.setLogLevel("WARN")
+    Sessions.quietBenignWarnings()
+    def f(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    def timed[A](body: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val a = body
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+    val parts = scala.collection.mutable.ListBuffer[String]()
+
+    // ---- dedup artifact -------------------------------------------------
+    val docs = graft.Tables.documents(spark, dir)
+    val ixDir = java.nio.file.Files
+      .createTempDirectory("compact_bench_dedup").toString
+    DedupIndex.build(docs, ixDir, -1L)
+    spark.catalog.clearCache()
+    // nAppends micro-batches of 8 docs each (fresh id space per batch)
+    (0 until nAppends).foreach { b =>
+      val inc = docs.filter(col("doc_id") < 8)
+        .withColumn("doc_id", col("doc_id") + lit(1000000000L + b * 1000L))
+      DedupIndex.append(inc, ixDir)
+      spark.catalog.clearCache()
+    }
+    val probe = docs.filter(col("doc_id") < 8)
+      .withColumn("doc_id", col("doc_id") + 900000000L)
+    def serveWall(): Double = {
+      val (_, s) = timed {
+        DedupIndex.serveNearDups(probe, DedupIndex.load(spark, ixDir), 8L)
+          .count()
+      }
+      spark.catalog.clearCache(); s
+    }
+    def appendWall(tag: Long): Double = {
+      val inc = docs.filter(col("doc_id") < 8)
+        .withColumn("doc_id", col("doc_id") + lit(tag))
+      val (_, s) = timed(DedupIndex.append(inc, ixDir))
+      spark.catalog.clearCache(); s
+    }
+    parts += s""""dedup_deltas":${nAppends + 1}"""
+    parts += s""""dedup_serve_pre_sec":${f(serveWall())}"""
+    parts += s""""dedup_append_pre_sec":${f(appendWall(800000000L))}"""
+    val (_, compactSec) = timed(DedupIndex.compactDeltas(spark, ixDir))
+    parts += s""""dedup_compact_sec":${f(compactSec)}"""
+    parts += s""""dedup_serve_post_sec":${f(serveWall())}"""
+    parts += s""""dedup_append_post_sec":${f(appendWall(700000000L))}"""
+
+    // ---- ivfpq code deltas ----------------------------------------------
+    val emb = graft.Tables.embeddings(spark, dir)
+    val nEmb = graft.Tables.embeddingsRows(spark, dir)
+    val dim = graft.Tables.EmbeddingDim
+    val pqDir = java.nio.file.Files
+      .createTempDirectory("compact_bench_ivfpq").toString
+    AnnIndex.buildIvfPq(emb, pqDir, dim, m = 8, k = 64, nHint = nEmb)
+    spark.catalog.clearCache()
+    (0 until nAppends).foreach { b =>
+      val inc = emb.filter(col("vec_id") < 8)
+        .select((col("vec_id") + lit(1000000000L + b * 1000L)).as("vec_id"),
+          col("embedding"), col("label"))
+      AnnIndex.appendIvfPq(inc, pqDir)
+      spark.catalog.clearCache()
+    }
+    def pqWall(): Double = {
+      val (_, s) = timed {
+        AnnIndex.ivfPqTopK(AnnIndex.loadIvfPq(spark, pqDir), emb,
+          nQueries = 8).count()
+      }
+      spark.catalog.clearCache(); s
+    }
+    parts += s""""ivfpq_deltas":${nAppends + 1}"""
+    parts += s""""ivfpq_query_pre_sec":${f(pqWall())}"""
+    val (_, pqCompactSec) = timed(AnnIndex.compactIvfPqDeltas(spark, pqDir))
+    parts += s""""ivfpq_compact_sec":${f(pqCompactSec)}"""
+    parts += s""""ivfpq_query_post_sec":${f(pqWall())}"""
+    spark.stop()
+    println(s"""{"dir":"$dir",${parts.mkString(",")}}""")
+  }
+}
