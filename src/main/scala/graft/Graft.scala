@@ -602,6 +602,48 @@ object Graft {
       poolR: Int = 10): DataFrame =
     materialized(queries.SimilarityQueries.mmrRerankPinned(emb, nQueries, poolR))
 
+  // ---- artifact-served RAG retrieval (out-of-corpus query batches) ------
+
+  /** [[hybridSearch]] for an OUT-OF-CORPUS (query_id, text, embedding)
+    * batch, served from PERSISTED artifacts: vector candidates from the
+    * ANN index at `annDir` (any family; exact-cosine reranked), lexical
+    * overlap against the dedup artifact's stored hashed shingle sets at
+    * `dedupDir` — no corpus-text scan, no full-embedding rescan, nothing
+    * re-fit. With exhaustive parameters (nProbe ≥ cells, r ≥ corpus)
+    * the result is byte-identical to [[hybridSearchServe]]
+    * (RagServeSpec). */
+  def hybridSearchFrom(spark: SparkSession, annDir: String,
+      dedupDir: String, emb: DataFrame, queries: DataFrame, topK: Int = 3,
+      kRrf: Int = 60, r: Int = 100, nProbe: Int = 32): DataFrame =
+    operators.RagServe.hybridFromIndexes(spark, annDir,
+      operators.DedupIndex.load(spark, dedupDir), emb, queries, topK,
+      kRrf, r, nProbe)
+
+  /** The exact (index-free) twin of [[hybridSearchFrom]] — the truth
+    * leg: exact shingle overlap over the corpus text + exact cosine
+    * over the full store, same fusion. */
+  def hybridSearchServe(docs: DataFrame, emb: DataFrame,
+      queries: DataFrame, topK: Int = 3, kRrf: Int = 60,
+      r: Int = 100): DataFrame =
+    operators.RagServe.hybridExact(docs, emb, queries, topK, kRrf, r)
+
+  /** [[mmrRerank]] for an OUT-OF-CORPUS (query_id, embedding) batch
+    * whose relevance pool comes from the PERSISTED ANN index at
+    * `annDir` (candidates + exact rerank) — with exhaustive parameters
+    * byte-identical to [[mmrRerankServe]]. Eagerly materialized (facade
+    * cache contract). */
+  def mmrRerankFrom(spark: SparkSession, annDir: String, emb: DataFrame,
+      queries: DataFrame, poolR: Int = 10, r: Int = 100,
+      nProbe: Int = 32): DataFrame =
+    materialized(operators.RagServe.mmrFromIndexPinned(spark, annDir, emb,
+      queries, poolR, topK = 3, r = r, nProbe = nProbe))
+
+  /** The exact (index-free) twin of [[mmrRerankFrom]]. Eagerly
+    * materialized. */
+  def mmrRerankServe(emb: DataFrame, queries: DataFrame,
+      poolR: Int = 10): DataFrame =
+    materialized(operators.RagServe.mmrExactPinned(emb, queries, poolR))
+
   /** KenLM/CCNet-style n-gram LM scoring: a bigram model from the corpus
     * itself (count tables), each doc scored by the exact integer mean of
     * scaled conditional probabilities — monotone in perplexity, so

@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import graft.queries.{DedupQueries, SimilarityQueries}
+
+/** Artifact-backed RAG retrieval (r10 verdict #3): the s13 hybrid-RRF
+  * and s14 MMR compositions re-pointed at PERSISTED indexes for an
+  * OUT-OF-CORPUS query batch — the shape a deployment actually runs.
+  * The inline gate queries rescan raw embeddings and re-shingle the
+  * corpus text per call; here the vector leg draws CANDIDATES from a
+  * loaded [[AnnIndex]] (any family) and exact-reranks only those, and
+  * the lexical leg scores shingle overlap against the [[DedupIndex]]
+  * artifact's stored hashed shingle sets — corpus text and the full
+  * embedding table never stream through a call (only candidate
+  * vectors are joined from the store).
+  *
+  * Every composition has an EXACT twin (`hybridExact` / `mmrExact*`)
+  * over the same out-of-corpus query batch — the truth leg: with
+  * exhaustive index parameters (probe all cells, R ≥ corpus) the
+  * artifact-backed result is byte-identical to it (RagServeSpec, the
+  * AnnServeSpec pattern), proving the plumbing loses nothing and the
+  * approximation is exactly the candidate truncation.
+  *
+  * Queries carry their own id namespace, disjoint from the corpus
+  * (the serving contract shared with [[AnnIndex]] `*Serve`).
+  */
+object RagServe {
+
+  /** Uniform (query_id, doc_id) candidates from a persisted ANN index,
+    * family-dispatched with EXPLICIT probe parameters (r = per-query
+    * candidate budget; nProbe where the family probes buckets/cells) —
+    * [[AnnIndex.serveTopK]]'s dispatch with the knobs the exhaustive
+    * identities need exposed. `emb` is consulted by the compressed
+    * families only (their serve paths exact-rerank internally). */
+  def annCandidates(spark: SparkSession, dir: String, queries: DataFrame,
+      emb: DataFrame, r: Int, nProbe: Int): DataFrame = {
+    val served = AnnIndex.readManifest(spark, dir).family match {
+      case "lsh" => AnnIndex.lshServe(AnnIndex.loadLsh(spark, dir),
+        queries, topK = r, nProbe = nProbe)
+      case "ivf" => AnnIndex.ivfServe(AnnIndex.loadIvf(spark, dir),
+        queries, topK = r, nProbe = nProbe)
+      case "pq" => AnnIndex.pqServe(AnnIndex.loadPq(spark, dir), emb,
+        queries, r = r, topK = r)
+      case "sq8" => AnnIndex.sqServe(AnnIndex.loadSq(spark, dir), emb,
+        queries, topK = r, rerankR = r)
+      case "ivfpq" => AnnIndex.ivfPqServe(AnnIndex.loadIvfPq(spark, dir),
+        emb, queries, r = r, topK = r, nProbe = nProbe)
+      case other => throw new IllegalArgumentException(
+        s"index at hand is family '$other', expected one of " +
+          "lsh | ivf | pq | sq8 | ivfpq (corrupted or newer-format manifest?)")
+    }
+    served.select(col("query_id"), col("neighbor_id").as("doc_id")).distinct()
+  }
+
+  // ---- hybrid RRF ------------------------------------------------------
+
+  /** The exact serve twin: lexical leg = exact shared-shingle rank over
+    * the corpus TEXT, vector leg = exact cosine rank over the full
+    * embedding store, fused by RRF — s13's semantics for an
+    * out-of-corpus (query_id, text, embedding) batch. The truth leg
+    * RagServeSpec pins [[hybridFromIndexes]] against. */
+  def hybridExact(docs: DataFrame, emb: DataFrame, queries: DataFrame,
+      topK: Int = 3, kRrf: Int = 60, r: Int = 100): DataFrame = {
+    val sh = docs.select(col("doc_id"), TextOps.shingles(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val qsh = queries
+      .select(col("query_id"), TextOps.shingles(col("text")).as("qsh"))
+      .filter(size(col("qsh")) > 0)
+    val lexRank = SimilarityQueries.lexRankOn(
+      sh.join(broadcast(qsh))
+        .select(col("query_id"), col("doc_id"),
+          size(array_intersect(col("qsh"), col("sh"))).cast("bigint")
+            .as("inter")), r)
+    val vecRank = SimilarityQueries
+      .cosineRankServe(emb, queries.select("query_id", "embedding"), r)
+      .select(col("query_id"), col("doc_id"), col("vec_rank"))
+    SimilarityQueries.rrfFuse(lexRank, vecRank, kRrf, topK)
+  }
+
+  /** Hybrid RRF from the artifacts: vector candidates from the loaded
+    * ANN index (exact-cosine reranked), lexical overlap against the
+    * dedup artifact's stored hashed shingle sets — nothing re-fit, no
+    * corpus text, no full-embedding rescan. Same output schema as s13:
+    * (query_id, doc_id, lex_rank, vec_rank, rk, rrf_r). */
+  def hybridFromIndexes(spark: SparkSession, annDir: String,
+      dedup: DedupIndex.LoadedDedup, emb: DataFrame, queries: DataFrame,
+      topK: Int = 3, kRrf: Int = 60, r: Int = 100,
+      nProbe: Int = 32): DataFrame = {
+    val qhs = DedupQueries.hashedShingleSets(
+        queries.select(col("query_id").as("doc_id"), col("text")))
+      .select(col("doc_id").as("query_id"), col("hs").as("qhs"))
+    val lexRank = SimilarityQueries.lexRankOn(
+      dedup.shingleSets.join(broadcast(qhs))
+        .select(col("query_id"), col("doc_id"),
+          size(array_intersect(col("qhs"), col("hs"))).cast("bigint")
+            .as("inter")), r)
+    val cand = annCandidates(spark, annDir,
+      queries.select("query_id", "embedding"), emb, r, nProbe)
+    val vecRank = SimilarityQueries.cosineRankOnPairs(cand, emb,
+        queries.select("query_id", "embedding"), r)
+      .select(col("query_id"), col("doc_id"), col("vec_rank"))
+    SimilarityQueries.rrfFuse(lexRank, vecRank, kRrf, topK)
+  }
+
+  // ---- MMR -------------------------------------------------------------
+
+  /** The exact serve twin of the MMR composition: relevance pool = the
+    * exhaustive cosine rank over the store, then the IDENTICAL greedy
+    * selection rounds as s14 (shared factored half). Returns the pins
+    * the caller releases after materializing (the mmrRerankPinned
+    * contract). */
+  def mmrExactPinned(emb: DataFrame, queries: DataFrame, poolR: Int = 10,
+      topK: Int = 3): (DataFrame, Seq[DataFrame]) =
+    mmrFromRankedPool(SimilarityQueries.cosineRankServe(emb,
+      queries.select("query_id", "embedding"), poolR), emb, topK)
+
+  /** MMR re-ranking whose relevance pool comes from the loaded ANN
+    * index's candidates (exact-cosine reranked to pool order) — with
+    * exhaustive parameters the pool, and therefore every selection
+    * round and score, is byte-identical to [[mmrExactPinned]]. */
+  def mmrFromIndexPinned(spark: SparkSession, annDir: String,
+      emb: DataFrame, queries: DataFrame, poolR: Int = 10, topK: Int = 3,
+      r: Int = 100, nProbe: Int = 32): (DataFrame, Seq[DataFrame]) = {
+    val cand = annCandidates(spark, annDir,
+      queries.select("query_id", "embedding"), emb, r, nProbe)
+    mmrFromRankedPool(SimilarityQueries.cosineRankOnPairs(cand, emb,
+      queries.select("query_id", "embedding"), poolR), emb, topK)
+  }
+
+  private def mmrFromRankedPool(ranked: DataFrame, emb: DataFrame,
+      topK: Int): (DataFrame, Seq[DataFrame]) = {
+    val pool = ranked.select(col("query_id"), col("doc_id"), col("sim"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    pool.count() // referenced by every selection round (house discipline)
+    val eVec = emb.select(col("vec_id").as("doc_id"),
+        TextOps.quantize(col("embedding")).as("dq"))
+      .withColumn("dnn", TextOps.qdot(col("dq"), col("dq")))
+    val (out, dsPins) = SimilarityQueries.mmrSelectFromPool(pool, eVec, topK)
+    (out, pool +: dsPins)
+  }
+}

@@ -1445,6 +1445,40 @@ object SimilarityQueries {
   private val HQ = 8
   private val RrfK = 60  // the canonical RRF dampening constant
   private val RrfR = 100 // per-leg list length fed to the fusion
+
+  /** The lexical-leg ranking half: (query_id, doc_id, inter) scored
+    * overlaps → per-query rank by (overlap desc, id), truncated at r.
+    * Shared by the in-corpus gate query, the exact serve twin and the
+    * artifact-backed path (which scores inter over STORED hashed
+    * shingle sets) — one rank definition, three candidate sources. */
+  private[graft] def lexRankOn(scored: DataFrame, r: Int): DataFrame = {
+    val wL = Window.partitionBy(col("query_id"))
+      .orderBy(col("inter").desc, col("doc_id"))
+    scored.filter(col("inter") > 0)
+      .withColumn("lex_rank", row_number().over(wL).cast("bigint"))
+      .filter(col("lex_rank") <= r)
+      .select(col("query_id"), col("doc_id"), col("lex_rank"))
+  }
+
+  /** The RRF fusion half: two (query_id, doc_id, *_rank) legs →
+    * Σ 1/(k + rank) over a full outer join, re-ranked, top-k. One
+    * fusion definition for every hybrid composition. */
+  private[graft] def rrfFuse(lexRank: DataFrame, vecRank: DataFrame,
+      kRrf: Int, topK: Int): DataFrame = {
+    val wF = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+    lexRank.join(vecRank, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(kRrf) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(kRrf) + col("vec_rank")), lit(0.0)))
+      .withColumn("rk", row_number().over(wF).cast("bigint"))
+      .filter(col("rk") <= topK)
+      .select(col("query_id"), col("doc_id"),
+        coalesce(col("lex_rank"), lit(-1L)).as("lex_rank"),
+        coalesce(col("vec_rank"), lit(-1L)).as("vec_rank"),
+        col("rk"), round(col("rrf"), 6).as("rrf_r"))
+  }
+
   private[graft] def hybridRrf(docs: DataFrame, emb: DataFrame,
       nQueries: Int = HQ, topK: Int = TopK, kRrf: Int = RrfK,
       r: Int = RrfR): DataFrame = {
@@ -1452,15 +1486,11 @@ object SimilarityQueries {
       .filter(size(col("sh")) > 0)
     val qsh = sh.filter(col("doc_id") < nQueries)
       .select(col("doc_id").as("query_id"), col("sh").as("qsh"))
-    val wL = Window.partitionBy(col("query_id"))
-      .orderBy(col("inter").desc, col("doc_id"))
-    val lexRank = sh.join(broadcast(qsh), col("query_id") =!= col("doc_id"))
-      .select(col("query_id"), col("doc_id"),
-        size(array_intersect(col("qsh"), col("sh"))).cast("bigint").as("inter"))
-      .filter(col("inter") > 0)
-      .withColumn("lex_rank", row_number().over(wL).cast("bigint"))
-      .filter(col("lex_rank") <= r)
-      .select(col("query_id"), col("doc_id"), col("lex_rank"))
+    val lexRank = lexRankOn(
+      sh.join(broadcast(qsh), col("query_id") =!= col("doc_id"))
+        .select(col("query_id"), col("doc_id"),
+          size(array_intersect(col("qsh"), col("sh"))).cast("bigint")
+            .as("inter")), r)
     val e = emb.select(col("vec_id"), TextOps.quantize(col("embedding")).as("q"))
       .withColumn("nn", TextOps.qdot(col("q"), col("q")))
     val qv = e.filter(col("vec_id") < nQueries)
@@ -1476,18 +1506,7 @@ object SimilarityQueries {
       .withColumn("vec_rank", row_number().over(wV).cast("bigint"))
       .filter(col("vec_rank") <= r)
       .select(col("query_id"), col("doc_id"), col("vec_rank"))
-    val wF = Window.partitionBy(col("query_id"))
-      .orderBy(col("rrf").desc, col("doc_id"))
-    lexRank.join(vecRank, Seq("query_id", "doc_id"), "full_outer")
-      .withColumn("rrf",
-        coalesce(lit(1.0) / (lit(kRrf) + col("lex_rank")), lit(0.0)) +
-          coalesce(lit(1.0) / (lit(kRrf) + col("vec_rank")), lit(0.0)))
-      .withColumn("rk", row_number().over(wF).cast("bigint"))
-      .filter(col("rk") <= topK)
-      .select(col("query_id"), col("doc_id"),
-        coalesce(col("lex_rank"), lit(-1L)).as("lex_rank"),
-        coalesce(col("vec_rank"), lit(-1L)).as("vec_rank"),
-        col("rk"), round(col("rrf"), 6).as("rrf_r"))
+    rrfFuse(lexRank, vecRank, kRrf, topK)
   }
   private val hybridRrfSql =
     s"""WITH sh AS (SELECT doc_id, ${TextOps.shinglesSql("text")} AS sh
@@ -1530,6 +1549,50 @@ object SimilarityQueries {
        |  row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rk,
        |  round(rrf, 6) AS rrf_r
        |FROM fused QUALIFY rk <= $TopK""".stripMargin
+
+  /** Exact cosine ranking RESTRICTED to an explicit (query_id, doc_id)
+    * candidate set — the "index candidates + exact rerank" half every
+    * artifact-backed retrieval composition shares ([[graft.operators
+    * .RagServe]]): only the candidate docs' vectors are joined from
+    * the store, the query side broadcasts, and `sim` stays an
+    * UNROUNDED double so downstream scoring (MMR) is bit-identical to
+    * the exhaustive twin. (query_id, doc_id, sim, vec_rank ≤ r). */
+  private[graft] def cosineRankOnPairs(cand: DataFrame, emb: DataFrame,
+      queries: DataFrame, r: Int): DataFrame = {
+    val e = emb.select(col("vec_id").as("doc_id"),
+        TextOps.quantize(col("embedding")).as("q"))
+      .withColumn("nn", TextOps.qdot(col("q"), col("q")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("doc_id"))
+    cand.join(e, "doc_id")
+      .join(broadcast(queryVectors(queries)), "query_id")
+      .select(col("query_id"), col("doc_id"),
+        (TextOps.qdot(col("qq"), col("q")).cast("double") /
+          (sqrt(col("qnn").cast("double")) * sqrt(col("nn").cast("double"))))
+          .as("sim"))
+      .withColumn("vec_rank", row_number().over(w).cast("bigint"))
+      .filter(col("vec_rank") <= r)
+  }
+
+  /** The exhaustive twin of [[cosineRankOnPairs]]: every corpus vector
+    * scored against the broadcast query batch (s1's serve scan) —
+    * unrounded sim, same rank order. The truth leg for the
+    * artifact-backed compositions. */
+  private[graft] def cosineRankServe(emb: DataFrame, queries: DataFrame,
+      r: Int): DataFrame = {
+    val e = emb.select(col("vec_id").as("doc_id"),
+        TextOps.quantize(col("embedding")).as("q"))
+      .withColumn("nn", TextOps.qdot(col("q"), col("q")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("doc_id"))
+    e.join(broadcast(queryVectors(queries)))
+      .select(col("query_id"), col("doc_id"),
+        (TextOps.qdot(col("qq"), col("q")).cast("double") /
+          (sqrt(col("qnn").cast("double")) * sqrt(col("nn").cast("double"))))
+          .as("sim"))
+      .withColumn("vec_rank", row_number().over(w).cast("bigint"))
+      .filter(col("vec_rank") <= r)
+  }
 
   // ---- s14: MMR diversity re-ranking (Carbonell & Goldstein 1998 —
   // maximal marginal relevance, the standard RAG diversity pass): a
@@ -1581,11 +1644,26 @@ object SimilarityQueries {
       .select(col("query_id"), col("doc_id"), col("sim"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     pool.count()
+    val (out, dsPins) = mmrSelectFromPool(pool,
+      e.select(col("vec_id").as("doc_id"), col("q").as("dq"),
+        col("nn").as("dnn")), topK)
+    (out, pool +: dsPins)
+  }
+
+  /** The greedy MMR selection rounds over a PINNED relevance pool —
+    * factored so the in-corpus gate query and the artifact-backed serve
+    * path ([[graft.operators.RagServe]]) run the IDENTICAL selection
+    * (the streaming-twin pattern): `pool` is (query_id, doc_id, sim)
+    * with unrounded sims, already persisted + materialized by the
+    * caller; `eVec` is (doc_id, dq, dnn) quantized vectors covering
+    * every pool doc. Returns (selection, the ds pin the caller
+    * releases). */
+  private[graft] def mmrSelectFromPool(pool: DataFrame, eVec: DataFrame,
+      topK: Int = TopK): (DataFrame, Seq[DataFrame]) = {
+    require(topK == 3, "the unrolled selection (and its oracle) is k = 3")
     // pairwise redundancy sims within each query's pool — queries×R rows
     // of vectors (broadcastable), queries×R×R scored pairs
-    val pv = pool.select(col("query_id"), col("doc_id"))
-      .join(e.select(col("vec_id").as("doc_id"), col("q").as("dq"),
-        col("nn").as("dnn")), "doc_id")
+    val pv = pool.select(col("query_id"), col("doc_id")).join(eVec, "doc_id")
     val ds = pv.as("a").join(pv.as("b"),
         col("a.query_id") === col("b.query_id") &&
           col("a.doc_id") =!= col("b.doc_id"))
@@ -1627,7 +1705,7 @@ object SimilarityQueries {
       .unionAll(sel3.withColumn("rk", lit(3L)))
       .select(col("query_id"), col("doc_id"), col("rk"),
         round(col("score"), 6).as("mmr10_r"))
-    (out, Seq(pool, ds))
+    (out, Seq(ds))
   }
   private val mmrRerankSql =
     s"""WITH q AS (SELECT vec_id, ${TextOps.quantizeSql("embedding")} AS q FROM embeddings),

@@ -596,6 +596,45 @@ class PlanQualitySpec extends AnyFunSuite {
       s"query legs must build on the broadcast side:\n${bnlj.mkString("\n")}")
   }
 
+  test("artifact-served hybrid RRF: no cartesian, no corpus-side shuffle beyond ranks") {
+    // the deployment composition (r10 verdict #3): lexical leg over the
+    // dedup artifact's stored shingle sets, vector leg = ANN candidates
+    // + exact rerank — query side broadcasts everywhere; the only
+    // hash-partition exchanges are the per-query rank/fuse windows and
+    // candidate dedup, every one keyed on the tiny query-side rows
+    import org.apache.spark.sql.functions.col
+    val emb = graft.Tables.embeddings(spark, sf)
+    val docs = graft.Tables.documents(spark, sf)
+    val corpusEmb = emb.filter(col("vec_id") >= 4)
+    val annDir = java.nio.file.Files
+      .createTempDirectory("pqs_rag_ann").toString
+    graft.operators.AnnIndex.buildIvf(corpusEmb, annDir,
+      graft.Tables.EmbeddingDim, graft.Tables.embeddingsRows(spark, sf) - 4)
+    val dedupDir = java.nio.file.Files
+      .createTempDirectory("pqs_rag_dedup").toString
+    graft.operators.DedupIndex.build(docs.filter(col("doc_id") >= 4),
+      dedupDir, -1L)
+    val queries = docs.filter(col("doc_id") < 4)
+      .join(emb.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("doc_id"), col("embedding")), "doc_id")
+      .select((col("doc_id") + 5000000L).as("query_id"), col("text"),
+        col("embedding"))
+    val df = graft.operators.RagServe.hybridFromIndexes(spark, annDir,
+      graft.operators.DedupIndex.load(spark, dedupDir), corpusEmb, queries)
+    val p = df.queryExecution.executedPlan.toString
+    spark.catalog.clearCache()
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"),
+      s"the candidate/rerank joins must broadcast the query side:\n$p")
+    // the only shuffle join allowed is the RRF fusion's FullOuter over
+    // the two rank legs — bounded at queries × r rows per side (a full
+    // outer join cannot broadcast); nothing corpus-sized may shuffle
+    val shuffleJoins = p.linesIterator.filter(l =>
+      l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin")).toSeq
+    assert(shuffleJoins.forall(_.contains("FullOuter")),
+      s"only the bounded rank-fusion join may shuffle:\n${shuffleJoins.mkString("\n")}")
+  }
+
   test("fact-scaled customer/supplier joins are size-planned, not hint-forced") {
     // r5 verdict missing #5 (dims-scaled octave): customer and supplier
     // grow with the corpus, so q17/q38/q39/q41 must NOT hard-broadcast
