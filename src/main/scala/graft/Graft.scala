@@ -290,6 +290,19 @@ object Graft {
           "quantizer/layout from corpus statistics - rebuild instead")
     }
 
+  /** Re-fit a persisted index's quantizers to the CURRENT corpus and
+    * swap the result in atomically ([[operators.AnnIndex.rebuild]]) —
+    * the no-downtime maintenance call for the families append refuses
+    * (lsh mask width, ivf cells, sq8 stats all derive from corpus
+    * statistics and would drift under append), and a codes-layout
+    * reset for ivfpq. Readers flip old→new at the manifest commit; the
+    * superseded version survives until the next rebuild's sweep, so
+    * in-flight readers finish against intact files. Rebuilt ≡ fresh
+    * build on the same corpus (AnnRebuildSpec). */
+  def rebuildAnnIndex(emb: DataFrame, dir: String,
+      nHint: Long = -1L): operators.ArtifactIO.Manifest =
+    operators.AnnIndex.rebuild(emb, dir, nHint)
+
   /** Fold an appendable index's accumulated per-batch code deltas into
     * one slab — the maintenance call a long-running ingest stream
     * schedules so `load` mounts one dir instead of thousands. Contents

@@ -50,6 +50,14 @@ object AnnIndex {
   private def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Where an index's tables live: the root dir for never-rebuilt
+    * artifacts (the build layout), or the committed `v-NNNNN` version
+    * dir once [[rebuild]] has swapped in a re-fit ([[tableRoot]]
+    * resolves the manifest's `version` pointer). */
+  private def versionDir(dir: String, v: Long): String = f"$dir/v-$v%05d"
+  private def tableRoot(dir: String, m: Manifest): String =
+    m.params.get("version").map(v => versionDir(dir, v)).getOrElse(dir)
+
   private def expectFamily(m: Manifest, want: String): Unit =
     require(m.family == want,
       s"index at hand is family '${m.family}', expected '$want'")
@@ -75,7 +83,7 @@ object AnnIndex {
   def loadLsh(spark: SparkSession, dir: String): LoadedLsh = {
     val m = readManifest(spark, dir)
     expectFamily(m, "lsh")
-    LoadedLsh(m, table(spark, dir, "lsh_signatures"))
+    LoadedLsh(m, table(spark, tableRoot(dir, m), "lsh_signatures"))
   }
 
   /** s2's query half against the loaded artifact — the parquet scan IS
@@ -110,8 +118,8 @@ object AnnIndex {
   def loadIvf(spark: SparkSession, dir: String): LoadedIvf = {
     val m = readManifest(spark, dir)
     expectFamily(m, "ivf")
-    LoadedIvf(m, table(spark, dir, "ivf_assign"),
-      table(spark, dir, "ivf_centroids"))
+    LoadedIvf(m, table(spark, tableRoot(dir, m), "ivf_assign"),
+      table(spark, tableRoot(dir, m), "ivf_centroids"))
   }
 
   /** s3's query half against the loaded inverted file. */
@@ -143,7 +151,8 @@ object AnnIndex {
   def loadPq(spark: SparkSession, dir: String): LoadedPq = {
     val m = readManifest(spark, dir)
     expectFamily(m, "pq")
-    LoadedPq(m, table(spark, dir, "pq_codes"), table(spark, dir, "pq_codebook"))
+    LoadedPq(m, table(spark, tableRoot(dir, m), "pq_codes"),
+      table(spark, tableRoot(dir, m), "pq_codebook"))
   }
 
   /** s5's query half against the loaded codes: ADC scan + exact rerank.
@@ -209,13 +218,15 @@ object AnnIndex {
     (m.params.getOrElse("deltas_base", 0L), m.params("deltas"))
 
   private def codesTable(spark: SparkSession, dir: String,
-      m: Manifest): DataFrame =
+      m: Manifest): DataFrame = {
+    val root = tableRoot(dir, m)
     m.params.get("deltas") match {
       case Some(_) =>
         val (b, d) = deltaWindow(m)
-        spark.read.parquet((b until b + d).map(deltaPath(dir, _)): _*)
-      case None => table(spark, dir, "ivfpq_codes") // legacy flat layout
+        spark.read.parquet((b until b + d).map(deltaPath(root, _)): _*)
+      case None => table(spark, root, "ivfpq_codes") // legacy flat layout
     }
+  }
 
   /** Append a NEW batch of vectors to a persisted IVF-PQ index with
     * FROZEN quantizers — the production ingest contract: centroids and
@@ -259,13 +270,14 @@ object AnnIndex {
       return 0L // replayed micro-batch: already applied and committed
     val (base, count) = deltaWindow(mf)
     val committed = base + count // next uncommitted slot
+    val root = tableRoot(dir, mf)
     // heal: delete orphan delta dirs from appends/compactions that
     // never committed, and folded dirs a crashed compaction GC left
-    ArtifactIO.healOrphans(spark, s"$dir/ivfpq_codes.parquet", "delta-",
+    ArtifactIO.healOrphans(spark, s"$root/ivfpq_codes.parquet", "delta-",
       committed, base)
     val (dim, m) = (mf.dim, mf.params("m").toInt)
-    val cents = table(spark, dir, "ivfpq_centroids")
-    val cb = table(spark, dir, "ivfpq_codebook")
+    val cents = table(spark, root, "ivfpq_centroids")
+    val cb = table(spark, root, "ivfpq_codebook")
     // home cell against the FROZEN centroids — the same (cosine desc,
     // cent_id) order as the build-side assignment
     val qv = newEmb
@@ -292,7 +304,7 @@ object AnnIndex {
         .join(home.select(col("vec_id"), col("cell")), "vec_id")
         .select(col("vec_id"), col("sub"), col("code"), col("cell"))
       // stage: an uncommitted delta dir (overwrite — idempotent retry)
-      newCodes.write.mode("overwrite").parquet(deltaPath(dir, committed))
+      newCodes.write.mode("overwrite").parquet(deltaPath(root, committed))
       val appended = newEmb.count()
       // commit: the atomic manifest write IS the publish point
       val batchParam =
@@ -321,16 +333,95 @@ object AnnIndex {
       "this ivfpq artifact predates the delta layout - rebuild it")
     val (base, count) = deltaWindow(mf)
     if (count <= 1) return mf // already one slab
-    ArtifactIO.healOrphans(spark, s"$dir/ivfpq_codes.parquet", "delta-",
+    val root = tableRoot(dir, mf)
+    ArtifactIO.healOrphans(spark, s"$root/ivfpq_codes.parquet", "delta-",
       base + count, base)
-    spark.read.parquet((base until base + count).map(deltaPath(dir, _)): _*)
+    spark.read.parquet((base until base + count).map(deltaPath(root, _)): _*)
       .coalesce(32).write.mode("overwrite")
-      .parquet(deltaPath(dir, base + count))
+      .parquet(deltaPath(root, base + count))
     val mf2 = mf.copy(params = mf.params +
       ("deltas_base" -> (base + count)) + ("deltas" -> 1L))
     writeManifest(spark, dir, mf2)
-    ArtifactIO.healOrphans(spark, s"$dir/ivfpq_codes.parquet", "delta-",
+    ArtifactIO.healOrphans(spark, s"$root/ivfpq_codes.parquet", "delta-",
       base + count + 1, base + count)
+    mf2
+  }
+
+  // ---- quantizer refresh: re-fit + atomic version swap -------------------
+
+  private def familyTables(family: String): Seq[String] = family match {
+    case "lsh"   => Seq("lsh_signatures")
+    case "ivf"   => Seq("ivf_assign", "ivf_centroids")
+    case "pq"    => Seq("pq_codes", "pq_codebook")
+    case "sq8"   => Seq("sq_stats")
+    case "ivfpq" => Seq("ivfpq_codes", "ivfpq_codebook", "ivfpq_centroids")
+    case other => throw new IllegalArgumentException(
+      s"index at hand is family '$other', expected one of " +
+        "lsh | ivf | pq | sq8 | ivfpq (corrupted or newer-format manifest?)")
+  }
+
+  /** Re-fit an index's quantizers to the CURRENT corpus and swap the
+    * result in atomically (r10 verdict #5) — the maintenance call the
+    * stats-derived families need as the corpus grows: append correctly
+    * REFUSES lsh/ivf/sq8 (their masks/cells/stats would silently drift),
+    * so a growing corpus eventually wants an explicit rebuild without
+    * downtime. Works for every family (ivfpq gains a fresh single-delta
+    * codes layout too).
+    *
+    * Protocol — the version-dir variant of the shared commit:
+    *  1. sweep version dirs that never committed (and, once a version
+    *     is live, the superseded flat build-layout tables)
+    *  2. build a COMPLETE new index into the next `v-NNNNN` dir via the
+    *     family's own build path (tables + a self-describing manifest —
+    *     byte-identical to a fresh build on the same corpus,
+    *     AnnRebuildSpec pins it)
+    *  3. commit: the ROOT manifest adopts the new geometry with a
+    *     `version` pointer — readers flip old→new in one atomic step;
+    *     the streaming replay high-water mark is carried over
+    *  4. the SUPERSEDED version is NOT deleted here: it survives until
+    *     the next rebuild's sweep (step 1), so in-flight readers that
+    *     loaded before the swap finish against intact files (storage
+    *     stays bounded at ≤ 2 versions)
+    */
+  def rebuild(emb: DataFrame, dir: String, nHint: Long = -1L): Manifest = {
+    val spark = emb.sparkSession
+    val mf = readManifest(spark, dir)
+    val cur = mf.params.getOrElse("version", 0L) // 0 = flat build layout
+    val next = cur + 1
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // sweep: staged versions that never committed; plus the flat layout
+    // once some version is live (it was superseded by an earlier swap)
+    fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath).filter { p =>
+        val s = p.getName.stripPrefix("v-")
+        p.getName.startsWith("v-") && s.nonEmpty && s.forall(_.isDigit) &&
+          s.toLong != cur
+      }.foreach(fs.delete(_, true))
+    if (cur > 0) familyTables(mf.family).foreach(t =>
+      fs.delete(new org.apache.hadoop.fs.Path(dir, s"$t.parquet"), true))
+    // stage: a complete self-contained index in the next version dir
+    val stage = versionDir(dir, next)
+    val sub = mf.family match {
+      case "lsh" => buildLsh(emb, stage, mf.dim, nHint)
+      case "ivf" => buildIvf(emb, stage, mf.dim, nHint,
+        nProbe = mf.params.getOrElse("n_probe", 4L).toInt)
+      case "pq" => buildPq(emb, stage, mf.dim,
+        m = mf.params("m").toInt, k = mf.params("k").toInt, nHint = nHint)
+      case "sq8" => buildSq(emb, stage, mf.dim, nHint)
+      case "ivfpq" => buildIvfPq(emb, stage, mf.dim,
+        m = mf.params("m").toInt, k = mf.params("k").toInt, nHint = nHint)
+      case other => throw new IllegalArgumentException(
+        s"index at hand is family '$other', expected one of " +
+          "lsh | ivf | pq | sq8 | ivfpq (corrupted or newer-format manifest?)")
+    }
+    // commit: root manifest adopts the re-fit geometry + version pointer;
+    // the streaming replay guard survives the swap
+    val batchParam = mf.params.get("last_batch")
+      .map(b => Map("last_batch" -> b)).getOrElse(Map.empty)
+    val mf2 = sub.copy(params =
+      sub.params + ("version" -> next) ++ batchParam)
+    writeManifest(spark, dir, mf2)
     mf2
   }
 
@@ -341,7 +432,8 @@ object AnnIndex {
     val m = readManifest(spark, dir)
     expectFamily(m, "ivfpq")
     LoadedIvfPq(m, codesTable(spark, dir, m),
-      table(spark, dir, "ivfpq_codebook"), table(spark, dir, "ivfpq_centroids"))
+      table(spark, tableRoot(dir, m), "ivfpq_codebook"),
+      table(spark, tableRoot(dir, m), "ivfpq_centroids"))
   }
 
   /** s10's query half against the loaded artifact: per-probed-cell
@@ -376,7 +468,7 @@ object AnnIndex {
   def loadSq(spark: SparkSession, dir: String): LoadedSq = {
     val m = readManifest(spark, dir)
     expectFamily(m, "sq8")
-    LoadedSq(m, table(spark, dir, "sq_stats"))
+    LoadedSq(m, table(spark, tableRoot(dir, m), "sq_stats"))
   }
 
   /** s8's query half against the loaded stats (a dim-row collect — plan
