@@ -657,6 +657,23 @@ object Graft {
       poolR: Int = 10): DataFrame =
     materialized(operators.RagServe.mmrExactPinned(emb, queries, poolR))
 
+  /** Train a BPE tokenizer on `docs` and persist its merge table as an
+    * artifact ([[operators.BpeIndex]]) — the durable tokenizer a
+    * pipeline freezes so token budgets don't shift as corpora change.
+    * Loaded ≡ built and encode-from-loaded ≡ the inline gate are
+    * pinned (BpeIndexSpec). */
+  def buildBpeIndex(docs: DataFrame, dir: String,
+      rounds: Int = 3): operators.ArtifactIO.Manifest =
+    operators.BpeIndex.build(docs, dir, rounds)
+
+  /** Encode ANY corpus under the FROZEN tokenizer persisted at `dir` —
+    * t15's apply half with no retraining: one corpus-linear explode +
+    * a 1-row broadcast of the stored merges. Returns
+    * (doc_id, n_words, n_bpe_tokens). */
+  def bpeEncodeFrom(spark: SparkSession, dir: String,
+      docs: DataFrame): DataFrame =
+    operators.BpeIndex.encodeFrom(docs, operators.BpeIndex.load(spark, dir))
+
   /** KenLM/CCNet-style n-gram LM scoring: a bigram model from the corpus
     * itself (count tables), each doc scored by the exact integer mean of
     * scaled conditional probabilities — monotone in perplexity, so

@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.queries.TextQueries
+
+/** BPE-tokenizer-as-artifact (r10 verdict #7): the t13 merge table IS
+  * the tokenizer artifact every LLM pipeline ships — train it once,
+  * persist it behind the shared [[ArtifactIO]] commit, and encode any
+  * corpus under the DURABLE tokenizer instead of re-training per call
+  * (the t15 gate query re-derives the merges inline — correct for a
+  * gate, wrong for a deployment, where the tokenizer must stay FROZEN
+  * across corpora and time or token budgets silently shift).
+  *
+  * Layout under `dir`:
+  *   manifest.json         family=bpe, n = vocab size, params: rounds
+  *   bpe_merges.parquet    (round, pair, merged, n)
+  *
+  * Everything stored is exact (strings + int64 counts) — loaded ≡
+  * built is a row identity, and encode-from-loaded ≡ the inline t15
+  * gate on the training corpus (BpeIndexSpec pins both). Train is
+  * vocab-bounded (t13's contract); encode is one corpus-linear explode
+  * + a 1-row broadcast of the loaded merges.
+  */
+object BpeIndex {
+  import ArtifactIO.Manifest
+
+  final case class LoadedBpe(manifest: Manifest, merges: DataFrame)
+
+  /** Train on `docs` and persist: the t13 training path verbatim, its
+    * output written as the artifact. `n` records the training vocab
+    * size (distinct words) — the artifact's self-description. */
+  def build(docs: DataFrame, dir: String, rounds: Int = 3): Manifest = {
+    val spark = docs.sparkSession
+    val merges = TextQueries.bpeTrainOn(docs, rounds)
+    merges.write.mode("overwrite").parquet(s"$dir/bpe_merges.parquet")
+    val vocab = docs
+      .select(explode(graft.operators.TextOps.tokens(col("text"))).as("w"))
+      .distinct().count()
+    val mf = Manifest("bpe", 0, vocab, Map("rounds" -> rounds.toLong))
+    ArtifactIO.writeManifest(spark, dir, mf)
+    mf
+  }
+
+  def load(spark: SparkSession, dir: String): LoadedBpe = {
+    val m = ArtifactIO.readManifest(spark, dir)
+    require(m.family == "bpe",
+      s"index at hand is family '${m.family}', expected 'bpe'")
+    LoadedBpe(m, spark.read.parquet(s"$dir/bpe_merges.parquet"))
+  }
+
+  /** Encode a corpus under the LOADED tokenizer — t15's apply half
+    * pointed at the stored merge table (shared factored
+    * implementation, so encode-from-loaded ≡ the inline gate on the
+    * training corpus is an identity). The corpus encoded here need NOT
+    * be the training corpus — that is the point of freezing. Returns
+    * (doc_id, n_words, n_bpe_tokens). */
+  def encodeFrom(docs: DataFrame, ix: LoadedBpe): DataFrame =
+    TextQueries.bpeEncodeWith(docs, ix.merges,
+      ix.manifest.params("rounds").toInt)
+}

@@ -541,8 +541,15 @@ object TextQueries {
   // broadcast + per-row literal replaces — zero extra shuffles beyond
   // the final per-doc rollup.
   private[graft] def bpeEncodeOn(docs: DataFrame,
-      rounds: Int = BpeRounds): DataFrame = {
-    val merges = bpeTrainOn(docs, rounds)
+      rounds: Int = BpeRounds): DataFrame =
+    bpeEncodeWith(docs, bpeTrainOn(docs, rounds), rounds)
+
+  /** The APPLY half alone, against an existing merge table — factored
+    * so [[graft.operators.BpeIndex]] can encode under a PERSISTED
+    * tokenizer without re-training (the gate path above re-derives the
+    * merges inline; encode-from-loaded is the deployment shape). */
+  private[graft] def bpeEncodeWith(docs: DataFrame, merges: DataFrame,
+      rounds: Int): DataFrame = {
     val aggs = (1 to rounds).map(r =>
       max(when(col("round") === r, col("pair"))).as(s"p$r"))
     val mRow = merges.groupBy().agg(aggs.head, aggs.tail: _*)
