@@ -1062,20 +1062,51 @@ object Graft {
       indexDir, checkpointDir)
 
   /** Streaming ingest into a persisted DEDUP artifact: each arriving
-    * (doc_id, text) file is appended (d16's bipartite increment) and
-    * then published to `corpusDir/batch-<id>` — the corpus the next
-    * batch verifies against. Exactly-once end to end: the manifest's
-    * batchId high-water mark no-ops replays, the publish is a per-batch
-    * overwrite, and the index commits FIRST so a crash between the two
-    * converges on retry. Seed `corpusDir` with the already-indexed
-    * corpus before starting. Streamed ≡ one-shot build pinned by
-    * StreamDedupIngestSpec. Returns the started query. */
+    * (doc_id, text) file is appended (d16's bipartite increment,
+    * verified against the artifact's own stored shingle table — the
+    * corpus text is never read) and then published to
+    * `corpusDir/batch-<id>` for downstream consumers. Exactly-once end
+    * to end: the manifest's batchId high-water mark no-ops replays,
+    * the publish is a per-batch overwrite, and the index commits FIRST
+    * so a crash between the two converges on retry. Seed `corpusDir`
+    * with the already-indexed corpus before starting. Streamed ≡
+    * one-shot build pinned by StreamDedupIngestSpec. Returns the
+    * started query. */
   def streamDedupIngest(spark: SparkSession, landingDir: String,
       indexDir: String, corpusDir: String,
       checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
     streaming.StreamDedupIngest.ingestSink(
       streaming.StreamDedupIngest.readDocs(spark, landingDir),
       indexDir, corpusDir, checkpointDir)
+
+  /** The published ingest corpus as one DataFrame — the read seam that
+    * stays correct across [[compactIngestCorpus]] calls and streaming
+    * replays (folded per-batch dirs, including replay-recreated ones,
+    * are ignored by construction). */
+  def readIngestCorpus(spark: SparkSession, corpusDir: String): DataFrame =
+    streaming.StreamDedupIngest.readCorpus(spark, corpusDir)
+
+  /** Fold the ingest corpus's per-batch publish dirs with id ≤ `upTo`
+    * into one merged slab behind a corpus manifest — the small-files
+    * maintenance call for the publish side; contents and exactly-once
+    * semantics unchanged (DeltaCompactionSpec). */
+  def compactIngestCorpus(spark: SparkSession, corpusDir: String,
+      upTo: Long): Unit =
+    streaming.StreamDedupIngest.compactCorpus(spark, corpusDir, upTo)
+
+  /** C4-style LINE-level dedup as a streaming ingest stage: a line
+    * that ever occurred in an earlier-ingested document is dropped
+    * from every later one; per-doc rollups (n_lines, n_kept, byte-
+    * exact kept_fp) land in replay-idempotent `outDir/batch-<id>`
+    * dirs. Streamed ≡ the batch d17 operator on the union corpus
+    * (StreamingLineDedupSpec). Returns the started query. */
+  def streamLineDedup(spark: SparkSession, landingDir: String,
+      outDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    streaming.CorpusIngest.lineDedupSink(
+      spark.readStream.schema(streaming.StreamDedupIngest.docSchema)
+        .option("maxFilesPerTrigger", "1").parquet(landingDir),
+      outDir, checkpointDir)
 
   /** Serve a landing directory of (query_id, embedding) files from a
     * persisted ANN index — the retrieval half of the streaming story
