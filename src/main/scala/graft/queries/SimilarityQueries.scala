@@ -1594,6 +1594,99 @@ object SimilarityQueries {
       .filter(col("vec_rank") <= r)
   }
 
+  // ---- s15: FILTERED hybrid retrieval — s12's pre-filter semantics
+  // composed with s13's two-tower RRF fusion: the query a deployed RAG
+  // stack actually runs ("hybrid top-k among the docs this user may
+  // see"). One keep-set (the metadata predicate's surviving ids)
+  // restricts BOTH legs' candidates via a semi join BEFORE any ranking
+  // — ranks are positions within the FILTERED corpus, so the fused
+  // top-k is exactly the filtered corpus's hybrid top-k
+  // (post-filtering either leg under-fills and mis-ranks: a rank
+  // computed on the unfiltered corpus is wrong the moment a
+  // higher-ranked doc is filtered away). Legs, fusion, determinism and
+  // scale shape are s13's verbatim (shared lexRankOn/rrfFuse halves);
+  // the predicate adds one semi join per leg, never a rebuild.
+  private[graft] def filteredHybridRrf(docs: DataFrame, emb: DataFrame,
+      nQueries: Int = HQ, topK: Int = TopK, kRrf: Int = RrfK,
+      r: Int = RrfR): DataFrame = {
+    // the metadata predicate lives on the embedding side (s12's gate
+    // shape); one keep-set drives both legs
+    val keep = emb.filter(col("label") % 2 === 0)
+      .select(col("vec_id").as("doc_id"))
+    val sh = docs.select(col("doc_id"), TextOps.shingles(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val qsh = sh.filter(col("doc_id") < nQueries)
+      .select(col("doc_id").as("query_id"), col("sh").as("qsh"))
+    val lexRank = lexRankOn(
+      sh.join(keep, Seq("doc_id"), "left_semi")
+        .join(broadcast(qsh), col("query_id") =!= col("doc_id"))
+        .select(col("query_id"), col("doc_id"),
+          size(array_intersect(col("qsh"), col("sh"))).cast("bigint")
+            .as("inter")), r)
+    val e = emb.select(col("vec_id"), col("label"),
+        TextOps.quantize(col("embedding")).as("q"))
+      .withColumn("nn", TextOps.qdot(col("q"), col("q")))
+    val qv = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"),
+        col("nn").as("qnn"))
+    val wV = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("doc_id"))
+    val vecRank = e.filter(col("label") % 2 === 0)
+      .join(broadcast(qv), col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("doc_id"),
+        (TextOps.qdot(col("qq"), col("q")).cast("double") /
+          (sqrt(col("qnn").cast("double")) * sqrt(col("nn").cast("double"))))
+          .as("cosine"))
+      .withColumn("vec_rank", row_number().over(wV).cast("bigint"))
+      .filter(col("vec_rank") <= r)
+      .select(col("query_id"), col("doc_id"), col("vec_rank"))
+    rrfFuse(lexRank, vecRank, kRrf, topK)
+  }
+  private val filteredHybridRrfSql =
+    s"""WITH keep AS (SELECT vec_id AS doc_id FROM embeddings WHERE label % 2 = 0),
+       |sh AS (SELECT doc_id, ${TextOps.shinglesSql("text")} AS sh
+       |  FROM documents WHERE len(${TextOps.tokensSql("text")}) >= 3),
+       |lex0 AS (
+       |  SELECT q.doc_id AS query_id, c.doc_id AS doc_id,
+       |    CAST(len(list_intersect(q.sh, c.sh)) AS BIGINT) AS inter
+       |  FROM sh q JOIN sh c ON q.doc_id < $HQ AND c.doc_id <> q.doc_id
+       |  WHERE c.doc_id IN (SELECT doc_id FROM keep)
+       |    AND len(list_intersect(q.sh, c.sh)) > 0),
+       |lexr AS (
+       |  SELECT query_id, doc_id, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY inter DESC, doc_id) AS lex_rank
+       |  FROM lex0 QUALIFY lex_rank <= $RrfR),
+       |qv AS (SELECT vec_id, label, ${TextOps.quantizeSql("embedding")} AS q FROM embeddings),
+       |e AS (SELECT vec_id, unnest(q) AS v, generate_subscripts(q, 1) AS i FROM qv),
+       |norms AS (SELECT vec_id, SUM(v * v) AS nn FROM e GROUP BY 1),
+       |vd AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS doc_id, SUM(a.v * b.v) AS dot
+       |  FROM e a JOIN e b ON a.i = b.i AND a.vec_id < $HQ
+       |   AND b.vec_id <> a.vec_id
+       |  JOIN qv fb ON fb.vec_id = b.vec_id AND fb.label % 2 = 0
+       |  GROUP BY 1, 2),
+       |vecr AS (
+       |  SELECT query_id, doc_id, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY
+       |        CAST(dot AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) DESC,
+       |        doc_id) AS vec_rank
+       |  FROM vd JOIN norms na ON na.vec_id = query_id
+       |  JOIN norms nb ON nb.vec_id = doc_id
+       |  QUALIFY vec_rank <= $RrfR),
+       |fused AS (
+       |  SELECT COALESCE(l.query_id, v.query_id) AS query_id,
+       |    COALESCE(l.doc_id, v.doc_id) AS doc_id, l.lex_rank, v.vec_rank,
+       |    COALESCE(CAST(1 AS DOUBLE) / ($RrfK + l.lex_rank), 0)
+       |      + COALESCE(CAST(1 AS DOUBLE) / ($RrfK + v.vec_rank), 0) AS rrf
+       |  FROM lexr l FULL JOIN vecr v
+       |    ON v.query_id = l.query_id AND v.doc_id = l.doc_id)
+       |SELECT query_id, doc_id,
+       |  COALESCE(lex_rank, -1) AS lex_rank,
+       |  COALESCE(vec_rank, -1) AS vec_rank,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rk,
+       |  round(rrf, 6) AS rrf_r
+       |FROM fused QUALIFY rk <= $TopK""".stripMargin
+
   // ---- s14: MMR diversity re-ranking (Carbonell & Goldstein 1998 —
   // maximal marginal relevance, the standard RAG diversity pass): a
   // plain top-k hands the generator k near-copies of the same passage;
@@ -1848,5 +1941,9 @@ object SimilarityQueries {
     Q("s14_mmr_rerank",
       (s, d) => mmrRerank(Tables.embeddings(s, d)),
       Some(mmrRerankSql)),
+    Q("s15_filtered_hybrid",
+      (s, d) => filteredHybridRrf(Tables.documents(s, d),
+        Tables.embeddings(s, d)),
+      Some(filteredHybridRrfSql)),
     Q("d14_semantic_dedup", semanticDedup, Some(semanticDedupSql)))
 }

@@ -596,6 +596,18 @@ class PlanQualitySpec extends AnyFunSuite {
       s"query legs must build on the broadcast side:\n${bnlj.mkString("\n")}")
   }
 
+  test("s15 filtered hybrid: pre-filter semi joins, broadcast query legs, no cartesian") {
+    val p = plan("s15_filtered_hybrid")
+    assert(!p.contains("CartesianProduct"), p)
+    val bnlj = p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(bnlj.nonEmpty && bnlj.forall(_.contains("BuildRight")),
+      s"query legs must build on the broadcast side:\n${bnlj.mkString("\n")}")
+    // the keep-set must restrict the lexical leg BEFORE ranking — a
+    // semi join somewhere in the plan, never a post-rank filter
+    assert(p.contains("LeftSemi"),
+      s"the metadata predicate must pre-filter via a semi join:\n$p")
+  }
+
   test("artifact-served hybrid RRF: no cartesian, no corpus-side shuffle beyond ranks") {
     // the deployment composition (r10 verdict #3): lexical leg over the
     // dedup artifact's stored shingle sets, vector leg = ANN candidates
