@@ -134,6 +134,40 @@ class DocExamplesSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("quickstart: artifact-served retrieval and index maintenance") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+
+    // serve the RAG compositions from PERSISTED artifacts: vector
+    // candidates from the ANN index, lexical overlap from the dedup
+    // artifact's stored shingle sets — no corpus-text scan per call
+    val annDir = Files.createTempDirectory("rag_ann").toString
+    val dxDir = Files.createTempDirectory("rag_dedup").toString
+    Graft.buildAnnIndex(emb, annDir, family = "ivf", dim = 64)
+    Graft.buildDedupIndex(docs, dxDir)
+    val queries = docs.join(emb.withColumnRenamed("vec_id", "doc_id"), "doc_id")
+      .filter(col("doc_id") < 4)
+      .select((col("doc_id") + 5000000L).as("query_id"), col("text"),
+        col("embedding"))
+    val hybrid = Graft.hybridSearchFrom(spark, annDir, dxDir, emb, queries)
+    val diverse = Graft.mmrRerankFrom(spark, annDir, emb, queries)
+
+    // maintenance: fold streaming delta dirs into slabs (contents
+    // identical, crash-safe) and re-fit quantizers with an atomic swap
+    Graft.compactDedupIndex(spark, dxDir)
+    Graft.rebuildAnnIndex(emb, annDir)
+
+    // a durable tokenizer: train once, encode ANY corpus under the
+    // frozen merges (token budgets stay comparable across corpora)
+    val bpeDir = Files.createTempDirectory("bpe").toString
+    Graft.buildBpeIndex(docs, bpeDir)
+    val encoded = Graft.bpeEncodeFrom(spark, bpeDir, docs)
+
+    assert(hybrid.count() == 12 && diverse.count() == 12)
+    assert(encoded.count() == docs.count())
+    spark.catalog.clearCache()
+  }
+
   test("quickstart: quality signals and sequence packing") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
 
