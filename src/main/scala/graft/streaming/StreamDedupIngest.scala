@@ -138,18 +138,38 @@ object StreamDedupIngest {
       fs.delete(new org.apache.hadoop.fs.Path(s"$corpusDir/batch-$i"), true))
   }
 
-  /** Start the ingest sink; stop the returned query to stop ingesting. */
+  /** Start the ingest sink; stop the returned query to stop ingesting.
+    *
+    * @param compactEvery when > 0, every `compactEvery`-th batch also
+    *   folds the artifact's delta dirs ([[graft.operators.DedupIndex
+    *   .compactDeltas]]) and the corpus's published batch dirs
+    *   ([[compactCorpus]] up to the PREVIOUS batch — the current one
+    *   may still replay) — the maintenance loop closed inside the
+    *   stream, so a week-long ingest never accumulates unbounded
+    *   small dirs. Both calls are replay-safe: compactDeltas is
+    *   contents-idempotent and compactCorpus is skipped unless it
+    *   advances the committed slab. */
   def ingestSink(docs: DataFrame, indexDir: String, corpusDir: String,
-      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+      checkpointDir: String,
+      compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (!batch.isEmpty) {
+          val spark = batch.sparkSession
           // verify runs against the artifact's own stored shingle
           // table — the published text corpus is never read here
           DedupIndex.append(batch.toDF(), indexDir, batchId)
           batch.toDF().write.mode("overwrite")
             .parquet(s"$corpusDir/batch-$batchId")
+          if (compactEvery > 0 && batchId > 0 &&
+              batchId % compactEvery == 0) {
+            DedupIndex.compactDeltas(spark, indexDir)
+            val prev = corpusManifest(spark, corpusDir)
+              .map(_.params("merged_upto")).getOrElse(-1L)
+            if (batchId - 1 > prev) // a replayed trigger must not regress
+              compactCorpus(spark, corpusDir, batchId - 1)
+          }
         }
       }
       .start()

@@ -67,14 +67,24 @@ object StreamEmbedDedup {
     * overwrites (never duplicated (vec_id, sub, code, cell) rows, which
     * would double ADC sums and corrupt rankings).
     * Returns the started query; stop it to stop ingesting. */
+  /** @param compactEvery when > 0, every `compactEvery`-th batch also
+    *   folds the accumulated code deltas into one slab
+    *   ([[graft.operators.AnnIndex.compactIvfPqDeltas]] — contents
+    *   idempotent, replay-safe): the maintenance loop closed inside
+    *   the stream. */
   def indexAppendSink(emb: DataFrame, indexDir: String,
-      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+      checkpointDir: String,
+      compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
     emb.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (!batch.isEmpty) {
           graft.operators.AnnIndex.appendIvfPq(batch.toDF(), indexDir,
             batchId = batchId)
+          if (compactEvery > 0 && batchId > 0 &&
+              batchId % compactEvery == 0)
+            graft.operators.AnnIndex.compactIvfPqDeltas(
+              batch.sparkSession, indexDir)
           ()
         }
       }

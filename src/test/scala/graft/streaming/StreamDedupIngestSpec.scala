@@ -63,4 +63,41 @@ class StreamDedupIngestSpec extends AnyFunSuite {
     assert(published == oneShot.manifest.n)
     spark.catalog.clearCache()
   }
+
+  test("in-stream compaction (compactEvery) keeps the identity and bounds dir counts") {
+    val all = Tables.documents(spark, sf).select("doc_id", "text")
+    val seed = all.filter(col("doc_id") % 10 =!= 0)
+    val ixDir = Files.createTempDirectory("graft_sdic_ix").toString
+    DedupIndex.build(seed, ixDir, -1L)
+    val corpusDir = Files.createTempDirectory("graft_sdic_corpus").toString
+    seed.coalesce(1).write.parquet(s"$corpusDir/batch-seed")
+    val landing = Files.createTempDirectory("graft_sdic_landing").toString
+    // four single-file micro-batches; compaction fires on batches 2, 4
+    (0 until 4).foreach(r => all
+      .filter(col("doc_id") % 10 === 0 && col("doc_id") % 40 === r * 10)
+      .coalesce(1).write.mode("append").parquet(landing))
+
+    val q = StreamDedupIngest.ingestSink(
+      StreamDedupIngest.readDocs(spark, landing), ixDir, corpusDir,
+      Files.createTempDirectory("graft_sdic_ckpt").toString,
+      compactEvery = 2)
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = DedupIndex.load(spark, ixDir)
+    val oneShotDir = Files.createTempDirectory("graft_sdic_oneshot").toString
+    DedupIndex.build(all, oneShotDir, -1L)
+    val oneShot = DedupIndex.load(spark, oneShotDir)
+    assert(streamed.manifest.n == oneShot.manifest.n)
+    assert(rows(streamed.pairs) == rows(oneShot.pairs),
+      "in-stream compaction must not change the pair graph")
+    assert(rows(streamed.components) == rows(oneShot.components))
+    // dir counts bounded: the last compaction (batch 4) folded
+    // everything staged before it; at most slab + post-slab deltas live
+    assert(streamed.manifest.params("sig_deltas") <= 2,
+      s"sig window after in-stream compaction: ${streamed.manifest.params}")
+    val corpus = StreamDedupIngest.readCorpus(spark, corpusDir)
+    assert(corpus.count() == oneShot.manifest.n,
+      "compacted corpus must describe the same document set")
+    spark.catalog.clearCache()
+  }
 }

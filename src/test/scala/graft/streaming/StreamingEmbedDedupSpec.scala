@@ -183,6 +183,40 @@ class StreamingEmbedDedupSpec extends AnyFunSuite {
       "per-query top-k must be independent of micro-batch splits")
   }
 
+  test("index-append sink with in-stream compaction: codes identical, one slab") {
+    import graft.operators.AnnIndex
+    val emb = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding", "label")
+    val n = Tables.embeddingsRows(spark, sf)
+    val inc = emb.filter(col("vec_id") < 6)
+      .select((col("vec_id") + 4000000L).as("vec_id"), col("embedding"),
+        col("label"))
+    val landing = Files.createTempDirectory("graft_ixac_landing").toString
+    inc.filter(col("vec_id") % 2 === 0).coalesce(1)
+      .write.mode("append").parquet(landing)
+    inc.filter(col("vec_id") % 2 === 1).coalesce(1)
+      .write.mode("append").parquet(landing)
+    val streamedIx = Files.createTempDirectory("graft_ixac_streamed").toString
+    AnnIndex.buildIvfPq(emb, streamedIx, Tables.EmbeddingDim,
+      m = 8, k = 64, nHint = n)
+    val q = StreamEmbedDedup.indexAppendSink(
+      StreamEmbedDedup.readEmbeddings(spark, landing), streamedIx,
+      Files.createTempDirectory("graft_ckpt_ixac").toString,
+      compactEvery = 1)
+    try q.processAllAvailable() finally q.stop()
+    val ctl = Files.createTempDirectory("graft_ixac_ctl").toString
+    AnnIndex.buildIvfPq(emb, ctl, Tables.EmbeddingDim, m = 8, k = 64,
+      nHint = n)
+    AnnIndex.appendIvfPq(inc, ctl)
+    def codes(dir: String) = AnnIndex.loadIvfPq(spark, dir).codes
+      .collect().map(_.toString).sorted.toSeq
+    assert(codes(streamedIx) == codes(ctl),
+      "in-stream compaction must not change the codes bag")
+    assert(AnnIndex.readManifest(spark, streamedIx).params("deltas") == 1L,
+      "the last in-stream compaction must leave one slab")
+    spark.catalog.clearCache()
+  }
+
   test("streamed index appends equal a one-shot append (live index stays queryable)") {
     import graft.operators.AnnIndex
     val emb = Tables.embeddings(spark, sf)
