@@ -478,6 +478,36 @@ class GraftFacadeSpec extends AnyFunSuite {
       "a round-10 facade left entries pinned in the session cache")
   }
 
+  test("round-11 maintenance/serving facades leave no hidden cache entries") {
+    // same contract for the round-11 surface: delta compaction,
+    // quantizer rebuild, the frozen-tokenizer encode, corpus reads
+    // (the artifact-served RAG facades are covered in RagServeSpec)
+    import org.apache.spark.sql.functions.col
+    spark.catalog.clearCache()
+    val docs = Tables.documents(spark, sf)
+    val emb = Tables.embeddings(spark, sf)
+    val n = Tables.embeddingsRows(spark, sf)
+    val dxDir = java.nio.file.Files
+      .createTempDirectory("gfs_r11_dedup").toString
+    Graft.buildDedupIndex(docs, dxDir)
+    Graft.appendDedupIndex(docs.filter(col("doc_id") < 4)
+      .withColumn("doc_id", col("doc_id") + 8000000L), dxDir)
+    Graft.compactDedupIndex(spark, dxDir)
+    Graft.dedupServeNearDups(spark, dxDir, docs.filter(col("doc_id") < 4)
+      .withColumn("doc_id", col("doc_id") + 9000000L)).count()
+    val ixDir = java.nio.file.Files
+      .createTempDirectory("gfs_r11_ann").toString
+    Graft.buildAnnIndex(emb, ixDir, "ivfpq", Tables.EmbeddingDim, n)
+    Graft.compactAnnIndex(spark, ixDir)
+    Graft.rebuildAnnIndex(emb, ixDir, n)
+    val bpeDir = java.nio.file.Files
+      .createTempDirectory("gfs_r11_bpe").toString
+    Graft.buildBpeIndex(docs, bpeDir)
+    Graft.bpeEncodeFrom(spark, bpeDir, docs).count()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "a round-11 facade left entries pinned in the session cache")
+  }
+
   test("passing the embedding dim skips the probe job (one fewer job)") {
     // job-group + statusTracker: a synchronous, exact per-block job count.
     // Cache cleared per block: s2 pins+materializes its signature table
