@@ -22,6 +22,7 @@ import graft.queries.DedupQueries
   *   signatures.parquet/delta-NNNNN    (doc_id, sig: array<long>)
   *   bands.parquet/delta-NNNNN         (doc_id, band_idx, band_val)
   *   shingles.parquet/delta-NNNNN      (doc_id, hs: array<long>)
+  *   postings.parquet/delta-NNNNN      (h, doc_id)
   *   pairs.parquet/delta-NNNNN         (doc_a, doc_b, inter, uni, jaccard)
   *   components.parquet/v-NNNNN        (id, component)
   *
@@ -34,8 +35,8 @@ import graft.queries.DedupQueries
   * corpus text (r10 verdict #1): a probe's per-call cost is bounded by
   * its candidates, not by the corpus.
   *
-  * Signatures/bands/shingles advance in lockstep (one `sig_deltas`
-  * commit point); pairs are append-only deltas; the component table is
+  * Signatures/bands/shingles/postings advance in lockstep (one
+  * `sig_deltas` commit point); pairs are append-only deltas; the component table is
   * VERSIONED because new edges can merge existing components — each
   * append publishes a full new version, recomputing only the components
   * the increment touches. All writes commit through the manifest
@@ -53,8 +54,16 @@ object DedupIndex {
   import ArtifactIO.Manifest
 
   final case class LoadedDedup(manifest: Manifest, signatures: DataFrame,
-      bands: DataFrame, shingleSets: DataFrame, pairs: DataFrame,
-      components: DataFrame)
+      bands: DataFrame, shingleSets: DataFrame, postings: DataFrame,
+      pairs: DataFrame, components: DataFrame)
+
+  /** (h, doc_id) posting rows from a hashed-shingle-set table — the
+    * inverted-index form of the same data, persisted so the lexical
+    * retrieval leg ([[RagServe.hybridFromIndexes]]) probes an equi-join
+    * on the shingle hash and touches ONLY docs sharing a query shingle,
+    * instead of array-intersecting every stored doc per batch. */
+  private def postingsOf(hsT: DataFrame): DataFrame =
+    hsT.select(explode(col("hs")).as("h"), col("doc_id"))
 
   private def sigPath(dir: String, i: Long): String =
     f"$dir/signatures.parquet/delta-$i%05d"
@@ -62,6 +71,8 @@ object DedupIndex {
     f"$dir/bands.parquet/delta-$i%05d"
   private def shinglePath(dir: String, i: Long): String =
     f"$dir/shingles.parquet/delta-$i%05d"
+  private def postingPath(dir: String, i: Long): String =
+    f"$dir/postings.parquet/delta-$i%05d"
   private def pairPath(dir: String, i: Long): String =
     f"$dir/pairs.parquet/delta-$i%05d"
   private def compPath(dir: String, i: Long): String =
@@ -80,6 +91,7 @@ object DedupIndex {
     hsT.count() // shingle write + sig derivation + verify rejoins read it
     try {
       hsT.write.mode("overwrite").parquet(shinglePath(dir, 0L))
+      postingsOf(hsT).write.mode("overwrite").parquet(postingPath(dir, 0L))
       val sigArr = DedupQueries.minhashSigArrFromHashes(hsT)
         .persist(StorageLevel.MEMORY_AND_DISK)
       sigArr.count() // sig write + band write + band join + sig rejoins
@@ -131,6 +143,7 @@ object DedupIndex {
       spark.read.parquet(sigSlots(m).map(i => sigPath(dir, i)): _*),
       spark.read.parquet(sigSlots(m).map(i => bandPath(dir, i)): _*),
       spark.read.parquet(sigSlots(m).map(i => shinglePath(dir, i)): _*),
+      spark.read.parquet(sigSlots(m).map(i => postingPath(dir, i)): _*),
       spark.read.parquet(pairSlots(m).map(i => pairPath(dir, i)): _*),
       spark.read.parquet(compPath(dir, m.params("comp_versions") - 1)))
   }
@@ -181,6 +194,8 @@ object DedupIndex {
     ArtifactIO.healOrphans(spark, s"$dir/bands.parquet", "delta-", sigEnd, sb)
     ArtifactIO.healOrphans(spark, s"$dir/shingles.parquet", "delta-",
       sigEnd, sb)
+    ArtifactIO.healOrphans(spark, s"$dir/postings.parquet", "delta-",
+      sigEnd, sb)
     ArtifactIO.healOrphans(spark, s"$dir/pairs.parquet", "delta-", pairEnd, pb)
     // cv - 1 as the live base also GCs superseded component versions
     ArtifactIO.healOrphans(spark, s"$dir/components.parquet", "v-", cv, cv - 1)
@@ -190,6 +205,8 @@ object DedupIndex {
     incHs.count() // shingle write + sig derivation + verify read it
     try {
       incHs.write.mode("overwrite").parquet(shinglePath(dir, sigEnd))
+      postingsOf(incHs).write.mode("overwrite")
+        .parquet(postingPath(dir, sigEnd))
       val incSig = DedupQueries.minhashSigArrFromHashes(incHs)
         .persist(StorageLevel.MEMORY_AND_DISK)
       incSig.count() // sig write + band write + both candidate legs
@@ -284,6 +301,8 @@ object DedupIndex {
       sb + sd, sb)
     ArtifactIO.healOrphans(spark, s"$dir/shingles.parquet", "delta-",
       sb + sd, sb)
+    ArtifactIO.healOrphans(spark, s"$dir/postings.parquet", "delta-",
+      sb + sd, sb)
     ArtifactIO.healOrphans(spark, s"$dir/pairs.parquet", "delta-",
       pb + pd, pb)
     // stage: one slab per table at the next slot. coalesce bounds the
@@ -296,6 +315,7 @@ object DedupIndex {
     fold(sigPath, sb, sd, sb + sd)
     fold(bandPath, sb, sd, sb + sd)
     fold(shinglePath, sb, sd, sb + sd)
+    fold(postingPath, sb, sd, sb + sd)
     fold(pairPath, pb, pd, pb + pd)
     // commit: the window flips to [end, end+1) atomically
     val mf2 = mf.copy(params = mf.params +
@@ -308,6 +328,8 @@ object DedupIndex {
     ArtifactIO.healOrphans(spark, s"$dir/bands.parquet", "delta-",
       sb + sd + 1, sb + sd)
     ArtifactIO.healOrphans(spark, s"$dir/shingles.parquet", "delta-",
+      sb + sd + 1, sb + sd)
+    ArtifactIO.healOrphans(spark, s"$dir/postings.parquet", "delta-",
       sb + sd + 1, sb + sd)
     ArtifactIO.healOrphans(spark, s"$dir/pairs.parquet", "delta-",
       pb + pd + 1, pb + pd)

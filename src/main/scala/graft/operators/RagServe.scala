@@ -80,22 +80,26 @@ object RagServe {
   }
 
   /** Hybrid RRF from the artifacts: vector candidates from the loaded
-    * ANN index (exact-cosine reranked), lexical overlap against the
-    * dedup artifact's stored hashed shingle sets — nothing re-fit, no
-    * corpus text, no full-embedding rescan. Same output schema as s13:
-    * (query_id, doc_id, lex_rank, vec_rank, rk, rrf_r). */
+    * ANN index (exact-cosine reranked), lexical overlap from the dedup
+    * artifact's stored POSTING LIST — the query batch's shingle hashes
+    * explode to (query_id, h) rows (a bounded broadcast side: queries ×
+    * shingles-per-doc), equi-join the stored (h, doc_id) postings, and
+    * the per-(query, doc) match count IS |qhs ∩ hs| because both sides
+    * are distinct-hash sets. Only docs sharing ≥ 1 query shingle ever
+    * leave the join — no per-doc array intersect across the corpus, no
+    * corpus text, no full-embedding rescan, nothing re-fit. Same output
+    * schema as s13: (query_id, doc_id, lex_rank, vec_rank, rk, rrf_r). */
   def hybridFromIndexes(spark: SparkSession, annDir: String,
       dedup: DedupIndex.LoadedDedup, emb: DataFrame, queries: DataFrame,
       topK: Int = 3, kRrf: Int = 60, r: Int = 100,
       nProbe: Int = 32): DataFrame = {
-    val qhs = DedupQueries.hashedShingleSets(
+    val qPost = DedupQueries.hashedShingleSets(
         queries.select(col("query_id").as("doc_id"), col("text")))
-      .select(col("doc_id").as("query_id"), col("hs").as("qhs"))
+      .select(col("doc_id").as("query_id"), explode(col("hs")).as("h"))
     val lexRank = SimilarityQueries.lexRankOn(
-      dedup.shingleSets.join(broadcast(qhs))
-        .select(col("query_id"), col("doc_id"),
-          size(array_intersect(col("qhs"), col("hs"))).cast("bigint")
-            .as("inter")), r)
+      dedup.postings.join(broadcast(qPost), "h")
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(count(lit(1)).as("inter")), r)
     val cand = annCandidates(spark, annDir,
       queries.select("query_id", "embedding"), emb, r, nProbe)
     val vecRank = SimilarityQueries.cosineRankOnPairs(cand, emb,

@@ -57,6 +57,9 @@ class DedupIndexSpec extends AnyFunSuite {
         .select(col("doc_id"), concat_ws(",", col("hs")).as("h")))
       == rows(DedupQueries.hashedShingleSets(docs)
         .select(col("doc_id"), concat_ws(",", col("hs")).as("h"))))
+    // stored postings == the shingle sets exploded (the inverted form)
+    assert(rows(ix.postings) == rows(DedupQueries.hashedShingleSets(docs)
+      .select(explode(col("hs")).as("h"), col("doc_id"))))
     val inlinePairs = rows(DedupQueries.jaccardPairs(docs, n))
     spark.catalog.clearCache()
     assert(rows(ix.pairs).nonEmpty && rows(ix.pairs) == inlinePairs)
@@ -105,6 +108,8 @@ class DedupIndexSpec extends AnyFunSuite {
       == rows(b.shingleSets.select(col("doc_id"),
         concat_ws(",", col("hs")).as("h"))),
       "incremental shingle-set table must equal the one-shot build")
+    assert(rows(a.postings) == rows(b.postings),
+      "incremental posting table must equal the one-shot build")
     assert(rows(a.pairs) == rows(b.pairs),
       "incremental pair set must equal the one-shot build")
     assert(rows(a.components) == rows(b.components),

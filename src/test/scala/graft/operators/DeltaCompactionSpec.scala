@@ -48,7 +48,7 @@ class DeltaCompactionSpec extends AnyFunSuite {
     rows(ix.signatures.select(col("doc_id"), concat_ws(",", col("sig")))),
     rows(ix.bands),
     rows(ix.shingleSets.select(col("doc_id"), concat_ws(",", col("hs")))),
-    rows(ix.pairs), rows(ix.components))
+    rows(ix.postings), rows(ix.pairs), rows(ix.components))
 
   test("dedup artifact: compaction folds deltas to one slab each, contents identical") {
     val dir = tmp("dedup")
@@ -64,6 +64,7 @@ class DeltaCompactionSpec extends AnyFunSuite {
     assert(subdirs(dir, "signatures.parquet") == Seq("delta-00004"))
     assert(subdirs(dir, "bands.parquet") == Seq("delta-00004"))
     assert(subdirs(dir, "shingles.parquet") == Seq("delta-00004"))
+    assert(subdirs(dir, "postings.parquet") == Seq("delta-00004"))
     assert(subdirs(dir, "pairs.parquet") == Seq("delta-00004"))
     assert(subdirs(dir, "components.parquet").size == 1,
       "superseded component versions must be GC'd")
