@@ -321,9 +321,12 @@ object AnnIndex {
     * micro-batch otherwise; r10 verdict #2). Same protocol as
     * [[graft.operators.DedupIndex.compactDeltas]]: heal → stage the
     * merged slab at the next slot → atomic manifest commit (base jumps
-    * past the folded window, count 1) → GC the folded dirs (readers
-    * already ignore them; a crash mid-GC is swept by the next
-    * mutation's heal). Codes are an unordered bag keyed by
+    * past the folded window, count 1). The folded dirs are NOT deleted
+    * at the commit: a reader that loaded just before it may still be
+    * scanning them, so they get one grace cycle and the NEXT mutation's
+    * heal sweeps them — the [[rebuild]] superseded-version contract
+    * applied to deltas (storage bounded at ≤ 2 windows). Codes are an
+    * unordered bag keyed by
     * (vec_id, sub) — the fold is a pure re-layout, every query result
     * is unchanged (DeltaCompactionSpec pins it). */
   def compactIvfPqDeltas(spark: SparkSession, dir: String): Manifest = {
@@ -342,8 +345,8 @@ object AnnIndex {
     val mf2 = mf.copy(params = mf.params +
       ("deltas_base" -> (base + count)) + ("deltas" -> 1L))
     writeManifest(spark, dir, mf2)
-    ArtifactIO.healOrphans(spark, s"$root/ivfpq_codes.parquet", "delta-",
-      base + count + 1, base + count)
+    // no GC at the commit — in-flight readers get one grace cycle; the
+    // next mutation's heal sweeps the folded window (scaladoc above)
     mf2
   }
 

@@ -39,14 +39,24 @@ object ArtifactIO {
     fs.delete(path, false)
     if (!fs.rename(tmp, path)) {
       // a crash-healing reader may have raced us inside the
-      // delete-to-rename window and promoted OUR tmp itself — the commit
-      // then completed, just not by our hand. Losing the rename is a
-      // failure only if the target doesn't hold what we wrote.
-      val landed =
+      // delete-to-rename window — either promoting OUR tmp itself (the
+      // commit completed, just not by our hand) or deleting it as stale
+      // next to a manifest that is now gone. Losing the rename is a
+      // failure only if the target doesn't hold what we wrote; before
+      // concluding failure, re-create the target from the bytes still in
+      // hand — without this, a writer that dies here leaves the artifact
+      // with NO manifest at all (the race destroyed the old commit point
+      // and the rename never installed the new one).
+      def landed: Boolean =
         try parseManifest(fs, path) == m
         catch { case scala.util.control.NonFatal(_) => false }
-      if (!landed)
-        throw new java.io.IOException(s"rename $tmp -> $path failed")
+      if (!landed) {
+        val retry = fs.create(path, true)
+        try retry.write(bytes) finally retry.close()
+        if (!landed)
+          throw new java.io.IOException(s"rename $tmp -> $path failed " +
+            "and direct re-create did not verify")
+      }
     } else {
       val len = fs.getFileStatus(path).getLen
       if (len != bytes.length)
@@ -85,7 +95,9 @@ object ArtifactIO {
     * rather than pick one blind. The stale-tmp delete next to a
     * parseable target keeps crashed-commit leftovers from accumulating;
     * its only race (a reader dropping a LIVE writer's fresh tmp) is
-    * caught by the writer's lost-rename content check. */
+    * DETECTED by the writer's lost-rename content check, which then
+    * re-creates the target from the bytes it still holds — detection
+    * plus best-effort repair, not a full transactional guarantee. */
   def readManifest(spark: SparkSession, dir: String): Manifest = {
     val path = new Path(dir, "manifest.json")
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
@@ -98,9 +110,16 @@ object ArtifactIO {
         throw new java.io.IOException(s"manifest recovery rename failed: $tmp")
     if (fs.exists(tmp) && !fs.exists(path)) {
       // a live writer sits in its delete-to-rename window for only an
-      // instant — wait it out before concluding this is a crash
-      var waits = 0
-      while (waits < 50 && !fs.exists(path)) { Thread.sleep(10); waits += 1 }
+      // instant (a local/HDFS delete+rename is µs–ms) — back off
+      // exponentially 1,2,4,8,16,16,16 ms (~63 ms total) before
+      // concluding this is a crash, so a genuinely crashed first-ever
+      // build taxes every subsequent read well under 100 ms instead of
+      // a flat half-second poll
+      var delay = 1L
+      var total = 0L
+      while (total < 63 && !fs.exists(path)) {
+        Thread.sleep(delay); total += delay; delay = math.min(delay * 2, 16L)
+      }
     }
     if (fs.exists(tmp)) {
       if (!fs.exists(path)) {

@@ -279,16 +279,24 @@ object DedupIndex {
     *     numbers never reset, so staged data is unambiguous)
     *  3. atomic manifest commit: base jumps past the folded window,
     *     count becomes 1 — readers flip from N dirs to 1 in one step
-    *  4. GC the folded dirs (a crash here leaves stale dirs below the
-    *     base that readers already ignore; the next mutation's heal
-    *     sweeps them)
-    * Superseded component versions are GC'd too (the live table is the
-    * newest version only). A single-delta artifact is a no-op apart
-    * from that GC. Returns the committed manifest. */
+    *  4. the folded dirs are NOT deleted here: they survive one grace
+    *     cycle until the NEXT mutation's heal sweep ([[append]] /
+    *     [[delete]] / the next compaction pass `liveBase` to
+    *     [[ArtifactIO.healOrphans]]), so a reader that loaded just
+    *     before the commit finishes against intact files — the same
+    *     in-flight-reader contract as [[AnnIndex.rebuild]]'s superseded
+    *     version. Storage stays bounded at ≤ 2 windows.
+    * Superseded component versions follow the same grace rule (swept by
+    * the next mutation's heal, never at their own commit). A
+    * single-delta artifact is a no-op apart from the orphan heal.
+    * Returns the committed manifest. */
   def compactDeltas(spark: SparkSession, dir: String): Manifest = {
     val mf = ArtifactIO.readManifest(spark, dir)
     require(mf.family == "dedup",
       s"index at hand is family '${mf.family}', expected 'dedup'")
+    require(mf.params.contains("verify_tables"),
+      "this dedup artifact predates the stored band/shingle tables - " +
+        "rebuild it (compaction folds the persisted verify data)")
     val (sd, pd, cv) = (mf.params("sig_deltas"), mf.params("pair_deltas"),
       mf.params("comp_versions"))
     val (sb, pb) = (mf.params.getOrElse("sig_base", 0L),
@@ -322,17 +330,10 @@ object DedupIndex {
       ("sig_base" -> (sb + sd)) + ("sig_deltas" -> 1L) +
       ("pair_base" -> (pb + pd)) + ("pair_deltas" -> 1L))
     ArtifactIO.writeManifest(spark, dir, mf2)
-    // GC AFTER the commit: readers already ignore the folded window
-    ArtifactIO.healOrphans(spark, s"$dir/signatures.parquet", "delta-",
-      sb + sd + 1, sb + sd)
-    ArtifactIO.healOrphans(spark, s"$dir/bands.parquet", "delta-",
-      sb + sd + 1, sb + sd)
-    ArtifactIO.healOrphans(spark, s"$dir/shingles.parquet", "delta-",
-      sb + sd + 1, sb + sd)
-    ArtifactIO.healOrphans(spark, s"$dir/postings.parquet", "delta-",
-      sb + sd + 1, sb + sd)
-    ArtifactIO.healOrphans(spark, s"$dir/pairs.parquet", "delta-",
-      pb + pd + 1, pb + pd)
+    // NO GC here: readers already ignore the folded window, but one
+    // that loaded the old manifest just before this commit may still
+    // be scanning those files — they get one grace cycle and the next
+    // mutation's heal sweeps them (scaladoc step 4)
     mf2
   }
 

@@ -96,9 +96,14 @@ object StreamDedupIngest {
     * dirs and any previous slab) into one merged slab — the small-files
     * cure for the ingest's publish side (r10 verdict #2; one dir per
     * micro-batch otherwise). Same protocol as the index artifacts:
-    * sweep orphan slabs from crashed prior compactions → stage
-    * `merged-<upTo>` → atomic manifest commit (`merged_upto` = upTo) →
-    * GC the folded dirs. Crash anywhere converges on retry, and
+    * sweep dirs folded by the PREVIOUS compaction plus orphan slabs
+    * from crashed ones → stage `merged-<upTo>` → atomic manifest commit
+    * (`merged_upto` = upTo). The dirs THIS pass folds are NOT deleted
+    * at the commit: a reader that called [[readCorpus]] just before it
+    * may still be scanning them, so they survive one grace cycle and
+    * the NEXT compaction's sweep removes them (storage bounded at ≤ 2
+    * windows — the [[graft.operators.AnnIndex.rebuild]] in-flight-
+    * reader contract). Crash anywhere converges on retry, and
     * EXACTLY-ONCE is preserved against streaming replays: a replayed
     * micro-batch that re-creates a folded `batch-<id>` dir is simply
     * ignored by [[readCorpus]] (id ≤ merged_upto) and swept by the next
@@ -111,31 +116,42 @@ object StreamDedupIngest {
       s"compactCorpus($upTo) must advance past the committed slab ($prev)")
     val fs = new org.apache.hadoop.fs.Path(corpusDir)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    // sweep slabs that never reached their commit (staged by a crashed
-    // compaction) — everything but the committed one
+    // sweep: slabs that never reached their commit (staged by a crashed
+    // compaction — everything but the committed one), plus the grace
+    // window the PREVIOUS compaction folded (seed dirs and batch dirs
+    // ≤ prev — readers stopped seeing them at that commit; their grace
+    // cycle ends here)
     fs.listStatus(new org.apache.hadoop.fs.Path(corpusDir))
       .map(_.getPath).filter(_.getName.startsWith("merged-"))
       .filter(_.getName != new org.apache.hadoop.fs.Path(
         mergedPath(corpusDir, prev)).getName)
       .foreach(fs.delete(_, true))
+    val (nums0, seeds0) = batchDirs(spark, corpusDir)
+    if (prev >= 0) {
+      seeds0.foreach(s =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$corpusDir/$s"), true))
+      nums0.filter(_ <= prev).foreach(i =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$corpusDir/batch-$i"), true))
+    }
     val (nums, seeds) = batchDirs(spark, corpusDir)
     val fold = (if (prev >= 0) Seq(mergedPath(corpusDir, prev))
         else seeds.map(s => s"$corpusDir/$s")) ++
       nums.filter(i => i > prev && i <= upTo).map(i => s"$corpusDir/batch-$i")
     require(fold.nonEmpty, s"nothing to compact under $corpusDir")
-    spark.read.parquet(fold: _*).coalesce(32)
-      .write.mode("overwrite").parquet(mergedPath(corpusDir, upTo))
-    val n = spark.read.parquet(mergedPath(corpusDir, upTo)).count()
+    // count DURING the fold (one pass feeds the count and the write via
+    // the cache) instead of re-scanning the freshly published slab just
+    // to populate the manifest's n — on an in-stream compaction that
+    // second full-corpus read lengthened the micro-batch for bookkeeping
+    val folded = spark.read.parquet(fold: _*).coalesce(32)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = folded.count()
+    try folded.write.mode("overwrite").parquet(mergedPath(corpusDir, upTo))
+    finally folded.unpersist()
     graft.operators.ArtifactIO.writeManifest(spark, corpusDir,
       graft.operators.ArtifactIO.Manifest("corpus", 0, n,
         Map("merged_upto" -> upTo)))
-    // GC AFTER the commit: readers already ignore the folded dirs
-    if (prev >= 0)
-      fs.delete(new org.apache.hadoop.fs.Path(mergedPath(corpusDir, prev)), true)
-    seeds.foreach(s =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$corpusDir/$s"), true))
-    nums.filter(_ <= upTo).foreach(i =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$corpusDir/batch-$i"), true))
+    // no GC at the commit — this pass's folded dirs keep one grace
+    // cycle for in-flight readers; the next compaction's sweep ends it
   }
 
   /** Start the ingest sink; stop the returned query to stop ingesting.
