@@ -29,17 +29,23 @@ object BpeIndex {
 
   /** Train on `docs` and persist: the t13 training path verbatim, its
     * output written as the artifact. `n` records the training vocab
-    * size (distinct words) — the artifact's self-description. */
+    * size (distinct words) — the artifact's self-description, taken
+    * from the SAME word-count aggregate that opens training (one
+    * corpus pass total; the persisted vocab also keeps the R training
+    * rounds vocab-bounded instead of re-deriving the aggregate per
+    * round). */
   def build(docs: DataFrame, dir: String, rounds: Int = 3): Manifest = {
     val spark = docs.sparkSession
-    val merges = TextQueries.bpeTrainOn(docs, rounds)
-    merges.write.mode("overwrite").parquet(s"$dir/bpe_merges.parquet")
-    val vocab = docs
-      .select(explode(graft.operators.TextOps.tokens(col("text"))).as("w"))
-      .distinct().count()
-    val mf = Manifest("bpe", 0, vocab, Map("rounds" -> rounds.toLong))
-    ArtifactIO.writeManifest(spark, dir, mf)
-    mf
+    val vocab = TextQueries.bpeVocabOf(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nVocab = vocab.count() // the one corpus pass: count + train input
+    try {
+      val merges = TextQueries.bpeTrainFromVocab(vocab, rounds)
+      merges.write.mode("overwrite").parquet(s"$dir/bpe_merges.parquet")
+      val mf = Manifest("bpe", 0, nVocab, Map("rounds" -> rounds.toLong))
+      ArtifactIO.writeManifest(spark, dir, mf)
+      mf
+    } finally vocab.unpersist()
   }
 
   def load(spark: SparkSession, dir: String): LoadedBpe = {

@@ -480,13 +480,22 @@ object TextQueries {
       slice(t, lit(2), greatest(size(t) - 1, lit(0))),
       (a, b) => concat(a, lit(" "), b))
   }
+  /** The (distinct word → count, spaced symbols) aggregate that opens
+    * BPE training — factored out so [[graft.operators.BpeIndex.build]]
+    * can persist it once and take the manifest's vocab size from the
+    * SAME corpus pass that feeds training (r11 verdict: the old
+    * separate distinct().count() was a second full corpus scan purely
+    * for bookkeeping). */
+  private[graft] def bpeVocabOf(docs: DataFrame): DataFrame = docs
+    .select(explode(TextOps.tokens(col("text"))).as("word"))
+    .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    .select(col("cnt"),
+      trim(regexp_replace(col("word"), "(.)", "$1 ")).as("s"))
   private[graft] def bpeTrainOn(docs: DataFrame,
+      rounds: Int = BpeRounds): DataFrame =
+    bpeTrainFromVocab(bpeVocabOf(docs), rounds)
+  private[graft] def bpeTrainFromVocab(vocab: DataFrame,
       rounds: Int = BpeRounds): DataFrame = {
-    val vocab = docs
-      .select(explode(TextOps.tokens(col("text"))).as("word"))
-      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
-      .select(col("cnt"),
-        trim(regexp_replace(col("word"), "(.)", "$1 ")).as("s"))
     var v = vocab
     val merges = (1 to rounds).map { r =>
       val best = v

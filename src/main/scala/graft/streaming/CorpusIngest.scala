@@ -83,10 +83,17 @@ object CorpusIngest {
     * the sub-document stage C4/CCNet actually run at ingest, previously
     * batch-only (d17): a line that ever occurred in an earlier-ingested
     * document is dropped from every later one; the first-occurrence
-    * document keeps it. First-occurrence is by doc_id (the house
-    * nondecreasing-arrival contract), so streamed-in-chunks ≡ the batch
-    * d17 operator on the union corpus — StreamingLineDedupSpec pins
-    * kept-text fingerprints equal across micro-batch splits.
+    * document keeps it. Within a batch first-occurrence is by doc_id;
+    * ACROSS batches it is by arrival (the state files whichever doc a
+    * line reached first), so streamed ≡ the batch d17 operator (which
+    * keeps the min-doc_id doc) HOLDS ONLY under the house
+    * nondecreasing-arrival contract — docs arriving in doc_id order,
+    * the same condition [[ingest]]'s exact dedup carries. Out-of-order
+    * arrival keeps a line's first-ARRIVED doc instead of its min-id doc
+    * by design (inherent to streaming first-occurrence-wins); the kept
+    * LINE SET per hash is still a singleton either way.
+    * StreamingLineDedupSpec pins kept-text fingerprints equal to d17
+    * across micro-batch splits under that contract.
     *
     * Mechanics: split each doc on '\n' with positions, key the state
     * store by the 60-bit line hash (the batch operator's own key —

@@ -167,12 +167,35 @@ object StreamDedupIngest {
     *   advances the committed slab. */
   def ingestSink(docs: DataFrame, indexDir: String, corpusDir: String,
       checkpointDir: String,
-      compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
+      compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery = {
+    // checked once, on the first batch this sink processes
+    @volatile var checkpointChecked = false
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
+          if (!checkpointChecked) {
+            // fresh-checkpoint-against-compacted-corpus guard: batchIds
+            // reset with a new checkpoint dir, so a compacted corpus
+            // (merged_upto ≥ the restarted id range) would silently
+            // swallow new batch-N dirs (readCorpus ignores ids ≤
+            // merged_upto) and a later in-stream compactCorpus would
+            // throw its upTo>prev require mid-stream. Fail fast, at
+            // start, with the cause named. A genuine restart on the
+            // SAME checkpoint always resumes past merged_upto (the
+            // in-stream trigger only folds up to batchId - 1).
+            corpusManifest(spark, corpusDir).foreach { m =>
+              val upto = m.params("merged_upto")
+              require(batchId > upto,
+                s"ingestSink batchId $batchId is not past the corpus's " +
+                  s"committed slab (merged_upto=$upto under $corpusDir): " +
+                  "this is a FRESH checkpoint directory pointed at an " +
+                  "already-compacted corpus — resume with the original " +
+                  "checkpoint, or ingest into a new corpusDir")
+            }
+            checkpointChecked = true
+          }
           // verify runs against the artifact's own stored shingle
           // table — the published text corpus is never read here
           DedupIndex.append(batch.toDF(), indexDir, batchId)
@@ -189,4 +212,5 @@ object StreamDedupIngest {
         }
       }
       .start()
+  }
 }

@@ -152,11 +152,14 @@ object StreamEmbedDedup {
         (_: (Int, Long), rows: Iterator[(Long, Long, Array[Long], Int, Long)],
             state: org.apache.spark.sql.streaming.GroupState[List[(Long, Array[Long], Long)]]) => {
           var filed = state.getOption.getOrElse(Nil)
+          // membership via a Set: bucket occupancy is LSH-bounded, but
+          // a skewed bucket must not turn the check O(bucket²)
+          var filedIds = filed.iterator.map(_._1).toSet
           val out = List.newBuilder[(Long, Long, Double)]
           // vec_id order makes within-batch matching deterministic
           rows.map(r => (r._1, r._3, r._2)).toList.sortBy(_._1)
             .foreach { case (id, q, nn) =>
-              if (!filed.exists(_._1 == id)) { // re-ingest adds nothing
+              if (!filedIds.contains(id)) { // re-ingest adds nothing
                 filed.foreach { case (pid, pq, pnn) =>
                   // exact int64 dot + the batch verify's IEEE ops —
                   // bit-identical to the column form
@@ -168,6 +171,7 @@ object StreamEmbedDedup {
                   if (cos >= threshold) out += ((id, pid, cos))
                 }
                 filed = (id, q, nn) :: filed
+                filedIds += id
               }
             }
           state.update(filed)
@@ -215,14 +219,18 @@ object StreamEmbedDedup {
         (_: (Int, Long), rows: Iterator[(Long, Long, Array[Long], Int, Long)],
             state: org.apache.spark.sql.streaming.GroupState[List[Long]]) => {
           var filed = state.getOption.getOrElse(Nil)
+          // membership via a Set: bucket occupancy is LSH-bounded, but
+          // a skewed bucket must not turn the check O(bucket²)
+          var filedIds = filed.toSet
           val out = List.newBuilder[(Long, Long, Array[Long], Long)]
           // vec_id order makes within-batch candidates deterministic —
           // the same traversal as the in-state verify
           rows.map(r => (r._1, r._3, r._2)).toList.sortBy(_._1)
             .foreach { case (id, q, nn) =>
-              if (!filed.contains(id)) { // re-ingest adds nothing
+              if (!filedIds.contains(id)) { // re-ingest adds nothing
                 filed.foreach(pid => out += ((id, nn, q, pid)))
                 filed = id :: filed
+                filedIds += id
               }
             }
           state.update(filed)

@@ -12,9 +12,13 @@ import graft.streaming.StreamDedupIngest
   * into one slab per table with CONTENTS IDENTICAL (hash-pinned here),
   * bounded dir counts, and the same crash-safety as every other
   * mutation (staged slab at an uncommitted slot → atomic manifest
-  * commit → GC after; orphans healed, folded dirs ignored by readers
-  * the moment the commit lands). Covers the dedup artifact, the ivfpq
-  * code deltas, and the ingest corpus's per-batch publish dirs.
+  * commit; orphans healed, folded dirs ignored by readers the moment
+  * the commit lands). Folded dirs are NOT deleted at the commit — a
+  * reader that loaded just before it may still be scanning them, so
+  * they keep ONE GRACE CYCLE and the next mutation's heal sweeps them
+  * (storage bounded at ≤ 2 windows — the r11 ADVICE in-flight-reader
+  * contract). Covers the dedup artifact, the ivfpq code deltas, and
+  * the ingest corpus's per-batch publish dirs.
   */
 class DeltaCompactionSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
@@ -61,22 +65,31 @@ class DeltaCompactionSpec extends AnyFunSuite {
     val mfPre = ArtifactIO.readManifest(spark, dir)
 
     DedupIndex.compactDeltas(spark, dir)
-    assert(subdirs(dir, "signatures.parquet") == Seq("delta-00004"))
-    assert(subdirs(dir, "bands.parquet") == Seq("delta-00004"))
-    assert(subdirs(dir, "shingles.parquet") == Seq("delta-00004"))
-    assert(subdirs(dir, "postings.parquet") == Seq("delta-00004"))
-    assert(subdirs(dir, "pairs.parquet") == Seq("delta-00004"))
+    val allFive = (0 to 4).map(i => f"delta-$i%05d")
+    // folded dirs keep one grace cycle for in-flight readers
+    assert(subdirs(dir, "signatures.parquet") == allFive)
+    assert(subdirs(dir, "bands.parquet") == allFive)
+    assert(subdirs(dir, "shingles.parquet") == allFive)
+    assert(subdirs(dir, "postings.parquet") == allFive)
+    assert(subdirs(dir, "pairs.parquet") == allFive)
     assert(subdirs(dir, "components.parquet").size == 1,
-      "superseded component versions must be GC'd")
+      "component versions outside the grace window must be swept")
     val ixPost = DedupIndex.load(spark, dir)
     assert(dedupState(ixPost) == pre,
       "compaction must not change any table's contents")
     assert(ixPost.manifest.n == mfPre.n)
+    assert(ixPost.manifest.params("sig_base") == 4L &&
+      ixPost.manifest.params("sig_deltas") == 1L,
+      "readers mount only the committed slab")
 
-    // append AFTER compaction still converges to the one-shot build
+    // append AFTER compaction still converges to the one-shot build,
+    // and its heal ends the folded window's grace cycle
     val inc = docs.filter(col("doc_id") < 8)
       .withColumn("doc_id", col("doc_id") + 1000000000L)
     DedupIndex.append(inc, dir)
+    assert(subdirs(dir, "signatures.parquet") ==
+      Seq("delta-00004", "delta-00005"),
+      "the next mutation's heal must sweep the folded grace window")
     val dirOne = tmp("dedup_ctl")
     DedupIndex.build(docs.unionByName(inc), dirOne, -1L)
     val a = DedupIndex.load(spark, dir)
@@ -135,7 +148,9 @@ class DeltaCompactionSpec extends AnyFunSuite {
     val preTopK = rows(AnnIndex.ivfPqTopK(AnnIndex.loadIvfPq(spark, dir),
       emb, nQueries = 4))
     AnnIndex.compactIvfPqDeltas(spark, dir)
-    assert(subdirs(dir, "ivfpq_codes.parquet") == Seq("delta-00004"))
+    // folded dirs keep one grace cycle; readers mount only the slab
+    assert(subdirs(dir, "ivfpq_codes.parquet") ==
+      (0 to 4).map(i => f"delta-$i%05d"))
     val post = AnnIndex.loadIvfPq(spark, dir)
     assert(rows(post.codes) == preCodes,
       "compaction must not change the codes bag")
@@ -148,7 +163,13 @@ class DeltaCompactionSpec extends AnyFunSuite {
         col("label"))
     assert(AnnIndex.appendIvfPq(inc, dir, batchId = 2L) == 0L,
       "an applied batchId must stay a no-op after compaction")
+    assert(subdirs(dir, "ivfpq_codes.parquet") ==
+      (0 to 4).map(i => f"delta-$i%05d"),
+      "a replay no-op returns before the heal — grace window intact")
     assert(AnnIndex.appendIvfPq(inc, dir, batchId = 3L) == 2L * 8)
+    assert(subdirs(dir, "ivfpq_codes.parquet") ==
+      Seq("delta-00004", "delta-00005"),
+      "the next real mutation's heal sweeps the folded grace window")
     spark.catalog.clearCache()
   }
 
@@ -169,10 +190,10 @@ class DeltaCompactionSpec extends AnyFunSuite {
     StreamDedupIngest.compactCorpus(spark, corpusDir, upTo = 1L)
     assert(rows(StreamDedupIngest.readCorpus(spark, corpusDir)) == pre,
       "compaction must not change the corpus contents")
-    assert(!Files.exists(Paths.get(corpusDir, "batch-seed")) &&
-      !Files.exists(Paths.get(corpusDir, "batch-0")) &&
+    assert(Files.exists(Paths.get(corpusDir, "batch-seed")) &&
+      Files.exists(Paths.get(corpusDir, "batch-0")) &&
       Files.exists(Paths.get(corpusDir, "batch-2")),
-      "folded dirs GC'd, post-slab batches kept")
+      "folded dirs keep one grace cycle; post-slab batches kept")
 
     // a streaming replay re-creates a folded batch dir: readers must
     // ignore it (no duplicates) and the next compaction sweeps it
@@ -181,12 +202,27 @@ class DeltaCompactionSpec extends AnyFunSuite {
       "a replayed folded batch must not duplicate rows")
     StreamDedupIngest.compactCorpus(spark, corpusDir, upTo = 2L)
     assert(rows(StreamDedupIngest.readCorpus(spark, corpusDir)) == pre)
-    assert(!Files.exists(Paths.get(corpusDir, "batch-1")) &&
-      !Files.exists(Paths.get(corpusDir, "batch-2")))
-    // exactly one merged slab remains
-    val merged = Files.list(Paths.get(corpusDir)).iterator().asScala
-      .map(_.getFileName.toString).filter(_.startsWith("merged-")).toSeq
-    assert(merged == Seq("merged-0000000002"))
+    assert(!Files.exists(Paths.get(corpusDir, "batch-seed")) &&
+      !Files.exists(Paths.get(corpusDir, "batch-0")) &&
+      !Files.exists(Paths.get(corpusDir, "batch-1")),
+      "the next compaction's sweep ends the previous grace window " +
+        "(including the replayed folded dir)")
+    assert(Files.exists(Paths.get(corpusDir, "batch-2")),
+      "dirs folded by THIS pass keep their grace cycle")
+    def merged: Seq[String] = {
+      val s = Files.list(Paths.get(corpusDir))
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("merged-")).toSeq.sorted
+      finally s.close()
+    }
+    // this pass's fold source slab stays for its grace cycle too:
+    // storage is bounded at ≤ 2 windows, never growing
+    assert(merged == Seq("merged-0000000001", "merged-0000000002"))
+    StreamDedupIngest.compactCorpus(spark, corpusDir, upTo = 3L)
+    assert(rows(StreamDedupIngest.readCorpus(spark, corpusDir)) == pre)
+    assert(!Files.exists(Paths.get(corpusDir, "batch-2")) &&
+      merged == Seq("merged-0000000002", "merged-0000000003"),
+      "each pass sweeps exactly the previous grace window")
     spark.catalog.clearCache()
   }
 }
