@@ -404,6 +404,20 @@ object Graft {
   def compactDedupIndex(spark: SparkSession, dir: String): operators.ArtifactIO.Manifest =
     operators.DedupIndex.compactDeltas(spark, dir)
 
+  /** Takedown: remove documents from a persisted dedup artifact with a
+    * tombstone delta — every consumer excludes them the moment the
+    * commit lands; touched components are re-solved in place; the next
+    * [[compactDedupIndex]] drops the rows physically. Returns docs
+    * actually removed (unknown ids are a committed-nothing no-op). */
+  def dedupDelete(spark: SparkSession, dir: String, ids: DataFrame): Long =
+    operators.DedupIndex.delete(ids, dir)
+
+  /** Takedown for a persisted ivfpq ANN artifact: tombstone the vector
+    * ids — serving excludes them immediately, the next
+    * [[compactAnnIndex]] drops the code rows physically. */
+  def annDelete(spark: SparkSession, dir: String, ids: DataFrame): Long =
+    operators.AnnIndex.deleteIvfPq(ids, dir)
+
   /** Read-only near-dup probe of NEW documents against a persisted
     * dedup artifact — ingest-time "have we already got this (or nearly
     * this)?" with no mutation and no corpus-text access: the batch's

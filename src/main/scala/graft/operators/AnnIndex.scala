@@ -217,14 +217,36 @@ object AnnIndex {
   private def deltaWindow(m: Manifest): (Long, Long) =
     (m.params.getOrElse("deltas_base", 0L), m.params("deltas"))
 
+  private def ivfTombPath(root: String, i: Long): String =
+    f"$root/ivfpq_tombstones.parquet/delta-$i%05d"
+  /** Tombstone window (both 0 when absent — pre-takedown artifacts and
+    * freshly compacted ones; [[rebuild]]'s new version starts empty
+    * because its corpus comes from the caller's store). */
+  private def ivfTombWindow(m: Manifest): (Long, Long) =
+    (m.params.getOrElse("tomb_base", 0L), m.params.getOrElse("tomb_deltas", 0L))
+  private def ivfTombsOf(spark: SparkSession, root: String,
+      m: Manifest): Option[DataFrame] = {
+    val (tb, td) = ivfTombWindow(m)
+    if (td == 0) None
+    else Some(spark.read.parquet(
+      (tb until tb + td).map(ivfTombPath(root, _)): _*))
+  }
+
   private def codesTable(spark: SparkSession, dir: String,
       m: Manifest): DataFrame = {
     val root = tableRoot(dir, m)
-    m.params.get("deltas") match {
+    val raw = m.params.get("deltas") match {
       case Some(_) =>
         val (b, d) = deltaWindow(m)
         spark.read.parquet((b until b + d).map(deltaPath(root, _)): _*)
       case None => table(spark, root, "ivfpq_codes") // legacy flat layout
+    }
+    // taken-down vectors vanish from every consumer the instant the
+    // delete commits — the tombstone side is small and broadcasts
+    ivfTombsOf(spark, root, m) match {
+      case None => raw
+      case Some(t) => raw.join(
+        broadcast(t.select(col("vec_id"))), Seq("vec_id"), "left_anti")
     }
   }
 
@@ -275,6 +297,9 @@ object AnnIndex {
     // never committed, and folded dirs a crashed compaction GC left
     ArtifactIO.healOrphans(spark, s"$root/ivfpq_codes.parquet", "delta-",
       committed, base)
+    val (atb, atd) = ivfTombWindow(mf)
+    ArtifactIO.healOrphans(spark, s"$root/ivfpq_tombstones.parquet",
+      "delta-", atb + atd, atb)
     val (dim, m) = (mf.dim, mf.params("m").toInt)
     val cents = table(spark, root, "ivfpq_centroids")
     val cb = table(spark, root, "ivfpq_codebook")
@@ -335,19 +360,72 @@ object AnnIndex {
     require(mf.params.contains("deltas"),
       "this ivfpq artifact predates the delta layout - rebuild it")
     val (base, count) = deltaWindow(mf)
-    if (count <= 1) return mf // already one slab
     val root = tableRoot(dir, mf)
+    val (tb, td) = ivfTombWindow(mf)
+    ArtifactIO.healOrphans(spark, s"$root/ivfpq_tombstones.parquet",
+      "delta-", tb + td, tb)
+    // pending tombstones force a fold even at one slab — compaction is
+    // where a takedown becomes a PHYSICAL row drop ([[deleteIvfPq]])
+    if (count <= 1 && td == 0) return mf // already one slab
     ArtifactIO.healOrphans(spark, s"$root/ivfpq_codes.parquet", "delta-",
       base + count, base)
-    spark.read.parquet((base until base + count).map(deltaPath(root, _)): _*)
+    // codesTable applies the live tombstones — the fold materializes
+    // the filtered view as the new slab
+    codesTable(spark, dir, mf)
       .coalesce(32).write.mode("overwrite")
       .parquet(deltaPath(root, base + count))
     val mf2 = mf.copy(params = mf.params +
-      ("deltas_base" -> (base + count)) + ("deltas" -> 1L))
+      ("deltas_base" -> (base + count)) + ("deltas" -> 1L) +
+      ("tomb_base" -> (tb + td)) + ("tomb_deltas" -> 0L))
     writeManifest(spark, dir, mf2)
     // no GC at the commit — in-flight readers get one grace cycle; the
     // next mutation's heal sweeps the folded window (scaladoc above)
     mf2
+  }
+
+  /** Takedown for the ivfpq artifact (r11 verdict #1): remove vectors
+    * WITHOUT a rebuild. A `vec_id` tombstone delta is staged and lands
+    * in one atomic manifest commit; [[loadIvfPq]] (and therefore every
+    * consumer — [[ivfPqTopK]], [[ivfPqServe]], [[serveTopKWhere]], the
+    * RagServe vector leg) anti-joins the taken-down ids immediately.
+    * [[compactIvfPqDeltas]] later drops the code rows physically and
+    * resets the window. The frozen quantizer is untouched — same
+    * contract as [[appendIvfPq]] (a shrinking corpus eventually wants
+    * [[rebuild]], which re-fits from the caller's store and starts a
+    * clean tombstone window). Deleting unknown or already-removed ids
+    * is a no-op that commits nothing.
+    *
+    * @param ids one `vec_id` column (extra columns ignored)
+    * @return vectors actually removed */
+  def deleteIvfPq(ids: DataFrame, dir: String): Long = {
+    val spark = ids.sparkSession
+    val mf = readManifest(spark, dir)
+    expectFamily(mf, "ivfpq")
+    require(mf.params.contains("deltas"),
+      "this ivfpq artifact predates the delta layout - rebuild it " +
+        "(takedown needs the delta window layout)")
+    val root = tableRoot(dir, mf)
+    val (tb, td) = ivfTombWindow(mf)
+    ArtifactIO.healOrphans(spark, s"$root/ivfpq_tombstones.parquet",
+      "delta-", tb + td, tb)
+    // live vectors only (prior tombstones already filtered), one id per
+    // vector — column-pruned scan of vec_id, never the code columns;
+    // the broadcast semi join runs BEFORE distinct so the only shuffle
+    // is over the (tiny) surviving takedown ids
+    val removed = codesTable(spark, dir, mf).select(col("vec_id"))
+      .join(broadcast(ids.select(col("vec_id")).distinct()),
+        Seq("vec_id"), "left_semi")
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nRemoved = removed.count()
+    try {
+      if (nRemoved == 0) return 0L // nothing lives to remove: no commit
+      removed.write.mode("overwrite").parquet(ivfTombPath(root, tb + td))
+      writeManifest(spark, dir, mf.copy(n = mf.n - nRemoved,
+        params = mf.params + ("tomb_base" -> tb) +
+          ("tomb_deltas" -> (td + 1))))
+      nRemoved
+    } finally removed.unpersist()
   }
 
   // ---- quantizer refresh: re-fit + atomic version swap -------------------

@@ -77,6 +77,8 @@ object DedupIndex {
     f"$dir/pairs.parquet/delta-$i%05d"
   private def compPath(dir: String, i: Long): String =
     f"$dir/components.parquet/v-$i%05d"
+  private def tombPath(dir: String, i: Long): String =
+    f"$dir/tombstones.parquet/delta-$i%05d"
 
   /** Build + persist the artifact. ONE shingle+md5 pass over the corpus
     * (the pinned hashed-shingle table) feeds the shingle-set write, the
@@ -131,6 +133,35 @@ object DedupIndex {
     val b = m.params.getOrElse("pair_base", 0L)
     b until b + m.params("pair_deltas")
   }
+  /** Tombstone window: `tomb_deltas` COUNTS live tombstone deltas from
+    * `tomb_base` (both 0 when absent — pre-takedown artifacts and
+    * freshly compacted ones, where the window is EMPTY because
+    * [[compactDeltas]] applied every tombstone physically). */
+  private def tombWindow(m: Manifest): (Long, Long) =
+    (m.params.getOrElse("tomb_base", 0L), m.params.getOrElse("tomb_deltas", 0L))
+  /** The live tombstoned-doc set, or None when the window is empty. */
+  private def tombstonesOf(spark: SparkSession, dir: String,
+      m: Manifest): Option[DataFrame] = {
+    val (tb, td) = tombWindow(m)
+    if (td == 0) None
+    else Some(spark.read.parquet((tb until tb + td).map(tombPath(dir, _)): _*))
+  }
+  /** Anti-join `t`'s id columns against the tombstone set — how every
+    * reader excludes taken-down docs the instant the delete commits,
+    * before any physical fold. The tombstone side is a takedown list
+    * (small by nature, bounded by deletions since the last compaction)
+    * and is broadcast. */
+  private def minusTombs(t: DataFrame, tombs: Option[DataFrame],
+      idCols: String*): DataFrame = tombs match {
+    case None => t
+    case Some(tt) =>
+      // a USING-column join reorders columns (key first) — restore the
+      // table's own order so views and folded slabs stay schema-stable
+      idCols.foldLeft(t)((acc, c) =>
+          acc.join(broadcast(tt.select(col("doc_id").as(c))),
+            Seq(c), "left_anti"))
+        .select(t.columns.map(col).toIndexedSeq: _*)
+  }
 
   def load(spark: SparkSession, dir: String): LoadedDedup = {
     val m = ArtifactIO.readManifest(spark, dir)
@@ -139,12 +170,20 @@ object DedupIndex {
     require(m.params.contains("verify_tables"),
       "this dedup artifact predates the stored band/shingle tables - " +
         "rebuild it (text-free serving needs the persisted verify data)")
+    val tombs = tombstonesOf(spark, dir, m)
     LoadedDedup(m,
-      spark.read.parquet(sigSlots(m).map(i => sigPath(dir, i)): _*),
-      spark.read.parquet(sigSlots(m).map(i => bandPath(dir, i)): _*),
-      spark.read.parquet(sigSlots(m).map(i => shinglePath(dir, i)): _*),
-      spark.read.parquet(sigSlots(m).map(i => postingPath(dir, i)): _*),
-      spark.read.parquet(pairSlots(m).map(i => pairPath(dir, i)): _*),
+      minusTombs(spark.read.parquet(
+        sigSlots(m).map(i => sigPath(dir, i)): _*), tombs, "doc_id"),
+      minusTombs(spark.read.parquet(
+        sigSlots(m).map(i => bandPath(dir, i)): _*), tombs, "doc_id"),
+      minusTombs(spark.read.parquet(
+        sigSlots(m).map(i => shinglePath(dir, i)): _*), tombs, "doc_id"),
+      minusTombs(spark.read.parquet(
+        sigSlots(m).map(i => postingPath(dir, i)): _*), tombs, "doc_id"),
+      minusTombs(spark.read.parquet(
+        pairSlots(m).map(i => pairPath(dir, i)): _*), tombs, "doc_a", "doc_b"),
+      // components need no filter: [[delete]] re-solves the touched
+      // components and publishes a new version AT the delete commit
       spark.read.parquet(compPath(dir, m.params("comp_versions") - 1)))
   }
 
@@ -199,6 +238,10 @@ object DedupIndex {
     ArtifactIO.healOrphans(spark, s"$dir/pairs.parquet", "delta-", pairEnd, pb)
     // cv - 1 as the live base also GCs superseded component versions
     ArtifactIO.healOrphans(spark, s"$dir/components.parquet", "v-", cv, cv - 1)
+    val (tb, td) = tombWindow(mf)
+    ArtifactIO.healOrphans(spark, s"$dir/tombstones.parquet", "delta-",
+      tb + td, tb)
+    val tombs = tombstonesOf(spark, dir, mf)
     val ni = newDocs.count()
     val incHs = DedupQueries.hashedShingleSets(newDocs)
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -214,9 +257,10 @@ object DedupIndex {
         incSig.write.mode("overwrite").parquet(sigPath(dir, sigEnd))
         val incBands = DedupQueries.sigBandRows(incSig).drop("sig")
         incBands.write.mode("overwrite").parquet(bandPath(dir, sigEnd))
-        // the stored band table as written — never re-derived (r10 #4)
-        val corpusBands = spark.read.parquet(
-          (sb until sigEnd).map(bandPath(dir, _)): _*)
+        // the stored band table as written — never re-derived (r10 #4);
+        // tombstoned docs must not resurface as candidate partners
+        val corpusBands = minusTombs(spark.read.parquet(
+          (sb until sigEnd).map(bandPath(dir, _)): _*), tombs, "doc_id")
         val crossCand = DedupQueries
           .sizedHint(incBands, ni * DedupQueries.Bands, 128).as("a")
           .join(corpusBands.as("b"),
@@ -230,7 +274,8 @@ object DedupIndex {
           val candIds = crossCand.select(col("corpus_id").as("doc_id")).distinct()
           val nCand = candIds.count()
           // verify data for candidates comes from the STORED shingle
-          // table — the corpus text is never touched
+          // table — the corpus text is never touched (candIds already
+          // exclude tombstoned docs via the filtered band table)
           val corpusCandHs = spark.read.parquet(
               (sb until sigEnd).map(shinglePath(dir, _)): _*)
             .join(candIds, Seq("doc_id"), "left_semi")
@@ -301,8 +346,15 @@ object DedupIndex {
       mf.params("comp_versions"))
     val (sb, pb) = (mf.params.getOrElse("sig_base", 0L),
       mf.params.getOrElse("pair_base", 0L))
+    val (tb, td) = tombWindow(mf)
     ArtifactIO.healOrphans(spark, s"$dir/components.parquet", "v-", cv, cv - 1)
-    if (sd <= 1 && pd <= 1) return mf // already one slab per table
+    ArtifactIO.healOrphans(spark, s"$dir/tombstones.parquet", "delta-",
+      tb + td, tb)
+    // single-slab AND no pending tombstones: nothing to fold. Pending
+    // tombstones force a fold even at one slab — compaction is where
+    // takedowns become PHYSICAL row drops ([[delete]] step 3)
+    if (sd <= 1 && pd <= 1 && td == 0) return mf
+    val tombs = tombstonesOf(spark, dir, mf)
     ArtifactIO.healOrphans(spark, s"$dir/signatures.parquet", "delta-",
       sb + sd, sb)
     ArtifactIO.healOrphans(spark, s"$dir/bands.parquet", "delta-",
@@ -313,28 +365,128 @@ object DedupIndex {
       sb + sd, sb)
     ArtifactIO.healOrphans(spark, s"$dir/pairs.parquet", "delta-",
       pb + pd, pb)
-    // stage: one slab per table at the next slot. coalesce bounds the
+    // stage: one slab per table at the next slot, with pending
+    // tombstones applied PHYSICALLY (the takedown's row drop happens
+    // here, once, instead of on every read). coalesce bounds the
     // slab's file count (delta dirs arrive as 1-file micro-batches;
     // without it the "slab" would keep one file per folded delta)
     def fold(pathOf: (String, Long) => String, base: Long, count: Long,
-        slot: Long): Unit =
-      spark.read.parquet((base until base + count).map(pathOf(dir, _)): _*)
+        slot: Long, idCols: String*): Unit =
+      minusTombs(
+        spark.read.parquet((base until base + count).map(pathOf(dir, _)): _*),
+        tombs, idCols: _*)
         .coalesce(32).write.mode("overwrite").parquet(pathOf(dir, slot))
-    fold(sigPath, sb, sd, sb + sd)
-    fold(bandPath, sb, sd, sb + sd)
-    fold(shinglePath, sb, sd, sb + sd)
-    fold(postingPath, sb, sd, sb + sd)
-    fold(pairPath, pb, pd, pb + pd)
-    // commit: the window flips to [end, end+1) atomically
+    fold(sigPath, sb, sd, sb + sd, "doc_id")
+    fold(bandPath, sb, sd, sb + sd, "doc_id")
+    fold(shinglePath, sb, sd, sb + sd, "doc_id")
+    fold(postingPath, sb, sd, sb + sd, "doc_id")
+    fold(pairPath, pb, pd, pb + pd, "doc_a", "doc_b")
+    // commit: the window flips to [end, end+1) atomically; the
+    // tombstone window empties (every tombstone is now physical)
     val mf2 = mf.copy(params = mf.params +
       ("sig_base" -> (sb + sd)) + ("sig_deltas" -> 1L) +
-      ("pair_base" -> (pb + pd)) + ("pair_deltas" -> 1L))
+      ("pair_base" -> (pb + pd)) + ("pair_deltas" -> 1L) +
+      ("tomb_base" -> (tb + td)) + ("tomb_deltas" -> 0L))
     ArtifactIO.writeManifest(spark, dir, mf2)
     // NO GC here: readers already ignore the folded window, but one
     // that loaded the old manifest just before this commit may still
     // be scanning those files — they get one grace cycle and the next
     // mutation's heal sweeps them (scaladoc step 4)
     mf2
+  }
+
+  /** Takedown / PII-removal (r11 verdict #1): remove documents from the
+    * artifact WITHOUT a rebuild — the one lifecycle operation every
+    * training-data pipeline is legally required to support.
+    *
+    * Mechanics — a tombstone delta behind the same atomic manifest
+    * commit as every other mutation:
+    *  1. the removed ids are written as `tombstones.parquet/delta-N`;
+    *     the moment the manifest commits, [[load]] anti-joins them into
+    *     every table view, so EVERY consumer (serveNearDups, splitFrom,
+    *     keepBestFrom, pageRankFrom, RagServe's posting probe) excludes
+    *     the docs immediately — no physical rewrite on the takedown path
+    *  2. the component table is the one view a lazy filter cannot fix
+    *     (removing a bridge doc SPLITS its cluster; removing a min-id
+    *     doc relabels it), so delete re-solves exactly the components
+    *     the removed docs touch — their live pairs minus pairs at the
+    *     removed docs, through the same pointer-jumping loop — and
+    *     publishes a new version AT the delete commit. Untouched
+    *     components keep their rows byte-identical.
+    *  3. [[compactDeltas]] later applies tombstones PHYSICALLY (drops
+    *     the rows from every slab) and resets the window to empty —
+    *     after which delete-then-compact ≡ rebuild-without-those-docs
+    *     is a hash identity for every stored table (TakedownSpec pins
+    *     it, consumers included).
+    *
+    * Cost: column-pruned membership scans plus an O(touched) component
+    * re-solve — never the rebuild's shingle/LSH/verify passes or a
+    * global re-solve. Crash-safe like [[append]]: tombstone delta and
+    * component version are staged at uncommitted slots; a crash leaves
+    * orphans the next mutation heals; the retry overwrites them.
+    * Deleting ids not (or no longer) in the corpus is a no-op that
+    * commits nothing.
+    *
+    * @param ids one `doc_id` column (extra columns ignored)
+    * @return documents actually removed */
+  def delete(ids: DataFrame, dir: String): Long = {
+    val spark = ids.sparkSession
+    val mf = ArtifactIO.readManifest(spark, dir)
+    require(mf.family == "dedup",
+      s"index at hand is family '${mf.family}', expected 'dedup'")
+    require(mf.params.contains("verify_tables"),
+      "this dedup artifact predates the stored band/shingle tables - " +
+        "rebuild it (takedown needs the delta window layout)")
+    val cv = mf.params("comp_versions")
+    val (tb, td) = tombWindow(mf)
+    ArtifactIO.healOrphans(spark, s"$dir/tombstones.parquet", "delta-",
+      tb + td, tb)
+    ArtifactIO.healOrphans(spark, s"$dir/components.parquet", "v-", cv, cv - 1)
+    val ix = load(spark, dir) // prior tombstones already excluded here
+    // docs that actually exist and aren't already tombstoned; the
+    // signature probe is a column-pruned broadcast semi join (doc_id
+    // only — parquet never materializes the signature arrays)
+    val removed = ix.signatures.select(col("doc_id"))
+      .join(broadcast(ids.select(col("doc_id")).distinct()),
+        Seq("doc_id"), "left_semi")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nRemoved = removed.count()
+    try {
+      if (nRemoved == 0) return 0L // nothing lives to remove: no commit
+      // stage 1: the tombstone delta at the next uncommitted slot
+      removed.write.mode("overwrite").parquet(tombPath(dir, tb + td))
+      // stage 2: re-solve ONLY the touched components from the live
+      // pair graph (minus pairs at removed docs). affectedDocs is
+      // bounded by the touched components' membership — broadcast side
+      val affectedComps = ix.components
+        .join(broadcast(removed.select(col("doc_id").as("id"))),
+          Seq("id"), "left_semi")
+        .select(col("component")).distinct()
+      val affectedDocs = ix.components
+        .join(broadcast(affectedComps), Seq("component"), "left_semi")
+        .select(col("id"))
+      val keepEdges = ix.pairs
+        .join(broadcast(affectedDocs.select(col("id").as("doc_a"))),
+          Seq("doc_a"), "left_semi")
+        .join(broadcast(removed.select(col("doc_id").as("doc_a"))),
+          Seq("doc_a"), "left_anti")
+        .join(broadcast(removed.select(col("doc_id").as("doc_b"))),
+          Seq("doc_b"), "left_anti")
+        .select(col("doc_a"), col("doc_b"))
+      val sub = Components.connectedComponents(keepEdges)
+      val merged = ix.components
+        .join(broadcast(affectedComps), Seq("component"), "left_anti")
+        .select(col("id"), col("component"))
+        .unionAll(sub.select(col("id"), col("component")))
+      try merged.write.mode("overwrite").parquet(compPath(dir, cv))
+      finally sub.unpersist()
+      // commit: tombstones + new component version + corrected n land
+      // in one atomic manifest write
+      ArtifactIO.writeManifest(spark, dir, mf.copy(n = mf.n - nRemoved,
+        params = mf.params + ("comp_versions" -> (cv + 1)) +
+          ("tomb_base" -> tb) + ("tomb_deltas" -> (td + 1))))
+      nRemoved
+    } finally removed.unpersist()
   }
 
   /** Incremental connected components: new edges can only change the
