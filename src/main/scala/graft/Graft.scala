@@ -671,6 +671,28 @@ object Graft {
       poolR: Int = 10): DataFrame =
     materialized(operators.RagServe.mmrExactPinned(emb, queries, poolR))
 
+  /** PRE-FILTERED [[hybridSearchFrom]] (r11 verdict #2): the deployed
+    * RAG query — "hybrid top-k among the docs this user may see" —
+    * served from the persisted indexes. `keepIds` (one `vec_id` column,
+    * the metadata predicate's surviving ids) restricts BOTH legs before
+    * any ranking; with exhaustive parameters byte-identical to the
+    * exact filtered twin (RagServeSpec). */
+  def hybridSearchFromWhere(spark: SparkSession, annDir: String,
+      dedupDir: String, keepIds: DataFrame, emb: DataFrame,
+      queries: DataFrame, topK: Int = 3, kRrf: Int = 60, r: Int = 100,
+      nProbe: Int = 32): DataFrame =
+    operators.RagServe.hybridFromIndexesWhere(spark, annDir,
+      operators.DedupIndex.load(spark, dedupDir), keepIds, emb, queries,
+      topK, kRrf, r, nProbe)
+
+  /** PRE-FILTERED [[mmrRerankFrom]]: the MMR pool fills with keep-set
+    * docs only. Eagerly materialized (facade cache contract). */
+  def mmrRerankFromWhere(spark: SparkSession, annDir: String,
+      keepIds: DataFrame, emb: DataFrame, queries: DataFrame,
+      poolR: Int = 10, r: Int = 100, nProbe: Int = 32): DataFrame =
+    materialized(operators.RagServe.mmrFromIndexWherePinned(spark, annDir,
+      keepIds, emb, queries, poolR, topK = 3, r = r, nProbe = nProbe))
+
   /** Train a BPE tokenizer on `docs` and persist its merge table as an
     * artifact ([[operators.BpeIndex]]) — the durable tokenizer a
     * pipeline freezes so token budgets don't shift as corpora change.

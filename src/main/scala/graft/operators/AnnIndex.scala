@@ -648,39 +648,49 @@ object AnnIndex {
     * its filtered subset, which is what makes the filter one join
     * instead of a rebuild per predicate. AnnServeSpec pins the
     * exhaustive-parameter identity (probe everything ⇒ byte-equal to
-    * the exact scan over the filtered corpus). */
+    * the exact scan over the filtered corpus).
+    *
+    * `r` (rerank/candidate budget where the family has one) and
+    * `nProbe` (bucket/cell probes) default to each family's serving
+    * defaults when < 0; [[graft.operators.RagServe]]'s filtered legs
+    * pass them explicitly for the exhaustive identities. */
   def serveTopKWhere(spark: SparkSession, dir: String, queries: DataFrame,
-      keepIds: DataFrame, emb: DataFrame, topK: Int = 3): DataFrame = {
+      keepIds: DataFrame, emb: DataFrame, topK: Int = 3, r: Int = -1,
+      nProbe: Int = -1): DataFrame = {
     val keep = keepIds.select(col("vec_id"))
     def filteredEmb = emb.join(keep, Seq("vec_id"), "left_semi")
+    def or(v: Int, dflt: Int): Int = if (v > 0) v else dflt
     readManifest(spark, dir).family match {
       case "lsh" =>
         val ix = loadLsh(spark, dir)
         SimilarityQueries.lshServeFromSigs(
           ix.signatures.join(keep, Seq("vec_id"), "left_semi"), queries,
-          ix.manifest.dim, ix.manifest.params("bucket_bits").toInt, topK)
+          ix.manifest.dim, ix.manifest.params("bucket_bits").toInt, topK,
+          nProbe = or(nProbe, 4))
       case "ivf" =>
         val ix = loadIvf(spark, dir)
         SimilarityQueries.ivfServeFromAssign(
           ix.assign.join(keep, Seq("vec_id"), "left_semi"), ix.centroids,
-          queries, topK)
+          queries, topK, nProbe = or(nProbe, 4))
       case "pq" =>
         val ix = loadPq(spark, dir)
         SimilarityQueries.pqServeOn(
           ix.codes.join(keep, Seq("vec_id"), "left_semi"), ix.codebook,
           filteredEmb, queries, ix.manifest.dim,
-          ix.manifest.params("m").toInt, r = 20, topK = topK)
+          ix.manifest.params("m").toInt, r = or(r, 20), topK = topK)
       case "sq8" =>
         val ix = loadSq(spark, dir)
         val stats = ix.stats.collect()
           .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
-        SimilarityQueries.sqServeWithStats(filteredEmb, queries, stats, topK)
+        SimilarityQueries.sqServeWithStats(filteredEmb, queries, stats, topK,
+          rerankR = or(r, 20))
       case "ivfpq" =>
         val ix = loadIvfPq(spark, dir)
         SimilarityQueries.ivfPqServeOn(
           ix.codes.join(keep, Seq("vec_id"), "left_semi"), ix.codebook,
           ix.centroids, filteredEmb, queries, ix.manifest.dim,
-          ix.manifest.params("m").toInt, r = 40, topK = topK, nProbe = 32)
+          ix.manifest.params("m").toInt, r = or(r, 40), topK = topK,
+          nProbe = or(nProbe, 32))
       case other => throw new IllegalArgumentException(
         s"index at hand is family '$other', expected one of " +
           "lsh | ivf | pq | sq8 | ivfpq (corrupted or newer-format manifest?)")

@@ -54,6 +54,20 @@ object RagServe {
     served.select(col("query_id"), col("neighbor_id").as("doc_id")).distinct()
   }
 
+  /** [[annCandidates]] under a PRE-FILTER keep-set: the family dispatch
+    * of [[AnnIndex.serveTopKWhere]] with the explicit (r, nProbe) knobs
+    * the exhaustive identities need — the stored scan-side table is
+    * semi-joined against `keepIds` BEFORE scoring, so the r-budget
+    * fills with docs the predicate admits (post-filtering an
+    * unfiltered candidate set under-fills whenever the neighborhood is
+    * predicate-poor). */
+  def annCandidatesWhere(spark: SparkSession, dir: String,
+      queries: DataFrame, keepIds: DataFrame, emb: DataFrame, r: Int,
+      nProbe: Int): DataFrame =
+    AnnIndex.serveTopKWhere(spark, dir, queries, keepIds, emb,
+        topK = r, r = r, nProbe = nProbe)
+      .select(col("query_id"), col("neighbor_id").as("doc_id")).distinct()
+
   // ---- hybrid RRF ------------------------------------------------------
 
   /** The exact serve twin: lexical leg = exact shared-shingle rank over
@@ -108,6 +122,69 @@ object RagServe {
     SimilarityQueries.rrfFuse(lexRank, vecRank, kRrf, topK)
   }
 
+  /** The exact FILTERED serve twin: s15's pre-filter semantics for an
+    * out-of-corpus query batch — one keep-set (`vec_id` column, the
+    * metadata predicate's surviving ids) restricts BOTH legs via a semi
+    * join BEFORE any ranking, so ranks are positions within the
+    * filtered corpus. The truth leg [[hybridFromIndexesWhere]] is
+    * pinned against. */
+  def hybridExactWhere(docs: DataFrame, emb: DataFrame, queries: DataFrame,
+      keepIds: DataFrame, topK: Int = 3, kRrf: Int = 60,
+      r: Int = 100): DataFrame = {
+    val keepDoc = keepIds.select(col("vec_id").as("doc_id"))
+    val sh = docs.select(col("doc_id"), TextOps.shingles(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .join(keepDoc, Seq("doc_id"), "left_semi")
+    val qsh = queries
+      .select(col("query_id"), TextOps.shingles(col("text")).as("qsh"))
+      .filter(size(col("qsh")) > 0)
+    val lexRank = SimilarityQueries.lexRankOn(
+      sh.join(broadcast(qsh))
+        .select(col("query_id"), col("doc_id"),
+          size(array_intersect(col("qsh"), col("sh"))).cast("bigint")
+            .as("inter")), r)
+    val vecRank = SimilarityQueries.cosineRankServe(
+        emb.join(keepIds.select(col("vec_id")), Seq("vec_id"), "left_semi"),
+        queries.select("query_id", "embedding"), r)
+      .select(col("query_id"), col("doc_id"), col("vec_rank"))
+    SimilarityQueries.rrfFuse(lexRank, vecRank, kRrf, topK)
+  }
+
+  /** FILTERED hybrid RRF from the artifacts (r11 verdict #2): the
+    * deployed RAG query — "hybrid top-k among the docs this user may
+    * see" — served from the persisted indexes. The keep-set composes
+    * into both legs with PRE-FILTER semantics:
+    *   - vector leg: [[annCandidatesWhere]] semi-joins the STORED
+    *     scan-side table before scoring, so the candidate budget fills
+    *     with admitted docs only
+    *   - lexical leg: the posting-list probe runs first (the broadcast
+    *     h-join bounds rows to docs sharing a query shingle — the slab
+    *     itself is never shuffled), then the bounded (query, doc)
+    *     matches semi-join the keep-set BEFORE ranking, so lex ranks
+    *     are positions within the filtered corpus
+    * With exhaustive parameters the result is byte-identical to
+    * [[hybridExactWhere]] (RagServeSpec pins it). */
+  def hybridFromIndexesWhere(spark: SparkSession, annDir: String,
+      dedup: DedupIndex.LoadedDedup, keepIds: DataFrame, emb: DataFrame,
+      queries: DataFrame, topK: Int = 3, kRrf: Int = 60, r: Int = 100,
+      nProbe: Int = 32): DataFrame = {
+    val keepDoc = keepIds.select(col("vec_id").as("doc_id"))
+    val qPost = DedupQueries.hashedShingleSets(
+        queries.select(col("query_id").as("doc_id"), col("text")))
+      .select(col("doc_id").as("query_id"), explode(col("hs")).as("h"))
+    val lexRank = SimilarityQueries.lexRankOn(
+      dedup.postings.join(broadcast(qPost), "h")
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(count(lit(1)).as("inter"))
+        .join(keepDoc, Seq("doc_id"), "left_semi"), r)
+    val cand = annCandidatesWhere(spark, annDir,
+      queries.select("query_id", "embedding"), keepIds, emb, r, nProbe)
+    val vecRank = SimilarityQueries.cosineRankOnPairs(cand, emb,
+        queries.select("query_id", "embedding"), r)
+      .select(col("query_id"), col("doc_id"), col("vec_rank"))
+    SimilarityQueries.rrfFuse(lexRank, vecRank, kRrf, topK)
+  }
+
   // ---- MMR -------------------------------------------------------------
 
   /** The exact serve twin of the MMR composition: relevance pool = the
@@ -129,6 +206,31 @@ object RagServe {
       r: Int = 100, nProbe: Int = 32): (DataFrame, Seq[DataFrame]) = {
     val cand = annCandidates(spark, annDir,
       queries.select("query_id", "embedding"), emb, r, nProbe)
+    mmrFromRankedPool(SimilarityQueries.cosineRankOnPairs(cand, emb,
+      queries.select("query_id", "embedding"), poolR), emb, topK)
+  }
+
+  /** The exact FILTERED MMR twin: relevance pool = exhaustive cosine
+    * rank over the keep-set's slice of the store; selection rounds
+    * identical (the diversity leg touches only pool members, which are
+    * keep-admitted by construction). */
+  def mmrExactWherePinned(emb: DataFrame, queries: DataFrame,
+      keepIds: DataFrame, poolR: Int = 10,
+      topK: Int = 3): (DataFrame, Seq[DataFrame]) =
+    mmrFromRankedPool(SimilarityQueries.cosineRankServe(
+      emb.join(keepIds.select(col("vec_id")), Seq("vec_id"), "left_semi"),
+      queries.select("query_id", "embedding"), poolR), emb, topK)
+
+  /** FILTERED MMR from the loaded ANN index (r11 verdict #2): the pool
+    * comes from [[annCandidatesWhere]] (pre-filter semantics), so every
+    * selection round works within the admitted corpus — with exhaustive
+    * parameters byte-identical to [[mmrExactWherePinned]]. */
+  def mmrFromIndexWherePinned(spark: SparkSession, annDir: String,
+      keepIds: DataFrame, emb: DataFrame, queries: DataFrame,
+      poolR: Int = 10, topK: Int = 3, r: Int = 100,
+      nProbe: Int = 32): (DataFrame, Seq[DataFrame]) = {
+    val cand = annCandidatesWhere(spark, annDir,
+      queries.select("query_id", "embedding"), keepIds, emb, r, nProbe)
     mmrFromRankedPool(SimilarityQueries.cosineRankOnPairs(cand, emb,
       queries.select("query_id", "embedding"), poolR), emb, topK)
   }

@@ -93,6 +93,45 @@ class RagServeSpec extends AnyFunSuite {
         s"exact-only: ${(exact.toSet -- fromIx.toSet).take(3)}")
   }
 
+  // the s15 metadata predicate's keep-set: even labels only
+  private lazy val keepIds =
+    corpusEmb.filter(col("label") % 2 === 0).select(col("vec_id"))
+
+  test("filtered hybrid: exhaustive index parameters == the exact filtered twin") {
+    val exact = rows(RagServe.hybridExactWhere(corpusDocs, corpusEmb,
+      queries, keepIds))
+    spark.catalog.clearCache()
+    val fromIx = rows(RagServe.hybridFromIndexesWhere(spark, annDir,
+      dedupIx, keepIds, corpusEmb, queries, r = 100, nProbe = 100000))
+    spark.catalog.clearCache()
+    assert(exact.nonEmpty && fromIx == exact,
+      s"ix-only: ${(fromIx.toSet -- exact.toSet).take(3)}; " +
+        s"exact-only: ${(exact.toSet -- fromIx.toSet).take(3)}")
+    // pre-filter semantics: no returned doc violates the predicate
+    val got = RagServe.hybridFromIndexesWhere(spark, annDir, dedupIx,
+      keepIds, corpusEmb, queries, r = 100, nProbe = 100000)
+      .join(keepIds.select(col("vec_id").as("doc_id")),
+        Seq("doc_id"), "left_anti")
+    assert(got.isEmpty, "a filtered hybrid result leaked a filtered doc")
+    spark.catalog.clearCache()
+  }
+
+  test("filtered mmr: exhaustive index pool == the exact filtered twin") {
+    val (exactDf, exactPins) = RagServe.mmrExactWherePinned(corpusEmb,
+      queries, keepIds)
+    val exact = rows(exactDf)
+    exactPins.foreach(_.unpersist())
+    spark.catalog.clearCache()
+    val (ixDf, ixPins) = RagServe.mmrFromIndexWherePinned(spark, annDir,
+      keepIds, corpusEmb, queries, r = nEmb.toInt + 1, nProbe = 100000)
+    val fromIx = rows(ixDf)
+    ixPins.foreach(_.unpersist())
+    spark.catalog.clearCache()
+    assert(exact.size == NQ * 3 && fromIx == exact,
+      s"ix-only: ${(fromIx.toSet -- exact.toSet).take(3)}; " +
+        s"exact-only: ${(exact.toSet -- fromIx.toSet).take(3)}")
+  }
+
   test("facade: served variants materialize and release every pin") {
     val dedupDir = tmp("dedup_facade")
     DedupIndex.build(corpusDocs, dedupDir, -1L)
@@ -100,6 +139,10 @@ class RagServeSpec extends AnyFunSuite {
     graft.Graft.hybridSearchFrom(spark, annDir, dedupDir, corpusEmb,
       queries).count()
     graft.Graft.mmrRerankFrom(spark, annDir, corpusEmb, queries).count()
+    graft.Graft.hybridSearchFromWhere(spark, annDir, dedupDir, keepIds,
+      corpusEmb, queries).count()
+    graft.Graft.mmrRerankFromWhere(spark, annDir, keepIds, corpusEmb,
+      queries).count()
     graft.Graft.mmrRerankServe(corpusEmb, queries).count()
     graft.Graft.hybridSearchServe(corpusDocs, corpusEmb, queries).count()
     assert(spark.sharedState.cacheManager.isEmpty,

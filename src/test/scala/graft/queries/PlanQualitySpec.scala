@@ -645,6 +645,26 @@ class PlanQualitySpec extends AnyFunSuite {
       l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin")).toSeq
     assert(shuffleJoins.forall(_.contains("FullOuter")),
       s"only the bounded rank-fusion join may shuffle:\n${shuffleJoins.mkString("\n")}")
+
+    // the FILTERED variant (r11 verdict #2) keeps the same shape — the
+    // keep-set adds semi joins, never a cartesian, and the posting slab
+    // still reaches the probe via the broadcast h-join; the keep-set
+    // semi joins (and the bounded rank fusion) are the only shuffles
+    val keep = corpusEmb.filter(col("label") % 2 === 0).select(col("vec_id"))
+    val pf = graft.operators.RagServe.hybridFromIndexesWhere(spark, annDir,
+        graft.operators.DedupIndex.load(spark, dedupDir), keep, corpusEmb,
+        queries)
+      .queryExecution.executedPlan.toString
+    spark.catalog.clearCache()
+    assert(!pf.contains("CartesianProduct"), pf)
+    assert(pf.contains("LeftSemi"),
+      s"the keep-set must pre-filter via semi joins:\n$pf")
+    val shuffleJoinsF = pf.linesIterator.filter(l =>
+      (l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin")) &&
+        !l.contains("LeftSemi")).toSeq
+    assert(shuffleJoinsF.forall(_.contains("FullOuter")),
+      s"beyond the keep-set semi joins, only the bounded rank-fusion " +
+        s"join may shuffle:\n${shuffleJoinsF.mkString("\n")}")
   }
 
   test("fact-scaled customer/supplier joins are size-planned, not hint-forced") {
