@@ -53,9 +53,18 @@ import graft.queries.DedupQueries
 object DedupIndex {
   import ArtifactIO.Manifest
 
+  /** Bucket-dir count for the compacted posting/band slabs
+    * ([[compactDeltas]]): the slab is written Hive-partitioned on
+    * `pmod(key, LayoutBuckets)` so a probe's equi-join keys prune to
+    * their bucket DIRECTORIES (Catalyst partition pruning — real file
+    * skipping, unlike footer min/max on uniformly distributed hashes).
+    * A small probe (one doc: ~Bands band rows, ~shingle-count hashes)
+    * touches a handful of buckets instead of streaming the slab. */
+  val LayoutBuckets = 64
+
   final case class LoadedDedup(manifest: Manifest, signatures: DataFrame,
       bands: DataFrame, shingleSets: DataFrame, postings: DataFrame,
-      pairs: DataFrame, components: DataFrame)
+      pairs: DataFrame, components: DataFrame, dir: String = "")
 
   /** (h, doc_id) posting rows from a hashed-shingle-set table — the
     * inverted-index form of the same data, persisted so the lexical
@@ -146,6 +155,30 @@ object DedupIndex {
     if (td == 0) None
     else Some(spark.read.parquet((tb until tb + td).map(tombPath(dir, _)): _*))
   }
+  /** Read a table's live window with slab-layout awareness: when the
+    * manifest records `layout_buckets`, the BASE slot (always the
+    * compacted slab — the same commit writes both) is Hive-partitioned
+    * on a bucket column, so it is read per-root and re-projected to the
+    * canonical columns before unioning the flat (post-compaction
+    * append) deltas — a single multi-root read would refuse to merge
+    * the partitioned and flat schemas. Tables that are never bucketed
+    * pass through the plain multi-path read. */
+  private def readWindow(spark: SparkSession, dir: String, m: Manifest,
+      pathOf: (String, Long) => String, slots: Seq[Long],
+      cols: Seq[String]): DataFrame = {
+    val bucketed = m.params.getOrElse("layout_buckets", 0L) > 0 &&
+      cols.nonEmpty
+    if (!bucketed) spark.read.parquet(slots.map(pathOf(dir, _)): _*)
+    else {
+      val slab = spark.read.parquet(pathOf(dir, slots.head))
+        .select(cols.map(col).toIndexedSeq: _*)
+      if (slots.size == 1) slab
+      else slab.unionByName(
+        spark.read.parquet(slots.tail.map(pathOf(dir, _)): _*)
+          .select(cols.map(col).toIndexedSeq: _*))
+    }
+  }
+
   /** Anti-join `t`'s id columns against the tombstone set — how every
     * reader excludes taken-down docs the instant the delete commits,
     * before any physical fold. The tombstone side is a takedown list
@@ -174,17 +207,83 @@ object DedupIndex {
     LoadedDedup(m,
       minusTombs(spark.read.parquet(
         sigSlots(m).map(i => sigPath(dir, i)): _*), tombs, "doc_id"),
-      minusTombs(spark.read.parquet(
-        sigSlots(m).map(i => bandPath(dir, i)): _*), tombs, "doc_id"),
+      minusTombs(readWindow(spark, dir, m, bandPath, sigSlots(m),
+        Seq("doc_id", "band_idx", "band_val")), tombs, "doc_id"),
       minusTombs(spark.read.parquet(
         sigSlots(m).map(i => shinglePath(dir, i)): _*), tombs, "doc_id"),
-      minusTombs(spark.read.parquet(
-        sigSlots(m).map(i => postingPath(dir, i)): _*), tombs, "doc_id"),
+      minusTombs(readWindow(spark, dir, m, postingPath, sigSlots(m),
+        Seq("h", "doc_id")), tombs, "doc_id"),
       minusTombs(spark.read.parquet(
         pairSlots(m).map(i => pairPath(dir, i)): _*), tombs, "doc_a", "doc_b"),
       // components need no filter: [[delete]] re-solves the touched
       // components and publishes a new version AT the delete commit
-      spark.read.parquet(compPath(dir, m.params("comp_versions") - 1)))
+      spark.read.parquet(compPath(dir, m.params("comp_versions") - 1)),
+      dir)
+  }
+
+  /** The band view for a PROBE batch (one `band_val` column among
+    * `qBands`'s rows, query-side bounded): when the committed slab is
+    * bucket-partitioned, restrict it to the probe's bucket directories
+    * — Catalyst partition pruning skips every other bucket's files —
+    * then union the flat post-compaction deltas in full and apply the
+    * tombstone filter exactly as [[load]] does. Falls back to
+    * [[LoadedDedup.bands]] on unbucketed artifacts. Results are
+    * IDENTICAL either way (SlabLayoutSpec pins it): only files that
+    * cannot contain a probe key are skipped. */
+  def probeBands(ix: LoadedDedup, qBands: DataFrame): DataFrame =
+    probePruned(ix, qBands, "band_val", bandPath,
+      Seq("doc_id", "band_idx", "band_val"), ix.bands)
+
+  /** The posting view for a PROBE hash set (one `h` column) — the
+    * lexical-retrieval twin of [[probeBands]]. */
+  def probePostings(ix: LoadedDedup, qHashes: DataFrame): DataFrame =
+    probePruned(ix, qHashes, "h", postingPath, Seq("h", "doc_id"),
+      ix.postings)
+
+  private def probePruned(ix: LoadedDedup, probe: DataFrame, key: String,
+      pathOf: (String, Long) => String, cols: Seq[String],
+      fallback: DataFrame): DataFrame = {
+    if (ix.manifest.params.getOrElse("layout_buckets", 0L) == 0 ||
+      ix.dir.isEmpty) return fallback
+    val spark = probe.sparkSession
+    minusTombs(
+      probeWindow(spark, ix.dir, ix.manifest, pathOf, sigSlots(ix.manifest),
+        cols, key, probe),
+      tombstonesOf(spark, ix.dir, ix.manifest), "doc_id")
+  }
+
+  /** The slab's bucket id for a key column: posting hashes are already
+    * uniform int64 (pmod directly); band values are strings, hashed
+    * with xxhash64 first. Fold and probe sides MUST agree — this is
+    * the single definition both use. */
+  private[operators] def slabBucket(key: String, b: Long): org.apache.spark.sql.Column = {
+    val k = key match {
+      case "band_val" => xxhash64(col(key))
+      case _ => col(key)
+    }
+    pmod(k, lit(b)).cast("int")
+  }
+
+  /** [[readWindow]] with the bucketed slab RESTRICTED to the probe's
+    * bucket directories (partition pruning); identical contents to the
+    * full window for any row a probe key can match. Falls back to the
+    * plain window read on unbucketed artifacts. */
+  private def probeWindow(spark: SparkSession, dir: String, m: Manifest,
+      pathOf: (String, Long) => String, slots: Seq[Long], cols: Seq[String],
+      key: String, probe: DataFrame): DataFrame = {
+    val b = m.params.getOrElse("layout_buckets", 0L)
+    if (b == 0) return readWindow(spark, dir, m, pathOf, slots, cols)
+    // ≤ LayoutBuckets distinct values — a bounded, probe-side collect
+    val buckets = probe
+      .select(slabBucket(key, b).as("pb"))
+      .distinct().collect().map(_.getInt(0)).toIndexedSeq
+    val slab = spark.read.parquet(pathOf(dir, slots.head))
+      .filter(col("pb").isInCollection(buckets))
+      .select(cols.map(col).toIndexedSeq: _*)
+    if (slots.size == 1) slab
+    else slab.unionByName(
+      spark.read.parquet(slots.tail.map(pathOf(dir, _)): _*)
+        .select(cols.map(col).toIndexedSeq: _*))
   }
 
   /** Append a NEW document batch — d16's bipartite increment shape, so
@@ -258,9 +357,12 @@ object DedupIndex {
         val incBands = DedupQueries.sigBandRows(incSig).drop("sig")
         incBands.write.mode("overwrite").parquet(bandPath(dir, sigEnd))
         // the stored band table as written — never re-derived (r10 #4);
-        // tombstoned docs must not resurface as candidate partners
-        val corpusBands = minusTombs(spark.read.parquet(
-          (sb until sigEnd).map(bandPath(dir, _)): _*), tombs, "doc_id")
+        // tombstoned docs must not resurface as candidate partners.
+        // The increment's bands are the probe: bucket-prune the slab
+        val corpusBands = minusTombs(
+          probeWindow(spark, dir, mf, bandPath, sb until sigEnd,
+            Seq("doc_id", "band_idx", "band_val"), "band_val", incBands),
+          tombs, "doc_id")
         val crossCand = DedupQueries
           .sizedHint(incBands, ni * DedupQueries.Bands, 128).as("a")
           .join(corpusBands.as("b"),
@@ -376,17 +478,34 @@ object DedupIndex {
         spark.read.parquet((base until base + count).map(pathOf(dir, _)): _*),
         tombs, idCols: _*)
         .coalesce(32).write.mode("overwrite").parquet(pathOf(dir, slot))
+    // the probe-joined tables (bands, postings) are written BUCKETED:
+    // Hive-partitioned on pmod(key, LayoutBuckets), so serve/append
+    // probes prune to their keys' bucket directories instead of
+    // streaming the whole slab through the broadcast join (r11 verdict
+    // #3). One file per bucket — the slab stays one coalesced unit per
+    // bucket dir. Reads go through [[readWindow]]/[[probeWindow]]
+    // (a prior compaction may have bucketed the current base already).
+    def foldBucketed(pathOf: (String, Long) => String, base: Long,
+        count: Long, slot: Long, cols: Seq[String], key: String): Unit =
+      minusTombs(
+        readWindow(spark, dir, mf, pathOf, base until base + count, cols),
+        tombs, "doc_id")
+        .withColumn("pb", slabBucket(key, LayoutBuckets.toLong))
+        .repartition(LayoutBuckets, col("pb"))
+        .write.partitionBy("pb").mode("overwrite").parquet(pathOf(dir, slot))
     fold(sigPath, sb, sd, sb + sd, "doc_id")
-    fold(bandPath, sb, sd, sb + sd, "doc_id")
+    foldBucketed(bandPath, sb, sd, sb + sd,
+      Seq("doc_id", "band_idx", "band_val"), "band_val")
     fold(shinglePath, sb, sd, sb + sd, "doc_id")
-    fold(postingPath, sb, sd, sb + sd, "doc_id")
+    foldBucketed(postingPath, sb, sd, sb + sd, Seq("h", "doc_id"), "h")
     fold(pairPath, pb, pd, pb + pd, "doc_a", "doc_b")
     // commit: the window flips to [end, end+1) atomically; the
     // tombstone window empties (every tombstone is now physical)
     val mf2 = mf.copy(params = mf.params +
       ("sig_base" -> (sb + sd)) + ("sig_deltas" -> 1L) +
       ("pair_base" -> (pb + pd)) + ("pair_deltas" -> 1L) +
-      ("tomb_base" -> (tb + td)) + ("tomb_deltas" -> 0L))
+      ("tomb_base" -> (tb + td)) + ("tomb_deltas" -> 0L) +
+      ("layout_buckets" -> LayoutBuckets.toLong))
     ArtifactIO.writeManifest(spark, dir, mf2)
     // NO GC here: readers already ignore the folded window, but one
     // that loaded the old manifest just before this commit may still
@@ -536,9 +655,11 @@ object DedupIndex {
     try {
       val qBands = DedupQueries.sigBandRows(
         DedupQueries.minhashSigArrFromHashes(qHs)).drop("sig")
+      // the band probe prunes to its keys' bucket dirs on a compacted
+      // (bucket-partitioned) slab; identical rows either way
       val cand = DedupQueries
         .sizedHint(qBands, ni * DedupQueries.Bands, 128).as("a")
-        .join(ix.bands.as("b"),
+        .join(probeBands(ix, qBands).as("b"),
           col("a.band_idx") === col("b.band_idx") &&
             col("a.band_val") === col("b.band_val"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))

@@ -110,8 +110,10 @@ object RagServe {
     val qPost = DedupQueries.hashedShingleSets(
         queries.select(col("query_id").as("doc_id"), col("text")))
       .select(col("doc_id").as("query_id"), explode(col("hs")).as("h"))
+    // probePostings prunes a compacted (bucket-partitioned) slab to the
+    // query hashes' bucket dirs; identical rows either way
     val lexRank = SimilarityQueries.lexRankOn(
-      dedup.postings.join(broadcast(qPost), "h")
+      DedupIndex.probePostings(dedup, qPost).join(broadcast(qPost), "h")
         .groupBy(col("query_id"), col("doc_id"))
         .agg(count(lit(1)).as("inter")), r)
     val cand = annCandidates(spark, annDir,
@@ -173,7 +175,7 @@ object RagServe {
         queries.select(col("query_id").as("doc_id"), col("text")))
       .select(col("doc_id").as("query_id"), explode(col("hs")).as("h"))
     val lexRank = SimilarityQueries.lexRankOn(
-      dedup.postings.join(broadcast(qPost), "h")
+      DedupIndex.probePostings(dedup, qPost).join(broadcast(qPost), "h")
         .groupBy(col("query_id"), col("doc_id"))
         .agg(count(lit(1)).as("inter"))
         .join(keepDoc, Seq("doc_id"), "left_semi"), r)

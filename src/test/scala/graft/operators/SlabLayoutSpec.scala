@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+import graft.{Tables, TestSpark}
+import graft.queries.DedupQueries
+
+/** Posting/band slab layout (r11 verdict #3): compaction writes the two
+  * probe-joined slabs Hive-partitioned on pmod(key, LayoutBuckets), so
+  * a probe reads ONLY its keys' bucket directories — genuine Catalyst
+  * partition pruning (footer min/max cannot prune uniformly distributed
+  * hashes). Pinned here: (a) contents identical through the bucketed
+  * round-trip for every reader, (b) the pruned probe scan reads
+  * strictly fewer files than the slab holds for a small probe, (c)
+  * serve results identical pre/post layout.
+  */
+class SlabLayoutSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val docs = Tables.documents(spark, sf)
+
+  private def rows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  private def tmp(name: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(s"slab_$name")
+    d.toFile.deleteOnExit()
+    d.toString
+  }
+
+  /** Sum of files actually read by the parquet scans under `df`'s
+    * executed plan (after an action). The caller must pass a FRESH
+    * DataFrame: FileSourceScanExec fires its numFiles metric only on
+    * the first evaluation of its lazy partition listing, so a
+    * previously-collected frame reports 0. */
+  private def filesRead(df: DataFrame): Long = {
+    df.collect()
+    val executed = df.queryExecution.executedPlan
+    val plans = executed.collect {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+    } match {
+      case Seq() => Seq(executed)
+      case xs => xs
+    }
+    plans.flatMap(_.collect {
+      case s: FileSourceScanExec => s.metrics.get("numFiles").map(_.value)
+    }.flatten).sum
+  }
+
+  test("bucketed slab: contents identical, probes prune to their buckets") {
+    val dir = tmp("dedup")
+    // build + append so compaction has something to fold
+    DedupIndex.build(docs.filter(col("doc_id") % 2 === 0), dir, -1L)
+    DedupIndex.append(docs.filter(col("doc_id") % 2 === 1), dir)
+    val pre = DedupIndex.load(spark, dir)
+    val prePost = rows(pre.postings)
+    val preBands = rows(pre.bands)
+    // a one-doc probe before compaction (unbucketed fallback)
+    val probe = docs.filter(col("doc_id") === 3L)
+      .select((col("doc_id") + 9000000L).as("doc_id"), col("text"))
+    val preServe = rows(DedupIndex.serveNearDups(probe, pre, 1L))
+
+    DedupIndex.compactDeltas(spark, dir)
+    val ix = DedupIndex.load(spark, dir)
+    assert(ix.manifest.params("layout_buckets") == DedupIndex.LayoutBuckets)
+    // (a) canonical views unchanged through the bucketed round-trip
+    assert(rows(ix.postings) == prePost, "postings changed through layout")
+    assert(rows(ix.bands) == preBands, "bands changed through layout")
+    assert(ix.postings.columns.toSeq == Seq("h", "doc_id"),
+      "the bucket column must not leak into the canonical view")
+    assert(ix.bands.columns.toSeq == Seq("doc_id", "band_idx", "band_val"))
+
+    // (b) the pruned probe reads fewer files than the slab holds: a
+    // one-doc posting probe touches <= its distinct-hash bucket count
+    val qPost = DedupQueries.hashedShingleSets(probe)
+      .select(col("doc_id").as("query_id"), explode(col("hs")).as("h"))
+      .persist()
+    val nBucketsProbed = qPost
+      .select(DedupIndex.slabBucket("h", DedupIndex.LayoutBuckets.toLong))
+      .distinct().count()
+    val slabFiles = filesRead(DedupIndex.load(spark, dir).postings)
+    val prunedFiles = filesRead(DedupIndex.probePostings(ix, qPost))
+    qPost.unpersist()
+    assert(prunedFiles <= nBucketsProbed,
+      s"pruned probe read $prunedFiles files for $nBucketsProbed buckets")
+    assert(prunedFiles < slabFiles,
+      s"pruning must skip files: $prunedFiles read vs $slabFiles in the slab")
+    // pruned == full view restricted to the probe's hashes
+    assert(rows(DedupIndex.probePostings(ix, qPost)
+        .join(qPost.select("h"), "h")) ==
+      rows(ix.postings.join(qPost.select("h"), "h")),
+      "pruning must not lose any matching posting row")
+
+    // (c) serving from the bucketed slab returns identical results
+    assert(rows(DedupIndex.serveNearDups(probe, ix, 1L)) == preServe)
+    spark.catalog.clearCache()
+  }
+
+  test("band probe prunes; append after layout converges with control") {
+    val dir = tmp("dedup2")
+    DedupIndex.build(docs.filter(col("doc_id") % 2 === 0), dir, -1L)
+    DedupIndex.append(docs.filter(col("doc_id") % 2 === 1), dir)
+    DedupIndex.compactDeltas(spark, dir)
+    val ix = DedupIndex.load(spark, dir)
+    // one probe doc → Bands band rows → ≤ Bands bucket dirs
+    val probe = docs.filter(col("doc_id") === 5L)
+      .select((col("doc_id") + 9100000L).as("doc_id"), col("text"))
+    val qBands = DedupQueries.sigBandRows(DedupQueries.minhashSigArrFromHashes(
+      DedupQueries.hashedShingleSets(probe))).drop("sig").persist()
+    val nBucketsProbed = qBands
+      .select(DedupIndex.slabBucket("band_val",
+        DedupIndex.LayoutBuckets.toLong))
+      .distinct().count()
+    val slabFiles = filesRead(DedupIndex.load(spark, dir).bands)
+    val prunedFiles = filesRead(DedupIndex.probeBands(ix, qBands))
+    qBands.unpersist()
+    assert(prunedFiles <= nBucketsProbed && prunedFiles < slabFiles,
+      s"band probe must prune: $prunedFiles vs slab $slabFiles " +
+        s"($nBucketsProbed buckets probed)")
+
+    // appends on a bucketed artifact keep converging to the one-shot
+    // build (mixed bucketed-slab + flat-delta window reads)
+    val inc = docs.filter(col("doc_id") < 8)
+      .withColumn("doc_id", col("doc_id") + 1000000000L)
+    DedupIndex.append(inc, dir)
+    val ctl = tmp("dedup2_ctl")
+    DedupIndex.build(docs.unionByName(inc), ctl, -1L)
+    val a = DedupIndex.load(spark, dir)
+    val b = DedupIndex.load(spark, ctl)
+    assert(rows(a.pairs) == rows(b.pairs))
+    assert(rows(a.components) == rows(b.components))
+    assert(rows(a.postings) == rows(b.postings))
+    // a second compaction re-buckets the (slab + flat delta) window
+    DedupIndex.compactDeltas(spark, dir)
+    assert(rows(DedupIndex.load(spark, dir).postings) == rows(b.postings))
+    spark.catalog.clearCache()
+  }
+}
