@@ -63,6 +63,24 @@ object CompactionBench {
     parts += s""""dedup_serve_post_sec":${f(serveWall())}"""
     parts += s""""dedup_append_post_sec":${f(appendWall(700000000L))}"""
 
+    // ---- takedown (r11 verdict #1): delete O(touched), never a rebuild
+    val victims = spark.range(8).select((col("id") + 16L).as("doc_id"))
+    val (_, delSec) = timed(DedupIndex.delete(victims, ixDir))
+    spark.catalog.clearCache()
+    parts += s""""dedup_delete8_sec":${f(delSec)}"""
+    // the tombstone-forced fold that makes the takedown physical
+    val (_, delCompactSec) = timed(DedupIndex.compactDeltas(spark, ixDir))
+    spark.catalog.clearCache()
+    parts += s""""dedup_delete_compact_sec":${f(delCompactSec)}"""
+    // contrast: what the only pre-takedown route (rebuild without the
+    // docs) costs on the same corpus
+    val rbDir = java.nio.file.Files
+      .createTempDirectory("compact_bench_rebuild").toString
+    val (_, rebuildSec) = timed(DedupIndex.build(
+      docs.filter(col("doc_id") >= 24 || col("doc_id") < 16), rbDir, -1L))
+    spark.catalog.clearCache()
+    parts += s""""dedup_rebuild_without_sec":${f(rebuildSec)}"""
+
     // ---- ivfpq code deltas ----------------------------------------------
     val emb = graft.Tables.embeddings(spark, dir)
     val nEmb = graft.Tables.embeddingsRows(spark, dir)
@@ -90,6 +108,11 @@ object CompactionBench {
     val (_, pqCompactSec) = timed(AnnIndex.compactIvfPqDeltas(spark, pqDir))
     parts += s""""ivfpq_compact_sec":${f(pqCompactSec)}"""
     parts += s""""ivfpq_query_post_sec":${f(pqWall())}"""
+    val pqVictims = spark.range(8).select((col("id") + 16L).as("vec_id"))
+    val (_, pqDelSec) = timed(AnnIndex.deleteIvfPq(pqVictims, pqDir))
+    spark.catalog.clearCache()
+    parts += s""""ivfpq_delete8_sec":${f(pqDelSec)}"""
+    parts += s""""ivfpq_query_post_delete_sec":${f(pqWall())}"""
     spark.stop()
     println(s"""{"dir":"$dir",${parts.mkString(",")}}""")
   }

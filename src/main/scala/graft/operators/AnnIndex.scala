@@ -383,6 +383,25 @@ object AnnIndex {
     mf2
   }
 
+  /** (live code-delta count incl. pending tombstones, lazy bytes of the
+    * delta dirs above the base slab) — what a [[CompactionPolicy]]
+    * triggers on for the ivfpq artifact. */
+  def ivfPqDeltaWindowStats(spark: SparkSession,
+      dir: String): (Long, () => Long) = {
+    val mf = readManifest(spark, dir)
+    expectFamily(mf, "ivfpq")
+    require(mf.params.contains("deltas"),
+      "this ivfpq artifact predates the delta layout - rebuild it")
+    val (base, count) = deltaWindow(mf)
+    val (tb, td) = ivfTombWindow(mf)
+    val root = tableRoot(dir, mf)
+    val live = count + td
+    val bytes = () => CompactionPolicy.bytesUnder(spark,
+      ((base + 1) until base + count).map(deltaPath(root, _)) ++
+        (tb until tb + td).map(ivfTombPath(root, _)))
+    (live, bytes)
+  }
+
   /** Takedown for the ivfpq artifact (r11 verdict #1): remove vectors
     * WITHOUT a rebuild. A `vec_id` tombstone delta is staged and lands
     * in one atomic manifest commit; [[loadIvfPq]] (and therefore every

@@ -608,6 +608,28 @@ object DedupIndex {
     } finally removed.unpersist()
   }
 
+  /** (live delta count, bytes of the delta dirs ABOVE each base slab) —
+    * what a [[CompactionPolicy]] triggers on. The count comes from the
+    * manifest alone (sig window + pending tombstones — both are dirs a
+    * reader must mount/anti-join until folded); the bytes argument of
+    * the pair is LAZY via the returned thunk's caller: compute it only
+    * when a byte bound is set. */
+  def deltaWindowStats(spark: SparkSession,
+      dir: String): (Long, () => Long) = {
+    val mf = ArtifactIO.readManifest(spark, dir)
+    val (sd, pd) = (mf.params("sig_deltas"), mf.params("pair_deltas"))
+    val (sb, pb) = (mf.params.getOrElse("sig_base", 0L),
+      mf.params.getOrElse("pair_base", 0L))
+    val (tb, td) = tombWindow(mf)
+    val live = sd + td
+    val bytes = () => CompactionPolicy.bytesUnder(spark,
+      ((sb + 1) until sb + sd).flatMap(i => Seq(sigPath(dir, i),
+        bandPath(dir, i), shinglePath(dir, i), postingPath(dir, i))) ++
+        ((pb + 1) until pb + pd).map(pairPath(dir, _)) ++
+        (tb until tb + td).map(tombPath(dir, _)))
+    (live, bytes)
+  }
+
   /** Incremental connected components: new edges can only change the
     * components they TOUCH, so re-solve exactly those — each affected
     * old component collapses to star edges (member → its min-id label,

@@ -164,10 +164,20 @@ object StreamDedupIngest {
     *   stream, so a week-long ingest never accumulates unbounded
     *   small dirs. Both calls are replay-safe: compactDeltas is
     *   contents-idempotent and compactCorpus is skipped unless it
-    *   advances the committed slab. */
+    *   advances the committed slab.
+    * @param policy threshold-based trigger (r11 verdict #4): fold when
+    *   the manifest's LIVE window crosses a bound (`maxDeltas` — delta
+    *   count incl. pending tombstones; `maxBytes` — bytes above the
+    *   base slabs) rather than on a batch cadence a bursty stream blows
+    *   past. When set, it REPLACES `compactEvery` (pass
+    *   `CompactionPolicy(every = n)` to combine). */
   def ingestSink(docs: DataFrame, indexDir: String, corpusDir: String,
-      checkpointDir: String,
-      compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery = {
+      checkpointDir: String, compactEvery: Int = 0,
+      policy: graft.operators.CompactionPolicy =
+        graft.operators.CompactionPolicy()
+      ): org.apache.spark.sql.streaming.StreamingQuery = {
+    val eff = if (policy.enabled) policy
+      else graft.operators.CompactionPolicy(every = compactEvery)
     // checked once, on the first batch this sink processes
     @volatile var checkpointChecked = false
     docs.writeStream
@@ -201,13 +211,17 @@ object StreamDedupIngest {
           DedupIndex.append(batch.toDF(), indexDir, batchId)
           batch.toDF().write.mode("overwrite")
             .parquet(s"$corpusDir/batch-$batchId")
-          if (compactEvery > 0 && batchId > 0 &&
-              batchId % compactEvery == 0) {
-            DedupIndex.compactDeltas(spark, indexDir)
-            val prev = corpusManifest(spark, corpusDir)
-              .map(_.params("merged_upto")).getOrElse(-1L)
-            if (batchId - 1 > prev) // a replayed trigger must not regress
-              compactCorpus(spark, corpusDir, batchId - 1)
+          if (eff.enabled) {
+            // stats are read lazily: the manifest count only for
+            // maxDeltas, one FS content summary only for maxBytes
+            lazy val stats = DedupIndex.deltaWindowStats(spark, indexDir)
+            if (eff.triggers(batchId, stats._1, stats._2())) {
+              DedupIndex.compactDeltas(spark, indexDir)
+              val prev = corpusManifest(spark, corpusDir)
+                .map(_.params("merged_upto")).getOrElse(-1L)
+              if (batchId - 1 > prev) // a replayed trigger must not regress
+                compactCorpus(spark, corpusDir, batchId - 1)
+            }
           }
         }
       }

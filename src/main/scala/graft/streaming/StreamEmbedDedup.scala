@@ -71,24 +71,35 @@ object StreamEmbedDedup {
     *   folds the accumulated code deltas into one slab
     *   ([[graft.operators.AnnIndex.compactIvfPqDeltas]] — contents
     *   idempotent, replay-safe): the maintenance loop closed inside
-    *   the stream. */
+    *   the stream.
+    * @param policy threshold-based trigger on the manifest's LIVE
+    *   window (delta count / bytes — r11 verdict #4); when set it
+    *   replaces `compactEvery`. */
   def indexAppendSink(emb: DataFrame, indexDir: String,
-      checkpointDir: String,
-      compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
+      checkpointDir: String, compactEvery: Int = 0,
+      policy: graft.operators.CompactionPolicy =
+        graft.operators.CompactionPolicy()
+      ): org.apache.spark.sql.streaming.StreamingQuery = {
+    val eff = if (policy.enabled) policy
+      else graft.operators.CompactionPolicy(every = compactEvery)
     emb.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (!batch.isEmpty) {
           graft.operators.AnnIndex.appendIvfPq(batch.toDF(), indexDir,
             batchId = batchId)
-          if (compactEvery > 0 && batchId > 0 &&
-              batchId % compactEvery == 0)
-            graft.operators.AnnIndex.compactIvfPqDeltas(
-              batch.sparkSession, indexDir)
+          if (eff.enabled) {
+            lazy val stats = graft.operators.AnnIndex
+              .ivfPqDeltaWindowStats(batch.sparkSession, indexDir)
+            if (eff.triggers(batchId, stats._1, stats._2()))
+              graft.operators.AnnIndex.compactIvfPqDeltas(
+                batch.sparkSession, indexDir)
+          }
           ()
         }
       }
       .start()
+  }
 
   val querySchema: StructType = StructType(Seq(
     StructField("query_id", LongType),
