@@ -412,11 +412,12 @@ object Graft {
   def dedupDelete(spark: SparkSession, dir: String, ids: DataFrame): Long =
     operators.DedupIndex.delete(ids, dir)
 
-  /** Takedown for a persisted ivfpq ANN artifact: tombstone the vector
-    * ids — serving excludes them immediately, the next
-    * [[compactAnnIndex]] drops the code rows physically. */
+  /** Takedown for a persisted ANN artifact (any family except sq8):
+    * tombstone the vector ids — serving excludes them immediately;
+    * physical removal at the next [[compactAnnIndex]] (ivfpq) or
+    * [[rebuildAnnIndex]] (flat-table families). */
   def annDelete(spark: SparkSession, dir: String, ids: DataFrame): Long =
-    operators.AnnIndex.deleteIvfPq(ids, dir)
+    operators.AnnIndex.delete(ids, dir)
 
   /** Read-only near-dup probe of NEW documents against a persisted
     * dedup artifact — ingest-time "have we already got this (or nearly
@@ -1114,6 +1115,29 @@ object Graft {
     streaming.StreamDedupIngest.ingestSink(
       streaming.StreamDedupIngest.readDocs(spark, landingDir),
       indexDir, corpusDir, checkpointDir)
+
+  /** Streaming takedown: apply a (doc_id) removal-request stream to a
+    * persisted dedup artifact — each micro-batch is one [[dedupDelete]]
+    * behind the artifact's atomic commit; replays are durable no-ops
+    * via the independent `last_delete_batch` high-water mark
+    * (StreamTakedownSpec pins streamed ≡ batch delete). */
+  def streamDedupTakedown(spark: SparkSession, landingDir: String,
+      indexDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    streaming.StreamTakedown.dedupTakedownSink(
+      spark.readStream.schema("doc_id LONG")
+        .option("maxFilesPerTrigger", 1).parquet(landingDir),
+      indexDir, checkpointDir)
+
+  /** Streaming takedown for a persisted ANN artifact (any family except
+    * sq8) — the (vec_id) twin of [[streamDedupTakedown]]. */
+  def streamAnnTakedown(spark: SparkSession, landingDir: String,
+      indexDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    streaming.StreamTakedown.annTakedownSink(
+      spark.readStream.schema("vec_id LONG")
+        .option("maxFilesPerTrigger", 1).parquet(landingDir),
+      indexDir, checkpointDir)
 
   /** The published ingest corpus as one DataFrame — the read seam that
     * stays correct across [[compactIngestCorpus]] calls and streaming

@@ -83,7 +83,9 @@ object AnnIndex {
   def loadLsh(spark: SparkSession, dir: String): LoadedLsh = {
     val m = readManifest(spark, dir)
     expectFamily(m, "lsh")
-    LoadedLsh(m, table(spark, tableRoot(dir, m), "lsh_signatures"))
+    LoadedLsh(m,
+      minusTombs(spark, dir, m, table(spark, tableRoot(dir, m),
+        "lsh_signatures")))
   }
 
   /** s2's query half against the loaded artifact — the parquet scan IS
@@ -118,7 +120,9 @@ object AnnIndex {
   def loadIvf(spark: SparkSession, dir: String): LoadedIvf = {
     val m = readManifest(spark, dir)
     expectFamily(m, "ivf")
-    LoadedIvf(m, table(spark, tableRoot(dir, m), "ivf_assign"),
+    LoadedIvf(m,
+      minusTombs(spark, dir, m, table(spark, tableRoot(dir, m),
+        "ivf_assign")),
       table(spark, tableRoot(dir, m), "ivf_centroids"))
   }
 
@@ -151,7 +155,9 @@ object AnnIndex {
   def loadPq(spark: SparkSession, dir: String): LoadedPq = {
     val m = readManifest(spark, dir)
     expectFamily(m, "pq")
-    LoadedPq(m, table(spark, tableRoot(dir, m), "pq_codes"),
+    LoadedPq(m,
+      minusTombs(spark, dir, m, table(spark, tableRoot(dir, m),
+        "pq_codes")),
       table(spark, tableRoot(dir, m), "pq_codebook"))
   }
 
@@ -217,20 +223,33 @@ object AnnIndex {
   private def deltaWindow(m: Manifest): (Long, Long) =
     (m.params.getOrElse("deltas_base", 0L), m.params("deltas"))
 
+  private def tombPath(root: String, family: String, i: Long): String =
+    f"$root/${family}_tombstones.parquet/delta-$i%05d"
   private def ivfTombPath(root: String, i: Long): String =
-    f"$root/ivfpq_tombstones.parquet/delta-$i%05d"
+    tombPath(root, "ivfpq", i)
   /** Tombstone window (both 0 when absent — pre-takedown artifacts and
     * freshly compacted ones; [[rebuild]]'s new version starts empty
     * because its corpus comes from the caller's store). */
   private def ivfTombWindow(m: Manifest): (Long, Long) =
     (m.params.getOrElse("tomb_base", 0L), m.params.getOrElse("tomb_deltas", 0L))
-  private def ivfTombsOf(spark: SparkSession, root: String,
+  private def tombsOf(spark: SparkSession, root: String,
       m: Manifest): Option[DataFrame] = {
     val (tb, td) = ivfTombWindow(m)
     if (td == 0) None
     else Some(spark.read.parquet(
-      (tb until tb + td).map(ivfTombPath(root, _)): _*))
+      (tb until tb + td).map(tombPath(root, m.family, _)): _*))
   }
+  private def ivfTombsOf(spark: SparkSession, root: String,
+      m: Manifest): Option[DataFrame] = tombsOf(spark, root, m)
+  /** Anti-join the per-vector table against the live tombstones. */
+  private def minusTombs(spark: SparkSession, dir: String, m: Manifest,
+      t: DataFrame): DataFrame =
+    tombsOf(spark, tableRoot(dir, m), m) match {
+      case None => t
+      case Some(tt) => t.join(broadcast(tt.select(col("vec_id"))),
+          Seq("vec_id"), "left_anti")
+        .select(t.columns.map(col).toIndexedSeq: _*)
+    }
 
   private def codesTable(spark: SparkSession, dir: String,
       m: Manifest): DataFrame = {
@@ -402,36 +421,61 @@ object AnnIndex {
     (live, bytes)
   }
 
-  /** Takedown for the ivfpq artifact (r11 verdict #1): remove vectors
-    * WITHOUT a rebuild. A `vec_id` tombstone delta is staged and lands
-    * in one atomic manifest commit; [[loadIvfPq]] (and therefore every
-    * consumer — [[ivfPqTopK]], [[ivfPqServe]], [[serveTopKWhere]], the
+  /** Takedown for a persisted ANN artifact, every family (r11 verdict
+    * #1): remove vectors WITHOUT a rebuild. A `vec_id` tombstone delta
+    * is staged and lands in one atomic manifest commit; the family's
+    * load (and therefore every consumer — topK, serve, serveWhere, the
     * RagServe vector leg) anti-joins the taken-down ids immediately.
-    * [[compactIvfPqDeltas]] later drops the code rows physically and
-    * resets the window. The frozen quantizer is untouched — same
-    * contract as [[appendIvfPq]] (a shrinking corpus eventually wants
-    * [[rebuild]], which re-fits from the caller's store and starts a
-    * clean tombstone window). Deleting unknown or already-removed ids
-    * is a no-op that commits nothing.
+    * Physical removal: ivfpq's [[compactIvfPqDeltas]] drops the code
+    * rows and resets the window; the flat-table families (lsh, ivf,
+    * pq) fold theirs at the next [[rebuild]] (which re-fits from the
+    * caller's store and starts a clean window). The frozen quantizers
+    * are untouched — the [[appendIvfPq]] contract. sq8 is REFUSED:
+    * its artifact stores per-dimension stats only; the vectors live in
+    * the caller's embedding store, so takedown happens there.
+    * Deleting unknown or already-removed ids is a no-op that commits
+    * nothing.
     *
     * @param ids one `vec_id` column (extra columns ignored)
+    * @param batchId ≥ 0 = the durable streaming replay guard
+    *   (`last_delete_batch` — an applied takedown batch is a no-op on
+    *   re-delivery; independent of append's `last_batch`)
     * @return vectors actually removed */
-  def deleteIvfPq(ids: DataFrame, dir: String): Long = {
+  def delete(ids: DataFrame, dir: String, batchId: Long = -1L): Long = {
     val spark = ids.sparkSession
     val mf = readManifest(spark, dir)
-    expectFamily(mf, "ivfpq")
-    require(mf.params.contains("deltas"),
-      "this ivfpq artifact predates the delta layout - rebuild it " +
-        "(takedown needs the delta window layout)")
+    require(mf.family != "sq8",
+      "sq8 stores only per-dimension stats - its vectors live in the " +
+        "caller's embedding store; take them down there, then rebuild")
+    if (batchId >= 0 &&
+      mf.params.get("last_delete_batch").exists(_ >= batchId))
+      return 0L // replayed takedown batch: already applied and committed
     val root = tableRoot(dir, mf)
     val (tb, td) = ivfTombWindow(mf)
-    ArtifactIO.healOrphans(spark, s"$root/ivfpq_tombstones.parquet",
-      "delta-", tb + td, tb)
-    // live vectors only (prior tombstones already filtered), one id per
-    // vector — column-pruned scan of vec_id, never the code columns;
-    // the broadcast semi join runs BEFORE distinct so the only shuffle
-    // is over the (tiny) surviving takedown ids
-    val removed = codesTable(spark, dir, mf).select(col("vec_id"))
+    ArtifactIO.healOrphans(spark,
+      s"$root/${mf.family}_tombstones.parquet", "delta-", tb + td, tb)
+    // the family's per-vector table, prior tombstones already excluded
+    val stored = mf.family match {
+      case "ivfpq" =>
+        require(mf.params.contains("deltas"),
+          "this ivfpq artifact predates the delta layout - rebuild it " +
+            "(takedown needs the delta window layout)")
+        codesTable(spark, dir, mf) // delta-window + tombstone aware
+      case "lsh" => minusTombs(spark, dir, mf,
+        table(spark, root, "lsh_signatures"))
+      case "ivf" => minusTombs(spark, dir, mf,
+        table(spark, root, "ivf_assign"))
+      case "pq" => minusTombs(spark, dir, mf,
+        table(spark, root, "pq_codes"))
+      case other => throw new IllegalArgumentException(
+        s"index at hand is family '$other', expected one of " +
+          "lsh | ivf | pq | ivfpq (corrupted or newer-format manifest?)")
+    }
+    // live vectors only, one id per vector — column-pruned scan of
+    // vec_id, never the payload columns; the broadcast semi join runs
+    // BEFORE distinct so the only shuffle is over the (tiny) surviving
+    // takedown ids
+    val removed = stored.select(col("vec_id"))
       .join(broadcast(ids.select(col("vec_id")).distinct()),
         Seq("vec_id"), "left_semi")
       .distinct()
@@ -439,12 +483,21 @@ object AnnIndex {
     val nRemoved = removed.count()
     try {
       if (nRemoved == 0) return 0L // nothing lives to remove: no commit
-      removed.write.mode("overwrite").parquet(ivfTombPath(root, tb + td))
+      removed.write.mode("overwrite")
+        .parquet(tombPath(root, mf.family, tb + td))
+      val batchParam = if (batchId >= 0)
+        Map("last_delete_batch" -> batchId) else Map.empty[String, Long]
       writeManifest(spark, dir, mf.copy(n = mf.n - nRemoved,
         params = mf.params + ("tomb_base" -> tb) +
-          ("tomb_deltas" -> (td + 1))))
+          ("tomb_deltas" -> (td + 1)) ++ batchParam))
       nRemoved
     } finally removed.unpersist()
+  }
+
+  /** [[delete]] (family-dispatched); kept as the ivfpq-named entry. */
+  def deleteIvfPq(ids: DataFrame, dir: String, batchId: Long = -1L): Long = {
+    expectFamily(readManifest(ids.sparkSession, dir), "ivfpq")
+    delete(ids, dir, batchId)
   }
 
   // ---- quantizer refresh: re-fit + atomic version swap -------------------
@@ -498,8 +551,9 @@ object AnnIndex {
         p.getName.startsWith("v-") && s.nonEmpty && s.forall(_.isDigit) &&
           s.toLong != cur
       }.foreach(fs.delete(_, true))
-    if (cur > 0) familyTables(mf.family).foreach(t =>
-      fs.delete(new org.apache.hadoop.fs.Path(dir, s"$t.parquet"), true))
+    if (cur > 0)
+      (familyTables(mf.family) :+ s"${mf.family}_tombstones").foreach(t =>
+        fs.delete(new org.apache.hadoop.fs.Path(dir, s"$t.parquet"), true))
     // stage: a complete self-contained index in the next version dir
     val stage = versionDir(dir, next)
     val sub = mf.family match {
@@ -516,9 +570,11 @@ object AnnIndex {
           "lsh | ivf | pq | sq8 | ivfpq (corrupted or newer-format manifest?)")
     }
     // commit: root manifest adopts the re-fit geometry + version pointer;
-    // the streaming replay guard survives the swap
-    val batchParam = mf.params.get("last_batch")
-      .map(b => Map("last_batch" -> b)).getOrElse(Map.empty)
+    // the streaming replay guards (append AND takedown) survive the
+    // swap; the tombstone window does NOT (the new version was built
+    // from the caller's store, the takedown authority)
+    val batchParam = Seq("last_batch", "last_delete_batch")
+      .flatMap(k => mf.params.get(k).map(k -> _)).toMap
     val mf2 = sub.copy(params =
       sub.params + ("version" -> next) ++ batchParam)
     writeManifest(spark, dir, mf2)

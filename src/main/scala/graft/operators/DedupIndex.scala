@@ -547,8 +547,10 @@ object DedupIndex {
     * commits nothing.
     *
     * @param ids one `doc_id` column (extra columns ignored)
+    * @param batchId ≥ 0 = the durable streaming replay guard
+    *   (`last_delete_batch`, independent of [[append]]'s `last_batch`)
     * @return documents actually removed */
-  def delete(ids: DataFrame, dir: String): Long = {
+  def delete(ids: DataFrame, dir: String, batchId: Long = -1L): Long = {
     val spark = ids.sparkSession
     val mf = ArtifactIO.readManifest(spark, dir)
     require(mf.family == "dedup",
@@ -556,6 +558,9 @@ object DedupIndex {
     require(mf.params.contains("verify_tables"),
       "this dedup artifact predates the stored band/shingle tables - " +
         "rebuild it (takedown needs the delta window layout)")
+    if (batchId >= 0 &&
+      mf.params.get("last_delete_batch").exists(_ >= batchId))
+      return 0L // replayed takedown batch: already applied and committed
     val cv = mf.params("comp_versions")
     val (tb, td) = tombWindow(mf)
     ArtifactIO.healOrphans(spark, s"$dir/tombstones.parquet", "delta-",
@@ -601,9 +606,11 @@ object DedupIndex {
       finally sub.unpersist()
       // commit: tombstones + new component version + corrected n land
       // in one atomic manifest write
+      val batchParam = if (batchId >= 0)
+        Map("last_delete_batch" -> batchId) else Map.empty[String, Long]
       ArtifactIO.writeManifest(spark, dir, mf.copy(n = mf.n - nRemoved,
         params = mf.params + ("comp_versions" -> (cv + 1)) +
-          ("tomb_base" -> tb) + ("tomb_deltas" -> (td + 1))))
+          ("tomb_base" -> tb) + ("tomb_deltas" -> (td + 1)) ++ batchParam))
       nRemoved
     } finally removed.unpersist()
   }

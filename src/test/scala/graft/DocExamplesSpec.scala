@@ -152,8 +152,24 @@ class DocExamplesSpec extends AnyFunSuite {
     val hybrid = Graft.hybridSearchFrom(spark, annDir, dxDir, emb, queries)
     val diverse = Graft.mmrRerankFrom(spark, annDir, emb, queries)
 
+    // the deployed filtered variant: hybrid top-k among the docs this
+    // user may see — one keep-set pre-filters BOTH legs before ranking
+    val keep = emb.filter(col("label") % 2 === 0).select("vec_id")
+    val filtered = Graft.hybridSearchFromWhere(spark, annDir, dxDir, keep,
+      emb, queries)
+
+    // takedown: remove docs WITHOUT a rebuild — tombstones exclude them
+    // from every consumer the instant the commit lands; the next
+    // compaction drops the rows physically (delete-then-compact ==
+    // rebuild-without, TakedownSpec). annDelete does the same for ivfpq.
+    Graft.dedupDelete(spark, dxDir,
+      spark.range(2).select(col("id").as("doc_id")))
+
     // maintenance: fold streaming delta dirs into slabs (contents
-    // identical, crash-safe) and re-fit quantizers with an atomic swap
+    // identical, crash-safe; posting/band slabs come out bucket-partitioned
+    // so serve probes prune to their keys' bucket dirs) and re-fit
+    // quantizers with an atomic swap. Streaming sinks can also trigger
+    // folds on the LIVE window via CompactionPolicy(maxDeltas, maxBytes)
     Graft.compactDedupIndex(spark, dxDir)
     Graft.rebuildAnnIndex(emb, annDir)
 
@@ -164,6 +180,7 @@ class DocExamplesSpec extends AnyFunSuite {
     val encoded = Graft.bpeEncodeFrom(spark, bpeDir, docs)
 
     assert(hybrid.count() == 12 && diverse.count() == 12)
+    assert(filtered.count() == 12)
     assert(encoded.count() == docs.count())
     spark.catalog.clearCache()
   }
