@@ -223,32 +223,44 @@ object DedupIndex {
 
   /** The band view for a PROBE batch (one `band_val` column among
     * `qBands`'s rows, query-side bounded): when the committed slab is
-    * bucket-partitioned, restrict it to the probe's bucket directories
-    * — Catalyst partition pruning skips every other bucket's files —
+    * bucket-partitioned AND the probe is small enough to skip buckets
+    * (see `keysHint`), restrict it to the probe's bucket directories —
+    * Catalyst partition pruning skips every other bucket's files —
     * then union the flat post-compaction deltas in full and apply the
     * tombstone filter exactly as [[load]] does. Falls back to
-    * [[LoadedDedup.bands]] on unbucketed artifacts. Results are
-    * IDENTICAL either way (SlabLayoutSpec pins it): only files that
-    * cannot contain a probe key are skipped. */
-  def probeBands(ix: LoadedDedup, qBands: DataFrame): DataFrame =
+    * [[LoadedDedup.bands]] otherwise. Results are IDENTICAL either way
+    * (SlabLayoutSpec pins it): only files that cannot contain a probe
+    * key are skipped.
+    *
+    * @param keysHint expected DISTINCT key count of the probe. Pruning
+    *   engages only when `keysHint * 2 ≤ layout_buckets` — with k
+    *   uniform keys over b buckets, expected admitted buckets is
+    *   b·(1-(1-1/b)^k) ≈ 39% at k = b/2 and ~everything beyond, where
+    *   the probe-side bucket collect would be pure overhead (measured:
+    *   +0.6 s on an 8-doc serve at b = 64). Negative = unknown = don't
+    *   prune. */
+  def probeBands(ix: LoadedDedup, qBands: DataFrame,
+      keysHint: Long = -1L): DataFrame =
     probePruned(ix, qBands, "band_val", bandPath,
-      Seq("doc_id", "band_idx", "band_val"), ix.bands)
+      Seq("doc_id", "band_idx", "band_val"), ix.bands, keysHint)
 
   /** The posting view for a PROBE hash set (one `h` column) — the
-    * lexical-retrieval twin of [[probeBands]]. */
-  def probePostings(ix: LoadedDedup, qHashes: DataFrame): DataFrame =
+    * lexical-retrieval twin of [[probeBands]]; same `keysHint` gate. */
+  def probePostings(ix: LoadedDedup, qHashes: DataFrame,
+      keysHint: Long = -1L): DataFrame =
     probePruned(ix, qHashes, "h", postingPath, Seq("h", "doc_id"),
-      ix.postings)
+      ix.postings, keysHint)
 
   private def probePruned(ix: LoadedDedup, probe: DataFrame, key: String,
       pathOf: (String, Long) => String, cols: Seq[String],
-      fallback: DataFrame): DataFrame = {
-    if (ix.manifest.params.getOrElse("layout_buckets", 0L) == 0 ||
-      ix.dir.isEmpty) return fallback
+      fallback: DataFrame, keysHint: Long): DataFrame = {
+    val b = ix.manifest.params.getOrElse("layout_buckets", 0L)
+    if (b == 0 || ix.dir.isEmpty || keysHint < 0 || keysHint * 2 > b)
+      return fallback
     val spark = probe.sparkSession
     minusTombs(
       probeWindow(spark, ix.dir, ix.manifest, pathOf, sigSlots(ix.manifest),
-        cols, key, probe),
+        cols, key, probe, keysHint),
       tombstonesOf(spark, ix.dir, ix.manifest), "doc_id")
   }
 
@@ -270,9 +282,10 @@ object DedupIndex {
     * plain window read on unbucketed artifacts. */
   private def probeWindow(spark: SparkSession, dir: String, m: Manifest,
       pathOf: (String, Long) => String, slots: Seq[Long], cols: Seq[String],
-      key: String, probe: DataFrame): DataFrame = {
+      key: String, probe: DataFrame, keysHint: Long = -1L): DataFrame = {
     val b = m.params.getOrElse("layout_buckets", 0L)
-    if (b == 0) return readWindow(spark, dir, m, pathOf, slots, cols)
+    if (b == 0 || keysHint < 0 || keysHint * 2 > b)
+      return readWindow(spark, dir, m, pathOf, slots, cols)
     // ≤ LayoutBuckets distinct values — a bounded, probe-side collect
     val buckets = probe
       .select(slabBucket(key, b).as("pb"))
@@ -358,10 +371,12 @@ object DedupIndex {
         incBands.write.mode("overwrite").parquet(bandPath(dir, sigEnd))
         // the stored band table as written — never re-derived (r10 #4);
         // tombstoned docs must not resurface as candidate partners.
-        // The increment's bands are the probe: bucket-prune the slab
+        // A SMALL increment's bands bucket-prune the slab (keysHint
+        // gate — a large append reads the full window)
         val corpusBands = minusTombs(
           probeWindow(spark, dir, mf, bandPath, sb until sigEnd,
-            Seq("doc_id", "band_idx", "band_val"), "band_val", incBands),
+            Seq("doc_id", "band_idx", "band_val"), "band_val", incBands,
+            keysHint = ni * DedupQueries.Bands),
           tombs, "doc_id")
         val crossCand = DedupQueries
           .sizedHint(incBands, ni * DedupQueries.Bands, 128).as("a")
@@ -684,11 +699,11 @@ object DedupIndex {
     try {
       val qBands = DedupQueries.sigBandRows(
         DedupQueries.minhashSigArrFromHashes(qHs)).drop("sig")
-      // the band probe prunes to its keys' bucket dirs on a compacted
+      // a SMALL probe prunes to its keys' bucket dirs on a compacted
       // (bucket-partitioned) slab; identical rows either way
       val cand = DedupQueries
         .sizedHint(qBands, ni * DedupQueries.Bands, 128).as("a")
-        .join(probeBands(ix, qBands).as("b"),
+        .join(probeBands(ix, qBands, ni * DedupQueries.Bands).as("b"),
           col("a.band_idx") === col("b.band_idx") &&
             col("a.band_val") === col("b.band_val"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))

@@ -74,25 +74,38 @@ class SlabLayoutSpec extends AnyFunSuite {
     assert(ix.bands.columns.toSeq == Seq("doc_id", "band_idx", "band_val"))
 
     // (b) the pruned probe reads fewer files than the slab holds: a
-    // one-doc posting probe touches <= its distinct-hash bucket count
-    val qPost = DedupQueries.hashedShingleSets(probe)
+    // SHORT one-doc posting probe (few shingles — the keysHint gate
+    // only engages pruning when the probe can skip >= half the
+    // buckets) touches <= its distinct-hash bucket count
+    val spark0 = spark
+    import spark0.implicits._
+    val shortProbe = Seq((9500000L,
+      "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val qPost = DedupQueries.hashedShingleSets(shortProbe)
       .select(col("doc_id").as("query_id"), explode(col("hs")).as("h"))
       .persist()
+    val nKeys = qPost.select("h").distinct().count()
+    assert(nKeys * 2 <= DedupIndex.LayoutBuckets,
+      s"test probe must be small enough to engage pruning: $nKeys keys")
     val nBucketsProbed = qPost
       .select(DedupIndex.slabBucket("h", DedupIndex.LayoutBuckets.toLong))
       .distinct().count()
     val slabFiles = filesRead(DedupIndex.load(spark, dir).postings)
-    val prunedFiles = filesRead(DedupIndex.probePostings(ix, qPost))
-    qPost.unpersist()
+    val prunedFiles = filesRead(DedupIndex.probePostings(ix, qPost, nKeys))
     assert(prunedFiles <= nBucketsProbed,
       s"pruned probe read $prunedFiles files for $nBucketsProbed buckets")
     assert(prunedFiles < slabFiles,
       s"pruning must skip files: $prunedFiles read vs $slabFiles in the slab")
     // pruned == full view restricted to the probe's hashes
-    assert(rows(DedupIndex.probePostings(ix, qPost)
+    assert(rows(DedupIndex.probePostings(ix, qPost, nKeys)
         .join(qPost.select("h"), "h")) ==
       rows(ix.postings.join(qPost.select("h"), "h")),
       "pruning must not lose any matching posting row")
+    // an unknown-size probe (keysHint < 0) falls back to the full view
+    // with NO bucket collect — identical rows by construction
+    assert(rows(DedupIndex.probePostings(ix, qPost)) == rows(ix.postings))
+    qPost.unpersist()
 
     // (c) serving from the bucketed slab returns identical results
     assert(rows(DedupIndex.serveNearDups(probe, ix, 1L)) == preServe)
@@ -115,7 +128,8 @@ class SlabLayoutSpec extends AnyFunSuite {
         DedupIndex.LayoutBuckets.toLong))
       .distinct().count()
     val slabFiles = filesRead(DedupIndex.load(spark, dir).bands)
-    val prunedFiles = filesRead(DedupIndex.probeBands(ix, qBands))
+    val prunedFiles = filesRead(
+      DedupIndex.probeBands(ix, qBands, DedupQueries.Bands.toLong))
     qBands.unpersist()
     assert(prunedFiles <= nBucketsProbed && prunedFiles < slabFiles,
       s"band probe must prune: $prunedFiles vs slab $slabFiles " +
