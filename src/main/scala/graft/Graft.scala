@@ -401,8 +401,9 @@ object Graft {
     * ingest schedules. Contents (and every consumer's results) are
     * unchanged; crash-safe behind the manifest commit
     * (DeltaCompactionSpec). */
-  def compactDedupIndex(spark: SparkSession, dir: String): operators.ArtifactIO.Manifest =
-    operators.DedupIndex.compactDeltas(spark, dir)
+  def compactDedupIndex(spark: SparkSession, dir: String,
+      layoutBuckets: Int = 0): operators.ArtifactIO.Manifest =
+    operators.DedupIndex.compactDeltas(spark, dir, layoutBuckets)
 
   /** Takedown: remove documents from a persisted dedup artifact with a
     * tombstone delta — every consumer excludes them the moment the

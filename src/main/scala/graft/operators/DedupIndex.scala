@@ -53,13 +53,15 @@ import graft.queries.DedupQueries
 object DedupIndex {
   import ArtifactIO.Manifest
 
-  /** Bucket-dir count for the compacted posting/band slabs
-    * ([[compactDeltas]]): the slab is written Hive-partitioned on
-    * `pmod(key, LayoutBuckets)` so a probe's equi-join keys prune to
-    * their bucket DIRECTORIES (Catalyst partition pruning — real file
-    * skipping, unlike footer min/max on uniformly distributed hashes).
-    * A small probe (one doc: ~Bands band rows, ~shingle-count hashes)
-    * touches a handful of buckets instead of streaming the slab. */
+  /** Recommended bucket-dir count when OPTING IN to the compacted
+    * posting/band slab layout ([[compactDeltas]]'s `layoutBuckets`):
+    * the slab is written Hive-partitioned on `pmod(key, buckets)` so a
+    * small probe's equi-join keys prune to their bucket DIRECTORIES
+    * (Catalyst partition pruning — real file skipping, unlike footer
+    * min/max on uniformly distributed hashes). Size it so probe keys
+    * ≪ buckets and per-bucket files stay large; the default fold is
+    * FLAT because the layout's fixed read cost only amortizes on
+    * slabs far beyond gate scale (BENCH_NOTES). */
   val LayoutBuckets = 64
 
   final case class LoadedDedup(manifest: Manifest, signatures: DataFrame,
@@ -371,12 +373,12 @@ object DedupIndex {
         incBands.write.mode("overwrite").parquet(bandPath(dir, sigEnd))
         // the stored band table as written — never re-derived (r10 #4);
         // tombstoned docs must not resurface as candidate partners.
-        // A SMALL increment's bands bucket-prune the slab (keysHint
-        // gate — a large append reads the full window)
+        // No probe pruning here (the fixed collect+discovery cost beats
+        // the saving at gate scale — see serveNearDups); readWindow
+        // handles the bucketed-slab + flat-delta mix
         val corpusBands = minusTombs(
-          probeWindow(spark, dir, mf, bandPath, sb until sigEnd,
-            Seq("doc_id", "band_idx", "band_val"), "band_val", incBands,
-            keysHint = ni * DedupQueries.Bands),
+          readWindow(spark, dir, mf, bandPath, sb until sigEnd,
+            Seq("doc_id", "band_idx", "band_val")),
           tombs, "doc_id")
         val crossCand = DedupQueries
           .sizedHint(incBands, ni * DedupQueries.Bands, 128).as("a")
@@ -452,7 +454,19 @@ object DedupIndex {
     * the next mutation's heal, never at their own commit). A
     * single-delta artifact is a no-op apart from the orphan heal.
     * Returns the committed manifest. */
-  def compactDeltas(spark: SparkSession, dir: String): Manifest = {
+  /** @param layoutBuckets when > 0, the two probe-joined slabs
+    *   (postings, bands) are written Hive-partitioned on
+    *   pmod(key, layoutBuckets) so small probes can prune to their
+    *   keys' bucket dirs ([[probeBands]]/[[probePostings]], r11 verdict
+    *   #3). OPT-IN because the layout has a fixed read-side cost
+    *   (partitioned-dir discovery, ~0.4 s at 64 buckets on local FS)
+    *   that only amortizes on slabs far beyond gate scale — measured
+    *   break-even in BENCH_NOTES; [[LayoutBuckets]] is the recommended
+    *   starting value when opting in. 0 (default) folds flat. The
+    *   manifest records whichever layout THIS fold used, so readers
+    *   always agree with the committed base slab. */
+  def compactDeltas(spark: SparkSession, dir: String,
+      layoutBuckets: Int = 0): Manifest = {
     val mf = ArtifactIO.readManifest(spark, dir)
     require(mf.family == "dedup",
       s"index at hand is family '${mf.family}', expected 'dedup'")
@@ -493,34 +507,41 @@ object DedupIndex {
         spark.read.parquet((base until base + count).map(pathOf(dir, _)): _*),
         tombs, idCols: _*)
         .coalesce(32).write.mode("overwrite").parquet(pathOf(dir, slot))
-    // the probe-joined tables (bands, postings) are written BUCKETED:
-    // Hive-partitioned on pmod(key, LayoutBuckets), so serve/append
-    // probes prune to their keys' bucket directories instead of
-    // streaming the whole slab through the broadcast join (r11 verdict
-    // #3). One file per bucket — the slab stays one coalesced unit per
-    // bucket dir. Reads go through [[readWindow]]/[[probeWindow]]
-    // (a prior compaction may have bucketed the current base already).
-    def foldBucketed(pathOf: (String, Long) => String, base: Long,
-        count: Long, slot: Long, cols: Seq[String], key: String): Unit =
-      minusTombs(
+    // the probe-joined tables (bands, postings) may be written BUCKETED
+    // (opt-in, scaladoc above): Hive-partitioned on
+    // pmod(key, layoutBuckets), so small probes prune to their keys'
+    // bucket directories instead of streaming the whole slab through
+    // the broadcast join (r11 verdict #3). One file per bucket. Reads
+    // go through [[readWindow]]/[[probeWindow]] (a prior compaction may
+    // have bucketed the current base already — readWindow keys off the
+    // OLD manifest for the fold's input, the new one for readers).
+    def foldProbeTable(pathOf: (String, Long) => String, base: Long,
+        count: Long, slot: Long, cols: Seq[String], key: String): Unit = {
+      val in = minusTombs(
         readWindow(spark, dir, mf, pathOf, base until base + count, cols),
         tombs, "doc_id")
-        .withColumn("pb", slabBucket(key, LayoutBuckets.toLong))
-        .repartition(LayoutBuckets, col("pb"))
-        .write.partitionBy("pb").mode("overwrite").parquet(pathOf(dir, slot))
+      if (layoutBuckets > 0)
+        in.withColumn("pb", slabBucket(key, layoutBuckets.toLong))
+          .repartition(layoutBuckets, col("pb"))
+          .write.partitionBy("pb").mode("overwrite")
+          .parquet(pathOf(dir, slot))
+      else in.coalesce(32).write.mode("overwrite").parquet(pathOf(dir, slot))
+    }
     fold(sigPath, sb, sd, sb + sd, "doc_id")
-    foldBucketed(bandPath, sb, sd, sb + sd,
+    foldProbeTable(bandPath, sb, sd, sb + sd,
       Seq("doc_id", "band_idx", "band_val"), "band_val")
     fold(shinglePath, sb, sd, sb + sd, "doc_id")
-    foldBucketed(postingPath, sb, sd, sb + sd, Seq("h", "doc_id"), "h")
+    foldProbeTable(postingPath, sb, sd, sb + sd, Seq("h", "doc_id"), "h")
     fold(pairPath, pb, pd, pb + pd, "doc_a", "doc_b")
     // commit: the window flips to [end, end+1) atomically; the
-    // tombstone window empties (every tombstone is now physical)
+    // tombstone window empties (every tombstone is now physical); the
+    // layout param records THIS fold's choice (a flat re-fold of a
+    // previously bucketed artifact resets it)
     val mf2 = mf.copy(params = mf.params +
       ("sig_base" -> (sb + sd)) + ("sig_deltas" -> 1L) +
       ("pair_base" -> (pb + pd)) + ("pair_deltas" -> 1L) +
       ("tomb_base" -> (tb + td)) + ("tomb_deltas" -> 0L) +
-      ("layout_buckets" -> LayoutBuckets.toLong))
+      ("layout_buckets" -> layoutBuckets.toLong))
     ArtifactIO.writeManifest(spark, dir, mf2)
     // NO GC here: readers already ignore the folded window, but one
     // that loaded the old manifest just before this commit may still
@@ -699,11 +720,15 @@ object DedupIndex {
     try {
       val qBands = DedupQueries.sigBandRows(
         DedupQueries.minhashSigArrFromHashes(qHs)).drop("sig")
-      // a SMALL probe prunes to its keys' bucket dirs on a compacted
-      // (bucket-partitioned) slab; identical rows either way
+      // the slab layout's probe pruning is deliberately NOT engaged
+      // here: its fixed cost (one probe-side bucket collect + the
+      // partitioned-dir discovery) is ~0.5-0.8 s, which beats the scan
+      // saving until the band slab is far beyond gate scale — callers
+      // with truly huge slabs use [[probeBands]] directly (measured in
+      // SlabLayoutSpec / BENCH_NOTES)
       val cand = DedupQueries
         .sizedHint(qBands, ni * DedupQueries.Bands, 128).as("a")
-        .join(probeBands(ix, qBands, ni * DedupQueries.Bands).as("b"),
+        .join(ix.bands.as("b"),
           col("a.band_idx") === col("b.band_idx") &&
             col("a.band_val") === col("b.band_val"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))

@@ -160,16 +160,18 @@ class DocExamplesSpec extends AnyFunSuite {
 
     // takedown: remove docs WITHOUT a rebuild — tombstones exclude them
     // from every consumer the instant the commit lands; the next
-    // compaction drops the rows physically (delete-then-compact ==
-    // rebuild-without, TakedownSpec). annDelete does the same for ivfpq.
+    // compaction (or rebuild) drops the rows physically (delete-then-
+    // compact == rebuild-without, TakedownSpec). annDelete covers every
+    // ANN family except sq8; streaming twins apply a removal-request
+    // stream with a durable replay guard (StreamTakedownSpec).
     Graft.dedupDelete(spark, dxDir,
       spark.range(2).select(col("id").as("doc_id")))
 
     // maintenance: fold streaming delta dirs into slabs (contents
-    // identical, crash-safe; posting/band slabs come out bucket-partitioned
-    // so serve probes prune to their keys' bucket dirs) and re-fit
-    // quantizers with an atomic swap. Streaming sinks can also trigger
-    // folds on the LIVE window via CompactionPolicy(maxDeltas, maxBytes)
+    // identical, crash-safe; opt into the bucket-partitioned posting/band
+    // layout at deployment scale so small probes prune to their keys'
+    // bucket dirs) and re-fit quantizers with an atomic swap. Streaming
+    // sinks can trigger folds on the LIVE window via CompactionPolicy
     Graft.compactDedupIndex(spark, dxDir)
     Graft.rebuildAnnIndex(emb, annDir)
 

@@ -63,7 +63,7 @@ class SlabLayoutSpec extends AnyFunSuite {
       .select((col("doc_id") + 9000000L).as("doc_id"), col("text"))
     val preServe = rows(DedupIndex.serveNearDups(probe, pre, 1L))
 
-    DedupIndex.compactDeltas(spark, dir)
+    DedupIndex.compactDeltas(spark, dir, DedupIndex.LayoutBuckets)
     val ix = DedupIndex.load(spark, dir)
     assert(ix.manifest.params("layout_buckets") == DedupIndex.LayoutBuckets)
     // (a) canonical views unchanged through the bucketed round-trip
@@ -116,7 +116,7 @@ class SlabLayoutSpec extends AnyFunSuite {
     val dir = tmp("dedup2")
     DedupIndex.build(docs.filter(col("doc_id") % 2 === 0), dir, -1L)
     DedupIndex.append(docs.filter(col("doc_id") % 2 === 1), dir)
-    DedupIndex.compactDeltas(spark, dir)
+    DedupIndex.compactDeltas(spark, dir, DedupIndex.LayoutBuckets)
     val ix = DedupIndex.load(spark, dir)
     // one probe doc → Bands band rows → ≤ Bands bucket dirs
     val probe = docs.filter(col("doc_id") === 5L)
@@ -147,8 +147,10 @@ class SlabLayoutSpec extends AnyFunSuite {
     assert(rows(a.pairs) == rows(b.pairs))
     assert(rows(a.components) == rows(b.components))
     assert(rows(a.postings) == rows(b.postings))
-    // a second compaction re-buckets the (slab + flat delta) window
-    DedupIndex.compactDeltas(spark, dir)
+    // a second, FLAT compaction re-folds the bucketed slab + flat
+    // delta window and resets the layout param — the opt-out path
+    val mfFlat = DedupIndex.compactDeltas(spark, dir)
+    assert(mfFlat.params("layout_buckets") == 0L)
     assert(rows(DedupIndex.load(spark, dir).postings) == rows(b.postings))
     spark.catalog.clearCache()
   }

@@ -61,8 +61,6 @@ class CompactionPolicySpec extends AnyFunSuite {
     // the live window never outgrows the bound
     assert(streamed.manifest.params("sig_deltas") <= 2,
       s"live window must stay bounded: ${streamed.manifest.params}")
-    assert(streamed.manifest.params("layout_buckets") ==
-      DedupIndex.LayoutBuckets, "policy folds produce the bucketed slab")
     val oneShotDir = Files.createTempDirectory("graft_cp_oneshot").toString
     DedupIndex.build(all, oneShotDir, -1L)
     val oneShot = DedupIndex.load(spark, oneShotDir)
