@@ -405,6 +405,16 @@ object Graft {
       layoutBuckets: Int = 0): operators.ArtifactIO.Manifest =
     operators.DedupIndex.compactDeltas(spark, dir, layoutBuckets)
 
+  /** Rebuild a persisted dedup artifact from the CURRENT corpus and
+    * swap it in atomically (version pointer; in-flight readers finish
+    * against the superseded version) — the maintenance call after
+    * months of appends/takedowns, or for geometry changes. Both
+    * streaming replay guards carry over; every consumer keeps working
+    * unchanged on the rebuilt artifact (DedupRebuildSpec). */
+  def rebuildDedupIndex(docs: DataFrame, dir: String,
+      nHint: Long = -1L): operators.ArtifactIO.Manifest =
+    operators.DedupIndex.rebuild(docs, dir, nHint)
+
   /** Takedown: remove documents from a persisted dedup artifact with a
     * tombstone delta — every consumer excludes them the moment the
     * commit lands; touched components are re-solved in place; the next

@@ -198,13 +198,23 @@ object DedupIndex {
         .select(t.columns.map(col).toIndexedSeq: _*)
   }
 
-  def load(spark: SparkSession, dir: String): LoadedDedup = {
-    val m = ArtifactIO.readManifest(spark, dir)
+  /** Where the artifact's tables live: the artifact dir itself (the
+    * build layout), or the committed `v-NNNNN` version dir once
+    * [[rebuild]] has swapped in a re-fit — the [[AnnIndex.rebuild]]
+    * version-pointer scheme. Every mutation/read resolves through
+    * this; only manifest.json always stays at the artifact dir. */
+  private def versionDir(dir: String, v: Long): String = f"$dir/v-$v%05d"
+  private def tableRoot(dir: String, m: Manifest): String =
+    m.params.get("version").map(v => versionDir(dir, v)).getOrElse(dir)
+
+  def load(spark: SparkSession, artifactDir: String): LoadedDedup = {
+    val m = ArtifactIO.readManifest(spark, artifactDir)
     require(m.family == "dedup",
       s"index at hand is family '${m.family}', expected 'dedup'")
     require(m.params.contains("verify_tables"),
       "this dedup artifact predates the stored band/shingle tables - " +
         "rebuild it (text-free serving needs the persisted verify data)")
+    val dir = tableRoot(artifactDir, m) // tables live under the root
     val tombs = tombstonesOf(spark, dir, m)
     LoadedDedup(m,
       minusTombs(spark.read.parquet(
@@ -327,9 +337,10 @@ object DedupIndex {
     * Caller contract: increment doc_ids are disjoint from the corpus.
     *
     * @return verified new pairs appended (cross + within-increment) */
-  def append(newDocs: DataFrame, dir: String, batchId: Long = -1L): Long = {
+  def append(newDocs: DataFrame, artifactDir: String,
+      batchId: Long = -1L): Long = {
     val spark = newDocs.sparkSession
-    val mf = ArtifactIO.readManifest(spark, dir)
+    val mf = ArtifactIO.readManifest(spark, artifactDir)
     require(mf.family == "dedup",
       s"index at hand is family '${mf.family}', expected 'dedup'")
     require(mf.params.contains("verify_tables"),
@@ -337,6 +348,7 @@ object DedupIndex {
         "rebuild it (text-free appends need the persisted verify data)")
     if (batchId >= 0 && mf.params.get("last_batch").exists(_ >= batchId))
       return 0L // replayed micro-batch: already applied and committed
+    val dir = tableRoot(artifactDir, mf) // tables live under the root
     val (sd, pd, cv) = (mf.params("sig_deltas"), mf.params("pair_deltas"),
       mf.params("comp_versions"))
     val (sb, pb) = (mf.params.getOrElse("sig_base", 0L),
@@ -419,7 +431,7 @@ object DedupIndex {
           } else Map.empty[String, Long] // no new edges: components stand
           val batchParam =
             if (batchId >= 0) Map("last_batch" -> batchId) else Map.empty
-          ArtifactIO.writeManifest(spark, dir, mf.copy(n = mf.n + ni,
+          ArtifactIO.writeManifest(spark, artifactDir, mf.copy(n = mf.n + ni,
             params = mf.params + ("sig_deltas" -> (sd + 1)) +
               ("pair_deltas" -> (pd + 1)) ++ compParam ++ batchParam))
           nNew
@@ -465,14 +477,15 @@ object DedupIndex {
     *   starting value when opting in. 0 (default) folds flat. The
     *   manifest records whichever layout THIS fold used, so readers
     *   always agree with the committed base slab. */
-  def compactDeltas(spark: SparkSession, dir: String,
+  def compactDeltas(spark: SparkSession, artifactDir: String,
       layoutBuckets: Int = 0): Manifest = {
-    val mf = ArtifactIO.readManifest(spark, dir)
+    val mf = ArtifactIO.readManifest(spark, artifactDir)
     require(mf.family == "dedup",
       s"index at hand is family '${mf.family}', expected 'dedup'")
     require(mf.params.contains("verify_tables"),
       "this dedup artifact predates the stored band/shingle tables - " +
         "rebuild it (compaction folds the persisted verify data)")
+    val dir = tableRoot(artifactDir, mf) // tables live under the root
     val (sd, pd, cv) = (mf.params("sig_deltas"), mf.params("pair_deltas"),
       mf.params("comp_versions"))
     val (sb, pb) = (mf.params.getOrElse("sig_base", 0L),
@@ -542,7 +555,7 @@ object DedupIndex {
       ("pair_base" -> (pb + pd)) + ("pair_deltas" -> 1L) +
       ("tomb_base" -> (tb + td)) + ("tomb_deltas" -> 0L) +
       ("layout_buckets" -> layoutBuckets.toLong))
-    ArtifactIO.writeManifest(spark, dir, mf2)
+    ArtifactIO.writeManifest(spark, artifactDir, mf2)
     // NO GC here: readers already ignore the folded window, but one
     // that loaded the old manifest just before this commit may still
     // be scanning those files — they get one grace cycle and the next
@@ -586,9 +599,10 @@ object DedupIndex {
     * @param batchId ≥ 0 = the durable streaming replay guard
     *   (`last_delete_batch`, independent of [[append]]'s `last_batch`)
     * @return documents actually removed */
-  def delete(ids: DataFrame, dir: String, batchId: Long = -1L): Long = {
+  def delete(ids: DataFrame, artifactDir: String,
+      batchId: Long = -1L): Long = {
     val spark = ids.sparkSession
-    val mf = ArtifactIO.readManifest(spark, dir)
+    val mf = ArtifactIO.readManifest(spark, artifactDir)
     require(mf.family == "dedup",
       s"index at hand is family '${mf.family}', expected 'dedup'")
     require(mf.params.contains("verify_tables"),
@@ -597,12 +611,13 @@ object DedupIndex {
     if (batchId >= 0 &&
       mf.params.get("last_delete_batch").exists(_ >= batchId))
       return 0L // replayed takedown batch: already applied and committed
+    val dir = tableRoot(artifactDir, mf) // tables live under the root
     val cv = mf.params("comp_versions")
     val (tb, td) = tombWindow(mf)
     ArtifactIO.healOrphans(spark, s"$dir/tombstones.parquet", "delta-",
       tb + td, tb)
     ArtifactIO.healOrphans(spark, s"$dir/components.parquet", "v-", cv, cv - 1)
-    val ix = load(spark, dir) // prior tombstones already excluded here
+    val ix = load(spark, artifactDir) // prior tombstones excluded here
     // docs that actually exist and aren't already tombstoned; the
     // signature probe is a column-pruned broadcast semi join (doc_id
     // only — parquet never materializes the signature arrays)
@@ -644,9 +659,10 @@ object DedupIndex {
       // in one atomic manifest write
       val batchParam = if (batchId >= 0)
         Map("last_delete_batch" -> batchId) else Map.empty[String, Long]
-      ArtifactIO.writeManifest(spark, dir, mf.copy(n = mf.n - nRemoved,
-        params = mf.params + ("comp_versions" -> (cv + 1)) +
-          ("tomb_base" -> tb) + ("tomb_deltas" -> (td + 1)) ++ batchParam))
+      ArtifactIO.writeManifest(spark, artifactDir,
+        mf.copy(n = mf.n - nRemoved,
+          params = mf.params + ("comp_versions" -> (cv + 1)) +
+            ("tomb_base" -> tb) + ("tomb_deltas" -> (td + 1)) ++ batchParam))
       nRemoved
     } finally removed.unpersist()
   }
@@ -658,8 +674,9 @@ object DedupIndex {
     * the pair is LAZY via the returned thunk's caller: compute it only
     * when a byte bound is set. */
   def deltaWindowStats(spark: SparkSession,
-      dir: String): (Long, () => Long) = {
-    val mf = ArtifactIO.readManifest(spark, dir)
+      artifactDir: String): (Long, () => Long) = {
+    val mf = ArtifactIO.readManifest(spark, artifactDir)
+    val dir = tableRoot(artifactDir, mf) // tables live under the root
     val (sd, pd) = (mf.params("sig_deltas"), mf.params("pair_deltas"))
     val (sb, pb) = (mf.params.getOrElse("sig_base", 0L),
       mf.params.getOrElse("pair_base", 0L))
@@ -696,6 +713,64 @@ object DedupIndex {
       .select(col("id"), col("component"))
       .unionAll(sub.select(col("id"), col("component")))
     (merged, sub)
+  }
+
+  /** Rebuild the artifact from the CURRENT corpus and swap it in
+    * atomically — the [[AnnIndex.rebuild]] maintenance call for the
+    * dedup family: months of appends/takedowns accumulate incremental
+    * component versions and tombstone history, and geometry changes
+    * (shingle width, band count via code upgrade) are impossible
+    * in-place. Without this the only route is a caller-coordinated
+    * directory swap with no crash safety.
+    *
+    * Protocol — the version-dir variant of the shared commit:
+    *  1. sweep version dirs that never committed; once a version is
+    *     live, also sweep the superseded flat build-layout tables
+    *  2. [[build]] a COMPLETE new artifact into the next `v-NNNNN` dir
+    *     (byte-identical to a fresh build on the same corpus,
+    *     DedupRebuildSpec pins it)
+    *  3. commit: the ROOT manifest adopts the new counts with a
+    *     `version` pointer — readers flip old→new in one atomic step;
+    *     BOTH streaming replay guards (`last_batch`,
+    *     `last_delete_batch`) carry over; the tombstone window does NOT
+    *     (the caller's corpus is the takedown authority)
+    *  4. the superseded version survives until the next rebuild's sweep
+    *     (step 1) so in-flight readers finish against intact files —
+    *     storage bounded at ≤ 2 versions
+    * Every mutation and read resolves tables through the version
+    * pointer, so append/compact/delete/serve keep working unchanged on
+    * a rebuilt artifact. */
+  def rebuild(docs: DataFrame, artifactDir: String,
+      nHint: Long = -1L): Manifest = {
+    val spark = docs.sparkSession
+    val mf = ArtifactIO.readManifest(spark, artifactDir)
+    require(mf.family == "dedup",
+      s"index at hand is family '${mf.family}', expected 'dedup'")
+    val cur = mf.params.getOrElse("version", 0L) // 0 = flat build layout
+    val next = cur + 1
+    val fs = new org.apache.hadoop.fs.Path(artifactDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // sweep: staged versions that never committed; plus the flat layout
+    // once some version is live (superseded by an earlier swap)
+    fs.listStatus(new org.apache.hadoop.fs.Path(artifactDir))
+      .map(_.getPath).filter { p =>
+        val s = p.getName.stripPrefix("v-")
+        p.getName.startsWith("v-") && s.nonEmpty && s.forall(_.isDigit) &&
+          s.toLong != cur
+      }.foreach(fs.delete(_, true))
+    if (cur > 0)
+      Seq("signatures", "bands", "shingles", "postings", "pairs",
+        "components", "tombstones").foreach(t =>
+        fs.delete(new org.apache.hadoop.fs.Path(artifactDir,
+          s"$t.parquet"), true))
+    // stage: a complete self-contained artifact in the next version dir
+    val sub = build(docs, versionDir(artifactDir, next), nHint)
+    // commit: the root manifest adopts it with the version pointer
+    val guards = Seq("last_batch", "last_delete_batch")
+      .flatMap(k => mf.params.get(k).map(k -> _)).toMap
+    val mf2 = sub.copy(params = sub.params + ("version" -> next) ++ guards)
+    ArtifactIO.writeManifest(spark, artifactDir, mf2)
+    mf2
   }
 
   /** Query a batch of NEW documents against the stored corpus WITHOUT
