@@ -372,6 +372,16 @@ object Graft {
       queries: DataFrame, topK: Int = 3): DataFrame =
     operators.AnnIndex.recallVsExactOn(spark, dir, emb, queries, topK)
 
+  /** Recall@k of the FILTERED serving path ([[annIndexServeWhere]]) vs
+    * the exact top-k over the keep-set's slice — the tuning loop for
+    * the deployed filtered query (predicate-poor neighborhoods need
+    * more probes to fill k; only this measurement exposes it). */
+  def annIndexServeRecallWhere(spark: SparkSession, dir: String,
+      emb: DataFrame, queries: DataFrame, keepIds: DataFrame,
+      topK: Int = 3): DataFrame =
+    operators.AnnIndex.recallVsExactOnWhere(spark, dir, emb, queries,
+      keepIds, topK)
+
   // ---- dedup-pipeline artifact (build once, consume many) ---------------
 
   /** Build the persistent dedup artifact under `dir`: the MinHash

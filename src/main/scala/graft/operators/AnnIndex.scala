@@ -795,6 +795,33 @@ object AnnIndex {
           .as("recall"))
   }
 
+  /** [[recallVsExactOn]] for the FILTERED serving path: recall@k of
+    * [[serveTopKWhere]] vs the exact cosine top-k over the keep-set's
+    * slice of the store — the tuning loop for the deployed filtered
+    * query ("is nProbe still right when the predicate thins every
+    * cell?"; a predicate-poor neighborhood needs more probes to fill k,
+    * which only this measurement exposes). One row, same schema. */
+  def recallVsExactOnWhere(spark: SparkSession, dir: String,
+      emb: DataFrame, queries: DataFrame, keepIds: DataFrame,
+      topK: Int = 3): DataFrame = {
+    val fam = readManifest(spark, dir).family
+    val got = serveTopKWhere(spark, dir, queries, keepIds, emb, topK)
+      .select(col("query_id"), col("neighbor_id"))
+    val truth = SimilarityQueries.cosineTopKServe(
+        emb.join(keepIds.select(col("vec_id")), Seq("vec_id"), "left_semi"),
+        queries, topK)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = truth.join(got.distinct(),
+      Seq("query_id", "neighbor_id"), "left_semi")
+    truth.agg(count_distinct(col("query_id")).as("n_queries"),
+        count(lit(1)).as("n_truth"))
+      .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
+      .select(lit(fam).as("family"), col("n_queries"), lit(topK).as("k"),
+        col("n_truth"), col("n_hits"),
+        (col("n_hits").cast("double") / col("n_truth").cast("double"))
+          .as("recall"))
+  }
+
   // ---- recall@k against a LOADED index ---------------------------------
 
   /** The s9 tuning loop pointed at a persisted artifact: recall@k of the

@@ -1710,16 +1710,37 @@ object SimilarityQueries {
       poolR: Int = MmrR, topK: Int = TopK): DataFrame =
     mmrRerankPinned(emb, nQueries, poolR, topK)._1
 
+  // ---- s16: FILTERED MMR — s12's pre-filter semantics on the diversity
+  // re-ranker (the s15 move applied to s14): the deployed "diverse top-k
+  // among the docs this user may see". One keep-set (the metadata
+  // predicate's survivors) restricts the relevance pool BEFORE ranking;
+  // the selection rounds and scores are s14's verbatim (shared factored
+  // halves), so the only change is WHICH corpus the pool ranks within.
+  private[graft] def filteredMmrRerank(emb: DataFrame,
+      nQueries: Int = MmrNQ, poolR: Int = MmrR,
+      topK: Int = TopK): DataFrame =
+    mmrRerankPinned(emb, nQueries, poolR, topK,
+      corpusFilter = Some(col("label") % 2 === 0))._1
+
   /** [[mmrRerank]] plus the pinned frames it holds in the session cache
     * (the relevance pool and the pairwise-sim table — each referenced by
     * every selection round): the gate path discards them (bench clears
     * per query), the facade materializes and releases (the
     * ivfPqTopKPinned pattern). */
   private[graft] def mmrRerankPinned(emb: DataFrame, nQueries: Int = MmrNQ,
-      poolR: Int = MmrR, topK: Int = TopK): (DataFrame, Seq[DataFrame]) = {
+      poolR: Int = MmrR, topK: Int = TopK,
+      corpusFilter: Option[org.apache.spark.sql.Column] = None)
+      : (DataFrame, Seq[DataFrame]) = {
     require(topK == 3, "the unrolled selection (and its oracle) is k = 3")
-    val e = emb.select(col("vec_id"), TextOps.quantize(col("embedding")).as("q"))
+    def proj(df: DataFrame): DataFrame = df
+      .select(col("vec_id"), TextOps.quantize(col("embedding")).as("q"))
       .withColumn("nn", TextOps.qdot(col("q"), col("q")))
+    val e = proj(emb)
+    // s12's PRE-filter semantics when a corpus predicate is given (s16):
+    // the pool ranks within the FILTERED corpus — post-filtering a pool
+    // under-fills and mis-ranks the moment a higher-ranked doc is
+    // filtered away. Queries stay unfiltered (they are probes).
+    val eCorpus = corpusFilter.map(f => proj(emb.filter(f))).getOrElse(e)
     val qv = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("q").as("qq"),
         col("nn").as("qnn"))
@@ -1727,7 +1748,7 @@ object SimilarityQueries {
       .orderBy(col("sim").desc, col("doc_id"))
     // referenced by every selection round: pin + materialize (house
     // cache discipline; the registry path relies on per-query clearCache)
-    val pool = e.join(broadcast(qv), col("query_id") =!= col("vec_id"))
+    val pool = eCorpus.join(broadcast(qv), col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("doc_id"),
         (TextOps.qdot(col("qq"), col("q")).cast("double") /
           (sqrt(col("qnn").cast("double")) * sqrt(col("nn").cast("double"))))
@@ -1800,14 +1821,18 @@ object SimilarityQueries {
         round(col("score"), 6).as("mmr10_r"))
     (out, Seq(ds))
   }
-  private val mmrRerankSql =
+  /** The s14 oracle with a corpus-side predicate hook — `corpusPred`
+    * filters the POOL side of the relevance join (pre-filter
+    * semantics); "TRUE" gives the unfiltered s14 oracle, the s16 twin
+    * injects the keep-set membership. */
+  private def mmrSqlWith(corpusPred: String): String =
     s"""WITH q AS (SELECT vec_id, ${TextOps.quantizeSql("embedding")} AS q FROM embeddings),
        |e AS (SELECT vec_id, unnest(q) AS v, generate_subscripts(q, 1) AS i FROM q),
        |norms AS (SELECT vec_id, SUM(v * v) AS nn FROM e GROUP BY 1),
        |dot AS (
        |  SELECT a.vec_id AS query_id, b.vec_id AS doc_id, SUM(a.v * b.v) AS dot
        |  FROM e a JOIN e b ON a.i = b.i AND a.vec_id < $MmrNQ
-       |   AND b.vec_id <> a.vec_id
+       |   AND b.vec_id <> a.vec_id AND $corpusPred
        |  GROUP BY 1, 2),
        |pool AS (
        |  SELECT query_id, doc_id,
@@ -1857,6 +1882,10 @@ object SimilarityQueries {
        |SELECT query_id, doc_id, CAST(2 AS BIGINT) AS rk, round(score, 6) AS mmr10_r FROM sel2
        |UNION ALL
        |SELECT query_id, doc_id, CAST(3 AS BIGINT) AS rk, round(score, 6) AS mmr10_r FROM sel3""".stripMargin
+
+  private val mmrRerankSql = mmrSqlWith("TRUE")
+  private val filteredMmrSql = mmrSqlWith(
+    "b.vec_id IN (SELECT vec_id FROM embeddings WHERE label % 2 = 0)")
 
   // s11 gate: hold the first S11NQ vectors OUT of the corpus, index the
   // rest, serve the held-out rows as a new query batch through the lsh
@@ -1945,5 +1974,8 @@ object SimilarityQueries {
       (s, d) => filteredHybridRrf(Tables.documents(s, d),
         Tables.embeddings(s, d)),
       Some(filteredHybridRrfSql)),
+    Q("s16_filtered_mmr",
+      (s, d) => filteredMmrRerank(Tables.embeddings(s, d)),
+      Some(filteredMmrSql)),
     Q("d14_semantic_dedup", semanticDedup, Some(semanticDedupSql)))
 }

@@ -180,6 +180,28 @@ class AnnServeSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.forall(allowed.contains))
   }
 
+  test("filtered serving-path recall: exhaustive params reach 1.0 on the keep slice") {
+    val pred = col("label") % 2 === 0
+    val keep = corpus.filter(pred).select(col("vec_id"))
+    val dir = tmp("recall_where")
+    AnnIndex.buildIvf(corpus, dir, dim, nCorpus)
+    // the tuning row at the family defaults (the deployed shape)
+    val gate = AnnIndex.recallVsExactOnWhere(spark, dir, corpus, queries,
+      keep).head()
+    assert(gate.getString(0) == "ivf" && gate.getLong(3) == 3L * NQ)
+    assert(gate.getDouble(5) > 0.0 && gate.getDouble(5) <= 1.0)
+    // exhaustive probes: the filtered serve loses nothing beyond the
+    // probe truncation — recall exactly 1.0 against the filtered truth
+    val served = AnnIndex.serveTopKWhere(spark, dir, queries, keep, corpus,
+        topK = 3, nProbe = 100000)
+      .select(col("query_id"), col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = SimilarityQueries.cosineTopKServe(corpus.filter(pred),
+        queries, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty && truth.forall(served.contains))
+  }
+
   test("filtered serve on the compressed family: exhaustive R == exact filtered L2") {
     val pred = col("label") % 2 === 0
     val keep = corpus.filter(pred).select(col("vec_id"))
