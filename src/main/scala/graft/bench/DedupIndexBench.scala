@@ -58,6 +58,14 @@ object DedupIndexBench {
     val (_, appendSec) = timed(DedupIndex.append(inc, ixDir))
     spark.catalog.clearCache()
     parts += s""""append8_sec":${f(appendSec)}"""
+    // rebuild wall: the version-swap maintenance call (build into the
+    // next v-dir + atomic pointer adoption) — expected ≈ build_sec
+    val (_, rebuildSec) = timed(
+      DedupIndex.rebuild(docs.unionByName(inc), ixDir))
+    spark.catalog.clearCache()
+    parts += s""""rebuild_sec":${f(rebuildSec)}"""
+    consumer("serve8_post_rebuild")(ix =>
+      DedupIndex.serveNearDups(batch, ix, 8L))
     // contrast: the inline q56 gate re-pays signatures + pairs + d7
     val (_, inlineSec) = timed {
       graft.SparkEntry.queries("q56_dedup_split")(spark, dir)

@@ -15,9 +15,18 @@ import graft.operators.{AnnIndex, DedupIndex}
   * durable `last_delete_batch` high-water mark: when Structured
   * Streaming re-delivers the last uncommitted micro-batch, the replay
   * is a no-op (the [[StreamDedupIngest.ingestSink]] pattern, on an
-  * independent guard so a takedown stream composes with an ingest
-  * stream on the same artifact). A crash between the tombstone write
-  * and the manifest commit leaves an orphan delta the retry overwrites.
+  * INDEPENDENT guard so takedown batches interleave with ingest
+  * batches on the same artifact without confusing either side's
+  * replay accounting). A crash between the tombstone write and the
+  * manifest commit leaves an orphan delta the retry overwrites.
+  *
+  * Single-mutator contract (all artifact mutations share it): the
+  * manifest commit is an atomic rename, not a compare-and-swap, so two
+  * mutators running CONCURRENTLY can lose one side's read-modify-write.
+  * Run the takedown sink and an ingest sink for the same artifact in
+  * one driver (Structured Streaming serializes foreachBatch bodies per
+  * query; across queries, schedule them so batches alternate rather
+  * than overlap — e.g. availableNow triggers, or one combined sink).
   * StreamTakedownSpec pins streamed ≡ batch delete and replay no-ops.
   */
 object StreamTakedown {
