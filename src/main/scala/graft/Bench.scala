@@ -38,6 +38,38 @@ object Bench {
     val names = SparkEntry.benchQueries.filterNot(skip)
       .filter(n => only.isEmpty || only(n))
     val failed = scala.collection.mutable.LinkedHashSet[String]()
+    // Plan-shape metrics per query (r12 verdict #7): task count and
+    // shuffle read/write bytes from a SparkListener, captured during
+    // the UNTIMED warm-up pass (the metrics are a property of the plan
+    // + data, not the host, so one capture suffices and the timed
+    // passes stay listener-free). Deterministic where wall-clock is
+    // not: a plan regression moves tasks/shuffle-bytes in the same
+    // diff the 16-20% host-jitter band hides wall regressions in.
+    val planListener = new org.apache.spark.scheduler.SparkListener {
+      val tasks = new java.util.concurrent.atomic.AtomicLong
+      val sRead = new java.util.concurrent.atomic.AtomicLong
+      val sWrite = new java.util.concurrent.atomic.AtomicLong
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) {
+          tasks.incrementAndGet()
+          sRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+          sWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        }
+      }
+      def reset(): Unit = { tasks.set(0); sRead.set(0); sWrite.set(0) }
+    }
+    // listenerBus is private[spark] = public in bytecode; drain it so
+    // every task-end of the just-finished query is attributed to it
+    def drainListenerBus(): Unit =
+      try {
+        val bus = spark.sparkContext.getClass.getMethod("listenerBus")
+          .invoke(spark.sparkContext)
+        bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
+      } catch { case _: Throwable => Thread.sleep(300) }
+    val planMetrics =
+      scala.collection.mutable.LinkedHashMap[String, (Long, Long, Long)]()
     def timeOne(name: String): Double = {
       val t0 = System.nanoTime()
       try {
@@ -54,7 +86,16 @@ object Bench {
       spark.catalog.clearCache()
       sec
     }
-    names.foreach(timeOne) // warm-up
+    // warm-up pass doubles as the plan-metrics capture pass
+    spark.sparkContext.addSparkListener(planListener)
+    names.foreach { n =>
+      drainListenerBus(); planListener.reset()
+      timeOne(n)
+      drainListenerBus()
+      planMetrics(n) = (planListener.tasks.get, planListener.sRead.get,
+        planListener.sWrite.get)
+    }
+    spark.sparkContext.removeSparkListener(planListener)
     // min-of-3 (r3 verdict #4): three same-code runs in one session ranged
     // 34–70 s on this host's bursty I/O, which cost a round of
     // false-regression analysis. The contract line keeps the min; the
@@ -135,8 +176,15 @@ object Bench {
     val spread = samples.map { case (k, s) =>
       "\"" + k + "\":[" + s.map(fmt(3)).mkString(",") + "]"
     }.mkString("{", ",", "}")
-    val fileJson =
-      render(fmt(3), sfDir).stripSuffix("}") + s""","spread":$spread}"""
+    // plan-shape record next to the wall times: diff plan_metrics
+    // against the committed BENCH_OUT.json to separate code regressions
+    // (tasks/shuffle bytes move) from host noise (they don't) —
+    // BENCH_NOTES "plan-metrics check"
+    val planJson = planMetrics.map { case (k, (t, sr, sw)) =>
+      "\"" + k + s"""\":{"tasks":$t,"shuffle_read":$sr,"shuffle_write":$sw}"""
+    }.mkString("{", ",", "}")
+    val fileJson = render(fmt(3), sfDir).stripSuffix("}") +
+      s""","spread":$spread,"plan_metrics":$planJson}"""
     // a targeted/filtered run must never replace the committed full-suite
     // baseline (r5 ADVICE: a 1-query run clobbered BENCH_OUT.json and the
     // 80-query spread baseline was lost) — route it to its own file.

@@ -303,17 +303,27 @@ object Graft {
       nHint: Long = -1L): operators.ArtifactIO.Manifest =
     operators.AnnIndex.rebuild(emb, dir, nHint)
 
-  /** Fold an appendable index's accumulated per-batch code deltas into
-    * one slab — the maintenance call a long-running ingest stream
-    * schedules so `load` mounts one dir instead of thousands. Contents
-    * (and every query result) are unchanged; crash-safe behind the
-    * manifest commit (DeltaCompactionSpec). Supported for `ivfpq` (the
-    * one appendable family — the others never accumulate deltas). */
+  /** Fold an index's accumulated mutation debris — family-dispatched
+    * maintenance behind the shared atomic manifest commit:
+    *  - `ivfpq`: per-batch code deltas fold into one slab AND pending
+    *    takedown tombstones become physical row drops
+    *    (DeltaCompactionSpec / TakedownSpec)
+    *  - `lsh` / `ivf` / `pq`: pending tombstones fold into the flat
+    *    per-vector table via a frozen-quantizer version swap — no
+    *    re-fit (FlatTombstoneFoldSpec); a fold with nothing pending is
+    *    a no-op
+    *  - `sq8`: refused — it stores per-dimension stats only; its
+    *    vectors (and their takedown) live in the caller's store
+    * Contents equal the live (tombstone-filtered) view either way;
+    * every query result is unchanged. */
   def compactAnnIndex(spark: SparkSession, dir: String): operators.ArtifactIO.Manifest =
     operators.AnnIndex.readManifest(spark, dir).family match {
       case "ivfpq" => operators.AnnIndex.compactIvfPqDeltas(spark, dir)
+      case "lsh" | "ivf" | "pq" =>
+        operators.AnnIndex.compactTombstones(spark, dir)
       case other => throw new IllegalArgumentException(
-        s"compaction applies to family 'ivfpq'; '$other' has no delta dirs")
+        s"compaction applies to lsh | ivf | pq | ivfpq; '$other' has " +
+          "neither delta dirs nor per-vector rows to fold")
     }
 
   /** Top-k from a PERSISTED index directory — no rebuild: dispatches on
@@ -381,6 +391,18 @@ object Graft {
       topK: Int = 3): DataFrame =
     operators.AnnIndex.recallVsExactOnWhere(spark, dir, emb, queries,
       keepIds, topK)
+
+  /** Recall-targeted auto-tuning: walk the family's knob ladder
+    * (nProbe / rerank R) against the measured serving-path recall until
+    * `targetRecall` is met, record the chosen operating point in the
+    * manifest, and every serve call defaults to it from then on
+    * (explicit knobs still win). `keepIds` tunes the FILTERED path
+    * instead. Returns what was chosen and measured (TuneIndexSpec). */
+  def tuneAnnIndex(spark: SparkSession, dir: String, emb: DataFrame,
+      queries: DataFrame, targetRecall: Double = 0.9, topK: Int = 3,
+      keepIds: Option[DataFrame] = None): operators.AnnIndex.TuneResult =
+    operators.AnnIndex.tuneIndex(spark, dir, emb, queries, targetRecall,
+      topK, keepIds)
 
   // ---- dedup-pipeline artifact (build once, consume many) ---------------
 

@@ -319,6 +319,19 @@ object AnnIndex {
     val (atb, atd) = ivfTombWindow(mf)
     ArtifactIO.healOrphans(spark, s"$root/ivfpq_tombstones.parquet",
       "delta-", atb + atd, atb)
+    // re-ingesting a tombstoned id is refused, not silently lost: the
+    // live tombstone anti-join would hide the re-appended codes from
+    // every reader and the next compaction would drop them physically
+    // (r12 ADVICE). Deleted ids become appendable again after a
+    // compaction/rebuild empties the window.
+    ivfTombsOf(spark, root, mf).foreach { tt =>
+      require(newEmb.select(col("vec_id"))
+          .join(broadcast(tt.select(col("vec_id"))), Seq("vec_id"),
+            "left_semi").isEmpty,
+        "increment re-ingests tombstoned vec_ids - live tombstones would " +
+          "hide the codes from every reader and the next compaction would " +
+          "drop them; compact or rebuild the index first")
+    }
     val (dim, m) = (mf.dim, mf.params("m").toInt)
     val cents = table(spark, root, "ivfpq_centroids")
     val cb = table(spark, root, "ivfpq_codebook")
@@ -350,11 +363,13 @@ object AnnIndex {
       // stage: an uncommitted delta dir (overwrite — idempotent retry)
       newCodes.write.mode("overwrite").parquet(deltaPath(root, committed))
       val appended = newEmb.count()
-      // commit: the atomic manifest write IS the publish point
+      // commit: the atomic manifest write IS the publish point,
+      // CAS-guarded against a concurrent mutator (r12 verdict #1)
       val batchParam =
         if (batchId >= 0) Map("last_batch" -> batchId) else Map.empty
-      writeManifest(spark, dir, mf.copy(n = mf.n + appended,
-        params = mf.params + ("deltas" -> (count + 1)) ++ batchParam))
+      ArtifactIO.commitManifest(spark, dir, mf,
+        mf.copy(n = mf.n + appended,
+          params = mf.params + ("deltas" -> (count + 1)) ++ batchParam))
       appended * m
     } finally home.unpersist()
   }
@@ -396,10 +411,10 @@ object AnnIndex {
     val mf2 = mf.copy(params = mf.params +
       ("deltas_base" -> (base + count)) + ("deltas" -> 1L) +
       ("tomb_base" -> (tb + td)) + ("tomb_deltas" -> 0L))
-    writeManifest(spark, dir, mf2)
+    val committed = ArtifactIO.commitManifest(spark, dir, mf, mf2)
     // no GC at the commit — in-flight readers get one grace cycle; the
     // next mutation's heal sweeps the folded window (scaladoc above)
-    mf2
+    committed
   }
 
   /** (live code-delta count incl. pending tombstones, lazy bytes of the
@@ -428,9 +443,9 @@ object AnnIndex {
     * RagServe vector leg) anti-joins the taken-down ids immediately.
     * Physical removal: ivfpq's [[compactIvfPqDeltas]] drops the code
     * rows and resets the window; the flat-table families (lsh, ivf,
-    * pq) fold theirs at the next [[rebuild]] (which re-fits from the
-    * caller's store and starts a clean window). The frozen quantizers
-    * are untouched — the [[appendIvfPq]] contract. sq8 is REFUSED:
+    * pq) fold theirs via [[compactTombstones]] (a frozen-quantizer
+    * version swap — no re-fit) or at the next [[rebuild]]. The frozen
+    * quantizers are untouched — the [[appendIvfPq]] contract. sq8 is REFUSED:
     * its artifact stores per-dimension stats only; the vectors live in
     * the caller's embedding store, so takedown happens there.
     * Deleting unknown or already-removed ids is a no-op that commits
@@ -487,9 +502,11 @@ object AnnIndex {
         .parquet(tombPath(root, mf.family, tb + td))
       val batchParam = if (batchId >= 0)
         Map("last_delete_batch" -> batchId) else Map.empty[String, Long]
-      writeManifest(spark, dir, mf.copy(n = mf.n - nRemoved,
-        params = mf.params + ("tomb_base" -> tb) +
-          ("tomb_deltas" -> (td + 1)) ++ batchParam))
+      // CAS-guarded: a silently lost takedown commit is a legal hazard
+      ArtifactIO.commitManifest(spark, dir, mf,
+        mf.copy(n = mf.n - nRemoved,
+          params = mf.params + ("tomb_base" -> tb) +
+            ("tomb_deltas" -> (td + 1)) ++ batchParam))
       nRemoved
     } finally removed.unpersist()
   }
@@ -498,6 +515,77 @@ object AnnIndex {
   def deleteIvfPq(ids: DataFrame, dir: String, batchId: Long = -1L): Long = {
     expectFamily(readManifest(ids.sparkSession, dir), "ivfpq")
     delete(ids, dir, batchId)
+  }
+
+  /** Physical takedown fold for the FLAT-table families (lsh / ivf /
+    * pq) — r12 verdict #6: without it, a long-lived flat index under a
+    * heavy takedown stream accretes tombstones until someone pays a
+    * full quantizer re-fit ([[rebuild]]). The fold drops the
+    * tombstoned rows from the per-vector table PHYSICALLY and empties
+    * the window, with the quantizers untouched (the [[appendIvfPq]]
+    * frozen-quantizer precedent: per-vector rows are pure functions of
+    * the vector under the stored masks/centroids/codebooks, so the
+    * folded table is row-identical to the pre-delete table filtered —
+    * the same identity TakedownSpec pins for ivfpq's delta fold).
+    *
+    * Protocol — the version-dir variant of the shared commit (flat
+    * tables have no delta window to stage into, so the fold stages a
+    * complete table set in the next `v-NNNNN` dir, the [[rebuild]]
+    * layout):
+    *  1. sweep version dirs that never committed (and, once a version
+    *     is live, the superseded flat build-layout tables)
+    *  2. stage: the per-vector table's LIVE view (tombstones applied)
+    *     plus verbatim copies of the family's small quantizer tables
+    *     (centroids / codebooks — the frozen fit carries over, which
+    *     is exactly what makes this a fold and not a rebuild)
+    *  3. commit: the root manifest adopts the version pointer with an
+    *     EMPTY tombstone window, CAS-guarded like every mutation
+    *  4. the superseded layout survives one grace cycle until the next
+    *     fold/rebuild's sweep — in-flight readers finish intact
+    * A fold with no pending tombstones is a no-op. ivfpq folds through
+    * [[compactIvfPqDeltas]] (its codes already live in a delta window);
+    * sq8 stores no per-vector rows, so there is nothing to fold. */
+  def compactTombstones(spark: SparkSession, dir: String): Manifest = {
+    val mf = readManifest(spark, dir)
+    require(Set("lsh", "ivf", "pq")(mf.family),
+      s"flat-table tombstone fold applies to lsh | ivf | pq; " +
+        s"'${mf.family}' folds via " +
+        (if (mf.family == "ivfpq") "compactIvfPqDeltas"
+         else "its own lifecycle (sq8 stores no per-vector rows)"))
+    val (tb, td) = ivfTombWindow(mf)
+    val root = tableRoot(dir, mf)
+    ArtifactIO.healOrphans(spark,
+      s"$root/${mf.family}_tombstones.parquet", "delta-", tb + td, tb)
+    if (td == 0) return mf // no pending tombstones: nothing to fold
+    val cur = mf.params.getOrElse("version", 0L)
+    val next = cur + 1
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // sweep: staged versions that never committed; plus the flat
+    // build layout once a version is live (the rebuild sweep, shared)
+    fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath).filter { p =>
+        val s = p.getName.stripPrefix("v-")
+        p.getName.startsWith("v-") && s.nonEmpty && s.forall(_.isDigit) &&
+          s.toLong != cur
+      }.foreach(fs.delete(_, true))
+    if (cur > 0)
+      (familyTables(mf.family) :+ s"${mf.family}_tombstones").foreach(t =>
+        fs.delete(new org.apache.hadoop.fs.Path(dir, s"$t.parquet"), true))
+    // stage: live per-vector view + verbatim quantizer copies
+    val stage = versionDir(dir, next)
+    val vecTable = familyTables(mf.family).head
+    val quantTables = familyTables(mf.family).tail
+    minusTombs(spark, dir, mf, table(spark, root, vecTable))
+      .coalesce(32).write.mode("overwrite")
+      .parquet(s"$stage/$vecTable.parquet")
+    quantTables.foreach(t => table(spark, root, t)
+      .coalesce(1).write.mode("overwrite").parquet(s"$stage/$t.parquet"))
+    // commit: version pointer + empty window, same n (already
+    // decremented at each delete), CAS against the manifest at entry
+    ArtifactIO.commitManifest(spark, dir, mf, mf.copy(params =
+      mf.params + ("version" -> next) +
+        ("tomb_base" -> (tb + td)) + ("tomb_deltas" -> 0L)))
   }
 
   // ---- quantizer refresh: re-fit + atomic version swap -------------------
@@ -577,8 +665,12 @@ object AnnIndex {
       .flatMap(k => mf.params.get(k).map(k -> _)).toMap
     val mf2 = sub.copy(params =
       sub.params + ("version" -> next) ++ batchParam)
-    writeManifest(spark, dir, mf2)
-    mf2
+    // CAS against the manifest read at entry (r11 #5 / r12 verdict #1):
+    // an append/delete that committed while the re-fit was building is
+    // NOT in the new version's tables and its replay guard is fresher
+    // than the carried-over one — refuse the swap instead of silently
+    // losing that mutation; the caller re-reads and rebuilds again
+    ArtifactIO.commitManifest(spark, dir, mf, mf2)
   }
 
   final case class LoadedIvfPq(manifest: Manifest, codes: DataFrame,
@@ -693,22 +785,42 @@ object AnnIndex {
       emb, queries, ix.manifest.dim, ix.manifest.params("m").toInt,
       r, topK, nProbe)
 
+  /** Knob resolution for the serving paths: an explicit caller value
+    * wins; otherwise the manifest's [[tuneIndex]]-recorded knob;
+    * otherwise the family default — so a tuned index serves at its
+    * measured operating point with zero caller changes. */
+  private def tunedOr(m: Manifest, key: String, explicit: Int,
+      dflt: Int): Int =
+    if (explicit > 0) explicit
+    else m.params.get(key).map(_.toInt).getOrElse(dflt)
+
   /** Family-dispatched serving against a persisted index dir. `emb` is
     * the embedding store — consulted by the compressed families
-    * (pq/sq8/ivfpq) for exact rerank winners only. */
+    * (pq/sq8/ivfpq) for exact rerank winners only. `r` / `nProbe`
+    * default to the manifest's [[tuneIndex]]-recorded knobs when
+    * present, else the family defaults. */
   def serveTopK(spark: SparkSession, dir: String, queries: DataFrame,
-      emb: DataFrame, topK: Int = 3): DataFrame =
-    readManifest(spark, dir).family match {
-      case "lsh"   => lshServe(loadLsh(spark, dir), queries, topK)
-      case "ivf"   => ivfServe(loadIvf(spark, dir), queries, topK)
-      case "pq"    => pqServe(loadPq(spark, dir), emb, queries, topK = topK)
-      case "sq8"   => sqServe(loadSq(spark, dir), emb, queries, topK = topK)
+      emb: DataFrame, topK: Int = 3, r: Int = -1,
+      nProbe: Int = -1): DataFrame = {
+    val m = readManifest(spark, dir)
+    def np(d: Int) = tunedOr(m, "tuned_n_probe", nProbe, d)
+    def rr(d: Int) = tunedOr(m, "tuned_r", r, d)
+    m.family match {
+      case "lsh"   => lshServe(loadLsh(spark, dir), queries, topK,
+        nProbe = np(4))
+      case "ivf"   => ivfServe(loadIvf(spark, dir), queries, topK,
+        nProbe = np(4))
+      case "pq"    => pqServe(loadPq(spark, dir), emb, queries,
+        r = rr(20), topK = topK)
+      case "sq8"   => sqServe(loadSq(spark, dir), emb, queries,
+        topK = topK, rerankR = rr(20))
       case "ivfpq" => ivfPqServe(loadIvfPq(spark, dir), emb, queries,
-        topK = topK)
+        r = rr(40), topK = topK, nProbe = np(32))
       case other => throw new IllegalArgumentException(
         s"index at hand is family '$other', expected one of " +
           "lsh | ivf | pq | sq8 | ivfpq (corrupted or newer-format manifest?)")
     }
+  }
 
   /** FILTERED serving — the metadata-predicate retrieval every vector
     * store ships ("top-k among the docs this user may see"), with
@@ -734,38 +846,41 @@ object AnnIndex {
       nProbe: Int = -1): DataFrame = {
     val keep = keepIds.select(col("vec_id"))
     def filteredEmb = emb.join(keep, Seq("vec_id"), "left_semi")
-    def or(v: Int, dflt: Int): Int = if (v > 0) v else dflt
-    readManifest(spark, dir).family match {
+    val m0 = readManifest(spark, dir)
+    // explicit > tuned > family default — the [[serveTopK]] resolution
+    def orNp(dflt: Int): Int = tunedOr(m0, "tuned_n_probe", nProbe, dflt)
+    def orR(dflt: Int): Int = tunedOr(m0, "tuned_r", r, dflt)
+    m0.family match {
       case "lsh" =>
         val ix = loadLsh(spark, dir)
         SimilarityQueries.lshServeFromSigs(
           ix.signatures.join(keep, Seq("vec_id"), "left_semi"), queries,
           ix.manifest.dim, ix.manifest.params("bucket_bits").toInt, topK,
-          nProbe = or(nProbe, 4))
+          nProbe = orNp(4))
       case "ivf" =>
         val ix = loadIvf(spark, dir)
         SimilarityQueries.ivfServeFromAssign(
           ix.assign.join(keep, Seq("vec_id"), "left_semi"), ix.centroids,
-          queries, topK, nProbe = or(nProbe, 4))
+          queries, topK, nProbe = orNp(4))
       case "pq" =>
         val ix = loadPq(spark, dir)
         SimilarityQueries.pqServeOn(
           ix.codes.join(keep, Seq("vec_id"), "left_semi"), ix.codebook,
           filteredEmb, queries, ix.manifest.dim,
-          ix.manifest.params("m").toInt, r = or(r, 20), topK = topK)
+          ix.manifest.params("m").toInt, r = orR(20), topK = topK)
       case "sq8" =>
         val ix = loadSq(spark, dir)
         val stats = ix.stats.collect()
           .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
         SimilarityQueries.sqServeWithStats(filteredEmb, queries, stats, topK,
-          rerankR = or(r, 20))
+          rerankR = orR(20))
       case "ivfpq" =>
         val ix = loadIvfPq(spark, dir)
         SimilarityQueries.ivfPqServeOn(
           ix.codes.join(keep, Seq("vec_id"), "left_semi"), ix.codebook,
           ix.centroids, filteredEmb, queries, ix.manifest.dim,
-          ix.manifest.params("m").toInt, r = or(r, 40), topK = topK,
-          nProbe = or(nProbe, 32))
+          ix.manifest.params("m").toInt, r = orR(40), topK = topK,
+          nProbe = orNp(32))
       case other => throw new IllegalArgumentException(
         s"index at hand is family '$other', expected one of " +
           "lsh | ivf | pq | sq8 | ivfpq (corrupted or newer-format manifest?)")
@@ -778,9 +893,10 @@ object AnnIndex {
     * [[recallVsExact]] measures the gate shape). One row:
     * (family, n_queries, k, n_truth, n_hits, recall). */
   def recallVsExactOn(spark: SparkSession, dir: String, emb: DataFrame,
-      queries: DataFrame, topK: Int = 3): DataFrame = {
+      queries: DataFrame, topK: Int = 3, r: Int = -1,
+      nProbe: Int = -1): DataFrame = {
     val fam = readManifest(spark, dir).family
-    val got = serveTopK(spark, dir, queries, emb, topK)
+    val got = serveTopK(spark, dir, queries, emb, topK, r, nProbe)
       .select(col("query_id"), col("neighbor_id"))
     val truth = SimilarityQueries.cosineTopKServe(emb, queries, topK)
       .select(col("query_id"), col("neighbor_id"))
@@ -803,9 +919,10 @@ object AnnIndex {
     * which only this measurement exposes). One row, same schema. */
   def recallVsExactOnWhere(spark: SparkSession, dir: String,
       emb: DataFrame, queries: DataFrame, keepIds: DataFrame,
-      topK: Int = 3): DataFrame = {
+      topK: Int = 3, r: Int = -1, nProbe: Int = -1): DataFrame = {
     val fam = readManifest(spark, dir).family
-    val got = serveTopKWhere(spark, dir, queries, keepIds, emb, topK)
+    val got = serveTopKWhere(spark, dir, queries, keepIds, emb, topK,
+        r, nProbe)
       .select(col("query_id"), col("neighbor_id"))
     val truth = SimilarityQueries.cosineTopKServe(
         emb.join(keepIds.select(col("vec_id")), Seq("vec_id"), "left_semi"),
@@ -820,6 +937,93 @@ object AnnIndex {
         col("n_truth"), col("n_hits"),
         (col("n_hits").cast("double") / col("n_truth").cast("double"))
           .as("recall"))
+  }
+
+  // ---- recall-targeted auto-tuning -------------------------------------
+
+  /** What [[tuneIndex]] chose and measured: the committed knobs (−1
+    * where the family has no such knob), the recall at that operating
+    * point, and whether the target was met within the ladder. */
+  final case class TuneResult(family: String, nProbe: Int, r: Int,
+      recall: Double, targetMet: Boolean, manifest: Manifest)
+
+  /** Recall-targeted auto-tuning (r12 verdict #3, carried from r11 #7):
+    * close the loop from the recall MEASUREMENT
+    * ([[recallVsExactOn]] / [[recallVsExactOnWhere]]) to the serving
+    * KNOBS. Walks the family's knob ladder cheapest-first — nProbe for
+    * the probing families (lsh capped at its 4-probe mask bound, ivf /
+    * ivfpq doubling up to the cell count), rerank budget R for the
+    * compressed families (doubling, capped at the corpus) — measuring
+    * the SERVING path's recall@k on the supplied query sample at each
+    * rung, and stops at the first rung meeting `targetRecall`. The
+    * chosen operating point is recorded in the manifest
+    * (`tuned_n_probe` / `tuned_r`, plus the target and the measured
+    * recall ×1000) through the CAS commit, and every serve path
+    * defaults to it ([[serveTopK]] / [[serveTopKWhere]] resolution:
+    * explicit > tuned > family default) — so tuning once re-points the
+    * whole deployment.
+    *
+    * `keepIds` tunes the FILTERED serving path instead: recall is
+    * measured through [[serveTopKWhere]] against the keep-set's slice,
+    * which is where a predicate-poor neighborhood shows up as "nProbe
+    * is no longer enough to fill k". If the ladder tops out below the
+    * target the BEST rung is still recorded (`targetMet` = false) —
+    * the exhaustive end of each ladder equals the exact scan, so a
+    * miss means the sample disagrees with itself only through
+    * tie-ordering. sq8 has one knob (R) like pq. TuneIndexSpec pins
+    * target-met-within-budget on the gate corpus, filtered path
+    * included. */
+  def tuneIndex(spark: SparkSession, dir: String, emb: DataFrame,
+      queries: DataFrame, targetRecall: Double = 0.9, topK: Int = 3,
+      keepIds: Option[DataFrame] = None): TuneResult = {
+    val mf0 = readManifest(spark, dir)
+    val cells = mf0.params.getOrElse("cells", 16L).toInt
+    def doubling(from: Int, cap: Int): Seq[Int] = {
+      val below = Iterator.iterate(math.min(from, cap))(_ * 2)
+        .takeWhile(_ < cap).toSeq
+      below :+ cap
+    }
+    val rCap = math.min(mf0.n, 4096L).toInt // rerank budget bound
+    val rungs: Seq[(Int, Int)] = mf0.family match {
+      case "lsh" => (1 to 4).map((_, -1))
+      case "ivf" => doubling(1, cells).map((_, -1))
+      case "pq" | "sq8" => doubling(math.max(5 * topK, 10), rCap)
+        .map((-1, _))
+      case "ivfpq" => doubling(4, cells)
+        .map(p => (p, math.min(rCap, math.max(40, p * 5))))
+      case other => throw new IllegalArgumentException(
+        s"index at hand is family '$other', expected one of " +
+          "lsh | ivf | pq | sq8 | ivfpq (corrupted or newer-format manifest?)")
+    }
+    def recallAt(np: Int, rr: Int): Double = {
+      val one = keepIds match {
+        case None => recallVsExactOn(spark, dir, emb, queries, topK,
+          r = rr, nProbe = np)
+        case Some(k) => recallVsExactOnWhere(spark, dir, emb, queries, k,
+          topK, r = rr, nProbe = np)
+      }
+      one.select(col("recall")).head().getDouble(0) // one-row stats read
+    }
+    // walk cheapest-first; keep the best seen so a topped-out ladder
+    // still records its best operating point
+    var best: (Int, Int, Double) = (-1, -1, -1.0)
+    val it = rungs.iterator
+    var met = false
+    while (!met && it.hasNext) {
+      val (np, rr) = it.next()
+      val rec = recallAt(np, rr)
+      if (rec > best._3) best = (np, rr, rec)
+      met = rec >= targetRecall
+    }
+    val (np, rr, rec) = best
+    val tuned = Map("tuned_target_recall_m" ->
+        math.round(targetRecall * 1000),
+        "tuned_recall_m" -> math.round(rec * 1000)) ++
+      (if (np > 0) Map("tuned_n_probe" -> np.toLong) else Map.empty) ++
+      (if (rr > 0) Map("tuned_r" -> rr.toLong) else Map.empty)
+    val committed = ArtifactIO.commitManifest(spark, dir, mf0,
+      mf0.copy(params = mf0.params ++ tuned))
+    TuneResult(mf0.family, np, rr, rec, met, committed)
   }
 
   // ---- recall@k against a LOADED index ---------------------------------

@@ -4,6 +4,13 @@ import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 
+/** A compare-and-swap manifest commit found the artifact moved by
+  * another mutator. Nothing from the losing mutation is visible to
+  * readers (its staged dirs are orphans the next mutation heals);
+  * re-run the whole read-modify-write to retry. */
+final class ConcurrentMutationException(msg: String)
+  extends java.io.IOException(msg)
+
 /** Shared crash-safe manifest commit for persisted index artifacts
   * ([[AnnIndex]], [[DedupIndex]]) — the compactor's snapshot commit
   * protocol ([[graft.compact.Orchestrator]] writeAtomic /
@@ -22,6 +29,68 @@ object ArtifactIO {
       params: Map[String, Long])
 
   private val mapper = new ObjectMapper()
+
+  /** Monotonic commit counter — the CAS token every mutation's commit
+    * bumps by exactly one. 0 on pre-epoch manifests (and fresh builds
+    * that never mutated), so old artifacts CAS cleanly on their first
+    * post-upgrade mutation. */
+  def epochOf(m: Manifest): Long = m.params.getOrElse("epoch", 0L)
+
+  /** TEST-ONLY race seam: popped (one-shot, so a mutation the hook
+    * itself runs doesn't recurse) and invoked at the top of
+    * [[commitManifest]] — i.e. after the caller's read-modify-write but
+    * before its commit, the exact window a concurrent mutator exploits.
+    * Specs install a competing mutation here to pin the CAS refusal. */
+  @volatile private[graft] var raceHookForTests: Option[() => Unit] = None
+
+  /** Enforced single-mutator commit (r12 verdict #1): publish `next`
+    * only if the artifact is still at `base`'s epoch — the CAS the
+    * atomic-rename commit alone cannot give. Every artifact mutation
+    * (append / delete / compact / rebuild) routes its manifest commit
+    * here with the manifest it READ at entry as `base`; a mutation that
+    * lost the race (its read-modify-write is stale — e.g. a rebuild
+    * racing an append's fresher `last_batch`, or an ingest sink racing
+    * a takedown sink on one artifact) throws
+    * [[ConcurrentMutationException]] INSTEAD of silently overwriting
+    * the winner's commit. Two layers:
+    *  1. pre-commit check: re-read the manifest; a moved epoch refuses
+    *     before anything is written (the common interleave)
+    *  2. post-commit verify: re-read after the rename; if the manifest
+    *     on disk is not OUR commit, a mutator raced us inside the
+    *     check-to-rename window and won — refuse loudly so the caller
+    *     knows THIS mutation did not land (its staged dirs are orphans
+    *     the next mutation heals; a retry replays the whole
+    *     read-modify-write and converges)
+    * The residual window — both mutators passing verify — requires the
+    * loser's full write+verify to interleave inside the winner's, which
+    * the verify read makes detection-hard rather than silent-by-design;
+    * MutatorRaceSpec pins the enforced cases. Returns the committed
+    * (epoch-stamped) manifest. */
+  def commitManifest(spark: SparkSession, dir: String, base: Manifest,
+      next: Manifest): Manifest = {
+    val hook = raceHookForTests
+    if (hook.isDefined) { raceHookForTests = None; hook.foreach(_()) }
+    val expected = epochOf(base)
+    val cur =
+      try Some(readManifest(spark, dir))
+      catch { case scala.util.control.NonFatal(_) => None }
+    cur.filter(c => epochOf(c) != expected).foreach { c =>
+      throw new ConcurrentMutationException(
+        s"manifest at $dir moved from epoch $expected to ${epochOf(c)} " +
+          "during this mutation (a concurrent mutator committed) - " +
+          "nothing was written; re-run the mutation against the fresh state")
+    }
+    val stamped = next.copy(params = next.params + ("epoch" -> (expected + 1)))
+    writeManifest(spark, dir, stamped)
+    val after = readManifest(spark, dir)
+    if (after != stamped)
+      throw new ConcurrentMutationException(
+        s"manifest commit at $dir was overwritten by a concurrent mutator " +
+          s"(found epoch ${epochOf(after)}, expected ${expected + 1}) - " +
+          "THIS mutation did not land; its staged data is orphaned and " +
+          "will be healed; re-run to retry")
+    stamped
+  }
 
   def writeManifest(spark: SparkSession, dir: String, m: Manifest): Unit = {
     val root = mapper.createObjectNode()

@@ -68,6 +68,17 @@ object RagServe {
         topK = r, r = r, nProbe = nProbe)
       .select(col("query_id"), col("neighbor_id").as("doc_id")).distinct()
 
+  /** The distinct-shingle-hash count of a query batch — the `keysHint`
+    * [[DedupIndex.probePostings]]'s bucket-pruning gate needs. Paid
+    * (one bounded count job over the broadcast-sized query batch) ONLY
+    * when the artifact's posting slab is actually bucket-partitioned;
+    * −1 (gate stays closed, full-slab fallback) otherwise. */
+  private def postingKeysHint(dedup: DedupIndex.LoadedDedup,
+      qPost: DataFrame): Long =
+    if (dedup.manifest.params.getOrElse("layout_buckets", 0L) > 0)
+      qPost.select(col("h")).distinct().count()
+    else -1L
+
   // ---- hybrid RRF ------------------------------------------------------
 
   /** The exact serve twin: lexical leg = exact shared-shingle rank over
@@ -110,10 +121,14 @@ object RagServe {
     val qPost = DedupQueries.hashedShingleSets(
         queries.select(col("query_id").as("doc_id"), col("text")))
       .select(col("doc_id").as("query_id"), explode(col("hs")).as("h"))
-    // probePostings prunes a compacted (bucket-partitioned) slab to the
-    // query hashes' bucket dirs; identical rows either way
+    // on a bucket-partitioned slab, one bounded count of the query
+    // batch's distinct shingle hashes arms probePostings' pruning gate
+    // (keysHint ≥ 0 — without it the gate never engages, r12 ADVICE);
+    // identical rows either way, only non-matching bucket dirs skipped
+    val keysHint = postingKeysHint(dedup, qPost)
     val lexRank = SimilarityQueries.lexRankOn(
-      DedupIndex.probePostings(dedup, qPost).join(broadcast(qPost), "h")
+      DedupIndex.probePostings(dedup, qPost, keysHint)
+        .join(broadcast(qPost), "h")
         .groupBy(col("query_id"), col("doc_id"))
         .agg(count(lit(1)).as("inter")), r)
     val cand = annCandidates(spark, annDir,
@@ -174,8 +189,10 @@ object RagServe {
     val qPost = DedupQueries.hashedShingleSets(
         queries.select(col("query_id").as("doc_id"), col("text")))
       .select(col("doc_id").as("query_id"), explode(col("hs")).as("h"))
+    val keysHint = postingKeysHint(dedup, qPost)
     val lexRank = SimilarityQueries.lexRankOn(
-      DedupIndex.probePostings(dedup, qPost).join(broadcast(qPost), "h")
+      DedupIndex.probePostings(dedup, qPost, keysHint)
+        .join(broadcast(qPost), "h")
         .groupBy(col("query_id"), col("doc_id"))
         .agg(count(lit(1)).as("inter"))
         .join(keepDoc, Seq("doc_id"), "left_semi"), r)

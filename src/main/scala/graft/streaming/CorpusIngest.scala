@@ -14,7 +14,7 @@ import graft.operators.TextOps
   *
   * State story at scale: the dedup state is the corpus's content index —
   * it legitimately grows with DISTINCT content (one 60-bit key per unique
-  * document, RocksDB-backed in production), not with stream length;
+  * document, RocksDB-backed via [[StateStores]] in production), not with stream length;
   * re-ingested duplicates add nothing. This is the one streaming operator
   * family where an unbounded-by-watermark state is the correct semantics
   * (a corpus index never "expires"); bounded-lateness dedup remains
@@ -37,14 +37,18 @@ object CorpusIngest {
       .parquet(dir)
 
   /** fingerprint-dedup + token-count quality gate; append-mode per-doc
-    * output (no shuffle beyond the dedup state exchange). */
-  def ingest(docs: DataFrame, minTokens: Int = 5): DataFrame =
+    * output (no shuffle beyond the dedup state exchange). The dedup
+    * state (one row per distinct fingerprint, never expiring) is
+    * RocksDB-backed — [[StateStores]]. */
+  def ingest(docs: DataFrame, minTokens: Int = 5): DataFrame = {
+    StateStores.useRocksDb(docs.sparkSession)
     docs
       .withColumn("text_fp", TextOps.fingerprint(col("text")))
       .dropDuplicates("text_fp")
       .withColumn("n_tok", size(TextOps.tokens(col("text"))).cast("bigint"))
       .filter(col("n_tok") >= minTokens)
       .select(col("doc_id"), col("lang"), col("text_fp"), col("n_tok"))
+  }
 
   /** Cross-batch NEAR-duplicate detection — the streaming twin of the
     * batch MinHash-LSH pipeline (d2) and of d16's increment-vs-corpus
@@ -75,7 +79,7 @@ object CorpusIngest {
     *
     * State story at scale: like [[ingest]]'s exact index, the band
     * buckets are the corpus's NEAR-dup index — growth is one (docId,
-    * 16-long sig) entry per band per unique document (RocksDB-backed in
+    * 16-long sig) entry per band per unique document (RocksDB-backed via [[StateStores]] in
     * production), independent of stream length; the per-bucket member
     * count is the batch LSH's bucket size (~collision rate), so the
     * per-doc verify work matches the batch candidate volume. */
@@ -105,13 +109,14 @@ object CorpusIngest {
     * micro-batch — no second stateful operator needed.
     *
     * State story at scale: 8 B key + 8 B first-doc per DISTINCT line —
-    * the line-level corpus index (RocksDB-backed in production); like
+    * the line-level corpus index (RocksDB-backed via [[StateStores]] in production); like
     * [[ingest]]'s exact index it grows with distinct content, not
     * stream length, and never expires by design. */
   def lineDedupKept(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     import graft.functions.XHash
     val spark = docs.sparkSession
+    StateStores.useRocksDb(spark) // corpus-index state: disk-backed (r12 #4)
     import spark.implicits._
     docs
       .select(col("doc_id"),
@@ -168,6 +173,7 @@ object CorpusIngest {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     import graft.queries.DedupQueries
     val spark = docs.sparkSession
+    StateStores.useRocksDb(spark) // corpus-index state: disk-backed (r12 #4)
     import spark.implicits._
     DedupQueries.sigBandRows(DedupQueries.perRowSigArr(docs))
       .as[(Long, Int, String, Array[Long])]

@@ -110,8 +110,8 @@ object StreamDedupIngest {
     * compaction. */
   def compactCorpus(spark: org.apache.spark.sql.SparkSession,
       corpusDir: String, upTo: Long): Unit = {
-    val prev = corpusManifest(spark, corpusDir)
-      .map(_.params("merged_upto")).getOrElse(-1L)
+    val base = corpusManifest(spark, corpusDir)
+    val prev = base.map(_.params("merged_upto")).getOrElse(-1L)
     require(upTo > prev,
       s"compactCorpus($upTo) must advance past the committed slab ($prev)")
     val fs = new org.apache.hadoop.fs.Path(corpusDir)
@@ -147,7 +147,12 @@ object StreamDedupIngest {
     val n = folded.count()
     try folded.write.mode("overwrite").parquet(mergedPath(corpusDir, upTo))
     finally folded.unpersist()
-    graft.operators.ArtifactIO.writeManifest(spark, corpusDir,
+    // CAS against the manifest read at entry — two corpus compactions
+    // racing (or one racing a future mutator of this manifest) refuse
+    // instead of silently overwriting each other's commit
+    graft.operators.ArtifactIO.commitManifest(spark, corpusDir,
+      base.getOrElse(
+        graft.operators.ArtifactIO.Manifest("corpus", 0, 0L, Map.empty)),
       graft.operators.ArtifactIO.Manifest("corpus", 0, n,
         Map("merged_upto" -> upTo)))
     // no GC at the commit — this pass's folded dirs keep one grace

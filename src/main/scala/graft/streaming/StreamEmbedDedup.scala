@@ -33,7 +33,7 @@ import graft.queries.DedupQueries
   *
   * State story at scale: the band buckets are the corpus's vector
   * near-dup index — one (id, dim-long vector, norm) entry per band per
-  * unique vector (bands× the corpus footprint; RocksDB-backed in
+  * unique vector (bands× the corpus footprint; RocksDB-backed via [[StateStores]] in
   * production). Holding the vectors IN state is what buys the exact
   * in-stream verify; [[nearDupMatchesLean]] is the other end of the
   * dial — ids-only state (bands × 8 B per vector), exact verify
@@ -145,6 +145,7 @@ object StreamEmbedDedup {
   def nearDupMatches(emb: DataFrame, bands: Int, rowBits: Int,
       threshold: Double, dim: Int): DataFrame = {
     val spark = emb.sparkSession
+    StateStores.useRocksDb(spark) // corpus-index state: disk-backed (r12 #4)
     import spark.implicits._
     val flatWeights = new Array[Long](bands * rowBits * dim)
     for (b <- 0 until bands; j <- 0 until rowBits)
@@ -212,6 +213,7 @@ object StreamEmbedDedup {
   def nearDupMatchesLean(emb: DataFrame, store: DataFrame, bands: Int,
       rowBits: Int, threshold: Double, dim: Int): DataFrame = {
     val spark = emb.sparkSession
+    StateStores.useRocksDb(spark) // corpus-index state: disk-backed (r12 #4)
     import spark.implicits._
     val flatWeights = new Array[Long](bands * rowBits * dim)
     for (b <- 0 until bands; j <- 0 until rowBits)

@@ -40,6 +40,7 @@ object StreamImageDedup {
     require(bands >= 1 && bandBits >= 1 && bands * bandBits <= 64,
       s"bands x bandBits must fit one long: $bands x $bandBits")
     val spark = features.sparkSession
+    StateStores.useRocksDb(spark) // corpus-index state: disk-backed (r12 #4)
     import spark.implicits._
     val mask = (1L << bandBits) - 1L
     features.select(col("doc_id"), col("phash"),

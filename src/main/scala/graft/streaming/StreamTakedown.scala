@@ -20,14 +20,19 @@ import graft.operators.{AnnIndex, DedupIndex}
   * replay accounting). A crash between the tombstone write and the
   * manifest commit leaves an orphan delta the retry overwrites.
   *
-  * Single-mutator contract (all artifact mutations share it): the
-  * manifest commit is an atomic rename, not a compare-and-swap, so two
-  * mutators running CONCURRENTLY can lose one side's read-modify-write.
-  * Run the takedown sink and an ingest sink for the same artifact in
-  * one driver (Structured Streaming serializes foreachBatch bodies per
-  * query; across queries, schedule them so batches alternate rather
-  * than overlap — e.g. availableNow triggers, or one combined sink).
-  * StreamTakedownSpec pins streamed ≡ batch delete and replay no-ops.
+  * Single-mutator contract — ENFORCED ([[graft.operators.ArtifactIO
+  * .commitManifest]]): every artifact mutation commits through an
+  * epoch CAS against the manifest it read at entry, so two mutators
+  * running CONCURRENTLY (this sink racing an ingest sink on one
+  * artifact) no longer lose one side's read-modify-write silently —
+  * the loser throws [[graft.operators.ConcurrentMutationException]],
+  * fails its micro-batch, and Structured Streaming's retry replays the
+  * whole read-modify-write against the fresh state (MutatorRaceSpec
+  * pins the refusal; the replay guard keeps the retry exactly-once).
+  * Scheduling batches to alternate (availableNow triggers, or one
+  * combined sink) remains the SMOOTH path — overlap now costs a retry
+  * instead of a lost takedown. StreamTakedownSpec pins streamed ≡
+  * batch delete and replay no-ops.
   */
 object StreamTakedown {
 

@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+import graft.{Tables, TestSpark}
+
+/** Enforced single-mutator contract (r12 verdict #1): every artifact
+  * mutation commits through [[ArtifactIO.commitManifest]] — an epoch
+  * CAS against the manifest the mutation READ at entry — so two
+  * interleaved mutators on one artifact either lose nothing or refuse
+  * loudly ([[ConcurrentMutationException]]); a silently lost takedown
+  * commit was a legal hazard, not a perf bug. The race seam
+  * ([[ArtifactIO.raceHookForTests]]) fires a competing mutation inside
+  * the victim's commit — after its read-modify-write, before its
+  * manifest write — the exact window the old rename-only commit lost.
+  */
+class MutatorRaceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def tmp(name: String): String = {
+    val d = Files.createTempDirectory(s"race_$name")
+    d.toFile.deleteOnExit()
+    d.toString
+  }
+
+  private def ids(xs: Seq[Long], c: String): DataFrame = {
+    val spark0 = spark
+    import spark0.implicits._
+    xs.toDF(c)
+  }
+
+  private def rows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("commitManifest: CAS refuses a stale base; the winner's commit stands") {
+    val dir = tmp("cas")
+    val m0 = ArtifactIO.Manifest("dedup", 0, 10L, Map("sig_deltas" -> 1L))
+    ArtifactIO.writeManifest(spark, dir, m0) // fresh build: epoch absent = 0
+    assert(ArtifactIO.epochOf(m0) == 0L)
+    // mutator A: read m0, commit → epoch 1
+    val a = ArtifactIO.commitManifest(spark, dir, m0, m0.copy(n = 11L))
+    assert(ArtifactIO.epochOf(a) == 1L && a.n == 11L)
+    assert(ArtifactIO.readManifest(spark, dir) == a)
+    // mutator B: ALSO read m0 (stale) — its commit must refuse, and the
+    // manifest must still hold A's commit untouched
+    val e = intercept[ConcurrentMutationException] {
+      ArtifactIO.commitManifest(spark, dir, m0, m0.copy(n = 99L))
+    }
+    assert(e.getMessage.contains("epoch"))
+    assert(ArtifactIO.readManifest(spark, dir) == a,
+      "the losing CAS must not disturb the winner's commit")
+    // B retried against the FRESH state converges: epoch 2
+    val b = ArtifactIO.commitManifest(spark, dir, a, a.copy(n = 12L))
+    assert(ArtifactIO.epochOf(b) == 2L)
+  }
+
+  test("dedup: takedown interleaving an append refuses the append, loses nothing") {
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") < 60)
+    val dir = tmp("dedup")
+    DedupIndex.build(docs, dir, 60L)
+    val inc = docs.filter(col("doc_id") < 4)
+      .withColumn("doc_id", col("doc_id") + 7000000L)
+    // the takedown fires inside the append's commit window — after the
+    // append's read-modify-write, before its manifest write
+    ArtifactIO.raceHookForTests = Some(() => {
+      assert(DedupIndex.delete(ids(Seq(0L), "doc_id"), dir) == 1L)
+    })
+    try {
+      intercept[ConcurrentMutationException] { DedupIndex.append(inc, dir) }
+    } finally ArtifactIO.raceHookForTests = None
+    // the takedown's commit survived in full ...
+    val mf = ArtifactIO.readManifest(spark, dir)
+    assert(mf.n == 59L, "the takedown's n must stand")
+    assert(mf.params("tomb_deltas") == 1L, "the tombstone window must stand")
+    // ... and NOTHING of the refused append is visible to readers
+    val ix = DedupIndex.load(spark, dir)
+    assert(ix.signatures.filter(col("doc_id") >= 7000000L).isEmpty,
+      "the refused append must be invisible")
+    assert(ix.signatures.filter(col("doc_id") === 0L).isEmpty,
+      "the takedown must be in force")
+    // the retried append replays its whole read-modify-write against
+    // the fresh state and converges with an unraced control
+    assert(DedupIndex.append(inc, dir) > 0L)
+    val ctlDir = tmp("dedup_ctl")
+    DedupIndex.build(docs.filter(col("doc_id") =!= 0L), ctlDir, 59L)
+    DedupIndex.append(inc, ctlDir)
+    val (after, ctl) = (DedupIndex.load(spark, dir),
+      DedupIndex.load(spark, ctlDir))
+    assert(rows(after.pairs) == rows(ctl.pairs))
+    assert(rows(after.components) == rows(ctl.components))
+    spark.catalog.clearCache()
+  }
+
+  test("ivfpq: rebuild refuses when an append committed mid-build (r11 #5)") {
+    val emb = Tables.embeddings(spark, sf)
+    val dim = Tables.EmbeddingDim
+    val n = Tables.embeddingsRows(spark, sf)
+    val dir = tmp("ivfpq")
+    AnnIndex.buildIvfPq(emb, dir, dim, m = 8, k = 64, nHint = n)
+    val inc = emb.filter(col("vec_id") < 3)
+      .select((col("vec_id") + 10000000L).as("vec_id"), col("embedding"),
+        col("label"))
+    // the streaming append lands while the rebuild's re-fit is running;
+    // its last_batch is FRESHER than anything the rebuild carries over
+    ArtifactIO.raceHookForTests = Some(() => {
+      assert(AnnIndex.appendIvfPq(inc, dir, batchId = 5L) == 3L * 8)
+    })
+    try {
+      intercept[ConcurrentMutationException] { AnnIndex.rebuild(emb, dir, n) }
+    } finally ArtifactIO.raceHookForTests = None
+    // the append's commit survived: codes present, replay guard fresh
+    val mf = AnnIndex.readManifest(spark, dir)
+    assert(mf.params("last_batch") == 5L,
+      "the append's replay guard must not be lost")
+    assert(!mf.params.contains("version"),
+      "the refused rebuild must not have swapped a version in")
+    assert(AnnIndex.loadIvfPq(spark, dir).codes
+      .filter(col("vec_id") >= 10000000L).select("vec_id").distinct()
+      .count() == 3L)
+    // the retried rebuild (against a corpus that now INCLUDES the
+    // appended vectors) converges and carries the fresh guard forward
+    val embAll = emb.unionByName(inc)
+    val mf2 = AnnIndex.rebuild(embAll, dir, n + 3)
+    assert(mf2.params("version") == 1L && mf2.params("last_batch") == 5L)
+    assert(AnnIndex.loadIvfPq(spark, dir).codes
+      .filter(col("vec_id") >= 10000000L).select("vec_id").distinct()
+      .count() == 3L)
+    spark.catalog.clearCache()
+  }
+}

@@ -107,6 +107,14 @@ class TakedownSpec extends AnyFunSuite {
     assert(DedupIndex.delete(removeDf, dir) == 0L)
     assert(ArtifactIO.readManifest(spark, dir) == mfBefore,
       "a no-op delete must not commit")
+    // re-ingesting a tombstoned id while the window is live is REFUSED
+    // (r12 ADVICE): the live anti-join would hide the rows and the next
+    // compaction would physically drop them — a silent data loss
+    intercept[IllegalArgumentException] {
+      DedupIndex.append(corpus.filter(col("doc_id") === 5000002L), dir)
+    }
+    assert(ArtifactIO.readManifest(spark, dir) == mfBefore,
+      "a refused re-ingest must not commit")
 
     // compaction applies the tombstones PHYSICALLY and empties the window
     val mfc = DedupIndex.compactDeltas(spark, dir)
@@ -189,6 +197,14 @@ class TakedownSpec extends AnyFunSuite {
     // repeat delete: no-op, no commit
     assert(AnnIndex.deleteIvfPq(ids(removeSeq, "vec_id"), dir) == 0L)
     assert(AnnIndex.readManifest(spark, dir) == mfDel)
+    // re-ingesting a tombstoned vec_id while the window is live is
+    // REFUSED (r12 ADVICE) — and must not commit anything
+    intercept[IllegalArgumentException] {
+      AnnIndex.appendIvfPq(emb.filter(col("vec_id") === 0L)
+        .select(col("vec_id"), col("embedding"), col("label")), dir)
+    }
+    assert(AnnIndex.readManifest(spark, dir) == mfDel,
+      "a refused re-ingest must not commit")
     // compaction drops the rows physically and empties the window
     val mfc = AnnIndex.compactIvfPqDeltas(spark, dir)
     assert(mfc.params("tomb_deltas") == 0L && mfc.params("deltas") == 1L)

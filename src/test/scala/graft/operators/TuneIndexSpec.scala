@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+import graft.{Tables, TestSpark}
+
+/** Recall-targeted auto-tuning (r12 verdict #3): [[AnnIndex.tuneIndex]]
+  * walks the family's knob ladder against the measured SERVING-path
+  * recall, records the chosen operating point in the manifest, and the
+  * serve paths default to it. Pinned: target met within the bounded
+  * ladder on the gate corpus (unfiltered AND filtered), knobs recorded,
+  * serving defaults re-pointed, and the explicit-knob override intact.
+  */
+class TuneIndexSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+  private val NQ = 8
+  private lazy val corpus =
+    Tables.embeddings(spark, sf).filter(col("vec_id") >= NQ)
+  private lazy val nCorpus = Tables.embeddingsRows(spark, sf) - NQ
+  private lazy val queries = Tables.embeddings(spark, sf)
+    .filter(col("vec_id") < NQ)
+    .select((col("vec_id") + 1000000L).as("query_id"), col("embedding"))
+  private val dim = Tables.EmbeddingDim
+
+  private def tmp(name: String): String = {
+    val d = Files.createTempDirectory(s"tune_$name")
+    d.toFile.deleteOnExit()
+    d.toString
+  }
+
+  private def rows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("ivf: tune meets the target, records knobs, serve defaults to them") {
+    val dir = tmp("ivf")
+    AnnIndex.buildIvf(corpus, dir, dim, nCorpus)
+    val res = AnnIndex.tuneIndex(spark, dir, corpus, queries,
+      targetRecall = 0.9)
+    assert(res.targetMet, s"ladder must reach 0.9 on the gate corpus: $res")
+    assert(res.recall >= 0.9 && res.nProbe > 0)
+    val cells = AnnIndex.readManifest(spark, dir).params("cells")
+    assert(res.nProbe <= cells, "probe budget must stay bounded")
+    val mf = AnnIndex.readManifest(spark, dir)
+    assert(mf.params("tuned_n_probe") == res.nProbe.toLong)
+    assert(mf.params("tuned_target_recall_m") == 900L)
+    assert(mf.params("tuned_recall_m") == math.round(res.recall * 1000))
+    // serving now DEFAULTS to the tuned knob: the dispatch equals the
+    // family serve called with the tuned value explicitly
+    assert(rows(AnnIndex.serveTopK(spark, dir, queries, corpus)) ==
+      rows(AnnIndex.ivfServe(AnnIndex.loadIvf(spark, dir), queries,
+        topK = 3, nProbe = res.nProbe)))
+    // an explicit caller knob still wins over the tuned one
+    assert(rows(AnnIndex.serveTopK(spark, dir, queries, corpus, nProbe = 1))
+      == rows(AnnIndex.ivfServe(AnnIndex.loadIvf(spark, dir), queries,
+        topK = 3, nProbe = 1)))
+    // the measurement at the recorded knobs reproduces ≥ target
+    assert(AnnIndex.recallVsExactOn(spark, dir, corpus, queries)
+      .select("recall").head().getDouble(0) >= 0.9)
+    spark.catalog.clearCache()
+  }
+
+  test("ivfpq: filtered-path tuning measures through the keep-set") {
+    val dir = tmp("ivfpq")
+    AnnIndex.buildIvfPq(corpus, dir, dim, nHint = nCorpus)
+    // a predicate-poor slice: every other vector survives
+    val keep = corpus.filter(col("vec_id") % 2 === 0).select("vec_id")
+    val res = AnnIndex.tuneIndex(spark, dir, corpus, queries,
+      targetRecall = 0.9, keepIds = Some(keep))
+    assert(res.targetMet && res.nProbe > 0 && res.r > 0, s"$res")
+    val mf = AnnIndex.readManifest(spark, dir)
+    assert(mf.params("tuned_n_probe") == res.nProbe.toLong &&
+      mf.params("tuned_r") == res.r.toLong)
+    // the filtered serve path reproduces the tuned recall from the
+    // recorded defaults alone
+    assert(AnnIndex.recallVsExactOnWhere(spark, dir, corpus, queries, keep)
+      .select("recall").head().getDouble(0) >= 0.9)
+    spark.catalog.clearCache()
+  }
+
+  test("lsh: bounded ladder records its best rung even when capped") {
+    val dir = tmp("lsh")
+    AnnIndex.buildLsh(corpus, dir, dim, nCorpus)
+    // an impossible target can't be met inside lsh's 4-probe mask
+    // bound — the BEST rung must still be recorded, loudly not-met
+    val res = AnnIndex.tuneIndex(spark, dir, corpus, queries,
+      targetRecall = 1.01)
+    assert(!res.targetMet && res.nProbe >= 1 && res.nProbe <= 4)
+    val mf = AnnIndex.readManifest(spark, dir)
+    assert(mf.params("tuned_n_probe") == res.nProbe.toLong)
+    assert(mf.params("tuned_recall_m") == math.round(res.recall * 1000))
+    spark.catalog.clearCache()
+  }
+}

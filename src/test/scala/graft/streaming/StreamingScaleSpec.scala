@@ -19,9 +19,10 @@ class StreamingScaleSpec extends AnyFunSuite {
   private val sf = "/root/testdata/sf0.001"
 
   /** Run to completion on available input; return (result, per-progress
-    * state-store row totals in batch order). */
+    * state-store row totals in batch order, the store's custom-metric
+    * keys — which NAME the provider backend). */
   private def runWithStateMetrics(df: DataFrame, name: String)
-      : (DataFrame, Seq[Long]) = {
+      : (DataFrame, Seq[Long], Set[String]) = {
     val q = df.writeStream
       .outputMode("append")
       .format("memory")
@@ -32,7 +33,13 @@ class StreamingScaleSpec extends AnyFunSuite {
     try q.processAllAvailable() finally q.stop()
     val state = q.recentProgress.toSeq
       .flatMap(p => p.stateOperators.map(_.numRowsTotal))
-    (spark.table(name), state)
+    val custom = {
+      import scala.jdk.CollectionConverters._
+      q.recentProgress.toSeq
+        .flatMap(p => p.stateOperators.flatMap(_.customMetrics.keySet().asScala))
+        .toSet
+    }
+    (spark.table(name), state, custom)
   }
 
   /** Octave-parameterized ingest run: `factor` independent bijective-salt
@@ -57,12 +64,17 @@ class StreamingScaleSpec extends AnyFunSuite {
     crawl(0L)        // fresh content: factor x nBase distinct docs
     crawl(5000000L)  // full re-crawl: same content, new ids
 
-    val (out, state) = runWithStateMetrics(
+    val (out, state, custom) = runWithStateMetrics(
       CorpusIngest.ingest(CorpusIngest.readDocs(spark, dir)), name)
 
     val distinct = factor.toLong * nBase
     val streamLen = 2L * distinct
     assert(state.nonEmpty, "no state metrics reported")
+    // the never-expiring corpus-index state must be DISK-backed: the
+    // ingest transform sets the RocksDB provider itself (r12 verdict
+    // #4) and the query's own store metrics name the backend
+    assert(custom.exists(_.toLowerCase.contains("rocksdb")),
+      s"ingest dedup state must run on RocksDB; store metrics: $custom")
     // the dedup state holds exactly one row per distinct fingerprint —
     // the re-crawl half of the stream must add NOTHING
     assert(state.max == distinct,
@@ -118,7 +130,7 @@ class StreamingScaleSpec extends AnyFunSuite {
       .option("maxFilesPerTrigger", "1")
       .parquet(dir)
       .withColumnRenamed("ts", "ts_ns")
-    val (out, state) = runWithStateMetrics(
+    val (out, state, _) = runWithStateMetrics(
       StatefulSessions.sessionize(events).toDF(), name)
 
     assert(state.nonEmpty, "no state metrics reported")
