@@ -58,6 +58,13 @@ object DedupIndexBench {
     val (_, appendSec) = timed(DedupIndex.append(inc, ixDir))
     spark.catalog.clearCache()
     parts += s""""append8_sec":${f(appendSec)}"""
+    // takedown wall at a fixed 8-doc removal: tombstone write +
+    // touched-component re-solve (now size-ladder joins, r12 #2) —
+    // the O(touched) claim measured across the same octaves as serve
+    val victims = spark.range(8).select((col("id") + 16L).as("doc_id"))
+    val (_, deleteSec) = timed(DedupIndex.delete(victims, ixDir))
+    spark.catalog.clearCache()
+    parts += s""""delete8_sec":${f(deleteSec)}"""
     // rebuild wall: the version-swap maintenance call (build into the
     // next v-dir + atomic pointer adoption) — expected ≈ build_sec
     val (_, rebuildSec) = timed(

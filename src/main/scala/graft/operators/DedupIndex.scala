@@ -306,9 +306,24 @@ object DedupIndex {
       .select(slabBucket(key, b).as("pb"))
       .filter(col("pb").isNotNull)
       .distinct().collect().map(_.getInt(0)).toIndexedSeq
-    val slab = spark.read.parquet(pathOf(dir, slots.head))
-      .filter(col("pb").isInCollection(buckets))
-      .select(cols.map(col).toIndexedSeq: _*)
+    // mount ONLY the probed bucket directories, never the slab root: a
+    // filter over the root still pays partition DISCOVERY over all b
+    // dirs (measured: 1.8 s at b=1024, 6.2 s at b=4096 on local FS —
+    // SlabLayoutBench), which is the exact cost the layout exists to
+    // avoid. Existence-check each probed dir (≤ keysHint cheap RPCs —
+    // a bucket no corpus key hashed to has no dir) and read the
+    // survivors with basePath so pb stays a partition column.
+    val slabRoot = pathOf(dir, slots.head)
+    val fs = new org.apache.hadoop.fs.Path(slabRoot)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val probedDirs = buckets.map(i => s"$slabRoot/pb=$i")
+      .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
+    val slab =
+      if (probedDirs.isEmpty) // no probed bucket holds corpus keys
+        readWindow(spark, dir, m, pathOf, slots.take(1), cols)
+          .limit(0)
+      else spark.read.option("basePath", slabRoot).parquet(probedDirs: _*)
+        .select(cols.map(col).toIndexedSeq: _*)
     if (slots.size == 1) slab
     else slab.unionByName(
       spark.read.parquet(slots.tail.map(pathOf(dir, _)): _*)

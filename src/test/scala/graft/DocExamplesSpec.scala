@@ -171,9 +171,26 @@ class DocExamplesSpec extends AnyFunSuite {
     // identical, crash-safe; opt into the bucket-partitioned posting/band
     // layout at deployment scale so small probes prune to their keys'
     // bucket dirs) and re-fit quantizers with an atomic swap. Streaming
-    // sinks can trigger folds on the LIVE window via CompactionPolicy
+    // sinks can trigger folds on the LIVE window via CompactionPolicy.
+    // compactAnnIndex also folds pending takedown tombstones physically
+    // for every family (lsh/ivf/pq via a frozen-quantizer version swap,
+    // ivfpq through its delta fold — FlatTombstoneFoldSpec)
     Graft.compactDedupIndex(spark, dxDir)
+    Graft.compactAnnIndex(spark, annDir)
     Graft.rebuildAnnIndex(emb, annDir)
+
+    // every artifact mutation commits through an epoch CAS: two mutators
+    // racing on one artifact (ingest + takedown sinks, rebuild vs a live
+    // append) either lose nothing or refuse loudly with
+    // ConcurrentMutationException — re-run the loser against the fresh
+    // state (MutatorRaceSpec; a silently lost takedown would be a legal
+    // hazard, not a perf bug)
+
+    // recall-targeted auto-tuning: walk nProbe/R against the measured
+    // serving-path recall until the target is met; the chosen knobs land
+    // in the manifest and every serve call defaults to them from then on
+    val tuned = Graft.tuneAnnIndex(spark, annDir, emb,
+      queries.select("query_id", "embedding"), targetRecall = 0.9)
 
     // a durable tokenizer: train once, encode ANY corpus under the
     // frozen merges (token budgets stay comparable across corpora)
@@ -184,6 +201,7 @@ class DocExamplesSpec extends AnyFunSuite {
     assert(hybrid.count() == 12 && diverse.count() == 12)
     assert(filtered.count() == 12)
     assert(encoded.count() == docs.count())
+    assert(tuned.targetMet && tuned.recall >= 0.9)
     spark.catalog.clearCache()
   }
 

@@ -69,6 +69,61 @@ class StreamTakedownSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("dedup: a takedown batch racing an append fails the stream; restart converges") {
+    val docs = Tables.documents(spark, sf)
+    val dir = tmp("dedup_race")
+    DedupIndex.build(docs, dir, -1L)
+    val landing = tmp("landing_race")
+    idFiles(landing, "doc_id", Seq(Seq(0L, 2L)))
+    val ckpt = tmp("ckpt_race")
+    def sink() = StreamTakedown.dedupTakedownSink(
+      spark.readStream
+        .schema("doc_id LONG").option("maxFilesPerTrigger", 1)
+        .parquet(landing),
+      dir, ckpt)
+    // an ingest append lands inside the takedown batch's commit window
+    // — the enforced single-mutator CAS must fail the micro-batch
+    // LOUDLY (the old rename-only commit silently lost one side)
+    val inc = docs.filter(col("doc_id") < 3)
+      .withColumn("doc_id", col("doc_id") + 7000000L)
+    ArtifactIO.raceHookForTests = Some(() => {
+      DedupIndex.append(inc, dir); ()
+    })
+    val q1 = sink()
+    val failed =
+      try intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q1.processAllAvailable()
+        q1.awaitTermination(10000)
+        ()
+      } finally {
+        ArtifactIO.raceHookForTests = None
+        if (q1.isActive) q1.stop()
+      }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(failed).exists(
+        _.isInstanceOf[graft.operators.ConcurrentMutationException]),
+      s"the lost race must surface as ConcurrentMutationException: $failed")
+    // the append (the race's winner) committed in full; the takedown
+    // batch did NOT land and nothing is half-visible
+    val mid = DedupIndex.load(spark, dir)
+    assert(mid.signatures.filter(col("doc_id") === 0L).count() == 1L,
+      "the refused takedown must not be partially applied")
+    assert(mid.signatures.filter(col("doc_id") >= 7000000L).count() == 3L,
+      "the racing append's commit must stand")
+    // restart on the SAME checkpoint: the batch replays its whole
+    // read-modify-write against the fresh state and converges
+    val q2 = sink()
+    try q2.processAllAvailable() finally q2.stop()
+    val after = DedupIndex.load(spark, dir)
+    assert(after.signatures.filter(col("doc_id").isInCollection(
+      Seq(0L, 2L))).isEmpty, "the replayed takedown must apply")
+    assert(after.signatures.filter(col("doc_id") >= 7000000L).count() == 3L)
+    assert(ArtifactIO.readManifest(spark, dir)
+      .params("last_delete_batch") == 0L)
+    spark.catalog.clearCache()
+  }
+
   test("ann families: lsh/ivf/pq delete excludes immediately; sq8 refuses") {
     val emb = Tables.embeddings(spark, sf)
     val nEmb = Tables.embeddingsRows(spark, sf)
