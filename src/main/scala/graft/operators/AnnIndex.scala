@@ -436,6 +436,24 @@ object AnnIndex {
     (live, bytes)
   }
 
+  /** (live window count a takedown/ingest stream grows, lazy bytes) for
+    * ANY takedown-capable family — what a [[CompactionPolicy]] on a
+    * takedown sink triggers on: ivfpq counts code deltas + pending
+    * tombstones ([[ivfPqDeltaWindowStats]]); the flat families count
+    * pending tombstone deltas alone (their per-vector table never
+    * accumulates deltas — [[compactTombstones]] is the fold). */
+  def takedownWindowStats(spark: SparkSession,
+      dir: String): (Long, () => Long) = {
+    val mf = readManifest(spark, dir)
+    if (mf.family == "ivfpq") ivfPqDeltaWindowStats(spark, dir)
+    else {
+      val (tb, td) = ivfTombWindow(mf)
+      val root = tableRoot(dir, mf)
+      (td, () => CompactionPolicy.bytesUnder(spark,
+        (tb until tb + td).map(tombPath(root, mf.family, _))))
+    }
+  }
+
   /** Takedown for a persisted ANN artifact, every family (r11 verdict
     * #1): remove vectors WITHOUT a rebuild. A `vec_id` tombstone delta
     * is staged and lands in one atomic manifest commit; the family's
@@ -660,7 +678,11 @@ object AnnIndex {
     // commit: root manifest adopts the re-fit geometry + version pointer;
     // the streaming replay guards (append AND takedown) survive the
     // swap; the tombstone window does NOT (the new version was built
-    // from the caller's store, the takedown authority)
+    // from the caller's store, the takedown authority); tuned_* knobs
+    // do NOT either — they were measured against the OLD geometry
+    // (cells/masks change under a re-fit), so carrying them over would
+    // serve at a stale operating point; re-run [[tuneIndex]] after a
+    // rebuild
     val batchParam = Seq("last_batch", "last_delete_batch")
       .flatMap(k => mf.params.get(k).map(k -> _)).toMap
     val mf2 = sub.copy(params =

@@ -35,24 +35,13 @@ object RagServe {
     * identities need exposed. `emb` is consulted by the compressed
     * families only (their serve paths exact-rerank internally). */
   def annCandidates(spark: SparkSession, dir: String, queries: DataFrame,
-      emb: DataFrame, r: Int, nProbe: Int): DataFrame = {
-    val served = AnnIndex.readManifest(spark, dir).family match {
-      case "lsh" => AnnIndex.lshServe(AnnIndex.loadLsh(spark, dir),
-        queries, topK = r, nProbe = nProbe)
-      case "ivf" => AnnIndex.ivfServe(AnnIndex.loadIvf(spark, dir),
-        queries, topK = r, nProbe = nProbe)
-      case "pq" => AnnIndex.pqServe(AnnIndex.loadPq(spark, dir), emb,
-        queries, r = r, topK = r)
-      case "sq8" => AnnIndex.sqServe(AnnIndex.loadSq(spark, dir), emb,
-        queries, topK = r, rerankR = r)
-      case "ivfpq" => AnnIndex.ivfPqServe(AnnIndex.loadIvfPq(spark, dir),
-        emb, queries, r = r, topK = r, nProbe = nProbe)
-      case other => throw new IllegalArgumentException(
-        s"index at hand is family '$other', expected one of " +
-          "lsh | ivf | pq | sq8 | ivfpq (corrupted or newer-format manifest?)")
-    }
-    served.select(col("query_id"), col("neighbor_id").as("doc_id")).distinct()
-  }
+      emb: DataFrame, r: Int, nProbe: Int): DataFrame =
+    // one dispatch, owned by AnnIndex.serveTopK (topK = r: the pool IS
+    // the candidate budget; explicit knobs win over manifest-tuned ones
+    // there, so exhaustive-identity callers are unchanged)
+    AnnIndex.serveTopK(spark, dir, queries, emb, topK = r, r = r,
+        nProbe = nProbe)
+      .select(col("query_id"), col("neighbor_id").as("doc_id")).distinct()
 
   /** [[annCandidates]] under a PRE-FILTER keep-set: the family dispatch
     * of [[AnnIndex.serveTopKWhere]] with the explicit (r, nProbe) knobs

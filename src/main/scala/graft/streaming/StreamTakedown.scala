@@ -36,28 +36,60 @@ import graft.operators.{AnnIndex, DedupIndex}
   */
 object StreamTakedown {
 
-  /** Apply a (doc_id) takedown stream to a persisted dedup artifact. */
+  /** Apply a (doc_id) takedown stream to a persisted dedup artifact.
+    *
+    * @param policy when enabled, each applied batch checks the live
+    *   window (pending tombstones count toward it) and folds the
+    *   artifact ([[DedupIndex.compactDeltas]]) when a bound trips — a
+    *   long-lived takedown stream otherwise accretes tombstone deltas
+    *   every reader must anti-join until someone folds by hand
+    *   (StreamTakedownSpec pins the bound + unchanged results). */
   def dedupTakedownSink(ids: DataFrame, indexDir: String,
-      checkpointDir: String): StreamingQuery =
+      checkpointDir: String,
+      policy: graft.operators.CompactionPolicy =
+        graft.operators.CompactionPolicy()): StreamingQuery =
     ids.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (!batch.isEmpty) {
+          val spark = batch.sparkSession
           DedupIndex.delete(batch.toDF(), indexDir, batchId)
+          if (policy.enabled) {
+            lazy val stats = DedupIndex.deltaWindowStats(spark, indexDir)
+            if (policy.triggers(batchId, stats._1, stats._2()))
+              DedupIndex.compactDeltas(spark, indexDir)
+          }
           ()
         }
       }
       .start()
 
   /** Apply a (vec_id) takedown stream to a persisted ANN artifact
-    * (any family except sq8 — [[AnnIndex.delete]]'s contract). */
+    * (any family except sq8 — [[AnnIndex.delete]]'s contract).
+    *
+    * @param policy when enabled, folds pending tombstones physically
+    *   when a bound trips — family-dispatched: ivfpq through its delta
+    *   fold, lsh/ivf/pq through the frozen-quantizer version swap
+    *   ([[AnnIndex.compactTombstones]]); the window count comes from
+    *   [[AnnIndex.takedownWindowStats]]. */
   def annTakedownSink(ids: DataFrame, indexDir: String,
-      checkpointDir: String): StreamingQuery =
+      checkpointDir: String,
+      policy: graft.operators.CompactionPolicy =
+        graft.operators.CompactionPolicy()): StreamingQuery =
     ids.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (!batch.isEmpty) {
+          val spark = batch.sparkSession
           AnnIndex.delete(batch.toDF(), indexDir, batchId)
+          if (policy.enabled) {
+            lazy val stats = AnnIndex.takedownWindowStats(spark, indexDir)
+            if (policy.triggers(batchId, stats._1, stats._2())) {
+              if (AnnIndex.readManifest(spark, indexDir).family == "ivfpq")
+                AnnIndex.compactIvfPqDeltas(spark, indexDir)
+              else AnnIndex.compactTombstones(spark, indexDir)
+            }
+          }
           ()
         }
       }

@@ -124,6 +124,62 @@ class StreamTakedownSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("policy-triggered folds keep takedown streams from accreting tombstones") {
+    val spark0 = spark
+    import spark0.implicits._
+    val docs = Tables.documents(spark, sf)
+    // dedup sink under maxDeltas=2 (build slab + 1 pending tombstone
+    // delta trips it): every applied batch folds, so the stream ends
+    // with an EMPTY window instead of one delta per batch
+    val dxDir = tmp("dedup_policy")
+    DedupIndex.build(docs, dxDir, -1L)
+    val landing = tmp("landing_policy")
+    idFiles(landing, "doc_id", Seq(Seq(0L, 2L), Seq(4L)))
+    val q = StreamTakedown.dedupTakedownSink(
+      spark.readStream
+        .schema("doc_id LONG").option("maxFilesPerTrigger", 1)
+        .parquet(landing),
+      dxDir, tmp("ckpt_policy"),
+      policy = graft.operators.CompactionPolicy(maxDeltas = 2))
+    try q.processAllAvailable() finally q.stop()
+    val mf = ArtifactIO.readManifest(spark, dxDir)
+    assert(mf.params("tomb_deltas") == 0L,
+      "the policy must fold pending tombstones in-stream")
+    val ctl = tmp("dedup_policy_ctl")
+    DedupIndex.build(docs.filter(!col("doc_id").isInCollection(
+      Seq(0L, 2L, 4L))), ctl, -1L)
+    assert(rows(DedupIndex.load(spark, dxDir).components) ==
+      rows(DedupIndex.load(spark, ctl).components))
+
+    // ann flat family (ivf) under maxDeltas=1: each batch's tombstone
+    // folds physically through the frozen-quantizer version swap
+    val emb = Tables.embeddings(spark, sf)
+    val ivfDir = tmp("ivf_policy")
+    AnnIndex.buildIvf(emb, ivfDir, Tables.EmbeddingDim,
+      Tables.embeddingsRows(spark, sf))
+    val preAssign = spark.read.parquet(s"$ivfDir/ivf_assign.parquet")
+      .persist()
+    preAssign.count()
+    val landing2 = tmp("landing_policy2")
+    idFiles(landing2, "vec_id", Seq(Seq(0L, 3L), Seq(5L)))
+    val q2 = StreamTakedown.annTakedownSink(
+      spark.readStream
+        .schema("vec_id LONG").option("maxFilesPerTrigger", 1)
+        .parquet(landing2),
+      ivfDir, tmp("ckpt_policy2"),
+      policy = graft.operators.CompactionPolicy(maxDeltas = 1))
+    try q2.processAllAvailable() finally q2.stop()
+    val mf2 = AnnIndex.readManifest(spark, ivfDir)
+    assert(mf2.params("tomb_deltas") == 0L && mf2.params("version") == 2L,
+      s"each batch must fold physically: ${mf2.params}")
+    assert(rows(AnnIndex.loadIvf(spark, ivfDir).assign) ==
+      rows(preAssign.filter(!col("vec_id").isInCollection(
+        Seq(0L, 3L, 5L)))),
+      "post-fold table must equal the filtered pre-delete table")
+    preAssign.unpersist()
+    spark.catalog.clearCache()
+  }
+
   test("ann families: lsh/ivf/pq delete excludes immediately; sq8 refuses") {
     val emb = Tables.embeddings(spark, sf)
     val nEmb = Tables.embeddingsRows(spark, sf)
