@@ -86,6 +86,13 @@ object SlabLayoutBench {
       }
       walls.min
     }
+    // the full 8-doc serve probe (cand join + exact verify) — the call
+    // a deployment actually makes; measures whether band-side pruning
+    // pays on THIS layout
+    val serveProbe = docs.filter(col("doc_id") < 8)
+      .withColumn("doc_id", col("doc_id") + 900000000L)
+      .persist()
+    serveProbe.count()
     def stage(tag: String, layout: Int): Unit = {
       DedupIndex.compactDeltas(spark, ixDir, layout)
       val ix = DedupIndex.load(spark, ixDir)
@@ -100,6 +107,14 @@ object SlabLayoutBench {
       parts += s""""${tag}_slab_files":$slabFiles"""
       parts += s""""${tag}_probe_files":$probed"""
       parts += s""""${tag}_probe_sec":${f(wall)}"""
+      val serveWalls = (1 to 3).map { _ =>
+        val s = timed {
+          DedupIndex.serveNearDups(serveProbe,
+            DedupIndex.load(spark, ixDir), 8L).count(); ()
+        }
+        spark.catalog.clearCache(); s
+      }
+      parts += s""""${tag}_serve8_sec":${f(serveWalls.min)}"""
     }
     stage("flat", 0)
     buckets.foreach(b => stage(s"b$b", b))

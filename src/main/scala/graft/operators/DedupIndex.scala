@@ -64,9 +64,26 @@ object DedupIndex {
     * slabs far beyond gate scale (BENCH_NOTES). */
   val LayoutBuckets = 64
 
-  final case class LoadedDedup(manifest: Manifest, signatures: DataFrame,
-      bands: DataFrame, shingleSets: DataFrame, postings: DataFrame,
-      pairs: DataFrame, components: DataFrame, dir: String = "")
+  /** The loaded artifact's table views. LAZY on purpose: merely
+    * CREATING a DataFrame over a bucket-partitioned slab lists every
+    * bucket directory (seconds at B=4096 — SlabLayoutBench), so a
+    * consumer that goes through the pruned probe views
+    * ([[probeBands]] / [[probePostings]], or [[serveNearDups]]'s
+    * armed candidate join) must never pay for the full views it
+    * doesn't touch. Field names and behavior are unchanged for
+    * consumers that do read them. */
+  final class LoadedDedup(val manifest: Manifest,
+      signatures0: => DataFrame, bands0: => DataFrame,
+      shingleSets0: => DataFrame, postings0: => DataFrame,
+      pairs0: => DataFrame, components0: => DataFrame,
+      val dir: String = "") {
+    lazy val signatures: DataFrame = signatures0
+    lazy val bands: DataFrame = bands0
+    lazy val shingleSets: DataFrame = shingleSets0
+    lazy val postings: DataFrame = postings0
+    lazy val pairs: DataFrame = pairs0
+    lazy val components: DataFrame = components0
+  }
 
   /** (h, doc_id) posting rows from a hashed-shingle-set table — the
     * inverted-index form of the same data, persisted so the lexical
@@ -215,8 +232,8 @@ object DedupIndex {
       "this dedup artifact predates the stored band/shingle tables - " +
         "rebuild it (text-free serving needs the persisted verify data)")
     val dir = tableRoot(artifactDir, m) // tables live under the root
-    val tombs = tombstonesOf(spark, dir, m)
-    LoadedDedup(m,
+    lazy val tombs = tombstonesOf(spark, dir, m)
+    new LoadedDedup(m,
       minusTombs(spark.read.parquet(
         sigSlots(m).map(i => sigPath(dir, i)): _*), tombs, "doc_id"),
       minusTombs(readWindow(spark, dir, m, bandPath, sigSlots(m),
@@ -418,12 +435,14 @@ object DedupIndex {
         incBands.write.mode("overwrite").parquet(bandPath(dir, sigEnd))
         // the stored band table as written — never re-derived (r10 #4);
         // tombstoned docs must not resurface as candidate partners.
-        // No probe pruning here (the fixed collect+discovery cost beats
-        // the saving at gate scale — see serveNearDups); readWindow
-        // handles the bucketed-slab + flat-delta mix
+        // probeWindow prunes a BUCKETED slab to the increment's band
+        // buckets (mounting only those dirs — the full-slab discovery
+        // is never paid); flat artifacts and big increments fall back
+        // to the identical full window read
         val corpusBands = minusTombs(
-          readWindow(spark, dir, mf, bandPath, sb until sigEnd,
-            Seq("doc_id", "band_idx", "band_val")),
+          probeWindow(spark, dir, mf, bandPath, sb until sigEnd,
+            Seq("doc_id", "band_idx", "band_val"), "band_val", incBands,
+            ni * DedupQueries.Bands),
           tombs, "doc_id")
         val crossCand = DedupQueries
           .sizedHint(incBands, ni * DedupQueries.Bands, 128).as("a")
@@ -857,15 +876,18 @@ object DedupIndex {
     try {
       val qBands = DedupQueries.sigBandRows(
         DedupQueries.minhashSigArrFromHashes(qHs)).drop("sig")
-      // the slab layout's probe pruning is deliberately NOT engaged
-      // here: its fixed cost (one probe-side bucket collect + the
-      // partitioned-dir discovery) is ~0.5-0.8 s, which beats the scan
-      // saving until the band slab is far beyond gate scale — callers
-      // with truly huge slabs use [[probeBands]] directly (measured in
-      // SlabLayoutSpec / BENCH_NOTES)
+      // the candidate join goes through [[probeBands]] with the
+      // probe's own band-row bound as keysHint: on a BUCKETED slab
+      // (the owner opted in at compaction) a small probe mounts only
+      // its buckets' directories — since probeWindow reads probed dirs
+      // directly, the fixed cost is ≤ keysHint existence RPCs + one
+      // bucket collect, and the full-slab discovery (seconds at
+      // B=4096, SlabLayoutBench) is never paid. Flat artifacts (the
+      // gate-scale default) fall back to the identical full view at
+      // zero extra cost.
       val cand = DedupQueries
         .sizedHint(qBands, ni * DedupQueries.Bands, 128).as("a")
-        .join(ix.bands.as("b"),
+        .join(probeBands(ix, qBands, ni * DedupQueries.Bands).as("b"),
           col("a.band_idx") === col("b.band_idx") &&
             col("a.band_val") === col("b.band_val"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
