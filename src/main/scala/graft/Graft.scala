@@ -1163,24 +1163,29 @@ object Graft {
     * persisted dedup artifact — each micro-batch is one [[dedupDelete]]
     * behind the artifact's atomic commit; replays are durable no-ops
     * via the independent `last_delete_batch` high-water mark
-    * (StreamTakedownSpec pins streamed ≡ batch delete). */
+    * (StreamTakedownSpec pins streamed ≡ batch delete). An enabled
+    * `policy` folds pending tombstones in-stream when the live-window
+    * bound trips, so a long-lived removal queue never accretes
+    * anti-join debt. */
   def streamDedupTakedown(spark: SparkSession, landingDir: String,
-      indexDir: String,
-      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+      indexDir: String, checkpointDir: String,
+      policy: operators.CompactionPolicy = operators.CompactionPolicy()
+      ): org.apache.spark.sql.streaming.StreamingQuery =
     streaming.StreamTakedown.dedupTakedownSink(
       spark.readStream.schema("doc_id LONG")
         .option("maxFilesPerTrigger", 1).parquet(landingDir),
-      indexDir, checkpointDir)
+      indexDir, checkpointDir, policy)
 
   /** Streaming takedown for a persisted ANN artifact (any family except
     * sq8) — the (vec_id) twin of [[streamDedupTakedown]]. */
   def streamAnnTakedown(spark: SparkSession, landingDir: String,
-      indexDir: String,
-      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+      indexDir: String, checkpointDir: String,
+      policy: operators.CompactionPolicy = operators.CompactionPolicy()
+      ): org.apache.spark.sql.streaming.StreamingQuery =
     streaming.StreamTakedown.annTakedownSink(
       spark.readStream.schema("vec_id LONG")
         .option("maxFilesPerTrigger", 1).parquet(landingDir),
-      indexDir, checkpointDir)
+      indexDir, checkpointDir, policy)
 
   /** The published ingest corpus as one DataFrame — the read seam that
     * stays correct across [[compactIngestCorpus]] calls and streaming
