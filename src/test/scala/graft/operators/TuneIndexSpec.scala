@@ -80,6 +80,28 @@ class TuneIndexSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("pq and sq8: the rerank-budget ladder meets the target") {
+    for ((family, build) <- Seq[(String, String => Unit)](
+      "pq" -> (d => { AnnIndex.buildPq(corpus, d, dim, nHint = nCorpus); () }),
+      "sq8" -> (d => { AnnIndex.buildSq(corpus, d, dim, nCorpus); () }))) {
+      val dir = tmp(family)
+      build(dir)
+      val res = AnnIndex.tuneIndex(spark, dir, corpus, queries,
+        targetRecall = 0.9)
+      assert(res.targetMet && res.r > 0 && res.nProbe == -1,
+        s"$family: $res")
+      assert(res.r <= math.min(nCorpus, 4096L),
+        s"$family: rerank budget must stay corpus-bounded")
+      val mf = AnnIndex.readManifest(spark, dir)
+      assert(mf.params("tuned_r") == res.r.toLong &&
+        !mf.params.contains("tuned_n_probe"), s"$family: ${mf.params}")
+      // serving reproduces >= target from the recorded default alone
+      assert(AnnIndex.recallVsExactOn(spark, dir, corpus, queries)
+        .select("recall").head().getDouble(0) >= 0.9, family)
+    }
+    spark.catalog.clearCache()
+  }
+
   test("lsh: bounded ladder records its best rung even when capped") {
     val dir = tmp("lsh")
     AnnIndex.buildLsh(corpus, dir, dim, nCorpus)
