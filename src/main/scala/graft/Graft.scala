@@ -317,14 +317,7 @@ object Graft {
     * Contents equal the live (tombstone-filtered) view either way;
     * every query result is unchanged. */
   def compactAnnIndex(spark: SparkSession, dir: String): operators.ArtifactIO.Manifest =
-    operators.AnnIndex.readManifest(spark, dir).family match {
-      case "ivfpq" => operators.AnnIndex.compactIvfPqDeltas(spark, dir)
-      case "lsh" | "ivf" | "pq" =>
-        operators.AnnIndex.compactTombstones(spark, dir)
-      case other => throw new IllegalArgumentException(
-        s"compaction applies to lsh | ivf | pq | ivfpq; '$other' has " +
-          "neither delta dirs nor per-vector rows to fold")
-    }
+    operators.AnnIndex.compactTakedown(spark, dir)
 
   /** Top-k from a PERSISTED index directory — no rebuild: dispatches on
     * the manifest's family. `emb` is consulted only by the compressed
@@ -432,9 +425,11 @@ object Graft {
     * superseded component versions — the maintenance call a streaming
     * ingest schedules. Contents (and every consumer's results) are
     * unchanged; crash-safe behind the manifest commit
-    * (DeltaCompactionSpec). */
+    * (DeltaCompactionSpec). `layoutBuckets` −1 (default) preserves the
+    * committed slab layout; 0 explicitly re-folds flat; > 0 opts into
+    * the bucket-partitioned probe layout. */
   def compactDedupIndex(spark: SparkSession, dir: String,
-      layoutBuckets: Int = 0): operators.ArtifactIO.Manifest =
+      layoutBuckets: Int = -1): operators.ArtifactIO.Manifest =
     operators.DedupIndex.compactDeltas(spark, dir, layoutBuckets)
 
   /** Rebuild a persisted dedup artifact from the CURRENT corpus and

@@ -577,19 +577,7 @@ object AnnIndex {
     if (td == 0) return mf // no pending tombstones: nothing to fold
     val cur = mf.params.getOrElse("version", 0L)
     val next = cur + 1
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    // sweep: staged versions that never committed; plus the flat
-    // build layout once a version is live (the rebuild sweep, shared)
-    fs.listStatus(new org.apache.hadoop.fs.Path(dir))
-      .map(_.getPath).filter { p =>
-        val s = p.getName.stripPrefix("v-")
-        p.getName.startsWith("v-") && s.nonEmpty && s.forall(_.isDigit) &&
-          s.toLong != cur
-      }.foreach(fs.delete(_, true))
-    if (cur > 0)
-      (familyTables(mf.family) :+ s"${mf.family}_tombstones").foreach(t =>
-        fs.delete(new org.apache.hadoop.fs.Path(dir, s"$t.parquet"), true))
+    sweepVersions(spark, dir, mf.family, cur)
     // stage: live per-vector view + verbatim quantizer copies
     val stage = versionDir(dir, next)
     val vecTable = familyTables(mf.family).head
@@ -606,7 +594,40 @@ object AnnIndex {
         ("tomb_base" -> (tb + td)) + ("tomb_deltas" -> 0L)))
   }
 
+  /** Family-dispatched compaction — the ONE owner of the
+    * ivfpq-vs-flat routing ([[compactIvfPqDeltas]] folds code deltas +
+    * tombstones; [[compactTombstones]] folds the flat families'
+    * tombstones via the frozen-quantizer version swap; sq8 is refused
+    * there with the store-side instruction). The policy-triggered
+    * takedown sinks and the Graft facade both route here. */
+  def compactTakedown(spark: SparkSession, dir: String): Manifest =
+    readManifest(spark, dir).family match {
+      case "ivfpq" => compactIvfPqDeltas(spark, dir)
+      case _ => compactTombstones(spark, dir)
+    }
+
   // ---- quantizer refresh: re-fit + atomic version swap -------------------
+
+  /** Step-1 sweep shared by [[rebuild]] and [[compactTombstones]]:
+    * delete version dirs that never committed AND superseded ones whose
+    * reader-grace cycle ends here (everything but `cur`), plus the flat
+    * build-layout tables once some version is live. One implementation
+    * so the ≤2-versions storage bound cannot drift between the two
+    * mutation paths. */
+  private def sweepVersions(spark: SparkSession, dir: String,
+      family: String, cur: Long): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath).filter { p =>
+        val s = p.getName.stripPrefix("v-")
+        p.getName.startsWith("v-") && s.nonEmpty && s.forall(_.isDigit) &&
+          s.toLong != cur
+      }.foreach(fs.delete(_, true))
+    if (cur > 0)
+      (familyTables(family) :+ s"${family}_tombstones").foreach(t =>
+        fs.delete(new org.apache.hadoop.fs.Path(dir, s"$t.parquet"), true))
+  }
 
   private def familyTables(family: String): Seq[String] = family match {
     case "lsh"   => Seq("lsh_signatures")
@@ -647,19 +668,9 @@ object AnnIndex {
     val mf = readManifest(spark, dir)
     val cur = mf.params.getOrElse("version", 0L) // 0 = flat build layout
     val next = cur + 1
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sessionState.newHadoopConf())
     // sweep: staged versions that never committed; plus the flat layout
     // once some version is live (it was superseded by an earlier swap)
-    fs.listStatus(new org.apache.hadoop.fs.Path(dir))
-      .map(_.getPath).filter { p =>
-        val s = p.getName.stripPrefix("v-")
-        p.getName.startsWith("v-") && s.nonEmpty && s.forall(_.isDigit) &&
-          s.toLong != cur
-      }.foreach(fs.delete(_, true))
-    if (cur > 0)
-      (familyTables(mf.family) :+ s"${mf.family}_tombstones").foreach(t =>
-        fs.delete(new org.apache.hadoop.fs.Path(dir, s"$t.parquet"), true))
+    sweepVersions(spark, dir, mf.family, cur)
     // stage: a complete self-contained index in the next version dir
     val stage = versionDir(dir, next)
     val sub = mf.family match {
@@ -989,10 +1000,14 @@ object AnnIndex {
     * measured through [[serveTopKWhere]] against the keep-set's slice,
     * which is where a predicate-poor neighborhood shows up as "nProbe
     * is no longer enough to fill k". If the ladder tops out below the
-    * target the BEST rung is still recorded (`targetMet` = false) —
-    * the exhaustive end of each ladder equals the exact scan, so a
-    * miss means the sample disagrees with itself only through
-    * tie-ordering. sq8 has one knob (R) like pq. TuneIndexSpec pins
+    * target the BEST rung is still recorded with `targetMet` = false —
+    * a REAL capacity signal, not noise: lsh is hard-capped at 4 probes
+    * (still bucket-limited), and the compressed families' rerank
+    * budget caps below the corpus beyond 4096 vectors, so a miss means
+    * this family/geometry cannot reach the target on this sample — the
+    * right response is more probes than the cap allows (a different
+    * family) or a rebuild, not shipping the knob. sq8 has one knob (R)
+    * like pq. TuneIndexSpec pins
     * target-met-within-budget on the gate corpus, filtered path
     * included. */
   def tuneIndex(spark: SparkSession, dir: String, emb: DataFrame,
@@ -1017,35 +1032,50 @@ object AnnIndex {
         s"index at hand is family '$other', expected one of " +
           "lsh | ivf | pq | sq8 | ivfpq (corrupted or newer-format manifest?)")
     }
-    def recallAt(np: Int, rr: Int): Double = {
-      val one = keepIds match {
-        case None => recallVsExactOn(spark, dir, emb, queries, topK,
-          r = rr, nProbe = np)
-        case Some(k) => recallVsExactOnWhere(spark, dir, emb, queries, k,
-          topK, r = rr, nProbe = np)
+    // ground truth is rung-INVARIANT: one exact bipartite top-k over
+    // the (keep-filtered) store, computed once and pinned — each rung
+    // then pays only its served path plus one semi-join count, instead
+    // of repeating the most expensive scan ~log2(cells) times
+    val truthEmb = keepIds
+      .map(k => emb.join(k.select(col("vec_id")), Seq("vec_id"),
+        "left_semi"))
+      .getOrElse(emb)
+    val truth = SimilarityQueries.cosineTopKServe(truthEmb, queries, topK)
+      .select(col("query_id"), col("neighbor_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nTruth = truth.count().toDouble
+      require(nTruth > 0, "tuneIndex needs a non-empty query sample")
+      def recallAt(np: Int, rr: Int): Double = {
+        val got = (keepIds match {
+          case None => serveTopK(spark, dir, queries, emb, topK, rr, np)
+          case Some(k) => serveTopKWhere(spark, dir, queries, k, emb,
+            topK, rr, np)
+        }).select(col("query_id"), col("neighbor_id"))
+        truth.join(got.distinct(), Seq("query_id", "neighbor_id"),
+          "left_semi").count().toDouble / nTruth
       }
-      one.select(col("recall")).head().getDouble(0) // one-row stats read
-    }
-    // walk cheapest-first; keep the best seen so a topped-out ladder
-    // still records its best operating point
-    var best: (Int, Int, Double) = (-1, -1, -1.0)
-    val it = rungs.iterator
-    var met = false
-    while (!met && it.hasNext) {
-      val (np, rr) = it.next()
-      val rec = recallAt(np, rr)
-      if (rec > best._3) best = (np, rr, rec)
-      met = rec >= targetRecall
-    }
-    val (np, rr, rec) = best
-    val tuned = Map("tuned_target_recall_m" ->
-        math.round(targetRecall * 1000),
-        "tuned_recall_m" -> math.round(rec * 1000)) ++
-      (if (np > 0) Map("tuned_n_probe" -> np.toLong) else Map.empty) ++
-      (if (rr > 0) Map("tuned_r" -> rr.toLong) else Map.empty)
-    val committed = ArtifactIO.commitManifest(spark, dir, mf0,
-      mf0.copy(params = mf0.params ++ tuned))
-    TuneResult(mf0.family, np, rr, rec, met, committed)
+      // walk cheapest-first; keep the best seen so a topped-out ladder
+      // still records its best operating point
+      var best: (Int, Int, Double) = (-1, -1, -1.0)
+      val it = rungs.iterator
+      var met = false
+      while (!met && it.hasNext) {
+        val (np, rr) = it.next()
+        val rec = recallAt(np, rr)
+        if (rec > best._3) best = (np, rr, rec)
+        met = rec >= targetRecall
+      }
+      val (np, rr, rec) = best
+      val tuned = Map("tuned_target_recall_m" ->
+          math.round(targetRecall * 1000),
+          "tuned_recall_m" -> math.round(rec * 1000)) ++
+        (if (np > 0) Map("tuned_n_probe" -> np.toLong) else Map.empty) ++
+        (if (rr > 0) Map("tuned_r" -> rr.toLong) else Map.empty)
+      val committed = ArtifactIO.commitManifest(spark, dir, mf0,
+        mf0.copy(params = mf0.params ++ tuned))
+      TuneResult(mf0.family, np, rr, rec, met, committed)
+    } finally truth.unpersist()
   }
 
   // ---- recall@k against a LOADED index ---------------------------------

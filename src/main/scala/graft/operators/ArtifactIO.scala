@@ -71,9 +71,14 @@ object ArtifactIO {
     val hook = raceHookForTests
     if (hook.isDefined) { raceHookForTests = None; hook.foreach(_()) }
     val expected = epochOf(base)
+    // ONLY a genuinely missing manifest (the first-ever commit, e.g.
+    // compactCorpus) may skip the pre-check; any other read failure
+    // must refuse — writing blind past a transient FS/parse error
+    // would bypass the CAS and silently overwrite a concurrent
+    // winner's commit, the exact hazard this method exists to prevent
     val cur =
       try Some(readManifest(spark, dir))
-      catch { case scala.util.control.NonFatal(_) => None }
+      catch { case _: java.io.FileNotFoundException => None }
     cur.filter(c => epochOf(c) != expected).foreach { c =>
       throw new ConcurrentMutationException(
         s"manifest at $dir moved from epoch $expected to ${epochOf(c)} " +

@@ -336,10 +336,18 @@ object DedupIndex {
     val probedDirs = buckets.map(i => s"$slabRoot/pb=$i")
       .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
     val slab =
-      if (probedDirs.isEmpty) // no probed bucket holds corpus keys
-        readWindow(spark, dir, m, pathOf, slots.take(1), cols)
-          .limit(0)
-      else spark.read.option("basePath", slabRoot).parquet(probedDirs: _*)
+      if (probedDirs.isEmpty) {
+        // no probed bucket holds corpus keys: an empty frame with the
+        // slab's schema, built from ONE existing bucket dir (a single
+        // root listStatus — never the full-root partition discovery
+        // this method exists to avoid)
+        val any = fs.listStatus(new org.apache.hadoop.fs.Path(slabRoot))
+          .map(_.getPath).find(_.getName.startsWith("pb="))
+          .getOrElse(throw new java.io.FileNotFoundException(
+            s"bucketed slab $slabRoot holds no pb= directories"))
+        spark.read.option("basePath", slabRoot).parquet(any.toString)
+          .select(cols.map(col).toIndexedSeq: _*).limit(0)
+      } else spark.read.option("basePath", slabRoot).parquet(probedDirs: _*)
         .select(cols.map(col).toIndexedSeq: _*)
     if (slots.size == 1) slab
     else slab.unionByName(
@@ -521,19 +529,22 @@ object DedupIndex {
     * the next mutation's heal, never at their own commit). A
     * single-delta artifact is a no-op apart from the orphan heal.
     * Returns the committed manifest. */
-  /** @param layoutBuckets when > 0, the two probe-joined slabs
-    *   (postings, bands) are written Hive-partitioned on
-    *   pmod(key, layoutBuckets) so small probes can prune to their
-    *   keys' bucket dirs ([[probeBands]]/[[probePostings]], r11 verdict
-    *   #3). OPT-IN because the layout has a fixed read-side cost
-    *   (partitioned-dir discovery, ~0.4 s at 64 buckets on local FS)
-    *   that only amortizes on slabs far beyond gate scale — measured
-    *   break-even in BENCH_NOTES; [[LayoutBuckets]] is the recommended
-    *   starting value when opting in. 0 (default) folds flat. The
-    *   manifest records whichever layout THIS fold used, so readers
-    *   always agree with the committed base slab. */
+  /** @param layoutBuckets slab layout for the two probe-joined tables
+    *   (postings, bands): −1 (default) PRESERVES the committed
+    *   `layout_buckets` — the maintenance semantics every scheduled /
+    *   policy-triggered fold wants, so an in-stream compaction never
+    *   silently re-lays a bucketed artifact flat; > 0 writes them
+    *   Hive-partitioned on pmod(key, layoutBuckets) so small probes
+    *   prune to their keys' bucket dirs ([[probeBands]] /
+    *   [[probePostings]], r11 verdict #3) — OPT-IN because the layout
+    *   has a fixed read-side cost that only amortizes on slabs far
+    *   beyond gate scale (measured break-even in BENCH_NOTES;
+    *   [[LayoutBuckets]] is the recommended starting value); 0
+    *   EXPLICITLY re-folds flat (the layout reset). The manifest
+    *   records whichever layout THIS fold used, so readers always
+    *   agree with the committed base slab. */
   def compactDeltas(spark: SparkSession, artifactDir: String,
-      layoutBuckets: Int = 0): Manifest = {
+      layoutBuckets: Int = -1): Manifest = {
     val mf = ArtifactIO.readManifest(spark, artifactDir)
     require(mf.family == "dedup",
       s"index at hand is family '${mf.family}', expected 'dedup'")
@@ -549,6 +560,12 @@ object DedupIndex {
     ArtifactIO.healOrphans(spark, s"$dir/components.parquet", "v-", cv, cv - 1)
     ArtifactIO.healOrphans(spark, s"$dir/tombstones.parquet", "delta-",
       tb + td, tb)
+    // resolve the layout request: −1 preserves the committed layout
+    // (the maintenance default — an in-stream/policy fold must never
+    // silently re-lay a bucketed artifact flat); explicit 0/N change it
+    val effLayout: Int =
+      if (layoutBuckets < 0) mf.params.getOrElse("layout_buckets", 0L).toInt
+      else layoutBuckets
     // single-slab AND no pending tombstones AND the committed layout
     // already matches the request: nothing to fold. Pending tombstones
     // force a fold even at one slab — compaction is where takedowns
@@ -557,7 +574,7 @@ object DedupIndex {
     // reset it) re-lays the single slab instead of silently ignoring
     // the knob (r12 ADVICE)
     if (sd <= 1 && pd <= 1 && td == 0 &&
-      mf.params.getOrElse("layout_buckets", 0L) == layoutBuckets.toLong)
+      mf.params.getOrElse("layout_buckets", 0L) == effLayout.toLong)
       return mf
     val tombs = tombstonesOf(spark, dir, mf)
     ArtifactIO.healOrphans(spark, s"$dir/signatures.parquet", "delta-",
@@ -594,9 +611,9 @@ object DedupIndex {
       val in = minusTombs(
         readWindow(spark, dir, mf, pathOf, base until base + count, cols),
         tombs, "doc_id")
-      if (layoutBuckets > 0)
-        in.withColumn("pb", slabBucket(key, layoutBuckets.toLong))
-          .repartition(layoutBuckets, col("pb"))
+      if (effLayout > 0)
+        in.withColumn("pb", slabBucket(key, effLayout.toLong))
+          .repartition(effLayout, col("pb"))
           .write.partitionBy("pb").mode("overwrite")
           .parquet(pathOf(dir, slot))
       else in.coalesce(32).write.mode("overwrite").parquet(pathOf(dir, slot))
@@ -615,7 +632,7 @@ object DedupIndex {
       ("sig_base" -> (sb + sd)) + ("sig_deltas" -> 1L) +
       ("pair_base" -> (pb + pd)) + ("pair_deltas" -> 1L) +
       ("tomb_base" -> (tb + td)) + ("tomb_deltas" -> 0L) +
-      ("layout_buckets" -> layoutBuckets.toLong))
+      ("layout_buckets" -> effLayout.toLong))
     val committed = ArtifactIO.commitManifest(spark, artifactDir, mf, mf2)
     // NO GC here: readers already ignore the folded window, but one
     // that loaded the old manifest just before this commit may still
@@ -711,26 +728,33 @@ object DedupIndex {
         .join(hinted(affectedComps, nRemoved), Seq("component"), "left_semi")
         .select(col("id"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      // one column-pruned count buys the right strategy for the
-      // membership-sized joins below (broadcast when genuinely small,
-      // shuffle_hash / sort-merge when a mega-component made it huge)
-      val nAffected = affectedDocs.count()
-      val keepEdges = ix.pairs
-        .join(hinted(affectedDocs.select(col("id").as("doc_a")), nAffected),
-          Seq("doc_a"), "left_semi")
-        .join(hinted(removed.select(col("doc_id").as("doc_a")), nRemoved),
-          Seq("doc_a"), "left_anti")
-        .join(hinted(removed.select(col("doc_id").as("doc_b")), nRemoved),
-          Seq("doc_b"), "left_anti")
-        .select(col("doc_a"), col("doc_b"))
-      val sub = Components.connectedComponents(keepEdges)
-      val merged = ix.components
-        .join(hinted(affectedComps, nRemoved), Seq("component"), "left_anti")
-        .select(col("id"), col("component"))
-        .unionAll(sub.select(col("id"), col("component")))
-      try merged.write.mode("overwrite").parquet(compPath(dir, cv))
-      finally {
-        sub.unpersist(); affectedComps.unpersist(); affectedDocs.unpersist()
+      // everything that can fail (the count job, the re-solve, the
+      // version write) runs inside the pins' try — a mid-re-solve
+      // failure (the retried-batch path on a streaming sink) must not
+      // leak two cached membership datasets per attempt
+      try {
+        // one column-pruned count buys the right strategy for the
+        // membership-sized joins below (broadcast when genuinely small,
+        // shuffle_hash / sort-merge when a mega-component made it huge)
+        val nAffected = affectedDocs.count()
+        val keepEdges = ix.pairs
+          .join(hinted(affectedDocs.select(col("id").as("doc_a")),
+            nAffected), Seq("doc_a"), "left_semi")
+          .join(hinted(removed.select(col("doc_id").as("doc_a")), nRemoved),
+            Seq("doc_a"), "left_anti")
+          .join(hinted(removed.select(col("doc_id").as("doc_b")), nRemoved),
+            Seq("doc_b"), "left_anti")
+          .select(col("doc_a"), col("doc_b"))
+        val sub = Components.connectedComponents(keepEdges)
+        val merged = ix.components
+          .join(hinted(affectedComps, nRemoved), Seq("component"),
+            "left_anti")
+          .select(col("id"), col("component"))
+          .unionAll(sub.select(col("id"), col("component")))
+        try merged.write.mode("overwrite").parquet(compPath(dir, cv))
+        finally sub.unpersist()
+      } finally {
+        affectedComps.unpersist(); affectedDocs.unpersist()
       }
       // commit: tombstones + new component version + corrected n land
       // in one atomic manifest write, CAS-guarded against a concurrent

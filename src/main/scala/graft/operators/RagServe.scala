@@ -57,6 +57,23 @@ object RagServe {
         topK = r, r = r, nProbe = nProbe)
       .select(col("query_id"), col("neighbor_id").as("doc_id")).distinct()
 
+  /** The query batch's (query_id, h) posting probe rows. On a BUCKETED
+    * artifact the frame is consumed three times per call (the keysHint
+    * count, probeWindow's bucket collect, the broadcast join), so the
+    * lineage is cut once with an eager localCheckpoint — the shingle
+    * hashing + explode run once; the blocks are GC-managed and tiny
+    * (queries × shingles). Flat artifacts keep the lazy frame (one
+    * consumer). */
+  private def queryPostings(dedup: DedupIndex.LoadedDedup,
+      queries: DataFrame): DataFrame = {
+    val qPost = DedupQueries.hashedShingleSets(
+        queries.select(col("query_id").as("doc_id"), col("text")))
+      .select(col("doc_id").as("query_id"), explode(col("hs")).as("h"))
+    if (dedup.manifest.params.getOrElse("layout_buckets", 0L) > 0)
+      qPost.localCheckpoint(true)
+    else qPost
+  }
+
   /** The distinct-shingle-hash count of a query batch — the `keysHint`
     * [[DedupIndex.probePostings]]'s bucket-pruning gate needs. Paid
     * (one bounded count job over the broadcast-sized query batch) ONLY
@@ -107,9 +124,7 @@ object RagServe {
       dedup: DedupIndex.LoadedDedup, emb: DataFrame, queries: DataFrame,
       topK: Int = 3, kRrf: Int = 60, r: Int = 100,
       nProbe: Int = 32): DataFrame = {
-    val qPost = DedupQueries.hashedShingleSets(
-        queries.select(col("query_id").as("doc_id"), col("text")))
-      .select(col("doc_id").as("query_id"), explode(col("hs")).as("h"))
+    val qPost = queryPostings(dedup, queries)
     // on a bucket-partitioned slab, one bounded count of the query
     // batch's distinct shingle hashes arms probePostings' pruning gate
     // (keysHint ≥ 0 — without it the gate never engages, r12 ADVICE);
@@ -175,9 +190,7 @@ object RagServe {
       queries: DataFrame, topK: Int = 3, kRrf: Int = 60, r: Int = 100,
       nProbe: Int = 32): DataFrame = {
     val keepDoc = keepIds.select(col("vec_id").as("doc_id"))
-    val qPost = DedupQueries.hashedShingleSets(
-        queries.select(col("query_id").as("doc_id"), col("text")))
-      .select(col("doc_id").as("query_id"), explode(col("hs")).as("h"))
+    val qPost = queryPostings(dedup, queries)
     val keysHint = postingKeysHint(dedup, qPost)
     val lexRank = SimilarityQueries.lexRankOn(
       DedupIndex.probePostings(dedup, qPost, keysHint)

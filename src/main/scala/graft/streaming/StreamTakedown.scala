@@ -85,9 +85,8 @@ object StreamTakedown {
           if (policy.enabled) {
             lazy val stats = AnnIndex.takedownWindowStats(spark, indexDir)
             if (policy.triggers(batchId, stats._1, stats._2())) {
-              if (AnnIndex.readManifest(spark, indexDir).family == "ivfpq")
-                AnnIndex.compactIvfPqDeltas(spark, indexDir)
-              else AnnIndex.compactTombstones(spark, indexDir)
+              AnnIndex.compactTakedown(spark, indexDir)
+              ()
             }
           }
           ()

@@ -147,9 +147,15 @@ class SlabLayoutSpec extends AnyFunSuite {
     assert(rows(a.pairs) == rows(b.pairs))
     assert(rows(a.components) == rows(b.components))
     assert(rows(a.postings) == rows(b.postings))
-    // a second, FLAT compaction re-folds the bucketed slab + flat
-    // delta window and resets the layout param — the opt-out path
-    val mfFlat = DedupIndex.compactDeltas(spark, dir)
+    // a default (-1) compaction PRESERVES the committed layout — the
+    // maintenance semantics an in-stream policy fold relies on: a
+    // bucketed artifact must never be silently re-laid flat
+    val mfKeep = DedupIndex.compactDeltas(spark, dir)
+    assert(mfKeep.params("layout_buckets") == DedupIndex.LayoutBuckets,
+      "a default fold must keep the owner's opted-in layout")
+    // an EXPLICIT 0 re-folds flat and resets the layout param — the
+    // opt-out path
+    val mfFlat = DedupIndex.compactDeltas(spark, dir, 0)
     assert(mfFlat.params("layout_buckets") == 0L)
     assert(rows(DedupIndex.load(spark, dir).postings) == rows(b.postings))
     spark.catalog.clearCache()
