@@ -67,7 +67,15 @@ object Bench {
         val bus = spark.sparkContext.getClass.getMethod("listenerBus")
           .invoke(spark.sparkContext)
         bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
-      } catch { case _: Throwable => Thread.sleep(300) }
+      } catch {
+        // NonFatal only: swallowing InterruptedException would lose the
+        // interrupt flag, and VM errors must propagate (r13 ADVICE).
+        // Reflection may wrap the interrupt in an ITE — restore it.
+        case e: java.lang.reflect.InvocationTargetException
+            if e.getCause.isInstanceOf[InterruptedException] =>
+          Thread.currentThread().interrupt()
+        case scala.util.control.NonFatal(_) => Thread.sleep(300)
+      }
     val planMetrics =
       scala.collection.mutable.LinkedHashMap[String, (Long, Long, Long)]()
     def timeOne(name: String): Double = {

@@ -80,6 +80,19 @@ object CompactionBench {
       docs.filter(col("doc_id") >= 24 || col("doc_id") < 16), rbDir, -1L))
     spark.catalog.clearCache()
     parts += s""""dedup_rebuild_without_sec":${f(rebuildSec)}"""
+    // BULK takedown (r13 "what's wrong" #1): a removal batch of 4M ids
+    // (a domain/license-class sweep — mostly misses, 10% of the corpus
+    // hits) must ride the sizedHint ladder, never a driver broadcast
+    val bulkVictims = docs.select(col("doc_id")).filter(col("doc_id") % 10 === 1)
+      .unionByName(spark.range(2000000000L, 2004000000L)
+        .select(col("id").as("doc_id")))
+    val (nBulk, bulkDelSec) = timed(DedupIndex.delete(bulkVictims, ixDir))
+    spark.catalog.clearCache()
+    parts += s""""dedup_bulk_delete_ids":${nBulk}"""
+    parts += s""""dedup_bulk_delete_sec":${f(bulkDelSec)}"""
+    val (_, bulkFoldSec) = timed(DedupIndex.compactDeltas(spark, ixDir))
+    spark.catalog.clearCache()
+    parts += s""""dedup_bulk_delete_compact_sec":${f(bulkFoldSec)}"""
 
     // ---- ivfpq code deltas ----------------------------------------------
     val emb = graft.Tables.embeddings(spark, dir)
@@ -113,6 +126,14 @@ object CompactionBench {
     spark.catalog.clearCache()
     parts += s""""ivfpq_delete8_sec":${f(pqDelSec)}"""
     parts += s""""ivfpq_query_post_delete_sec":${f(pqWall())}"""
+    // bulk takedown on the ann artifact — the dedup bulk row's twin
+    val pqBulk = emb.select(col("vec_id")).filter(col("vec_id") % 10 === 1)
+      .unionByName(spark.range(2000000000L, 2004000000L)
+        .select(col("id").as("vec_id")))
+    val (nPqBulk, pqBulkSec) = timed(AnnIndex.delete(pqBulk, pqDir))
+    spark.catalog.clearCache()
+    parts += s""""ivfpq_bulk_delete_ids":${nPqBulk}"""
+    parts += s""""ivfpq_bulk_delete_sec":${f(pqBulkSec)}"""
     spark.stop()
     println(s"""{"dir":"$dir",${parts.mkString(",")}}""")
   }
