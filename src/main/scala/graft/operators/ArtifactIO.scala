@@ -39,9 +39,80 @@ object ArtifactIO {
   /** TEST-ONLY race seam: popped (one-shot, so a mutation the hook
     * itself runs doesn't recurse) and invoked at the top of
     * [[commitManifest]] — i.e. after the caller's read-modify-write but
-    * before its commit, the exact window a concurrent mutator exploits.
-    * Specs install a competing mutation here to pin the CAS refusal. */
+    * before its commit (and before the lease acquire, so the hook's
+    * competing mutation can itself commit), the exact window a
+    * concurrent mutator exploits. Specs install a competing mutation
+    * here to pin the CAS refusal. */
   @volatile private[graft] var raceHookForTests: Option[() => Unit] = None
+
+  /** Lease time-to-live: a `.manifest.lock` older than this is a
+    * crashed holder and may be taken over. Commits hold the lease for
+    * milliseconds (one manifest write + two reads), so ten minutes is
+    * far beyond any live commit; tests lower it to pin takeover. */
+  @volatile private[graft] var leaseTtlMs: Long = 10L * 60 * 1000
+
+  private def lockPath(dir: String) = new Path(dir, ".manifest.lock")
+
+  /** Acquire the create-exclusive commit lease (r13 verdict #3): the
+    * epoch CAS alone had a residual window — two mutators whose full
+    * write+verify interleaved could BOTH pass the post-rename verify —
+    * so the check→write→verify critical section is now serialized by a
+    * lock file created with `overwrite = false` (atomic on HDFS and
+    * object stores with atomic create; best-effort on raw local FS,
+    * where the CAS remains the backstop). A fresh lock held by another
+    * mutator refuses immediately ([[ConcurrentMutationException]] — the
+    * caller retries its whole read-modify-write); a lock older than
+    * [[leaseTtlMs]] is a crashed holder and is taken over through an
+    * atomic rename (single-winner even when several contenders see the
+    * same stale lock). Returns the holder token to verify at release. */
+  private def acquireLease(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): String = {
+    val lock = lockPath(dir)
+    val token = java.util.UUID.randomUUID().toString
+    def tryCreate(): Boolean =
+      try {
+        val out = fs.create(lock, false)
+        try out.write(token.getBytes("UTF-8")) finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    if (!tryCreate()) {
+      val age =
+        try System.currentTimeMillis() - fs.getFileStatus(lock)
+          .getModificationTime
+        catch { case _: java.io.FileNotFoundException => Long.MaxValue }
+      if (age <= leaseTtlMs)
+        throw new ConcurrentMutationException(
+          s"commit lease at $lock is held by a live mutator " +
+            s"(age ${age} ms <= ttl $leaseTtlMs ms) - nothing was " +
+            "written; re-run the mutation when the holder's commit lands")
+      // stale: takeover through an atomic rename — of N contenders that
+      // saw the same crashed lock, exactly one wins the rename; the
+      // losers fall through to tryCreate and refuse on the fresh lock
+      val steal = new Path(dir, s".manifest.lock.steal-$token")
+      if (age != Long.MaxValue && fs.rename(lock, steal))
+        fs.delete(steal, false)
+      if (!tryCreate())
+        throw new ConcurrentMutationException(
+          s"commit lease at $lock was re-acquired by a concurrent " +
+            "mutator during takeover - re-run the mutation")
+    }
+    token
+  }
+
+  /** Release the lease if WE still hold it (token match): after a TTL
+    * takeover the lock belongs to the new holder and must stand. */
+  private def releaseLease(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String, token: String): Unit = {
+    val lock = lockPath(dir)
+    val held =
+      try {
+        val in = fs.open(lock)
+        val buf = new Array[Byte](64)
+        val n = try in.read(buf) finally in.close()
+        n > 0 && new String(buf, 0, n, "UTF-8") == token
+      } catch { case scala.util.control.NonFatal(_) => false }
+    if (held) fs.delete(lock, false)
+  }
 
   /** Enforced single-mutator commit (r12 verdict #1): publish `next`
     * only if the artifact is still at `base`'s epoch — the CAS the
@@ -61,9 +132,11 @@ object ArtifactIO {
     *     knows THIS mutation did not land (its staged dirs are orphans
     *     the next mutation heals; a retry replays the whole
     *     read-modify-write and converges)
-    * The residual window — both mutators passing verify — requires the
-    * loser's full write+verify to interleave inside the winner's, which
-    * the verify read makes detection-hard rather than silent-by-design;
+    * The check→write→verify section runs under a create-exclusive
+    * lease file ([[acquireLease]], r13 verdict #3), which closes the
+    * residual window the CAS alone left (two mutators whose full
+    * write+verify interleaved could both pass verify); on stores
+    * without atomic create the CAS layers remain the backstop.
     * MutatorRaceSpec pins the enforced cases. Returns the committed
     * (epoch-stamped) manifest. */
   def commitManifest(spark: SparkSession, dir: String, base: Manifest,
@@ -71,30 +144,34 @@ object ArtifactIO {
     val hook = raceHookForTests
     if (hook.isDefined) { raceHookForTests = None; hook.foreach(_()) }
     val expected = epochOf(base)
-    // ONLY a genuinely missing manifest (the first-ever commit, e.g.
-    // compactCorpus) may skip the pre-check; any other read failure
-    // must refuse — writing blind past a transient FS/parse error
-    // would bypass the CAS and silently overwrite a concurrent
-    // winner's commit, the exact hazard this method exists to prevent
-    val cur =
-      try Some(readManifest(spark, dir))
-      catch { case _: java.io.FileNotFoundException => None }
-    cur.filter(c => epochOf(c) != expected).foreach { c =>
-      throw new ConcurrentMutationException(
-        s"manifest at $dir moved from epoch $expected to ${epochOf(c)} " +
-          "during this mutation (a concurrent mutator committed) - " +
-          "nothing was written; re-run the mutation against the fresh state")
-    }
-    val stamped = next.copy(params = next.params + ("epoch" -> (expected + 1)))
-    writeManifest(spark, dir, stamped)
-    val after = readManifest(spark, dir)
-    if (after != stamped)
-      throw new ConcurrentMutationException(
-        s"manifest commit at $dir was overwritten by a concurrent mutator " +
-          s"(found epoch ${epochOf(after)}, expected ${expected + 1}) - " +
-          "THIS mutation did not land; its staged data is orphaned and " +
-          "will be healed; re-run to retry")
-    stamped
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    val token = acquireLease(fs, dir)
+    try {
+      // ONLY a genuinely missing manifest (the first-ever commit, e.g.
+      // compactCorpus) may skip the pre-check; any other read failure
+      // must refuse — writing blind past a transient FS/parse error
+      // would bypass the CAS and silently overwrite a concurrent
+      // winner's commit, the exact hazard this method exists to prevent
+      val cur =
+        try Some(readManifest(spark, dir))
+        catch { case _: java.io.FileNotFoundException => None }
+      cur.filter(c => epochOf(c) != expected).foreach { c =>
+        throw new ConcurrentMutationException(
+          s"manifest at $dir moved from epoch $expected to ${epochOf(c)} " +
+            "during this mutation (a concurrent mutator committed) - " +
+            "nothing was written; re-run the mutation against the fresh state")
+      }
+      val stamped = next.copy(params = next.params + ("epoch" -> (expected + 1)))
+      writeManifest(spark, dir, stamped)
+      val after = readManifest(spark, dir)
+      if (after != stamped)
+        throw new ConcurrentMutationException(
+          s"manifest commit at $dir was overwritten by a concurrent mutator " +
+            s"(found epoch ${epochOf(after)}, expected ${expected + 1}) - " +
+            "THIS mutation did not land; its staged data is orphaned and " +
+            "will be healed; re-run to retry")
+      stamped
+    } finally releaseLease(fs, dir, token)
   }
 
   def writeManifest(spark: SparkSession, dir: String, m: Manifest): Unit = {

@@ -57,6 +57,56 @@ class MutatorRaceSpec extends AnyFunSuite {
     assert(ArtifactIO.epochOf(b) == 2L)
   }
 
+  test("lease: a held commit lease refuses a second mutator outright (r13 #3)") {
+    // the residual CAS window was two mutators whose full write+verify
+    // interleaved — both passed verify, the winner was silently
+    // overwritten. The lease serializes the whole check→write→verify
+    // section: while a mutator holds it, a contender cannot even reach
+    // the pre-check, so the interleave cannot be STARTED, let alone
+    // pass. Simulate the holder by planting a fresh lock file.
+    val dir = tmp("lease")
+    val m0 = ArtifactIO.Manifest("dedup", 0, 10L, Map("sig_deltas" -> 1L))
+    ArtifactIO.writeManifest(spark, dir, m0)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val lock = new org.apache.hadoop.fs.Path(dir, ".manifest.lock")
+    val out = fs.create(lock, false)
+    try out.write("someone-else".getBytes("UTF-8")) finally out.close()
+    val e = intercept[ConcurrentMutationException] {
+      ArtifactIO.commitManifest(spark, dir, m0, m0.copy(n = 11L))
+    }
+    assert(e.getMessage.contains("lease"))
+    assert(ArtifactIO.readManifest(spark, dir) == m0,
+      "a refused contender must not have written anything")
+    assert(fs.exists(lock), "the holder's lease must stand")
+    // holder finishes (releases): the retried commit converges
+    fs.delete(lock, false)
+    val a = ArtifactIO.commitManifest(spark, dir, m0, m0.copy(n = 11L))
+    assert(ArtifactIO.epochOf(a) == 1L)
+    assert(!fs.exists(lock), "a completed commit must release its lease")
+  }
+
+  test("lease: TTL takeover after a crashed holder converges") {
+    val dir = tmp("lease_ttl")
+    val m0 = ArtifactIO.Manifest("dedup", 0, 10L, Map("sig_deltas" -> 1L))
+    ArtifactIO.writeManifest(spark, dir, m0)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val lock = new org.apache.hadoop.fs.Path(dir, ".manifest.lock")
+    val out = fs.create(lock, false)
+    try out.write("crashed-holder".getBytes("UTF-8")) finally out.close()
+    // age the lock past the TTL: a crashed holder never releases
+    fs.setTimes(lock, System.currentTimeMillis() - 1000L, -1L)
+    val saved = ArtifactIO.leaseTtlMs
+    ArtifactIO.leaseTtlMs = 100L
+    try {
+      val a = ArtifactIO.commitManifest(spark, dir, m0, m0.copy(n = 11L))
+      assert(ArtifactIO.epochOf(a) == 1L && a.n == 11L)
+      assert(!fs.exists(lock),
+        "the takeover's commit must release the re-acquired lease")
+    } finally ArtifactIO.leaseTtlMs = saved
+  }
+
   test("dedup: takedown interleaving an append refuses the append, loses nothing") {
     val docs = Tables.documents(spark, sf).filter(col("doc_id") < 60)
     val dir = tmp("dedup")
