@@ -1182,6 +1182,43 @@ object Graft {
         .option("maxFilesPerTrigger", 1).parquet(landingDir),
       indexDir, checkpointDir, policy)
 
+  /** ONE removal queue driving EVERY artifact (r13 verdict #1): each
+    * micro-batch of ids (a single `id LONG` column — the pipeline id
+    * space documents and their embeddings share) is applied to every
+    * dedup artifact, ANN index and published corpus dir from a single
+    * checkpoint, so the whole takedown surface shares one batch
+    * high-water mark. Per-artifact commits stay CAS-guarded and
+    * replay-exact; a crash between two artifacts' commits converges on
+    * restart ([[streaming.StreamTakedownAll]]); [[takedownStatus]] is
+    * the convergence check. An enabled `policy` folds index artifacts
+    * whose live window trips the bound. */
+  def streamTakedownAll(spark: SparkSession, landingDir: String,
+      dedupDirs: Seq[String], annDirs: Seq[String],
+      corpusDirs: Seq[String], checkpointDir: String,
+      policy: operators.CompactionPolicy = operators.CompactionPolicy()
+      ): org.apache.spark.sql.streaming.StreamingQuery =
+    streaming.StreamTakedownAll.takedownAllSink(
+      spark.readStream.schema("id LONG")
+        .option("maxFilesPerTrigger", 1).parquet(landingDir),
+      dedupDirs, annDirs, corpusDirs, checkpointDir, policy)
+
+  /** Cross-artifact takedown convergence report: per artifact, how many
+    * of the queue's ids are still visible in its live view — all-zero
+    * `n_visible` means every artifact excluded the same id set.
+    * (artifact, kind, n_queue, n_visible). */
+  def takedownStatus(spark: SparkSession, queue: DataFrame,
+      dedupDirs: Seq[String], annDirs: Seq[String],
+      corpusDirs: Seq[String]): DataFrame =
+    streaming.StreamTakedownAll.takedownStatus(spark, queue, dedupDirs,
+      annDirs, corpusDirs)
+
+  /** Takedown from the PUBLISHED ingest corpus: tombstone the doc ids —
+    * [[readIngestCorpus]] excludes them the instant the commit lands;
+    * the rows drop physically at the next [[compactIngestCorpus]]. */
+  def corpusDelete(spark: SparkSession, corpusDir: String,
+      ids: DataFrame): Long =
+    streaming.StreamDedupIngest.corpusDelete(ids, corpusDir)
+
   /** The published ingest corpus as one DataFrame — the read seam that
     * stays correct across [[compactIngestCorpus]] calls and streaming
     * replays (folded per-batch dirs, including replay-recreated ones,

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{broadcast, col}
 import org.apache.spark.sql.types._
 import graft.operators.DedupIndex
 
@@ -76,21 +77,102 @@ object StreamDedupIngest {
     else None // never compacted: the plain batch-dir layout
   }
 
+  private def takedownPath(corpusDir: String, i: Long): String =
+    f"$corpusDir/takedown/delta-$i%05d"
+  /** The corpus's live takedown-tombstone window — both 0 when absent
+    * ([[corpusDelete]] has never run, or [[compactCorpus]] applied
+    * every tombstone physically). */
+  private def tombWindow(
+      m: graft.operators.ArtifactIO.Manifest): (Long, Long) =
+    (m.params.getOrElse("tomb_base", 0L),
+      m.params.getOrElse("tomb_deltas", 0L))
+  /** Join-strategy hint for a removal-id side — the artifact ladder
+    * ([[graft.operators.DedupIndex]]'s idSideHint twin). */
+  private def idSideHint(side: DataFrame, rows: Long): DataFrame =
+    if (rows < 0) broadcast(side)
+    else graft.queries.DedupQueries.sizedHint(side, rows, 16L)
+
   /** The published corpus as one DataFrame — the read seam every
     * downstream consumer should use: the plain `batch-*` glob until the
     * first [[compactCorpus]], then the committed merged slab plus only
     * the batches published after it (folded dirs — including a replayed
-    * micro-batch re-creating one — are ignored by construction). */
+    * micro-batch re-creating one — are ignored by construction). Live
+    * takedown tombstones ([[corpusDelete]]) are anti-joined, so removed
+    * docs vanish from every consumer the instant the delete commits —
+    * the artifact tombstone contract applied to the published text. */
   def readCorpus(spark: org.apache.spark.sql.SparkSession,
       corpusDir: String): DataFrame =
     corpusManifest(spark, corpusDir) match {
       case None => spark.read.parquet(s"$corpusDir/batch-*")
       case Some(m) =>
-        val upTo = m.params("merged_upto")
-        val (nums, _) = batchDirs(spark, corpusDir)
-        val live = nums.filter(_ > upTo).map(i => s"$corpusDir/batch-$i")
-        spark.read.parquet((mergedPath(corpusDir, upTo) +: live): _*)
+        val raw = m.params.get("merged_upto") match {
+          case None => // takedown-only manifest: never compacted
+            spark.read.parquet(s"$corpusDir/batch-*")
+          case Some(upTo) =>
+            val (nums, _) = batchDirs(spark, corpusDir)
+            val live = nums.filter(_ > upTo).map(i => s"$corpusDir/batch-$i")
+            spark.read.parquet((mergedPath(corpusDir, upTo) +: live): _*)
+        }
+        val (tb, td) = tombWindow(m)
+        if (td == 0) raw
+        else raw.join(
+          idSideHint(spark.read.parquet(
+              (tb until tb + td).map(takedownPath(corpusDir, _)): _*)
+            .select(col("doc_id")),
+            m.params.getOrElse("tomb_rows", -1L)),
+          Seq("doc_id"), "left_anti")
     }
+
+  /** Takedown from the PUBLISHED corpus (r13 verdict #1's third leg):
+    * remove documents from what [[readCorpus]] serves without rewriting
+    * the batch dirs — a `doc_id` tombstone delta behind the corpus
+    * manifest's CAS commit, exactly the [[graft.operators.DedupIndex
+    * .delete]] mechanics pointed at the publish side. The rows drop
+    * physically at the next [[compactCorpus]] (which also resets the
+    * window). Replays are durable no-ops via `last_delete_batch`;
+    * deleting ids not (or no longer) in the corpus commits nothing.
+    * A corpus that has never been compacted gets its manifest created
+    * by the first takedown commit (readCorpus handles both layouts).
+    *
+    * @return documents actually removed */
+  def corpusDelete(ids: DataFrame, corpusDir: String,
+      batchId: Long = -1L): Long = {
+    val spark = ids.sparkSession
+    val base = corpusManifest(spark, corpusDir).getOrElse(
+      graft.operators.ArtifactIO.Manifest("corpus", 0, 0L, Map.empty))
+    require(base.family == "corpus",
+      s"directory at hand holds family '${base.family}', expected 'corpus'")
+    if (batchId >= 0 &&
+      base.params.get("last_delete_batch").exists(_ >= batchId))
+      return 0L // replayed takedown batch: already applied and committed
+    val (tb, td) = tombWindow(base)
+    graft.operators.ArtifactIO.healOrphans(spark, s"$corpusDir/takedown",
+      "delta-", tb + td, tb)
+    val idSet = ids.select(col("doc_id")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nIds = idSet.count()
+    // column-pruned membership scan; the batch side rides the ladder
+    val removed = readCorpus(spark, corpusDir).select(col("doc_id"))
+      .join(idSideHint(idSet, nIds), Seq("doc_id"), "left_semi")
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nRemoved = removed.count()
+    try {
+      if (nRemoved == 0) return 0L
+      removed.write.mode("overwrite")
+        .parquet(takedownPath(corpusDir, tb + td))
+      val batchParam = if (batchId >= 0)
+        Map("last_delete_batch" -> batchId) else Map.empty[String, Long]
+      val prevRows = base.params.getOrElse("tomb_rows",
+        if (td == 0) 0L else -1L)
+      val rowsParam = if (prevRows < 0) Map.empty[String, Long]
+        else Map("tomb_rows" -> (prevRows + nRemoved))
+      graft.operators.ArtifactIO.commitManifest(spark, corpusDir, base,
+        base.copy(params = base.params + ("tomb_base" -> tb) +
+          ("tomb_deltas" -> (td + 1)) ++ rowsParam ++ batchParam))
+      nRemoved
+    } finally { removed.unpersist(); idSet.unpersist() }
+  }
 
   /** Fold the per-batch corpus dirs with id ≤ `upTo` (plus the seed
     * dirs and any previous slab) into one merged slab — the small-files
@@ -111,9 +193,15 @@ object StreamDedupIngest {
   def compactCorpus(spark: org.apache.spark.sql.SparkSession,
       corpusDir: String, upTo: Long): Unit = {
     val base = corpusManifest(spark, corpusDir)
-    val prev = base.map(_.params("merged_upto")).getOrElse(-1L)
+    val prev = base.flatMap(_.params.get("merged_upto")).getOrElse(-1L)
     require(upTo > prev,
       s"compactCorpus($upTo) must advance past the committed slab ($prev)")
+    // pending takedown tombstones drop PHYSICALLY in this fold (the
+    // corpusDelete contract); sweep staged orphans and the previous
+    // fold's applied deltas first
+    val (tb, td) = base.map(tombWindow).getOrElse((0L, 0L))
+    graft.operators.ArtifactIO.healOrphans(spark, s"$corpusDir/takedown",
+      "delta-", tb + td, tb)
     val fs = new org.apache.hadoop.fs.Path(corpusDir)
       .getFileSystem(spark.sessionState.newHadoopConf())
     // sweep: slabs that never reached their commit (staged by a crashed
@@ -141,20 +229,34 @@ object StreamDedupIngest {
     // count DURING the fold (one pass feeds the count and the write via
     // the cache) instead of re-scanning the freshly published slab just
     // to populate the manifest's n — on an in-stream compaction that
-    // second full-corpus read lengthened the micro-batch for bookkeeping
-    val folded = spark.read.parquet(fold: _*).coalesce(32)
+    // second full-corpus read lengthened the micro-batch for bookkeeping.
+    // Live tombstones drop here: the slab is the filtered view
+    val raw = spark.read.parquet(fold: _*)
+    val filtered =
+      if (td == 0) raw
+      else raw.join(
+        idSideHint(spark.read.parquet(
+            (tb until tb + td).map(takedownPath(corpusDir, _)): _*)
+          .select(col("doc_id")),
+          base.flatMap(_.params.get("tomb_rows")).getOrElse(-1L)),
+        Seq("doc_id"), "left_anti")
+    val folded = filtered.coalesce(32)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = folded.count()
     try folded.write.mode("overwrite").parquet(mergedPath(corpusDir, upTo))
     finally folded.unpersist()
     // CAS against the manifest read at entry — two corpus compactions
-    // racing (or one racing a future mutator of this manifest) refuse
-    // instead of silently overwriting each other's commit
-    graft.operators.ArtifactIO.commitManifest(spark, corpusDir,
-      base.getOrElse(
-        graft.operators.ArtifactIO.Manifest("corpus", 0, 0L, Map.empty)),
-      graft.operators.ArtifactIO.Manifest("corpus", 0, n,
-        Map("merged_upto" -> upTo)))
+    // racing (or one racing a takedown on this manifest) refuse instead
+    // of silently overwriting each other's commit. The takedown params
+    // carry over with the window RESET (every tombstone is physical
+    // now); the applied deltas survive one reader-grace cycle until the
+    // next pass's heal sweep
+    val base0 = base.getOrElse(
+      graft.operators.ArtifactIO.Manifest("corpus", 0, 0L, Map.empty))
+    graft.operators.ArtifactIO.commitManifest(spark, corpusDir, base0,
+      base0.copy(n = n, params = base0.params +
+        ("merged_upto" -> upTo) + ("tomb_base" -> (tb + td)) +
+        ("tomb_deltas" -> 0L) + ("tomb_rows" -> 0L)))
     // no GC at the commit — this pass's folded dirs keep one grace
     // cycle for in-flight readers; the next compaction's sweep ends it
   }
@@ -200,8 +302,8 @@ object StreamDedupIngest {
             // start, with the cause named. A genuine restart on the
             // SAME checkpoint always resumes past merged_upto (the
             // in-stream trigger only folds up to batchId - 1).
-            corpusManifest(spark, corpusDir).foreach { m =>
-              val upto = m.params("merged_upto")
+            corpusManifest(spark, corpusDir)
+                .flatMap(_.params.get("merged_upto")).foreach { upto =>
               require(batchId > upto,
                 s"ingestSink batchId $batchId is not past the corpus's " +
                   s"committed slab (merged_upto=$upto under $corpusDir): " +
@@ -223,7 +325,7 @@ object StreamDedupIngest {
             if (eff.triggers(batchId, stats._1, stats._2())) {
               DedupIndex.compactDeltas(spark, indexDir)
               val prev = corpusManifest(spark, corpusDir)
-                .map(_.params("merged_upto")).getOrElse(-1L)
+                .flatMap(_.params.get("merged_upto")).getOrElse(-1L)
               if (batchId - 1 > prev) // a replayed trigger must not regress
                 compactCorpus(spark, corpusDir, batchId - 1)
             }

@@ -1,0 +1,169 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import graft.operators.{AnnIndex, DedupIndex}
+
+/** Cross-artifact takedown orchestration (r13 verdict #1): a real
+  * GDPR/DMCA request must remove a document from the dedup artifact
+  * AND the ANN index AND the published corpus dirs. Running N
+  * independent [[StreamTakedown]] sinks gives N checkpoints with no
+  * shared accounting — a crash between sink A's commit and sink B's
+  * leaves the artifacts divergent until B's replay, and nothing ever
+  * verifies they converged on the same excluded id set. This sink is
+  * the one-queue, N-artifact composition:
+  *
+  *  - ONE removal queue (a single `id` column — the pipeline id space
+  *    shared by documents and their embeddings) drives every artifact
+  *    from a single checkpoint, so there is exactly one batch
+  *    high-water mark for the whole takedown surface;
+  *  - each artifact keeps its own CAS-committed delete exactly as
+  *    today ([[DedupIndex.delete]] / [[AnnIndex.delete]] /
+  *    [[StreamDedupIngest.corpusDelete]]), each recording the shared
+  *    batchId in its own durable `last_delete_batch`;
+  *  - a crash BETWEEN two artifacts' commits replays the micro-batch
+  *    on restart: artifacts that committed no-op on their guard (or on
+  *    the ids simply being gone), the rest apply — the batch converges
+  *    to all-artifacts-applied without double-applying anything
+  *    (StreamTakedownAllSpec injects the crash and pins it);
+  *  - [[takedownStatus]] is the convergence check the N-sink layout
+  *    never had: it reports, per artifact, how many queue ids are
+  *    still VISIBLE in the live view — all zeros ⇔ every artifact
+  *    excluded the same id set.
+  *
+  * Artifact order inside a batch is fixed (dedup, ann, corpus) so a
+  * crash window is deterministic, but correctness never depends on it.
+  */
+object StreamTakedownAll {
+
+  /** TEST-ONLY crash seam: popped (one-shot) and thrown AFTER the next
+    * artifact delete inside a batch — the exact between-two-commits
+    * window the orchestration exists to make safe. */
+  @volatile private[graft] var crashHookForTests: Option[() => Unit] = None
+
+  private def crashPoint(): Unit = {
+    val hook = crashHookForTests
+    if (hook.isDefined) { crashHookForTests = None; hook.foreach(_()) }
+  }
+
+  /** Apply one id batch to every artifact — the shared batchId is each
+    * artifact's replay guard. Exposed for batch callers that want the
+    * same N-artifact apply without a stream. */
+  def applyAll(batch: DataFrame, batchId: Long, dedupDirs: Seq[String],
+      annDirs: Seq[String], corpusDirs: Seq[String]): Unit = {
+    dedupDirs.foreach { d =>
+      DedupIndex.delete(batch.select(col("id").as("doc_id")), d, batchId)
+      crashPoint()
+    }
+    annDirs.foreach { d =>
+      AnnIndex.delete(batch.select(col("id").as("vec_id")), d, batchId)
+      crashPoint()
+    }
+    corpusDirs.foreach { d =>
+      StreamDedupIngest.corpusDelete(
+        batch.select(col("id").as("doc_id")), d, batchId)
+      crashPoint()
+    }
+  }
+
+  /** One removal-request stream (single `id LONG` column) driving every
+    * artifact. `policy`, when enabled, folds each INDEX artifact whose
+    * live window trips the bound after the batch lands (corpus
+    * tombstones fold at the next [[StreamDedupIngest.compactCorpus]] —
+    * the ingest side owns that cadence). */
+  def takedownAllSink(ids: DataFrame, dedupDirs: Seq[String],
+      annDirs: Seq[String], corpusDirs: Seq[String], checkpointDir: String,
+      policy: graft.operators.CompactionPolicy =
+        graft.operators.CompactionPolicy()): StreamingQuery =
+    ids.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          applyAll(batch.toDF(), batchId, dedupDirs, annDirs, corpusDirs)
+          if (policy.enabled) {
+            dedupDirs.foreach { d =>
+              lazy val stats = DedupIndex.deltaWindowStats(spark, d)
+              if (policy.triggers(batchId, stats._1, stats._2()))
+                DedupIndex.compactDeltas(spark, d)
+            }
+            annDirs.foreach { d =>
+              lazy val stats = AnnIndex.takedownWindowStats(spark, d)
+              if (policy.triggers(batchId, stats._1, stats._2())) {
+                AnnIndex.compactTakedown(spark, d)
+                ()
+              }
+            }
+          }
+          ()
+        }
+      }
+      .start()
+
+  /** The convergence report: one row per artifact with how many of the
+    * queue's ids are still VISIBLE in its live view. All-zero
+    * `n_visible` ⇔ the artifacts excluded the same id set — the check
+    * the N-independent-sinks layout could never make. The queue side is
+    * bounded by the takedown request log, so one distinct+count feeds
+    * the same join ladder the deletes use.
+    *
+    * @param queue every id ever enqueued (one `id` column)
+    * @return (artifact, kind, n_queue, n_visible) */
+  def takedownStatus(spark: SparkSession, queue: DataFrame,
+      dedupDirs: Seq[String], annDirs: Seq[String],
+      corpusDirs: Seq[String]): DataFrame = {
+    val idSet = queue.select(col("id")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nQueue = idSet.count()
+    def visible(live: DataFrame, idCol: String): Long =
+      live.join(
+        graft.queries.DedupQueries.sizedHint(
+          idSet.select(col("id").as(idCol)), nQueue, 16L),
+        Seq(idCol), "left_semi").count()
+    try {
+      val rows =
+        dedupDirs.map { d =>
+          Row(d, "dedup", nQueue, visible(
+            DedupIndex.load(spark, d).signatures.select(col("doc_id")),
+            "doc_id"))
+        } ++ annDirs.map { d =>
+          Row(d, AnnIndex.readManifest(spark, d).family, nQueue,
+            visible(annLiveIds(spark, d), "vec_id"))
+        } ++ corpusDirs.map { d =>
+          Row(d, "corpus", nQueue, visible(
+            StreamDedupIngest.readCorpus(spark, d).select(col("doc_id")),
+            "doc_id"))
+        }
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toIndexedSeq, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("artifact",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("kind",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("n_queue",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("n_visible",
+            org.apache.spark.sql.types.LongType))))
+    } finally idSet.unpersist()
+  }
+
+  /** The live per-vector id view of any takedown-capable ANN family —
+    * what [[takedownStatus]] checks visibility against. */
+  private def annLiveIds(spark: SparkSession, dir: String): DataFrame =
+    AnnIndex.readManifest(spark, dir).family match {
+      case "lsh" => AnnIndex.loadLsh(spark, dir).signatures
+        .select(col("vec_id"))
+      case "ivf" => AnnIndex.loadIvf(spark, dir).assign
+        .select(col("vec_id")).distinct()
+      case "pq" => AnnIndex.loadPq(spark, dir).codes
+        .select(col("vec_id")).distinct()
+      case "ivfpq" => AnnIndex.loadIvfPq(spark, dir).codes
+        .select(col("vec_id")).distinct()
+      case other => throw new IllegalArgumentException(
+        s"takedownStatus cannot enumerate family '$other' " +
+          "(sq8 stores no per-vector rows - its takedown authority is " +
+          "the caller's embedding store)")
+    }
+}
