@@ -357,6 +357,8 @@ object DedupIndex {
     val b = m.params.getOrElse("layout_buckets", 0L)
     if (b == 0 || keysHint < 0 || keysHint * 2 > b)
       return readWindow(spark, dir, m, pathOf, slots, cols)
+    if (key == "band_val" && m.params.getOrElse("layout_band_major", 0L) > 0)
+      return probeBandMajor(spark, dir, m, pathOf, slots, cols, probe)
     // ≤ LayoutBuckets distinct values — a bounded, probe-side collect.
     // A null probe key hashes to a null bucket (xxhash64/pmod of null);
     // it can't match any stored row, so drop it instead of NPE-ing the
@@ -395,6 +397,45 @@ object DedupIndex {
           case None => emptyTable(spark, cols)
         }
       } else spark.read.option("basePath", slabRoot).parquet(probedDirs: _*)
+        .select(cols.map(col).toIndexedSeq: _*)
+    if (slots.size == 1) slab
+    else slab.unionByName(
+      spark.read.parquet(slots.tail.map(pathOf(dir, _)): _*)
+        .select(cols.map(col).toIndexedSeq: _*))
+  }
+
+  /** [[probeWindow]] for a BAND-MAJOR slab (r13 verdict #4): the probe
+    * mounts at most [[DedupQueries.Bands]] `band_idx=` directories
+    * regardless of batch size — the hash-dir layout mounted one dir per
+    * distinct (band_idx, band_val) key, which for a serve probe is
+    * batch × Bands dirs and lost to flat on mount overhead alone. The
+    * per-key skipping moves INTO the mounted dirs: files are
+    * bvh-range-sorted at fold time, so the probe's collected hash
+    * IN-list (bounded by the caller's keysHint gate) pushes into the
+    * parquet scan and skips files/row groups via footer min/max. The
+    * bvh filter is a SUPERSET pre-filter (hash collisions admit rows
+    * the exact band_val join then drops), so results are identical to
+    * the full window read (SlabLayoutSpec pins it). */
+  private def probeBandMajor(spark: SparkSession, dir: String,
+      m: Manifest, pathOf: (String, Long) => String, slots: Seq[Long],
+      cols: Seq[String], probe: DataFrame): DataFrame = {
+    val slabRoot = pathOf(dir, slots.head)
+    val fs = new org.apache.hadoop.fs.Path(slabRoot)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // ≤ keysHint (band_idx, bvh) pairs — the bounded probe-side collect
+    val probed = probe
+      .select(col("band_idx"), xxhash64(col("band_val")).as("bvh"))
+      .filter(col("band_idx").isNotNull && col("bvh").isNotNull)
+      .distinct().collect()
+    val bandDirs = probed.map(_.getInt(0)).distinct.sorted.toIndexedSeq
+      .map(i => s"$slabRoot/band_idx=$i")
+      .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
+    val hashes = probed.map(r => java.lang.Long.valueOf(r.getLong(1)))
+      .distinct.toIndexedSeq
+    val slab =
+      if (bandDirs.isEmpty || hashes.isEmpty) emptyTable(spark, cols)
+      else spark.read.option("basePath", slabRoot).parquet(bandDirs: _*)
+        .filter(col("bvh").isin(hashes: _*))
         .select(cols.map(col).toIndexedSeq: _*)
     if (slots.size == 1) slab
     else slab.unionByName(
@@ -621,7 +662,9 @@ object DedupIndex {
     // reset it) re-lays the single slab instead of silently ignoring
     // the knob (r12 ADVICE)
     if (sd <= 1 && pd <= 1 && td == 0 &&
-      mf.params.getOrElse("layout_buckets", 0L) == effLayout.toLong)
+      mf.params.getOrElse("layout_buckets", 0L) == effLayout.toLong &&
+      mf.params.getOrElse("layout_band_major", 0L) ==
+        (if (effLayout > 0) 1L else 0L))
       return mf
     val tombs = tombstonesOf(spark, dir, mf)
     ArtifactIO.healOrphans(spark, s"$dir/signatures.parquet", "delta-",
@@ -647,11 +690,20 @@ object DedupIndex {
         tombs, tr, idCols: _*)
         .coalesce(32).write.mode("overwrite").parquet(pathOf(dir, slot))
     // the probe-joined tables (bands, postings) may be written BUCKETED
-    // (opt-in, scaladoc above): Hive-partitioned on
-    // pmod(key, layoutBuckets), so small probes prune to their keys'
-    // bucket directories instead of streaming the whole slab through
-    // the broadcast join (r11 verdict #3). One file per bucket. Reads
-    // go through [[readWindow]]/[[probeWindow]] (a prior compaction may
+    // (opt-in, scaladoc above). POSTINGS are Hive-partitioned on
+    // pmod(key, layoutBuckets): a few-key probe prunes to its keys'
+    // bucket directories (r11 verdict #3 — the measured 0.28 s 8-key
+    // win at 100×). BANDS get the BAND-MAJOR layout instead (r13
+    // verdict #4): a serve probe carries batch × Bands distinct band
+    // keys, so hash-bucket dirs made an 8-doc probe mount 128 dirs —
+    // per-dir mount overhead × 128 lost to flat at every measured
+    // size. Band-major partitions by band_idx ONLY (a probe of ANY
+    // batch size mounts ≤ Bands dirs) and does the hash bucketing at
+    // the FILE level: rows range-sorted on bvh = xxhash64(band_val)
+    // within each band, so the probe's pushed bvh IN-list skips files
+    // and row groups via footer min/max — a footer read, not a dir
+    // mount, which is what makes the skip free at any B. Reads go
+    // through [[readWindow]]/[[probeWindow]] (a prior compaction may
     // have bucketed the current base already — readWindow keys off the
     // OLD manifest for the fold's input, the new one for readers).
     def foldProbeTable(pathOf: (String, Long) => String, base: Long,
@@ -659,7 +711,13 @@ object DedupIndex {
       val in = minusTombs(
         readWindow(spark, dir, mf, pathOf, base until base + count, cols),
         tombs, tr, "doc_id")
-      if (effLayout > 0)
+      if (effLayout > 0 && key == "band_val")
+        in.withColumn("bvh", xxhash64(col("band_val")))
+          .repartitionByRange(64, col("band_idx"), col("bvh"))
+          .sortWithinPartitions(col("band_idx"), col("bvh"))
+          .write.partitionBy("band_idx").mode("overwrite")
+          .parquet(pathOf(dir, slot))
+      else if (effLayout > 0)
         in.withColumn("pb", slabBucket(key, effLayout.toLong))
           .repartition(effLayout, col("pb"))
           .write.partitionBy("pb").mode("overwrite")
@@ -681,7 +739,11 @@ object DedupIndex {
       ("pair_base" -> (pb + pd)) + ("pair_deltas" -> 1L) +
       ("tomb_base" -> (tb + td)) + ("tomb_deltas" -> 0L) +
       ("tomb_rows" -> 0L) +
-      ("layout_buckets" -> effLayout.toLong))
+      ("layout_buckets" -> effLayout.toLong) +
+      // bands written by THIS fold are band-major when bucketed; a
+      // pre-band-major slab (param absent) keeps its hash-dir read
+      // path until its next fold rewrites it
+      ("layout_band_major" -> (if (effLayout > 0) 1L else 0L)))
     val committed = ArtifactIO.commitManifest(spark, artifactDir, mf, mf2)
     // NO GC here: readers already ignore the folded window, but one
     // that loaded the old manifest just before this commit may still

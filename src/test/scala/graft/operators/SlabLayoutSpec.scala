@@ -118,22 +118,35 @@ class SlabLayoutSpec extends AnyFunSuite {
     DedupIndex.append(docs.filter(col("doc_id") % 2 === 1), dir)
     DedupIndex.compactDeltas(spark, dir, DedupIndex.LayoutBuckets)
     val ix = DedupIndex.load(spark, dir)
-    // one probe doc → Bands band rows → ≤ Bands bucket dirs
+    assert(ix.manifest.params("layout_band_major") == 1L,
+      "a bucketed fold must lay the band slab band-major")
+    // one probe doc → Bands band rows; a band-major probe mounts the
+    // probed band_idx DIRS (≤ Bands for ANY batch size — the r13 #4
+    // bound; the hash-dir layout mounted one dir per distinct key,
+    // batch × Bands for a serve probe)
     val probe = docs.filter(col("doc_id") === 5L)
       .select((col("doc_id") + 9100000L).as("doc_id"), col("text"))
     val qBands = DedupQueries.sigBandRows(DedupQueries.minhashSigArrFromHashes(
       DedupQueries.hashedShingleSets(probe))).drop("sig").persist()
-    val nBucketsProbed = qBands
-      .select(DedupIndex.slabBucket("band_val",
-        DedupIndex.LayoutBuckets.toLong))
-      .distinct().count()
+    // a SINGLE-BAND probe reads only that band's files — the dir-level
+    // prune the band_idx partitioning buys
+    val oneBand = qBands.filter(col("band_idx") === 0)
     val slabFiles = filesRead(DedupIndex.load(spark, dir).bands)
-    val prunedFiles = filesRead(
-      DedupIndex.probeBands(ix, qBands, DedupQueries.Bands.toLong))
+    val oneBandFiles = filesRead(
+      DedupIndex.probeBands(ix, oneBand, 1L))
+    assert(oneBandFiles < slabFiles,
+      s"a one-band probe must skip other bands' files: " +
+        s"$oneBandFiles vs slab $slabFiles")
+    // probe ≡ full view restricted to the probe's keys (the bvh
+    // IN-list is a superset pre-filter; the exact join stays lossless)
+    val full = ix.bands
+    assert(rows(DedupIndex.probeBands(ix, qBands, DedupQueries.Bands.toLong)
+        .join(qBands.select("band_idx", "band_val"),
+          Seq("band_idx", "band_val"))) ==
+      rows(full.join(qBands.select("band_idx", "band_val"),
+        Seq("band_idx", "band_val"))),
+      "band-major pruning must not lose any matching band row")
     qBands.unpersist()
-    assert(prunedFiles <= nBucketsProbed && prunedFiles < slabFiles,
-      s"band probe must prune: $prunedFiles vs slab $slabFiles " +
-        s"($nBucketsProbed buckets probed)")
 
     // appends on a bucketed artifact keep converging to the one-shot
     // build (mixed bucketed-slab + flat-delta window reads)
