@@ -113,6 +113,48 @@ class TuneIndexSpec extends AnyFunSuite {
     val mf = AnnIndex.readManifest(spark, dir)
     assert(mf.params("tuned_n_probe") == res.nProbe.toLong)
     assert(mf.params("tuned_recall_m") == math.round(res.recall * 1000))
+    // a capacity miss carries a concrete way forward (r13 verdict #8):
+    // the mask bound is named, with the rebuild / family escape hatches
+    assert(res.recommendation.contains("4 probes") &&
+      res.recommendation.contains("rebuild") &&
+      res.recommendation.contains("ivf"),
+      s"the lsh capacity signal must recommend a path: ${res.recommendation}")
+    // a met target carries no recommendation
+    val dir2 = tmp("lsh_met")
+    AnnIndex.buildLsh(corpus, dir2, dim, nCorpus)
+    val met = AnnIndex.tuneIndex(spark, dir2, corpus, queries,
+      targetRecall = 0.1)
+    assert(met.targetMet && met.recommendation.isEmpty)
+    spark.catalog.clearCache()
+  }
+
+  test("rebuildAndTune: knobs re-recorded against the NEW geometry (r13 #5)") {
+    val dir = tmp("ivfpq_rt")
+    AnnIndex.buildIvfPq(corpus, dir, dim, m = 8, k = 64, nHint = nCorpus)
+    val first = AnnIndex.tuneIndex(spark, dir, corpus, queries,
+      targetRecall = 0.9)
+    assert(first.targetMet)
+    // a bare rebuild drops the tuned knobs (measured against the OLD
+    // geometry — the documented revert this composition exists to fix)
+    AnnIndex.rebuild(corpus, dir, nCorpus)
+    val afterRebuild = AnnIndex.readManifest(spark, dir)
+    assert(!afterRebuild.params.contains("tuned_n_probe") &&
+      !afterRebuild.params.contains("tuned_r"),
+      "rebuild alone must drop stale knobs (the hazard)")
+    // the composition re-fits, swaps AND re-tunes: knobs recorded
+    // against the new version, serving defaults to them
+    val res = AnnIndex.rebuildAndTune(spark, dir, corpus, queries,
+      targetRecall = 0.9, nHint = nCorpus)
+    assert(res.targetMet)
+    val mf = AnnIndex.readManifest(spark, dir)
+    assert(mf.params("version") == 2L,
+      s"the re-fit must have swapped a new version in: ${mf.params}")
+    assert(mf.params("tuned_n_probe") == res.nProbe.toLong &&
+      mf.params("tuned_r") == res.r.toLong,
+      s"knobs must be recorded against the new geometry: ${mf.params}")
+    assert(rows(AnnIndex.serveTopK(spark, dir, queries, corpus)) ==
+      rows(AnnIndex.ivfPqServe(AnnIndex.loadIvfPq(spark, dir), corpus,
+        queries, r = res.r, topK = 3, nProbe = res.nProbe)))
     spark.catalog.clearCache()
   }
 }
