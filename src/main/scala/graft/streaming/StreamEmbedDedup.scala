@@ -86,8 +86,25 @@ object StreamEmbedDedup {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (!batch.isEmpty) {
-          graft.operators.AnnIndex.appendIvfPq(batch.toDF(), indexDir,
+          try graft.operators.AnnIndex.appendIvfPq(batch.toDF(), indexDir,
             batchId = batchId)
+          catch {
+            // poison-pill unblock (r13 ADVICE): a FRESH batch carrying
+            // an id taken down earlier is refused while the tombstone
+            // window is live — and Structured Streaming re-delivers
+            // the same batch on every restart, wedging the stream
+            // until someone compacts by hand. Empty the window (the
+            // documented unblock: a compacted takedown makes the id
+            // appendable again) and retry ONCE; a second refusal is a
+            // real contract violation and fails the query loudly.
+            case e: IllegalArgumentException
+                if e.getMessage != null &&
+                  e.getMessage.contains("tombstoned") =>
+              graft.operators.AnnIndex.compactIvfPqDeltas(
+                batch.sparkSession, indexDir)
+              graft.operators.AnnIndex.appendIvfPq(batch.toDF(), indexDir,
+                batchId = batchId)
+          }
           if (eff.enabled) {
             lazy val stats = graft.operators.AnnIndex
               .ivfPqDeltaWindowStats(batch.sparkSession, indexDir)

@@ -100,4 +100,41 @@ class StreamDedupIngestSpec extends AnyFunSuite {
       "compacted corpus must describe the same document set")
     spark.catalog.clearCache()
   }
+
+  test("poison-pill unblock: re-ingest of a taken-down id folds and retries") {
+    // r13 ADVICE: a FRESH batch carrying an id deleted earlier was
+    // refused while the tombstone window is live, and Structured
+    // Streaming re-delivers the same batch on every restart — the
+    // stream wedged until a manual compaction. The sink now folds the
+    // window and retries the batch once.
+    val all = Tables.documents(spark, sf).select("doc_id", "text")
+    val seed = all.filter(col("doc_id") < 40)
+    val ixDir = Files.createTempDirectory("graft_pp_ix").toString
+    DedupIndex.build(seed, ixDir, -1L)
+    val corpusDir = Files.createTempDirectory("graft_pp_corpus").toString
+    seed.coalesce(1).write.parquet(s"$corpusDir/batch-seed")
+    // takedown of doc 3: live tombstone window
+    val spark0 = spark
+    import spark0.implicits._
+    assert(DedupIndex.delete(Seq(3L).toDF("doc_id"), ixDir) == 1L)
+    // a fresh batch re-ingests doc 3 (re-crawl after the takedown's
+    // content was republished — the realistic poison-pill shape)
+    val landing = Files.createTempDirectory("graft_pp_landing").toString
+    all.filter(col("doc_id") === 3L || col("doc_id") === 45L)
+      .coalesce(1).write.mode("append").parquet(landing)
+    val q = StreamDedupIngest.ingestSink(
+      StreamDedupIngest.readDocs(spark, landing), ixDir, corpusDir,
+      Files.createTempDirectory("graft_pp_ckpt").toString)
+    try q.processAllAvailable() finally q.stop()
+    // the stream did not wedge: the fold emptied the window, the batch
+    // applied, and doc 3 is ingested again
+    val ix = DedupIndex.load(spark, ixDir)
+    assert(ix.manifest.params("tomb_deltas") == 0L,
+      "the unblock must have folded the tombstone window")
+    assert(ix.signatures.filter(col("doc_id") === 3L).count() == 1L,
+      "the re-ingested id must be live again")
+    assert(ix.signatures.filter(col("doc_id") === 45L).count() == 1L)
+    assert(ix.manifest.n == 41L) // 40 - 1 deleted + 2 ingested
+    spark.catalog.clearCache()
+  }
 }

@@ -259,4 +259,39 @@ class StreamingEmbedDedupSpec extends AnyFunSuite {
       assert(top(qid) == qid + 2000000L, s"query $qid: ${top(qid)}"))
     spark.catalog.clearCache()
   }
+
+  test("poison-pill unblock: re-ingest of a taken-down vec folds and retries") {
+    // the ivfpq twin of StreamDedupIngestSpec's poison-pill case (r13
+    // ADVICE): a fresh batch carrying a taken-down id must fold the
+    // tombstone window and retry instead of wedging the stream
+    import graft.operators.AnnIndex
+    val emb = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding", "label")
+    val n = Tables.embeddingsRows(spark, sf)
+    val ixDir = Files.createTempDirectory("graft_pp_ivfpq").toString
+    AnnIndex.buildIvfPq(emb, ixDir, Tables.EmbeddingDim, m = 8, k = 64,
+      nHint = n)
+    val spark0 = spark
+    import spark0.implicits._
+    assert(AnnIndex.delete(Seq(5L).toDF("vec_id"), ixDir) == 1L)
+    val landing = Files.createTempDirectory("graft_pp_landing2").toString
+    emb.filter(col("vec_id") === 5L)
+      .unionByName(emb.filter(col("vec_id") === 2L)
+        .select((col("vec_id") + 4000000L).as("vec_id"), col("embedding"),
+          col("label")))
+      .coalesce(1).write.mode("append").parquet(landing)
+    val q = StreamEmbedDedup.indexAppendSink(
+      StreamEmbedDedup.readEmbeddings(spark, landing), ixDir,
+      Files.createTempDirectory("graft_pp_ckpt2").toString)
+    try q.processAllAvailable() finally q.stop()
+    val mf = AnnIndex.readManifest(spark, ixDir)
+    assert(mf.params("tomb_deltas") == 0L,
+      "the unblock must have folded the tombstone window")
+    val ids = AnnIndex.loadIvfPq(spark, ixDir).codes
+      .select("vec_id").distinct()
+    assert(ids.filter(col("vec_id") === 5L).count() == 1L,
+      "the re-ingested vector must be live again")
+    assert(mf.n == n + 1L) // n - 1 deleted + 2 ingested
+    spark.catalog.clearCache()
+  }
 }

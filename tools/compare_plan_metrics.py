@@ -53,7 +53,42 @@ def main(base_path, cur_path):
     return 0
 
 
+def self_test():
+    """Exercise the gate on a deliberately-regressed plan (round-14
+    item: the gate must be shown to CATCH, not just to pass)."""
+    import tempfile
+    import os
+    base = {"plan_metrics": {
+        "q_ok": {"tasks": 100, "shuffle_read": 50 << 20, "shuffle_write": 10 << 20},
+        "q_bad": {"tasks": 40, "shuffle_read": 8 << 20, "shuffle_write": 1 << 20},
+    }}
+    # q_bad lost a broadcast hint: tasks and shuffle bytes balloon far
+    # past the AQE-wiggle tolerance; q_ok moves inside it
+    cur = {"plan_metrics": {
+        "q_ok": {"tasks": 104, "shuffle_read": 52 << 20, "shuffle_write": 10 << 20},
+        "q_bad": {"tasks": 160, "shuffle_read": 900 << 20, "shuffle_write": 300 << 20},
+    }}
+    paths = []
+    for doc in (base, cur):
+        f = tempfile.NamedTemporaryFile("w", suffix=".json", delete=False)
+        json.dump(doc, f)
+        f.close()
+        paths.append(f.name)
+    try:
+        rc = main(paths[0], paths[1])
+        assert rc == 1, f"regressed plan must be flagged (exit {rc})"
+        rc = main(paths[0], paths[0])
+        assert rc == 0, f"identical plans must pass (exit {rc})"
+    finally:
+        for p in paths:
+            os.unlink(p)
+    print("self-test OK: regression flagged, stable pair passes")
+    return 0
+
+
 if __name__ == "__main__":
+    if len(sys.argv) == 2 and sys.argv[1] == "--self-test":
+        sys.exit(self_test())
     if len(sys.argv) != 3:
         print(__doc__)
         sys.exit(2)
