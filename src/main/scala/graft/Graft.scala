@@ -397,6 +397,28 @@ object Graft {
     operators.AnnIndex.tuneIndex(spark, dir, emb, queries, targetRecall,
       topK, keepIds)
 
+  /** [[rebuildAnnIndex]] composed with [[tuneAnnIndex]]: re-fit the
+    * quantizers to the current corpus, swap atomically, then re-measure
+    * and record the knob ladder against the NEW geometry — the cron
+    * call that keeps a scheduled re-fit from silently serving at
+    * family defaults. What a tripped [[annRecallCheck]] asks for. */
+  def rebuildAndTuneAnnIndex(spark: SparkSession, dir: String,
+      emb: DataFrame, queries: DataFrame, targetRecall: Double = 0.9,
+      topK: Int = 3, keepIds: Option[DataFrame] = None,
+      nHint: Long = -1L): operators.AnnIndex.TuneResult =
+    operators.AnnIndex.rebuildAndTune(spark, dir, emb, queries,
+      targetRecall, topK, keepIds, nHint)
+
+  /** Recall drift detection: re-measure the serving path's recall@k at
+    * the TUNED operating point (recorded by [[tuneAnnIndex]]); `drifted`
+    * fires when it fell more than `driftBoundM` (×1000) below the
+    * recorded value — the [[rebuildAndTuneAnnIndex]] trigger. */
+  def annRecallCheck(spark: SparkSession, dir: String, emb: DataFrame,
+      queries: DataFrame, driftBoundM: Long = 50L,
+      keepIds: Option[DataFrame] = None): operators.AnnIndex.RecallDrift =
+    operators.AnnIndex.recallCheck(spark, dir, emb, queries, driftBoundM,
+      keepIds)
+
   // ---- dedup-pipeline artifact (build once, consume many) ---------------
 
   /** Build the persistent dedup artifact under `dir`: the MinHash

@@ -245,18 +245,42 @@ object StreamDedupIngest {
     val n = folded.count()
     try folded.write.mode("overwrite").parquet(mergedPath(corpusDir, upTo))
     finally folded.unpersist()
+    // the fold made tombstones physical ONLY for the batches it folded
+    // (ids ≤ upTo) — a tombstoned doc living in a batch published AFTER
+    // upTo would RESURFACE if the window were blanket-reset. Carry the
+    // surviving tombstones (those matching a still-live batch dir)
+    // forward as a fresh delta; the common case (fold covers every
+    // batch) carries nothing and the window genuinely empties.
+    val (liveNums, _) = batchDirs(spark, corpusDir)
+    val liveBatches = liveNums.filter(_ > upTo)
+      .map(i => s"$corpusDir/batch-$i")
+    val nCarried: Long = if (td == 0 || liveBatches.isEmpty) 0L else {
+      val tombs = spark.read.parquet(
+          (tb until tb + td).map(takedownPath(corpusDir, _)): _*)
+        .select(col("doc_id"))
+      val surviving = tombs.join(
+          spark.read.parquet(liveBatches: _*).select(col("doc_id")),
+          Seq("doc_id"), "left_semi")
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val c = surviving.count()
+      try {
+        if (c > 0) surviving.write.mode("overwrite")
+          .parquet(takedownPath(corpusDir, tb + td))
+        c
+      } finally surviving.unpersist()
+    }
+    val carriedDeltas = if (nCarried > 0) 1L else 0L
     // CAS against the manifest read at entry — two corpus compactions
     // racing (or one racing a takedown on this manifest) refuse instead
-    // of silently overwriting each other's commit. The takedown params
-    // carry over with the window RESET (every tombstone is physical
-    // now); the applied deltas survive one reader-grace cycle until the
-    // next pass's heal sweep
+    // of silently overwriting each other's commit. The applied deltas
+    // survive one reader-grace cycle until the next pass's heal sweep
     val base0 = base.getOrElse(
       graft.operators.ArtifactIO.Manifest("corpus", 0, 0L, Map.empty))
     graft.operators.ArtifactIO.commitManifest(spark, corpusDir, base0,
       base0.copy(n = n, params = base0.params +
         ("merged_upto" -> upTo) + ("tomb_base" -> (tb + td)) +
-        ("tomb_deltas" -> 0L) + ("tomb_rows" -> 0L)))
+        ("tomb_deltas" -> carriedDeltas) + ("tomb_rows" -> nCarried)))
     // no GC at the commit — this pass's folded dirs keep one grace
     // cycle for in-flight readers; the next compaction's sweep ends it
   }

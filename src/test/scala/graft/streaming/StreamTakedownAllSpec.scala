@@ -143,14 +143,31 @@ class StreamTakedownAllSpec extends AnyFunSuite {
     val mf = ArtifactIO.readManifest(spark, corpusDir)
     assert(Graft.corpusDelete(spark, corpusDir, Seq(7L).toDF("doc_id")) == 0L)
     assert(ArtifactIO.readManifest(spark, corpusDir) == mf)
-    // the fold applies tombstones physically and resets the window
+    // a batch published AFTER the fold boundary carries a doc that is
+    // then taken down: the fold must NOT blanket-reset the window (the
+    // doc's rows are not in the folded slab — a reset would resurface
+    // them); surviving tombstones carry forward as a fresh delta
+    val late = Tables.documents(spark, sf)
+      .filter(col("doc_id") >= 40 && col("doc_id") < 50)
+    late.coalesce(1).write.mode("overwrite").parquet(s"$corpusDir/batch-2")
+    assert(Graft.corpusDelete(spark, corpusDir,
+      Seq(45L).toDF("doc_id")) == 1L)
+    // fold covers only batches <= 1; doc 45 lives in batch-2
     StreamDedupIngest.compactCorpus(spark, corpusDir, upTo = 1L)
     val mf2 = ArtifactIO.readManifest(spark, corpusDir)
-    assert(mf2.params("tomb_deltas") == 0L && mf2.params("tomb_rows") == 0L)
-    assert(mf2.n == 38L)
+    assert(mf2.params("tomb_deltas") == 1L && mf2.params("tomb_rows") == 1L,
+      s"the un-folded tombstone must carry forward: ${mf2.params}")
     val folded = StreamDedupIngest.readCorpus(spark, corpusDir)
-    assert(rows(folded) == rows(docs.filter(
-      !col("doc_id").isInCollection(Seq(7L, 23L)))))
+    assert(folded.filter(col("doc_id") === 45L).isEmpty,
+      "a takedown in a live batch must survive the fold")
+    assert(rows(folded) == rows(docs.unionByName(late).filter(
+      !col("doc_id").isInCollection(Seq(7L, 23L, 45L)))))
+    // a fold that covers EVERYTHING genuinely empties the window
+    StreamDedupIngest.compactCorpus(spark, corpusDir, upTo = 2L)
+    val mf3 = ArtifactIO.readManifest(spark, corpusDir)
+    assert(mf3.params("tomb_deltas") == 0L && mf3.params("tomb_rows") == 0L)
+    assert(StreamDedupIngest.readCorpus(spark, corpusDir)
+      .filter(col("doc_id") === 45L).isEmpty)
     spark.catalog.clearCache()
   }
 }
