@@ -124,6 +124,40 @@ class StreamTakedownAllSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("orchestrated sink: flat family + policy folds, windows stay empty") {
+    // a flat-family (lsh) artifact rides the same queue, and an enabled
+    // policy folds every artifact whose live window trips the bound —
+    // the orchestrated stream never accretes anti-join debt
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") < 60)
+    val emb = Tables.embeddings(spark, sf).filter(col("vec_id") < 60)
+    val dedupDir = tmp("pol_dedup")
+    DedupIndex.build(docs, dedupDir, 60L)
+    val lshDir = tmp("pol_lsh")
+    AnnIndex.buildLsh(emb, lshDir, Tables.EmbeddingDim, 60L)
+    val landing = tmp("pol_landing")
+    idFiles(landing, Seq(Seq(0L, 2L), Seq(5L)))
+    val q = Graft.streamTakedownAll(spark, landing, Seq(dedupDir),
+      Seq(lshDir), Nil, tmp("pol_ckpt"),
+      policy = graft.operators.CompactionPolicy(maxDeltas = 1))
+    try q.processAllAvailable() finally q.stop()
+    val spark0 = spark
+    import spark0.implicits._
+    val queue = Seq(0L, 2L, 5L).toDF("id")
+    val status = Graft.takedownStatus(spark, queue, Seq(dedupDir),
+      Seq(lshDir), Nil).collect()
+    assert(status.forall(_.getAs[Long]("n_visible") == 0L),
+      s"flat family must converge too: ${status.mkString(";")}")
+    // the policy folded in-stream: no pending tombstones anywhere, the
+    // lsh fold ran as the frozen-quantizer version swap
+    val mfD = ArtifactIO.readManifest(spark, dedupDir)
+    val mfL = ArtifactIO.readManifest(spark, lshDir)
+    assert(mfD.params("tomb_deltas") == 0L,
+      s"dedup window must be folded in-stream: ${mfD.params}")
+    assert(mfL.params("tomb_deltas") == 0L && mfL.params("version") >= 1L,
+      s"lsh window must be folded via the version swap: ${mfL.params}")
+    spark.catalog.clearCache()
+  }
+
   test("corpus takedown: instant exclusion, physical drop at compaction") {
     val docs = Tables.documents(spark, sf).filter(col("doc_id") < 40)
     val corpusDir = tmp("corpus_solo")
