@@ -247,14 +247,10 @@ object AnnIndex {
   private def tombRowsOf(m: Manifest): Long =
     m.params.getOrElse("tomb_rows",
       if (ivfTombWindow(m)._2 == 0) 0L else -1L)
-  /** Join-strategy hint for a tombstone/removal-id side — the
-    * [[DedupIndex]] ladder twin (r13 verdict "what's wrong" #1): exact
-    * row count through [[graft.queries.DedupQueries.sizedHint]]'s
-    * tiers instead of a bare `broadcast()` a bulk takedown would force
-    * into the driver; unknown legacy counts keep the broadcast. */
+  /** [[graft.queries.DedupQueries.idSideHint]] — the shared removal-id
+    * join ladder. */
   private def idSideHint(side: DataFrame, rows: Long): DataFrame =
-    if (rows < 0) broadcast(side)
-    else graft.queries.DedupQueries.sizedHint(side, rows, 16L)
+    graft.queries.DedupQueries.idSideHint(side, rows)
   /** Anti-join the per-vector table against the live tombstones. */
   private def minusTombs(spark: SparkSession, dir: String, m: Manifest,
       t: DataFrame): DataFrame =
@@ -325,6 +321,12 @@ object AnnIndex {
         "(appending to a flat codes dir cannot be made crash-safe)")
     if (batchId >= 0 && mf.params.get("last_batch").exists(_ >= batchId))
       return 0L // replayed micro-batch: already applied and committed
+    // heal→stage→commit under the commit lease: the heal sweep and the
+    // staged slot number come from the manifest read above, and a stale
+    // mutator without the lease could delete/overwrite a slot a
+    // concurrent winner committed from the same numbers (r14 review #1)
+    ArtifactIO.withCommitLease(spark, dir) {
+    ArtifactIO.requireUnmoved(spark, dir, mf)
     val (base, count) = deltaWindow(mf)
     val committed = base + count // next uncommitted slot
     val root = tableRoot(dir, mf)
@@ -341,12 +343,13 @@ object AnnIndex {
     // (r12 ADVICE). Deleted ids become appendable again after a
     // compaction/rebuild empties the window.
     ivfTombsOf(spark, root, mf).foreach { tt =>
-      require(newEmb.select(col("vec_id"))
+      if (!newEmb.select(col("vec_id"))
           .join(idSideHint(tt.select(col("vec_id")), tombRowsOf(mf)),
-            Seq("vec_id"), "left_semi").isEmpty,
-        "increment re-ingests tombstoned vec_ids - live tombstones would " +
-          "hide the codes from every reader and the next compaction would " +
-          "drop them; compact or rebuild the index first")
+            Seq("vec_id"), "left_semi").isEmpty)
+        throw new TombstonedIdsException(
+          "increment re-ingests tombstoned vec_ids - live tombstones would " +
+            "hide the codes from every reader and the next compaction would " +
+            "drop them; compact or rebuild the index first")
     }
     val (dim, m) = (mf.dim, mf.params("m").toInt)
     val cents = table(spark, root, "ivfpq_centroids")
@@ -388,6 +391,7 @@ object AnnIndex {
           params = mf.params + ("deltas" -> (count + 1)) ++ batchParam))
       appended * m
     } finally home.unpersist()
+    } // withCommitLease
   }
 
   /** Fold the accumulated ivfpq code deltas into ONE slab — the
@@ -412,11 +416,15 @@ object AnnIndex {
     val (base, count) = deltaWindow(mf)
     val root = tableRoot(dir, mf)
     val (tb, td) = ivfTombWindow(mf)
+    // heal→stage→commit under the commit lease (r14 review #1)
+    ArtifactIO.withCommitLease(spark, dir) {
+    ArtifactIO.requireUnmoved(spark, dir, mf)
     ArtifactIO.healOrphans(spark, s"$root/ivfpq_tombstones.parquet",
       "delta-", tb + td, tb)
     // pending tombstones force a fold even at one slab — compaction is
     // where a takedown becomes a PHYSICAL row drop ([[deleteIvfPq]])
-    if (count <= 1 && td == 0) return mf // already one slab
+    if (count <= 1 && td == 0) mf // already one slab
+    else {
     ArtifactIO.healOrphans(spark, s"$root/ivfpq_codes.parquet", "delta-",
       base + count, base)
     // codesTable applies the live tombstones — the fold materializes
@@ -432,6 +440,8 @@ object AnnIndex {
     // no GC at the commit — in-flight readers get one grace cycle; the
     // next mutation's heal sweeps the folded window (scaladoc above)
     committed
+    }
+    } // withCommitLease
   }
 
   /** (live code-delta count incl. pending tombstones, lazy bytes of the
@@ -502,6 +512,9 @@ object AnnIndex {
       return 0L // replayed takedown batch: already applied and committed
     val root = tableRoot(dir, mf)
     val (tb, td) = ivfTombWindow(mf)
+    // heal→stage→commit under the commit lease (r14 review #1)
+    ArtifactIO.withCommitLease(spark, dir) {
+    ArtifactIO.requireUnmoved(spark, dir, mf)
     ArtifactIO.healOrphans(spark,
       s"$root/${mf.family}_tombstones.parquet", "delta-", tb + td, tb)
     // the family's per-vector table, prior tombstones already excluded
@@ -537,7 +550,8 @@ object AnnIndex {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nRemoved = removed.count()
     try {
-      if (nRemoved == 0) return 0L // nothing lives to remove: no commit
+      if (nRemoved == 0) 0L // nothing lives to remove: no commit
+      else {
       removed.write.mode("overwrite")
         .parquet(tombPath(root, mf.family, tb + td))
       val batchParam = if (batchId >= 0)
@@ -554,7 +568,9 @@ object AnnIndex {
           params = mf.params + ("tomb_base" -> tb) +
             ("tomb_deltas" -> (td + 1)) ++ rowsParam ++ batchParam))
       nRemoved
+      }
     } finally { removed.unpersist(); idSet.unpersist() }
+    } // withCommitLease
   }
 
   /** [[delete]] (family-dispatched); kept as the ivfpq-named entry. */
@@ -600,9 +616,13 @@ object AnnIndex {
          else "its own lifecycle (sq8 stores no per-vector rows)"))
     val (tb, td) = ivfTombWindow(mf)
     val root = tableRoot(dir, mf)
+    // heal→stage→commit under the commit lease (r14 review #1)
+    ArtifactIO.withCommitLease(spark, dir) {
+    ArtifactIO.requireUnmoved(spark, dir, mf)
     ArtifactIO.healOrphans(spark,
       s"$root/${mf.family}_tombstones.parquet", "delta-", tb + td, tb)
-    if (td == 0) return mf // no pending tombstones: nothing to fold
+    if (td == 0) mf // no pending tombstones: nothing to fold
+    else {
     val cur = mf.params.getOrElse("version", 0L)
     val next = cur + 1
     sweepVersions(spark, dir, mf.family, cur)
@@ -621,6 +641,8 @@ object AnnIndex {
       mf.params + ("version" -> next) +
         ("tomb_base" -> (tb + td)) + ("tomb_deltas" -> 0L) +
         ("tomb_rows" -> 0L)))
+    }
+    } // withCommitLease
   }
 
   /** Family-dispatched compaction — the ONE owner of the
@@ -1190,7 +1212,10 @@ object AnnIndex {
     val tunedM = m.params("tuned_recall_m")
     val driftM = tunedM - curM
     RecallDrift(m.family, tunedM, curM, driftM, driftM > driftBoundM,
-      m.params.get("tuned_sample_fp").forall(_ == sampleFingerprint(queries)))
+      // exists, not forall: an index tuned before fingerprints were
+      // recorded must report NOT-matching (unknown) rather than claim
+      // the supplied sample is the recorded one (r14 review #8)
+      m.params.get("tuned_sample_fp").exists(_ == sampleFingerprint(queries)))
   }
 
   /** [[rebuild]] composed with [[tuneIndex]] (r13 verdict #5): rebuild

@@ -11,6 +11,15 @@ import org.apache.spark.sql.SparkSession
 final class ConcurrentMutationException(msg: String)
   extends java.io.IOException(msg)
 
+/** An increment re-ingests ids the artifact's LIVE tombstone window
+  * still lists: appending would hide the rows behind the anti-join and
+  * the next compaction would drop them physically. A typed exception —
+  * not message-matched text — because the ingest sinks' poison-pill
+  * unblock keys its recovery (fold the window, retry once) on catching
+  * exactly this case. */
+final class TombstonedIdsException(msg: String)
+  extends IllegalArgumentException(msg)
+
 /** Shared crash-safe manifest commit for persisted index artifacts
   * ([[AnnIndex]], [[DedupIndex]]) — the compactor's snapshot commit
   * protocol ([[graft.compact.Orchestrator]] writeAtomic /
@@ -69,12 +78,22 @@ object ArtifactIO {
       dir: String): String = {
     val lock = lockPath(dir)
     val token = java.util.UUID.randomUUID().toString
-    def tryCreate(): Boolean =
-      try {
-        val out = fs.create(lock, false)
-        try out.write(token.getBytes("UTF-8")) finally out.close()
-        true
-      } catch { case _: java.io.IOException => false }
+    def tryCreate(): Boolean = {
+      // split the exclusive CREATE (contended: already-exists is the
+      // normal refusal) from the token WRITE (ours alone: a failure
+      // mid-write must remove the partial lock before propagating, or
+      // one transient IO error locks every mutator out for a full TTL)
+      val out =
+        try fs.create(lock, false)
+        catch { case _: java.io.IOException => return false }
+      try { out.write(token.getBytes("UTF-8")); out.close(); true }
+      catch {
+        case e: java.io.IOException =>
+          try fs.delete(lock, false)
+          catch { case scala.util.control.NonFatal(_) => () }
+          throw e
+      }
+    }
     if (!tryCreate()) {
       val age =
         try System.currentTimeMillis() - fs.getFileStatus(lock)
@@ -108,10 +127,68 @@ object ArtifactIO {
       try {
         val in = fs.open(lock)
         val buf = new Array[Byte](64)
-        val n = try in.read(buf) finally in.close()
+        // loop the read: a single read() may under-fill on remote FS
+        // and a truncated token would strand our own lock for the TTL
+        var (n, r) = (0, 0)
+        try { while (r >= 0 && n < buf.length) {
+          r = in.read(buf, n, buf.length - n); if (r > 0) n += r
+        } } finally in.close()
         n > 0 && new String(buf, 0, n, "UTF-8") == token
       } catch { case scala.util.control.NonFatal(_) => false }
     if (held) fs.delete(lock, false)
+  }
+
+  /** Held-lease registry for the current thread — what makes
+    * [[withCommitLease]] re-entrant: [[commitManifest]] inside a leased
+    * section reuses the held lease instead of refusing itself. Keyed by
+    * the normalized dir path. */
+  private val heldLeases = new ThreadLocal[Map[String, String]] {
+    override def initialValue(): Map[String, String] = Map.empty
+  }
+  private def leaseKey(dir: String): String = new Path(dir).toString
+
+  /** Run `body` HOLDING the commit lease for `dir` — the whole-mutation
+    * critical section (r14 review finding #1): the manifest CAS alone
+    * refuses a loser only AT ITS COMMIT, which is after its heal sweep
+    * may have deleted — and its staged writes overwritten — delta/
+    * tombstone slots a concurrent winner committed from the same stale
+    * window numbers. Every mutation wraps its heal→stage→commit section
+    * here (with [[requireUnmoved]] as the first statement inside), so a
+    * stale mutator refuses BEFORE touching any data dir. Re-entrant per
+    * thread. The lease is now held for the mutation's duration rather
+    * than the commit's: a crash mid-mutation parks contenders for one
+    * TTL before takeover, and a mutation outliving the TTL (only
+    * [[AnnIndex.rebuild]]'s full re-fit plausibly does — it is
+    * deliberately NOT wrapped) falls back to the CAS backstop. */
+  def withCommitLease[A](spark: SparkSession, dir: String)(body: => A): A = {
+    val key = leaseKey(dir)
+    if (heldLeases.get.contains(key)) return body // re-entrant
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    val token = acquireLease(fs, dir)
+    heldLeases.set(heldLeases.get + (key -> token))
+    try body
+    finally {
+      heldLeases.set(heldLeases.get - key)
+      releaseLease(fs, dir, token)
+    }
+  }
+
+  /** Refuse (inside the lease) when the artifact moved since the caller
+    * read `base` — the guarantee that every heal/stage write that
+    * follows targets slots no concurrent winner committed. A missing
+    * manifest (first-ever commit) passes. */
+  def requireUnmoved(spark: SparkSession, dir: String,
+      base: Manifest): Unit = {
+    val cur =
+      try Some(readManifest(spark, dir))
+      catch { case _: java.io.FileNotFoundException => None }
+    cur.filter(c => epochOf(c) != epochOf(base)).foreach { c =>
+      throw new ConcurrentMutationException(
+        s"manifest at $dir moved from epoch ${epochOf(base)} to " +
+          s"${epochOf(c)} since this mutation read it (a concurrent " +
+          "mutator committed) - nothing was staged; re-run against the " +
+          "fresh state")
+    }
   }
 
   /** Enforced single-mutator commit (r12 verdict #1): publish `next`
@@ -145,7 +222,10 @@ object ArtifactIO {
     if (hook.isDefined) { raceHookForTests = None; hook.foreach(_()) }
     val expected = epochOf(base)
     val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
-    val token = acquireLease(fs, dir)
+    // re-entrant under [[withCommitLease]]: a mutation that leased its
+    // whole heal→stage→commit section commits on the lease it holds
+    val alreadyHeld = heldLeases.get.contains(leaseKey(dir))
+    val token = if (alreadyHeld) "" else acquireLease(fs, dir)
     try {
       // ONLY a genuinely missing manifest (the first-ever commit, e.g.
       // compactCorpus) may skip the pre-check; any other read failure
@@ -171,7 +251,7 @@ object ArtifactIO {
             "THIS mutation did not land; its staged data is orphaned and " +
             "will be healed; re-run to retry")
       stamped
-    } finally releaseLease(fs, dir, token)
+    } finally if (!alreadyHeld) releaseLease(fs, dir, token)
   }
 
   def writeManifest(spark: SparkSession, dir: String, m: Manifest): Unit = {

@@ -64,6 +64,13 @@ object DedupIndex {
     * slabs far beyond gate scale (BENCH_NOTES). */
   val LayoutBuckets = 64
 
+  /** Probe-key cap for the band-major IN-list path: beyond this many
+    * distinct (band_idx, band_val) keys the collected hash pushdown
+    * stops paying (driver collect + a multi-thousand-literal filter vs
+    * a 32-thread slab scan) and the probe falls back to the full
+    * window read. Bounds the driver collect at ~64 KB of longs. */
+  val BandMajorMaxKeys = 4096L
+
   /** The loaded artifact's table views. LAZY on purpose: merely
     * CREATING a DataFrame over a bucket-partitioned slab lists every
     * bucket directory (seconds at B=4096 — SlabLayoutBench), so a
@@ -205,16 +212,9 @@ object DedupIndex {
     m.params.getOrElse("tomb_rows",
       if (tombWindow(m)._2 == 0) 0L else -1L)
 
-  /** Join-strategy hint for a tombstone/removal-id side: ride the
-    * [[DedupQueries.sizedHint]] ladder on the EXACT row count instead of
-    * a bare `broadcast()` (r13 verdict "what's wrong" #1 — a bulk
-    * takedown of millions of ids, or the live tombstone set after one,
-    * must not be forced into the driver). Unknown counts (legacy
-    * manifests with a live window but no accounting) keep the legacy
-    * broadcast — their windows predate bulk takedown support. */
+  /** [[DedupQueries.idSideHint]] — the shared removal-id join ladder. */
   private def idSideHint(side: DataFrame, rows: Long): DataFrame =
-    if (rows < 0) broadcast(side)
-    else DedupQueries.sizedHint(side, rows, 16L)
+    DedupQueries.idSideHint(side, rows)
 
   /** Anti-join `t`'s id columns against the tombstone set — how every
     * reader excludes taken-down docs the instant the delete commits,
@@ -355,10 +355,20 @@ object DedupIndex {
       pathOf: (String, Long) => String, slots: Seq[Long], cols: Seq[String],
       key: String, probe: DataFrame, keysHint: Long = -1L): DataFrame = {
     val b = m.params.getOrElse("layout_buckets", 0L)
-    if (b == 0 || keysHint < 0 || keysHint * 2 > b)
+    if (b == 0 || keysHint < 0)
       return readWindow(spark, dir, m, pathOf, slots, cols)
+    // band-major dispatch BEFORE the hash-dir gate (r14 review #3): its
+    // mount count is ≤ Bands for ANY batch, so the only bound it needs
+    // is the IN-list size (the collected hash pushdown) — the
+    // keysHint·2 ≤ buckets heuristic is about skippable DIRECTORIES
+    // and would wrongly disable band-major for exactly the multi-doc
+    // serve probes it was built for
     if (key == "band_val" && m.params.getOrElse("layout_band_major", 0L) > 0)
-      return probeBandMajor(spark, dir, m, pathOf, slots, cols, probe)
+      return if (keysHint > BandMajorMaxKeys)
+        readWindow(spark, dir, m, pathOf, slots, cols)
+      else probeBandMajor(spark, dir, m, pathOf, slots, cols, probe)
+    if (keysHint * 2 > b)
+      return readWindow(spark, dir, m, pathOf, slots, cols)
     // ≤ LayoutBuckets distinct values — a bounded, probe-side collect.
     // A null probe key hashes to a null bucket (xxhash64/pmod of null);
     // it can't match any stored row, so drop it instead of NPE-ing the
@@ -480,6 +490,10 @@ object DedupIndex {
         "rebuild it (text-free appends need the persisted verify data)")
     if (batchId >= 0 && mf.params.get("last_batch").exists(_ >= batchId))
       return 0L // replayed micro-batch: already applied and committed
+    // heal→stage→commit under the commit lease: slot numbers and the
+    // heal sweep come from the manifest read above (r14 review #1)
+    ArtifactIO.withCommitLease(spark, artifactDir) {
+    ArtifactIO.requireUnmoved(spark, artifactDir, mf)
     val dir = tableRoot(artifactDir, mf) // tables live under the root
     val (sd, pd, cv) = (mf.params("sig_deltas"), mf.params("pair_deltas"),
       mf.params("comp_versions"))
@@ -507,12 +521,13 @@ object DedupIndex {
     // from the corpus view). Deleted ids become appendable again after
     // a compaction/rebuild empties the window.
     tombs.foreach { tt =>
-      require(newDocs.select(col("doc_id"))
+      if (!newDocs.select(col("doc_id"))
           .join(idSideHint(tt.select(col("doc_id")), tombRowsOf(mf)),
-            Seq("doc_id"), "left_semi").isEmpty,
-        "increment re-ingests tombstoned doc_ids - live tombstones would " +
-          "hide the rows from every reader and the next compaction would " +
-          "drop them; compact or rebuild the artifact first")
+            Seq("doc_id"), "left_semi").isEmpty)
+        throw new TombstonedIdsException(
+          "increment re-ingests tombstoned doc_ids - live tombstones would " +
+            "hide the rows from every reader and the next compaction would " +
+            "drop them; compact or rebuild the artifact first")
     }
     val ni = newDocs.count()
     val incHs = DedupQueries.hashedShingleSets(newDocs)
@@ -589,6 +604,7 @@ object DedupIndex {
         } finally crossCand.unpersist()
       } finally incSig.unpersist()
     } finally incHs.unpersist()
+    } // withCommitLease
   }
 
   /** Fold the accumulated delta dirs into ONE slab per table — the
@@ -645,6 +661,9 @@ object DedupIndex {
     val (sb, pb) = (mf.params.getOrElse("sig_base", 0L),
       mf.params.getOrElse("pair_base", 0L))
     val (tb, td) = tombWindow(mf)
+    // heal→stage→commit under the commit lease (r14 review #1)
+    ArtifactIO.withCommitLease(spark, artifactDir) {
+    ArtifactIO.requireUnmoved(spark, artifactDir, mf)
     ArtifactIO.healOrphans(spark, s"$dir/components.parquet", "v-", cv, cv - 1)
     ArtifactIO.healOrphans(spark, s"$dir/tombstones.parquet", "delta-",
       tb + td, tb)
@@ -665,7 +684,8 @@ object DedupIndex {
       mf.params.getOrElse("layout_buckets", 0L) == effLayout.toLong &&
       mf.params.getOrElse("layout_band_major", 0L) ==
         (if (effLayout > 0) 1L else 0L))
-      return mf
+      mf
+    else {
     val tombs = tombstonesOf(spark, dir, mf)
     ArtifactIO.healOrphans(spark, s"$dir/signatures.parquet", "delta-",
       sb + sd, sb)
@@ -750,6 +770,8 @@ object DedupIndex {
     // be scanning those files — they get one grace cycle and the next
     // mutation's heal sweeps them (scaladoc step 4)
     committed
+    }
+    } // withCommitLease
   }
 
   /** Takedown / PII-removal (r11 verdict #1): remove documents from the
@@ -800,6 +822,13 @@ object DedupIndex {
     if (batchId >= 0 &&
       mf.params.get("last_delete_batch").exists(_ >= batchId))
       return 0L // replayed takedown batch: already applied and committed
+    // the WHOLE heal→stage→commit section holds the commit lease: the
+    // heal sweep and the staged slot numbers come from the manifest
+    // read above, and without the lease a stale mutator could delete /
+    // overwrite dirs a concurrent winner committed from the same
+    // numbers before its own CAS refusal (r14 review #1)
+    ArtifactIO.withCommitLease(spark, artifactDir) {
+    ArtifactIO.requireUnmoved(spark, artifactDir, mf)
     val dir = tableRoot(artifactDir, mf) // tables live under the root
     val cv = mf.params("comp_versions")
     val (tb, td) = tombWindow(mf)
@@ -823,7 +852,8 @@ object DedupIndex {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nRemoved = removed.count()
     try {
-      if (nRemoved == 0) return 0L // nothing lives to remove: no commit
+      if (nRemoved == 0) 0L // nothing lives to remove: no commit
+      else {
       // stage 1: the tombstone delta at the next uncommitted slot
       removed.write.mode("overwrite").parquet(tombPath(dir, tb + td))
       // stage 2: re-solve ONLY the touched components from the live
@@ -891,7 +921,9 @@ object DedupIndex {
             ("tomb_base" -> tb) + ("tomb_deltas" -> (td + 1)) ++
             rowsParam ++ batchParam))
       nRemoved
+      }
     } finally { removed.unpersist(); idSet.unpersist() }
+    } // withCommitLease
   }
 
   /** (live delta count, bytes of the delta dirs ABOVE each base slab) —

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, col}
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.types._
 import graft.operators.DedupIndex
 
@@ -86,42 +86,86 @@ object StreamDedupIngest {
       m: graft.operators.ArtifactIO.Manifest): (Long, Long) =
     (m.params.getOrElse("tomb_base", 0L),
       m.params.getOrElse("tomb_deltas", 0L))
-  /** Join-strategy hint for a removal-id side — the artifact ladder
-    * ([[graft.operators.DedupIndex]]'s idSideHint twin). */
+  /** [[graft.queries.DedupQueries.idSideHint]] — the shared removal-id
+    * join ladder. */
   private def idSideHint(side: DataFrame, rows: Long): DataFrame =
-    if (rows < 0) broadcast(side)
-    else graft.queries.DedupQueries.sizedHint(side, rows, 16L)
+    graft.queries.DedupQueries.idSideHint(side, rows)
+
+  /** The live corpus sources as (path, batch id) pairs: seed dirs get
+    * −1 (they predate every takedown), the committed slab gets
+    * `merged_upto` (every row in it came from a batch ≤ that), live
+    * batch dirs their own id. The ids are what makes corpus tombstones
+    * BATCH-SCOPED (r14 review #2): a tombstone hides a row only when
+    * the row's batch ≤ the tombstone's recorded publish bound, so a
+    * re-publish AFTER a takedown (the poison-pill re-crawl) stays
+    * visible — the publish-side twin of the index's
+    * deleted-ids-become-appendable-after-a-fold lifecycle. */
+  private def liveSources(spark: SparkSession,
+      corpusDir: String): Seq[(String, Long)] = {
+    val (nums, seeds) = batchDirs(spark, corpusDir)
+    corpusManifest(spark, corpusDir)
+      .flatMap(_.params.get("merged_upto")) match {
+      case None =>
+        seeds.map(s => (s"$corpusDir/$s", -1L)) ++
+          nums.map(i => (s"$corpusDir/batch-$i", i))
+      case Some(upTo) =>
+        (mergedPath(corpusDir, upTo), upTo) +:
+          nums.filter(_ > upTo).map(i => (s"$corpusDir/batch-$i", i))
+    }
+  }
+
+  /** Highest batch id published so far — the bound a new tombstone is
+    * scoped to. −1 when nothing is published yet. */
+  private def maxPublished(spark: SparkSession, corpusDir: String): Long = {
+    val (nums, _) = batchDirs(spark, corpusDir)
+    val merged = corpusManifest(spark, corpusDir)
+      .flatMap(_.params.get("merged_upto")).getOrElse(-1L)
+    (nums :+ merged :+ -1L).max
+  }
+
+  /** Anti-join batch-scoped tombstones (doc_id, upto) out of a frame
+    * carrying `_graft_bid`: a row is hidden iff its doc is tombstoned
+    * AND its batch is within the tombstone's scope. */
+  private def minusScopedTombs(withBid: DataFrame, tombs: DataFrame,
+      tombRows: Long): DataFrame = {
+    val t = idSideHint(tombs, tombRows)
+      .select(col("doc_id").as("_t_doc"), col("upto").as("_t_upto"))
+    withBid.join(t,
+      withBid("doc_id") === t("_t_doc") &&
+        withBid("_graft_bid") <= t("_t_upto"), "left_anti")
+  }
 
   /** The published corpus as one DataFrame — the read seam every
-    * downstream consumer should use: the plain `batch-*` glob until the
+    * downstream consumer should use: the plain batch dirs until the
     * first [[compactCorpus]], then the committed merged slab plus only
     * the batches published after it (folded dirs — including a replayed
     * micro-batch re-creating one — are ignored by construction). Live
-    * takedown tombstones ([[corpusDelete]]) are anti-joined, so removed
-    * docs vanish from every consumer the instant the delete commits —
-    * the artifact tombstone contract applied to the published text. */
+    * takedown tombstones ([[corpusDelete]]) are anti-joined
+    * batch-scoped, so removed docs vanish from every consumer the
+    * instant the delete commits while a post-takedown re-publish stays
+    * visible. An empty corpus (nothing published yet) reads as an
+    * empty frame, not a path error. */
   def readCorpus(spark: org.apache.spark.sql.SparkSession,
-      corpusDir: String): DataFrame =
-    corpusManifest(spark, corpusDir) match {
-      case None => spark.read.parquet(s"$corpusDir/batch-*")
-      case Some(m) =>
-        val raw = m.params.get("merged_upto") match {
-          case None => // takedown-only manifest: never compacted
-            spark.read.parquet(s"$corpusDir/batch-*")
-          case Some(upTo) =>
-            val (nums, _) = batchDirs(spark, corpusDir)
-            val live = nums.filter(_ > upTo).map(i => s"$corpusDir/batch-$i")
-            spark.read.parquet((mergedPath(corpusDir, upTo) +: live): _*)
-        }
-        val (tb, td) = tombWindow(m)
-        if (td == 0) raw
-        else raw.join(
-          idSideHint(spark.read.parquet(
-              (tb until tb + td).map(takedownPath(corpusDir, _)): _*)
-            .select(col("doc_id")),
-            m.params.getOrElse("tomb_rows", -1L)),
-          Seq("doc_id"), "left_anti")
+      corpusDir: String): DataFrame = {
+    val srcs = liveSources(spark, corpusDir)
+    if (srcs.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], docSchema)
+    val m = corpusManifest(spark, corpusDir)
+    val (_, td) = m.map(tombWindow).getOrElse((0L, 0L))
+    if (td == 0) spark.read.parquet(srcs.map(_._1): _*)
+    else {
+      val (tb, _) = tombWindow(m.get)
+      val withBid = srcs.map { case (p, bid) =>
+        spark.read.parquet(p).withColumn("_graft_bid", lit(bid))
+      }.reduce(_.unionByName(_))
+      val tombs = spark.read.parquet(
+        (tb until tb + td).map(takedownPath(corpusDir, _)): _*)
+      minusScopedTombs(withBid, tombs,
+          m.get.params.getOrElse("tomb_rows", -1L))
+        .drop("_graft_bid")
     }
+  }
 
   /** Takedown from the PUBLISHED corpus (r13 verdict #1's third leg):
     * remove documents from what [[readCorpus]] serves without rewriting
@@ -146,6 +190,12 @@ object StreamDedupIngest {
       base.params.get("last_delete_batch").exists(_ >= batchId))
       return 0L // replayed takedown batch: already applied and committed
     val (tb, td) = tombWindow(base)
+    // heal→stage→commit under the commit lease: the heal sweep and the
+    // staged slot come from the manifest read above (r14 review #1 —
+    // without the lease, a stale mutator could overwrite a delta a
+    // concurrent takedown committed at the same slot number)
+    graft.operators.ArtifactIO.withCommitLease(spark, corpusDir) {
+    graft.operators.ArtifactIO.requireUnmoved(spark, corpusDir, base)
     graft.operators.ArtifactIO.healOrphans(spark, s"$corpusDir/takedown",
       "delta-", tb + td, tb)
     val idSet = ids.select(col("doc_id")).distinct()
@@ -158,8 +208,16 @@ object StreamDedupIngest {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nRemoved = removed.count()
     try {
-      if (nRemoved == 0) return 0L
-      removed.write.mode("overwrite")
+      if (nRemoved == 0) 0L
+      else {
+      // tombstones are BATCH-SCOPED (r14 review #2): each carries the
+      // max batch id published at takedown time, and readers hide a
+      // row only when its batch is ≤ that bound — a re-publish AFTER
+      // the takedown (the poison-pill re-crawl) is a new decision and
+      // stays visible, matching the index side's re-ingest lifecycle
+      val upto = maxPublished(spark, corpusDir)
+      removed.withColumn("upto", lit(upto))
+        .write.mode("overwrite")
         .parquet(takedownPath(corpusDir, tb + td))
       val batchParam = if (batchId >= 0)
         Map("last_delete_batch" -> batchId) else Map.empty[String, Long]
@@ -171,7 +229,9 @@ object StreamDedupIngest {
         base.copy(params = base.params + ("tomb_base" -> tb) +
           ("tomb_deltas" -> (td + 1)) ++ rowsParam ++ batchParam))
       nRemoved
+      }
     } finally { removed.unpersist(); idSet.unpersist() }
+    } // withCommitLease
   }
 
   /** Fold the per-batch corpus dirs with id ≤ `upTo` (plus the seed
@@ -198,8 +258,12 @@ object StreamDedupIngest {
       s"compactCorpus($upTo) must advance past the committed slab ($prev)")
     // pending takedown tombstones drop PHYSICALLY in this fold (the
     // corpusDelete contract); sweep staged orphans and the previous
-    // fold's applied deltas first
+    // fold's applied deltas first. The whole heal→stage→commit section
+    // holds the commit lease (r14 review #1)
     val (tb, td) = base.map(tombWindow).getOrElse((0L, 0L))
+    graft.operators.ArtifactIO.withCommitLease(spark, corpusDir) {
+    base.foreach(graft.operators.ArtifactIO.requireUnmoved(spark,
+      corpusDir, _))
     graft.operators.ArtifactIO.healOrphans(spark, s"$corpusDir/takedown",
       "delta-", tb + td, tb)
     val fs = new org.apache.hadoop.fs.Path(corpusDir)
@@ -222,46 +286,48 @@ object StreamDedupIngest {
         fs.delete(new org.apache.hadoop.fs.Path(s"$corpusDir/batch-$i"), true))
     }
     val (nums, seeds) = batchDirs(spark, corpusDir)
-    val fold = (if (prev >= 0) Seq(mergedPath(corpusDir, prev))
-        else seeds.map(s => s"$corpusDir/$s")) ++
-      nums.filter(i => i > prev && i <= upTo).map(i => s"$corpusDir/batch-$i")
-    require(fold.nonEmpty, s"nothing to compact under $corpusDir")
+    // fold sources with their batch ids: the previous slab stands for
+    // every batch ≤ prev, seeds for −1 — the same scoping readCorpus
+    // uses, so the tombstone filter applied here is exactly the view
+    // readers already saw
+    val foldSrcs: Seq[(String, Long)] =
+      (if (prev >= 0) Seq((mergedPath(corpusDir, prev), prev))
+       else seeds.map(s => (s"$corpusDir/$s", -1L))) ++
+        nums.filter(i => i > prev && i <= upTo)
+          .map(i => (s"$corpusDir/batch-$i", i))
+    require(foldSrcs.nonEmpty, s"nothing to compact under $corpusDir")
     // count DURING the fold (one pass feeds the count and the write via
     // the cache) instead of re-scanning the freshly published slab just
     // to populate the manifest's n — on an in-stream compaction that
     // second full-corpus read lengthened the micro-batch for bookkeeping.
-    // Live tombstones drop here: the slab is the filtered view
-    val raw = spark.read.parquet(fold: _*)
+    // In-scope tombstones drop here: the slab is the filtered view
     val filtered =
-      if (td == 0) raw
-      else raw.join(
-        idSideHint(spark.read.parquet(
-            (tb until tb + td).map(takedownPath(corpusDir, _)): _*)
-          .select(col("doc_id")),
-          base.flatMap(_.params.get("tomb_rows")).getOrElse(-1L)),
-        Seq("doc_id"), "left_anti")
+      if (td == 0) spark.read.parquet(foldSrcs.map(_._1): _*)
+      else {
+        val withBid = foldSrcs.map { case (p, bid) =>
+          spark.read.parquet(p).withColumn("_graft_bid", lit(bid))
+        }.reduce(_.unionByName(_))
+        minusScopedTombs(withBid,
+          spark.read.parquet(
+            (tb until tb + td).map(takedownPath(corpusDir, _)): _*),
+          base.flatMap(_.params.get("tomb_rows")).getOrElse(-1L))
+          .drop("_graft_bid")
+      }
     val folded = filtered.coalesce(32)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = folded.count()
     try folded.write.mode("overwrite").parquet(mergedPath(corpusDir, upTo))
     finally folded.unpersist()
-    // the fold made tombstones physical ONLY for the batches it folded
-    // (ids ≤ upTo) — a tombstoned doc living in a batch published AFTER
-    // upTo would RESURFACE if the window were blanket-reset. Carry the
-    // surviving tombstones (those matching a still-live batch dir)
-    // forward as a fresh delta; the common case (fold covers every
-    // batch) carries nothing and the window genuinely empties.
-    val (liveNums, _) = batchDirs(spark, corpusDir)
-    val liveBatches = liveNums.filter(_ > upTo)
-      .map(i => s"$corpusDir/batch-$i")
-    val nCarried: Long = if (td == 0 || liveBatches.isEmpty) 0L else {
-      val tombs = spark.read.parquet(
+    // the fold made tombstones physical ONLY for rows in its scope —
+    // a tombstone whose publish bound extends past upTo still hides
+    // rows in live batches (ids in (upTo, bound]) and must CARRY
+    // FORWARD as a fresh delta; a blanket window reset would resurface
+    // them. The common case (fold covers the bound) carries nothing
+    // and the window genuinely empties.
+    val nCarried: Long = if (td == 0) 0L else {
+      val surviving = spark.read.parquet(
           (tb until tb + td).map(takedownPath(corpusDir, _)): _*)
-        .select(col("doc_id"))
-      val surviving = tombs.join(
-          spark.read.parquet(liveBatches: _*).select(col("doc_id")),
-          Seq("doc_id"), "left_semi")
-        .distinct()
+        .filter(col("upto") > upTo)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val c = surviving.count()
       try {
@@ -281,6 +347,7 @@ object StreamDedupIngest {
       base0.copy(n = n, params = base0.params +
         ("merged_upto" -> upTo) + ("tomb_base" -> (tb + td)) +
         ("tomb_deltas" -> carriedDeltas) + ("tomb_rows" -> nCarried)))
+    } // withCommitLease
     // no GC at the commit — this pass's folded dirs keep one grace
     // cycle for in-flight readers; the next compaction's sweep ends it
   }
@@ -347,9 +414,7 @@ object StreamDedupIngest {
             // every restart. Fold the window (the documented unblock —
             // a compacted takedown makes the id appendable again) and
             // retry ONCE; a second refusal fails loudly.
-            case e: IllegalArgumentException
-                if e.getMessage != null &&
-                  e.getMessage.contains("tombstoned") =>
+            case _: graft.operators.TombstonedIdsException =>
               DedupIndex.compactDeltas(spark, indexDir)
               DedupIndex.append(batch.toDF(), indexDir, batchId)
           }

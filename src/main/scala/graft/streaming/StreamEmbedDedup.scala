@@ -97,9 +97,7 @@ object StreamEmbedDedup {
             // documented unblock: a compacted takedown makes the id
             // appendable again) and retry ONCE; a second refusal is a
             // real contract violation and fails the query loudly.
-            case e: IllegalArgumentException
-                if e.getMessage != null &&
-                  e.getMessage.contains("tombstoned") =>
+            case _: graft.operators.TombstonedIdsException =>
               graft.operators.AnnIndex.compactIvfPqDeltas(
                 batch.sparkSession, indexDir)
               graft.operators.AnnIndex.appendIvfPq(batch.toDF(), indexDir,

@@ -179,18 +179,45 @@ class DocExamplesSpec extends AnyFunSuite {
     Graft.compactAnnIndex(spark, annDir)
     Graft.rebuildAnnIndex(emb, annDir)
 
-    // every artifact mutation commits through an epoch CAS: two mutators
-    // racing on one artifact (ingest + takedown sinks, rebuild vs a live
-    // append) either lose nothing or refuse loudly with
+    // every artifact mutation runs its heal/stage/commit section under a
+    // create-exclusive commit lease with an epoch-CAS manifest commit:
+    // two mutators racing on one artifact (ingest + takedown sinks,
+    // rebuild vs a live append) either lose nothing or refuse loudly with
     // ConcurrentMutationException — re-run the loser against the fresh
     // state (MutatorRaceSpec; a silently lost takedown would be a legal
     // hazard, not a perf bug)
 
     // recall-targeted auto-tuning: walk nProbe/R against the measured
     // serving-path recall until the target is met; the chosen knobs land
-    // in the manifest and every serve call defaults to them from then on
+    // in the manifest and every serve call defaults to them from then on.
+    // annRecallCheck re-measures the tuned operating point after appends
+    // and compactions; drift beyond the bound is the rebuildAndTune
+    // trigger (re-fit + atomic swap + re-tune against the NEW geometry)
     val tuned = Graft.tuneAnnIndex(spark, annDir, emb,
       queries.select("query_id", "embedding"), targetRecall = 0.9)
+    val drift = Graft.annRecallCheck(spark, annDir, emb,
+      queries.select("query_id", "embedding"))
+    if (drift.drifted)
+      Graft.rebuildAndTuneAnnIndex(spark, annDir, emb,
+        queries.select("query_id", "embedding"), targetRecall = 0.9)
+
+    // a real GDPR/DMCA queue drives EVERY artifact from one checkpoint:
+    // dedup artifact + ANN index + the published corpus dirs share one
+    // batch high-water mark, a crash between two commits converges on
+    // restart, and takedownStatus verifies every artifact excluded the
+    // same id set (StreamTakedownAllSpec injects the crash)
+    val corpusDir = Files.createTempDirectory("corpus").toString
+    docs.write.mode("overwrite").parquet(s"$corpusDir/batch-seed")
+    val queueDir = Files.createTempDirectory("removal_queue").toString
+    val queueIds = spark.range(2).select(col("id"))
+    queueIds.coalesce(1).write.mode("append").parquet(queueDir)
+    val td = Graft.streamTakedownAll(spark, queueDir, Seq(dxDir),
+      Seq(annDir), Seq(corpusDir),
+      Files.createTempDirectory("takedown_ckpt").toString)
+    td.processAllAvailable() // drain the queue (production: runs forever)
+    val status = Graft.takedownStatus(spark, queueIds, Seq(dxDir),
+      Seq(annDir), Seq(corpusDir)) // every row reports n_visible == 0
+    td.stop()
 
     // a durable tokenizer: train once, encode ANY corpus under the
     // frozen merges (token budgets stay comparable across corpora)
@@ -202,6 +229,8 @@ class DocExamplesSpec extends AnyFunSuite {
     assert(filtered.count() == 12)
     assert(encoded.count() == docs.count())
     assert(tuned.targetMet && tuned.recall >= 0.9)
+    assert(!drift.drifted && drift.sampleMatches)
+    assert(status.collect().forall(_.getAs[Long]("n_visible") == 0L))
     spark.catalog.clearCache()
   }
 

@@ -86,6 +86,32 @@ class MutatorRaceSpec extends AnyFunSuite {
     assert(!fs.exists(lock), "a completed commit must release its lease")
   }
 
+  test("lease covers the whole mutation: a held lease refuses BEFORE staging") {
+    // r14 review #1: the CAS refuses a loser only at its commit — after
+    // its heal sweep may have deleted, and its staged writes
+    // overwritten, slots a concurrent winner committed from the same
+    // stale window numbers. Mutations now hold the lease for their
+    // whole heal→stage→commit section, so a contender refuses before
+    // touching any data dir.
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") < 40)
+    val dir = tmp("leased_mut")
+    DedupIndex.build(docs, dir, 40L)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val lock = new org.apache.hadoop.fs.Path(dir, ".manifest.lock")
+    val out = fs.create(lock, false)
+    try out.write("someone-else".getBytes("UTF-8")) finally out.close()
+    intercept[ConcurrentMutationException] {
+      DedupIndex.delete(ids(Seq(0L), "doc_id"), dir)
+    }
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir,
+      "tombstones.parquet")),
+      "a lease-refused delete must not have staged a tombstone delta")
+    fs.delete(lock, false)
+    assert(DedupIndex.delete(ids(Seq(0L), "doc_id"), dir) == 1L)
+    spark.catalog.clearCache()
+  }
+
   test("lease: TTL takeover after a crashed holder converges") {
     val dir = tmp("lease_ttl")
     val m0 = ArtifactIO.Manifest("dedup", 0, 10L, Map("sig_deltas" -> 1L))

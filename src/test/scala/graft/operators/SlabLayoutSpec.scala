@@ -147,6 +147,25 @@ class SlabLayoutSpec extends AnyFunSuite {
         Seq("band_idx", "band_val"))),
       "band-major pruning must not lose any matching band row")
     qBands.unpersist()
+    // a MULTI-doc serve-shaped probe (keysHint ≫ the hash-dir gate's
+    // bound) still engages band-major — its gate is the IN-list cap,
+    // not keysHint·2 ≤ buckets (r14 review #3); identity re-pinned
+    val probe8 = docs.filter(col("doc_id") < 16)
+      .select((col("doc_id") + 9200000L).as("doc_id"), col("text"))
+    val qBands8 = DedupQueries.sigBandRows(
+        DedupQueries.minhashSigArrFromHashes(
+          DedupQueries.hashedShingleSets(probe8))).drop("sig").persist()
+    val keys8 = 16L * DedupQueries.Bands
+    assert(keys8 * 2 > DedupIndex.LayoutBuckets &&
+      keys8 <= DedupIndex.BandMajorMaxKeys,
+      "the 8-doc probe must sit past the hash-dir gate but inside the cap")
+    assert(rows(DedupIndex.probeBands(ix, qBands8, keys8)
+        .join(qBands8.select("band_idx", "band_val"),
+          Seq("band_idx", "band_val"))) ==
+      rows(full.join(qBands8.select("band_idx", "band_val"),
+        Seq("band_idx", "band_val"))),
+      "the multi-doc band-major probe must be lossless")
+    qBands8.unpersist()
 
     // appends on a bucketed artifact keep converging to the one-shot
     // build (mixed bucketed-slab + flat-delta window reads)
