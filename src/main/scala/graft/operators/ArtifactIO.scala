@@ -118,25 +118,27 @@ object ArtifactIO {
     token
   }
 
+  /** The lock file's current token, None when missing/unreadable. */
+  private def lockTokenOf(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Option[String] =
+    try {
+      val in = fs.open(lockPath(dir))
+      val buf = new Array[Byte](64)
+      // loop the read: a single read() may under-fill on remote FS
+      // and a truncated token would strand our own lock for the TTL
+      var (n, r) = (0, 0)
+      try { while (r >= 0 && n < buf.length) {
+        r = in.read(buf, n, buf.length - n); if (r > 0) n += r
+      } } finally in.close()
+      if (n > 0) Some(new String(buf, 0, n, "UTF-8")) else None
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** Release the lease if WE still hold it (token match): after a TTL
     * takeover the lock belongs to the new holder and must stand. */
   private def releaseLease(fs: org.apache.hadoop.fs.FileSystem,
-      dir: String, token: String): Unit = {
-    val lock = lockPath(dir)
-    val held =
-      try {
-        val in = fs.open(lock)
-        val buf = new Array[Byte](64)
-        // loop the read: a single read() may under-fill on remote FS
-        // and a truncated token would strand our own lock for the TTL
-        var (n, r) = (0, 0)
-        try { while (r >= 0 && n < buf.length) {
-          r = in.read(buf, n, buf.length - n); if (r > 0) n += r
-        } } finally in.close()
-        n > 0 && new String(buf, 0, n, "UTF-8") == token
-      } catch { case scala.util.control.NonFatal(_) => false }
-    if (held) fs.delete(lock, false)
-  }
+      dir: String, token: String): Unit =
+    if (lockTokenOf(fs, dir).contains(token))
+      fs.delete(lockPath(dir), false)
 
   /** Held-lease registry for the current thread — what makes
     * [[withCommitLease]] re-entrant: [[commitManifest]] inside a leased
@@ -223,9 +225,21 @@ object ArtifactIO {
     val expected = epochOf(base)
     val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
     // re-entrant under [[withCommitLease]]: a mutation that leased its
-    // whole heal→stage→commit section commits on the lease it holds
-    val alreadyHeld = heldLeases.get.contains(leaseKey(dir))
-    val token = if (alreadyHeld) "" else acquireLease(fs, dir)
+    // whole heal→stage→commit section commits on the lease it holds —
+    // but the holder must RE-VERIFY ownership at the commit (r14 review
+    // pass 2): a mutation that outlived the TTL had its lock taken
+    // over, and committing anyway would run check→write→verify
+    // concurrently with the new holder's, reopening the interleave the
+    // lease exists to close. The old commit-time acquire refused this
+    // case; the ownership check preserves that.
+    val heldToken = heldLeases.get.get(leaseKey(dir))
+    val alreadyHeld = heldToken.isDefined
+    if (alreadyHeld && lockTokenOf(fs, dir) != heldToken)
+      throw new ConcurrentMutationException(
+        s"commit lease at ${lockPath(dir)} was taken over while this " +
+          "mutation ran (it outlived the lease TTL) - refusing the " +
+          "commit; its staged data is orphaned and will be healed")
+    val token = if (alreadyHeld) heldToken.get else acquireLease(fs, dir)
     try {
       // ONLY a genuinely missing manifest (the first-ever commit, e.g.
       // compactCorpus) may skip the pre-check; any other read failure

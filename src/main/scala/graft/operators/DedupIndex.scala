@@ -305,7 +305,18 @@ object DedupIndex {
       pathOf: (String, Long) => String, cols: Seq[String],
       fallback: DataFrame, keysHint: Long): DataFrame = {
     val b = ix.manifest.params.getOrElse("layout_buckets", 0L)
-    if (b == 0 || ix.dir.isEmpty || keysHint < 0 || keysHint * 2 > b)
+    // band-major probes are gated on the IN-list cap, NOT the hash-dir
+    // keysHint·2 ≤ buckets heuristic — its mount count is ≤ Bands for
+    // any batch size, so the hash-dir gate would wrongly disable it
+    // for exactly the multi-doc serve probes it was built for (r14
+    // review, both passes: the first fix reordered probeWindow but
+    // left THIS entry gate in front of it)
+    val bandMajor = key == "band_val" &&
+      ix.manifest.params.getOrElse("layout_band_major", 0L) > 0
+    val engaged =
+      if (bandMajor) keysHint >= 0 && keysHint <= BandMajorMaxKeys
+      else keysHint >= 0 && keysHint * 2 <= b
+    if (b == 0 || ix.dir.isEmpty || !engaged)
       return fallback
     val spark = probe.sparkSession
     minusTombs(

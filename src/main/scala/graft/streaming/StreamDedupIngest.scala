@@ -123,6 +123,21 @@ object StreamDedupIngest {
     (nums :+ merged :+ -1L).max
   }
 
+  /** The live tombstone window as (doc_id, upto), with deltas written
+    * before the batch-scoping change normalized to upto = Long.MaxValue
+    * — the legacy unscoped semantics (hide everywhere), never a null
+    * that would silently stop hiding (r14 review pass 2). */
+  private def readTombs(spark: SparkSession, corpusDir: String,
+      tb: Long, td: Long): DataFrame = {
+    val raw = spark.read.parquet(
+      (tb until tb + td).map(takedownPath(corpusDir, _)): _*)
+    if (raw.columns.contains("upto"))
+      raw.select(col("doc_id"),
+        org.apache.spark.sql.functions.coalesce(col("upto"),
+          lit(Long.MaxValue)).as("upto"))
+    else raw.select(col("doc_id"), lit(Long.MaxValue).as("upto"))
+  }
+
   /** Anti-join batch-scoped tombstones (doc_id, upto) out of a frame
     * carrying `_graft_bid`: a row is hidden iff its doc is tombstoned
     * AND its batch is within the tombstone's scope. */
@@ -159,9 +174,7 @@ object StreamDedupIngest {
       val withBid = srcs.map { case (p, bid) =>
         spark.read.parquet(p).withColumn("_graft_bid", lit(bid))
       }.reduce(_.unionByName(_))
-      val tombs = spark.read.parquet(
-        (tb until tb + td).map(takedownPath(corpusDir, _)): _*)
-      minusScopedTombs(withBid, tombs,
+      minusScopedTombs(withBid, readTombs(spark, corpusDir, tb, td),
           m.get.params.getOrElse("tomb_rows", -1L))
         .drop("_graft_bid")
     }
@@ -262,8 +275,17 @@ object StreamDedupIngest {
     // holds the commit lease (r14 review #1)
     val (tb, td) = base.map(tombWindow).getOrElse((0L, 0L))
     graft.operators.ArtifactIO.withCommitLease(spark, corpusDir) {
-    base.foreach(graft.operators.ArtifactIO.requireUnmoved(spark,
-      corpusDir, _))
+    // staleness check must also cover base = None (r14 review pass 2):
+    // a first-ever corpusDelete may commit a manifest between our read
+    // and the lease acquire, and proceeding with (tb,td)=(0,0) would
+    // let the heal sweep below delete its committed tombstone delta
+    val fresh = corpusManifest(spark, corpusDir)
+    if (fresh.map(graft.operators.ArtifactIO.epochOf) !=
+        base.map(graft.operators.ArtifactIO.epochOf))
+      throw new graft.operators.ConcurrentMutationException(
+        s"corpus manifest at $corpusDir moved since this compaction " +
+          "read it (a concurrent mutator committed) - nothing was " +
+          "staged; re-run against the fresh state")
     graft.operators.ArtifactIO.healOrphans(spark, s"$corpusDir/takedown",
       "delta-", tb + td, tb)
     val fs = new org.apache.hadoop.fs.Path(corpusDir)
@@ -307,9 +329,7 @@ object StreamDedupIngest {
         val withBid = foldSrcs.map { case (p, bid) =>
           spark.read.parquet(p).withColumn("_graft_bid", lit(bid))
         }.reduce(_.unionByName(_))
-        minusScopedTombs(withBid,
-          spark.read.parquet(
-            (tb until tb + td).map(takedownPath(corpusDir, _)): _*),
+        minusScopedTombs(withBid, readTombs(spark, corpusDir, tb, td),
           base.flatMap(_.params.get("tomb_rows")).getOrElse(-1L))
           .drop("_graft_bid")
       }
@@ -325,8 +345,7 @@ object StreamDedupIngest {
     // them. The common case (fold covers the bound) carries nothing
     // and the window genuinely empties.
     val nCarried: Long = if (td == 0) 0L else {
-      val surviving = spark.read.parquet(
-          (tb until tb + td).map(takedownPath(corpusDir, _)): _*)
+      val surviving = readTombs(spark, corpusDir, tb, td)
         .filter(col("upto") > upTo)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val c = surviving.count()

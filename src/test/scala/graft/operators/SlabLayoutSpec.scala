@@ -158,8 +158,15 @@ class SlabLayoutSpec extends AnyFunSuite {
     val keys8 = 16L * DedupQueries.Bands
     assert(keys8 * 2 > DedupIndex.LayoutBuckets &&
       keys8 <= DedupIndex.BandMajorMaxKeys,
-      "the 8-doc probe must sit past the hash-dir gate but inside the cap")
-    assert(rows(DedupIndex.probeBands(ix, qBands8, keys8)
+      "the 16-doc probe must sit past the hash-dir gate but inside the cap")
+    val pruned8 = DedupIndex.probeBands(ix, qBands8, keys8)
+    // NON-VACUOUS engagement check (r14 review pass 2: the first
+    // version of this test fell back to the full view and compared it
+    // to itself): the band-major path pushes the probe's bvh IN-list
+    // into the parquet scan — the fallback never mentions bvh
+    assert(pruned8.queryExecution.executedPlan.toString.contains("bvh"),
+      "the multi-doc probe must take the band-major IN-list path")
+    assert(rows(pruned8
         .join(qBands8.select("band_idx", "band_val"),
           Seq("band_idx", "band_val"))) ==
       rows(full.join(qBands8.select("band_idx", "band_val"),
