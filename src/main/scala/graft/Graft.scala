@@ -1224,6 +1224,17 @@ object Graft {
         .option("maxFilesPerTrigger", 1).parquet(landingDir),
       dedupDirs, annDirs, corpusDirs, checkpointDir, policy)
 
+  /** One-shot cross-artifact takedown for BATCH callers: apply one id
+    * set (single `id` column) to every dedup artifact, ANN index and
+    * published corpus dir — the [[streamTakedownAll]] apply without a
+    * stream (no replay guards; each artifact's delete commits through
+    * its own lease+CAS as always). Verify with [[takedownStatus]]. */
+  def takedownAll(spark: SparkSession, ids: DataFrame,
+      dedupDirs: Seq[String], annDirs: Seq[String],
+      corpusDirs: Seq[String]): Unit =
+    streaming.StreamTakedownAll.applyAll(ids, -1L, dedupDirs, annDirs,
+      corpusDirs)
+
   /** Cross-artifact takedown convergence report: per artifact, how many
     * of the queue's ids are still visible in its live view — all-zero
     * `n_visible` means every artifact excluded the same id set.

@@ -134,6 +134,23 @@ object CompactionBench {
     spark.catalog.clearCache()
     parts += s""""ivfpq_bulk_delete_ids":${nPqBulk}"""
     parts += s""""ivfpq_bulk_delete_sec":${f(pqBulkSec)}"""
+
+    // ---- cross-artifact takedown (r13 verdict #1): one 8-id batch
+    // applied to dedup + ivfpq + the published corpus in one call, plus
+    // the convergence report — the deployed GDPR/DMCA request shape
+    val corpusDir = java.nio.file.Files
+      .createTempDirectory("compact_bench_corpus").toString
+    docs.write.mode("overwrite").parquet(s"$corpusDir/batch-seed")
+    val queue = spark.range(8).select((col("id") + 48L).as("id"))
+    val (_, allSec) = timed(graft.Graft.takedownAll(spark, queue,
+      Seq(ixDir), Seq(pqDir), Seq(corpusDir)))
+    spark.catalog.clearCache()
+    parts += s""""takedown_all_8_sec":${f(allSec)}"""
+    val (status, statusSec) = timed(graft.Graft.takedownStatus(spark,
+      queue, Seq(ixDir), Seq(pqDir), Seq(corpusDir))
+      .agg(sum(col("n_visible"))).head().getLong(0))
+    parts += s""""takedown_status_sec":${f(statusSec)}"""
+    parts += s""""takedown_status_visible":$status"""
     spark.stop()
     println(s"""{"dir":"$dir",${parts.mkString(",")}}""")
   }

@@ -158,6 +158,25 @@ class StreamTakedownAllSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("batch takedownAll: one call, every artifact, status clean") {
+    val (dedupDir, annDir, corpusDir) = buildSurface("batch")
+    val spark0 = spark
+    import spark0.implicits._
+    val ids = Seq(4L, 9L).toDF("id")
+    Graft.takedownAll(spark, ids, Seq(dedupDir), Seq(annDir),
+      Seq(corpusDir))
+    val status = Graft.takedownStatus(spark, ids, Seq(dedupDir),
+      Seq(annDir), Seq(corpusDir)).collect()
+    assert(status.length == 3 &&
+      status.forall(_.getAs[Long]("n_visible") == 0L),
+      s"batch apply must converge every artifact: ${status.mkString(";")}")
+    // idempotent: re-applying the same ids is a no-op everywhere
+    Graft.takedownAll(spark, ids, Seq(dedupDir), Seq(annDir),
+      Seq(corpusDir))
+    assert(ArtifactIO.readManifest(spark, dedupDir).n == 58L)
+    spark.catalog.clearCache()
+  }
+
   test("corpus takedown: instant exclusion, physical drop at compaction") {
     val docs = Tables.documents(spark, sf).filter(col("doc_id") < 40)
     val corpusDir = tmp("corpus_solo")
