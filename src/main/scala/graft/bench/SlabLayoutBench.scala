@@ -27,9 +27,13 @@ import graft.queries.DedupQueries
 object SlabLayoutBench {
 
   /** Files actually opened by the parquet scans under a FRESH frame's
-    * executed plan (the SlabLayoutSpec metric). */
+    * executed plan (the SlabLayoutSpec metric). Executed through the
+    * frame's OWN plan RDD with nothing returned: collect() blows the
+    * driver's maxResultSize at the 1000× corpus (~5 GB of posting
+    * rows), and a noop write executes a DIFFERENT plan tree whose
+    * metrics the original nodes never see. */
   private def filesRead(df: DataFrame): Long = {
-    df.collect()
+    df.queryExecution.toRdd.foreachPartition(_ => ())
     val executed = df.queryExecution.executedPlan
     val plans = executed.collect {
       case a: AdaptiveSparkPlanExec => a.executedPlan
