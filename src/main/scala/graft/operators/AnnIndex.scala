@@ -379,7 +379,12 @@ object AnnIndex {
         .select(col("vec_id"), col("sub"), col("cell").as("code"))
         .join(home.select(col("vec_id"), col("cell")), "vec_id")
         .select(col("vec_id"), col("sub"), col("code"), col("cell"))
-      // stage: an uncommitted delta dir (overwrite — idempotent retry)
+      // stage: an uncommitted delta dir (overwrite — idempotent retry).
+      // Re-verify lease ownership first: the encode jobs above can
+      // outlive the TTL under a pause, and a taken-over holder must
+      // refuse before overwriting a slot a takeover winner may have
+      // committed (r14 advisor #1)
+      ArtifactIO.requireLeaseOwned(spark, dir)
       newCodes.write.mode("overwrite").parquet(deltaPath(root, committed))
       val appended = newEmb.count()
       // commit: the atomic manifest write IS the publish point,
@@ -428,7 +433,9 @@ object AnnIndex {
     ArtifactIO.healOrphans(spark, s"$root/ivfpq_codes.parquet", "delta-",
       base + count, base)
     // codesTable applies the live tombstones — the fold materializes
-    // the filtered view as the new slab
+    // the filtered view as the new slab (ownership re-verified before
+    // the staged overwrite, r14 advisor #1)
+    ArtifactIO.requireLeaseOwned(spark, dir)
     codesTable(spark, dir, mf)
       .coalesce(32).write.mode("overwrite")
       .parquet(deltaPath(root, base + count))
@@ -552,16 +559,25 @@ object AnnIndex {
     try {
       if (nRemoved == 0) 0L // nothing lives to remove: no commit
       else {
+      // ownership re-verified before the staged overwrite: a stale
+      // overwrite of a takeover winner's tombstone slot is a silently
+      // lost takedown (r14 advisor #1)
+      ArtifactIO.requireLeaseOwned(spark, dir)
       removed.write.mode("overwrite")
         .parquet(tombPath(root, mf.family, tb + td))
       val batchParam = if (batchId >= 0)
         Map("last_delete_batch" -> batchId) else Map.empty[String, Long]
-      // exact live-tombstone accounting for the readers' join ladder;
-      // an unknown legacy window stays unknown (broadcast) rather than
-      // adopting an undercount
+      // exact live-tombstone accounting for the readers' join ladder. A
+      // pre-accounting artifact (tomb_rows absent) is counted ONCE here
+      // instead of staying unknown: unknown keeps the legacy broadcast,
+      // and after a bulk delete that broadcasts a millions-of-rows
+      // window into every reader (r14 advisor #2)
       val prevRows = tombRowsOf(mf)
-      val rowsParam = if (prevRows < 0) Map.empty[String, Long]
-        else Map("tomb_rows" -> (prevRows + nRemoved))
+      val priorWindow =
+        if (prevRows >= 0) prevRows
+        else ivfTombsOf(spark, root, mf)
+          .map(_.select(col("vec_id")).count()).getOrElse(0L)
+      val rowsParam = Map("tomb_rows" -> (priorWindow + nRemoved))
       // CAS-guarded: a silently lost takedown commit is a legal hazard
       ArtifactIO.commitManifest(spark, dir, mf,
         mf.copy(n = mf.n - nRemoved,
@@ -627,6 +643,8 @@ object AnnIndex {
     val next = cur + 1
     sweepVersions(spark, dir, mf.family, cur)
     // stage: live per-vector view + verbatim quantizer copies
+    // (ownership re-verified before the staged writes, r14 advisor #1)
+    ArtifactIO.requireLeaseOwned(spark, dir)
     val stage = versionDir(dir, next)
     val vecTable = familyTables(mf.family).head
     val quantTables = familyTables(mf.family).tail
@@ -719,6 +737,13 @@ object AnnIndex {
     val mf = readManifest(spark, dir)
     val cur = mf.params.getOrElse("version", 0L) // 0 = flat build layout
     val next = cur + 1
+    // the whole sweep→build→commit runs LEASED (r14 verdict #2): the
+    // heartbeat renews the lock for the re-fit's full duration — the
+    // TTL bounds heartbeat staleness, not build length — closing the
+    // one previously unleased mutation (the sweep could race a
+    // concurrent mutation's staged dirs)
+    ArtifactIO.withCommitLease(spark, dir) {
+    ArtifactIO.requireUnmoved(spark, dir, mf)
     // sweep: staged versions that never committed; plus the flat layout
     // once some version is live (it was superseded by an earlier swap)
     sweepVersions(spark, dir, mf.family, cur)
@@ -755,6 +780,7 @@ object AnnIndex {
     // than the carried-over one — refuse the swap instead of silently
     // losing that mutation; the caller re-reads and rebuilds again
     ArtifactIO.commitManifest(spark, dir, mf, mf2)
+    } // withCommitLease
   }
 
   final case class LoadedIvfPq(manifest: Manifest, codes: DataFrame,

@@ -54,13 +54,33 @@ object ArtifactIO {
     * here to pin the CAS refusal. */
   @volatile private[graft] var raceHookForTests: Option[() => Unit] = None
 
-  /** Lease time-to-live: a `.manifest.lock` older than this is a
-    * crashed holder and may be taken over. Commits hold the lease for
-    * milliseconds (one manifest write + two reads), so ten minutes is
-    * far beyond any live commit; tests lower it to pin takeover. */
+  /** Lease time-to-live — now a HEARTBEAT staleness bound, not a cap on
+    * mutation duration: [[withCommitLease]] refreshes the lock's mtime
+    * every [[heartbeatMs]] while its body runs, so a `.manifest.lock`
+    * whose mtime is older than this has a holder that stopped
+    * heartbeating (crashed, or paused beyond the TTL) and may be taken
+    * over. A live mutation of ANY length (a full [[AnnIndex.rebuild]]
+    * re-fit included) keeps its lock fresh; tests lower it to pin
+    * takeover. */
   @volatile private[graft] var leaseTtlMs: Long = 10L * 60 * 1000
 
+  /** Heartbeat cadence: three refreshes per TTL keeps one missed beat
+    * (transient FS hiccup) from looking like a crash. */
+  private def heartbeatMs: Long = math.max(25L, leaseTtlMs / 3)
+
   private def lockPath(dir: String) = new Path(dir, ".manifest.lock")
+
+  /** A held lease: the token proving ownership plus the liveness state
+    * the heartbeat thread maintains. `lost` flips (one-way) when a
+    * heartbeat finds the on-disk token is no longer ours — the holder
+    * outlived the TTL (e.g. a multi-second GC/FS pause) and a contender
+    * took over; every subsequent [[requireLeaseOwned]] and the commit
+    * refuse. */
+  private final class LeaseHandle(val token: String) {
+    @volatile var lost: Boolean = false
+    @volatile var done: Boolean = false
+    var beater: Thread = null
+  }
 
   /** Acquire the create-exclusive commit lease (r13 verdict #3): the
     * epoch CAS alone had a residual window — two mutators whose full
@@ -115,12 +135,37 @@ object ArtifactIO {
           s"commit lease at $lock was re-acquired by a concurrent " +
             "mutator during takeover - re-run the mutation")
     }
+    sweepStealFiles(fs, dir)
     token
   }
 
-  /** The lock file's current token, None when missing/unreadable. */
-  private def lockTokenOf(fs: org.apache.hadoop.fs.FileSystem,
-      dir: String): Option[String] =
+  /** Sweep leaked `.manifest.lock.steal-*` files: a takeover whose
+    * post-rename delete failed leaves its steal file behind forever
+    * (nothing else ever touches the name). Run after every successful
+    * acquire; only files older than the TTL are swept — a fresh one may
+    * still be mid-delete by the contender that renamed it. */
+  private def sweepStealFiles(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Unit =
+    try {
+      val now = System.currentTimeMillis()
+      fs.listStatus(new Path(dir)).foreach { st =>
+        if (st.getPath.getName.startsWith(".manifest.lock.steal-") &&
+            now - st.getModificationTime > leaseTtlMs)
+          fs.delete(st.getPath, false)
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
+
+  /** One lock-read outcome, distinguishing "no lock file" (a definitive
+    * answer: nobody holds the lease) from "read failed" (a transient FS
+    * error — the lock's owner is UNKNOWN, and release/heartbeat paths
+    * must not treat it as a takeover). */
+  private sealed trait LockRead
+  private case object LockMissing extends LockRead
+  private case object LockUnreadable extends LockRead
+  private final case class LockToken(token: String) extends LockRead
+
+  private def readLock(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): LockRead =
     try {
       val in = fs.open(lockPath(dir))
       val buf = new Array[Byte](64)
@@ -130,24 +175,90 @@ object ArtifactIO {
       try { while (r >= 0 && n < buf.length) {
         r = in.read(buf, n, buf.length - n); if (r > 0) n += r
       } } finally in.close()
-      if (n > 0) Some(new String(buf, 0, n, "UTF-8")) else None
-    } catch { case scala.util.control.NonFatal(_) => None }
+      if (n > 0) LockToken(new String(buf, 0, n, "UTF-8")) else LockUnreadable
+    } catch {
+      case _: java.io.FileNotFoundException => LockMissing
+      case scala.util.control.NonFatal(_) => LockUnreadable
+    }
+
+  /** TEST-ONLY view of the lock's current token. */
+  private[graft] def lockTokenOfForTests(spark: SparkSession,
+      dir: String): Option[String] =
+    lockTokenOf(new Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf()), dir)
+
+  /** The lock file's current token, None when missing/unreadable. */
+  private def lockTokenOf(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Option[String] =
+    readLock(fs, dir) match {
+      case LockToken(t) => Some(t)
+      case _ => None
+    }
 
   /** Release the lease if WE still hold it (token match): after a TTL
-    * takeover the lock belongs to the new holder and must stand. */
+    * takeover the lock belongs to the new holder and must stand. A
+    * transient read failure here must NOT strand our own lock (that
+    * would refuse every mutator — each streaming micro-batch included —
+    * for a full TTL), so unreadable reads are retried; if the lock
+    * stays unreadable it is deleted anyway: a takeover winner's fresh
+    * lock reads back fine (it was just written), so a persistently
+    * unreadable lock at OUR release is ours with a sick read path, and
+    * even the miss case (deleting a winner's lock) only downgrades that
+    * winner to the CAS backstop — strictly better than a TTL stall. */
   private def releaseLease(fs: org.apache.hadoop.fs.FileSystem,
-      dir: String, token: String): Unit =
-    if (lockTokenOf(fs, dir).contains(token))
-      fs.delete(lockPath(dir), false)
+      dir: String, token: String): Unit = {
+    var attempt = 0
+    while (attempt < 3) {
+      readLock(fs, dir) match {
+        case LockToken(t) =>
+          if (t == token) fs.delete(lockPath(dir), false)
+          return
+        case LockMissing => return
+        case LockUnreadable =>
+          attempt += 1
+          if (attempt < 3) Thread.sleep(10L << attempt)
+      }
+    }
+    fs.delete(lockPath(dir), false)
+  }
 
   /** Held-lease registry for the current thread — what makes
     * [[withCommitLease]] re-entrant: [[commitManifest]] inside a leased
     * section reuses the held lease instead of refusing itself. Keyed by
     * the normalized dir path. */
-  private val heldLeases = new ThreadLocal[Map[String, String]] {
-    override def initialValue(): Map[String, String] = Map.empty
+  private val heldLeases = new ThreadLocal[Map[String, LeaseHandle]] {
+    override def initialValue(): Map[String, LeaseHandle] = Map.empty
   }
   private def leaseKey(dir: String): String = new Path(dir).toString
+
+  /** Start the renewal heartbeat for a held lease: a daemon thread that
+    * every [[heartbeatMs]] re-reads the lock and, while the token is
+    * still ours, refreshes its mtime — so the TTL measures heartbeat
+    * staleness and a live mutation of any length (a full re-fit
+    * included) is never taken over. A token mismatch means a contender
+    * already took over (we paused past the TTL): flip `lost` and stop —
+    * the next [[requireLeaseOwned]] / commit refuses. An UNREADABLE
+    * read is skipped (transient FS error, ownership unknown — one
+    * missed beat still leaves two per TTL). */
+  private def startHeartbeat(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String, h: LeaseHandle): Unit = {
+    val t = new Thread(() => {
+      while (!h.done && !h.lost) {
+        try Thread.sleep(heartbeatMs)
+        catch { case _: InterruptedException => () }
+        if (!h.done && !h.lost) readLock(fs, dir) match {
+          case LockToken(tok) if tok == h.token =>
+            try fs.setTimes(lockPath(dir), System.currentTimeMillis(), -1)
+            catch { case scala.util.control.NonFatal(_) => () }
+          case LockToken(_) | LockMissing => h.lost = true
+          case LockUnreadable => ()
+        }
+      }
+    }, s"graft-lease-heartbeat-${new Path(dir).getName}")
+    t.setDaemon(true)
+    h.beater = t
+    t.start()
+  }
 
   /** Run `body` HOLDING the commit lease for `dir` — the whole-mutation
     * critical section (r14 review finding #1): the manifest CAS alone
@@ -157,23 +268,61 @@ object ArtifactIO {
     * window numbers. Every mutation wraps its heal→stage→commit section
     * here (with [[requireUnmoved]] as the first statement inside), so a
     * stale mutator refuses BEFORE touching any data dir. Re-entrant per
-    * thread. The lease is now held for the mutation's duration rather
-    * than the commit's: a crash mid-mutation parks contenders for one
-    * TTL before takeover, and a mutation outliving the TTL (only
-    * [[AnnIndex.rebuild]]'s full re-fit plausibly does — it is
-    * deliberately NOT wrapped) falls back to the CAS backstop. */
+    * thread. The lease is held for the mutation's duration and RENEWED
+    * by a heartbeat thread ([[startHeartbeat]]), so the TTL bounds
+    * heartbeat staleness, not mutation length — [[AnnIndex.rebuild]]'s
+    * full re-fit runs leased too (r14 verdict #2). A crash mid-mutation
+    * stops the heartbeat; contenders park until the mtime goes stale,
+    * then take over. A holder that loses its lock anyway (paused past
+    * the TTL) is flagged by the heartbeat and refused at the next
+    * [[requireLeaseOwned]] checkpoint or at its commit. */
   def withCommitLease[A](spark: SparkSession, dir: String)(body: => A): A = {
     val key = leaseKey(dir)
     if (heldLeases.get.contains(key)) return body // re-entrant
     val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
-    val token = acquireLease(fs, dir)
-    heldLeases.set(heldLeases.get + (key -> token))
+    val handle = new LeaseHandle(acquireLease(fs, dir))
+    startHeartbeat(fs, dir, handle)
+    heldLeases.set(heldLeases.get + (key -> handle))
     try body
     finally {
       heldLeases.set(heldLeases.get - key)
-      releaseLease(fs, dir, token)
+      handle.done = true
+      if (handle.beater != null) handle.beater.interrupt()
+      if (!handle.lost) releaseLease(fs, dir, handle.token)
     }
   }
+
+  /** Checkpoint INSIDE a leased mutation, called immediately before
+    * each heal sweep and staged write (r14 advisor finding #1): the
+    * commit-time ownership check alone lets a holder that outlived the
+    * TTL keep healing/staging into slot numbers a takeover winner is
+    * concurrently committing — its stale `mode=overwrite` write landing
+    * after the winner's leaves the winner's manifest pointing at the
+    * stale mutator's rows (a silently lost takedown). This re-verifies
+    * ownership (heartbeat `lost` flag, then the on-disk token) so the
+    * stale holder refuses BEFORE the destructive write, shrinking the
+    * exposure from "rest of the mutation" to one heartbeat interval.
+    * No-op when the calling thread holds no lease for `dir` (build
+    * paths staging into fresh dirs). An UNREADABLE lock passes — the
+    * heartbeat's `lost` flag covers persistent loss, and refusing on a
+    * transient read error would abort healthy mutations. */
+  def requireLeaseOwned(spark: SparkSession, dir: String): Unit =
+    heldLeases.get.get(leaseKey(dir)).foreach { h =>
+      lazy val fs =
+        new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+      val stolen = h.lost || (readLock(fs, dir) match {
+        case LockToken(t) => t != h.token
+        case LockMissing => true
+        case LockUnreadable => false
+      })
+      if (stolen) {
+        h.lost = true
+        throw new ConcurrentMutationException(
+          s"commit lease at ${lockPath(dir)} was taken over while this " +
+            "mutation ran (it outlived the lease TTL) - refusing before " +
+            "the next write; staged data is orphaned and will be healed")
+      }
+    }
 
   /** Refuse (inside the lease) when the artifact moved since the caller
     * read `base` — the guarantee that every heal/stage write that
@@ -232,14 +381,15 @@ object ArtifactIO {
     // concurrently with the new holder's, reopening the interleave the
     // lease exists to close. The old commit-time acquire refused this
     // case; the ownership check preserves that.
-    val heldToken = heldLeases.get.get(leaseKey(dir))
-    val alreadyHeld = heldToken.isDefined
-    if (alreadyHeld && lockTokenOf(fs, dir) != heldToken)
+    val held = heldLeases.get.get(leaseKey(dir))
+    val alreadyHeld = held.isDefined
+    if (alreadyHeld && (held.get.lost ||
+        !lockTokenOf(fs, dir).contains(held.get.token)))
       throw new ConcurrentMutationException(
         s"commit lease at ${lockPath(dir)} was taken over while this " +
           "mutation ran (it outlived the lease TTL) - refusing the " +
           "commit; its staged data is orphaned and will be healed")
-    val token = if (alreadyHeld) heldToken.get else acquireLease(fs, dir)
+    val token = if (alreadyHeld) held.get.token else acquireLease(fs, dir)
     try {
       // ONLY a genuinely missing manifest (the first-ever commit, e.g.
       // compactCorpus) may skip the pre-check; any other read failure

@@ -545,6 +545,11 @@ object DedupIndex {
       .persist(StorageLevel.MEMORY_AND_DISK)
     incHs.count() // shingle write + sig derivation + verify read it
     try {
+      // re-verify lease ownership before each staged-write stage: the
+      // shingle/signature jobs above can outlive the TTL under a pause,
+      // and a taken-over holder must refuse BEFORE overwriting slots a
+      // takeover winner may have committed (r14 advisor #1)
+      ArtifactIO.requireLeaseOwned(spark, artifactDir)
       incHs.write.mode("overwrite").parquet(shinglePath(dir, sigEnd))
       postingsOf(incHs).write.mode("overwrite")
         .parquet(postingPath(dir, sigEnd))
@@ -592,6 +597,7 @@ object DedupIndex {
           val newPairs = DedupQueries.jaccardVerifyHashed(
             cross.unionAll(within), incHs.unionByName(corpusCandHs),
             ni + nCand)
+          ArtifactIO.requireLeaseOwned(spark, artifactDir)
           newPairs.write.mode("overwrite").parquet(pairPath(dir, pairEnd))
           val written = spark.read.parquet(pairPath(dir, pairEnd))
           val nNew = written.count()
@@ -715,11 +721,16 @@ object DedupIndex {
     // without it the "slab" would keep one file per folded delta)
     val tr = tombRowsOf(mf)
     def fold(pathOf: (String, Long) => String, base: Long, count: Long,
-        slot: Long, idCols: String*): Unit =
+        slot: Long, idCols: String*): Unit = {
+      // each fold is a long job; re-verify ownership before the NEXT
+      // staged overwrite so a taken-over holder stops between tables
+      // instead of clobbering a winner's slots (r14 advisor #1)
+      ArtifactIO.requireLeaseOwned(spark, artifactDir)
       minusTombs(
         spark.read.parquet((base until base + count).map(pathOf(dir, _)): _*),
         tombs, tr, idCols: _*)
         .coalesce(32).write.mode("overwrite").parquet(pathOf(dir, slot))
+    }
     // the probe-joined tables (bands, postings) may be written BUCKETED
     // (opt-in, scaladoc above). POSTINGS are Hive-partitioned on
     // pmod(key, layoutBuckets): a few-key probe prunes to its keys'
@@ -739,6 +750,7 @@ object DedupIndex {
     // OLD manifest for the fold's input, the new one for readers).
     def foldProbeTable(pathOf: (String, Long) => String, base: Long,
         count: Long, slot: Long, cols: Seq[String], key: String): Unit = {
+      ArtifactIO.requireLeaseOwned(spark, artifactDir)
       val in = minusTombs(
         readWindow(spark, dir, mf, pathOf, base until base + count, cols),
         tombs, tr, "doc_id")
@@ -865,7 +877,11 @@ object DedupIndex {
     try {
       if (nRemoved == 0) 0L // nothing lives to remove: no commit
       else {
-      // stage 1: the tombstone delta at the next uncommitted slot
+      // stage 1: the tombstone delta at the next uncommitted slot —
+      // re-verify ownership first: the id-resolution joins above can
+      // outlive the TTL, and a stale overwrite of a takeover winner's
+      // tombstone slot is a silently lost takedown (r14 advisor #1)
+      ArtifactIO.requireLeaseOwned(spark, artifactDir)
       removed.write.mode("overwrite").parquet(tombPath(dir, tb + td))
       // stage 2: re-solve ONLY the touched components from the live
       // pair graph (minus pairs at removed docs). The removal set and
@@ -910,8 +926,10 @@ object DedupIndex {
             "left_anti")
           .select(col("id"), col("component"))
           .unionAll(sub.select(col("id"), col("component")))
-        try merged.write.mode("overwrite").parquet(compPath(dir, cv))
-        finally sub.unpersist()
+        try {
+          ArtifactIO.requireLeaseOwned(spark, artifactDir)
+          merged.write.mode("overwrite").parquet(compPath(dir, cv))
+        } finally sub.unpersist()
       } finally {
         affectedComps.unpersist(); affectedDocs.unpersist()
       }
@@ -920,12 +938,19 @@ object DedupIndex {
       // mutator (a silently lost takedown commit is a legal hazard)
       val batchParam = if (batchId >= 0)
         Map("last_delete_batch" -> batchId) else Map.empty[String, Long]
-      // exact live-tombstone accounting for the readers' join ladder; a
-      // legacy window of unknown size stays unknown (broadcast) rather
-      // than adopting an undercount
+      // exact live-tombstone accounting for the readers' join ladder. A
+      // pre-accounting artifact (tomb_rows absent) must NOT stay
+      // unknown past this commit: unknown keeps the legacy broadcast,
+      // so after a bulk delete every reader would broadcast a
+      // millions-of-rows window — count the existing window ONCE (one
+      // cheap doc_id count over the tombstone deltas) and commit the
+      // exact total (r14 advisor #2)
       val prevRows = tombRowsOf(mf)
-      val rowsParam = if (prevRows < 0) Map.empty[String, Long]
-        else Map("tomb_rows" -> (prevRows + nRemoved))
+      val priorWindow =
+        if (prevRows >= 0) prevRows
+        else tombstonesOf(spark, dir, mf)
+          .map(_.select(col("doc_id")).count()).getOrElse(0L)
+      val rowsParam = Map("tomb_rows" -> (priorWindow + nRemoved))
       ArtifactIO.commitManifest(spark, artifactDir,
         mf, mf.copy(n = mf.n - nRemoved,
           params = mf.params + ("comp_versions" -> (cv + 1)) +
@@ -1020,6 +1045,12 @@ object DedupIndex {
     val next = cur + 1
     val fs = new org.apache.hadoop.fs.Path(artifactDir)
       .getFileSystem(spark.sessionState.newHadoopConf())
+    // the whole sweep→build→commit runs LEASED (r14 verdict #2): the
+    // heartbeat renews the lock for the re-fit's full duration, so the
+    // sweep can't race a concurrent mutation's staged dirs and the TTL
+    // stays a crash detector, not a cap on build length
+    ArtifactIO.withCommitLease(spark, artifactDir) {
+    ArtifactIO.requireUnmoved(spark, artifactDir, mf)
     // sweep: staged versions that never committed; plus the flat layout
     // once some version is live (superseded by an earlier swap)
     fs.listStatus(new org.apache.hadoop.fs.Path(artifactDir))
@@ -1044,6 +1075,7 @@ object DedupIndex {
     // the rebuilt tables, and its replay guard is fresher than the one
     // carried over) refuses this commit instead of being silently lost
     ArtifactIO.commitManifest(spark, artifactDir, mf, mf2)
+    } // withCommitLease
   }
 
   /** Query a batch of NEW documents against the stored corpus WITHOUT

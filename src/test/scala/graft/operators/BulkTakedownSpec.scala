@@ -93,6 +93,56 @@ class BulkTakedownSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("pre-accounting artifact: a delete counts the legacy window once " +
+    "instead of leaving tomb_rows unknown (r14 advisor #2)") {
+    // an upgraded-in-place artifact has a live tombstone window but NO
+    // tomb_rows param; leaving it unknown after a new bulk delete keeps
+    // the legacy broadcast for a now millions-of-rows window on every
+    // reader. The delete must count the existing window once and commit
+    // the exact total. Both artifact kinds.
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") < 100)
+      .persist()
+    val n = docs.count()
+    val dir = tmp("dedup_legacy")
+    DedupIndex.build(docs, dir, n)
+    assert(DedupIndex.delete(
+      docs.select(col("doc_id")).filter(col("doc_id") % 7 === 0), dir) > 0L)
+    val mf = ArtifactIO.readManifest(spark, dir)
+    val firstWindow = mf.params("tomb_rows")
+    assert(firstWindow > 0L)
+    // simulate the pre-accounting manifest: strip tomb_rows, keep the
+    // live window
+    ArtifactIO.writeManifest(spark, dir,
+      mf.copy(params = mf.params - "tomb_rows"))
+    val extra = docs.select(col("doc_id")).filter(col("doc_id") % 7 === 1)
+    val nExtra = extra.count()
+    assert(DedupIndex.delete(extra, dir) == nExtra)
+    assert(ArtifactIO.readManifest(spark, dir).params("tomb_rows")
+      == firstWindow + nExtra,
+      "the legacy window must be counted once, not left unknown")
+
+    val emb = Tables.embeddings(spark, sf).filter(col("vec_id") < 200)
+      .persist()
+    val nv = emb.count()
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val adir = tmp("ivfpq_legacy")
+    AnnIndex.buildIvfPq(emb, adir, dim, nHint = nv)
+    assert(AnnIndex.delete(
+      emb.select(col("vec_id")).filter(col("vec_id") % 7 === 0), adir) > 0L)
+    val amf = AnnIndex.readManifest(spark, adir)
+    val aFirst = amf.params("tomb_rows")
+    assert(aFirst > 0L)
+    ArtifactIO.writeManifest(spark, adir,
+      amf.copy(params = amf.params - "tomb_rows"))
+    val aExtra = emb.select(col("vec_id")).filter(col("vec_id") % 7 === 1)
+    val nAExtra = aExtra.count()
+    assert(AnnIndex.delete(aExtra, adir) == nAExtra)
+    assert(AnnIndex.readManifest(spark, adir).params("tomb_rows")
+      == aFirst + nAExtra)
+    docs.unpersist(); emb.unpersist()
+    spark.catalog.clearCache()
+  }
+
   test("ann artifact: bulk delete on ivfpq, fold = pre-delete filtered") {
     val emb = Tables.embeddings(spark, sf).filter(col("vec_id") < 300)
       .persist()

@@ -133,6 +133,123 @@ class MutatorRaceSpec extends AnyFunSuite {
     } finally ArtifactIO.leaseTtlMs = saved
   }
 
+  test("lease renewal: a mutation outliving the old TTL keeps its lease " +
+    "via heartbeat; a contender refuses throughout (r14 verdict #2)") {
+    val dir = tmp("lease_renew")
+    val m0 = ArtifactIO.Manifest("dedup", 0, 10L, Map("sig_deltas" -> 1L))
+    ArtifactIO.writeManifest(spark, dir, m0)
+    val saved = ArtifactIO.leaseTtlMs
+    ArtifactIO.leaseTtlMs = 150L // heartbeat every max(25, 50) = 50 ms
+    try {
+      val committed = ArtifactIO.withCommitLease(spark, dir) {
+        // the body runs 3× the TTL — without renewal, the contender's
+        // takeover at any point past 150 ms would steal the lock and
+        // the commit below would refuse
+        val deadline = System.currentTimeMillis() + 450L
+        var refusals = 0
+        while (System.currentTimeMillis() < deadline) {
+          Thread.sleep(60L)
+          // contender from ANOTHER thread (the thread-local held-lease
+          // registry must not short-circuit the refusal)
+          val t = new Thread(() => {
+            try ArtifactIO.commitManifest(spark, dir, m0, m0.copy(n = 99L))
+            catch { case _: ConcurrentMutationException => refusals += 1 }
+          })
+          t.start(); t.join()
+        }
+        assert(refusals > 0, "contenders must have been refused mid-hold")
+        ArtifactIO.commitManifest(spark, dir, m0, m0.copy(n = 11L))
+      }
+      assert(ArtifactIO.epochOf(committed) == 1L && committed.n == 11L,
+        "the long-held mutation's own commit must land")
+      assert(ArtifactIO.readManifest(spark, dir) == committed)
+    } finally ArtifactIO.leaseTtlMs = saved
+  }
+
+  test("requireLeaseOwned: a taken-over holder refuses before its next " +
+    "staged write (r14 advisor #1)") {
+    val dir = tmp("lease_owned")
+    val m0 = ArtifactIO.Manifest("dedup", 0, 10L, Map("sig_deltas" -> 1L))
+    ArtifactIO.writeManifest(spark, dir, m0)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val lock = new org.apache.hadoop.fs.Path(dir, ".manifest.lock")
+    val saved = ArtifactIO.leaseTtlMs
+    ArtifactIO.leaseTtlMs = 60L * 1000 // keep the heartbeat out of the way
+    try {
+      intercept[ConcurrentMutationException] {
+        ArtifactIO.withCommitLease(spark, dir) {
+          ArtifactIO.requireLeaseOwned(spark, dir) // held: passes
+          // simulate a TTL takeover landing mid-mutation: the lock now
+          // carries the winner's token
+          fs.delete(lock, false)
+          val out = fs.create(lock, false)
+          try out.write("takeover-winner".getBytes("UTF-8"))
+          finally out.close()
+          ArtifactIO.requireLeaseOwned(spark, dir) // must refuse HERE
+          fail("a stale holder must refuse before staging")
+        }
+      }
+      assert(ArtifactIO.lockTokenOfForTests(spark, dir)
+        .contains("takeover-winner"),
+        "the stale holder's exit must not delete the winner's lock")
+    } finally {
+      ArtifactIO.leaseTtlMs = saved
+      fs.delete(lock, false)
+    }
+  }
+
+  test("steal-file leak: a takeover leftover is swept at the next acquire") {
+    val dir = tmp("steal_sweep")
+    val m0 = ArtifactIO.Manifest("dedup", 0, 10L, Map("sig_deltas" -> 1L))
+    ArtifactIO.writeManifest(spark, dir, m0)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val leaked = new org.apache.hadoop.fs.Path(dir,
+      ".manifest.lock.steal-deadbeef")
+    val out = fs.create(leaked, false)
+    try out.write("x".getBytes("UTF-8")) finally out.close()
+    fs.setTimes(leaked, System.currentTimeMillis() - 1000L, -1L)
+    val fresh = new org.apache.hadoop.fs.Path(dir,
+      ".manifest.lock.steal-fresh")
+    val out2 = fs.create(fresh, false)
+    try out2.write("x".getBytes("UTF-8")) finally out2.close()
+    val saved = ArtifactIO.leaseTtlMs
+    ArtifactIO.leaseTtlMs = 100L
+    try {
+      ArtifactIO.commitManifest(spark, dir, m0, m0.copy(n = 11L))
+      assert(!fs.exists(leaked),
+        "an aged steal leftover must be swept at the next acquire")
+      assert(fs.exists(fresh),
+        "a fresh steal file may still be mid-delete by its renamer - " +
+          "only aged ones are swept")
+    } finally {
+      ArtifactIO.leaseTtlMs = saved
+      fs.delete(fresh, false)
+    }
+  }
+
+  test("release resilience: an unreadable own lock is still released, " +
+    "not stranded for a TTL (r14 advisor #3)") {
+    val dir = tmp("lease_release")
+    val m0 = ArtifactIO.Manifest("dedup", 0, 10L, Map("sig_deltas" -> 1L))
+    ArtifactIO.writeManifest(spark, dir, m0)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val lock = new org.apache.hadoop.fs.Path(dir, ".manifest.lock")
+    ArtifactIO.withCommitLease(spark, dir) {
+      // truncate our own lock to zero bytes: every token read now
+      // returns unreadable — the release path must delete it anyway
+      // instead of refusing every later mutator for the full TTL
+      fs.create(lock, true).close()
+    }
+    assert(!fs.exists(lock),
+      "an unreadable own lock must be released, not stranded")
+    // and the next mutator proceeds immediately
+    val a = ArtifactIO.commitManifest(spark, dir, m0, m0.copy(n = 11L))
+    assert(ArtifactIO.epochOf(a) == 1L)
+  }
+
   test("dedup: takedown interleaving an append refuses the append, loses nothing") {
     val docs = Tables.documents(spark, sf).filter(col("doc_id") < 60)
     val dir = tmp("dedup")
