@@ -1245,6 +1245,48 @@ object Graft {
     streaming.StreamTakedownAll.takedownStatus(spark, queue, dedupDirs,
       annDirs, corpusDirs)
 
+  /** ONE crawl stream driving EVERY artifact (r14 verdict #1) — the
+    * write-path twin of [[streamTakedownAll]]: each micro-batch of
+    * crawl rows (`doc_id`, `text`, `embedding` — the document and its
+    * upstream-computed embedding in one row) lands in every dedup
+    * artifact, ANN index and published corpus dir from a single
+    * checkpoint, so the whole ingest surface shares one batch
+    * high-water mark. A crash between two artifacts' commits converges
+    * on restart ([[streaming.StreamIngestAll]]); [[ingestStatus]] is
+    * the convergence check. An enabled `policy` folds artifacts whose
+    * live window trips the bound in-stream. */
+  def streamIngestAll(spark: SparkSession, landingDir: String,
+      dedupDirs: Seq[String], annDirs: Seq[String],
+      corpusDirs: Seq[String], checkpointDir: String,
+      policy: operators.CompactionPolicy = operators.CompactionPolicy()
+      ): org.apache.spark.sql.streaming.StreamingQuery =
+    streaming.StreamIngestAll.ingestAllSink(
+      streaming.StreamIngestAll.readCrawl(spark, landingDir),
+      dedupDirs, annDirs, corpusDirs, checkpointDir, policy)
+
+  /** One-shot cross-artifact ingest for BATCH callers: land one crawl
+    * set (`doc_id`, `text`, `embedding` columns) in every dedup
+    * artifact, ANN index and published corpus dir — the
+    * [[streamIngestAll]] apply without a stream. `batchId` is the
+    * corpus publish slot and every artifact's replay guard; pass a
+    * fresh (higher) id per call. Verify with [[ingestStatus]]. */
+  def ingestAll(spark: SparkSession, crawl: DataFrame, batchId: Long,
+      dedupDirs: Seq[String], annDirs: Seq[String],
+      corpusDirs: Seq[String]): Unit =
+    streaming.StreamIngestAll.applyAll(crawl, batchId, dedupDirs,
+      annDirs, corpusDirs)
+
+  /** Cross-artifact ingest convergence report: per artifact, how many
+    * of the crawl queue's doc ids are LIVE in its view — all `n_live`
+    * equal means every artifact ingested the same id set; a smaller
+    * count names where a crash-window divergence sits.
+    * (artifact, kind, n_queue, n_live). */
+  def ingestStatus(spark: SparkSession, queue: DataFrame,
+      dedupDirs: Seq[String], annDirs: Seq[String],
+      corpusDirs: Seq[String]): DataFrame =
+    streaming.StreamIngestAll.ingestStatus(spark, queue, dedupDirs,
+      annDirs, corpusDirs)
+
   /** Takedown from the PUBLISHED ingest corpus: tombstone the doc ids —
     * [[readIngestCorpus]] excludes them the instant the commit lands;
     * the rows drop physically at the next [[compactIngestCorpus]]. */

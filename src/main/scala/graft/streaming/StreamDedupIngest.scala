@@ -77,6 +77,13 @@ object StreamDedupIngest {
     else None // never compacted: the plain batch-dir layout
   }
 
+  /** The corpus's committed fold boundary, None when never compacted —
+    * the guard input both ingest sinks check a fresh checkpoint
+    * against. */
+  private[streaming] def mergedUpto(spark: SparkSession,
+      corpusDir: String): Option[Long] =
+    corpusManifest(spark, corpusDir).flatMap(_.params.get("merged_upto"))
+
   private def takedownPath(corpusDir: String, i: Long): String =
     f"$corpusDir/takedown/delta-$i%05d"
   /** The corpus's live takedown-tombstone window — both 0 when absent

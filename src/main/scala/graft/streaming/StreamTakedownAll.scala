@@ -112,7 +112,18 @@ object StreamTakedownAll {
     * @return (artifact, kind, n_queue, n_visible) */
   def takedownStatus(spark: SparkSession, queue: DataFrame,
       dedupDirs: Seq[String], annDirs: Seq[String],
-      corpusDirs: Seq[String]): DataFrame = {
+      corpusDirs: Seq[String]): DataFrame =
+    visibilityStatus(spark, queue, dedupDirs, annDirs, corpusDirs,
+      countCol = "n_visible")
+
+  /** The shared visibility scan both convergence reports are views of:
+    * per artifact, how many of the queue's ids its LIVE view contains.
+    * The takedown side reads the count as debt (all zero ⇔ excluded
+    * everywhere); the ingest side ([[StreamIngestAll.ingestStatus]])
+    * reads it as progress (all equal ⇔ ingested everywhere). */
+  private[streaming] def visibilityStatus(spark: SparkSession,
+      queue: DataFrame, dedupDirs: Seq[String], annDirs: Seq[String],
+      corpusDirs: Seq[String], countCol: String): DataFrame = {
     val idSet = queue.select(col("id")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nQueue = idSet.count()
@@ -144,7 +155,7 @@ object StreamTakedownAll {
             org.apache.spark.sql.types.StringType),
           org.apache.spark.sql.types.StructField("n_queue",
             org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("n_visible",
+          org.apache.spark.sql.types.StructField(countCol,
             org.apache.spark.sql.types.LongType))))
     } finally idSet.unpersist()
   }
