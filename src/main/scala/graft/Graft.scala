@@ -454,6 +454,26 @@ object Graft {
       layoutBuckets: Int = -1): operators.ArtifactIO.Manifest =
     operators.DedupIndex.compactDeltas(spark, dir, layoutBuckets)
 
+  /** Band-layout drift check for a persisted dedup artifact (r14
+    * verdict #3 — the dedup twin of [[annRecallCheck]]): manifest-only
+    * (exact n accounting, no corpus scan), reporting the corpus size
+    * the committed slab layout was sized for vs the live size, and the
+    * bucket count the auto-sizer would pick now vs the recorded one.
+    * `drifted` (≥ 2 pow2 steps apart) is the [[retuneDedupLayout]]
+    * trigger — the cron/stream check that keeps per-probe candidate
+    * load at its design point as the corpus grows. */
+  def dedupBandDriftCheck(spark: SparkSession, dir: String,
+      docsPerBucket: Long = 8192L): operators.DedupIndex.BandDrift =
+    operators.DedupIndex.bandDriftCheck(spark, dir, docsPerBucket)
+
+  /** Re-fold a dedup artifact at the auto-sized slab layout — what a
+    * tripped [[dedupBandDriftCheck]] asks for. A pure re-layout (no
+    * re-fit; the MinHash geometry is n-invariant): contents unchanged,
+    * per-bucket candidate load back at the design point. */
+  def retuneDedupLayout(spark: SparkSession, dir: String,
+      docsPerBucket: Long = 8192L): operators.ArtifactIO.Manifest =
+    operators.DedupIndex.retuneBandLayout(spark, dir, docsPerBucket)
+
   /** Rebuild a persisted dedup artifact from the CURRENT corpus and
     * swap it in atomically (version pointer; in-flight readers finish
     * against the superseded version) — the maintenance call after

@@ -147,9 +147,11 @@ object DedupIndex {
         finally comp.unpersist()
       } finally sigArr.unpersist()
     } finally hsT.unpersist()
+    // geom_n records the corpus size the CURRENT serving layout was
+    // sized for — the [[bandDriftCheck]] baseline (build layout = flat)
     val mf = Manifest("dedup", 0, n, Map(
       "sig_deltas" -> 1L, "pair_deltas" -> 1L, "comp_versions" -> 1L,
-      "verify_tables" -> 1L))
+      "verify_tables" -> 1L, "geom_n" -> n))
     ArtifactIO.writeManifest(spark, dir, mf)
     mf
   }
@@ -777,6 +779,14 @@ object DedupIndex {
     // tombstone window empties (every tombstone is now physical); the
     // layout param records THIS fold's choice (a flat re-fold of a
     // previously bucketed artifact resets it)
+    // an EXPLICIT layout request re-sizes the geometry for the corpus
+    // at hand — record the n it was sized for ([[bandDriftCheck]]'s
+    // baseline); a preserving fold (−1) carries the recorded geom_n
+    // (the layout is still the one sized back then — that is exactly
+    // what the drift check measures staleness against)
+    val geomParam =
+      if (layoutBuckets >= 0) Map("geom_n" -> mf.n)
+      else mf.params.get("geom_n").map("geom_n" -> _).toMap
     val mf2 = mf.copy(params = mf.params +
       ("sig_base" -> (sb + sd)) + ("sig_deltas" -> 1L) +
       ("pair_base" -> (pb + pd)) + ("pair_deltas" -> 1L) +
@@ -786,7 +796,8 @@ object DedupIndex {
       // bands written by THIS fold are band-major when bucketed; a
       // pre-band-major slab (param absent) keeps its hash-dir read
       // path until its next fold rewrites it
-      ("layout_band_major" -> (if (effLayout > 0) 1L else 0L)))
+      ("layout_band_major" -> (if (effLayout > 0) 1L else 0L)) ++
+      geomParam)
     val committed = ArtifactIO.commitManifest(spark, artifactDir, mf, mf2)
     // NO GC here: readers already ignore the folded window, but one
     // that loaded the old manifest just before this commit may still
@@ -983,6 +994,95 @@ object DedupIndex {
         ((pb + 1) until pb + pd).map(pairPath(dir, _)) ++
         (tb until tb + td).map(tombPath(dir, _)))
     (live, bytes)
+  }
+
+  /** The slab layout the measured crossovers recommend for a corpus of
+    * `n` documents — the dedup artifact's one genuinely n-sensitive
+    * geometry knob. The MinHash band geometry itself (Bands × Rows) is
+    * n-INVARIANT by construction (a chance pair collides per band with
+    * probability s^Rows, independent of corpus size), but the SERVING
+    * layout is not: `layout_buckets` sets the postings hash-dir count
+    * (per-probe candidate load ∼ n / buckets) and gates the band-major
+    * band slab, both sized at fold time — a corpus 10× its fold-time n
+    * serves 10× the per-bucket rows at the stale count. Rule, anchored
+    * on the measured runs (flat parity at 500k docs / band-major WIN at
+    * 5M; the 64-bucket postings win at 500k ⇒ ~8k docs per bucket):
+    * flat below ~32k docs (bucketing overhead beats the win there),
+    * else the next power of two of n / `docsPerBucket`, capped at 4096
+    * (the probe IN-list pushdown bound). */
+  def autoLayoutBuckets(n: Long, docsPerBucket: Long = 8192L): Int = {
+    require(docsPerBucket > 0, s"docsPerBucket must be positive")
+    val want = (math.max(0L, n) + docsPerBucket - 1) / docsPerBucket
+    if (want <= 4) 0 // tiny corpus: flat slab is the measured winner
+    else {
+      var b = 8
+      while (b < want && b < 4096) b <<= 1
+      b
+    }
+  }
+
+  /** What [[bandDriftCheck]] measured — all from the manifest, no data
+    * scan: the corpus size the committed layout was sized for, the live
+    * size (maintained exactly through appends/deletes), the recorded
+    * and now-recommended bucket counts, whether the gap is beyond
+    * rounding (the [[retuneBandLayout]] trigger), and the way out. */
+  final case class BandDrift(geomN: Long, liveN: Long,
+      recordedBuckets: Long, recommendedBuckets: Long, drifted: Boolean,
+      recommendation: String)
+
+  /** Band-layout drift detection (r14 verdict #3 — the dedup twin of
+    * [[AnnIndex.recallCheck]]): compare the live corpus size against
+    * the size the committed slab layout was sized for, and the bucket
+    * count the auto-sizer would pick NOW against the recorded one.
+    * Costs one manifest read — `n` is exact delta accounting (every
+    * append adds, every delete subtracts), so no corpus scan happens.
+    * `drifted` fires when the recommended and recorded counts are ≥ 2
+    * power-of-two steps apart (4×) — one step is rounding jitter a
+    * small append can cause; two means the corpus moved ≥ ~an order of
+    * magnitude past the layout's design point (a 10×-appended corpus
+    * trips, a 1.2× append does not; BandDriftSpec pins both). */
+  def bandDriftCheck(spark: SparkSession, artifactDir: String,
+      docsPerBucket: Long = 8192L): BandDrift = {
+    val mf = ArtifactIO.readManifest(spark, artifactDir)
+    require(mf.family == "dedup",
+      s"index at hand is family '${mf.family}', expected 'dedup'")
+    val geomN = mf.params.getOrElse("geom_n", -1L)
+    val recorded = mf.params.getOrElse("layout_buckets", 0L)
+    val recommended = autoLayoutBuckets(mf.n, docsPerBucket).toLong
+    // max(1, ·) folds the flat layout (0) into the ladder as "one
+    // bucket", so flat-past-the-crossover and bucketed-past-its-size
+    // drift on the same ratio rule
+    val (lo, hi) = (math.min(math.max(1L, recorded),
+      math.max(1L, recommended)),
+      math.max(math.max(1L, recorded), math.max(1L, recommended)))
+    val drifted = hi >= 4L * lo
+    val recommendation =
+      if (!drifted) ""
+      else if (recommended > recorded)
+        s"corpus grew to ${mf.n} docs (layout sized for " +
+          s"${if (geomN >= 0) geomN else "an unrecorded n"}): re-fold " +
+          s"with layout_buckets=$recommended (retuneBandLayout) to " +
+          "restore the per-bucket candidate load"
+      else
+        s"corpus shrank to ${mf.n} docs: re-fold with layout_buckets=" +
+          s"$recommended (retuneBandLayout) - the over-split slab pays " +
+          "per-dir mount overhead with no skipping win"
+    BandDrift(geomN, mf.n, recorded, recommended, drifted, recommendation)
+  }
+
+  /** [[compactDeltas]] at the auto-sized layout (r14 verdict #3's
+    * retune composition): re-band the slab for the corpus AS IT IS NOW
+    * and re-record `geom_n`. A pure re-layout — candidate/verify
+    * content is unchanged (the compactDeltas identity), only the
+    * per-bucket load returns to the design point. This is what a
+    * tripped [[bandDriftCheck]] asks for; unlike the ANN side no
+    * quantizer re-fit is ever needed, because the MinHash geometry
+    * itself does not drift. */
+  def retuneBandLayout(spark: SparkSession, artifactDir: String,
+      docsPerBucket: Long = 8192L): Manifest = {
+    val n = ArtifactIO.readManifest(spark, artifactDir).n
+    compactDeltas(spark, artifactDir,
+      layoutBuckets = autoLayoutBuckets(n, docsPerBucket))
   }
 
   /** Incremental connected components: new edges can only change the
