@@ -454,6 +454,18 @@ object Graft {
       layoutBuckets: Int = -1): operators.ArtifactIO.Manifest =
     operators.DedupIndex.compactDeltas(spark, dir, layoutBuckets)
 
+  /** Register a reader pin on ANY persisted artifact (dedup / ANN /
+    * corpus) before a long read (r14 verdict #4): folds and rebuilds
+    * keep superseded files exactly one grace cycle, so a reader holding
+    * views across TWO mutations could lose files mid-scan. A pinned
+    * snapshot survives every sweep until `release()` (or the pin TTL
+    * expires — abandoned pins are swept; renew() for reads that outlive
+    * it). Pin FIRST, then load views. Pins defer GC only — they never
+    * block mutations. */
+  def pinArtifactReader(spark: SparkSession,
+      dir: String): operators.ArtifactIO.ReaderPin =
+    operators.ArtifactIO.pinReader(spark, dir)
+
   /** Band-layout drift check for a persisted dedup artifact (r14
     * verdict #3 — the dedup twin of [[annRecallCheck]]): manifest-only
     * (exact n accounting, no corpus scan), reporting the corpus size

@@ -331,12 +331,16 @@ object AnnIndex {
     val committed = base + count // next uncommitted slot
     val root = tableRoot(dir, mf)
     // heal: delete orphan delta dirs from appends/compactions that
-    // never committed, and folded dirs a crashed compaction GC left
+    // never committed, and folded dirs a crashed compaction GC left;
+    // live reader pins lower the GC floor so a pinned reader's window
+    // survives (r14 verdict #4)
+    val pins = ArtifactIO.pinnedManifests(spark, dir)
     ArtifactIO.healOrphans(spark, s"$root/ivfpq_codes.parquet", "delta-",
-      committed, base)
+      committed, ArtifactIO.pinnedFloor(pins, "deltas_base", 0L, base))
     val (atb, atd) = ivfTombWindow(mf)
     ArtifactIO.healOrphans(spark, s"$root/ivfpq_tombstones.parquet",
-      "delta-", atb + atd, atb)
+      "delta-", atb + atd,
+      ArtifactIO.pinnedFloor(pins, "tomb_base", 0L, atb))
     // re-ingesting a tombstoned id is refused, not silently lost: the
     // live tombstone anti-join would hide the re-appended codes from
     // every reader and the next compaction would drop them physically
@@ -424,14 +428,16 @@ object AnnIndex {
     // heal→stage→commit under the commit lease (r14 review #1)
     ArtifactIO.withCommitLease(spark, dir) {
     ArtifactIO.requireUnmoved(spark, dir, mf)
+    val pins = ArtifactIO.pinnedManifests(spark, dir)
     ArtifactIO.healOrphans(spark, s"$root/ivfpq_tombstones.parquet",
-      "delta-", tb + td, tb)
+      "delta-", tb + td, ArtifactIO.pinnedFloor(pins, "tomb_base", 0L, tb))
     // pending tombstones force a fold even at one slab — compaction is
     // where a takedown becomes a PHYSICAL row drop ([[deleteIvfPq]])
     if (count <= 1 && td == 0) mf // already one slab
     else {
     ArtifactIO.healOrphans(spark, s"$root/ivfpq_codes.parquet", "delta-",
-      base + count, base)
+      base + count,
+      ArtifactIO.pinnedFloor(pins, "deltas_base", 0L, base))
     // codesTable applies the live tombstones — the fold materializes
     // the filtered view as the new slab (ownership re-verified before
     // the staged overwrite, r14 advisor #1)
@@ -523,7 +529,9 @@ object AnnIndex {
     ArtifactIO.withCommitLease(spark, dir) {
     ArtifactIO.requireUnmoved(spark, dir, mf)
     ArtifactIO.healOrphans(spark,
-      s"$root/${mf.family}_tombstones.parquet", "delta-", tb + td, tb)
+      s"$root/${mf.family}_tombstones.parquet", "delta-", tb + td,
+      ArtifactIO.pinnedFloor(ArtifactIO.pinnedManifests(spark, dir),
+        "tomb_base", 0L, tb))
     // the family's per-vector table, prior tombstones already excluded
     val stored = mf.family match {
       case "ivfpq" =>
@@ -636,7 +644,9 @@ object AnnIndex {
     ArtifactIO.withCommitLease(spark, dir) {
     ArtifactIO.requireUnmoved(spark, dir, mf)
     ArtifactIO.healOrphans(spark,
-      s"$root/${mf.family}_tombstones.parquet", "delta-", tb + td, tb)
+      s"$root/${mf.family}_tombstones.parquet", "delta-", tb + td,
+      ArtifactIO.pinnedFloor(ArtifactIO.pinnedManifests(spark, dir),
+        "tomb_base", 0L, tb))
     if (td == 0) mf // no pending tombstones: nothing to fold
     else {
     val cur = mf.params.getOrElse("version", 0L)
@@ -682,18 +692,25 @@ object AnnIndex {
     * reader-grace cycle ends here (everything but `cur`), plus the flat
     * build-layout tables once some version is live. One implementation
     * so the ≤2-versions storage bound cannot drift between the two
-    * mutation paths. */
+    * mutation paths. Live READER PINS extend the grace cycle (r14
+    * verdict #4): a version (or the flat layout, version 0) referenced
+    * by an unexpired pin survives any number of sweeps until the pin
+    * is released or expires. */
   private def sweepVersions(spark: SparkSession, dir: String,
       family: String, cur: Long): Unit = {
+    val pins = ArtifactIO.pinnedManifests(spark, dir)
+    // an unreadable pin file protects everything until it expires
+    if (pins.exists(_.family == "pinned-unreadable")) return
+    val keep = pins.map(_.params.getOrElse("version", 0L)).toSet + cur
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sessionState.newHadoopConf())
     fs.listStatus(new org.apache.hadoop.fs.Path(dir))
       .map(_.getPath).filter { p =>
         val s = p.getName.stripPrefix("v-")
         p.getName.startsWith("v-") && s.nonEmpty && s.forall(_.isDigit) &&
-          s.toLong != cur
+          !keep.contains(s.toLong)
       }.foreach(fs.delete(_, true))
-    if (cur > 0)
+    if (cur > 0 && !keep.contains(0L))
       (familyTables(family) :+ s"${family}_tombstones").foreach(t =>
         fs.delete(new org.apache.hadoop.fs.Path(dir, s"$t.parquet"), true))
   }

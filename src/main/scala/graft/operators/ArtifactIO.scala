@@ -534,6 +534,103 @@ object ArtifactIO {
     parseManifest(fs, path)
   }
 
+  // ---- reader pins (r14 verdict #4) --------------------------------------
+
+  /** How long an unreleased pin protects its version/window before GC
+    * stops honoring it: an abandoned pin (reader crashed without
+    * releasing) must not hold superseded slabs forever. Long-running
+    * readers renew ([[ReaderPin.renew]]) well inside this bound. Tests
+    * lower it to pin the sweep. */
+  @volatile private[graft] var pinTtlMs: Long = 6L * 60 * 60 * 1000
+
+  private def pinsDir(dir: String) = new Path(dir, ".pins")
+
+  /** A registered reader pin: releases (or renews) the epoch snapshot
+    * it protects. */
+  final class ReaderPin private[ArtifactIO] (val dir: String,
+      val id: String, val manifest: Manifest) {
+    /** Stop protecting the pinned snapshot — call when the long read
+      * finishes; the next mutation's sweep may then GC its files. */
+    def release(spark: SparkSession): Unit = {
+      val p = new Path(pinsDir(dir), s"pin-$id.json")
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      try fs.delete(p, false)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+    /** Refresh the pin's TTL clock — a reader outliving [[pinTtlMs]]
+      * renews periodically, exactly the lease-heartbeat idea on the
+      * read side. */
+    def renew(spark: SparkSession): Unit = {
+      val p = new Path(pinsDir(dir), s"pin-$id.json")
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      try fs.setTimes(p, System.currentTimeMillis(), -1)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+  }
+
+  /** Register a reader pin on the artifact's CURRENT commit (r14
+    * verdict #4): folds and rebuilds keep a superseded version/window
+    * exactly one grace cycle, so a reader holding table views across
+    * TWO mutations could have files GC'd under it mid-scan. A pin
+    * snapshots the manifest into `.pins/pin-<uuid>.json`; every GC
+    * sweep ([[healOrphans]] live bases, version sweeps) honors the
+    * windows of all live pins, so the pinned reader's files survive
+    * any number of mutations until [[ReaderPin.release]] (or the pin
+    * expires — [[pinTtlMs]]). Contract: pin FIRST, then load views
+    * from the returned [[ReaderPin.manifest]]'s epoch (loading before
+    * pinning leaves a sweep window). Pins only defer GC — they never
+    * block mutations or readers of the current version. */
+  def pinReader(spark: SparkSession, dir: String): ReaderPin = {
+    val m = readManifest(spark, dir)
+    val id = java.util.UUID.randomUUID().toString
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(pinsDir(dir))
+    val root = mapper.createObjectNode()
+    root.put("family", m.family)
+    root.put("dim", m.dim)
+    root.put("n", m.n)
+    val p = root.putObject("params")
+    m.params.toSeq.sortBy(_._1).foreach { case (k, v) => p.put(k, v) }
+    val out = fs.create(new Path(pinsDir(dir), s"pin-$id.json"), false)
+    try out.write(root.toPrettyString.getBytes("UTF-8")) finally out.close()
+    new ReaderPin(dir, id, m)
+  }
+
+  /** Live (unexpired) pinned manifests for the artifact — what every
+    * GC sweep consults. Expired pins are swept here as a side effect
+    * (the opportunistic abandoned-pin cleanup); unreadable pin files
+    * are treated as live until they expire (refusing to GC on a
+    * transient read error is the safe direction). */
+  def pinnedManifests(spark: SparkSession, dir: String): Seq[Manifest] = {
+    val pd = pinsDir(dir)
+    val fs = pd.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(pd)) return Seq.empty
+    val now = System.currentTimeMillis()
+    fs.listStatus(pd).toSeq
+      .filter(_.getPath.getName.startsWith("pin-"))
+      .flatMap { st =>
+        if (now - st.getModificationTime > pinTtlMs) {
+          try fs.delete(st.getPath, false)
+          catch { case scala.util.control.NonFatal(_) => () }
+          None
+        } else
+          try Some(parseManifest(fs, st.getPath))
+          catch { case scala.util.control.NonFatal(_) =>
+            // torn pin write or transient read error: protect the
+            // whole history until the file expires
+            Some(Manifest("pinned-unreadable", 0, 0L, Map.empty))
+          }
+      }
+  }
+
+  /** The GC floor a set of pinned manifests imposes on a window's live
+    * base: the minimum of the caller's own base and every pin's value
+    * of `param` (absent = `default`, the pre-param layout whose window
+    * starts at the default). */
+  def pinnedFloor(pins: Seq[Manifest], param: String, default: Long,
+      ownBase: Long): Long =
+    (ownBase +: pins.map(_.params.getOrElse(param, default))).min
+
   /** Delete numbered subdirectories of `root` outside the committed
     * live window `[liveBase, committed)` — the orphan-heal step before
     * staging a new delta/version (an orphan above the window is data

@@ -513,19 +513,26 @@ object DedupIndex {
     val (sb, pb) = (mf.params.getOrElse("sig_base", 0L),
       mf.params.getOrElse("pair_base", 0L))
     val (sigEnd, pairEnd) = (sb + sd, pb + pd)
+    // live reader pins lower every GC floor: a pinned reader's window
+    // survives any number of mutations (r14 verdict #4)
+    val pins = ArtifactIO.pinnedManifests(spark, artifactDir)
+    val sbF = ArtifactIO.pinnedFloor(pins, "sig_base", 0L, sb)
     ArtifactIO.healOrphans(spark, s"$dir/signatures.parquet", "delta-",
-      sigEnd, sb)
-    ArtifactIO.healOrphans(spark, s"$dir/bands.parquet", "delta-", sigEnd, sb)
+      sigEnd, sbF)
+    ArtifactIO.healOrphans(spark, s"$dir/bands.parquet", "delta-", sigEnd,
+      sbF)
     ArtifactIO.healOrphans(spark, s"$dir/shingles.parquet", "delta-",
-      sigEnd, sb)
+      sigEnd, sbF)
     ArtifactIO.healOrphans(spark, s"$dir/postings.parquet", "delta-",
-      sigEnd, sb)
-    ArtifactIO.healOrphans(spark, s"$dir/pairs.parquet", "delta-", pairEnd, pb)
+      sigEnd, sbF)
+    ArtifactIO.healOrphans(spark, s"$dir/pairs.parquet", "delta-", pairEnd,
+      ArtifactIO.pinnedFloor(pins, "pair_base", 0L, pb))
     // cv - 1 as the live base also GCs superseded component versions
-    ArtifactIO.healOrphans(spark, s"$dir/components.parquet", "v-", cv, cv - 1)
+    ArtifactIO.healOrphans(spark, s"$dir/components.parquet", "v-", cv,
+      ArtifactIO.pinnedFloor(pins, "comp_versions", 1L, cv) - 1)
     val (tb, td) = tombWindow(mf)
     ArtifactIO.healOrphans(spark, s"$dir/tombstones.parquet", "delta-",
-      tb + td, tb)
+      tb + td, ArtifactIO.pinnedFloor(pins, "tomb_base", 0L, tb))
     val tombs = tombstonesOf(spark, dir, mf)
     // re-ingesting a tombstoned id is refused, not silently lost: the
     // live tombstone anti-join would hide the re-appended rows from
@@ -683,9 +690,11 @@ object DedupIndex {
     // heal→stage→commit under the commit lease (r14 review #1)
     ArtifactIO.withCommitLease(spark, artifactDir) {
     ArtifactIO.requireUnmoved(spark, artifactDir, mf)
-    ArtifactIO.healOrphans(spark, s"$dir/components.parquet", "v-", cv, cv - 1)
+    val pins = ArtifactIO.pinnedManifests(spark, artifactDir)
+    ArtifactIO.healOrphans(spark, s"$dir/components.parquet", "v-", cv,
+      ArtifactIO.pinnedFloor(pins, "comp_versions", 1L, cv) - 1)
     ArtifactIO.healOrphans(spark, s"$dir/tombstones.parquet", "delta-",
-      tb + td, tb)
+      tb + td, ArtifactIO.pinnedFloor(pins, "tomb_base", 0L, tb))
     // resolve the layout request: −1 preserves the committed layout
     // (the maintenance default — an in-stream/policy fold must never
     // silently re-lay a bucketed artifact flat); explicit 0/N change it
@@ -706,16 +715,17 @@ object DedupIndex {
       mf
     else {
     val tombs = tombstonesOf(spark, dir, mf)
+    val sbF = ArtifactIO.pinnedFloor(pins, "sig_base", 0L, sb)
     ArtifactIO.healOrphans(spark, s"$dir/signatures.parquet", "delta-",
-      sb + sd, sb)
+      sb + sd, sbF)
     ArtifactIO.healOrphans(spark, s"$dir/bands.parquet", "delta-",
-      sb + sd, sb)
+      sb + sd, sbF)
     ArtifactIO.healOrphans(spark, s"$dir/shingles.parquet", "delta-",
-      sb + sd, sb)
+      sb + sd, sbF)
     ArtifactIO.healOrphans(spark, s"$dir/postings.parquet", "delta-",
-      sb + sd, sb)
+      sb + sd, sbF)
     ArtifactIO.healOrphans(spark, s"$dir/pairs.parquet", "delta-",
-      pb + pd, pb)
+      pb + pd, ArtifactIO.pinnedFloor(pins, "pair_base", 0L, pb))
     // stage: one slab per table at the next slot, with pending
     // tombstones applied PHYSICALLY (the takedown's row drop happens
     // here, once, instead of on every read). coalesce bounds the
@@ -866,9 +876,11 @@ object DedupIndex {
     val dir = tableRoot(artifactDir, mf) // tables live under the root
     val cv = mf.params("comp_versions")
     val (tb, td) = tombWindow(mf)
+    val pins = ArtifactIO.pinnedManifests(spark, artifactDir)
     ArtifactIO.healOrphans(spark, s"$dir/tombstones.parquet", "delta-",
-      tb + td, tb)
-    ArtifactIO.healOrphans(spark, s"$dir/components.parquet", "v-", cv, cv - 1)
+      tb + td, ArtifactIO.pinnedFloor(pins, "tomb_base", 0L, tb))
+    ArtifactIO.healOrphans(spark, s"$dir/components.parquet", "v-", cv,
+      ArtifactIO.pinnedFloor(pins, "comp_versions", 1L, cv) - 1)
     val ix = load(spark, artifactDir) // prior tombstones excluded here
     // docs that actually exist and aren't already tombstoned; the
     // signature probe is a column-pruned semi join (doc_id only —
@@ -1152,18 +1164,25 @@ object DedupIndex {
     ArtifactIO.withCommitLease(spark, artifactDir) {
     ArtifactIO.requireUnmoved(spark, artifactDir, mf)
     // sweep: staged versions that never committed; plus the flat layout
-    // once some version is live (superseded by an earlier swap)
-    fs.listStatus(new org.apache.hadoop.fs.Path(artifactDir))
-      .map(_.getPath).filter { p =>
-        val s = p.getName.stripPrefix("v-")
-        p.getName.startsWith("v-") && s.nonEmpty && s.forall(_.isDigit) &&
-          s.toLong != cur
-      }.foreach(fs.delete(_, true))
-    if (cur > 0)
-      Seq("signatures", "bands", "shingles", "postings", "pairs",
-        "components", "tombstones").foreach(t =>
-        fs.delete(new org.apache.hadoop.fs.Path(artifactDir,
-          s"$t.parquet"), true))
+    // once some version is live (superseded by an earlier swap). Live
+    // reader pins extend the grace cycle — a pinned version (or the
+    // flat layout) survives until released/expired (r14 verdict #4)
+    val pins = ArtifactIO.pinnedManifests(spark, artifactDir)
+    val keepAll = pins.exists(_.family == "pinned-unreadable")
+    val keep = pins.map(_.params.getOrElse("version", 0L)).toSet + cur
+    if (!keepAll) {
+      fs.listStatus(new org.apache.hadoop.fs.Path(artifactDir))
+        .map(_.getPath).filter { p =>
+          val s = p.getName.stripPrefix("v-")
+          p.getName.startsWith("v-") && s.nonEmpty && s.forall(_.isDigit) &&
+            !keep.contains(s.toLong)
+        }.foreach(fs.delete(_, true))
+      if (cur > 0 && !keep.contains(0L))
+        Seq("signatures", "bands", "shingles", "postings", "pairs",
+          "components", "tombstones").foreach(t =>
+          fs.delete(new org.apache.hadoop.fs.Path(artifactDir,
+            s"$t.parquet"), true))
+    }
     // stage: a complete self-contained artifact in the next version dir
     val sub = build(docs, versionDir(artifactDir, next), nHint)
     // commit: the root manifest adopts it with the version pointer
