@@ -1185,10 +1185,13 @@ object Graft {
     * one-shot, pinned by StreamingEmbedDedupSpec). Returns the started
     * query. */
   def streamIndexAppend(spark: SparkSession, landingDir: String,
-      indexDir: String, checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+      indexDir: String, checkpointDir: String,
+      policy: operators.CompactionPolicy = operators.CompactionPolicy(),
+      recall: operators.RecallPolicy = operators.RecallPolicy()
+      ): org.apache.spark.sql.streaming.StreamingQuery =
     streaming.StreamEmbedDedup.indexAppendSink(
       streaming.StreamEmbedDedup.readEmbeddings(spark, landingDir),
-      indexDir, checkpointDir)
+      indexDir, checkpointDir, policy = policy, recall = recall)
 
   /** Streaming ingest into a persisted DEDUP artifact: each arriving
     * (doc_id, text) file is appended (d16's bipartite increment,
@@ -1229,12 +1232,13 @@ object Graft {
     * sq8) — the (vec_id) twin of [[streamDedupTakedown]]. */
   def streamAnnTakedown(spark: SparkSession, landingDir: String,
       indexDir: String, checkpointDir: String,
-      policy: operators.CompactionPolicy = operators.CompactionPolicy()
+      policy: operators.CompactionPolicy = operators.CompactionPolicy(),
+      recall: operators.RecallPolicy = operators.RecallPolicy()
       ): org.apache.spark.sql.streaming.StreamingQuery =
     streaming.StreamTakedown.annTakedownSink(
       spark.readStream.schema("vec_id LONG")
         .option("maxFilesPerTrigger", 1).parquet(landingDir),
-      indexDir, checkpointDir, policy)
+      indexDir, checkpointDir, policy, recall)
 
   /** ONE removal queue driving EVERY artifact (r13 verdict #1): each
     * micro-batch of ids (a single `id LONG` column — the pipeline id

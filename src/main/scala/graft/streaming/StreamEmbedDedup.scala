@@ -74,11 +74,19 @@ object StreamEmbedDedup {
     *   the stream.
     * @param policy threshold-based trigger on the manifest's LIVE
     *   window (delta count / bytes — r11 verdict #4); when set it
-    *   replaces `compactEvery`. */
+    *   replaces `compactEvery`.
+    * @param recall when enabled (r14 verdict #5), every N-th batch
+    *   re-measures serving recall at the tuned operating point; drift
+    *   on the recorded sample triggers
+    *   [[graft.operators.AnnIndex.rebuildAndTune]] in-stream, so a
+    *   corpus that grew past its quantizer fit re-tunes before the
+    *   next batch serves. */
   def indexAppendSink(emb: DataFrame, indexDir: String,
       checkpointDir: String, compactEvery: Int = 0,
       policy: graft.operators.CompactionPolicy =
-        graft.operators.CompactionPolicy()
+        graft.operators.CompactionPolicy(),
+      recall: graft.operators.RecallPolicy =
+        graft.operators.RecallPolicy()
       ): org.apache.spark.sql.streaming.StreamingQuery = {
     val eff = if (policy.enabled) policy
       else graft.operators.CompactionPolicy(every = compactEvery)
@@ -110,6 +118,10 @@ object StreamEmbedDedup {
               graft.operators.AnnIndex.compactIvfPqDeltas(
                 batch.sparkSession, indexDir)
           }
+          // in-stream auto-retune (r14 verdict #5): a corpus that grew
+          // past its quantizer fit re-fits + re-tunes before the next
+          // batch serves, instead of waiting for an operator cron
+          recall.applyIfDue(batch.sparkSession, indexDir, batchId)
           ()
         }
       }

@@ -71,11 +71,19 @@ object StreamTakedown {
     *   when a bound trips — family-dispatched: ivfpq through its delta
     *   fold, lsh/ivf/pq through the frozen-quantizer version swap
     *   ([[AnnIndex.compactTombstones]]); the window count comes from
-    *   [[AnnIndex.takedownWindowStats]]. */
+    *   [[AnnIndex.takedownWindowStats]].
+    * @param recall when enabled (r14 verdict #5), every N-th batch
+    *   re-measures serving recall at the tuned operating point against
+    *   the policy's live store; drift beyond the bound on the recorded
+    *   sample triggers [[AnnIndex.rebuildAndTune]] INSIDE the stream —
+    *   a takedown that guts a tuned neighborhood re-fits and re-tunes
+    *   before the next batch serves, instead of waiting for a cron. */
   def annTakedownSink(ids: DataFrame, indexDir: String,
       checkpointDir: String,
       policy: graft.operators.CompactionPolicy =
-        graft.operators.CompactionPolicy()): StreamingQuery =
+        graft.operators.CompactionPolicy(),
+      recall: graft.operators.RecallPolicy =
+        graft.operators.RecallPolicy()): StreamingQuery =
     ids.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
@@ -89,6 +97,10 @@ object StreamTakedown {
               ()
             }
           }
+          // in-stream auto-retune (r14 verdict #5): a takedown that
+          // guts a tuned neighborhood re-fits + re-tunes before the
+          // next batch serves, instead of waiting for an operator cron
+          recall.applyIfDue(spark, indexDir, batchId)
           ()
         }
       }
