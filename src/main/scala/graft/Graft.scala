@@ -184,6 +184,19 @@ object Graft {
       updates: Int = 1, nHint: Long = -1L): DataFrame =
     queries.SimilarityQueries.semanticDedupOn(emb, k, threshold, updates, nHint)
 
+  /** [[semanticDups]]'s SCALE configuration (r14 verdict #8): per
+    * k-means cell only the `qPerCell` lowest-id members act as
+    * witnesses (the s6 bipartite shape), so candidate volume is
+    * n·qPerCell and assign work n·k — both linear in n at fixed
+    * knobs, the 100-TB regime. Result ⊆ [[semanticDups]]; equal when
+    * qPerCell covers the largest cell. Measured on the linear band at
+    * 150k→2.4M vectors (BENCH_NOTES). */
+  def semanticDupsBucketed(emb: DataFrame, k: Int, qPerCell: Int = 16,
+      threshold: Double = 0.9, updates: Int = 1,
+      nHint: Long = -1L): DataFrame =
+    queries.SimilarityQueries.semanticDedupBucketedOn(emb, k, qPerCell,
+      threshold, updates, nHint)
+
   /** The Gopher quality-rule gate as one per-row pass: (doc_id, n_words,
     * flags, keep) where `flags` is the failed-rule bitmask (word count,
     * mean word length, symbol ratio, bullet/ellipsis lines, alpha-word

@@ -542,6 +542,47 @@ object SimilarityQueries {
       .agg(min(col("va")).as("dup_of"))
       .select(col("vb").as("vec_id"), col("cell"), col("dup_of"))
   }
+  /** d14's SCALE configuration (r14 verdict #8): SemDeDup with a
+    * BUCKETED QUERY SET — the s6 bipartite shape applied per cluster.
+    * The exact d14 compares every within-cluster pair (m²·k pairs,
+    * quadratic once k is a constant — arithmetic-bound by ~200k
+    * vectors at the gate's k=16), and growing k to hold m² down makes
+    * the ASSIGN pass n·k — quadratic again at k ∼ n. This
+    * configuration bounds BOTH: per cell the `qPerCell` LOWEST-id
+    * members form the witness (query) set, and every member is
+    * compared against those alone — n·qPerCell candidate cosines and
+    * n·k assign work, both linear in n at fixed knobs, which is the
+    * 100-TB regime. Semantics: a vector is dropped iff a lower-id
+    * witness in its cluster's query set clears the threshold, so the
+    * result is a SUBSET of exact d14 (witnesses outside the query set
+    * are not consulted) and EQUALS it whenever qPerCell covers the
+    * largest cluster (SemDeDupBucketedSpec pins both). `dup_of` is
+    * the smallest clearing witness in the query set. */
+  private[graft] def semanticDedupBucketedOn(emb: DataFrame, k: Int,
+      qPerCell: Int, threshold: Double, updates: Int = 1,
+      nHint: Long = -1L): DataFrame = {
+    val (asg, _) = graft.operators.KMeans.fit(
+      graft.operators.KMeans.prepare(emb), k, updates, nHint)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cell")).orderBy(col("vec_id"))
+    val queries = asg
+      .select(col("cell"), col("vec_id"), col("q"), col("nn"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= qPerCell)
+      .select(col("cell"), col("vec_id").as("va"), col("q").as("qa"),
+        col("nn").as("na"))
+    val members = asg.select(col("cell"), col("vec_id").as("vb"),
+      col("q").as("qb"), col("nn").as("nb"))
+    members.join(queries, Seq("cell"))
+      .filter(col("va") < col("vb"))
+      .filter(TextOps.qdot(col("qa"), col("qb")).cast("double") /
+        (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double")))
+        >= threshold)
+      .groupBy(col("vb"), col("cell"))
+      .agg(min(col("va")).as("dup_of"))
+      .select(col("vb").as("vec_id"), col("cell"), col("dup_of"))
+  }
+
   private val semanticDedupSql =
     s"""WITH $kmeansCtes,
        |pairs AS (

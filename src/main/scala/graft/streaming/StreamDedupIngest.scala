@@ -380,6 +380,15 @@ object StreamDedupIngest {
 
   /** Start the ingest sink; stop the returned query to stop ingesting.
     *
+    * Poison-pill unblock latency (r14 advisor #5): a batch re-ingesting
+    * a taken-down id folds the live tombstone window and retries once.
+    * The fold rewrites every table slab the tombstoned rows live in —
+    * at production scale a multi-minute pause inside ONE micro-batch.
+    * A cheaper tombstone-only fold does not exist for this layout
+    * (dropping rows physically IS the slab rewrite), so the cliff is
+    * inherent; size the compaction policy so takedown windows fold
+    * before a re-crawl can arrive if the stall matters.
+    *
     * @param compactEvery when > 0, every `compactEvery`-th batch also
     *   folds the artifact's delta dirs ([[graft.operators.DedupIndex
     *   .compactDeltas]]) and the corpus's published batch dirs

@@ -67,7 +67,15 @@ object StreamEmbedDedup {
     * overwrites (never duplicated (vec_id, sub, code, cell) rows, which
     * would double ADC sums and corrupt rankings).
     * Returns the started query; stop it to stop ingesting. */
-  /** @param compactEvery when > 0, every `compactEvery`-th batch also
+  /** Poison-pill unblock latency (r14 advisor #5): a batch
+    * re-ingesting a taken-down id folds the code-delta window
+    * (tombstones drop physically there — ivfpq's takedown fold IS the
+    * delta fold) and retries once. At production scale that is a
+    * multi-minute pause inside one micro-batch; the cliff is inherent
+    * to making the id appendable again, so size the compaction policy
+    * to fold takedown windows before a re-crawl can arrive.
+    *
+    * @param compactEvery when > 0, every `compactEvery`-th batch also
     *   folds the accumulated code deltas into one slab
     *   ([[graft.operators.AnnIndex.compactIvfPqDeltas]] — contents
     *   idempotent, replay-safe): the maintenance loop closed inside
