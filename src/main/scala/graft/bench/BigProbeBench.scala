@@ -57,10 +57,18 @@ object BigProbeBench {
     val qSmall = DedupQueries.hashedShingleSets(small)
       .select(col("doc_id").as("query_id"), explode(col("hs")).as("h"))
       .persist()
+    // the decontamination sweep: every gram of a large eval set, most
+    // of which never occur in the corpus — real grams from 2100 docs
+    // (the corpus vocabulary saturates ~27k distinct) padded with
+    // synthetic misses to the 100k-key regime (misses still probe
+    // buckets/dirs, which is the cost under test)
+    val k100k = probeOf(2100).unionByName(
+      spark.range(80000).select(lit(990000000L).as("query_id"),
+        (col("id") * 2654435761L + 123456789L).as("h")))
     val probes = Seq(
       ("k8", qSmall),
       ("k4k", probeOf(85).persist()),
-      ("k100k", probeOf(2100).persist()))
+      ("k100k", k100k.persist()))
 
     def wall(q: org.apache.spark.sql.DataFrame, hint: Long): Double =
       (1 to 3).map { _ =>

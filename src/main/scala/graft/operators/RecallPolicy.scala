@@ -35,10 +35,16 @@ final case class RecallPolicy(every: Int = 0, driftBoundM: Long = 50L,
     enabled && batchId > 0 && batchId % every == 0
 
   /** Run the check (and the retune it asks for) if this batch is due.
-    * Returns the tune result when a retune ran. */
+    * Returns the tune result when a retune ran. An index with no
+    * recorded tuning yet is SKIPPED (recallCheck re-measures the tuned
+    * operating point; there is nothing to drift from until the first
+    * tuneIndex) — a policy-enabled stream must not wedge on a
+    * fresh-built index that nobody tuned yet. */
   def applyIfDue(spark: org.apache.spark.sql.SparkSession, dir: String,
       batchId: Long): Option[AnnIndex.TuneResult] =
     if (!due(batchId)) None
+    else if (!AnnIndex.readManifest(spark, dir).params
+        .contains("tuned_recall_m")) None
     else {
       val emb = store()
       val q = sample()
