@@ -1266,12 +1266,13 @@ object Graft {
   def streamTakedownAll(spark: SparkSession, landingDir: String,
       dedupDirs: Seq[String], annDirs: Seq[String],
       corpusDirs: Seq[String], checkpointDir: String,
-      policy: operators.CompactionPolicy = operators.CompactionPolicy()
+      policy: operators.CompactionPolicy = operators.CompactionPolicy(),
+      recall: operators.RecallPolicy = operators.RecallPolicy()
       ): org.apache.spark.sql.streaming.StreamingQuery =
     streaming.StreamTakedownAll.takedownAllSink(
       spark.readStream.schema("id LONG")
         .option("maxFilesPerTrigger", 1).parquet(landingDir),
-      dedupDirs, annDirs, corpusDirs, checkpointDir, policy)
+      dedupDirs, annDirs, corpusDirs, checkpointDir, policy, recall)
 
   /** One-shot cross-artifact takedown for BATCH callers: apply one id
     * set (single `id` column) to every dedup artifact, ANN index and
@@ -1307,11 +1308,12 @@ object Graft {
   def streamIngestAll(spark: SparkSession, landingDir: String,
       dedupDirs: Seq[String], annDirs: Seq[String],
       corpusDirs: Seq[String], checkpointDir: String,
-      policy: operators.CompactionPolicy = operators.CompactionPolicy()
+      policy: operators.CompactionPolicy = operators.CompactionPolicy(),
+      recall: operators.RecallPolicy = operators.RecallPolicy()
       ): org.apache.spark.sql.streaming.StreamingQuery =
     streaming.StreamIngestAll.ingestAllSink(
       streaming.StreamIngestAll.readCrawl(spark, landingDir),
-      dedupDirs, annDirs, corpusDirs, checkpointDir, policy)
+      dedupDirs, annDirs, corpusDirs, checkpointDir, policy, recall)
 
   /** One-shot cross-artifact ingest for BATCH callers: land one crawl
     * set (`doc_id`, `text`, `embedding` columns) in every dedup

@@ -293,8 +293,22 @@ object StreamDedupIngest {
         s"corpus manifest at $corpusDir moved since this compaction " +
           "read it (a concurrent mutator committed) - nothing was " +
           "staged; re-run against the fresh state")
+    // live reader pins extend the corpus's grace cycle exactly as on
+    // the index artifacts (r14 verdict #4): a pinned snapshot at
+    // merged_upto = M reads merged-M plus batch dirs > M (a pin with
+    // NO merged_upto is a pre-compaction view reading seeds + all
+    // batch dirs), so the sweep keeps every pinned slab, floors the
+    // batch-dir bound at the minimum pinned M, keeps seeds while any
+    // pre-compaction pin is live, and honors the pinned takedown
+    // window; an unreadable pin file protects everything until expiry
+    val pins = graft.operators.ArtifactIO.pinnedManifests(spark, corpusDir)
+    val keepAll = pins.exists(_.family == "pinned-unreadable")
+    val pinnedUpto = pins.map(_.params.get("merged_upto"))
+    val keepSlabs = pinnedUpto.flatten.toSet + prev
+    val batchFloor = (prev +: pinnedUpto.map(_.getOrElse(-1L))).min
     graft.operators.ArtifactIO.healOrphans(spark, s"$corpusDir/takedown",
-      "delta-", tb + td, tb)
+      "delta-", tb + td,
+      graft.operators.ArtifactIO.pinnedFloor(pins, "tomb_base", 0L, tb))
     val fs = new org.apache.hadoop.fs.Path(corpusDir)
       .getFileSystem(spark.sessionState.newHadoopConf())
     // sweep: slabs that never reached their commit (staged by a crashed
@@ -302,17 +316,21 @@ object StreamDedupIngest {
     // window the PREVIOUS compaction folded (seed dirs and batch dirs
     // ≤ prev — readers stopped seeing them at that commit; their grace
     // cycle ends here)
-    fs.listStatus(new org.apache.hadoop.fs.Path(corpusDir))
-      .map(_.getPath).filter(_.getName.startsWith("merged-"))
-      .filter(_.getName != new org.apache.hadoop.fs.Path(
-        mergedPath(corpusDir, prev)).getName)
-      .foreach(fs.delete(_, true))
-    val (nums0, seeds0) = batchDirs(spark, corpusDir)
-    if (prev >= 0) {
-      seeds0.foreach(s =>
-        fs.delete(new org.apache.hadoop.fs.Path(s"$corpusDir/$s"), true))
-      nums0.filter(_ <= prev).foreach(i =>
-        fs.delete(new org.apache.hadoop.fs.Path(s"$corpusDir/batch-$i"), true))
+    if (!keepAll) {
+      fs.listStatus(new org.apache.hadoop.fs.Path(corpusDir))
+        .map(_.getPath).filter(_.getName.startsWith("merged-"))
+        .filter(p => !keepSlabs.exists(m => m >= 0 &&
+          p.getName == new org.apache.hadoop.fs.Path(
+            mergedPath(corpusDir, m)).getName))
+        .foreach(fs.delete(_, true))
+      val (nums0, seeds0) = batchDirs(spark, corpusDir)
+      if (prev >= 0 && batchFloor >= 0) {
+        seeds0.foreach(s =>
+          fs.delete(new org.apache.hadoop.fs.Path(s"$corpusDir/$s"), true))
+        nums0.filter(_ <= batchFloor).foreach(i =>
+          fs.delete(new org.apache.hadoop.fs.Path(s"$corpusDir/batch-$i"),
+            true))
+      }
     }
     val (nums, seeds) = batchDirs(spark, corpusDir)
     // fold sources with their batch ids: the previous slab stands for

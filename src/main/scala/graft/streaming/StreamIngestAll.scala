@@ -116,7 +116,9 @@ object StreamIngestAll {
   def ingestAllSink(crawl: DataFrame, dedupDirs: Seq[String],
       annDirs: Seq[String], corpusDirs: Seq[String], checkpointDir: String,
       policy: graft.operators.CompactionPolicy =
-        graft.operators.CompactionPolicy()): StreamingQuery = {
+        graft.operators.CompactionPolicy(),
+      recall: graft.operators.RecallPolicy =
+        graft.operators.RecallPolicy()): StreamingQuery = {
     // checked once, on the first batch this sink processes
     @volatile var checkpointChecked = false
     crawl.writeStream
@@ -177,6 +179,10 @@ object StreamIngestAll {
                 StreamDedupIngest.compactCorpus(spark, d, batchId - 1)
             }
           }
+          // in-stream auto-retune on each ANN leg (r14 verdict #5): a
+          // corpus that grew past its quantizer fit re-fits + re-tunes
+          // before the next batch serves
+          annDirs.foreach(d => recall.applyIfDue(spark, d, batchId))
           ()
         }
       }

@@ -75,7 +75,9 @@ object StreamTakedownAll {
   def takedownAllSink(ids: DataFrame, dedupDirs: Seq[String],
       annDirs: Seq[String], corpusDirs: Seq[String], checkpointDir: String,
       policy: graft.operators.CompactionPolicy =
-        graft.operators.CompactionPolicy()): StreamingQuery =
+        graft.operators.CompactionPolicy(),
+      recall: graft.operators.RecallPolicy =
+        graft.operators.RecallPolicy()): StreamingQuery =
     ids.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
@@ -96,6 +98,11 @@ object StreamTakedownAll {
               }
             }
           }
+          // in-stream auto-retune on each ANN leg (r14 verdict #5): a
+          // takedown that guts a tuned neighborhood re-fits + re-tunes
+          // before the next batch serves — same policy as the
+          // single-artifact sink, applied per index
+          annDirs.foreach(d => recall.applyIfDue(spark, d, batchId))
           ()
         }
       }

@@ -103,6 +103,40 @@ class ReaderPinSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("corpus: a pinned published-view survives two compactions; " +
+    "release ends the extended grace") {
+    import graft.streaming.StreamDedupIngest
+    val corpusDir = tmp("corpus")
+    def publish(lo: Long, hi: Long, batch: Long): Unit =
+      docs(lo, hi).select(col("doc_id"), col("text"))
+        .write.mode("overwrite").parquet(s"$corpusDir/batch-$batch")
+    publish(0, 20, 0); publish(20, 40, 1)
+    StreamDedupIngest.compactCorpus(spark, corpusDir, upTo = 0L)
+    // pin the view at merged_upto = 0 (slab merged-0 + batch-1)
+    val pin = Graft.pinArtifactReader(spark, corpusDir)
+    assert(pin.manifest.params("merged_upto") == 0L)
+    val held = StreamDedupIngest.readCorpus(spark, corpusDir)
+    // two further compactions: without the pin, merged-0 dies at the
+    // second sweep and batch-1 at the first
+    publish(40, 50, 2)
+    StreamDedupIngest.compactCorpus(spark, corpusDir, upTo = 1L)
+    publish(50, 60, 3)
+    StreamDedupIngest.compactCorpus(spark, corpusDir, upTo = 2L)
+    assert(exists(s"$corpusDir/merged-0000000000") &&
+      exists(s"$corpusDir/batch-1"),
+      "the pinned slab and its uncovered batch dirs must survive")
+    assert(held.count() == 40L,
+      "the pinned reader still sees its snapshot")
+    // current readers see the live state
+    assert(StreamDedupIngest.readCorpus(spark, corpusDir).count() == 60L)
+    pin.release(spark)
+    publish(60, 70, 4)
+    StreamDedupIngest.compactCorpus(spark, corpusDir, upTo = 3L)
+    assert(!exists(s"$corpusDir/merged-0000000000"),
+      "a released corpus pin stops protecting")
+    spark.catalog.clearCache()
+  }
+
   test("abandoned pin expires by TTL and is swept; renew extends it") {
     val dir = tmp("ttl")
     DedupIndex.build(docs(0, 60), dir, 60L)

@@ -90,4 +90,50 @@ class InStreamRetuneSpec extends AnyFunSuite {
       s"post-retune serving must be back at a measured point: $after")
     spark.catalog.clearCache()
   }
+
+  test("the ORCHESTRATED takedown sink carries the same policy: a " +
+    "planted takedown through takedownAll retunes the ANN leg") {
+    val corpus = Tables.embeddings(spark, sf).filter(col("vec_id") >= NQ)
+    val nCorpus = Tables.embeddingsRows(spark, sf) - NQ
+    val queries = Tables.embeddings(spark, sf).filter(col("vec_id") < NQ)
+      .select((col("vec_id") + 1000000L).as("query_id"), col("embedding"))
+      .localCheckpoint(true)
+    val dir = tmp("all_ivfpq")
+    AnnIndex.buildIvfPq(corpus, dir, Tables.EmbeddingDim, m = 8, k = 64,
+      nHint = nCorpus)
+    assert(AnnIndex.tuneIndex(spark, dir, corpus, queries,
+      targetRecall = 0.85).targetMet)
+    val docs = Tables.documents(spark, sf)
+    val dedupDir = tmp("all_dedup")
+    graft.operators.DedupIndex.build(docs, dedupDir, 500L)
+    def store() = corpus.join(
+      AnnIndex.loadIvfPq(spark, dir).codes.select(col("vec_id")).distinct(),
+      Seq("vec_id"), "left_semi")
+    val landing = tmp("all_landing")
+    // batch 0 is never due (batchId > 0 gate): a benign warm-up batch,
+    // then the planted neighborhood takedown as batch 1
+    val victims = graft.queries.SimilarityQueries
+      .cosineTopKServe(corpus, queries, 10)
+      .select(col("neighbor_id").as("vec_id")).distinct()
+      .localCheckpoint(true)
+    corpus.select(col("vec_id")).join(victims, Seq("vec_id"), "left_anti")
+      .orderBy(col("vec_id")).limit(2)
+      .select(col("vec_id").as("id"))
+      .coalesce(1).write.mode("append").parquet(landing)
+    val q = Graft.streamTakedownAll(spark, landing, Seq(dedupDir),
+      Seq(dir), Nil, tmp("all_ckpt"),
+      recall = RecallPolicy(every = 1, targetRecall = 0.85,
+        store = () => store(), sample = () => queries))
+    try {
+      q.processAllAvailable()
+      victims.select(col("vec_id").as("id")).coalesce(1)
+        .write.mode("append").parquet(landing)
+      q.processAllAvailable()
+    } finally q.stop()
+    val mf = AnnIndex.readManifest(spark, dir)
+    assert(mf.params.get("version").exists(_ >= 1L) &&
+      mf.params.contains("tuned_recall_m"),
+      s"the orchestrated sink must retune its ANN leg: ${mf.params}")
+    spark.catalog.clearCache()
+  }
 }
