@@ -234,6 +234,56 @@ class DocExamplesSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("quickstart: ingest orchestration, reader pins, drift checks") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+
+    // the ingest twin of the takedown queue: ONE crawl stream
+    // (document + embedding per row) lands in the dedup artifact + the
+    // ANN index + the published corpus from a single checkpoint; a
+    // crash between two commits converges on restart, and ingestStatus
+    // verifies every artifact holds the same crawl set
+    // (StreamIngestAllSpec injects the crash between the dedup commit
+    // and the index append)
+    val dxDir = Files.createTempDirectory("ingest_dedup").toString
+    Graft.buildDedupIndex(docs, dxDir)
+    val annDir = Files.createTempDirectory("ingest_ann").toString
+    Graft.buildAnnIndex(emb, annDir, "ivfpq", dim = 64)
+    val corpusDir = Files.createTempDirectory("ingest_corpus").toString
+    docs.select("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$corpusDir/batch-seed")
+    val crawl = docs.select("doc_id", "text")
+      .join(emb.select(col("vec_id").as("doc_id"), col("embedding")),
+        "doc_id")
+      .filter(col("doc_id") < 8)
+      .withColumn("doc_id", col("doc_id") + 1000000000L)
+    val crawlDir = Files.createTempDirectory("crawl_queue").toString
+    crawl.coalesce(1).write.mode("append").parquet(crawlDir)
+    val ing = Graft.streamIngestAll(spark, crawlDir, Seq(dxDir),
+      Seq(annDir), Seq(corpusDir),
+      Files.createTempDirectory("ingest_ckpt").toString)
+    ing.processAllAvailable() // drain the crawl (production: runs forever)
+    val ingested = Graft.ingestStatus(spark,
+      crawl.select(col("doc_id").as("id")),
+      Seq(dxDir), Seq(annDir), Seq(corpusDir)) // every row: n_live == 8
+    ing.stop()
+
+    // long reads survive maintenance: a pinned snapshot's files outlive
+    // any number of folds/rebuilds until the pin is released or expires
+    val pin = Graft.pinArtifactReader(spark, dxDir)
+    // ... hold table views across compactions ...
+    pin.release(spark)
+
+    // geometry drift, manifest-only (cron-able): re-fold when the
+    // corpus outgrew its slab layout
+    val layout = Graft.dedupBandDriftCheck(spark, dxDir)
+    if (layout.drifted) Graft.retuneDedupLayout(spark, dxDir)
+
+    assert(ingested.collect().forall(_.getAs[Long]("n_live") == 8L))
+    assert(!layout.drifted) // fresh build: layout sized for this corpus
+    spark.catalog.clearCache()
+  }
+
   test("quickstart: quality signals and sequence packing") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
 
