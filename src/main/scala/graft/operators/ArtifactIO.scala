@@ -88,12 +88,14 @@ object ArtifactIO {
     * so the check→write→verify critical section is now serialized by a
     * lock file created with `overwrite = false` (atomic on HDFS and
     * object stores with atomic create; best-effort on raw local FS,
-    * where the CAS remains the backstop). A fresh lock held by another
+    * where the CAS remains the backstop). A lock held by another
     * mutator refuses immediately ([[ConcurrentMutationException]] — the
-    * caller retries its whole read-modify-write); a lock older than
-    * [[leaseTtlMs]] is a crashed holder and is taken over through an
-    * atomic rename (single-winner even when several contenders see the
-    * same stale lock). Returns the holder token to verify at release. */
+    * caller retries its whole read-modify-write); a lock whose mtime
+    * THIS process has observed unchanged for a full [[leaseTtlMs]]
+    * (the heartbeat stopped — [[observedStaleFor]], skew-free) is a
+    * crashed holder and is taken over through an atomic rename
+    * (single-winner even when several contenders see the same stale
+    * lock). Returns the holder token to verify at release. */
   private def acquireLease(fs: org.apache.hadoop.fs.FileSystem,
       dir: String): String = {
     val lock = lockPath(dir)
@@ -115,28 +117,58 @@ object ArtifactIO {
       }
     }
     if (!tryCreate()) {
-      val age =
-        try System.currentTimeMillis() - fs.getFileStatus(lock)
-          .getModificationTime
-        catch { case _: java.io.FileNotFoundException => Long.MaxValue }
-      if (age <= leaseTtlMs)
+      val mtime =
+        try Some(fs.getFileStatus(lock).getModificationTime)
+        catch { case _: java.io.FileNotFoundException => None }
+      // takeover keys on OBSERVED staleness, not absolute age (r14
+      // advisor #1's clock-skew remark): the heartbeat advances a live
+      // holder's mtime every TTL/3, so a lock whose mtime THIS process
+      // has seen unchanged for a full local TTL has a holder that
+      // stopped beating — a delta of the contender's own clock, immune
+      // to skew between writer clock and store mtime in EITHER
+      // direction (a skewed-early absolute age cannot steal a live
+      // lock; a future-skewed mtime cannot block takeover forever).
+      // Cost: a crashed holder is detected one observation window
+      // after a contender first looks, instead of instantly.
+      if (mtime.forall(m => !observedStaleFor(dir, m)))
         throw new ConcurrentMutationException(
-          s"commit lease at $lock is held by a live mutator " +
-            s"(age ${age} ms <= ttl $leaseTtlMs ms) - nothing was " +
-            "written; re-run the mutation when the holder's commit lands")
+          s"commit lease at $lock is held by a mutator not yet observed " +
+            s"stale (no heartbeat gap of $leaseTtlMs ms seen by this " +
+            "process) - nothing was written; re-run the mutation when " +
+            "the holder's commit lands or its staleness is confirmed")
       // stale: takeover through an atomic rename — of N contenders that
       // saw the same crashed lock, exactly one wins the rename; the
       // losers fall through to tryCreate and refuse on the fresh lock
       val steal = new Path(dir, s".manifest.lock.steal-$token")
-      if (age != Long.MaxValue && fs.rename(lock, steal))
+      if (mtime.isDefined && fs.rename(lock, steal))
         fs.delete(steal, false)
       if (!tryCreate())
         throw new ConcurrentMutationException(
           s"commit lease at $lock was re-acquired by a concurrent " +
             "mutator during takeover - re-run the mutation")
+      staleSeen.remove(leaseKey(dir))
     }
     sweepStealFiles(fs, dir)
     token
+  }
+
+  /** First-seen times of candidate-stale lock mtimes, per artifact —
+    * the contender-local observation window behind skew-free takeover.
+    * An entry survives only while the observed mtime stays the same; a
+    * heartbeat advancing it resets the window. Process-local by design:
+    * each contender waits out its OWN ttl before stealing. */
+  private val staleSeen =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+
+  /** True iff this process has observed the lock's mtime UNCHANGED at
+    * `mtime` for at least a full TTL (records the first sighting
+    * otherwise). */
+  private def observedStaleFor(dir: String, mtime: Long): Boolean = {
+    val key = leaseKey(dir)
+    val now = System.currentTimeMillis()
+    val (m0, t0) = staleSeen.compute(key, (_, prev) =>
+      if (prev != null && prev._1 == mtime) prev else (mtime, now))
+    m0 == mtime && now - t0 >= leaseTtlMs
   }
 
   /** Sweep leaked `.manifest.lock.steal-*` files: a takeover whose

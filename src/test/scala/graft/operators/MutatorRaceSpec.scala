@@ -112,7 +112,8 @@ class MutatorRaceSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
-  test("lease: TTL takeover after a crashed holder converges") {
+  test("lease: takeover of a crashed holder converges after OBSERVED " +
+    "staleness (skew-free - a far-past mtime alone is not enough)") {
     val dir = tmp("lease_ttl")
     val m0 = ArtifactIO.Manifest("dedup", 0, 10L, Map("sig_deltas" -> 1L))
     ArtifactIO.writeManifest(spark, dir, m0)
@@ -121,15 +122,36 @@ class MutatorRaceSpec extends AnyFunSuite {
     val lock = new org.apache.hadoop.fs.Path(dir, ".manifest.lock")
     val out = fs.create(lock, false)
     try out.write("crashed-holder".getBytes("UTF-8")) finally out.close()
-    // age the lock past the TTL: a crashed holder never releases
+    // a lock whose mtime is far in the past — on the OLD absolute-age
+    // rule this was stolen instantly, which clock skew could abuse to
+    // steal a LIVE holder's lock; takeover now needs this process to
+    // observe the mtime unchanged (no heartbeat) for a full local TTL
     fs.setTimes(lock, System.currentTimeMillis() - 1000L, -1L)
     val saved = ArtifactIO.leaseTtlMs
-    ArtifactIO.leaseTtlMs = 100L
+    ArtifactIO.leaseTtlMs = 150L
     try {
+      val e = intercept[ConcurrentMutationException] {
+        ArtifactIO.commitManifest(spark, dir, m0, m0.copy(n = 11L))
+      }
+      assert(e.getMessage.contains("not yet observed stale"),
+        "the first sighting must refuse, not steal")
+      Thread.sleep(200L) // a full local TTL with no heartbeat observed
       val a = ArtifactIO.commitManifest(spark, dir, m0, m0.copy(n = 11L))
       assert(ArtifactIO.epochOf(a) == 1L && a.n == 11L)
       assert(!fs.exists(lock),
         "the takeover's commit must release the re-acquired lease")
+      // a FUTURE-skewed mtime (writer clock ahead of ours) also cannot
+      // block takeover forever: staleness is observed, not computed
+      val out2 = fs.create(lock, false)
+      try out2.write("future-holder".getBytes("UTF-8")) finally out2.close()
+      fs.setTimes(lock, System.currentTimeMillis() + 3600000L, -1L)
+      intercept[ConcurrentMutationException] {
+        ArtifactIO.commitManifest(spark, dir, a, a.copy(n = 12L))
+      }
+      Thread.sleep(200L)
+      val b = ArtifactIO.commitManifest(spark, dir, a, a.copy(n = 12L))
+      assert(ArtifactIO.epochOf(b) == 2L,
+        "a future-skewed crashed lock must still be taken over")
     } finally ArtifactIO.leaseTtlMs = saved
   }
 
