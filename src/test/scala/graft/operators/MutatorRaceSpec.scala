@@ -161,16 +161,17 @@ class MutatorRaceSpec extends AnyFunSuite {
     val m0 = ArtifactIO.Manifest("dedup", 0, 10L, Map("sig_deltas" -> 1L))
     ArtifactIO.writeManifest(spark, dir, m0)
     val saved = ArtifactIO.leaseTtlMs
-    ArtifactIO.leaseTtlMs = 150L // heartbeat every max(25, 50) = 50 ms
+    ArtifactIO.leaseTtlMs = 400L // heartbeat every max(25, 133) ms
     try {
       val committed = ArtifactIO.withCommitLease(spark, dir) {
         // the body runs 3× the TTL — without renewal, the contender's
-        // takeover at any point past 150 ms would steal the lock and
-        // the commit below would refuse
-        val deadline = System.currentTimeMillis() + 450L
+        // takeover at any point past 400 ms would steal the lock and
+        // the commit below would refuse (staleness would need the
+        // heartbeat to miss ~3 beats, so a loaded host does not flake)
+        val deadline = System.currentTimeMillis() + 1200L
         var refusals = 0
         while (System.currentTimeMillis() < deadline) {
-          Thread.sleep(60L)
+          Thread.sleep(100L)
           // contender from ANOTHER thread (the thread-local held-lease
           // registry must not short-circuit the refusal)
           val t = new Thread(() => {
