@@ -38,6 +38,7 @@ object ArtifactIO {
       params: Map[String, Long])
 
   private val mapper = new ObjectMapper()
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** Monotonic commit counter — the CAS token every mutation's commit
     * bumps by exactly one. 0 on pre-epoch manifests (and fresh builds
@@ -75,12 +76,25 @@ object ArtifactIO {
     * heartbeat finds the on-disk token is no longer ours — the holder
     * outlived the TTL (e.g. a multi-second GC/FS pause) and a contender
     * took over; every subsequent [[requireLeaseOwned]] and the commit
-    * refuse. */
+    * refuse. `seq` is the heartbeat's monotonic content counter — each
+    * beat REWRITES the lock file as `<token>\nseq=<seq>` (r15 verdict
+    * #1): object stores (S3A, GCS) implement `FileSystem.setTimes` as a
+    * silent no-op, so an mtime-only refresh never lands there and a
+    * live mutation longer than the TTL would be observed stale and
+    * stolen mid-write; a content rewrite lands on any store that can
+    * write files at all, and contenders key staleness on the observed
+    * (mtime, length, content) signature, which the seq bump always
+    * changes. */
   private final class LeaseHandle(val token: String) {
     @volatile var lost: Boolean = false
     @volatile var done: Boolean = false
+    @volatile var seq: Long = 0L
     var beater: Thread = null
   }
+
+  /** Serialized lock-file content for `token` at heartbeat `seq`. */
+  private def lockBody(token: String, seq: Long): String =
+    s"$token\nseq=$seq"
 
   /** Acquire the create-exclusive commit lease (r13 verdict #3): the
     * epoch CAS alone had a residual window — two mutators whose full
@@ -96,10 +110,58 @@ object ArtifactIO {
     * crashed holder and is taken over through an atomic rename
     * (single-winner even when several contenders see the same stale
     * lock). Returns the holder token to verify at release. */
+  /** Hadoop conf key declaring whether `fs.create(path, overwrite =
+    * false)` is ATOMIC (exclusive) on the artifact's store — the
+    * property the lease file's mutual exclusion rests on. Unset, the
+    * scheme decides ([[atomicCreateSchemes]]). Operators on stores
+    * with conditional-create support (e.g. S3 with If-None-Match
+    * enabled in their connector) declare `true`; anything else runs
+    * the lease BEST-EFFORT: contention is still narrowed by the lock
+    * file, but the epoch CAS in [[commitManifest]] (pre-check +
+    * post-commit verify) is the real single-winner guarantee, and the
+    * degraded mode is surfaced once per artifact in the log and as
+    * `lock_best_effort = 1` in every committed manifest (r15 verdict
+    * #2 — an operator must KNOW which guarantee they have). */
+  private[graft] val AtomicCreateConfKey = "graft.artifact.lock.atomicCreate"
+
+  /** Schemes whose `create(overwrite = false)` is exclusive-atomic by
+    * contract: HDFS and its views. Local `file` is check-then-create
+    * (best-effort — fine for single-host tests, surfaced anyway);
+    * object-store connectors (s3a, gs, wasb, abfs, oss) HEAD-then-PUT
+    * unless the deployment declares otherwise via
+    * [[AtomicCreateConfKey]]. */
+  private val atomicCreateSchemes = Set("hdfs", "webhdfs", "viewfs")
+
+  private[graft] def lockCreateIsAtomic(
+      fs: org.apache.hadoop.fs.FileSystem): Boolean =
+    Option(fs.getConf.get(AtomicCreateConfKey)) match {
+      case Some(v) => v.trim.equalsIgnoreCase("true")
+      case None => atomicCreateSchemes.contains(fs.getUri.getScheme)
+    }
+
+  private val bestEffortWarned =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Surface the degraded lease mode once per artifact: INFO on local
+    * `file` (expected in dev/tests, single-host), WARN on anything
+    * else (a deployment running on a store without atomic create). */
+  private def warnIfLockBestEffort(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Unit =
+    if (!lockCreateIsAtomic(fs) && bestEffortWarned.add(leaseKey(dir))) {
+      val msg = s"commit lease at ${lockPath(dir)}: scheme " +
+        s"'${fs.getUri.getScheme}' has no atomic exclusive create, so " +
+        "the lease narrows but cannot serialize contention; the " +
+        "manifest epoch CAS is the single-winner guarantee here " +
+        s"(declare $AtomicCreateConfKey=true if this store's create " +
+        "is conditional)"
+      if (fs.getUri.getScheme == "file") log.info(msg) else log.warn(msg)
+    }
+
   private def acquireLease(fs: org.apache.hadoop.fs.FileSystem,
       dir: String): String = {
     val lock = lockPath(dir)
     val token = java.util.UUID.randomUUID().toString
+    warnIfLockBestEffort(fs, dir)
     def tryCreate(): Boolean = {
       // split the exclusive CREATE (contended: already-exists is the
       // normal refusal) from the token WRITE (ours alone: a failure
@@ -108,7 +170,8 @@ object ArtifactIO {
       val out =
         try fs.create(lock, false)
         catch { case _: java.io.IOException => return false }
-      try { out.write(token.getBytes("UTF-8")); out.close(); true }
+      try { out.write(lockBody(token, 0L).getBytes("UTF-8"))
+        out.close(); true }
       catch {
         case e: java.io.IOException =>
           try fs.delete(lock, false)
@@ -116,74 +179,111 @@ object ArtifactIO {
           throw e
       }
     }
-    if (!tryCreate()) {
-      val mtime =
-        try Some(fs.getFileStatus(lock).getModificationTime)
+    var spins = 0
+    while (!tryCreate()) {
+      val status =
+        try Some(fs.getFileStatus(lock))
         catch { case _: java.io.FileNotFoundException => None }
-      // takeover keys on OBSERVED staleness, not absolute age (r14
-      // advisor #1's clock-skew remark): the heartbeat advances a live
-      // holder's mtime every TTL/3, so a lock whose mtime THIS process
-      // has seen unchanged for a full local TTL has a holder that
-      // stopped beating — a delta of the contender's own clock, immune
-      // to skew between writer clock and store mtime in EITHER
-      // direction (a skewed-early absolute age cannot steal a live
-      // lock; a future-skewed mtime cannot block takeover forever).
-      // Cost: a crashed holder is detected one observation window
-      // after a contender first looks, instead of instantly.
-      if (mtime.forall(m => !observedStaleFor(dir, m)))
-        throw new ConcurrentMutationException(
-          s"commit lease at $lock is held by a mutator not yet observed " +
-            s"stale (no heartbeat gap of $leaseTtlMs ms seen by this " +
-            "process) - nothing was written; re-run the mutation when " +
-            "the holder's commit lands or its staleness is confirmed")
-      // stale: takeover through an atomic rename — of N contenders that
-      // saw the same crashed lock, exactly one wins the rename; the
-      // losers fall through to tryCreate and refuse on the fresh lock
-      val steal = new Path(dir, s".manifest.lock.steal-$token")
-      if (mtime.isDefined && fs.rename(lock, steal))
-        fs.delete(steal, false)
-      if (!tryCreate())
-        throw new ConcurrentMutationException(
-          s"commit lease at $lock was re-acquired by a concurrent " +
-            "mutator during takeover - re-run the mutation")
-      staleSeen.remove(leaseKey(dir))
+      status match {
+        case None =>
+          // the lock vanished between the failed create and the status
+          // read — the holder released in that window, so nobody holds
+          // the lease: loop straight back to tryCreate instead of
+          // refusing (r15 advisor #2 — the old throw failed a healthy
+          // micro-batch with a misleading "held by a mutator" message).
+          // Bounded: a pathological FS alternating exists/missing must
+          // not livelock the mutator forever.
+          spins += 1
+          if (spins > 16)
+            throw new ConcurrentMutationException(
+              s"commit lease at $lock flapped between held and released " +
+                s"$spins times - giving up; re-run the mutation")
+        case Some(st) =>
+          // takeover keys on OBSERVED staleness of the lock's full
+          // (mtime, length, content) signature, not absolute age (r14
+          // advisor #1's clock-skew remark) and not mtime alone (r15
+          // verdict #1: object stores no-op setTimes, so a live
+          // holder's heartbeat there advances only the CONTENT): the
+          // heartbeat bumps the lock body's seq every TTL/3, so a
+          // signature THIS process has seen unchanged for a full local
+          // TTL has a holder that stopped beating — a delta of the
+          // contender's own clock, immune to skew between writer clock
+          // and store mtime in EITHER direction. Cost: a crashed
+          // holder is detected one observation window after a
+          // contender first looks, instead of instantly.
+          val raw = readLock(fs, dir) match {
+            case LockToken(_, r) => r
+            case LockMissing => "<missing>"
+            case LockUnreadable => "<unreadable>"
+          }
+          val sig = s"${st.getModificationTime}|${st.getLen}|$raw"
+          if (!observedUnchangedFor(leaseKey(dir), sig, leaseTtlMs))
+            throw new ConcurrentMutationException(
+              s"commit lease at $lock is held by a mutator not yet " +
+                s"observed stale (no heartbeat gap of $leaseTtlMs ms " +
+                "seen by this process) - nothing was written; re-run " +
+                "the mutation when the holder's commit lands or its " +
+                "staleness is confirmed")
+          // stale: takeover through an atomic rename — of N contenders
+          // that saw the same crashed lock, exactly one wins the
+          // rename; the losers fall through to tryCreate and refuse on
+          // the fresh lock
+          val steal = new Path(dir, s".manifest.lock.steal-$token")
+          if (fs.rename(lock, steal)) fs.delete(steal, false)
+          if (!tryCreate())
+            throw new ConcurrentMutationException(
+              s"commit lease at $lock was re-acquired by a concurrent " +
+                "mutator during takeover - re-run the mutation")
+          observedSince.remove(leaseKey(dir))
+          sweepStealFiles(fs, dir)
+          return token
+      }
     }
+    observedSince.remove(leaseKey(dir))
     sweepStealFiles(fs, dir)
     token
   }
 
-  /** First-seen times of candidate-stale lock mtimes, per artifact —
-    * the contender-local observation window behind skew-free takeover.
-    * An entry survives only while the observed mtime stays the same; a
-    * heartbeat advancing it resets the window. Process-local by design:
-    * each contender waits out its OWN ttl before stealing. */
-  private val staleSeen =
-    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+  /** First-seen times of observed file signatures — the process-local
+    * observation window behind every skew-free staleness decision
+    * (lease takeover, steal-file sweep, pin expiry). An entry survives
+    * only while the observed signature stays the same; any change
+    * (heartbeat seq bump, pin renewal, mtime advance) resets the
+    * window. Process-local by design: each observer waits out its OWN
+    * ttl before acting, so no comparison of a local clock against a
+    * store's mtime clock ever happens. */
+  private val observedSince =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
 
-  /** True iff this process has observed the lock's mtime UNCHANGED at
-    * `mtime` for at least a full TTL (records the first sighting
-    * otherwise). */
-  private def observedStaleFor(dir: String, mtime: Long): Boolean = {
-    val key = leaseKey(dir)
+  /** True iff this process has observed `sig` UNCHANGED under `key`
+    * for at least `ttl` ms (records the first sighting otherwise). */
+  private def observedUnchangedFor(key: String, sig: String,
+      ttl: Long): Boolean = {
     val now = System.currentTimeMillis()
-    val (m0, t0) = staleSeen.compute(key, (_, prev) =>
-      if (prev != null && prev._1 == mtime) prev else (mtime, now))
-    m0 == mtime && now - t0 >= leaseTtlMs
+    val (s0, t0) = observedSince.compute(key, (_, prev) =>
+      if (prev != null && prev._1 == sig) prev else (sig, now))
+    s0 == sig && now - t0 >= ttl
   }
 
   /** Sweep leaked `.manifest.lock.steal-*` files: a takeover whose
     * post-rename delete failed leaves its steal file behind forever
     * (nothing else ever touches the name). Run after every successful
-    * acquire; only files older than the TTL are swept — a fresh one may
-    * still be mid-delete by the contender that renamed it. */
+    * acquire; only files THIS process has observed unchanged for a
+    * full TTL are swept — a fresh one may still be mid-delete by the
+    * contender that renamed it, and observed staleness (not absolute
+    * mtime age, r15 advisor #3) keeps a sweeper with a fast clock from
+    * racing a renamer on a store with a slow one. */
   private def sweepStealFiles(fs: org.apache.hadoop.fs.FileSystem,
       dir: String): Unit =
     try {
-      val now = System.currentTimeMillis()
       fs.listStatus(new Path(dir)).foreach { st =>
+        val key = st.getPath.toString
         if (st.getPath.getName.startsWith(".manifest.lock.steal-") &&
-            now - st.getModificationTime > leaseTtlMs)
+            observedUnchangedFor(key,
+              s"${st.getModificationTime}|${st.getLen}", leaseTtlMs)) {
           fs.delete(st.getPath, false)
+          observedSince.remove(key)
+        }
       }
     } catch { case scala.util.control.NonFatal(_) => () }
 
@@ -194,20 +294,28 @@ object ArtifactIO {
   private sealed trait LockRead
   private case object LockMissing extends LockRead
   private case object LockUnreadable extends LockRead
-  private final case class LockToken(token: String) extends LockRead
+  /** `token` is the holder id (the body's first line); `raw` is the
+    * full body — token plus the heartbeat's `seq=<n>` line — the part
+    * of the staleness signature that changes even on stores whose
+    * mtime never advances. */
+  private final case class LockToken(token: String, raw: String)
+    extends LockRead
 
   private def readLock(fs: org.apache.hadoop.fs.FileSystem,
       dir: String): LockRead =
     try {
       val in = fs.open(lockPath(dir))
-      val buf = new Array[Byte](64)
+      val buf = new Array[Byte](256)
       // loop the read: a single read() may under-fill on remote FS
       // and a truncated token would strand our own lock for the TTL
       var (n, r) = (0, 0)
       try { while (r >= 0 && n < buf.length) {
         r = in.read(buf, n, buf.length - n); if (r > 0) n += r
       } } finally in.close()
-      if (n > 0) LockToken(new String(buf, 0, n, "UTF-8")) else LockUnreadable
+      if (n > 0) {
+        val raw = new String(buf, 0, n, "UTF-8")
+        LockToken(raw.takeWhile(_ != '\n'), raw)
+      } else LockUnreadable
     } catch {
       case _: java.io.FileNotFoundException => LockMissing
       case scala.util.control.NonFatal(_) => LockUnreadable
@@ -223,7 +331,7 @@ object ArtifactIO {
   private def lockTokenOf(fs: org.apache.hadoop.fs.FileSystem,
       dir: String): Option[String] =
     readLock(fs, dir) match {
-      case LockToken(t) => Some(t)
+      case LockToken(t, _) => Some(t)
       case _ => None
     }
 
@@ -242,7 +350,7 @@ object ArtifactIO {
     var attempt = 0
     while (attempt < 3) {
       readLock(fs, dir) match {
-        case LockToken(t) =>
+        case LockToken(t, _) =>
           if (t == token) fs.delete(lockPath(dir), false)
           return
         case LockMissing => return
@@ -265,24 +373,49 @@ object ArtifactIO {
 
   /** Start the renewal heartbeat for a held lease: a daemon thread that
     * every [[heartbeatMs]] re-reads the lock and, while the token is
-    * still ours, refreshes its mtime — so the TTL measures heartbeat
-    * staleness and a live mutation of any length (a full re-fit
-    * included) is never taken over. A token mismatch means a contender
-    * already took over (we paused past the TTL): flip `lost` and stop —
-    * the next [[requireLeaseOwned]] / commit refuses. An UNREADABLE
-    * read is skipped (transient FS error, ownership unknown — one
-    * missed beat still leaves two per TTL). */
+    * still ours, REWRITES the lock body with a bumped `seq` — so the
+    * TTL measures heartbeat staleness and a live mutation of any
+    * length (a full re-fit included) is never taken over. A content
+    * rewrite, not `setTimes` (r15 verdict #1): the Hadoop base-class
+    * `setTimes` is a no-op and object-store connectors don't implement
+    * it, so an mtime refresh silently never lands there — the TTL
+    * would again be a hard cap on mutation length with no red flag.
+    * The rewrite is READ BACK: a body that doesn't hold our token
+    * means a contender renamed-and-reacquired mid-beat (we were
+    * observed stale during a pause) — flip `lost`; a body that holds
+    * our token but not our seq means the store swallowed the write —
+    * logged loudly once so operators know the TTL is degraded to a
+    * mutation-length cap on this store. A token mismatch on the
+    * pre-read means a contender already took over: flip `lost` and
+    * stop — the next [[requireLeaseOwned]] / commit refuses. An
+    * UNREADABLE read is skipped (transient FS error, ownership
+    * unknown — one missed beat still leaves two per TTL). */
   private def startHeartbeat(fs: org.apache.hadoop.fs.FileSystem,
       dir: String, h: LeaseHandle): Unit = {
     val t = new Thread(() => {
+      var degradedWarned = false
       while (!h.done && !h.lost) {
         try Thread.sleep(heartbeatMs)
         catch { case _: InterruptedException => () }
         if (!h.done && !h.lost) readLock(fs, dir) match {
-          case LockToken(tok) if tok == h.token =>
-            try fs.setTimes(lockPath(dir), System.currentTimeMillis(), -1)
-            catch { case scala.util.control.NonFatal(_) => () }
-          case LockToken(_) | LockMissing => h.lost = true
+          case LockToken(tok, _) if tok == h.token =>
+            try {
+              h.seq += 1
+              val body = lockBody(h.token, h.seq)
+              val out = fs.create(lockPath(dir), true)
+              try out.write(body.getBytes("UTF-8")) finally out.close()
+              readLock(fs, dir) match {
+                case LockToken(t2, _) if t2 != h.token => h.lost = true
+                case LockToken(_, raw) if raw != body && !degradedWarned =>
+                  degradedWarned = true
+                  log.warn(s"lease heartbeat at ${lockPath(dir)} did not " +
+                    "read back its own rewrite - this store swallows " +
+                    "content refreshes, so the lease TTL is degraded to " +
+                    "a hard cap on mutation length")
+                case _ => ()
+              }
+            } catch { case scala.util.control.NonFatal(_) => () }
+          case LockToken(_, _) | LockMissing => h.lost = true
           case LockUnreadable => ()
         }
       }
@@ -319,7 +452,16 @@ object ArtifactIO {
     finally {
       heldLeases.set(heldLeases.get - key)
       handle.done = true
-      if (handle.beater != null) handle.beater.interrupt()
+      if (handle.beater != null) {
+        // JOIN the beater before deleting the lock: an in-flight
+        // content rewrite racing the release would re-create the file
+        // AFTER the delete, resurrecting a lock nobody holds that
+        // refuses every mutator for a full TTL (the setTimes beat had
+        // no such hazard - a refresh of a missing file just threw)
+        handle.beater.interrupt()
+        try handle.beater.join(2000L)
+        catch { case _: InterruptedException => () }
+      }
       if (!handle.lost) releaseLease(fs, dir, handle.token)
     }
   }
@@ -343,7 +485,7 @@ object ArtifactIO {
       lazy val fs =
         new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
       val stolen = h.lost || (readLock(fs, dir) match {
-        case LockToken(t) => t != h.token
+        case LockToken(t, _) => t != h.token
         case LockMissing => true
         case LockUnreadable => false
       })
@@ -437,7 +579,15 @@ object ArtifactIO {
             "during this mutation (a concurrent mutator committed) - " +
             "nothing was written; re-run the mutation against the fresh state")
       }
-      val stamped = next.copy(params = next.params + ("epoch" -> (expected + 1)))
+      // stamp the lock-guarantee probe alongside the epoch (r15
+      // verdict #2): a manifest committed under a best-effort lease
+      // records it, so an operator inspecting the artifact knows the
+      // epoch CAS - not the lease - was the single-winner guarantee
+      val guarantee: Map[String, Long] =
+        if (lockCreateIsAtomic(fs)) Map.empty
+        else Map("lock_best_effort" -> 1L)
+      val stamped = next.copy(params =
+        next.params ++ guarantee + ("epoch" -> (expected + 1)))
       writeManifest(spark, dir, stamped)
       val after = readManifest(spark, dir)
       if (after != stamped)
@@ -581,23 +731,48 @@ object ArtifactIO {
     * it protects. */
   final class ReaderPin private[ArtifactIO] (val dir: String,
       val id: String, val manifest: Manifest) {
+    private var renewSeq: Long = 0L
+    private def pinFile = new Path(pinsDir(dir), s"pin-$id.json")
     /** Stop protecting the pinned snapshot — call when the long read
       * finishes; the next mutation's sweep may then GC its files. */
     def release(spark: SparkSession): Unit = {
-      val p = new Path(pinsDir(dir), s"pin-$id.json")
+      val p = pinFile
       val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
       try fs.delete(p, false)
       catch { case scala.util.control.NonFatal(_) => () }
+      observedSince.remove(p.toString)
     }
     /** Refresh the pin's TTL clock — a reader outliving [[pinTtlMs]]
       * renews periodically, exactly the lease-heartbeat idea on the
-      * read side. */
+      * read side: a content REWRITE with a bumped `renew_seq`, not a
+      * `setTimes` mtime touch (r15 verdict #1 — object stores no-op
+      * setTimes, so an mtime renewal silently never lands and GC
+      * sweeps files under a live reader at the raw TTL). Sweeps key
+      * expiry on the observed (mtime, length, renew_seq) signature,
+      * which the seq bump always changes. */
     def renew(spark: SparkSession): Unit = {
-      val p = new Path(pinsDir(dir), s"pin-$id.json")
+      val p = pinFile
       val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-      try fs.setTimes(p, System.currentTimeMillis(), -1)
-      catch { case scala.util.control.NonFatal(_) => () }
+      renewSeq += 1
+      try {
+        val out = fs.create(p, true)
+        try out.write(renderPin(manifest, renewSeq).getBytes("UTF-8"))
+        finally out.close()
+      } catch { case scala.util.control.NonFatal(_) => () }
     }
+  }
+
+  /** Pin-file body: the pinned manifest snapshot plus the renewal
+    * counter the expiry signature keys on. */
+  private def renderPin(m: Manifest, renewSeq: Long): String = {
+    val root = mapper.createObjectNode()
+    root.put("family", m.family)
+    root.put("dim", m.dim)
+    root.put("n", m.n)
+    root.put("renew_seq", renewSeq)
+    val p = root.putObject("params")
+    m.params.toSeq.sortBy(_._1).foreach { case (k, v) => p.put(k, v) }
+    root.toPrettyString
   }
 
   /** Register a reader pin on the artifact's CURRENT commit (r14
@@ -613,45 +788,71 @@ object ArtifactIO {
     * pinning leaves a sweep window). Pins only defer GC — they never
     * block mutations or readers of the current version. */
   def pinReader(spark: SparkSession, dir: String): ReaderPin = {
-    val m = readManifest(spark, dir)
+    // a never-compacted corpus (plain batch-dir layout) has no
+    // manifest.json yet is a legitimate pin target (r15 advisor #4 -
+    // [[graft.Graft.pinArtifactReader]] advertises ANY persisted
+    // artifact): synthesize an empty-params pin - the corpus sweep
+    // treats a pin with no `merged_upto` as "protect every batch dir"
+    // (its pre-compaction branch), and param floors default to their
+    // whole-history values
+    val m =
+      try readManifest(spark, dir)
+      catch { case _: java.io.FileNotFoundException =>
+        Manifest("unmanaged", 0, 0L, Map.empty) }
     val id = java.util.UUID.randomUUID().toString
     val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
     fs.mkdirs(pinsDir(dir))
-    val root = mapper.createObjectNode()
-    root.put("family", m.family)
-    root.put("dim", m.dim)
-    root.put("n", m.n)
-    val p = root.putObject("params")
-    m.params.toSeq.sortBy(_._1).foreach { case (k, v) => p.put(k, v) }
     val out = fs.create(new Path(pinsDir(dir), s"pin-$id.json"), false)
-    try out.write(root.toPrettyString.getBytes("UTF-8")) finally out.close()
+    try out.write(renderPin(m, 0L).getBytes("UTF-8")) finally out.close()
     new ReaderPin(dir, id, m)
   }
 
   /** Live (unexpired) pinned manifests for the artifact — what every
-    * GC sweep consults. Expired pins are swept here as a side effect
-    * (the opportunistic abandoned-pin cleanup); unreadable pin files
-    * are treated as live until they expire (refusing to GC on a
-    * transient read error is the safe direction). */
+    * GC sweep consults. Expiry keys on OBSERVED staleness of the pin
+    * file's (mtime, length, renew_seq) signature, not absolute mtime
+    * age (r15 advisor #3 — a sweeper whose clock runs ahead of the
+    * store's mtime clock would delete a freshly renewed pin and a live
+    * reader would lose files mid-scan): a pin is swept only once THIS
+    * process has seen its signature unchanged for a full [[pinTtlMs]],
+    * so a renewing reader (whose `renew_seq` bumps land as content
+    * changes even on mtime-frozen object stores) always resets the
+    * window. Cost: a fresh process honors an abandoned pin for up to
+    * one extra TTL — deferred GC, the safe direction. Unreadable pin
+    * files are treated as live (protect the whole history) until they
+    * expire, for the same reason. */
   def pinnedManifests(spark: SparkSession, dir: String): Seq[Manifest] = {
     val pd = pinsDir(dir)
     val fs = pd.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(pd)) return Seq.empty
-    val now = System.currentTimeMillis()
     fs.listStatus(pd).toSeq
       .filter(_.getPath.getName.startsWith("pin-"))
       .flatMap { st =>
-        if (now - st.getModificationTime > pinTtlMs) {
+        val parsed =
+          try {
+            val in = fs.open(st.getPath)
+            val root = try mapper.readTree(in) finally in.close()
+            val params = scala.collection.mutable.Map[String, Long]()
+            root.get("params").fields().forEachRemaining { e =>
+              params(e.getKey) = e.getValue.asLong()
+            }
+            val seq =
+              Option(root.get("renew_seq")).map(_.asLong()).getOrElse(0L)
+            Some((Manifest(root.get("family").asText(),
+              root.get("dim").asInt(), root.get("n").asLong(),
+              params.toMap), seq))
+          } catch { case scala.util.control.NonFatal(_) => None }
+        val sig = s"${st.getModificationTime}|${st.getLen}|" +
+          parsed.map(_._2.toString).getOrElse("<unreadable>")
+        val key = st.getPath.toString
+        if (observedUnchangedFor(key, sig, pinTtlMs)) {
           try fs.delete(st.getPath, false)
           catch { case scala.util.control.NonFatal(_) => () }
+          observedSince.remove(key)
           None
-        } else
-          try Some(parseManifest(fs, st.getPath))
-          catch { case scala.util.control.NonFatal(_) =>
-            // torn pin write or transient read error: protect the
-            // whole history until the file expires
-            Some(Manifest("pinned-unreadable", 0, 0L, Map.empty))
-          }
+        } else parsed.map(_._1).orElse(
+          // torn pin write or transient read error: protect the
+          // whole history until the file expires
+          Some(Manifest("pinned-unreadable", 0, 0L, Map.empty)))
       }
   }
 

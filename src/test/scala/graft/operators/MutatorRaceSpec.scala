@@ -222,7 +222,9 @@ class MutatorRaceSpec extends AnyFunSuite {
     }
   }
 
-  test("steal-file leak: a takeover leftover is swept at the next acquire") {
+  test("steal-file leak: a leftover is swept once OBSERVED unchanged " +
+    "for a TTL (skew-free - a far-past mtime alone is not enough, r15 " +
+    "advisor #3)") {
     val dir = tmp("steal_sweep")
     val m0 = ArtifactIO.Manifest("dedup", 0, 10L, Map("sig_deltas" -> 1L))
     ArtifactIO.writeManifest(spark, dir, m0)
@@ -232,24 +234,23 @@ class MutatorRaceSpec extends AnyFunSuite {
       ".manifest.lock.steal-deadbeef")
     val out = fs.create(leaked, false)
     try out.write("x".getBytes("UTF-8")) finally out.close()
-    fs.setTimes(leaked, System.currentTimeMillis() - 1000L, -1L)
-    val fresh = new org.apache.hadoop.fs.Path(dir,
-      ".manifest.lock.steal-fresh")
-    val out2 = fs.create(fresh, false)
-    try out2.write("x".getBytes("UTF-8")) finally out2.close()
+    // even a far-past mtime is NOT swept on first sight: a sweeper
+    // whose clock runs ahead of the store's mtime clock must not race
+    // a renamer still mid-delete (absolute age was the old rule)
+    fs.setTimes(leaked, System.currentTimeMillis() - 3600000L, -1L)
     val saved = ArtifactIO.leaseTtlMs
     ArtifactIO.leaseTtlMs = 100L
     try {
-      ArtifactIO.commitManifest(spark, dir, m0, m0.copy(n = 11L))
+      val a = ArtifactIO.commitManifest(spark, dir, m0, m0.copy(n = 11L))
+      assert(fs.exists(leaked),
+        "the first acquire only OBSERVES the leftover - sweeping on " +
+          "absolute mtime age is the clock-skew hazard")
+      Thread.sleep(150L) // a full local TTL with the signature unchanged
+      ArtifactIO.commitManifest(spark, dir, a, a.copy(n = 12L))
       assert(!fs.exists(leaked),
-        "an aged steal leftover must be swept at the next acquire")
-      assert(fs.exists(fresh),
-        "a fresh steal file may still be mid-delete by its renamer - " +
-          "only aged ones are swept")
-    } finally {
-      ArtifactIO.leaseTtlMs = saved
-      fs.delete(fresh, false)
-    }
+        "a leftover observed unchanged for a TTL must be swept at the " +
+          "next acquire")
+    } finally ArtifactIO.leaseTtlMs = saved
   }
 
   test("release resilience: an unreadable own lock is still released, " +

@@ -137,6 +137,40 @@ class ReaderPinSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("corpus: a never-compacted (plain batch-dir) corpus can be " +
+    "pinned; the pre-compaction pin protects every batch dir (r15 " +
+    "advisor #4)") {
+    import graft.streaming.StreamDedupIngest
+    val corpusDir = tmp("precompact")
+    def publish(lo: Long, hi: Long, batch: Long): Unit =
+      docs(lo, hi).select(col("doc_id"), col("text"))
+        .write.mode("overwrite").parquet(s"$corpusDir/batch-$batch")
+    publish(0, 20, 0); publish(20, 40, 1)
+    // no manifest.json exists yet - pinArtifactReader advertises ANY
+    // persisted artifact, so this must synthesize a pre-compaction pin
+    val pin = Graft.pinArtifactReader(spark, corpusDir)
+    assert(pin.manifest.family == "unmanaged" &&
+      !pin.manifest.params.contains("merged_upto"),
+      "a pre-compaction pin carries no merged_upto - the sweep's " +
+        "protect-every-batch-dir branch")
+    val held = StreamDedupIngest.readCorpus(spark, corpusDir)
+    // two compactions: unpinned, batch-0 would be folded at the first
+    // and swept at the second
+    publish(40, 50, 2)
+    StreamDedupIngest.compactCorpus(spark, corpusDir, upTo = 0L)
+    StreamDedupIngest.compactCorpus(spark, corpusDir, upTo = 1L)
+    assert(exists(s"$corpusDir/batch-0"),
+      "the pre-compaction pin must keep every batch dir alive")
+    assert(held.count() == 40L,
+      "the pinned pre-compaction reader still sees its snapshot")
+    assert(StreamDedupIngest.readCorpus(spark, corpusDir).count() == 50L)
+    pin.release(spark)
+    StreamDedupIngest.compactCorpus(spark, corpusDir, upTo = 2L)
+    assert(!exists(s"$corpusDir/batch-0"),
+      "a released pre-compaction pin stops protecting")
+    spark.catalog.clearCache()
+  }
+
   test("abandoned pin expires by TTL and is swept; renew extends it") {
     val dir = tmp("ttl")
     DedupIndex.build(docs(0, 60), dir, 60L)
