@@ -432,6 +432,31 @@ object Graft {
     operators.AnnIndex.recallCheck(spark, dir, emb, queries, driftBoundM,
       keepIds)
 
+  /** Retrieval-quality evaluation (s17): score a ranked run —
+    * (query_id, neighbor_id, rk), any serving/RRF/MMR output plugs in
+    * directly — against a ground-truth relevance pair set (query_id,
+    * neighbor_id). Returns per query integer-scaled nDCG@k
+    * (`ndcg_e6`), MRR (`rr_e6`), DCG and the relevant-count — the
+    * offline measurement loop run after every index or ranker change,
+    * complementing [[annRecallCheck]] (which scores the ANN against
+    * the exact run; this scores any run against ground truth). All
+    * integer arithmetic: deterministic and engine-portable. */
+  def retrievalEval(run: DataFrame, relevance: DataFrame,
+      k: Int = 10): DataFrame =
+    queries.SimilarityQueries.rankedEval(run, relevance, k)
+
+  /** [[retrievalEval]] of a LOADED ANN artifact's serving path: serve
+    * `queryBatch` top-k from the persisted index at `dir` (family
+    * dispatch, tuned knobs — [[annIndexServe]]'s contract) and score
+    * the served ranking against `relevance`. The eval an index
+    * deployment runs before/after [[rebuildAndTuneAnnIndex]] to see
+    * quality, not just recall-vs-exact, move. */
+  def retrievalEvalFromIndex(spark: SparkSession, dir: String,
+      queryBatch: DataFrame, emb: DataFrame, relevance: DataFrame,
+      k: Int = 10): DataFrame =
+    retrievalEval(operators.AnnIndex.serveTopK(spark, dir, queryBatch,
+      emb, topK = k), relevance, k)
+
   // ---- dedup-pipeline artifact (build once, consume many) ---------------
 
   /** Build the persistent dedup artifact under `dir`: the MinHash

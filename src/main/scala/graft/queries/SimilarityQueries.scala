@@ -1296,6 +1296,140 @@ object SimilarityQueries {
        |  ON a.query_id = x.query_id AND a.neighbor_id = x.neighbor_id
        |GROUP BY 1""".stripMargin
 
+  // ---- s17: retrieval-quality evaluation (nDCG@k / MRR) — the
+  // offline eval loop every s13/s14 deployment runs against a
+  // relevance set, complementing s9's recall@k (which scores the ANN
+  // against the EXACT run; this scores any run against GROUND TRUTH).
+  // All metrics are integer-scaled so both engines hash-match exactly:
+  // the per-rank DCG discount 1/log2(rank+1) is precomputed as the
+  // Long array [[DcgW]] (×1e6, one shared literal interpolated into
+  // BOTH the Spark plan and the oracle SQL), DCG@k is then a pure
+  // integer dot product of gains with those weights, ideal DCG is a
+  // prefix-sum lookup [[DcgC]] at min(n_rel, k), and nDCG / MRR are
+  // integer divisions (`div` / `//`) — no float summation anywhere.
+
+  /** Eval cutoff: deeper than [[TopK]] so the discount curve actually
+    * discounts; matches the k at which serving stacks are tuned. */
+  private val EvalK = 10
+  /** round(1e6 / log2(i+2)) for rank i+1 — the integer DCG weights. */
+  private[graft] val DcgW: Array[Long] =
+    Array.tabulate(EvalK)(i => math.round(1e6 / (math.log(i + 2) / math.log(2))))
+  /** Prefix sums of [[DcgW]]: DcgC(j-1) = ideal DCG with j relevant. */
+  private[graft] val DcgC: Array[Long] = DcgW.scanLeft(0L)(_ + _).tail
+
+  /** Score a ranked retrieval run against a relevance set: per query,
+    * integer-scaled nDCG@k, MRR and the supporting counts. `run` is
+    * (query_id, neighbor_id, rk) with rk 1-based (any extra columns
+    * ignored — the s1/s2/serving outputs plug in directly);
+    * `relevance` is the ground-truth pair set (query_id, neighbor_id),
+    * binary gains. At scale the run is queries×k and the relevance set
+    * is an eval fixture — both broadcast-sized; producing the run is
+    * the heavy leg and stays whatever shape its operator has. */
+  private[graft] def rankedEval(run: DataFrame, relevance: DataFrame,
+      k: Int = EvalK): DataFrame = {
+    require(k >= 1 && k <= EvalK, s"k must be in [1, $EvalK]: $k")
+    val rel = relevance.select(col("query_id"), col("neighbor_id"))
+      .withColumn("rel", lit(1L))
+    val nRel = rel.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_rel"))
+    val graded = run
+      .select(col("query_id"), col("neighbor_id"), col("rk"))
+      .filter(col("rk") <= k)
+      .join(broadcast(rel), Seq("query_id", "neighbor_id"), "left")
+      .withColumn("rel", coalesce(col("rel"), lit(0L)))
+    val per = graded.groupBy(col("query_id"))
+      .agg(
+        sum(col("rel") *
+          element_at(lit(DcgW), col("rk").cast("int"))).as("dcg_e6"),
+        min(when(col("rel") === 1L, col("rk"))).as("fr"))
+    per.join(broadcast(nRel), Seq("query_id"), "left")
+      .withColumn("n_rel", coalesce(col("n_rel"), lit(0L)))
+      .withColumn("idcg_e6", when(col("n_rel") > 0,
+        element_at(lit(DcgC),
+          least(col("n_rel"), lit(k.toLong)).cast("int")))
+        .otherwise(lit(0L)))
+      .withColumn("ndcg_e6", when(col("idcg_e6") > 0,
+        expr("(dcg_e6 * 1000000) div idcg_e6")).otherwise(lit(0L)))
+      .withColumn("rr_e6", when(col("fr").isNotNull,
+        expr("1000000 div fr")).otherwise(lit(0L)))
+      .select(col("query_id"), col("n_rel").cast("bigint").as("n_rel"),
+        col("dcg_e6").cast("bigint").as("dcg_e6"),
+        col("idcg_e6").cast("bigint").as("idcg_e6"),
+        col("ndcg_e6").cast("bigint").as("ndcg_e6"),
+        col("rr_e6").cast("bigint").as("rr_e6"))
+  }
+
+  /** Label-match relevance set for the eval queries: neighbor relevant
+    * iff it shares the query's `label` (self excluded) — the
+    * deterministic ground truth the synthetic corpus carries. One
+    * broadcast join over the corpus: linear, no shuffle. */
+  private[graft] def labelRelevance(emb: DataFrame,
+      nQueries: Int = NQueries): DataFrame = {
+    val lab = emb.select(col("vec_id"), col("label"))
+    val qlab = lab.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"))
+    lab.join(broadcast(qlab),
+        col("label") === col("qlabel") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+  }
+
+  /** s17: nDCG@10 / MRR of the exact cosine run against the
+    * label-match relevance set — the retrieval-quality measurement an
+    * s13/s14 deployment runs offline after every index or ranker
+    * change. Legs reuse [[cosineTopK]] (the run) verbatim. */
+  private[graft] def retrievalEval(emb: DataFrame,
+      nQueries: Int = NQueries, k: Int = EvalK): DataFrame =
+    rankedEval(cosineTopK(emb, nQueries, k), labelRelevance(emb, nQueries), k)
+
+  private val retrievalEvalSql =
+    s"""WITH q AS (SELECT vec_id, ${TextOps.quantizeSql("embedding")} AS q FROM embeddings),
+       |e AS (SELECT vec_id, unnest(q) AS v, generate_subscripts(q, 1) AS i FROM q),
+       |norms AS (SELECT vec_id, SUM(v * v) AS nn FROM e GROUP BY 1),
+       |dot AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, SUM(a.v * b.v) AS dot
+       |  FROM e a JOIN e b ON a.i = b.i AND a.vec_id < $NQueries
+       |   AND b.vec_id <> a.vec_id
+       |  GROUP BY 1, 2),
+       |run AS (
+       |  SELECT query_id, neighbor_id, rk FROM (
+       |    SELECT query_id, neighbor_id, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY
+       |        CAST(dot AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) *
+       |          sqrt(CAST(nb.nn AS DOUBLE))) DESC, neighbor_id) AS rk
+       |    FROM dot JOIN norms na ON na.vec_id = query_id
+       |    JOIN norms nb ON nb.vec_id = neighbor_id)
+       |  WHERE rk <= $EvalK),
+       |lab AS (SELECT vec_id, label FROM embeddings),
+       |qlab AS (SELECT vec_id AS query_id, label AS qlabel FROM lab
+       |  WHERE vec_id < $NQueries),
+       |rel AS (
+       |  SELECT ql.query_id, l.vec_id AS neighbor_id FROM lab l
+       |  JOIN qlab ql ON l.label = ql.qlabel AND l.vec_id <> ql.query_id),
+       |nrel AS (SELECT query_id, COUNT(*) AS n_rel FROM rel GROUP BY 1),
+       |w AS (SELECT unnest([${DcgW.mkString(", ")}]) AS w,
+       |  generate_subscripts([${DcgW.mkString(", ")}], 1) AS rk),
+       |c AS (SELECT unnest([${DcgC.mkString(", ")}]) AS c,
+       |  generate_subscripts([${DcgC.mkString(", ")}], 1) AS j),
+       |per AS (
+       |  SELECT r.query_id,
+       |    SUM(CASE WHEN x.neighbor_id IS NOT NULL THEN w.w ELSE 0 END) AS dcg_e6,
+       |    MIN(CASE WHEN x.neighbor_id IS NOT NULL THEN r.rk END) AS fr
+       |  FROM run r JOIN w ON w.rk = r.rk
+       |  LEFT JOIN rel x ON x.query_id = r.query_id
+       |    AND x.neighbor_id = r.neighbor_id
+       |  GROUP BY 1)
+       |SELECT p.query_id,
+       |  CAST(COALESCE(n.n_rel, 0) AS BIGINT) AS n_rel,
+       |  CAST(p.dcg_e6 AS BIGINT) AS dcg_e6,
+       |  CAST(COALESCE(c.c, 0) AS BIGINT) AS idcg_e6,
+       |  CAST(CASE WHEN COALESCE(c.c, 0) > 0
+       |    THEN (p.dcg_e6 * 1000000) // c.c ELSE 0 END AS BIGINT) AS ndcg_e6,
+       |  CAST(CASE WHEN p.fr IS NOT NULL
+       |    THEN 1000000 // p.fr ELSE 0 END AS BIGINT) AS rr_e6
+       |FROM per p
+       |LEFT JOIN nrel n ON n.query_id = p.query_id
+       |LEFT JOIN c ON c.j = LEAST(COALESCE(n.n_rel, 0), $EvalK)""".stripMargin
+
   // ---- out-of-corpus query-batch serving (s11) — the deployment seam:
   // every family's gate query above slices its query set FROM the
   // indexed corpus (vec_id < nQueries), which exercises the index shape
@@ -2018,5 +2152,8 @@ object SimilarityQueries {
     Q("s16_filtered_mmr",
       (s, d) => filteredMmrRerank(Tables.embeddings(s, d)),
       Some(filteredMmrSql)),
+    Q("s17_retrieval_eval",
+      (s, d) => retrievalEval(Tables.embeddings(s, d)),
+      Some(retrievalEvalSql)),
     Q("d14_semantic_dedup", semanticDedup, Some(semanticDedupSql)))
 }
