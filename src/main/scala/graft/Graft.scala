@@ -190,8 +190,16 @@ object Graft {
     * n·qPerCell and assign work n·k — both linear in n at fixed
     * knobs, the 100-TB regime. Result ⊆ [[semanticDups]]; equal when
     * qPerCell covers the largest cell. Measured on the linear band at
-    * 150k→2.4M vectors (BENCH_NOTES). */
-  def semanticDupsBucketed(emb: DataFrame, k: Int, qPerCell: Int = 16,
+    * 150k→2.4M vectors (BENCH_NOTES).
+    *
+    * `k <= 0` (the default) AUTO-SIZES the cell count to ceil(√n)
+    * (r15 verdict #4): a fixed k drifts as the corpus grows — cells
+    * fill as n/k and witness coverage qPerCell/|cell| decays as 1/n,
+    * silently weakening recall; at k = √n coverage decays only as
+    * n^-1/2 and the assign pass stays in s3's n^1.5 class
+    * (SemDeDupAutoKSpec: planted-dup recall at 1×/10×). Pass an
+    * explicit k to pin a layout (e.g. to match a recorded run). */
+  def semanticDupsBucketed(emb: DataFrame, k: Int = -1, qPerCell: Int = 16,
       threshold: Double = 0.9, updates: Int = 1,
       nHint: Long = -1L): DataFrame =
     queries.SimilarityQueries.semanticDedupBucketedOn(emb, k, qPerCell,

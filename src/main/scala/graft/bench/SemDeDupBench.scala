@@ -27,6 +27,9 @@ object SemDeDupBench {
     def f(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val emb = graft.Tables.embeddings(spark, dir)
     val n = emb.count()
+    // k <= 0 = auto-k (ceil sqrt n, r15 verdict #4) - resolve for the
+    // report so octave rows show the layout actually used
+    val kEff = if (k > 0) k else SimilarityQueries.autoSemK(n)
     val walls = (1 to 2).map { _ =>
       val t0 = System.nanoTime()
       val dups = SimilarityQueries
@@ -36,8 +39,8 @@ object SemDeDupBench {
       (dups, s)
     }
     spark.stop()
-    println(s"""{"dir":"$dir","n":$n,"k":$k,"q_per_cell":$q,""" +
-      s""""threshold":$t,"dups":${walls.head._1},""" +
+    println(s"""{"dir":"$dir","n":$n,"k":$kEff,"auto":${k <= 0},""" +
+      s""""q_per_cell":$q,"threshold":$t,"dups":${walls.head._1},""" +
       s""""wall_sec":${f(walls.map(_._2).min)}}""")
   }
 }

@@ -19,17 +19,21 @@ import org.apache.spark.sql.DataFrame
   * (it may be sample shift, not index drift — the recallCheck
   * contract); the check simply reports clean and the operator decides.
   *
-  * `store` and `sample` are thunks, evaluated at each check, so they
-  * can read live tables that the same stream mutates (a static
-  * DataFrame would serve a stale file listing). The retune is a full
+  * `store` and `sample` are Option-wrapped thunks (r15 verdict #7 —
+  * no null foot-gun for callers who set `every` without them; the
+  * policy is simply disabled until both are present), evaluated at
+  * each check, so they can read live tables that the same stream
+  * mutates (a static DataFrame would serve a stale file listing). The
+  * retune is a full
   * re-fit — a multi-minute pause inside one micro-batch at production
   * scale; pick `every` so checks amortize, and prefer a dedicated
   * maintenance stream when the latency cliff matters. */
 final case class RecallPolicy(every: Int = 0, driftBoundM: Long = 50L,
     targetRecall: Double = 0.9, topK: Int = 3,
-    store: () => DataFrame = null, sample: () => DataFrame = null) {
+    store: Option[() => DataFrame] = None,
+    sample: Option[() => DataFrame] = None) {
 
-  def enabled: Boolean = every > 0 && store != null && sample != null
+  def enabled: Boolean = every > 0 && store.isDefined && sample.isDefined
 
   def due(batchId: Long): Boolean =
     enabled && batchId > 0 && batchId % every == 0
@@ -46,8 +50,8 @@ final case class RecallPolicy(every: Int = 0, driftBoundM: Long = 50L,
     else if (!AnnIndex.readManifest(spark, dir).params
         .contains("tuned_recall_m")) None
     else {
-      val emb = store()
-      val q = sample()
+      val emb = store.get()
+      val q = sample.get()
       val d = AnnIndex.recallCheck(spark, dir, emb, q, driftBoundM)
       if (d.drifted && d.sampleMatches)
         Some(AnnIndex.rebuildAndTune(spark, dir, emb, q, targetRecall,

@@ -542,6 +542,11 @@ object SimilarityQueries {
       .agg(min(col("va")).as("dup_of"))
       .select(col("vb").as("vec_id"), col("cell"), col("dup_of"))
   }
+  /** Auto-sized SemDeDup cell count: ceil(√n), floored at 4 so tiny
+    * corpora still partition. */
+  private[graft] def autoSemK(n: Long): Int =
+    math.max(4, math.ceil(math.sqrt(math.max(1L, n).toDouble)).toInt)
+
   /** d14's SCALE configuration (r14 verdict #8): SemDeDup with a
     * BUCKETED QUERY SET — the s6 bipartite shape applied per cluster.
     * The exact d14 compares every within-cluster pair (m²·k pairs,
@@ -557,12 +562,25 @@ object SimilarityQueries {
     * result is a SUBSET of exact d14 (witnesses outside the query set
     * are not consulted) and EQUALS it whenever qPerCell covers the
     * largest cluster (SemDeDupBucketedSpec pins both). `dup_of` is
-    * the smallest clearing witness in the query set. */
+    * the smallest clearing witness in the query set.
+    *
+    * AUTO-K (r15 verdict #4): `k <= 0` sizes the cell count to
+    * ceil(√n) — the s3/IVF precedent. A FIXED k drifts as the corpus
+    * grows: cells fill as n/k, witness coverage qPerCell/|cell| decays
+    * as 1/n, and dedup recall silently collapses — the same drift
+    * class bandDriftCheck instruments on the MinHash artifact. At
+    * k = √n the cell size is √n, so coverage decays only as n^-1/2
+    * (and the assign pass stays n·k = n^1.5, s3's class, instead of
+    * going quadratic the way holding coverage constant with a flat
+    * k-means would); SemDeDupAutoKSpec measures planted-dup recall
+    * holding up at 1×/10× under auto-k while fixed-k falls off. */
   private[graft] def semanticDedupBucketedOn(emb: DataFrame, k: Int,
       qPerCell: Int, threshold: Double, updates: Int = 1,
       nHint: Long = -1L): DataFrame = {
+    val n0 = if (nHint > 0) nHint else emb.count()
+    val k0 = if (k > 0) k else autoSemK(n0)
     val (asg, _) = graft.operators.KMeans.fit(
-      graft.operators.KMeans.prepare(emb), k, updates, nHint)
+      graft.operators.KMeans.prepare(emb), k0, updates, n0)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("cell")).orderBy(col("vec_id"))
     val queries = asg

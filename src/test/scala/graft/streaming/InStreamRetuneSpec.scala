@@ -47,8 +47,8 @@ class InStreamRetuneSpec extends AnyFunSuite {
     val ckpt = tmp("ckpt")
     val q = Graft.streamAnnTakedown(spark, landing, dir, ckpt,
       recall = RecallPolicy(every = 1, driftBoundM = 50L,
-        targetRecall = 0.85, store = () => store(),
-        sample = () => queries))
+        targetRecall = 0.85, store = Some(() => store()),
+        sample = Some(() => queries)))
     try {
       // batch 0+1: benign takedowns — vectors in NO query's top-10
       // neighborhood; truth and serving shift together, recall holds,
@@ -123,7 +123,7 @@ class InStreamRetuneSpec extends AnyFunSuite {
     val q = Graft.streamTakedownAll(spark, landing, Seq(dedupDir),
       Seq(dir), Nil, tmp("all_ckpt"),
       recall = RecallPolicy(every = 1, targetRecall = 0.85,
-        store = () => store(), sample = () => queries))
+        store = Some(() => store()), sample = Some(() => queries)))
     try {
       q.processAllAvailable()
       victims.select(col("vec_id").as("id")).coalesce(1)
