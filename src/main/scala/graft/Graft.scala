@@ -1328,6 +1328,19 @@ object Graft {
     streaming.StreamTakedownAll.takedownStatus(spark, queue, dedupDirs,
       annDirs, corpusDirs)
 
+  /** [[ingestStatus]] and [[takedownStatus]] as ONE health frame with
+    * ONE live-view scan per artifact (r15 verdict #7): per artifact,
+    * how many of the ingest queue's ids are live (`n_live` — equal
+    * across rows ⇔ ingest converged) and how many of the takedown
+    * queue's ids are still visible (`n_visible` — all zero ⇔ takedowns
+    * converged). The operator dashboard call for an orchestrated
+    * deployment. */
+  def artifactHealth(spark: SparkSession, ingested: DataFrame,
+      takedowns: DataFrame, dedupDirs: Seq[String], annDirs: Seq[String],
+      corpusDirs: Seq[String]): DataFrame =
+    streaming.StreamTakedownAll.healthStatus(spark, ingested, takedowns,
+      dedupDirs, annDirs, corpusDirs)
+
   /** ONE crawl stream driving EVERY artifact (r14 verdict #1) — the
     * write-path twin of [[streamTakedownAll]]: each micro-batch of
     * crawl rows (`doc_id`, `text`, `embedding` — the document and its

@@ -59,18 +59,55 @@ object KMeans {
       .select(col("vec_id").as("cid"), col("q").as("c"), col("nn").as("cnn"))
   }
 
-  /** Nearest-centroid assignment: (vec_id, cell, dist, q, nn). The
-    * centroid table is broadcast; the n×k candidate rows are reduced
-    * map-side by the lexicographic min — (dist, cid) is unique per
-    * candidate so the carried (q, nn) never influence the ordering. */
-  def assign(prepared: DataFrame, centroids: DataFrame): DataFrame =
-    prepared.join(broadcast(centroids))
-      .withColumn("dist",
-        col("nn") - lit(2L) * TextOps.qdot(col("q"), col("c")) + col("cnn"))
-      .groupBy(col("vec_id"))
-      .agg(min(struct(col("dist"), col("cid"), col("q"), col("nn"))).as("b"))
-      .select(col("vec_id"), col("b.cid").as("cell"), col("b.dist").as("dist"),
-        col("b.q").as("q"), col("b.nn").as("nn"))
+  /** Nearest-centroid assignment: (vec_id, cell, dist, q, nn) — the
+    * MLlib shape: centroids ride a broadcast variable and each row's
+    * argmin is a tight per-partition loop, so the pass is ONE map over
+    * n rows with zero shuffle and zero intermediate blow-up. The
+    * previous form (broadcast join to n×k candidate rows, reduced by
+    * `min(struct(dist, cid, q, nn))`) was correct but its aggregate
+    * carried the q array through a SortAggregate fallback (struct
+    * minima over variable-length fields have no fixed-size hash-agg
+    * buffer), which SORTS n×k wide rows: ~140 GB of sort input at
+    * 200k×k=448 and a disk-filling multi-TB spill at 2M×k=1415 — the
+    * auto-k regime (r15 verdict #4) made that latent cliff the
+    * default path. Semantics are bit-identical: same int64 distance
+    * algebra (including wrap behavior), same (dist, cid) lexicographic
+    * tie-break, empty centroid set ⇒ empty assignment (the inner
+    * join's behavior). The driver-side collect is bounded by k (≤ ~50k
+    * at 64 dims per the broadcast budget above). */
+  def assign(prepared: DataFrame, centroids: DataFrame): DataFrame = {
+    val spark = prepared.sparkSession
+    import spark.implicits._
+    val cents: Array[(Long, Array[Long], Long)] = centroids
+      .select(col("cid"), col("c"), col("cnn"))
+      .as[(Long, Array[Long], Long)].collect()
+    val bc = spark.sparkContext.broadcast(cents)
+    prepared.select(col("vec_id"), col("q"), col("nn"))
+      .as[(Long, Array[Long], Long)]
+      .mapPartitions { it =>
+        val cs = bc.value
+        if (cs.isEmpty) Iterator.empty
+        else it.map { case (vid, q, nn) =>
+          var bd = 0L
+          var bid = 0L
+          var first = true
+          var i = 0
+          while (i < cs.length) {
+            val (cid, c, cnn) = cs(i)
+            var dot = 0L
+            var j = 0
+            while (j < q.length) { dot += q(j) * c(j); j += 1 }
+            val d = nn - 2L * dot + cnn
+            if (first || d < bd || (d == bd && cid < bid)) {
+              bd = d; bid = cid; first = false
+            }
+            i += 1
+          }
+          (vid, bid, bd, q, nn)
+        }
+      }
+      .toDF("vec_id", "cell", "dist", "q", "nn")
+  }
 
   /** Lloyd update: per-cell elementwise integer mean (floor). Cells that
     * lost every member simply vanish (both engines identically). */

@@ -123,6 +123,78 @@ object StreamTakedownAll {
     visibilityStatus(spark, queue, dedupDirs, annDirs, corpusDirs,
       countCol = "n_visible")
 
+  /** BOTH convergence reports in one frame, ONE live-view scan per
+    * artifact (r15 verdict #7): operators watching an orchestrated
+    * deployment ask "did every artifact ingest what was enqueued AND
+    * exclude what was taken down" as one question; running
+    * [[StreamIngestAll.ingestStatus]] and [[takedownStatus]] separately
+    * scans every artifact's live view twice. Here each queue's ids are
+    * tagged with (w_ing, w_tak) weights, the union is deduped, and one
+    * inner join + sum per artifact yields both counts. Reading:
+    * `n_visible` all zero ⇔ takedowns converged; `n_live` equal across
+    * rows (and = n_ingest_queue when no ingested id was since taken
+    * down) ⇔ ingest converged; a divergent row names the artifact a
+    * crash window left behind.
+    *
+    * @param ingested  every doc id ever enqueued for ingest (`id` col)
+    * @param takedowns every id ever enqueued for takedown (`id` col)
+    * @return (artifact, kind, n_ingest_queue, n_live,
+    *         n_takedown_queue, n_visible) */
+  def healthStatus(spark: SparkSession, ingested: DataFrame,
+      takedowns: DataFrame, dedupDirs: Seq[String], annDirs: Seq[String],
+      corpusDirs: Seq[String]): DataFrame = {
+    val tagged = ingested.select(col("id")).distinct()
+      .withColumn("w_ing", lit(1L)).withColumn("w_tak", lit(0L))
+      .unionByName(takedowns.select(col("id")).distinct()
+        .withColumn("w_ing", lit(0L)).withColumn("w_tak", lit(1L)))
+      .groupBy(col("id"))
+      .agg(max(col("w_ing")).as("w_ing"), max(col("w_tak")).as("w_tak"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (nIng, nTak) = {
+      val r = tagged.agg(sum(col("w_ing")), sum(col("w_tak"))).head()
+      (if (r.isNullAt(0)) 0L else r.getLong(0),
+        if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    def counts(live: DataFrame, idCol: String): (Long, Long) = {
+      val r = live.join(
+          graft.queries.DedupQueries.sizedHint(
+            tagged.withColumnRenamed("id", idCol), nIng + nTak, 16L),
+          Seq(idCol))
+        .agg(sum(col("w_ing")), sum(col("w_tak"))).head()
+      (if (r.isNullAt(0)) 0L else r.getLong(0),
+        if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    try {
+      val rows =
+        dedupDirs.map { d =>
+          val (l, v) = counts(
+            DedupIndex.load(spark, d).signatures.select(col("doc_id")),
+            "doc_id")
+          Row(d, "dedup", nIng, l, nTak, v)
+        } ++ annDirs.map { d =>
+          val (l, v) = counts(annLiveIds(spark, d), "vec_id")
+          Row(d, AnnIndex.readManifest(spark, d).family, nIng, l, nTak, v)
+        } ++ corpusDirs.map { d =>
+          val (l, v) = counts(
+            StreamDedupIngest.readCorpus(spark, d).select(col("doc_id")),
+            "doc_id")
+          Row(d, "corpus", nIng, l, nTak, v)
+        }
+      val lt = org.apache.spark.sql.types.LongType
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toIndexedSeq, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("artifact",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("kind",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("n_ingest_queue", lt),
+          org.apache.spark.sql.types.StructField("n_live", lt),
+          org.apache.spark.sql.types.StructField("n_takedown_queue", lt),
+          org.apache.spark.sql.types.StructField("n_visible", lt))))
+    } finally tagged.unpersist()
+  }
+
   /** The shared visibility scan both convergence reports are views of:
     * per artifact, how many of the queue's ids its LIVE view contains.
     * The takedown side reads the count as debt (all zero ⇔ excluded

@@ -201,6 +201,17 @@ class DocExamplesSpec extends AnyFunSuite {
       Graft.rebuildAndTuneAnnIndex(spark, annDir, emb,
         queries.select("query_id", "embedding"), targetRecall = 0.9)
 
+    // retrieval QUALITY, not just recall-vs-exact: score a loaded index's
+    // serving path against ground-truth (query_id, neighbor_id) relevance
+    // pairs — per query nDCG@k and MRR, integer-exact (s17)
+    val relevance = emb
+      .select((col("vec_id") + 5000000L).as("query_id"), col("label"))
+      .join(emb.select(col("vec_id").as("neighbor_id"), col("label")),
+        "label")
+      .select("query_id", "neighbor_id")
+    val evalScores = Graft.retrievalEvalFromIndex(spark, annDir,
+      queries.select("query_id", "embedding"), emb, relevance, k = 10)
+
     // a real GDPR/DMCA queue drives EVERY artifact from one checkpoint:
     // dedup artifact + ANN index + the published corpus dirs share one
     // batch high-water mark, a crash between two commits converges on
@@ -230,6 +241,9 @@ class DocExamplesSpec extends AnyFunSuite {
     assert(encoded.count() == docs.count())
     assert(tuned.targetMet && tuned.recall >= 0.9)
     assert(!drift.drifted && drift.sampleMatches)
+    assert(evalScores.collect().forall { r =>
+      val n = r.getAs[Long]("ndcg_e6"); n >= 0L && n <= 1000000L
+    })
     assert(status.collect().forall(_.getAs[Long]("n_visible") == 0L))
     spark.catalog.clearCache()
   }
@@ -268,6 +282,13 @@ class DocExamplesSpec extends AnyFunSuite {
       Seq(dxDir), Seq(annDir), Seq(corpusDir)) // every row: n_live == 8
     ing.stop()
 
+    // or both convergence reports in ONE frame, one live-view scan per
+    // artifact: n_live equal across rows ⇔ ingest converged, n_visible
+    // all zero ⇔ takedowns converged
+    val health = Graft.artifactHealth(spark,
+      crawl.select(col("doc_id").as("id")), spark.range(0).select("id"),
+      Seq(dxDir), Seq(annDir), Seq(corpusDir))
+
     // long reads survive maintenance: a pinned snapshot's files outlive
     // any number of folds/rebuilds until the pin is released or expires
     val pin = Graft.pinArtifactReader(spark, dxDir)
@@ -280,6 +301,8 @@ class DocExamplesSpec extends AnyFunSuite {
     if (layout.drifted) Graft.retuneDedupLayout(spark, dxDir)
 
     assert(ingested.collect().forall(_.getAs[Long]("n_live") == 8L))
+    assert(health.collect().forall(r => r.getAs[Long]("n_live") == 8L &&
+      r.getAs[Long]("n_visible") == 0L))
     assert(!layout.drifted) // fresh build: layout sized for this corpus
     spark.catalog.clearCache()
   }

@@ -169,6 +169,45 @@ class StreamIngestAllSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("artifactHealth: both convergence reports in one frame, " +
+    "row-for-row consistent with the separate status calls (r15 #7)") {
+    val (dedupDir, annDir, corpusDir) = buildSurface("health")
+    // ingest 40..48, then take down 4 of the base ids
+    Graft.ingestAll(spark, crawlRows(40, 48), batchId = 1L,
+      Seq(dedupDir), Seq(annDir), Seq(corpusDir))
+    val takeQ = spark.range(0, 4).select(col("id"))
+    Graft.takedownAll(spark, takeQ, Seq(dedupDir), Seq(annDir),
+      Seq(corpusDir))
+    val ingQ = spark.range(40, 48).select(col("id"))
+    val health = Graft.artifactHealth(spark, ingQ, takeQ,
+      Seq(dedupDir), Seq(annDir), Seq(corpusDir)).collect()
+      .map(r => r.getAs[String]("artifact") -> r).toMap
+    assert(health.size == 3)
+    // one frame must agree with the two separate scans, artifact by
+    // artifact
+    val ing = Graft.ingestStatus(spark, ingQ, Seq(dedupDir),
+      Seq(annDir), Seq(corpusDir)).collect()
+      .map(r => r.getAs[String]("artifact") ->
+        r.getAs[Long]("n_live")).toMap
+    val tak = Graft.takedownStatus(spark, takeQ, Seq(dedupDir),
+      Seq(annDir), Seq(corpusDir)).collect()
+      .map(r => r.getAs[String]("artifact") ->
+        r.getAs[Long]("n_visible")).toMap
+    health.foreach { case (a, r) =>
+      assert(r.getAs[Long]("n_ingest_queue") == 8L)
+      assert(r.getAs[Long]("n_takedown_queue") == 4L)
+      assert(r.getAs[Long]("n_live") == ing(a),
+        s"health n_live must match ingestStatus for $a")
+      assert(r.getAs[Long]("n_visible") == tak(a),
+        s"health n_visible must match takedownStatus for $a")
+    }
+    // and the converged state reads as documented: all ingested ids
+    // live everywhere, all taken-down ids visible nowhere
+    assert(health.values.forall(_.getAs[Long]("n_live") == 8L))
+    assert(health.values.forall(_.getAs[Long]("n_visible") == 0L))
+    spark.catalog.clearCache()
+  }
+
   test("batch ingestAll: one call, every artifact; a replayed batchId " +
     "no-ops on the shared guard") {
     val (dedupDir, annDir, corpusDir) = buildSurface("batch")
