@@ -363,16 +363,14 @@ object AnnIndex {
     val qv = newEmb
       .select(col("vec_id"), TextOps.quantize(col("embedding")).as("q"))
       .withColumn("nn", TextOps.qdot(col("q"), col("q")))
-    val wq = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id"))
-      .orderBy(col("ccos").desc, col("cent_id"))
-    val home = qv.join(broadcast(cents))
-      .withColumn("ccos",
-        TextOps.qdot(col("q"), col("cq")).cast("double") /
-          (sqrt(col("nn").cast("double")) * sqrt(col("cnn").cast("double"))))
-      .withColumn("arn", row_number().over(wq))
-      .filter(col("arn") === 1)
-      .select(col("vec_id"), col("q"), col("cent_id").as("cell"), col("cq"))
+    // broadcast-loop argmax (ProductQuantizer.cosineAssignTop) instead
+    // of the old n×cells row_number window — that window SORTED every
+    // increment vector's cells rows with the q array in tow, the
+    // measured superlinearity of big orchestrated ingest batches (r15
+    // verdict #3 follow-up); order and survivors are identical
+    val home = ProductQuantizer.cosineAssignTop(qv, cents, nProbe = 1)
+      .join(broadcast(cents), col("cell") === col("cent_id"))
+      .select(col("vec_id"), col("q"), col("cell"), col("cq"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     home.count() // residual encode + cell join both read it
     try {

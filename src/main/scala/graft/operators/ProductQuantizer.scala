@@ -66,17 +66,122 @@ object ProductQuantizer {
         col("qs").as("c"), col("nns").as("cnn"))
   }
 
-  /** Nearest-centroid assignment per (vector, subspace): the codebook
-    * (m·k rows) is broadcast, the n·m candidate rows reduce map-side via
-    * the lexicographic (dist, cid) min. */
-  def assign(prepared: DataFrame, codebook: DataFrame): DataFrame =
-    prepared.join(broadcast(codebook), "sub")
-      .withColumn("dist",
-        col("nns") - lit(2L) * TextOps.qdot(col("qs"), col("c")) + col("cnn"))
-      .groupBy(col("vec_id"), col("sub"))
-      .agg(min(struct(col("dist"), col("cid"), col("qs"), col("nns"))).as("b"))
-      .select(col("vec_id"), col("sub"), col("b.cid").as("cell"),
-        col("b.qs").as("qs"), col("b.nns").as("nns"))
+  /** Nearest-centroid assignment per (vector, subspace) — the same
+    * broadcast-variable + per-partition argmin loop as
+    * [[KMeans.assign]], for the same reason (r15 verdict #3
+    * follow-up): the old broadcast-join form blew each of the n·m
+    * subvector rows into k candidates and reduced them with
+    * `min(struct(dist, cid, qs, nns))`, whose variable-length array
+    * fields force a SortAggregate fallback that SORTS n·m·k wide rows
+    * — measured 698 s (vs 12 s at 10k) encoding a 100k-vector
+    * increment at m=8×k=64, the whole superlinearity of the
+    * orchestrated big-batch ingest. Now: codebook grouped by subspace
+    * rides a broadcast variable, each (vec, sub) row's argmin is a
+    * tight loop — one map over n·m rows, zero shuffle. Semantics
+    * bit-identical: same int64 distance algebra, same (dist, cid)
+    * tie-break, and a subspace absent from the codebook drops its rows
+    * (the inner join's behavior). Driver collect bounded by m·k codes. */
+  def assign(prepared: DataFrame, codebook: DataFrame): DataFrame = {
+    val spark = prepared.sparkSession
+    import spark.implicits._
+    val cb: Map[Int, Array[(Long, Array[Long], Long)]] = codebook
+      .select(col("sub"), col("cid"), col("c"), col("cnn"))
+      .as[(Int, Long, Array[Long], Long)].collect()
+      .groupBy(_._1).map { case (s, rs) =>
+        s -> rs.map(r => (r._2, r._3, r._4))
+      }
+    val bc = spark.sparkContext.broadcast(cb)
+    prepared.select(col("vec_id"), col("sub"), col("qs"), col("nns"))
+      .as[(Long, Int, Array[Long], Long)]
+      .mapPartitions { it =>
+        val subs = bc.value
+        it.flatMap { case (vid, sub, qs, nns) =>
+          subs.get(sub) match {
+            case None => Iterator.empty
+            case Some(cs) =>
+              var bd = 0L
+              var bid = 0L
+              var first = true
+              var i = 0
+              while (i < cs.length) {
+                val (cid, c, cnn) = cs(i)
+                var dot = 0L
+                var j = 0
+                while (j < qs.length) { dot += qs(j) * c(j); j += 1 }
+                val d = nns - 2L * dot + cnn
+                if (first || d < bd || (d == bd && cid < bid)) {
+                  bd = d; bid = cid; first = false
+                }
+                i += 1
+              }
+              Iterator.single((vid, sub, bid, qs, nns))
+          }
+        }
+      }
+      .toDF("vec_id", "sub", "cell", "qs", "nns")
+  }
+
+  /** Top-`nProbe` nearest-centroid assignment by cosine — the
+    * broadcast-variable + per-partition loop twin of the
+    * (ccos DESC, cent_id) row_number window the IVF family used
+    * (r15 verdict #3 follow-up): the window form blows n rows into
+    * n×cells candidates each carrying the q array and SORTS them per
+    * vector — the same cliff class as the old [[KMeans.assign]], paid
+    * on every IVF/IVF-PQ build and every big append. Here centroids
+    * ride a broadcast variable and each row keeps a tiny insertion
+    * list of its `nProbe` best (cosine desc, cent_id asc) cells — one
+    * map over n rows, zero shuffle. Ordering matches Spark's window
+    * sort exactly: IEEE-double cosine compared with NaN-largest
+    * semantics ([[java.lang.Double.compare]]; a -0.0 never arises —
+    * integer dots cast to double), ties on the smaller cent_id.
+    * Input (vec_id, q, nn); output (vec_id, q, nn, cell, arn) with
+    * arn 1-based, exactly the window's surviving rows. */
+  def cosineAssignTop(vecs: DataFrame, centroids: DataFrame,
+      nProbe: Int): DataFrame = {
+    require(nProbe >= 1, s"nProbe must be >= 1: $nProbe")
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val cents: Array[(Long, Array[Long], Long)] = centroids
+      .select(col("cent_id"), col("cq"), col("cnn"))
+      .as[(Long, Array[Long], Long)].collect()
+    val bc = spark.sparkContext.broadcast(cents)
+    vecs.select(col("vec_id"), col("q"), col("nn"))
+      .as[(Long, Array[Long], Long)]
+      .flatMap { case (vid, q, nn) =>
+        val cs = bc.value
+        val keep = math.min(nProbe, cs.length)
+        // insertion list of the top `keep` (ccos desc, cent_id asc)
+        val bestC = new Array[Double](keep)
+        val bestId = new Array[Long](keep)
+        var filled = 0
+        var i = 0
+        while (i < cs.length) {
+          val (cid, cq, cnn) = cs(i)
+          var dot = 0L
+          var j = 0
+          while (j < q.length) { dot += q(j) * cq(j); j += 1 }
+          val ccos = dot.toDouble /
+            (math.sqrt(nn.toDouble) * math.sqrt(cnn.toDouble))
+          // rank position: after every strictly-better entry
+          var p = filled
+          while (p > 0 && {
+            val c = java.lang.Double.compare(ccos, bestC(p - 1))
+            c > 0 || (c == 0 && cid < bestId(p - 1))
+          }) p -= 1
+          if (p < keep) {
+            val last = math.min(filled, keep - 1)
+            var s = last
+            while (s > p) { bestC(s) = bestC(s - 1); bestId(s) = bestId(s - 1); s -= 1 }
+            bestC(p) = ccos
+            bestId(p) = cid
+            if (filled < keep) filled += 1
+          }
+          i += 1
+        }
+        (0 until filled).iterator.map(r => (vid, q, nn, bestId(r), r + 1))
+      }
+      .toDF("vec_id", "q", "nn", "cell", "arn")
+  }
 
   /** Lloyd update per (subspace, cell): elementwise integer floor-mean.
     * Emptied cells vanish (both engines identically). */

@@ -317,39 +317,28 @@ object SimilarityQueries {
   }
 
   /** [[ivfAssign]] without the cache pin — the artifact build path
-    * writes this frame as parquet instead of pinning it. */
+    * writes this frame as parquet instead of pinning it. Assignment
+    * runs as [[graft.operators.ProductQuantizer.cosineAssignTop]]'s
+    * broadcast-variable + per-partition loop (one map over n rows)
+    * instead of the old n×cells row_number window, whose per-vector
+    * sort of wide rows was the [[graft.operators.KMeans.assign]]
+    * cliff paid on every IVF / IVF-PQ build (r15 verdict #3
+    * follow-up); surviving rows and their (ccos desc, cent_id) order
+    * are identical. With `nHint < 0` the corpus is counted up front —
+    * the old plan folded the count into the join, but the centroid
+    * collect needs the stride before the map starts. */
   private[graft] def ivfAssignRaw(emb: DataFrame, nHint: Long = -1L,
       nProbe: Int = 1): DataFrame = {
+    val n = if (nHint > 0) nHint else emb.count()
     val base = emb
       .select(col("vec_id"), TextOps.quantize(col("embedding")).as("q"))
       .withColumn("nn", TextOps.qdot(col("q"), col("q")))
-    val e = (if (nHint > 0)
-        base.withColumn("stride",
-          lit(math.max(1L, nHint / ivfCells(nHint))))
-      else {
-        val nRow = emb.agg(count(lit(1)).as("n_rows"))
-        base.crossJoin(broadcast(nRow)) // 1-row bounds frame
-          // stride = n div clamp(2^((ceil(log2 n)+1) div 2)) — the same
-          // closed integer form as ivfCells, as Column arithmetic
-          .withColumn("stride", expr(
-            "greatest(CAST(1 AS BIGINT), n_rows div least(CAST(65536 AS BIGINT), " +
-              "greatest(CAST(8 AS BIGINT), shiftleft(CAST(1 AS BIGINT), " +
-              "CAST((length(bin(n_rows - 1)) + 1) div 2 AS INT)))))"))
-          .drop("n_rows")
-      })
-    val centroids = e
-      .filter(XHash.hash60(col("vec_id").cast("string")) % col("stride") === 0)
-      .select(col("vec_id").as("cent_id"), col("q").as("cq"), col("nn").as("cnn"))
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("ccos").desc, col("cent_id"))
-    e.join(broadcast(centroids))
-      .withColumn("ccos",
-        TextOps.qdot(col("q"), col("cq")).cast("double") /
-          (sqrt(col("nn").cast("double")) * sqrt(col("cnn").cast("double"))))
-      .withColumn("arn", row_number().over(wAssign))
-      .filter(col("arn") <= nProbe)
-      .select(col("vec_id"), col("q"), col("nn"),
-        col("cent_id").as("cell"), col("arn"))
+    val stride = math.max(1L, n / ivfCells(n))
+    val centroids = base
+      .filter(XHash.hash60(col("vec_id").cast("string")) % stride === 0)
+      .select(col("vec_id").as("cent_id"), col("q").as("cq"),
+        col("nn").as("cnn"))
+    graft.operators.ProductQuantizer.cosineAssignTop(base, centroids, nProbe)
   }
 
   /** IVF-style ANN: deterministic hash-sampled coarse quantizer
