@@ -143,8 +143,8 @@ object Graft {
     * corpus signature table is the write-once sketch stage. */
   def crossNearDupPairs(increment: DataFrame, corpus: DataFrame,
       incrementHint: Long = -1L, corpusHint: Long = -1L): DataFrame =
-    queries.DedupQueries.crossNearDups(increment, corpus,
-      incrementHint, corpusHint)
+    materialized(queries.DedupQueries.crossNearDupsPinned(increment, corpus,
+      incrementHint, corpusHint))
 
   /** Edit-distance (Levenshtein) verification on the MinHash-LSH
     * candidates — the position-sensitive third lens after Jaccard

@@ -137,8 +137,7 @@ object DedupIndex {
         DedupQueries.sigBandRows(sigArr).drop("sig")
           .write.mode("overwrite").parquet(bandPath(dir, 0L))
         val pairs = DedupQueries.jaccardVerifyHashed(
-          DedupQueries.lshFromSigArr(sigArr, n)
-            .select(col("doc_a"), col("doc_b")), hsT, n)
+          DedupQueries.candidatesFromSigArr(sigArr, n), hsT, n)
         pairs.write.mode("overwrite").parquet(pairPath(dir, 0L))
         val comp = Components.connectedComponents(
           spark.read.parquet(pairPath(dir, 0L))
@@ -601,8 +600,7 @@ object DedupIndex {
           val cross = crossCand.select(
             least(col("inc_id"), col("corpus_id")).as("doc_a"),
             greatest(col("inc_id"), col("corpus_id")).as("doc_b"))
-          val within = DedupQueries.lshFromSigArr(incSig, ni)
-            .select(col("doc_a"), col("doc_b"))
+          val within = DedupQueries.candidatesFromSigArr(incSig, ni)
           val newPairs = DedupQueries.jaccardVerifyHashed(
             cross.unionAll(within), incHs.unionByName(corpusCandHs),
             ni + nCand)

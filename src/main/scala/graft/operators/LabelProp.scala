@@ -104,16 +104,18 @@ object LabelProp {
         // labels — a failure in the count/convergence window would leave
         // this round's pin stranded in the session cache
         try {
-          next.count() // materialize before the delta check + next round
-          t += 1
-          if (t < rounds) {
-            // exact fixed point ⇔ no label moved: an n-row join of two
-            // pinned label vectors, short-circuited at the first mover
+          // ONE job materializes the round AND answers the fixed-point
+          // question (the r16 PageRank fusion): the mover count fully
+          // evaluates `next` — filling its cache — while joining the
+          // n-row pinned label vectors. Exact fixed point ⇔ no label
+          // moved. The final round skips the check (nothing consumes it).
+          if (t + 1 < rounds) {
             converged = next.as("n")
               .join(labels.as("p"), col("n.id") === col("p.id"))
               .filter(col("n.lab") =!= col("p.lab"))
-              .isEmpty
-          }
+              .count() == 0L
+          } else next.count()
+          t += 1
         } catch { case e: Throwable => next.unpersist(); throw e }
         labels.unpersist()
         labels = next

@@ -61,10 +61,19 @@ object PageRank {
   def pageRankRuns(pairs: DataFrame, iters: Int = 5): (DataFrame, Int) = {
     require(iters >= 1 && iters <= 20,
       s"pageRank iters must be in [1,20] (unrolled oracle / plan depth), got $iters")
-    val p = pairs.toDF("u", "v")
+    // pairs pinned FIRST: deg appears in the contribEdges build, the
+    // rank init AND the output join, and edges feeds both deg legs of
+    // the contribEdges join — unpinned, each of those references
+    // replayed the upstream (LSH) pair generation through lineage (the
+    // r16 p1 finding: FOUR pair-pipeline replays per run)
+    val p = pairs.toDF("u", "v").persist(StorageLevel.MEMORY_AND_DISK)
+    p.count()
     // symmetrize; every node then has in-edges, so no dangling-mass term
     val edges = p.unionAll(p.select(col("v").as("u"), col("u").as("v")))
+    // deg pinned too (n rows): materialized as a by-product of the
+    // contribEdges count below, reused by the rank init + output join
     val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // (u, v, deg): the loop-invariant side, computed once and cached —
     // without the pin every round would replay the upstream (LSH) pair
     // generation through lineage
@@ -78,8 +87,10 @@ object PageRank {
     // materialize BEFORE the loop: each round's plan references this
     // cache, and unfilled those references race to build it — each
     // replaying the upstream (LSH) pair generation (the s3-class
-    // defect; CacheDisciplineSpec / r8)
+    // defect; CacheDisciplineSpec / r8). Reading through contribEdges
+    // also fills deg's cache; p's cache is then no longer referenced.
     contribEdges.count()
+    p.unpersist()
     var ranks = deg.select(col("u").as("id"), lit(Scale).as("rank"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     ranks.count()
@@ -102,17 +113,19 @@ object PageRank {
         // ranks — a failure in the count/convergence window would leave
         // this round's pin stranded in the session cache
         try {
-          next.count() // materialize before the delta check + next round
-          t += 1
-          if (t < iters) {
-            // exact fixed point ⇔ no node moved: an n-row join of two
-            // pinned rank vectors, short-circuited at the first mover —
-            // noise next to the |E|-row round join it can save
+          // ONE job materializes the round AND answers the fixed-point
+          // question (r16: the old count()-then-isEmpty shape paid two
+          // cluster barriers per round): the mover count fully evaluates
+          // `next` — filling its cache — while joining the n-row pinned
+          // rank vectors. Exact fixed point ⇔ no node's integer rank
+          // moved. The final round skips the check (nothing consumes it).
+          if (t + 1 < iters) {
             converged = next.as("n")
               .join(ranks.as("p"), col("n.id") === col("p.id"))
               .filter(col("n.rank") =!= col("p.rank"))
-              .isEmpty
-          }
+              .count() == 0L
+          } else next.count()
+          t += 1
         } catch { case e: Throwable => next.unpersist(); throw e }
         ranks.unpersist()
         ranks = next
@@ -126,7 +139,10 @@ object PageRank {
       try out.count()
       catch { case e: Throwable => out.unpersist(); throw e }
       (out, t)
-    } finally { contribEdges.unpersist(); ranks.unpersist() }
+    } finally {
+      p.unpersist() // idempotent (released after contribEdges.count)
+      deg.unpersist(); contribEdges.unpersist(); ranks.unpersist()
+    }
   }
 
   /** Oracle twin: the unrolled CTE chain over `edges(u, v)` — append to

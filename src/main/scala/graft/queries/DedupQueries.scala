@@ -145,15 +145,7 @@ object DedupQueries {
     * [[graft.operators.DedupIndex]] parquet artifact): band self-join +
     * exact signature-agreement count. */
   private[graft] def lshFromSigArr(sigArr: DataFrame, n: Long): DataFrame = {
-    val bands = sigBandRows(sigArr).drop("sig")
-    // band table: n×Bands rows, ~128 B in memory (ids + band_val string)
-    val cand = bands.as("a").join(
-        sizedHint(bands, n * Bands, 128).as("b"),
-        col("a.band_idx") === col("b.band_idx") &&
-          col("a.band_val") === col("b.band_val") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+    val cand = candidatesFromSigArr(sigArr, n)
     // the sketch table is O(corpus): broadcast ONLY under the exact-count
     // size bound (sizedHint) — its compressed shuffle stats (16 longs/doc)
     // under-estimate the in-memory build ~100x, and at the 100x octave
@@ -169,6 +161,27 @@ object DedupQueries {
         aggregate(zip_with(col("sig_a"), col("sig_b"),
           (x, y) => when(x === y, 1L).otherwise(0L)), lit(0L), (acc, v) => acc + v))
       .select("doc_a", "doc_b", "sig_matches")
+  }
+
+  /** The LSH candidate-pair half ALONE — band self-join + distinct,
+    * WITHOUT the signature rejoins that compute `sig_matches`. Every
+    * consumer that immediately drops `sig_matches` (the jaccard /
+    * containment verifies, the DedupIndex pair builds) goes through
+    * this: Catalyst prunes the zip_with COLUMN from the discarded
+    * rejoins but cannot remove the two cand×sigArr JOINS themselves
+    * (it can't prove they are 1:1), so the verify paths were paying two
+    * dead hash joins per run — 2 joins and one sketch-table pass
+    * removed at every scale (r16 optimization, guide §2.4). */
+  private[graft] def candidatesFromSigArr(sigArr: DataFrame, n: Long): DataFrame = {
+    val bands = sigBandRows(sigArr).drop("sig")
+    // band table: n×Bands rows, ~128 B in memory (ids + band_val string)
+    bands.as("a").join(
+        sizedHint(bands, n * Bands, 128).as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
   }
 
   /** The (doc_id, sig: array<long>) signature-matrix form of
@@ -232,11 +245,28 @@ object DedupQueries {
     * shingle self-join over the corpus. */
   private[graft] def jaccardPairs(docsIn: DataFrame, nHint: Long = -1L): DataFrame =
     jaccardPairsPinned(docsIn, nHint)._1
+  /** ONE shingle+md5 pass (r16 optimization, guide §2.3/§2.4): the
+    * pinned hashed-shingle table feeds BOTH the signature derivation
+    * (values identical to the text path — [[minhashSigArrFromHashes]])
+    * and the verify rejoins ([[jaccardVerifyHashed]] — 8-byte hashes
+    * instead of ~25-byte shingle strings, the d11 representation).
+    * The old shape shingled the corpus twice (once for minhash, once
+    * for the string verify) and paid two dead sig rejoins
+    * ([[candidatesFromSigArr]] scaladoc). Exactness: [[TextOps.shingles]]
+    * is DISTINCT, so |hs| = |sh| and inter/uni are bit-identical to the
+    * string verify under the library-wide md5-60 contract; the artifact
+    * twin (DedupIndexSpec) has pinned hashed-pairs ≡ [[jaccardPairs]]
+    * since r9. */
   private[graft] def jaccardPairsPinned(docsIn: DataFrame,
       nHint: Long = -1L): (DataFrame, Seq[DataFrame]) = {
     val n = if (nHint > 0) nHint else docsIn.count()
-    val (lsh, pinned) = minhashLshPinned(docsIn, n)
-    (jaccardVerify(lsh.select("doc_a", "doc_b"), docsIn, n), pinned)
+    val hsT = hashedShingleSets(docsIn)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize BEFORE the multi-leg consumption (sig derivation +
+    // both verify rejoins) — CacheDisciplineSpec's no-replay contract
+    hsT.count()
+    val cand = candidatesFromSigArr(minhashSigArrFromHashes(hsT), n)
+    (jaccardVerifyHashed(cand, hsT, n), Seq(hsT))
   }
 
   /** The exact-Jaccard precision pass over an existing (doc_a, doc_b)
@@ -841,24 +871,37 @@ object DedupQueries {
   private[graft] def containmentPairsPinned(docsIn: DataFrame,
       nHint: Long = -1L): (DataFrame, Seq[DataFrame]) = {
     val n = if (nHint > 0) nHint else docsIn.count()
-    val docs = docsIn
-      .select(col("doc_id"), TextOps.shingles(col("text")).as("sh"))
-      .filter(size(col("sh")) > 0)
-    val (lsh, pinned) = minhashLshPinned(docsIn, n)
-    val out = lsh.select("doc_a", "doc_b")
-      .join(sizedHint(docs.select(col("doc_id").as("doc_a"),
-        col("sh").as("sh_a")), n, 8192), "doc_a")
-      .join(sizedHint(docs.select(col("doc_id").as("doc_b"),
-        col("sh").as("sh_b")), n, 8192), "doc_b")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("bigint"))
-      .withColumn("n_a", size(col("sh_a")).cast("bigint"))
-      .withColumn("n_b", size(col("sh_b")).cast("bigint"))
+    // ONE shingle+md5 pass (the jaccardPairsPinned r16 rewire): the
+    // pinned hashed-shingle table feeds the signature derivation AND
+    // the containment verify — same exactness argument (shingles are
+    // DISTINCT, md5-60 is the library-wide set representation d11
+    // already verifies with).
+    val hsT = hashedShingleSets(docsIn)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    hsT.count()
+    val cand = candidatesFromSigArr(minhashSigArrFromHashes(hsT), n)
+    (containmentVerifyHashed(cand, hsT, n, 0.6), Seq(hsT))
+  }
+
+  /** Exact containment verify over hashed shingle sets — the d11 verify
+    * body, factored so d9 (MinHash candidates) and d11 (pigeonhole
+    * candidates) run the IDENTICAL scoring: inter/n_a/n_b count distinct
+    * 60-bit hashes, both divisions int64→double IEEE, keep pairs with
+    * max-containment ≥ θ. */
+  private[graft] def containmentVerifyHashed(cand: DataFrame,
+      hsAll: DataFrame, n: Long, theta: Double): DataFrame =
+    cand
+      .join(sizedHint(hsAll.select(col("doc_id").as("doc_a"),
+        col("hs").as("hs_a")), n, 4096), "doc_a")
+      .join(sizedHint(hsAll.select(col("doc_id").as("doc_b"),
+        col("hs").as("hs_b")), n, 4096), "doc_b")
+      .withColumn("inter", size(array_intersect(col("hs_a"), col("hs_b"))).cast("bigint"))
+      .withColumn("n_a", size(col("hs_a")).cast("bigint"))
+      .withColumn("n_b", size(col("hs_b")).cast("bigint"))
       .withColumn("cont_a", col("inter").cast("double") / col("n_a").cast("double"))
       .withColumn("cont_b", col("inter").cast("double") / col("n_b").cast("double"))
-      .filter(greatest(col("cont_a"), col("cont_b")) >= 0.6)
+      .filter(greatest(col("cont_a"), col("cont_b")) >= theta)
       .select("doc_a", "doc_b", "inter", "n_a", "n_b", "cont_a", "cont_b")
-    (out, pinned)
-  }
   private def containmentPairsSql =
     s"""WITH sig AS ($minhashSigsSql),
        |bands AS (
@@ -936,19 +979,7 @@ object DedupQueries {
     val (cand, docs, pinned) = containmentCandidates(docsIn, theta, n)
     // hashed shingle sets: ~hundreds of longs per doc (pessimistic
     // 4 KB/row) — broadcast only under the exact-count size bound
-    val out = cand
-      .join(sizedHint(docs.select(col("doc_id").as("doc_a"),
-        col("hs").as("hs_a")), n, 4096), "doc_a")
-      .join(sizedHint(docs.select(col("doc_id").as("doc_b"),
-        col("hs").as("hs_b")), n, 4096), "doc_b")
-      .withColumn("inter", size(array_intersect(col("hs_a"), col("hs_b"))).cast("bigint"))
-      .withColumn("n_a", size(col("hs_a")).cast("bigint"))
-      .withColumn("n_b", size(col("hs_b")).cast("bigint"))
-      .withColumn("cont_a", col("inter").cast("double") / col("n_a").cast("double"))
-      .withColumn("cont_b", col("inter").cast("double") / col("n_b").cast("double"))
-      .filter(greatest(col("cont_a"), col("cont_b")) >= theta)
-      .select("doc_a", "doc_b", "inter", "n_a", "n_b", "cont_a", "cont_b")
-    (out, pinned)
+    (containmentVerifyHashed(cand, docs, n, theta), pinned)
   }
 
   /** d11's candidate stage alone: (normalized candidate pairs, pinned
@@ -1200,41 +1231,43 @@ object DedupQueries {
     * ships NOTHING of the corpus side. Candidates stay bucket-confined
     * exactly as in d2. */
   private[graft] def crossNearDups(inc: DataFrame, corpus: DataFrame,
-      incHint: Long = -1L, corpusHint: Long = -1L): DataFrame = {
+      incHint: Long = -1L, corpusHint: Long = -1L): DataFrame =
+    crossNearDupsPinned(inc, corpus, incHint, corpusHint)._1
+  private[graft] def crossNearDupsPinned(inc: DataFrame, corpus: DataFrame,
+      incHint: Long = -1L, corpusHint: Long = -1L): (DataFrame, Seq[DataFrame]) = {
     val ni = if (incHint > 0) incHint else inc.count()
     val nc = if (corpusHint > 0) corpusHint else corpus.count()
-    def bandsOf(docs: DataFrame): DataFrame = {
-      val sig = minhashSigs(docs).select(col("doc_id"),
-        array((0 until K).map(i => col(s"s$i")): _*).as("sig"))
-      sig.select(col("doc_id"),
-        explode(array((0 until Bands).map { b =>
-          struct(lit(b).as("band_idx"),
-            concat_ws("_", (0 until Rows).map(r =>
-              element_at(col("sig"), b * Rows + r + 1)): _*).as("band_val"))
-        }: _*)).as("band"))
-        .select(col("doc_id"), col("band.band_idx"), col("band.band_val"))
-    }
-    val cand = sizedHint(bandsOf(inc), ni * Bands, 128).as("a")
-      .join(bandsOf(corpus).as("b"),
+    // ONE shingle+md5 pass PER SIDE (the jaccardPairsPinned r16 rewire,
+    // bipartite form): each side's pinned hashed-shingle table feeds
+    // its signature derivation AND its verify rejoin — the old shape
+    // shingled each side twice (text minhash + string verify).
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val hsInc = hashedShingleSets(inc).persist(lvl)
+    hsInc.count()
+    val hsCorpus = hashedShingleSets(corpus).persist(lvl)
+    hsCorpus.count()
+    def bandsOf(hsT: DataFrame): DataFrame =
+      sigBandRows(minhashSigArrFromHashes(hsT)).drop("sig")
+    val cand = sizedHint(bandsOf(hsInc), ni * Bands, 128).as("a")
+      .join(bandsOf(hsCorpus).as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_val") === col("b.band_val"))
       .select(col("a.doc_id").as("inc_id"), col("b.doc_id").as("corpus_id"))
       .distinct()
-    def sh(docs: DataFrame, idName: String): DataFrame = docs
-      .select(col("doc_id").as(idName),
-        TextOps.shingles(col("text")).as(s"sh_$idName"))
-      .filter(size(col(s"sh_$idName")) > 0)
-    cand
-      .join(sizedHint(sh(inc, "inc_id"), ni, 8192), "inc_id")
-      .join(sizedHint(sh(corpus, "corpus_id"), nc, 8192), "corpus_id")
+    val out = cand
+      .join(sizedHint(hsInc.select(col("doc_id").as("inc_id"),
+        col("hs").as("hs_inc")), ni, 4096), "inc_id")
+      .join(sizedHint(hsCorpus.select(col("doc_id").as("corpus_id"),
+        col("hs").as("hs_corpus")), nc, 4096), "corpus_id")
       .withColumn("inter",
-        size(array_intersect(col("sh_inc_id"), col("sh_corpus_id"))).cast("bigint"))
+        size(array_intersect(col("hs_inc"), col("hs_corpus"))).cast("bigint"))
       .withColumn("uni",
-        (size(col("sh_inc_id")) + size(col("sh_corpus_id"))).cast("bigint")
+        (size(col("hs_inc")) + size(col("hs_corpus"))).cast("bigint")
           - col("inter"))
       .withColumn("jaccard", col("inter").cast("double") / col("uni").cast("double"))
       .filter(col("jaccard") >= 0.5)
       .select("inc_id", "corpus_id", "inter", "uni", "jaccard")
+    (out, Seq(hsInc, hsCorpus))
   }
   private def crossDedupSql = {
     def sigCte(pred: String) = {
