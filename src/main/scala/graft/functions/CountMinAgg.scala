@@ -10,8 +10,19 @@ import org.apache.spark.sql.Encoders
   * the aggregator). */
 final case class CmBuckets(b: Seq[Int])
 
-/** Aggregation buffer / output: the d×w counter matrix, row-major. */
-final case class CmSketch(cells: Seq[Long])
+/** Input row for the weighted form: the d bucket indices plus the
+  * increment — the CM matrix is a LINEAR sketch, so adding `n` once is
+  * identical to adding 1 n times, and a consumer that already holds
+  * exact (item, count) pairs (q51's exact leg) can sketch VOCAB-sized
+  * input instead of occurrence-sized (r16 optimization). */
+final case class CmWeighted(b: Seq[Int], n: Long)
+
+/** Aggregation buffer / output: the d×w counter matrix, row-major.
+  * Array-backed so reduce/merge mutate IN PLACE (the Aggregator
+  * contract allows returning a mutated buffer): the old Seq buffer
+  * paid two full-matrix copies (toArray + toVector) per input row —
+  * d·w = 128 longs copied twice for every token occurrence (r16). */
+final case class CmSketch(cells: Array[Long])
 
 /** Count-Min sketch (Cormode & Muthukrishnan 2005) as a typed
   * `Aggregator` — the point-frequency sibling of the cardinality (q19
@@ -43,21 +54,21 @@ final class CountMinAgg(d: Int, w: Int)
     extends Aggregator[CmBuckets, CmSketch, CmSketch] {
   require(d >= 1 && w >= 1, s"count-min needs d,w >= 1, got d=$d w=$w")
 
-  override def zero: CmSketch = CmSketch(Vector.fill(d * w)(0L))
+  override def zero: CmSketch = CmSketch(new Array[Long](d * w))
 
   override def reduce(buf: CmSketch, in: CmBuckets): CmSketch = {
-    val a = buf.cells.toArray
+    val a = buf.cells
     var r = 0
     while (r < d) { a(r * w + in.b(r)) += 1L; r += 1 }
-    CmSketch(a.toVector)
+    buf
   }
 
   override def merge(x: CmSketch, y: CmSketch): CmSketch = {
-    val a = x.cells.toArray
+    val a = x.cells
     val b = y.cells
     var i = 0
     while (i < a.length) { a(i) += b(i); i += 1 }
-    CmSketch(a.toVector)
+    x
   }
 
   override def finish(b: CmSketch): CmSketch = b
@@ -66,10 +77,37 @@ final class CountMinAgg(d: Int, w: Int)
   override def outputEncoder = Encoders.product[CmSketch]
 }
 
+/** The weighted sibling: each input adds `n` to one counter per row.
+  * Same matrix as n unweighted increments (linearity), same buffer. */
+final class CountMinWeightedAgg(d: Int, w: Int)
+    extends Aggregator[CmWeighted, CmSketch, CmSketch] {
+  require(d >= 1 && w >= 1, s"count-min needs d,w >= 1, got d=$d w=$w")
+  private val base = new CountMinAgg(d, w)
+
+  override def zero: CmSketch = base.zero
+
+  override def reduce(buf: CmSketch, in: CmWeighted): CmSketch = {
+    val a = buf.cells
+    var r = 0
+    while (r < d) { a(r * w + in.b(r)) += in.n; r += 1 }
+    buf
+  }
+
+  override def merge(x: CmSketch, y: CmSketch): CmSketch = base.merge(x, y)
+  override def finish(b: CmSketch): CmSketch = b
+  override def bufferEncoder = Encoders.product[CmSketch]
+  override def outputEncoder = Encoders.product[CmSketch]
+}
+
 object CountMinAgg {
   /** Column-callable form: `countMin(d, w)(bucketsFor(d, w)(col))`. */
   def countMin(d: Int, w: Int): UserDefinedFunction =
     udaf(new CountMinAgg(d, w), Encoders.product[CmBuckets])
+
+  /** Weighted form: `countMinWeighted(d, w)(bucketsFor(d, w)(col), n)` —
+    * for inputs that are already exact (item, count) pairs. */
+  def countMinWeighted(d: Int, w: Int): UserDefinedFunction =
+    udaf(new CountMinWeightedAgg(d, w), Encoders.product[CmWeighted])
 
   /** The d bucket indices of an item, as one array column — row r's
     * bucket is the cross-engine [[XHash.hash60]] of `item || ":r"`,

@@ -1330,7 +1330,16 @@ object DedupQueries {
   private[graft] def editDistancePairs(docs: DataFrame,
       nHint: Long = -1L): DataFrame = {
     val n = if (nHint > 0) nHint else docs.count()
-    val cand = minhashLsh(docs, n).select("doc_a", "doc_b")
+    // candidates WITHOUT the sig_matches rejoins this query drops
+    // (candidatesFromSigArr scaladoc); the sketch table pins because
+    // the band self-join references it twice. The verify must rejoin
+    // TEXT (levenshtein is position-sensitive) — no hashed-set shortcut
+    // here. Pins released by bench clearCache / the facade's
+    // localCheckpoint+clearCache contract.
+    val sigArr = minhashSigArr(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sigArr.count()
+    val cand = candidatesFromSigArr(sigArr, n)
     cand
       .join(sizedHint(docs.select(col("doc_id").as("doc_a"),
         col("text").as("text_a")), n, 8192), "doc_a")

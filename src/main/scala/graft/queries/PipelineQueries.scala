@@ -404,9 +404,15 @@ object PipelineQueries {
     val toks = Tables.documents(s, d)
       .select(explode(TextOps.tokens(col("text"))).as("token"))
     val exact = toks.groupBy(col("token")).agg(count(lit(1)).as("n_tok"))
-    val sketch = toks
-      .agg(CountMinAgg.countMin(CmD, CmW)(
-        CountMinAgg.bucketsFor(CmD, CmW)(col("token"))).as("cm"))
+    // sketch FROM the exact counts (r16): the CM matrix is a linear
+    // sketch, so vocab-sized weighted increments produce the identical
+    // matrix as occurrence-sized unit increments — one token pass
+    // instead of two, and CmD md5s per DISTINCT token instead of per
+    // occurrence (the oracle twin always aggregated from cnt). The
+    // shared token-count exchange is reused between the two legs.
+    val sketch = exact
+      .agg(CountMinAgg.countMinWeighted(CmD, CmW)(
+        CountMinAgg.bucketsFor(CmD, CmW)(col("token")), col("n_tok")).as("cm"))
       .select(col("cm.cells").as("cells"))
     exact.crossJoin(broadcast(sketch))
       .select(col("token"), col("n_tok"),

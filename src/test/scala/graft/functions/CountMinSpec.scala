@@ -52,7 +52,7 @@ class CountMinSpec extends AnyFunSuite {
       val merged = items.grouped(math.max(1, items.length / parts))
         .map(chunk => sketch(chunk.toSeq))
         .foldLeft(agg.zero)(agg.merge)
-      assert(merged.cells == whole.cells,
+      assert(merged.cells.toSeq == whole.cells.toSeq,
         s"merge at $parts partitions diverged from the single stream")
     }
   }
@@ -64,5 +64,19 @@ class CountMinSpec extends AnyFunSuite {
       val mass = (0 until w).map(b => s.cells(r * w + b)).sum
       assert(mass == items.length.toLong, s"row $r mass $mass != ${items.length}")
     }
+  }
+
+  test("weighted increments from exact counts equal unit increments " +
+      "(the r16 q51 rewire's linearity claim)") {
+    val items = corpus(4000, 180, seed = 4)
+    val whole = sketch(items)
+    val wAgg = new CountMinWeightedAgg(d, w)
+    val weighted = items.groupBy(identity).view
+      .mapValues(_.length.toLong).toSeq
+      .foldLeft(wAgg.zero) { case (b, (tok, n)) =>
+        wAgg.reduce(b, CmWeighted(bucketsOf(tok).b, n))
+      }
+    assert(weighted.cells.toSeq == whole.cells.toSeq,
+      "weighted sketch diverged from the unit-increment sketch")
   }
 }
