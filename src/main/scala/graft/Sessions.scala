@@ -50,6 +50,21 @@ object Sessions {
     // to keep per-partition hash builds and sort spills bounded.
     .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
       sys.env.getOrElse("SPARK_GRAFT_INITIAL_PARTITIONS", cores))
+    // Partition count follows DATA VOLUME, not core count (guide §2.2 /
+    // Spark's own recommendation for this flag): with the default
+    // parallelismFirst=true every sub-MB shuffle still fans out to
+    // ~cores partitions, so iterative operators (graph rounds, MMR
+    // selection, window fixpoints) schedule hundreds of empty tasks per
+    // query — measured 456 tasks for s14's 80-row pool and ~650 per
+    // graph query at sf0.1. With false, AQE coalesces to the advisory
+    // size. The advisory is the scale knob (env-parameterized): tiny
+    // local fixtures right-size at 1 MB; production crawls set
+    // SPARK_GRAFT_ADVISORY_SHUFFLE_BYTES to 64-256 MB (guide §9) so big
+    // shuffles land in the 100 MB-1 GB/partition band. The floor
+    // (minPartitionSize) stays at the Spark default 1 MB.
+    .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+    .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      sys.env.getOrElse("SPARK_GRAFT_ADVISORY_SHUFFLE_BYTES", "1m"))
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.parquet.compression.codec", "zstd")

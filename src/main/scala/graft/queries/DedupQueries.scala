@@ -1243,9 +1243,12 @@ object DedupQueries {
     // shingled each side twice (text minhash + string verify).
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val hsInc = hashedShingleSets(inc).persist(lvl)
-    hsInc.count()
     val hsCorpus = hashedShingleSets(corpus).persist(lvl)
-    hsCorpus.count()
+    // ONE materialization job fills both caches (reading a persisted
+    // frame through the union fills it) — two counts doubled the
+    // fixed per-job cost on every micro-batch
+    hsInc.select(lit(1).as("one"))
+      .unionAll(hsCorpus.select(lit(1).as("one"))).count()
     def bandsOf(hsT: DataFrame): DataFrame =
       sigBandRows(minhashSigArrFromHashes(hsT)).drop("sig")
     val cand = sizedHint(bandsOf(hsInc), ni * Bands, 128).as("a")
