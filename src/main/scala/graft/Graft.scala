@@ -182,7 +182,8 @@ object Graft {
     * 1×/10×/100× — BENCH_NOTES). */
   def semanticDups(emb: DataFrame, k: Int, threshold: Double = 0.9,
       updates: Int = 1, nHint: Long = -1L): DataFrame =
-    queries.SimilarityQueries.semanticDedupOn(emb, k, threshold, updates, nHint)
+    materialized(queries.SimilarityQueries.semanticDedupOnPinned(
+      emb, k, threshold, updates, nHint))
 
   /** [[semanticDups]]'s SCALE configuration (r14 verdict #8): per
     * k-means cell only the `qPerCell` lowest-id members act as
@@ -202,8 +203,8 @@ object Graft {
   def semanticDupsBucketed(emb: DataFrame, k: Int = -1, qPerCell: Int = 16,
       threshold: Double = 0.9, updates: Int = 1,
       nHint: Long = -1L): DataFrame =
-    queries.SimilarityQueries.semanticDedupBucketedOn(emb, k, qPerCell,
-      threshold, updates, nHint)
+    materialized(queries.SimilarityQueries.semanticDedupBucketedOnPinned(
+      emb, k, qPerCell, threshold, updates, nHint))
 
   /** The Gopher quality-rule gate as one per-row pass: (doc_id, n_words,
     * flags, keep) where `flags` is the failed-rule bitmask (word count,

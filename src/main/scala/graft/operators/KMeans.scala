@@ -126,16 +126,38 @@ object KMeans {
     * Returns the final assignment and the centroids it was scored
     * against. */
   def fit(prepared: DataFrame, k: Int, updates: Int,
-      nHint: Long = -1L): (DataFrame, DataFrame) = {
+      nHint: Long = -1L): (DataFrame, DataFrame) =
+    fitImpl(prepared, k, updates, nHint, pinFinal = false)._1
+
+  /** [[fit]] with the FINAL updated centroid table pinned (r16): the
+    * assign step's driver collect already evaluates it once, and every
+    * downstream consumer of the returned `cent` (s4's l1 leg, the PQ
+    * LUT build) replayed the whole update aggregate — an n·dim shuffle
+    * — through lineage. The pin is filled as a side effect of that
+    * collect (no extra job) and returned for the caller to release
+    * (house Pinned contract; the gate path relies on per-query
+    * clearCache). `updates = 0` pins nothing — the seed table is a
+    * cheap filter over `prepared`. */
+  def fitPinned(prepared: DataFrame, k: Int, updates: Int,
+      nHint: Long = -1L): ((DataFrame, DataFrame), Seq[DataFrame]) =
+    fitImpl(prepared, k, updates, nHint, pinFinal = true)
+
+  private def fitImpl(prepared: DataFrame, k: Int, updates: Int,
+      nHint: Long, pinFinal: Boolean): ((DataFrame, DataFrame), Seq[DataFrame]) = {
     require(updates >= 0, s"k-means needs updates >= 0, got $updates")
     var cent = init(prepared, k, nHint)
     var asg = assign(prepared, cent)
+    val pins = scala.collection.mutable.ListBuffer[DataFrame]()
     var r = 0
     while (r < updates) {
       cent = update(asg)
-      asg = assign(prepared, cent)
+      if (pinFinal && r == updates - 1) {
+        cent = cent.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        pins += cent
+      }
+      asg = assign(prepared, cent) // the collect fills cent's cache
       r += 1
     }
-    (asg, cent)
+    ((asg, cent), pins.toList)
   }
 }

@@ -199,17 +199,35 @@ object ProductQuantizer {
   /** Fit + encode: seed → assign, then `updates` Lloyd rounds. Returns
     * (codes (vec_id, sub, code), codebook (sub, cid, c, cnn)). */
   def fit(prepared: DataFrame, k: Int, updates: Int,
-      n: Long): (DataFrame, DataFrame) = {
+      n: Long): (DataFrame, DataFrame) =
+    fitImpl(prepared, k, updates, n, pinFinal = false)._1
+
+  /** [[fit]] with the FINAL codebook pinned (the KMeans.fitPinned
+    * contract, r16): the assign collect evaluates it once anyway, and
+    * the ADC LUT builds (s5/s10) replayed the whole update aggregate
+    * through lineage on every consumer. Caller releases the pins. */
+  def fitPinned(prepared: DataFrame, k: Int, updates: Int,
+      n: Long): ((DataFrame, DataFrame), Seq[DataFrame]) =
+    fitImpl(prepared, k, updates, n, pinFinal = true)
+
+  private def fitImpl(prepared: DataFrame, k: Int, updates: Int,
+      n: Long, pinFinal: Boolean): ((DataFrame, DataFrame), Seq[DataFrame]) = {
     require(updates >= 0, s"PQ needs updates >= 0, got $updates")
     var cb = init(prepared, k, n)
     var asg = assign(prepared, cb)
+    val pins = scala.collection.mutable.ListBuffer[DataFrame]()
     var r = 0
     while (r < updates) {
       cb = update(asg)
-      asg = assign(prepared, cb)
+      if (pinFinal && r == updates - 1) {
+        cb = cb.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        pins += cb
+      }
+      asg = assign(prepared, cb) // the collect fills cb's cache
       r += 1
     }
-    (asg.select(col("vec_id"), col("sub"), col("cell").as("code")), cb)
+    ((asg.select(col("vec_id"), col("sub"), col("cell").as("code")), cb),
+      pins.toList)
   }
 
   /** ADC top-k scan: exact query↔centroid LUT (broadcast), one pass

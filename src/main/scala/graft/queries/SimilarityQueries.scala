@@ -481,7 +481,10 @@ object SimilarityQueries {
     * (Σ dist², decimal-exact), and the centroid's L1 mass (pins the
     * centroid VECTOR content, not just the partition). */
   private def kmeansSummary(s: SparkSession, d: String): DataFrame = {
-    val (asg, cent) = graft.operators.KMeans.fit(
+    // fitPinned (r16): the l1 leg rejoins the returned centroids —
+    // unpinned, it replayed the whole Lloyd-update aggregate that the
+    // assign collect had already evaluated. Gate path: clearCache.
+    val ((asg, cent), _) = graft.operators.KMeans.fitPinned(
       graft.operators.KMeans.prepare(Tables.embeddings(s, d)), KmK, updates = 1)
     val l1 = cent.select(col("cid"),
       aggregate(transform(col("c"), x => abs(x)), lit(0L), (a, x) => a + x)
@@ -515,14 +518,26 @@ object SimilarityQueries {
     semanticDedupOn(Tables.embeddings(s, d), KmK, threshold = 0.45,
       nHint = Tables.embeddingsRows(s, d))
   private[graft] def semanticDedupOn(emb: DataFrame, k: Int,
-      threshold: Double, updates: Int = 1, nHint: Long = -1L): DataFrame = {
-    val (asg, _) = graft.operators.KMeans.fit(
+      threshold: Double, updates: Int = 1, nHint: Long = -1L): DataFrame =
+    semanticDedupOnPinned(emb, k, threshold, updates, nHint)._1
+  private[graft] def semanticDedupOnPinned(emb: DataFrame, k: Int,
+      threshold: Double, updates: Int = 1,
+      nHint: Long = -1L): (DataFrame, Seq[DataFrame]) = {
+    val (asg0, _) = graft.operators.KMeans.fit(
       graft.operators.KMeans.prepare(emb), k, updates, nHint)
+    // the within-cell pair search SELF-JOINS the assignment — pinned +
+    // materialized so the two legs read one argmin pass instead of each
+    // re-running scan + quantize + assign (r16; CacheDisciplineSpec's
+    // no-race contract requires the count before the two-leg consumer).
+    // Gate path: per-query clearCache releases it.
+    val asg = asg0
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    asg.count()
     val a = asg.select(col("cell"), col("vec_id").as("va"),
       col("q").as("qa"), col("nn").as("na"))
     val b = asg.select(col("cell"), col("vec_id").as("vb"),
       col("q").as("qb"), col("nn").as("nb"))
-    a.join(b, Seq("cell"))
+    val out = a.join(b, Seq("cell"))
       .filter(col("va") < col("vb"))
       .filter(TextOps.qdot(col("qa"), col("qb")).cast("double") /
         (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double")))
@@ -530,6 +545,7 @@ object SimilarityQueries {
       .groupBy(col("vb"), col("cell"))
       .agg(min(col("va")).as("dup_of"))
       .select(col("vb").as("vec_id"), col("cell"), col("dup_of"))
+    (out, Seq(asg))
   }
   /** Auto-sized SemDeDup cell count: ceil(√n), floored at 4 so tiny
     * corpora still partition. */
@@ -565,11 +581,21 @@ object SimilarityQueries {
     * holding up at 1×/10× under auto-k while fixed-k falls off. */
   private[graft] def semanticDedupBucketedOn(emb: DataFrame, k: Int,
       qPerCell: Int, threshold: Double, updates: Int = 1,
-      nHint: Long = -1L): DataFrame = {
+      nHint: Long = -1L): DataFrame =
+    semanticDedupBucketedOnPinned(emb, k, qPerCell, threshold, updates,
+      nHint)._1
+  private[graft] def semanticDedupBucketedOnPinned(emb: DataFrame, k: Int,
+      qPerCell: Int, threshold: Double, updates: Int = 1,
+      nHint: Long = -1L): (DataFrame, Seq[DataFrame]) = {
     val n0 = if (nHint > 0) nHint else emb.count()
     val k0 = if (k > 0) k else autoSemK(n0)
-    val (asg, _) = graft.operators.KMeans.fit(
+    val (asg0, _) = graft.operators.KMeans.fit(
       graft.operators.KMeans.prepare(emb), k0, updates, n0)
+    // query-set window + members leg both read the assignment — pinned
+    // + materialized, one argmin pass (the d14 r16 rewire)
+    val asg = asg0
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    asg.count()
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("cell")).orderBy(col("vec_id"))
     val queries = asg
@@ -580,7 +606,7 @@ object SimilarityQueries {
         col("nn").as("na"))
     val members = asg.select(col("cell"), col("vec_id").as("vb"),
       col("q").as("qb"), col("nn").as("nb"))
-    members.join(queries, Seq("cell"))
+    val out = members.join(queries, Seq("cell"))
       .filter(col("va") < col("vb"))
       .filter(TextOps.qdot(col("qa"), col("qb")).cast("double") /
         (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double")))
@@ -588,6 +614,7 @@ object SimilarityQueries {
       .groupBy(col("vb"), col("cell"))
       .agg(min(col("va")).as("dup_of"))
       .select(col("vb").as("vec_id"), col("cell"), col("dup_of"))
+    (out, Seq(asg))
   }
 
   private val semanticDedupSql =
@@ -632,8 +659,16 @@ object SimilarityQueries {
       r: Int, topK: Int, nQueries: Int, nHint: Long = -1L): DataFrame = {
     import graft.operators.ProductQuantizer
     val n = if (nHint > 0) nHint else emb.count()
+    // prepared pinned (the s10 pattern, r16): fit references it once
+    // per assign round and the codes leg once more — unpinned, each
+    // replayed the scan + quantize + subvector split. The cache fills
+    // as a side effect of fit's first codebook collect (one driver
+    // action, no leg race); fitPinned additionally pins the final
+    // codebook the ADC LUT rejoins. Gate path: per-query clearCache
+    // releases both.
     val prepared = ProductQuantizer.prepare(emb, dim, m)
-    val (codes, cb) = ProductQuantizer.fit(prepared, k, updates = 1, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ((codes, cb), _) = ProductQuantizer.fitPinned(prepared, k, updates = 1, n)
     pqQueryFromIndex(codes, cb, emb, dim, m, r, topK, nQueries)
   }
 
@@ -791,11 +826,15 @@ object SimilarityQueries {
     val prepared = ProductQuantizer.prepareQuantized(resid, dim, m)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     prepared.count() // fit references it once per assign round
-    val (codes, cb) = ProductQuantizer.fit(prepared, k, updates = 1, n)
+    // fitPinned (r16): the final codebook is collected by the assign
+    // step anyway; pinning it stops the residual-LUT build from
+    // replaying the whole update aggregate through lineage
+    val ((codes, cb), cbPins) =
+      ProductQuantizer.fitPinned(prepared, k, updates = 1, n)
     val codesWithCell = codes
       .join(home.select(col("vec_id"), col("cell")), "vec_id")
     (ivfPqQueryFromIndex(codesWithCell, cb, cents, emb, dim, m, r, topK,
-      nQueries, nProbe), Seq(home, prepared))
+      nQueries, nProbe), Seq(home, prepared) ++ cbPins)
   }
 
   /** The s10 query half over an existing (codes-with-home-cell,
