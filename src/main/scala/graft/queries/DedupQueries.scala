@@ -482,7 +482,10 @@ object DedupQueries {
       .select(col("vec_id"), TextOps.quantize(col("embedding")).as("q"))
       .withColumn("nn", TextOps.qdot(col("q"), col("q")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    e.count() // materialize before the 3-way reference (no leg race)
+    // no count job (r16): the FIRST action touching e is bandRows'
+    // count below, whose chain reads e through a SINGLE leg (the
+    // signature projection), so e's cache fills race-free as its side
+    // effect; the two verify rejoins later read the filled cache.
     // all band signatures in ONE native loop expression: the weight
     // tensor rides along as a referenced object, so generated-code size
     // is O(1) in bands×rowBits — the unrolled per-band expression array

@@ -817,7 +817,12 @@ object SimilarityQueries {
     val cents = ivfCentroids(emb, n)
     val home = ivfAssignRaw(emb, n, nProbe = 1)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    home.count() // referenced by the residual build AND the ADC join
+    // no count jobs for home/prepared (r16): the FIRST action that
+    // touches them is fit's seed-codebook collect — a single linear
+    // chain (init filter → prepared → resid → home), so both caches
+    // fill race-free as its side effect; the multi-leg consumers (ADC
+    // join, codesWithCell, the later assign rounds) then read filled
+    // caches. The old counts paid two extra driver jobs per run.
     // residual half: r = q − centroid(home cell), exact int64, then the
     // PQ pipeline unchanged — prepare/fit never know they see residuals
     val resid = home.join(broadcast(cents), col("cell") === col("cent_id"))
@@ -825,7 +830,6 @@ object SimilarityQueries {
         zip_with(col("q"), col("cq"), (a, b) => a - b).as("q"))
     val prepared = ProductQuantizer.prepareQuantized(resid, dim, m)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    prepared.count() // fit references it once per assign round
     // fitPinned (r16): the final codebook is collected by the assign
     // step anyway; pinning it stops the residual-LUT build from
     // replaying the whole update aggregate through lineage

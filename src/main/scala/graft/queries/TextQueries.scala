@@ -489,8 +489,9 @@ object TextQueries {
   private[graft] def bpeVocabOf(docs: DataFrame): DataFrame = docs
     .select(explode(TextOps.tokens(col("text"))).as("word"))
     .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
-    .select(col("cnt"),
-      trim(regexp_replace(col("word"), "(.)", "$1 ")).as("s"))
+    // native spaced-symbol seed (r16): regex-engine-free, semantics
+    // pinned to trim(regexp_replace(word,'(.)','$1 ')) by SpaceOutSpec
+    .select(col("cnt"), graft.functions.SpaceOut(col("word")).as("s"))
   private[graft] def bpeTrainOn(docs: DataFrame,
       rounds: Int = BpeRounds): DataFrame =
     bpeTrainFromVocab(bpeVocabOf(docs), rounds)
@@ -562,12 +563,15 @@ object TextQueries {
     val aggs = (1 to rounds).map(r =>
       max(when(col("round") === r, col("pair"))).as(s"p$r"))
     val mRow = merges.groupBy().agg(aggs.head, aggs.tail: _*)
-    val applied = (1 to rounds).foldLeft(
-      "trim(regexp_replace(word, '(.)', '$1 '))") { (acc, r) =>
+    // the seed is the native SpaceOut column (r16 — the regex engine ran
+    // once per character of every word OCCURRENCE here); the merge
+    // replays stay the literal-replace fold both engines share
+    val applied = (1 to rounds).foldLeft("w0") { (acc, r) =>
       s"replace($acc, p$r, replace(p$r, ' ', ''))"
     }
     docs
       .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("word"))
+      .withColumn("w0", graft.functions.SpaceOut(col("word")))
       .crossJoin(broadcast(mRow))
       .select(col("doc_id"), expr(applied).as("s"))
       .groupBy(col("doc_id"))
