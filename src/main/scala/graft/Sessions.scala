@@ -57,14 +57,19 @@ object Sessions {
     // selection, window fixpoints) schedule hundreds of empty tasks per
     // query — measured 456 tasks for s14's 80-row pool and ~650 per
     // graph query at sf0.1. With false, AQE coalesces to the advisory
-    // size. The advisory is the scale knob (env-parameterized): tiny
-    // local fixtures right-size at 1 MB; production crawls set
-    // SPARK_GRAFT_ADVISORY_SHUFFLE_BYTES to 64-256 MB (guide §9) so big
-    // shuffles land in the 100 MB-1 GB/partition band. The floor
-    // (minPartitionSize) stays at the Spark default 1 MB.
+    // size. The advisory is the scale knob (env-parameterized):
+    // production crawls set SPARK_GRAFT_ADVISORY_SHUFFLE_BYTES to
+    // 64-256 MB (guide §9) so big shuffles land in the 100 MB-1 GB/
+    // partition band. The local default is 256 KB, picked by TWO
+    // interleaved A/Bs (bench.AqeAb + DedupIndexBench, BENCH_NOTES r19):
+    // 1 MB was marginally faster on the query suite (19.17 vs 19.91 s
+    // over the 12-query mix) but coalesced the artifact append/rebuild
+    // stages to single tasks — append8 8.6 s vs 5.4, rebuild 7.0 vs
+    // 4.6 — and the ingest path's walls matter as much as the query
+    // bench. The floor (minPartitionSize) stays at the Spark default.
     .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
     .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
-      sys.env.getOrElse("SPARK_GRAFT_ADVISORY_SHUFFLE_BYTES", "1m"))
+      sys.env.getOrElse("SPARK_GRAFT_ADVISORY_SHUFFLE_BYTES", "256k"))
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.parquet.compression.codec", "zstd")

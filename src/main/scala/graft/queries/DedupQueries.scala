@@ -1240,18 +1240,18 @@ object DedupQueries {
       incHint: Long = -1L, corpusHint: Long = -1L): (DataFrame, Seq[DataFrame]) = {
     val ni = if (incHint > 0) incHint else inc.count()
     val nc = if (corpusHint > 0) corpusHint else corpus.count()
-    // ONE shingle+md5 pass PER SIDE (the jaccardPairsPinned r16 rewire,
-    // bipartite form): each side's pinned hashed-shingle table feeds
-    // its signature derivation AND its verify rejoin — the old shape
-    // shingled each side twice (text minhash + string verify).
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val hsInc = hashedShingleSets(inc).persist(lvl)
-    val hsCorpus = hashedShingleSets(corpus).persist(lvl)
-    // ONE materialization job fills both caches (reading a persisted
-    // frame through the union fills it) — two counts doubled the
-    // fixed per-job cost on every micro-batch
-    hsInc.select(lit(1).as("one"))
-      .unionAll(hsCorpus.select(lit(1).as("one"))).count()
+    // hashed-shingle form per side (the jaccardPairs r16 rewire,
+    // bipartite): signatures derive from the md5-60 sets and the verify
+    // intersects 8-byte longs instead of ~25-byte strings. Deliberately
+    // UNPINNED: each side is consumed twice (sig derivation + verify
+    // rejoin) and recomputing the narrow-from-scan shingle table beats
+    // caching a corpus-wide array column — the same measured trade as
+    // d3/d9's CacheDisciplineSpec budget-2 contract (a pinned variant
+    // measured SLOWER at sf0.1: two cache-write passes + a materialize
+    // job against sub-second recomputes; at scale the corpus side is
+    // served from the DedupIndex artifact, not recomputed at all).
+    val hsInc = hashedShingleSets(inc)
+    val hsCorpus = hashedShingleSets(corpus)
     def bandsOf(hsT: DataFrame): DataFrame =
       sigBandRows(minhashSigArrFromHashes(hsT)).drop("sig")
     val cand = sizedHint(bandsOf(hsInc), ni * Bands, 128).as("a")
@@ -1273,7 +1273,7 @@ object DedupQueries {
       .withColumn("jaccard", col("inter").cast("double") / col("uni").cast("double"))
       .filter(col("jaccard") >= 0.5)
       .select("inc_id", "corpus_id", "inter", "uni", "jaccard")
-    (out, Seq(hsInc, hsCorpus))
+    (out, Seq.empty)
   }
   private def crossDedupSql = {
     def sigCte(pred: String) = {
