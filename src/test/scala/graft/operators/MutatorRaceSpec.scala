@@ -161,17 +161,22 @@ class MutatorRaceSpec extends AnyFunSuite {
     val m0 = ArtifactIO.Manifest("dedup", 0, 10L, Map("sig_deltas" -> 1L))
     ArtifactIO.writeManifest(spark, dir, m0)
     val saved = ArtifactIO.leaseTtlMs
-    ArtifactIO.leaseTtlMs = 400L // heartbeat every max(25, 133) ms
+    // heartbeat every ttl/3 ≈ 333 ms. The original 400 ms TTL flaked
+    // twice on this host (r16): a single multi-hundred-ms I/O stall on
+    // one heartbeat write let a contender legitimately observe
+    // staleness — the bursty-I/O band BENCH_NOTES documents reaches
+    // seconds. 1 s TTL needs the stall to eat ~3 beats ≈ a full second
+    // of FS latency before the test (correctly) reports a takeover.
+    ArtifactIO.leaseTtlMs = 1000L
     try {
       val committed = ArtifactIO.withCommitLease(spark, dir) {
         // the body runs 3× the TTL — without renewal, the contender's
-        // takeover at any point past 400 ms would steal the lock and
-        // the commit below would refuse (staleness would need the
-        // heartbeat to miss ~3 beats, so a loaded host does not flake)
-        val deadline = System.currentTimeMillis() + 1200L
+        // takeover at any point past the TTL would steal the lock and
+        // the commit below would refuse
+        val deadline = System.currentTimeMillis() + 3000L
         var refusals = 0
         while (System.currentTimeMillis() < deadline) {
-          Thread.sleep(100L)
+          Thread.sleep(250L)
           // contender from ANOTHER thread (the thread-local held-lease
           // registry must not short-circuit the refusal)
           val t = new Thread(() => {
