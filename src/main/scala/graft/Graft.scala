@@ -154,12 +154,8 @@ object Graft {
     * edit_sim) at edit_sim ≥ 0.5; the O(len²) DP runs only on candidate
     * pairs, never all-pairs. Eagerly materialized (facade cache
     * contract). */
-  def editDistancePairs(docs: DataFrame, nHint: Long = -1L): DataFrame = {
-    val out = queries.DedupQueries.editDistancePairs(docs, nHint)
-      .localCheckpoint(true)
-    docs.sparkSession.catalog.clearCache()
-    out
-  }
+  def editDistancePairs(docs: DataFrame, nHint: Long = -1L): DataFrame =
+    materialized(queries.DedupQueries.editDistancePairsPinned(docs, nHint))
 
   /** Deterministic distributed k-means over quantized embeddings —
     * exact int64 Lloyd's (hash-stride seeds, broadcast centroids ≤ ~50k
@@ -730,7 +726,8 @@ object Graft {
   def pqTopK(emb: DataFrame, dim: Int, m: Int = 8, k: Int = 64,
       r: Int = 20, topK: Int = 3, nQueries: Int = 8,
       nHint: Long = -1L): DataFrame =
-    queries.SimilarityQueries.pqTopKOn(emb, dim, m, k, r, topK, nQueries, nHint)
+    materialized(queries.SimilarityQueries.pqTopKOnPinned(
+      emb, dim, m, k, r, topK, nQueries, nHint))
 
   /** IVF-PQ ANN (the FAISS `IVFx,PQy` composition): √n coarse cells
     * localize, PQ codes the residual inside each cell; queries ADC-scan

@@ -50,26 +50,49 @@ object Sessions {
     // to keep per-partition hash builds and sort spills bounded.
     .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
       sys.env.getOrElse("SPARK_GRAFT_INITIAL_PARTITIONS", cores))
-    // Partition count follows DATA VOLUME, not core count (guide §2.2 /
-    // Spark's own recommendation for this flag): with the default
-    // parallelismFirst=true every sub-MB shuffle still fans out to
-    // ~cores partitions, so iterative operators (graph rounds, MMR
-    // selection, window fixpoints) schedule hundreds of empty tasks per
-    // query — measured 456 tasks for s14's 80-row pool and ~650 per
-    // graph query at sf0.1. With false, AQE coalesces to the advisory
-    // size. The advisory is the scale knob (env-parameterized):
-    // production crawls set SPARK_GRAFT_ADVISORY_SHUFFLE_BYTES to
-    // 64-256 MB (guide §9) so big shuffles land in the 100 MB-1 GB/
-    // partition band. The local default is 256 KB, picked by TWO
-    // interleaved A/Bs (bench.AqeAb + DedupIndexBench, BENCH_NOTES r19):
-    // 1 MB was marginally faster on the query suite (19.17 vs 19.91 s
-    // over the 12-query mix) but coalesced the artifact append/rebuild
-    // stages to single tasks — append8 8.6 s vs 5.4, rebuild 7.0 vs
-    // 4.6 — and the ingest path's walls matter as much as the query
-    // bench. The floor (minPartitionSize) stays at the Spark default.
-    .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+    // parallelismFirst=true (the Spark default) is the LOCAL default
+    // again (r16 VERDICT item 1): AQE then targets
+    // ceil(shuffleBytes / defaultParallelism) per partition, keeping
+    // every post-shuffle stage at ~cores partitions — guide §2.6's
+    // "fill the idle cores" rule for a box whose shuffles are far
+    // smaller than cores × the 100 MB-1 GB band. r16 set false +
+    // 256 KB advisory globally and coalesced the sf0.1 suite's
+    // post-shuffle stages to ≲4 partitions on 32 cores: the whole
+    // bench regressed +20% and the driver's 8-core run BEAT its own
+    // 32-core run. Two r17 findings pin the mechanism (BENCH_NOTES
+    // r17 AQE): (a) `coalescePartitions.minPartitionNum` is inert in
+    // Spark 4.1 — ShufflePartitionsUtil floors the target size at
+    // minPartitionSize (1 MB) AFTER the minNum division, so a sub-
+    // 32 MB shuffle coalesces to ~bytes/1 MB partitions no matter what
+    // minNum says; (b) with parallelismFirst=false the advisory value
+    // below 1 MB is equally inert for the same reason — r16's observed
+    // task-count collapse came from the FLAG flip alone, not the
+    // 256 KB value. So the scale story is carried by the flag, not by
+    // a size: production crawls (shuffles ≫ cores × 1 GB) set
+    // SPARK_GRAFT_PARALLELISM_FIRST=false so partition count follows
+    // data volume (guide §2.2), plus SPARK_GRAFT_ADVISORY_SHUFFLE_BYTES
+    // in the 64-256 MB band (guide §9; default 64 MB per r16 ADVICE —
+    // an unconfigured deployment should not inherit a local
+    // microbench value).
+    .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+      sys.env.getOrElse("SPARK_GRAFT_PARALLELISM_FIRST", "true"))
     .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
-      sys.env.getOrElse("SPARK_GRAFT_ADVISORY_SHUFFLE_BYTES", "256k"))
+      sys.env.getOrElse("SPARK_GRAFT_ADVISORY_SHUFFLE_BYTES", "64m"))
+    // The coalescing floor that actually bites locally: AQE's target
+    // size is max(min(ceil(bytes/minNum), advisory), minPartitionSize)
+    // (ShufflePartitionsUtil), so with the 1 MB Spark default every
+    // sub-MB post-shuffle stage collapses to ONE partition no matter
+    // what minNum/advisory say — r17 measured IDENTICAL task counts
+    // (5438) under advisory 256 KB/64 MB × parallelismFirst on/off.
+    // After r16 cut the dedup family's shuffles to ~1 MB of 8-byte
+    // hashes, their heavy verify stages (md5 + array_intersect per
+    // candidate) ran single-task. Locally the floor drops to 16 KB so
+    // a ~1 MB compute-heavy shuffle still spreads over the box (≤ 64
+    // partitions at 1 MB — bounded by initialPartitionNum = cores);
+    // production keeps the Spark default (1 MB) or larger via env —
+    // tiny partitions at 100 TB mean quadratic block counts (§2.2).
+    .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+      sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "16k"))
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.parquet.compression.codec", "zstd")

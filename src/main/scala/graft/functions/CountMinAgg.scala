@@ -21,8 +21,17 @@ final case class CmWeighted(b: Seq[Int], n: Long)
   * Array-backed so reduce/merge mutate IN PLACE (the Aggregator
   * contract allows returning a mutated buffer): the old Seq buffer
   * paid two full-matrix copies (toArray + toVector) per input row —
-  * d·w = 128 longs copied twice for every token occurrence (r16). */
-final case class CmSketch(cells: Array[Long])
+  * d·w = 128 longs copied twice for every token occurrence (r16).
+  * equals/hashCode are STRUCTURAL (Arrays-based, r16 ADVICE): a
+  * case class over an Array otherwise compares by reference, a
+  * footgun for any test or dedup comparing sketches. */
+final case class CmSketch(cells: Array[Long]) {
+  override def equals(o: Any): Boolean = o match {
+    case CmSketch(c) => java.util.Arrays.equals(cells, c)
+    case _ => false
+  }
+  override def hashCode(): Int = java.util.Arrays.hashCode(cells)
+}
 
 /** Count-Min sketch (Cormode & Muthukrishnan 2005) as a typed
   * `Aggregator` — the point-frequency sibling of the cardinality (q19

@@ -1334,19 +1334,26 @@ object DedupQueries {
     * same size-aware sizedHint discipline as d3 (wide rows: broadcast
     * only for tiny corpora, shuffle_hash otherwise). */
   private[graft] def editDistancePairs(docs: DataFrame,
-      nHint: Long = -1L): DataFrame = {
+      nHint: Long = -1L): DataFrame =
+    editDistancePairsPinned(docs, nHint)._1
+  /** [[editDistancePairs]] plus its pinned sketch table — the house
+    * Pinned contract (r16 ADVICE): direct callers outside the gate path
+    * release the pin via the facade's materialized() instead of a blunt
+    * catalog-wide clearCache. */
+  private[graft] def editDistancePairsPinned(docs: DataFrame,
+      nHint: Long = -1L): (DataFrame, Seq[DataFrame]) = {
     val n = if (nHint > 0) nHint else docs.count()
     // candidates WITHOUT the sig_matches rejoins this query drops
     // (candidatesFromSigArr scaladoc); the sketch table pins because
     // the band self-join references it twice. The verify must rejoin
     // TEXT (levenshtein is position-sensitive) — no hashed-set shortcut
     // here. Pins released by bench clearCache / the facade's
-    // localCheckpoint+clearCache contract.
+    // materialized() contract.
     val sigArr = minhashSigArr(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     sigArr.count()
     val cand = candidatesFromSigArr(sigArr, n)
-    cand
+    val out = cand
       .join(sizedHint(docs.select(col("doc_id").as("doc_a"),
         col("text").as("text_a")), n, 8192), "doc_a")
       .join(sizedHint(docs.select(col("doc_id").as("doc_b"),
@@ -1358,6 +1365,7 @@ object DedupQueries {
       .withColumn("edit_sim",
         lit(1.0) - col("edit_dist").cast("double") / col("max_len").cast("double"))
       .filter(col("edit_sim") >= 0.5)
+    (out, Seq(sigArr))
   }
   private def editDistancePairsSql =
     s"""WITH sig AS ($minhashSigsSql),

@@ -479,7 +479,12 @@ object SimilarityQueries {
 
   /** s4: per-cluster summary after one Lloyd round — size, inertia
     * (Σ dist², decimal-exact), and the centroid's L1 mass (pins the
-    * centroid VECTOR content, not just the partition). */
+    * centroid VECTOR content, not just the partition).
+    *
+    * GATE-ONLY pin discipline (r16 ADVICE): fitPinned's pins are
+    * deliberately discarded here because the only caller is the query
+    * gate, whose per-query clearCache releases them; any reuse outside
+    * the gate path must go through a facade that threads the pins. */
   private def kmeansSummary(s: SparkSession, d: String): DataFrame = {
     // fitPinned (r16): the l1 leg rejoins the returned centroids —
     // unpinned, it replayed the whole Lloyd-update aggregate that the
@@ -656,7 +661,17 @@ object SimilarityQueries {
       m = PqM, k = PqK, r = PqR, topK = TopK, nQueries = PqNQ,
       nHint = Tables.embeddingsRows(s, d))
   private[graft] def pqTopKOn(emb: DataFrame, dim: Int, m: Int, k: Int,
-      r: Int, topK: Int, nQueries: Int, nHint: Long = -1L): DataFrame = {
+      r: Int, topK: Int, nQueries: Int, nHint: Long = -1L): DataFrame =
+    pqTopKOnPinned(emb, dim, m, k, r, topK, nQueries, nHint)._1
+
+  /** [[pqTopKOn]] plus its pinned intermediates — the house Pinned
+    * contract (r16 ADVICE): the gate path releases them via per-query
+    * clearCache, the [[graft.Graft.pqTopK]] facade via materialized().
+    * Without this variant every facade call stranded two MEMORY_AND_DISK
+    * caches for the session lifetime. */
+  private[graft] def pqTopKOnPinned(emb: DataFrame, dim: Int, m: Int, k: Int,
+      r: Int, topK: Int, nQueries: Int,
+      nHint: Long = -1L): (DataFrame, Seq[DataFrame]) = {
     import graft.operators.ProductQuantizer
     val n = if (nHint > 0) nHint else emb.count()
     // prepared pinned (the s10 pattern, r16): fit references it once
@@ -664,12 +679,13 @@ object SimilarityQueries {
     // replayed the scan + quantize + subvector split. The cache fills
     // as a side effect of fit's first codebook collect (one driver
     // action, no leg race); fitPinned additionally pins the final
-    // codebook the ADC LUT rejoins. Gate path: per-query clearCache
-    // releases both.
+    // codebook the ADC LUT rejoins.
     val prepared = ProductQuantizer.prepare(emb, dim, m)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val ((codes, cb), _) = ProductQuantizer.fitPinned(prepared, k, updates = 1, n)
-    pqQueryFromIndex(codes, cb, emb, dim, m, r, topK, nQueries)
+    val ((codes, cb), cbPins) =
+      ProductQuantizer.fitPinned(prepared, k, updates = 1, n)
+    (pqQueryFromIndex(codes, cb, emb, dim, m, r, topK, nQueries),
+      prepared +: cbPins)
   }
 
   /** The s5 query half over an existing codes + codebook pair (fit

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.operators.TextOps
@@ -395,48 +396,62 @@ object TextQueries {
   // probability, so thresholding it IS the perplexity filter, with no
   // log/double divergence between engines.
   //
-  // Shape at scale: bigram extraction is per-row (slice + zip_with,
-  // codegen'd); the count tables are vocab-bounded aggregates; the
-  // scoring join is ONE shuffle equi-join of the exploded occurrences
-  // against the enriched bigram table on the bigram key. The model side
-  // is vocab-sized but UNKNOWN without materializing it, so it gets an
-  // explicit shuffle_hash hint rather than trusting AQE's compressed
-  // stats (the d2 lesson, BENCH_NOTES 100x finding #1) — narrow rows,
-  // bounded per-partition builds at any corpus size.
-  /** Shared t12/t18 core: (exploded per-doc bigram occurrences, the
-    * corpus bigram model with fixed-point conditional probability
-    * `p6 = P(w2|w1) × 10⁶`). One vocab-bounded agg pair + one hinted
-    * equi-join; see the scale notes above. */
-  private def bigramOccAndModel(docs: DataFrame): (DataFrame, DataFrame) = {
+  // Shape at scale (r17 single-pass rewire, guide §2.4 "remove shuffles
+  // outright" + §1.2 "don't compute things twice"): bigram extraction
+  // is per-row (slice + zip_with, codegen'd). The old form built the
+  // model as separate vocab aggregates (b by bg, u by w1, b⋈u) and then
+  // equi-joined the occurrences back against it — the occurrence
+  // subtree appeared under BOTH the model build and the probe side, so
+  // the corpus was scanned + tokenized + exploded TWICE and the probe
+  // paid a full occurrence-row exchange on the ~16-byte bg string. Both
+  // model counts are pure functions of the occurrence multiset, and bg
+  // determines its prefix w1, so ONE hash exchange on w1 makes both
+  // derivable in place: HashPartitioning(w1) satisfies the clustering
+  // of a (w1, bg) window AND a (w1) window (subset rule), so b_cnt and
+  // u_cnt are two stacked window aggregates over the same exchange —
+  // one corpus scan, one occurrence-row shuffle, zero model joins. The
+  // arithmetic is the identical int64 fixed point (b_cnt·scale div
+  // u_cnt) — per-bigram values are bit-equal to the join form, which
+  // the unchanged DuckDB oracle (still the two-aggregate join) gates.
+  // Skew note: the (w1) window concentrates a Zipf-hot prefix token in
+  // one sorted partition (WindowExec spills, a straggler not a
+  // failure) where the old hash-agg spread it map-side; the trade is
+  // a full corpus scan + occurrence exchange saved per query vs one
+  // skewed-tail stage at extreme corpus sizes — the scan dominates at
+  // every fixture measured (BENCH_NOTES r17).
+  /** Shared t12/t18 core: per-occurrence rows carrying the corpus
+    * bigram model in place — (doc_id, p6, p20) with fixed-point
+    * conditional probability p6 = P(w2|w1)×10⁶ (t12's reporting
+    * scale) and p20 = P(w2|w1)×2²⁰ (t18's power-of-two bit-cost
+    * scale; 10⁶ ≠ 2²⁰ made the old p6-based cost ~1 bit high). */
+  private def scoredBigramOcc(docs: DataFrame): DataFrame = {
     val t = TextOps.tokens(col("text"))
     val bigrams = zip_with(
       slice(t, lit(1), greatest(size(t) - 1, lit(0))),
       slice(t, lit(2), greatest(size(t) - 1, lit(0))),
       (a, b) => concat(a, lit(" "), b))
     val occ = docs.select(col("doc_id"), explode(bigrams).as("bg"))
-    val b = occ.groupBy(col("bg")).agg(count(lit(1)).as("b_cnt"))
-    val u = b
-      .groupBy(split(col("bg"), " ").getItem(0).as("w1"))
-      .agg(sum(col("b_cnt")).as("u_cnt"))
-    val model = b
       .withColumn("w1", split(col("bg"), " ").getItem(0))
-      .join(u.hint("shuffle_hash"), "w1")
-      // p6: t12's reporting scale (parts-per-million). p20: the same
-      // probability in 2^20 fixed point — floor(log2 p20) − 20 is then
-      // EXACTLY floor(log2 P) (t18's bit cost needs a power-of-two
-      // scale; 10^6 ≠ 2^20 made the old p6-based cost ~1 bit high)
-      .select(col("bg"), expr("b_cnt * 1000000L div u_cnt").as("p6"),
+      // ONE exchange for both windows: clustering by w1 co-locates
+      // every bg sharing the prefix (bg ⇒ w1), so neither window
+      // re-exchanges; the (w1, bg)-window sorts once and the (w1)-
+      // window reuses the prefix of that sort order.
+      .repartition(col("w1"))
+    val wB = Window.partitionBy(col("w1"), col("bg"))
+    val wU = Window.partitionBy(col("w1"))
+    occ
+      .withColumn("b_cnt", count(lit(1)).over(wB))
+      .withColumn("u_cnt", count(lit(1)).over(wU))
+      .select(col("doc_id"),
+        expr("b_cnt * 1000000L div u_cnt").as("p6"),
         expr("b_cnt * 1048576L div u_cnt").as("p20"))
-    (occ, model)
   }
 
-  private[graft] def ngramLmOn(docs: DataFrame): DataFrame = {
-    val (occ, model) = bigramOccAndModel(docs)
-    occ.join(model.hint("shuffle_hash"), "bg")
+  private[graft] def ngramLmOn(docs: DataFrame): DataFrame =
+    scoredBigramOcc(docs)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
         expr("sum(p6) div count(1)").as("avg_p6"))
-  }
   private val ngramLmSql = {
     val t = TextOps.tokensSql("text")
     s"""WITH occ AS (
@@ -768,8 +783,7 @@ object TextQueries {
   private val PerplexityHeadBitsX1000 = 8000L
   private val PerplexityMidBitsX1000 = 12000L
   private[graft] def lmPerplexityOn(docs: DataFrame): DataFrame = {
-    val (occ, model) = bigramOccAndModel(docs)
-    occ.join(model.hint("shuffle_hash"), "bg")
+    scoredBigramOcc(docs)
       .withColumn("bits",
         expr("20L - (length(bin(greatest(p20, 1L))) - 1)"))
       .groupBy(col("doc_id"))

@@ -369,23 +369,32 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("ObjectHashAggregate") || p.contains("HashAggregate"), p)
   }
 
-  test("t12 ngram LM: model joins are hash joins on the bigram key, no broadcast of the corpus") {
+  test("t12 ngram LM: one corpus scan, one occurrence exchange, model in-place via windows (r17)") {
     val p = plan("t12_ngram_lm")
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
-      s"LM scoring must stay equi-join only:\n$p")
-    // the occurrence side is corpus-sized: it must never be broadcast
-    assert(p.contains("ShuffledHashJoin"),
-      s"model join should be the hinted shuffle_hash:\n$p")
+    // the r17 rewire: b_cnt/u_cnt are stacked window aggregates over ONE
+    // hashpartitioning(w1) exchange — no model join, no second corpus
+    // scan (the old join form scanned + exploded the corpus twice)
+    assert(!p.contains("Join"), s"LM scoring must not join a model table:\n$p")
+    assert(p.linesIterator.count(_.contains("FileScan parquet")) == 1,
+      s"exactly one corpus scan expected:\n$p")
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 2,
+      s"expected the w1 occurrence exchange + the per-doc agg exchange only:\n$p")
+    // the per-doc scoring agg must map-side combine before the doc_id shuffle
+    assert(p.contains("partial_count"),
+      s"doc scoring agg must be partial (map-side combined):\n$p")
   }
 
-  test("t18 perplexity routing keeps t12's plan shape: equi-joins only, scoring agg is partial") {
+  test("t18 perplexity routing keeps t12's plan shape: windows over one exchange, scoring agg partial") {
     val p = plan("t18_lm_perplexity")
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
-      s"perplexity scoring must stay equi-join only:\n$p")
-    assert(p.contains("ShuffledHashJoin"),
-      s"model join should be the hinted shuffle_hash:\n$p")
-    // the per-doc bits agg must map-side combine before the doc_id shuffle
-    assert(p.contains("partial_count") || p.contains("Partial"),
+    assert(!p.contains("Join"),
+      s"perplexity scoring must not join a model table (r17 window form):\n$p")
+    assert(p.linesIterator.count(_.contains("FileScan parquet")) == 1,
+      s"exactly one corpus scan expected:\n$p")
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 2,
+      s"expected the w1 occurrence exchange + the per-doc agg exchange only:\n$p")
+    assert(p.contains("partial_count"),
       s"doc scoring agg must be partial (map-side combined):\n$p")
   }
 
